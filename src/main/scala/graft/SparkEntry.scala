@@ -1,13 +1,270 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3 + §7.
+  *
+  * Each `queries` entry exercises one operator-inventory row (SURVEY §2);
+  * each has a DuckDB-equivalent oracle in [[oracleSql]] with identical
+  * column names (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (Q12 composition) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q12Composition(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- Q1
+  /** O1 axis=1 row UDF: sin(q^2)+sin(d^2) per lineitem row
+    * (UDF from reference tests/test_pandarallel.py:41-45).
+    */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    RowApply.exprApply(li)(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_linenumber" -> col("l_linenumber"),
+      "v" -> (sin(col("l_quantity") * col("l_quantity")) +
+        sin(col("l_discount") * col("l_discount"))))
+  }
+
+  // ---------------------------------------------------------------- Q2
+  /** O1 axis=0 column-reduce UDF: max(x)-min(x) per numeric column
+    * (reference tests/test_pandarallel.py:31-35).
+    */
+  private val q2Cols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private def q02(s: SparkSession, d: String): DataFrame =
+    ColApply.reduce(Tables.lineitem(s, d), q2Cols)(
+      c => max(c) - min(c),
+      n => s"range_$n")
+
+  // ---------------------------------------------------------------- Q3
+  /** O2 applymap cell UDF: sin(x^2)-cos(x^2) on every numeric cell of
+    * part (reference tests/test_pandarallel.py:49-55).
+    */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    ColApply.applymap(
+      Tables.part(s, d),
+      c => sin(c * c) - cos(c * c),
+      cols = Seq("p_size", "p_retailprice"),
+      keep = Seq("p_partkey"),
+      outName = n => s"m_$n")
+
+  // ---------------------------------------------------------------- Q4
+  /** O3 series map UDF: log10(sqrt(exp(x^2))) over l_discount
+    * (reference tests/test_pandarallel.py:59-65).
+    */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    SeriesOps.mapExpr(
+      Tables.lineitem(s, d),
+      "l_discount",
+      Seq("l_orderkey", "l_linenumber"),
+      "v")(x => log10(sqrt(exp(x * x))))
+
+  // ---------------------------------------------------------------- Q5
+  /** O4 series apply with extra args power=2, bias=3
+    * (reference tests/test_pandarallel.py:69-77,248-253).
+    */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    SeriesOps.applyExpr(
+      Tables.lineitem(s, d),
+      "l_discount",
+      Seq("l_orderkey", "l_linenumber"),
+      "v",
+      (2.0, 3.0)) { case (x, (power, bias)) =>
+      log10(sqrt(exp(pow(x, power)))) + bias
+    }
+
+  // ---------------------------------------------------------------- Q6
+  /** O5 scalar group UDF: per-l_returnflag avg(log10(sqrt(exp(d^2))))
+    * (reference tests/test_pandarallel.py:95-103). Partial+final hash agg.
+    */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    GroupApply.agg(Tables.lineitem(s, d), Seq("l_returnflag"))(
+      avg(log10(sqrt(exp(col("l_discount") * col("l_discount"))))).as("v"))
+
+  // ---------------------------------------------------------------- Q7
+  /** O5 DataFrame-returning group UDF: per-priority price stats
+    * (reference tests/test_pandarallel.py:107-114).
+    */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    GroupApply.agg(Tables.orders(s, d), Seq("o_orderpriority"))(
+      avg(col("o_totalprice")).as("avg_price"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+
+  // ---------------------------------------------------------------- Q8
+  /** O5 multi-key grouping (reference tests/test_pandarallel.py:291-293). */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    GroupApply.agg(
+      Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus"))(
+      avg(log10(sqrt(exp(col("l_discount") * col("l_discount"))))).as("v"))
+
+  // ---------------------------------------------------------------- Q9
+  /** O6 series rolling apply, window 4, black-box polynomial UDF
+    * x0 + x1^2 + x2^3 + x3^4 (reference tests/test_pandarallel.py:81-91).
+    * Exercises the arbitrary-window-UDF path (collect_list frame + UDF).
+    * Ungrouped total order = single-partition window (see Windows scaladoc).
+    */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rollingCollect(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Nil,
+        window = 4,
+        outName = "v") { xs =>
+        xs(0) + math.pow(xs(1), 2) + math.pow(xs(2), 3) + math.pow(xs(3), 4)
+      }
+      .select("event_id", "v")
+
+  // ---------------------------------------------------------------- Q10
+  /** O7 grouped rolling apply (reference tests/test_pandarallel.py:308-325):
+    * Q9's polynomial partitioned by user_id — scales horizontally (hash
+    * exchange on user_id, windows evaluated per group).
+    */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rollingCollect(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        window = 4,
+        outName = "v") { xs =>
+        xs(0) + math.pow(xs(1), 2) + math.pow(xs(2), 3) + math.pow(xs(3), 4)
+      }
+      .select("user_id", "event_id", "v")
+
+  // ---------------------------------------------------------------- Q11
+  /** O8 grouped expanding apply (reference tests/test_pandarallel.py:131-141,
+    * simplified weighted form): cumulative sum per user — algebraic
+    * rewrite (running aggregate), O(1) state per row at any scale.
+    */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Windows
+      .expandingAgg(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        outName = "cum_value")(sum)
+      .select("user_id", "event_id", "cum_value")
+
+  // ---------------------------------------------------------------- Q12
+  /** Composition sanity (SURVEY §2.3 Q12): revenue per nation.
+    * lineitem ⋈ orders ⋈ customer ⋈ nation with a ship-date filter.
+    * nation/customer are broadcast (small dims) — no shuffle of the fact
+    * table except the o_orderkey join, which AQE handles.
+    */
+  def q12Composition(s: SparkSession, d: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  // ---------------------------------------------------------------------
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_row_apply" -> (q01 _),
+    "q02_col_reduce" -> (q02 _),
+    "q03_applymap" -> (q03 _),
+    "q04_series_map" -> (q04 _),
+    "q05_series_apply_args" -> (q05 _),
+    "q06_group_scalar" -> (q06 _),
+    "q07_group_stats" -> (q07 _),
+    "q08_group_multikey" -> (q08 _),
+    "q09_rolling" -> (q09 _),
+    "q10_grouped_rolling" -> (q10 _),
+    "q11_grouped_expanding" -> (q11 _),
+    "q12_composition" -> ((s: SparkSession, d: String) => q12Composition(s, d))
+  )
+
+  /** DuckDB oracles — column names must match the Spark results exactly. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_row_apply" ->
+      """SELECT l_orderkey, l_linenumber,
+         sin(l_quantity*l_quantity)+sin(l_discount*l_discount) AS v
+         FROM lineitem""",
+    "q02_col_reduce" ->
+      """SELECT max(l_quantity)-min(l_quantity) AS range_l_quantity,
+         max(l_extendedprice)-min(l_extendedprice) AS range_l_extendedprice,
+         max(l_discount)-min(l_discount) AS range_l_discount,
+         max(l_tax)-min(l_tax) AS range_l_tax
+         FROM lineitem""",
+    "q03_applymap" ->
+      """SELECT p_partkey,
+         sin(p_size*p_size)-cos(p_size*p_size) AS m_p_size,
+         sin(p_retailprice*p_retailprice)-cos(p_retailprice*p_retailprice)
+           AS m_p_retailprice
+         FROM part""",
+    "q04_series_map" ->
+      """SELECT l_orderkey, l_linenumber,
+         log10(sqrt(exp(l_discount*l_discount))) AS v
+         FROM lineitem""",
+    "q05_series_apply_args" ->
+      """SELECT l_orderkey, l_linenumber,
+         log10(sqrt(exp(pow(l_discount, 2)))) + 3.0 AS v
+         FROM lineitem""",
+    "q06_group_scalar" ->
+      """SELECT l_returnflag,
+         avg(log10(sqrt(exp(l_discount*l_discount)))) AS v
+         FROM lineitem GROUP BY l_returnflag""",
+    "q07_group_stats" ->
+      """SELECT o_orderpriority,
+         avg(o_totalprice) AS avg_price,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price
+         FROM orders GROUP BY o_orderpriority""",
+    "q08_group_multikey" ->
+      """SELECT l_returnflag, l_linestatus,
+         avg(log10(sqrt(exp(l_discount*l_discount)))) AS v
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q09_rolling" ->
+      """SELECT event_id,
+         CASE WHEN row_number() OVER w >= 4 THEN
+           lag(value,3) OVER w + pow(lag(value,2) OVER w, 2)
+           + pow(lag(value,1) OVER w, 3) + pow(value, 4) END AS v
+         FROM events WINDOW w AS (ORDER BY event_id)""",
+    "q10_grouped_rolling" ->
+      """SELECT user_id, event_id,
+         CASE WHEN row_number() OVER w >= 4 THEN
+           lag(value,3) OVER w + pow(lag(value,2) OVER w, 2)
+           + pow(lag(value,1) OVER w, 3) + pow(value, 4) END AS v
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q11_grouped_expanding" ->
+      """SELECT user_id, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+         FROM events""",
+    "q12_composition" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY n_name"""
+  )
 }

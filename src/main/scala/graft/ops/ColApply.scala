@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.NumericType
+
+/** O1 axis=0 and O2 — column-wise apply and element-wise applymap.
+  * Reference: data_types/dataframe.py:13-22 (column chunking),
+  * :50-51 (result-shape sniffing), :53-75 (applymap);
+  * patched at core.py:523-530.
+  *
+  * pandas `df.apply(func, axis=0)` hands each *column* to the function;
+  * the result is either a reduced scalar per column (shape sniff →
+  * one-row frame) or a transformed column (same-length frame). We make
+  * the two shapes explicit:
+  *  - [[reduce]]   — per-column aggregate (e.g. `max(x)-min(x)`): a single
+  *    `select` of aggregate expressions = one partial+final aggregation
+  *    pass, all columns in parallel (Catalyst evaluates them in one scan,
+  *    map-side partials, no row shuffle — only the O(#cols) partial rows).
+  *  - [[transform]] — per-column same-length transform: one `select`,
+  *    whole-stage codegen, zero shuffle.
+  *  - [[applymap]]  — O2: the same cell function applied to every column.
+  *
+  * The reference parallelizes axis=0 by slicing columns across workers;
+  * Catalyst does strictly better: one data pass evaluates all column
+  * expressions simultaneously (row-parallel over partitions), instead of
+  * #cols independent passes.
+  */
+object ColApply {
+
+  /** Per-column aggregate — result is one row, one value per column. */
+  def reduce(df: DataFrame, cols: Seq[String])(
+      f: Column => Column,
+      outName: String => String = identity): DataFrame =
+    df.select(cols.map(c => f(col(c)).as(outName(c))): _*)
+
+  /** Per-column transform — result has the input's row count. */
+  def transform(df: DataFrame, cols: Seq[String])(
+      f: Column => Column,
+      outName: String => String = identity): DataFrame =
+    df.select(cols.map(c => f(col(c)).as(outName(c))): _*)
+
+  /** O2 applymap: apply the cell function to every column of `cols`
+    * (default: all numeric columns), carrying `keep` columns through
+    * unchanged (pandas applymap transforms all cells; we keep key columns
+    * addressable so results stay joinable/sortable).
+    */
+  def applymap(
+      df: DataFrame,
+      f: Column => Column,
+      cols: Seq[String] = Nil,
+      keep: Seq[String] = Nil,
+      outName: String => String = identity): DataFrame = {
+    val target =
+      if (cols.nonEmpty) cols
+      else
+        df.schema.fields
+          .filter(_.dataType.isInstanceOf[NumericType])
+          .map(_.name)
+          .toSeq
+    val kept = keep.map(col)
+    val mapped = target.map(c => f(col(c)).as(outName(c)))
+    df.select(kept ++ mapped: _*)
+  }
+}

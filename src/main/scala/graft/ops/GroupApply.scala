@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
+
+/** O5 — `DataFrameGroupBy.parallel_apply(func)`.
+  * Reference: pandarallel/core.py:533-535, data_types/dataframe_groupby.py.
+  *
+  * The reference deals whole groups to workers (a group is never split,
+  * dataframe_groupby.py:14-21) and re-assembles with pandas'
+  * `_wrap_applied_output`, which shapes the result according to what the
+  * UDF returned (scalar / Series / DataFrame — dataframe_groupby.py:49-81).
+  * Spark's hash exchange on the group keys gives the identical
+  * "whole group on one task" guarantee.
+  *
+  * The result-shape polymorphism becomes three explicit entry points
+  * (SURVEY §7.4 — Scala makes the sum type explicit where pandas sniffs):
+  *  - [[agg]]            — scalar-per-group UDFs expressible as aggregate
+  *    expressions. THE preferred path: Catalyst plans a partial (map-side
+  *    combine) + final hash aggregate, so the shuffle carries one partial
+  *    row per (partition, key), not the group's rows. At 100 TB this is
+  *    the difference between shuffling kilobytes and shuffling the table.
+  *  - [[flatMapGroups]]  — DataFrame-returning group UDFs (UDTF-shaped:
+  *    one group → many rows; tests/test_pandarallel.py:296-305). Shuffles
+  *    the full table on the keys — unavoidable for a black-box group
+  *    function, same cost profile as the reference.
+  *  - [[mapGroups]]      — one-row-per-group black-box UDFs.
+  *
+  * Skew: a giant group is one slow task in both engines (SURVEY §7.4);
+  * prefer [[agg]] (AQE-skew-aware, partials bound memory) wherever the
+  * function is algebraic.
+  */
+object GroupApply {
+
+  /** Expression aggregates per group — partial+final hash aggregation. */
+  def agg(df: DataFrame, keys: Seq[String])(aggs: Column*): DataFrame =
+    df.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Black-box group UDF, one output row per group. */
+  def mapGroups[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
+      f: (K, Iterator[Row]) => T): Dataset[T] =
+    df.groupByKey(keyFn)(implicitly[Encoder[K]]).mapGroups(f)
+
+  /** Black-box group UDF, many output rows per group (UDTF-like). */
+  def flatMapGroups[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
+      f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[T] =
+    df.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups(f)
+}
