@@ -181,6 +181,125 @@ object SparkEntry {
           .as("revenue"))
   }
 
+  // ================= training-pipeline extension queries ===============
+  // (beyond the reference surface — dedup / similarity / text / multimodal
+  //  / streaming, per the build brief)
+
+  import graft.functions.TextFunctions
+  import graft.operators.{Dedup, Similarity}
+  import graft.multimodal.Multimodal
+  import graft.streaming.EventStream
+
+  /** Exact dedup on documents: one row per distinct content digest. */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+
+  /** MinHash+LSH near-dup pairs (non-SQL-expressible → rows-only check). */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashNearDup(
+      Tables.documents(s, d),
+      "text",
+      "doc_id",
+      shingleLen = 4,
+      numHashes = 32,
+      bands = 8,
+      threshold = 0.25)
+
+  /** Per-doc 64-bit SimHash + rolling-hash fingerprint (rows-only). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(
+      col("doc_id"),
+      Dedup.simHash(col("text")).as("simhash"),
+      TextFunctions.minShingleHash(col("text"), 8).as("roll_fp"))
+  }
+
+  /** Exact blocked n-gram Jaccard pairs (trigrams, token-count blocking). */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, d),
+      "text",
+      "doc_id",
+      n = 3,
+      threshold = 0.2)
+
+  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+    Tables
+      .embeddings(s, d)
+      .where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head()
+      .getSeq[Double](0)
+
+  /** Brute-force cosine scores of every vector vs the vec_id=0 query. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Similarity.scoreAll(
+      Tables.embeddings(s, d),
+      "embedding",
+      "vec_id",
+      queryVec(s, d))
+
+  /** LSH-bucketed approximate top-k (rows-only — approximate by design). */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(
+      Tables.embeddings(s, d),
+      "embedding",
+      "vec_id",
+      queryVec(s, d),
+      k = 10,
+      nBits = 16,
+      bandBits = 4)
+
+  /** Token-count / punctuation / digit stats per document. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(t).as("n_tokens"),
+        round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
+        round(TextFunctions.digitRatio(t), 6).as("digit_ratio"))
+  }
+
+  /** Stopword-ratio language-ID heuristic per document. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+
+  /** Composite quality score per document. */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+
+  /** Normalization fingerprint (md5 of case/whitespace-normalized text). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.normFingerprint(col("text")).as("fp"))
+
+  /** Batch tumbling-window aggregation over events (streaming parity —
+    * same grouping as streaming.EventStream.windowedCounts).
+    */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    EventStream.bucketAggBatch(Tables.events(s, d))
+
+  /** Multimodal plumbing: text→binary assets → batched per-partition
+    * (stub) feature extraction (rows-only — decode is the fake stub).
+    */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .extractFeatures(
+        Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"),
+        dim = 16)
+      .toDF()
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -196,7 +315,19 @@ object SparkEntry {
     "q09_rolling" -> (q09 _),
     "q10_grouped_rolling" -> (q10 _),
     "q11_grouped_expanding" -> (q11 _),
-    "q12_composition" -> ((s: SparkSession, d: String) => q12Composition(s, d))
+    "q12_composition" -> ((s: SparkSession, d: String) => q12Composition(s, d)),
+    "q13_dedup_exact" -> (q13 _),
+    "q14_minhash_neardup" -> (q14 _),
+    "q15_simhash_fp" -> (q15 _),
+    "q16_ngram_jaccard" -> (q16 _),
+    "q17_cosine_scores" -> (q17 _),
+    "q18_ann_lsh_topk" -> (q18 _),
+    "q19_text_stats" -> (q19 _),
+    "q20_lang_id" -> (q20 _),
+    "q21_quality_score" -> (q21 _),
+    "q22_fingerprint" -> (q22 _),
+    "q23_event_buckets" -> (q23 _),
+    "q24_multimodal_features" -> (q24 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -265,6 +396,99 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            AND l_shipdate < TIMESTAMP '1996-01-01'
-         GROUP BY n_name"""
+         GROUP BY n_name""",
+    "q13_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY md5(text)""",
+    "q16_ngram_jaccard" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(text) AS rt,
+                  lower(regexp_replace(trim(text),'\s+',' ','g')) AS t
+           FROM documents
+         ), p AS (
+           SELECT doc_id,
+                  CASE WHEN rt='' THEN 0
+                       ELSE len(string_split_regex(rt,'\s+')) END AS blk,
+                  list_distinct([t[i:i+2] for i in range(1, len(t)-1)]) AS sh
+           FROM norm
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.sh,b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh)) AS jaccard
+         FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)) > 0.2""",
+    "q17_cosine_scores" ->
+      """SELECT vec_id AS id,
+         list_cosine_similarity(embedding::DOUBLE[],
+           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id=0)) AS sim
+         FROM embeddings""",
+    "q19_text_stats" ->
+      """SELECT doc_id,
+         CASE WHEN trim(text)='' THEN 0
+              ELSE len(string_split_regex(trim(text),'\s+')) END AS n_tokens,
+         CASE WHEN length(text)=0 THEN 0.0
+              ELSE round((length(text)-length(regexp_replace(text,
+                '[!-/:-@\[-`{-~]','','g')))::DOUBLE/length(text),6)
+              END AS punct_ratio,
+         CASE WHEN length(text)=0 THEN 0.0
+              ELSE round((length(text)-length(regexp_replace(text,
+                '[0-9]','','g')))::DOUBLE/length(text),6)
+              END AS digit_ratio
+         FROM documents""",
+    "q20_lang_id" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                  ELSE string_split_regex(lower(trim(text)),'\s+') END AS tk
+           FROM documents
+         ), r AS (
+           SELECT doc_id,
+             CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN
+               ('the','a','of','and','to','in','is','that')))::DOUBLE/len(tk)
+               END AS s_en,
+             CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN
+               ('le','la','de','et','les','des','un','une')))::DOUBLE/len(tk)
+               END AS s_fr,
+             CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN
+               ('der','die','das','und','ist','ein','mit','von')))::DOUBLE/len(tk)
+               END AS s_de,
+             CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN
+               ('el','la','de','y','los','que','un','una')))::DOUBLE/len(tk)
+               END AS s_es
+           FROM tok
+         )
+         SELECT doc_id,
+           CASE WHEN greatest(s_en,s_fr,s_de,s_es) = 0.0 THEN 'und'
+                WHEN s_en = greatest(s_en,s_fr,s_de,s_es) THEN 'en'
+                WHEN s_fr = greatest(s_en,s_fr,s_de,s_es) THEN 'fr'
+                WHEN s_de = greatest(s_en,s_fr,s_de,s_es) THEN 'de'
+                ELSE 'es' END AS lang_pred
+         FROM r""",
+    "q21_quality_score" ->
+      """WITH q AS (
+           SELECT doc_id, length(text) AS n,
+             CASE WHEN length(text)=0 THEN 0.0
+                  ELSE (length(text)-length(regexp_replace(text,
+                    '[!-/:-@\[-`{-~]','','g')))::DOUBLE/length(text)
+                  END AS pr,
+             CASE WHEN length(text)=0 THEN 0.0
+                  ELSE (length(text)-length(regexp_replace(text,
+                    '[0-9]','','g')))::DOUBLE/length(text)
+                  END AS dr
+           FROM documents
+         )
+         SELECT doc_id,
+           round(least(n::DOUBLE/200.0, 1.0)*0.5
+                 + (1.0 - least((pr+dr)*4.0, 1.0))*0.5, 6) AS quality
+         FROM q""",
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+         md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) AS fp
+         FROM documents""",
+    "q23_event_buckets" ->
+      """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket,
+         event_type, count(*) AS n, round(sum(value),4) AS sum_value
+         FROM events GROUP BY 1, 2"""
   )
 }

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines (language
+  * ID, quality scoring, token counting, fingerprinting). Beyond the
+  * reference surface; extension set per the build brief.
+  *
+  * Everything here is a pure Column expression (codegen'd, scan-pruned,
+  * shuffle-free) — these run as a narrow map over arbitrarily many
+  * document partitions, so they scale linearly to 100 TB.
+  *
+  * Regex character classes are written as explicit ASCII ranges so the
+  * same pattern means the same thing in Java regex (Spark) and RE2
+  * (DuckDB oracle / other engines).
+  */
+object TextFunctions {
+
+  /** ASCII punctuation as an engine-portable character class. */
+  private val PunctClass = """[!-/:-@\[-`{-~]"""
+
+  /** Whitespace-delimited tokens of the trimmed text (empty → []). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Rough BPE-ish subword count: word-pieces of <=4 chars — a cheap,
+    * deterministic stand-in for tokenizer budgeting (ceil(len/4) per
+    * word ≈ byte-pair piece count).
+    */
+  def subwordCount(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+
+  /** Fraction of characters that are ASCII punctuation (0 for empty). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, PunctClass, "")))
+        .cast("double") / length(c))
+
+  /** Fraction of characters that are digits (0 for empty). */
+  def digitRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "[0-9]", "")))
+        .cast("double") / length(c))
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLen(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0)).otherwise(
+      aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / tokenCount(c))
+
+  /** Count of tokens (lowercased) found in `words`. */
+  def wordHitCount(c: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(lower(c)), t => array_contains(set, t)))
+  }
+
+  /** Stopword ratio: hits / tokens (0 for empty). */
+  def stopwordRatio(c: Column, words: Seq[String]): Column =
+    when(tokenCount(c) === 0, lit(0.0)).otherwise(
+      wordHitCount(c, words).cast("double") / tokenCount(c))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (the usual fastText-free trick: argmax over per-language
+    * stopword hit ratios).
+    */
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val StopwordsFr = Seq("le", "la", "de", "et", "les", "des", "un", "une")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "ein", "mit", "von")
+  val StopwordsEs = Seq("el", "la", "de", "y", "los", "que", "un", "una")
+
+  /** Language-ID heuristic: argmax of per-language stopword ratios, 'und'
+    * (undetermined) when every ratio is 0. Deterministic tie-break by the
+    * fixed order en > fr > de > es.
+    */
+  def langId(c: Column): Column = {
+    val en = stopwordRatio(c, StopwordsEn)
+    val fr = stopwordRatio(c, StopwordsFr)
+    val de = stopwordRatio(c, StopwordsDe)
+    val es = stopwordRatio(c, StopwordsEs)
+    val m = greatest(en, fr, de, es)
+    when(m === 0.0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(fr === m, lit("fr"))
+      .when(de === m, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
+    * punctuation/digit noise — the usual cheap pre-filter before
+    * expensive dedup/training steps.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
+    val cleanliness = lit(1.0) - least(
+      (punctRatio(c) + digitRatio(c)) * 4.0,
+      lit(1.0))
+    round(lenScore * 0.5 + cleanliness * 0.5, 6)
+  }
+
+  /** Normalization fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — exact-dup detection robust to spacing/case.
+    */
+  def normFingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Distinct character n-gram shingles of the normalized text
+    * (empty array when the text is shorter than n).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(c), "\\s+", " "))
+    when(length(norm) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), length(norm) - (n - 1)),
+          i => norm.substr(i, lit(n)))))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum 64-bit hash over the
+    * text's character n-gram shingles (Rabin-Karp-style winnowing with
+    * window = whole document). Near-identical docs collide; cheap first
+    * pass before MinHash. Null for texts shorter than n.
+    */
+  def minShingleHash(c: Column, n: Int = 8): Column =
+    array_min(transform(shingles(c, n), s => xxhash64(s)))
+}

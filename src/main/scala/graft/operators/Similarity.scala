@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (extension set — beyond the reference surface).
+  *
+  * Two paths, as the brief requires:
+  *  - [[bruteForceTopK]] — the exact baseline: score every vector (narrow
+  *    map, codegen'd cosine) then global top-k. Spark plans the top-k as
+  *    per-partition TakeOrdered partials + a tiny driver merge: only
+  *    k rows per partition move, never the corpus.
+  *  - [[lshTopK]] — the scale path: hyperplane-LSH signature buckets;
+  *    only vectors whose signature shares a band with the query are
+  *    scored. Probing b bands of r bits each ≈ IVF with 2^r cells and
+  *    b probes. Cuts scored rows by orders of magnitude at 100 TB while
+  *    keeping recall tunable (more bands → higher recall).
+  *
+  * The query vector is a literal baked into the plan (broadcast by
+  * value) — no join needed for the 1-query case; [[crossTopK]] covers
+  * the many-queries case with a broadcast join.
+  */
+object Similarity {
+
+  private def vecLit(q: Seq[Double]): Column =
+    array(q.map(lit): _*)
+
+  /** Exact top-k by cosine similarity against one query vector. */
+  def bruteForceTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        VectorFunctions.cosine(col(vecCol), vecLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+
+  /** All-pairs scores against one query (no selection — full scoring
+    * pass; useful as the verifiable baseline).
+    */
+  def scoreAll(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double]): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      VectorFunctions.cosine(col(vecCol), vecLit(query)).as("sim"))
+
+  /** LSH-bucketed approximate top-k: score only vectors sharing at least
+    * one signature band with the query.
+    *
+    * @param bandBits bits per band; bands = nBits/bandBits
+    */
+  def lshTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nBits: Int = 16,
+      bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    val bands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+
+    def bandArray(sig: Column): Column =
+      array((0 until bands).map { b =>
+        shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
+          .bitwiseOR(lit(b.toLong << bandBits)) // tag with band index
+      }: _*)
+
+    // query signature computed once (tiny driver-side job — must use the
+    // same Murmur3-based expression as the corpus side), then baked in as
+    // literal band keys
+    val qSigVal: Long = df.sparkSession
+      .range(1)
+      .select(VectorFunctions.hyperplaneSignature(vecLit(query), nBits))
+      .head
+      .getLong(0)
+    val sig = VectorFunctions.hyperplaneSignature(col(vecCol), nBits)
+    val qBands = array((0 until bands).map { b =>
+      lit(((qSigVal >> (b * bandBits)) & mask) | (b.toLong << bandBits))
+    }: _*)
+
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        bandArray(sig).as("vb"))
+      .where(size(array_intersect(col("vb"), qBands)) > 0)
+      .select(
+        col("id"),
+        VectorFunctions.cosine(col("v"), vecLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Many-queries exact top-k: broadcast the (small) query set, score
+    * every (query, vector) pair, keep top-k per query via a partitioned
+    * window — one broadcast join + one shuffle on query_id.
+    */
+  def crossTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .join(broadcast(queries))
+      .select(
+        col(qIdCol).as("query_id"),
+        col(idCol).as("id"),
+        VectorFunctions.cosine(col(vecCol), col(qVecCol)).as("sim"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup groups true duplicates") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "hello world"),
+      (3L, "different doc")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("n") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1
+      (3L, "completely unrelated content about spark query engines rolling")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minHashNearDup(docs, "text", "doc_id", shingleLen = 4,
+        numHashes = 32, bands = 16, threshold = 0.5)
+      .collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
+  }
+
+  test("simhash: identical text → identical signature, determinism") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(Dedup.simHash(col("text"))).as[Long].collect()
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+    val again = df.select(Dedup.simHash(col("text"))).as[Long].collect()
+    assert(sigs.toSeq === again.toSeq)
+  }
+
+  test("shingles edge cases: short/empty text") {
+    val df = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
+    val sh = df.select(TextFunctions.shingles(col("text"), 3)).collect()
+    assert(sh(0).getSeq[String](0).isEmpty)
+    assert(sh(1).getSeq[String](0).isEmpty)
+    assert(sh(2).getSeq[String](0) === Seq("abc", "bcd"))
+  }
+
+  test("brute-force top-k: query vector is its own nearest neighbor") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb
+      .where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head()
+      .getSeq[Double](0)
+    val top = Similarity
+      .bruteForceTopK(emb, "embedding", "vec_id", q, 5)
+      .collect()
+    assert(top.head.getAs[Long]("id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-12)
+    val sims = top.map(_.getAs[Double]("sim")).toSeq
+    assert(sims === sims.sorted.reverse)
+  }
+
+  test("LSH top-k is a subset-quality approximation of brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb
+      .where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head()
+      .getSeq[Double](0)
+    val approx = Similarity
+      .lshTopK(emb, "embedding", "vec_id", q, 10, nBits = 16, bandBits = 4)
+      .collect()
+    assert(approx.nonEmpty)
+    // the identical vector always collides in every band
+    assert(approx.head.getAs[Long]("id") === 0L)
+  }
+
+  test("crossTopK: k rows per query, self on top") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(50)
+    val queries = emb
+      .where(col("vec_id") < 3)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"))
+    val out = Similarity
+      .crossTopK(emb, queries, "embedding", "vec_id", "q_vec", "query_id", 4)
+      .collect()
+    assert(out.length === 12)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.maxBy(_.getAs[Double]("sim")).getAs[Long]("id") === qid)
+    }
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val df = Seq(
+      (1L, "the cat is one of the animals that live in the house"),
+      (2L, "le chat et la maison des amis avec une porte"),
+      (3L, "der hund ist ein tier mit der katze und von haus"),
+      (4L, "")).toDF("id", "text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(got.toSeq === Seq("en", "fr", "de", "und"))
+  }
+
+  test("normFingerprint is case/whitespace invariant") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
+      .toDF("id", "text")
+    val fps = df.select(TextFunctions.normFingerprint(col("text")))
+      .as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("multimodal: deterministic fake decode through mapPartitions") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    assert(assets.schema.fieldNames.toSeq === Seq("id", "data", "meta"))
+    val feats = Multimodal.extractFeatures(assets, dim = 8).collect()
+    assert(feats.length === 20)
+    feats.foreach { f =>
+      assert(f.feature.length === 8)
+      assert(f.n_bytes > 0)
+      // feature sum == sum of bytes / 255 (property of the fake decode)
+      val expected = f.feature.sum
+      assert(expected > 0f)
+    }
+    // determinism across runs
+    val again = Multimodal.extractFeatures(assets, dim = 8).collect()
+    assert(feats.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("vector functions: cosine/l2 basics") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val cos = df.select(VectorFunctions.cosine(col("a"), col("b")))
+      .as[Double].collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(math.abs(cos(1)) < 1e-12)
+    val l2 = df.select(VectorFunctions.l2Sq(col("a"), col("b")))
+      .as[Double].collect()
+    assert(math.abs(l2(1) - 2.0) < 1e-12)
+  }
+}
