@@ -28,6 +28,10 @@ object Session {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dims/signature tables up to 64 MB go broadcast instead of SMJ —
+      // with 100+ GB executors this trades trivial memory for removing
+      // fact-side shuffles (AQE still decides per-join at runtime)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark 4 has no
       // nanos timestamp type — read as long (nanos since epoch).

@@ -190,6 +190,15 @@ object SparkEntry {
   import graft.multimodal.Multimodal
   import graft.streaming.EventStream
 
+  /** documents.parquet is one small file → one scan partition; the text
+    * operators are CPU-bound per row, so spread rows across all cores.
+    * (On a real cluster the corpus arrives as many splits and this
+    * repartition is unnecessary — it exists to decouple CPU parallelism
+    * from file-split sizing.)
+    */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** Exact dedup on documents: one row per distinct content digest. */
   private def q13(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "text", "doc_id")
@@ -197,30 +206,41 @@ object SparkEntry {
   /** MinHash+LSH near-dup pairs (non-SQL-expressible → rows-only check). */
   private def q14(s: SparkSession, d: String): DataFrame =
     Dedup.minHashNearDup(
-      Tables.documents(s, d),
+      docs(s, d),
       "text",
       "doc_id",
       shingleLen = 4,
       numHashes = 32,
       bands = 8,
-      threshold = 0.25)
+      threshold = 0.4)
 
   /** Per-doc 64-bit SimHash + rolling-hash fingerprint (rows-only). */
-  private def q15(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    docs.select(
-      col("doc_id"),
-      Dedup.simHash(col("text")).as("simhash"),
-      TextFunctions.minShingleHash(col("text"), 8).as("roll_fp"))
-  }
+  private def q15(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        Dedup.tokenHashes(col("text")).as("__th"),
+        TextFunctions.normalized(col("text")).as("__norm"))
+      .select(
+        col("doc_id"),
+        col("__th"),
+        TextFunctions.shinglesOf(col("__norm"), 8).as("__sh"))
+      .select(
+        col("doc_id"),
+        Dedup.simHashFromTokenHashes(col("__th")).as("simhash"),
+        TextFunctions.minShingleHashOf(col("__sh")).as("roll_fp"))
 
-  /** Exact blocked n-gram Jaccard pairs (trigrams, token-count blocking). */
+  /** Exact blocked n-gram Jaccard pairs (trigrams). Blocking on the
+    * exact char count keeps blocks tiny (pair space = Σ|block|²) — the
+    * knob that makes exact pairwise comparison feasible at scale.
+    */
   private def q16(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(
-      Tables.documents(s, d),
+      docs(s, d),
       "text",
       "doc_id",
       n = 3,
+      blockKey = Some(col("n_chars")),
       threshold = 0.2)
 
   private def queryVec(s: SparkSession, d: String): Seq[Double] =
@@ -402,13 +422,12 @@ object SparkEntry {
          FROM documents GROUP BY md5(text)""",
     "q16_ngram_jaccard" ->
       """WITH norm AS (
-           SELECT doc_id, trim(text) AS rt,
+           SELECT doc_id, n_chars,
                   lower(regexp_replace(trim(text),'\s+',' ','g')) AS t
            FROM documents
          ), p AS (
            SELECT doc_id,
-                  CASE WHEN rt='' THEN 0
-                       ELSE len(string_split_regex(rt,'\s+')) END AS blk,
+                  n_chars AS blk,
                   list_distinct([t[i:i+2] for i in range(1, len(t)-1)]) AS sh
            FROM norm
          )

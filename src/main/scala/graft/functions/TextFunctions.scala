@@ -111,23 +111,41 @@ object TextFunctions {
   def normFingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
-  /** Distinct character n-gram shingles of the normalized text
-    * (empty array when the text is shorter than n).
+  /** Case/whitespace normalization for fingerprinting and shingling. */
+  def normalized(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Distinct character n-gram shingles over an ALREADY-NORMALIZED column
+    * reference (empty array when shorter than n).
+    *
+    * IMPORTANT evaluation-cost contract: `normAttr` must be a cheap
+    * reference (an attribute projected in a previous step), because it is
+    * referenced inside the `transform` lambda and would otherwise be
+    * re-evaluated once per shingle — a normalization regex nested here
+    * turns O(len) shingling into O(len²) regex work per row. Operators
+    * project [[normalized]] into a real column first; Catalyst's
+    * CollapseProject keeps that boundary (non-cheap expression referenced
+    * more than once).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(trim(c), "\\s+", " "))
-    when(length(norm) < n, array().cast("array<string>")).otherwise(
+  def shinglesOf(normAttr: Column, n: Int): Column =
+    when(length(normAttr) < n, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(
-          sequence(lit(1), length(norm) - (n - 1)),
-          i => norm.substr(i, lit(n)))))
-  }
+          sequence(lit(1), length(normAttr) - (n - 1)),
+          i => normAttr.substr(i, lit(n)))))
 
-  /** Rolling-hash document fingerprint: the minimum 64-bit hash over the
-    * text's character n-gram shingles (Rabin-Karp-style winnowing with
-    * window = whole document). Near-identical docs collide; cheap first
-    * pass before MinHash. Null for texts shorter than n.
+  /** Convenience one-shot form — fine for tests/tiny inputs; hot paths
+    * must project [[normalized]] first and use [[shinglesOf]].
     */
+  def shingles(c: Column, n: Int): Column = shinglesOf(normalized(c), n)
+
+  /** Rolling-hash fingerprint over an already-materialized shingle array:
+    * minimum 64-bit hash of the shingles (Rabin-Karp-style winnowing with
+    * window = whole document). Null for texts shorter than n.
+    */
+  def minShingleHashOf(shinglesAttr: Column): Column =
+    array_min(transform(shinglesAttr, s => xxhash64(s)))
+
   def minShingleHash(c: Column, n: Int = 8): Column =
-    array_min(transform(shingles(c, n), s => xxhash64(s)))
+    minShingleHashOf(shingles(c, n))
 }

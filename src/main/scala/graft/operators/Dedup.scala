@@ -36,16 +36,29 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** MinHash signature: k independent minimums over shingle hashes.
-    * hash_i(s) = xxhash64(s, seed=i) — deterministic, computed in one
-    * codegen'd projection.
+  /** Base 64-bit hash per shingle — hash each *string* exactly once;
+    * the k minhash functions are cheap affine/xor re-mixes of this array
+    * (one string hash + k integer ops per shingle, instead of k string
+    * hashes — the classic minhash trick, 32x fewer hash evaluations).
     */
-  def minHashSignature(text: Column, shingleLen: Int, k: Int): Column = {
-    val sh = TextFunctions.shingles(text, shingleLen)
+  def shingleBaseHashes(shinglesAttr: Column): Column =
+    transform(shinglesAttr, s => xxhash64(s))
+
+  /** MinHash signature over an already-materialized base-hash array:
+    * h_i(x) = xxhash64(i, x) — hashing an 8-byte long is ~free compared
+    * to re-hashing the shingle string, and stays inside ANSI-safe
+    * integer ops (no wrapping multiply, which ANSI mode rejects).
+    * `baseHashAttr` must be an attribute reference — it is folded k
+    * times, and an inlined expression would re-evaluate k times per row.
+    */
+  def minHashFromBaseHashes(baseHashAttr: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
+      array_min(transform(baseHashAttr, h => xxhash64(lit(i), h)))
     }: _*)
-  }
+
+  /** Convenience staged form from a shingle-array attribute. */
+  def minHashFromShingles(shinglesAttr: Column, k: Int): Column =
+    minHashFromBaseHashes(shingleBaseHashes(shinglesAttr), k)
 
   /** MinHash + LSH banding near-dup candidate pairs with exact-Jaccard
     * verification.
@@ -54,6 +67,14 @@ object Dedup {
     * @param bands      LSH bands; rows-per-band = k/bands. Collision in
     *                   any band → candidate pair.
     * @param threshold  exact shingle-Jaccard cutoff for verified pairs
+    * @param maxBucketSize skew guard: buckets larger than this are
+    *                   dropped before pair expansion. A bucket of b docs
+    *                   expands to b² candidate pairs *in one task* (the
+    *                   bucket is one join key) — on boilerplate-heavy
+    *                   corpora a single mega-bucket otherwise dominates
+    *                   the whole job. Dropped buckets = "everything here
+    *                   is near-identical boilerplate"; handle them with
+    *                   [[exact]]-style digest dedup instead of pairwise.
     * @return (id_a, id_b, jaccard) with id_a < id_b, distinct pairs
     */
   def minHashNearDup(
@@ -63,13 +84,34 @@ object Dedup {
       shingleLen: Int = 5,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), shingleLen).as("sh"),
-      minHashSignature(col(textCol), shingleLen, numHashes).as("mh"))
+    // staged projections: normalize once, shingle once, then hash the
+    // materialized shingle array k times — each stage references the
+    // previous stage's attribute, never re-evaluating it per element
+    // The signature frame feeds five consumers (band self-join twice,
+    // bucket-size counts, and both shingle join-backs); without
+    // materialization the whole normalize→shingle→k-minhash pipeline
+    // re-executes per consumer. Persisting signatures is what production
+    // minhash pipelines do at any scale (they are the index).
+    // The shingle *strings* never leave this pipeline: dedup verification
+    // runs on the 64-bit base hashes (same Jaccard modulo ~2^-64 hash
+    // collisions), which shuffle 3x smaller and compare as longs.
+    val sig = df
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.normalized(col(textCol)).as("__norm"))
+      .select(
+        col("id"),
+        TextFunctions.shinglesOf(col("__norm"), shingleLen).as("sh"))
+      .select(col("id"), shingleBaseHashes(col("sh")).as("bh"))
+      .select(
+        col("id"),
+        col("bh"),
+        minHashFromBaseHashes(col("bh"), numHashes).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = hash of the band's slice of the signature. The band join
     // carries ONLY (bucket, id) — shingle arrays would multiply the
@@ -83,35 +125,52 @@ object Dedup {
             hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
           }: _*)).as("bucket"))
 
-    val cand = banded
-      .join(banded.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+    val smallBuckets = banded
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBucketSize)
+      .select("bucket")
+    val pruned = banded.join(smallBuckets, Seq("bucket"))
+
+    val cand = pruned
+      .join(pruned.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard over shingle sets
-    val shA = sig.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sig.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(array_union(col("sh_a"), col("sh_b")))
+    // verify candidates with exact Jaccard over shingle sets.
+    // Two scale guards learned the hard way (skewed-bucket grind):
+    //  1. size-ratio prefilter — J(A,B) <= min/max of the set sizes, so
+    //     pairs whose sizes already bound Jaccard below the threshold are
+    //     dropped BEFORE any set is built;
+    //  2. |A∪B| = |A|+|B|-|A∩B| (arrays are distinct) — one hash set
+    //     instead of two per pair.
+    val shA = sig.select(col("id").as("id_a"), col("bh").as("sh_a"))
+    val shB = sig.select(col("id").as("id_b"), col("bh").as("sh_b"))
+    val nA = size(col("sh_a")).cast("double")
+    val nB = size(col("sh_b")).cast("double")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))
+      .where(least(nA, nB) / greatest(nA, nB) >= threshold)
       .select(
         col("id_a"),
         col("id_b"),
-        (inter.cast("double") / union).as("jaccard"))
+        (inter / (nA + nB - inter)).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of whitespace tokens: bit j of the result is the
-    * sign of sum over tokens of (bit j of xxhash64(token) ? +1 : -1).
+  /** 64-bit SimHash from an already-materialized token-hash array: bit j
+    * of the result is the sign of sum over tokens of (bit j set ? +1 :
+    * -1). The attribute is folded 64 times — cheap over a materialized
+    * long array, quadratic-regex disaster if a tokenization expression
+    * were inlined here (see TextFunctions.shinglesOf contract).
     */
-  def simHash(text: Column): Column = {
-    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+  def simHashFromTokenHashes(tokenHashesAttr: Column): Column = {
     val bits = (0 until 64).map { j =>
       val votes = aggregate(
-        tokenHashes,
+        tokenHashesAttr,
         lit(0L),
         (acc, h) =>
           acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -121,6 +180,19 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Token-hash array for [[simHashFromTokenHashes]]. */
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.tokens(text), t => xxhash64(t))
+
+  /** Convenience one-shot SimHash — tests/tiny inputs only; hot paths
+    * project [[tokenHashes]] first.
+    */
+  def simHash(text: Column): Column = {
+    // evaluated via a nested projection-free expression: acceptable only
+    // because callers on hot paths use the staged form
+    simHashFromTokenHashes(tokenHashes(text))
+  }
+
   /** SimHash near-dup groups: docs sharing an identical 64-bit simhash.
     * (For Hamming distance > 0, band the signature like MinHash-LSH.)
     */
@@ -128,7 +200,8 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"), simHashFromTokenHashes(col("__th")).as("sig"))
       .groupBy("sig")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n"))
       .where(col("n") > 1)
@@ -145,20 +218,27 @@ object Dedup {
       blockKey: Option[Column] = None,
       threshold: Double = 0.0): DataFrame = {
     val blk = blockKey.getOrElse(TextFunctions.tokenCount(col(textCol)))
-    val prep = df.select(
-      col(idCol).as("id"),
-      blk.as("blk"),
-      TextFunctions.shingles(col(textCol), n).as("sh"))
+    val prep = df
+      .select(
+        col(idCol).as("id"),
+        blk.as("blk"),
+        TextFunctions.normalized(col(textCol)).as("__norm"))
+      .select(
+        col("id"),
+        col("blk"),
+        TextFunctions.shinglesOf(col("__norm"), n).as("sh"))
     val l = prep.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = prep.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(array_union(col("sh_a"), col("sh_b")))
+    // |A∪B| = |A|+|B|-|A∩B| — one hash set per pair, not two
+    val nA = size(col("sh_a")).cast("double")
+    val nB = size(col("sh_b")).cast("double")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     l.join(r, Seq("blk"))
       .where(col("id_a") < col("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
-        (inter.cast("double") / union).as("jaccard"))
+        (inter / (nA + nB - inter)).as("jaccard"))
       .where(col("jaccard") > threshold)
   }
 
