@@ -1,0 +1,139 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.functions.col
+
+import graft.ops._
+
+/** The reference-shaped facade: every `parallel_*` verb pandarallel
+  * monkey-patches onto pandas (reference core.py:522-556) exists here as
+  * an extension method, so a pandarallel user can switch call-site by
+  * call-site. Each verb delegates to the corresponding ops module — the
+  * facade adds no execution logic of its own.
+  *
+  * pandarallel                              | here
+  * ---------------------------------------- | --------------------------
+  * df.parallel_apply(f, axis=1)   (O1)      | df.parallelApply(f) / parallelApplyExpr
+  * df.parallel_apply(f, axis=0)   (O1)      | df.parallelApplyColumns / ...Reduce
+  * df.parallel_applymap(f)        (O2)      | df.parallelApplymap(f)
+  * s.parallel_map(f)              (O3)      | ds.parallelMap(f) / df.parallelMapColumn
+  * s.parallel_apply(f, args)      (O4)      | ds.parallelApplyWith(args)(f)
+  * gb.parallel_apply(f)           (O5)      | df.parallelGroupBy(k).apply / applyGroups
+  * s.rolling(w).parallel_apply    (O6)      | df.rolling(w, order).parallelApply
+  * gb.rolling(w).parallel_apply   (O7)      | df.parallelGroupBy(k).rolling(w, order).parallelApply
+  * gb.expanding().parallel_apply  (O8)      | df.parallelGroupBy(k).expanding(order).parallelAgg
+  *
+  * Semantics note (SURVEY §3.3/§7.4): the reference is eager per call;
+  * these stay lazy like every Spark transformation — call an action to
+  * execute. The correctness contract (result values) is unaffected.
+  */
+object Pandarallel {
+
+  implicit final class ParallelDataFrame(private val df: DataFrame)
+      extends AnyVal {
+
+    /** O1 axis=1, black-box row function (core.py:523-525). */
+    def parallelApply[T: Encoder](f: Row => T): Dataset[T] = RowApply(df)(f)
+
+    /** O1 axis=1, declarative (codegen'd) row expressions. */
+    def parallelApplyExpr(outputs: (String, Column)*): DataFrame =
+      RowApply.exprApply(df)(outputs: _*)
+
+    /** O1 axis=0 column transform (dataframe.py:50-51 transform shape). */
+    def parallelApplyColumns(cols: Seq[String])(f: Column => Column): DataFrame =
+      ColApply.transform(df, cols)(f)
+
+    /** O1 axis=0 column reduce (dataframe.py:50-51 reduce shape). */
+    def parallelApplyColumnsReduce(cols: Seq[String])(
+        f: Column => Column): DataFrame =
+      ColApply.reduce(df, cols)(f)
+
+    /** O2 element-wise applymap (core.py:526-530). */
+    def parallelApplymap(f: Column => Column): DataFrame =
+      ColApply.applymap(df, f)
+
+    /** O3 over a named column, keys carried through. */
+    def parallelMapColumn(
+        valueCol: String,
+        keys: Seq[String],
+        outName: String)(f: Column => Column): DataFrame =
+      SeriesOps.mapExpr(df, valueCol, keys, outName)(f)
+
+    /** O5 entry (core.py:533-535). */
+    def parallelGroupBy(keys: String*): ParallelGroupBy =
+      new ParallelGroupBy(df, keys)
+
+    /** O6 entry (core.py:554-556). */
+    def rolling(window: Int, orderBy: Column): ParallelRolling =
+      new ParallelRolling(df, window, Seq(orderBy), Nil)
+  }
+
+  implicit final class ParallelSeries[T](private val ds: Dataset[T])
+      extends AnyVal {
+
+    /** O3 `Series.parallel_map` (core.py:551). */
+    def parallelMap[O: Encoder](f: T => O)(implicit e: Encoder[T]): Dataset[O] =
+      SeriesOps.mapTyped(ds)(f)
+
+    /** O4 `Series.parallel_apply(func, args)` (core.py:548-550) — extra
+      * args are closed over, the compiler enforcing serializability where
+      * the reference needs dill (core.py:265).
+      */
+    def parallelApplyWith[A, O: Encoder](args: A)(f: (T, A) => O)(implicit
+        e: Encoder[T]): Dataset[O] =
+      SeriesOps.mapTyped(ds)(x => f(x, args))
+  }
+
+  final class ParallelGroupBy(df: DataFrame, keys: Seq[String]) {
+
+    /** O5, aggregate-expression shape — partial+final hash aggregate. */
+    def apply(aggs: Column*): DataFrame = GroupApply.agg(df, keys)(aggs: _*)
+
+    /** O5, black-box group function, many rows out per group
+      * (dataframe_groupby.py:24-40 generalized).
+      */
+    def applyGroups[K: Encoder, T: Encoder](keyFn: Row => K)(
+        f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[T] =
+      GroupApply.flatMapGroups(df)(keyFn)(f)
+
+    /** O7 entry (core.py:543-545). */
+    def rolling(window: Int, orderBy: Column): ParallelRolling =
+      new ParallelRolling(df, window, Seq(orderBy), keys.map(col))
+
+    /** O8 entry (core.py:538-540). */
+    def expanding(orderBy: Column): ParallelExpanding =
+      new ParallelExpanding(df, Seq(orderBy), keys.map(col))
+  }
+
+  final class ParallelRolling(
+      df: DataFrame,
+      window: Int,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column]) {
+
+    /** Black-box window function over the materialized frame. */
+    def parallelApply(valueCol: Column, outName: String)(
+        f: Seq[Double] => Double): DataFrame =
+      Windows.rollingCollect(df, valueCol, orderBy, partitionBy, window, outName)(f)
+
+    /** Algebraic aggregate over the frame (preferred at scale). */
+    def parallelAgg(
+        valueCol: Column,
+        minPeriods: Option[Int] = None)(agg: Column => Column): DataFrame =
+      Windows.rollingAgg(df, valueCol, orderBy, partitionBy, window, minPeriods)(agg)
+  }
+
+  final class ParallelExpanding(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column]) {
+
+    /** Algebraic cumulative aggregate (expanding_groupby.py semantics —
+      * always prefer the algebraic rewrite; a collect-based expanding
+      * frame is O(n) state per row and does not survive scale).
+      */
+    def parallelAgg(valueCol: Column, outName: String)(
+        agg: Column => Column): DataFrame =
+      Windows.expandingAgg(df, valueCol, orderBy, partitionBy, outName)(agg)
+  }
+}

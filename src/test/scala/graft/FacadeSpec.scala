@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Pandarallel._
+
+/** Exercises every reference-shaped facade verb (the eight pandarallel
+  * entry points, core.py:522-556) end-to-end against oracle values.
+  */
+class FacadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def li = Tables.lineitem(spark, TestSpark.sf)
+  private def ev = Tables.events(spark, TestSpark.sf)
+
+  test("O1 axis=1: parallelApply / parallelApplyExpr agree") {
+    val a = li
+      .parallelApplyExpr("v" -> (col("l_quantity") * 2))
+      .as[Double].collect().sorted
+    val b = li
+      .parallelApply(r => r.getAs[Double]("l_quantity") * 2)
+      .collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("O1 axis=0: transform and reduce shapes") {
+    val t = li.parallelApplyColumns(Seq("l_quantity"))(c => c + 1)
+    assert(t.columns.toSeq === Seq("l_quantity"))
+    assert(t.count() === li.count())
+    val r = li.parallelApplyColumnsReduce(Seq("l_quantity", "l_tax"))(c =>
+      max(c) - min(c))
+    assert(r.count() === 1)
+  }
+
+  test("O2: parallelApplymap hits all numeric columns") {
+    val out = li.select("l_quantity", "l_tax").parallelApplymap(c => c * 0 + 1)
+    val row = out.head()
+    assert(row.getDouble(0) === 1.0 && row.getDouble(1) === 1.0)
+  }
+
+  test("O3/O4: typed series map and apply-with-args") {
+    val s = li.select("l_discount").as[Double]
+    val m = s.parallelMap(x => x * 10).collect().sorted
+    val a = s.parallelApplyWith((10.0, 0.0)) { case (x, (k, b)) => x * k + b }
+      .collect().sorted
+    assert(m.toSeq === a.toSeq)
+  }
+
+  test("O5: grouped aggregate and black-box group function") {
+    val viaAgg = li
+      .parallelGroupBy("l_returnflag")
+      .apply(sum("l_quantity").as("s"))
+      .as[(String, Double)].collect().toMap
+    val viaGroups = li
+      .select("l_returnflag", "l_quantity")
+      .parallelGroupBy("l_returnflag")
+      .applyGroups(_.getString(0)) { (k, it) =>
+        Iterator.single((k, it.map(_.getDouble(1)).sum))
+      }
+      .collect().toMap
+    viaAgg.foreach { case (k, v) =>
+      assert(math.abs(v - viaGroups(k)) < 1e-6)
+    }
+  }
+
+  test("O6/O7: rolling black-box UDF matches built-in agg") {
+    val viaUdf = ev
+      .parallelGroupBy("user_id")
+      .rolling(3, col("event_id"))
+      .parallelApply(col("value"), "v")(xs => xs.sum)
+      .select("event_id", "v")
+      .as[(Long, Option[Double])].collect().toMap
+    val viaAgg = ev
+      .parallelGroupBy("user_id")
+      .rolling(3, col("event_id"))
+      .parallelAgg(col("value"))(sum)
+      .select(col("event_id"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(viaUdf.size === viaAgg.size)
+    viaUdf.foreach { case (k, v) =>
+      (v, viaAgg(k)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+        case (None, None) => ()
+        case other => fail(s"mismatch at $k: $other")
+      }
+    }
+  }
+
+  test("O8: expanding cumulative aggregate") {
+    val out = ev
+      .parallelGroupBy("user_id")
+      .expanding(col("event_id"))
+      .parallelAgg(col("value"), "cum")(sum)
+    // last cumulative value per user == that user's total
+    val last = out
+      .groupBy("user_id")
+      .agg(max(struct(col("event_id"), col("cum"))).as("m"))
+      .select(col("user_id"), col("m.cum"))
+      .as[(Long, Double)].collect().toMap
+    val totals = ev.groupBy("user_id").agg(sum("value"))
+      .as[(Long, Double)].collect().toMap
+    totals.foreach { case (u, t) => assert(math.abs(last(u) - t) < 1e-6) }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract, checked, not assumed:
+  * filters/projections reach the parquet scan, small dims broadcast,
+  * aggregates are partial+final, hot expressions stay in codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 scan prunes to the four referenced lineitem columns") {
+    val p = plan(SparkEntry.queries("q01_row_apply")(spark, TestSpark.sf))
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_extendedprice"))
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in toString
+    assert(p.contains("*(1)"), s"no codegen stage in:\n$p")
+  }
+
+  test("q12 pushes the ship-date filter into the parquet scan") {
+    val p = plan(SparkEntry.q12Composition(spark, TestSpark.sf))
+    assert(p.contains("PushedFilters"))
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("l_shipdate"))
+    assert(scanLine.isDefined, s"no pushed l_shipdate filter in:\n$p")
+  }
+
+  test("q12 broadcasts the small dimension tables") {
+    val p = plan(SparkEntry.q12Composition(spark, TestSpark.sf))
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q06 aggregate is partial+final (map-side combine)") {
+    val p = plan(SparkEntry.queries("q06_group_scalar")(spark, TestSpark.sf))
+    assert(p.contains("partial_avg") || p.contains("HashAggregate"))
+    // two HashAggregate operators around the exchange
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("grouped window (q10) exchanges once on the group key") {
+    val df = SparkEntry.queries("q10_grouped_rolling")(spark, TestSpark.sf)
+    val p = plan(df)
+    assert(p.contains("Window"))
+    assert(
+      p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning")) === 1,
+      s"expected exactly one hash exchange in:\n$p")
+  }
+
+  test("dedup candidate generation is equi-join shaped, never cartesian") {
+    val p = plan(SparkEntry.queries("q14_minhash_neardup")(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+}
