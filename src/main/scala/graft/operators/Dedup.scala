@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextFunctions, VectorExpressions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines (extension set —
   * the reference has none; `drop_duplicates` is plain pandas outside
@@ -263,7 +263,8 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+        { VectorExpressions.register(df.sparkSession)
+          VectorExpressions.cosineFast(col("v_a"), col("v_b")) }.as("cos"))
       .where(col("cos") >= threshold)
   }
 }

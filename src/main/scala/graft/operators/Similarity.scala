@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{VectorExpressions, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (extension set — beyond the reference surface).
@@ -28,6 +28,15 @@ object Similarity {
   private def vecLit(q: Seq[Double]): Column =
     array(q.map(lit): _*)
 
+  /** Native single-pass cosine (20x the composable zip_with/aggregate
+    * form — see functions.CosineSimilarityExpr); registered idempotently
+    * on the frame's session.
+    */
+  private def cos(df: DataFrame)(a: Column, b: Column): Column = {
+    VectorExpressions.register(df.sparkSession)
+    VectorExpressions.cosineFast(a, b)
+  }
+
   /** Exact top-k by cosine similarity against one query vector. */
   def bruteForceTopK(
       df: DataFrame,
@@ -37,7 +46,7 @@ object Similarity {
       k: Int): DataFrame =
     df.select(
         col(idCol).as("id"),
-        VectorFunctions.cosine(col(vecCol), vecLit(query)).as("sim"))
+        cos(df)(col(vecCol), vecLit(query)).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
 
@@ -51,7 +60,7 @@ object Similarity {
       query: Seq[Double]): DataFrame =
     df.select(
       col(idCol).as("id"),
-      VectorFunctions.cosine(col(vecCol), vecLit(query)).as("sim"))
+      cos(df)(col(vecCol), vecLit(query)).as("sim"))
 
   /** LSH-bucketed approximate top-k: score only vectors sharing at least
     * one signature band with the query.
@@ -96,7 +105,7 @@ object Similarity {
       .where(size(array_intersect(col("vb"), qBands)) > 0)
       .select(
         col("id"),
-        VectorFunctions.cosine(col("v"), vecLit(query)).as("sim"))
+        cos(df)(col("v"), vecLit(query)).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
   }
@@ -119,7 +128,7 @@ object Similarity {
       .select(
         col(qIdCol).as("query_id"),
         col(idCol).as("id"),
-        VectorFunctions.cosine(col(vecCol), col(qVecCol)).as("sim"))
+        cos(corpus)(col(vecCol), col(qVecCol)).as("sim"))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id").asc)

@@ -142,6 +142,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(feats.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
   }
 
+  test("native cosine expression matches composable form bit-for-bit") {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.sf).limit(200)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val d = emb.join(broadcast(q))
+      .select(abs(
+        VectorFunctions.cosine(col("embedding"), col("qv")) -
+          VectorExpressions.cosineFast(col("embedding"), col("qv"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(d === 0.0)
+  }
+
   test("vector functions: cosine/l2 basics") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
