@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** SURVEY §5 port of the reference's configuration matrix: random UDF
+  * compositions from the §2.2 scalar grammar × random partition counts —
+  * the partition count must never change the result (the Spark analog of
+  * "nb_workers doesn't change the answer", which is the reference's core
+  * differential-testing stance). Seeded generation keeps runs
+  * reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rng = new Random(42)
+
+  // the de-facto scalar grammar from the reference tests (SURVEY §2.2)
+  private val unary: Seq[(String, Column => Column)] = Seq(
+    "sin" -> sin _,
+    "cos" -> cos _,
+    "exp1" -> ((c: Column) => exp(-abs(c))),
+    "sqrt1" -> ((c: Column) => sqrt(abs(c))),
+    "log10p" -> ((c: Column) => log10(abs(c) + 1.0)),
+    "sq" -> ((c: Column) => c * c))
+
+  test("partition count never changes element-wise composition results") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+    (1 to 8).foreach { _ =>
+      val chain = List.fill(3)(rng.nextInt(unary.size))
+      val parts = 1 + rng.nextInt(16)
+      val f = chain.map(unary(_)._2).foldLeft(identity[Column] _) {
+        (acc, g) => (c: Column) => g(acc(c))
+      }
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // compare multisets: sort by the full row including the value
+      def run(p: Int) = li
+        .repartition(p)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          f(col("l_discount")).as("v"))
+        .as[(Long, Int, Double)]
+        .collect()
+        .sortBy(r => (r._1, r._2, r._3))
+        .map(_._3)
+      val a = run(1)
+      val b = run(parts)
+      assert(a.length === b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(
+          (x.isNaN && y.isNaN) || x == y,
+          s"partition-dependent result for chain=$chain parts=$parts: $x vs $y")
+      }
+    }
+  }
+
+  test("partition count never changes grouped aggregation results") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    (1 to 4).foreach { _ =>
+      val parts = 1 + rng.nextInt(16)
+      def run(p: Int) = li
+        .repartition(p)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("s"),
+          max("l_extendedprice").as("m"))
+        .as[(String, Long, Double, Double)]
+        .collect()
+        .sortBy(_._1)
+        .toSeq
+      assert(run(1) === run(parts), s"parts=$parts")
+    }
+  }
+}
