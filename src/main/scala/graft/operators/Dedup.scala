@@ -125,18 +125,37 @@ object Dedup {
             hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
           }: _*)).as("bucket"))
 
-    val smallBuckets = banded
+    // One hash aggregation collects each bucket's ids (bounded above by
+    // maxBucketSize, so collect_list memory is capped), then pairs are
+    // generated in-place from the sorted array — no self-join, no
+    // separate bucket-size pass. The sorted order makes id_a < id_b by
+    // construction; distinct() removes pairs colliding in several bands.
+    // CPU-vs-bytes note: these post-shuffle stages are compute-heavy on
+    // few bytes (pair explosion; array intersections), so AQE's
+    // size-based coalescing would funnel them onto 1-2 cores. Explicit
+    // repartition pins the parallelism; the extra exchange moves only
+    // megabytes of (bucket|pair) keys.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val cand = banded
       .groupBy("bucket")
-      .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") <= maxBucketSize)
-      .select("bucket")
-    val pruned = banded.join(smallBuckets, Seq("bucket"))
-
-    val cand = pruned
-      .join(pruned.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
-      .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .repartition(p)
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("ids"),
+              (x, i) =>
+                transform(
+                  slice(
+                    col("ids"),
+                    i + lit(2),
+                    greatest(size(col("ids")) - i - 1, lit(0))),
+                  y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+      .repartition(p)
 
     // verify candidates with exact Jaccard over shingle sets.
     // Two scale guards learned the hard way (skewed-bucket grind):

@@ -1,10 +1,9 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{VectorExpressions, VectorFunctions}
+import graft.operators.Dedup
 
 /** Dev-only instrumentation main (not part of the driver contract). */
 object Scratch {
@@ -19,39 +18,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    VectorExpressions.register(spark)
-
-    val emb = Tables.embeddings(spark, d).select(
-      col("vec_id"), col("embedding")).persist()
-    println("n=" + emb.count())
-    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-
-    def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"[scratch] $label%-24s ${(System.nanoTime - t0) / 1e9}%.2f s")
-    }
-
-    // warm-up
-    emb.join(broadcast(q.limit(10))).select(
-      VectorFunctions.cosine(col("embedding"), col("qv"))).write
-      .format("noop").mode("overwrite").save()
-
-    time("cosine zip_with 4M") {
-      emb.join(broadcast(q))
-        .select(VectorFunctions.cosine(col("embedding"), col("qv")).as("s"))
-        .agg(sum("s")).head()
-    }
-    time("cosine native  4M") {
-      emb.join(broadcast(q))
-        .select(VectorExpressions.cosineFast(col("embedding"), col("qv")).as("s"))
-        .agg(sum("s")).head()
-    }
-    val diff = emb.join(broadcast(q))
-      .select(
-        abs(VectorFunctions.cosine(col("embedding"), col("qv")) -
-          VectorExpressions.cosineFast(col("embedding"), col("qv"))).as("dd"))
-      .agg(max("dd")).head().getDouble(0)
-    println(s"[scratch] max |zipwith - native| = $diff")
+    val docs = Tables.documents(spark, d).repartition(32)
+    val t0 = System.nanoTime()
+    val out = Dedup.minHashNearDup(docs, "text", "doc_id",
+      shingleLen = 4, numHashes = 32, bands = 8, threshold = 0.4)
+    out.write.format("noop").mode("overwrite").save()
+    println(f"[scratch] q14 end-to-end ${(System.nanoTime - t0) / 1e9}%.2f s")
+    println("rows=" + out.count())
     spark.stop()
   }
 }
