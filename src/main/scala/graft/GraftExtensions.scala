@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimilarityExpr, VectorExpressions}
+
+/** Session-extension injection point (the idiomatic registration path for
+  * engine-supplied Catalyst expressions):
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or cluster-wide: spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Registers the native functions so plain SQL can call them
+  * (`SELECT graft_cosine_sim(a, b)`). Operators also self-register via
+  * [[graft.functions.VectorExpressions.register]] for sessions built
+  * without extensions — both paths resolve to the same expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (
+        FunctionIdentifier(VectorExpressions.CosineName),
+        new ExpressionInfo(
+          classOf[CosineSimilarityExpr].getCanonicalName,
+          VectorExpressions.CosineName),
+        exprs => CosineSimilarityExpr(exprs(0), exprs(1))))
+  }
+}

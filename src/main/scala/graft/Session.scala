@@ -22,6 +22,7 @@ object Session {
       : SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$nbWorkers]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", nbWorkers.toString)

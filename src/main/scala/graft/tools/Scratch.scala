@@ -1,30 +1,26 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import graft.Session
 
-import graft.Tables
-import graft.operators.Dedup
-
-/** Dev-only instrumentation main (not part of the driver contract). */
+/** Dev-only smoke main (not part of the driver contract): boots the
+  * engine session through the public facade and calls the injected
+  * native function from plain SQL.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.documents(spark, d).repartition(32)
-    val t0 = System.nanoTime()
-    val out = Dedup.minHashNearDup(docs, "text", "doc_id",
-      shingleLen = 4, numHashes = 32, bands = 8, threshold = 0.4)
-    out.write.format("noop").mode("overwrite").save()
-    println(f"[scratch] q14 end-to-end ${(System.nanoTime - t0) / 1e9}%.2f s")
-    println("rows=" + out.count())
+    val spark = Session.initialize(8)
+    spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val row = spark
+      .sql("""SELECT vec_id,
+                graft_cosine_sim(embedding,
+                  (SELECT embedding FROM emb WHERE vec_id = 0)) AS sim
+              FROM emb ORDER BY sim DESC LIMIT 3""")
+      .collect()
+    println("[scratch] top3: " + row.map(r => (r.getLong(0), r.getDouble(1))).mkString(", "))
+    assert(row.head.getLong(0) == 0L && math.abs(row.head.getDouble(1) - 1.0) < 1e-12)
+    println("[scratch] extensions SQL path OK")
     spark.stop()
   }
 }
