@@ -320,6 +320,37 @@ object SparkEntry {
         dim = 16)
       .toDF()
 
+  /** As-of (point-in-time) join: each event picks up the most recent
+    * order state of its user — the no-look-ahead join feature pipelines
+    * need. union+window composition: one exchange on the key, no range
+    * explosion (operators/AsOfJoin.scala).
+    */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+    val ord = Tables
+      .orders(s, d)
+      .select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+    AsOfJoin(
+      left = ev,
+      right = ord,
+      key = "user_id",
+      leftTime = col("event_time"),
+      rightTime = col("o_orderdate"),
+      payload = Seq("o_orderkey", "o_totalprice"),
+      tieBreak = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -347,7 +378,8 @@ object SparkEntry {
     "q21_quality_score" -> (q21 _),
     "q22_fingerprint" -> (q22 _),
     "q23_event_buckets" -> (q23 _),
-    "q24_multimodal_features" -> (q24 _)
+    "q24_multimodal_features" -> (q24 _),
+    "q25_asof_join" -> (q25 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -508,6 +540,16 @@ object SparkEntry {
     "q23_event_buckets" ->
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket,
          event_type, count(*) AS n, round(sum(value),4) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q25_asof_join" ->
+      """WITH r AS (
+           SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_orderkey) AS o_orderkey,
+                  max_by(o_totalprice, o_orderkey) AS o_totalprice
+           FROM orders GROUP BY 1, 2
+         )
+         SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.user_id AND e.ts >= r.o_orderdate"""
   )
 }
