@@ -351,6 +351,31 @@ object SparkEntry {
       .select("event_id", "user_id", "o_orderkey", "o_totalprice")
   }
 
+  /** Gap-based sessionization (30-min gap) over events — session index
+    * per user via one key-window pass (operators/Sessionize.batch; the
+    * streaming twin is covered by StreamingSpec).
+    */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize
+      .batch(
+        Tables.events(s, d),
+        key = col("user_id"),
+        time = col("ts"),
+        gap = 1800L * 1000000000L)
+      .select("event_id", "user_id", "session_id")
+
+  /** Exact interpolated percentiles of order value per priority class —
+    * partial+final percentile aggregation (one exchange).
+    */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -379,7 +404,9 @@ object SparkEntry {
     "q22_fingerprint" -> (q22 _),
     "q23_event_buckets" -> (q23 _),
     "q24_multimodal_features" -> (q24 _),
-    "q25_asof_join" -> (q25 _)
+    "q25_asof_join" -> (q25 _),
+    "q26_sessionize" -> (q26 _),
+    "q27_group_percentiles" -> (q27 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -550,6 +577,24 @@ object SparkEntry {
          )
          SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
          FROM events e ASOF LEFT JOIN r
-           ON e.user_id = r.user_id AND e.ts >= r.o_orderdate"""
+           ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""",
+    "q26_sessionize" ->
+      """WITH b AS (
+           SELECT event_id, user_id, ts,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > 1800000000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+         )
+         SELECT event_id, user_id,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM b""",
+    "q27_group_percentiles" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS p25,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.75) AS p75
+         FROM orders GROUP BY o_orderpriority"""
   )
 }

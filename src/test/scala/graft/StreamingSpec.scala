@@ -36,4 +36,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch === Tables.events(spark, TestSpark.sf).count())
     } finally q.stop()
   }
+
+  test("stateful streaming sessionization agrees with the batch form") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    val gap = 1800L * 1000000000L
+
+    val evDf = Tables.events(spark, TestSpark.sf)
+    // batch truth: number of closed sessions = sessions whose last event
+    // is followed by another session for the same user
+    val batchSessions = Sessionize
+      .batch(evDf, col("user_id"), col("ts"), gap)
+      .groupBy("user_id")
+      .agg(max("session_id").as("m"), count(lit(1)).as("n"))
+    val totalSessions = batchSessions
+      .agg(sum(col("m") + 1)).head().getLong(0)
+    val closedExpected = batchSessions
+      .agg(sum(col("m"))).head().getLong(0) // open (last) session per user not emitted
+
+    val stream = EventStream
+      .readEventsStream(spark, TestSpark.sf)
+      .selectExpr("user_id", "ts AS t", "value")
+      .as[Sessionize.SessionEvent]
+    val out = Sessionize.streamingSessions(stream, gap)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_sessions")
+      .start()
+    try {
+      q.processAllAvailable()
+      val closedStreamed = spark.sql("SELECT count(*) FROM graft_sessions")
+        .head().getLong(0)
+      assert(closedStreamed === closedExpected)
+      assert(totalSessions > closedExpected)
+    } finally q.stop()
+  }
 }
