@@ -376,6 +376,24 @@ object SparkEntry {
         expr("percentile(o_totalprice, 0.5)").as("p50"),
         expr("percentile(o_totalprice, 0.75)").as("p75"))
 
+  /** Deterministic stratified sample: downsample English docs to 25%,
+    * keep half of everything else — replayable curation decisions
+    * (content-hash bucketing, no RNG, no shuffle).
+    */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .stratified(
+        Tables.documents(s, d),
+        contentCol = "text",
+        stratumCol = "lang",
+        rates = Map("en" -> 0.25),
+        defaultRate = 0.5)
+      .select("doc_id", "lang")
+
+  /** Corpus vocabulary: term totals + document frequency. */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.vocabulary(Tables.documents(s, d), "doc_id", "text")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -406,7 +424,9 @@ object SparkEntry {
     "q24_multimodal_features" -> (q24 _),
     "q25_asof_join" -> (q25 _),
     "q26_sessionize" -> (q26 _),
-    "q27_group_percentiles" -> (q27 _)
+    "q27_group_percentiles" -> (q27 _),
+    "q28_stratified_sample" -> (q28 _),
+    "q29_vocabulary" -> (q29 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -595,6 +615,18 @@ object SparkEntry {
          quantile_cont(o_totalprice, 0.25) AS p25,
          quantile_cont(o_totalprice, 0.5) AS p50,
          quantile_cont(o_totalprice, 0.75) AS p75
-         FROM orders GROUP BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority""",
+    "q28_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE WHEN lang = 'en'
+           THEN CAST(('0x' || substr(md5(text),1,2)) AS INTEGER) < 64
+           ELSE CAST(('0x' || substr(md5(text),1,2)) AS INTEGER) < 128 END""",
+    "q29_vocabulary" ->
+      """SELECT tok AS term, count(*) AS total_count,
+                count(DISTINCT doc_id) AS doc_freq
+         FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)),'\s+')) AS tok
+               FROM documents WHERE trim(text) <> '')
+         GROUP BY tok"""
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data curation.
+  *
+  * `df.sample()` is seed-dependent on partitioning and not reproducible
+  * across engines; content-hash bucketing is: a row is kept iff the
+  * first byte of md5(content) falls under the rate threshold. The same
+  * rows are selected on any cluster size, any engine with md5, any run —
+  * which is what dataset curation needs (decisions must be replayable).
+  *
+  * Selection is a pure narrow filter — pushes to the scan side, no
+  * shuffle, scales trivially.
+  */
+object Sampling {
+
+  /** keep iff first-byte bucket of md5(c) < rate*256 (rate in [0,1]). */
+  def keepExpr(c: Column, rate: Double): Column = {
+    val threshold = math.round(rate * 256).toInt
+    conv(substring(md5(c), 1, 2), 16, 10).cast("int") < threshold
+  }
+
+  /** Uniform deterministic sample by content hash. */
+  def deterministic(df: DataFrame, contentCol: String, rate: Double): DataFrame =
+    df.where(keepExpr(col(contentCol), rate))
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. downsample
+    * dominant languages, keep all of rare ones). Unlisted strata keep
+    * `defaultRate`.
+    */
+  def stratified(
+      df: DataFrame,
+      contentCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val keep = rates.foldLeft(
+      when(lit(false), lit(false))) { case (acc, (stratum, rate)) =>
+      acc.when(col(stratumCol) === stratum, keepExpr(col(contentCol), rate))
+    }.otherwise(keepExpr(col(contentCol), defaultRate))
+    df.where(keep)
+  }
+
+  /** Corpus vocabulary stats: term → total occurrences and document
+    * frequency over whitespace tokens — the vocab-building pass of a
+    * text pipeline. One explode + one partial+final aggregation; the
+    * exchange carries (term, partial counts), never documents.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("__doc"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("term"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("total_count"),
+        countDistinct(col("__doc")).as("doc_freq"))
+}
