@@ -394,6 +394,21 @@ object SparkEntry {
   private def q29(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.vocabulary(Tables.documents(s, d), "doc_id", "text")
 
+  /** Q9's total-order rolling window again, via the SCALABLE path
+    * (range-partitioned overlap protocol, ops/Windows.rollingGlobalScalable)
+    * instead of the single-partition WindowExec — same oracle, both in
+    * the bench so the two strategies stay comparable.
+    */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Windows.rollingGlobalScalable(
+      Tables.events(s, d),
+      orderCol = "event_id",
+      valueCol = "value",
+      window = 4,
+      outName = "v") { xs =>
+      xs(0) + math.pow(xs(1), 2) + math.pow(xs(2), 3) + math.pow(xs(3), 4)
+    }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -426,7 +441,8 @@ object SparkEntry {
     "q26_sessionize" -> (q26 _),
     "q27_group_percentiles" -> (q27 _),
     "q28_stratified_sample" -> (q28 _),
-    "q29_vocabulary" -> (q29 _)
+    "q29_vocabulary" -> (q29 _),
+    "q30_rolling_scalable" -> (q30 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -627,6 +643,12 @@ object SparkEntry {
          FROM (SELECT doc_id,
                  unnest(string_split_regex(lower(trim(text)),'\s+')) AS tok
                FROM documents WHERE trim(text) <> '')
-         GROUP BY tok"""
+         GROUP BY tok""",
+    "q30_rolling_scalable" ->
+      """SELECT event_id,
+         CASE WHEN row_number() OVER w >= 4 THEN
+           lag(value,3) OVER w + pow(lag(value,2) OVER w, 2)
+           + pow(lag(value,1) OVER w, 3) + pow(value, 4) END AS v
+         FROM events WINDOW w AS (ORDER BY event_id)"""
   )
 }

@@ -108,4 +108,83 @@ object Windows {
       partitionBy: Seq[Column],
       outName: String)(agg: Column => Column): DataFrame =
     df.withColumn(outName, agg(valueCol).over(expandingFrame(orderBy, partitionBy)))
+
+  /** SCALABLE total-order rolling window — the distributed answer to the
+    * one operator Spark's `WindowExec` cannot parallelize (an ungrouped
+    * `Window.orderBy` collapses to a single partition).
+    *
+    * This is the reference's own overlapped-chunk protocol
+    * (utils.py:9-58 `start_offset`, series_rolling.py:16,47) re-expressed
+    * on Spark primitives:
+    *   1. range-partition + sort by the order key (one exchange — the
+    *      same cost any global sort pays);
+    *   2. collect each partition's LAST (w-1) (order, value) pairs — a
+    *      few KB per partition — and broadcast them;
+    *   3. per partition, prepend the previous partition's tail, run the
+    *      windows, and emit outputs only for own rows.
+    * Data passes: 2 scans of the sorted frame (one for tails, one for
+    * compute) — wall-clock scales with partitions instead of serializing
+    * on one core. Output matches the single-partition window exactly.
+    *
+    * @param orderCol  numeric total-order key (must be globally sortable)
+    */
+  def rollingGlobalScalable(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      window: Int,
+      outName: String,
+      numPartitions: Int = 0)(f: Seq[Double] => Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .select(col(orderCol).cast("long").as("__ord"), col(valueCol).cast("double").as("__v"))
+
+    // pass 1: last (w-1) values of each partition (KBs total). The carry
+    // for partition i is the last (w-1) values of the WHOLE prefix —
+    // chained driver-side so partitions smaller than w-1 rows stay
+    // correct (their predecessor's tail alone would be short).
+    val tails: Array[(Int, Array[Double])] = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val buf = new scala.collection.mutable.ArrayDeque[Double](window)
+        it.foreach { r =>
+          buf.append(r.getDouble(1))
+          if (buf.size > window - 1) buf.removeHead()
+        }
+        Iterator.single(i -> buf.toArray)
+      }
+      .collect()
+    val byIndex = tails.sortBy(_._1).map(_._2)
+    val carries: Array[Array[Double]] =
+      byIndex.scanLeft(Array.empty[Double]) { (prefix, t) =>
+        (prefix ++ t).takeRight(window - 1)
+      } // carries(i) = last w-1 values before partition i
+    val bCarries = spark.sparkContext.broadcast(carries)
+
+    // pass 2: compute windows with the prefix carry prepended
+    val outRows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val ring = new scala.collection.mutable.ArrayDeque[Double](window)
+      bCarries.value(i).foreach(ring.append)
+      it.map { r =>
+        ring.append(r.getDouble(1))
+        if (ring.size > window) ring.removeHead()
+        val v: Any = if (ring.size >= window) f(ring.toSeq) else null
+        Row(r.getLong(0), v)
+      }
+    }
+    spark.createDataFrame(
+      outRows,
+      StructType(
+        Seq(
+          StructField("__ord", org.apache.spark.sql.types.LongType),
+          StructField(outName, DoubleType))))
+      .withColumnRenamed("__ord", orderCol)
+  }
 }
