@@ -409,6 +409,25 @@ object SparkEntry {
       xs(0) + math.pow(xs(1), 2) + math.pow(xs(2), 3) + math.pow(xs(3), 4)
     }
 
+  /** IVF index build: per-label element-wise centroids of the embedding
+    * corpus (the coarse-quantizer half of IVF ANN).
+    */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfCentroids(Tables.embeddings(s, d), "embedding", "label")
+
+  /** IVF probe: top-10 neighbors of the vec_id=0 query searching only
+    * the 2 nearest of the label clusters (rows-only — approximate).
+    */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(
+      Tables.embeddings(s, d),
+      "embedding",
+      "vec_id",
+      "label",
+      queryVec(s, d),
+      k = 10,
+      nprobe = 2)
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -442,7 +461,9 @@ object SparkEntry {
     "q27_group_percentiles" -> (q27 _),
     "q28_stratified_sample" -> (q28 _),
     "q29_vocabulary" -> (q29 _),
-    "q30_rolling_scalable" -> (q30 _)
+    "q30_rolling_scalable" -> (q30 _),
+    "q31_ivf_centroids" -> (q31 _),
+    "q32_ivf_topk" -> (q32 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -649,6 +670,13 @@ object SparkEntry {
          CASE WHEN row_number() OVER w >= 4 THEN
            lag(value,3) OVER w + pow(lag(value,2) OVER w, 2)
            + pow(lag(value,1) OVER w, 3) + pow(value, 4) END AS v
-         FROM events WINDOW w AS (ORDER BY event_id)"""
+         FROM events WINDOW w AS (ORDER BY event_id)""",
+    "q31_ivf_centroids" ->
+      """SELECT label AS cluster, u.p AS pos, avg(u.x) AS v FROM (
+           SELECT label,
+             unnest([{'p': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+                     for i in range(1, len(embedding) + 1)]) AS u
+           FROM embeddings)
+         GROUP BY 1, 2"""
   )
 }

@@ -110,6 +110,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index build: per-cluster element-wise centroid
+    * of the embedding column. posexplode + (cluster, dim) aggregation —
+    * partial+final, one exchange carrying (cluster, dim, partial sums);
+    * output is centroids as rows (cluster, pos, v), trivially joinable
+    * and engine-portable. Any coarse assignment works as `clusterCol`
+    * (k-means round, label, LSH bucket).
+    */
+  def ivfCentroids(df: DataFrame, vecCol: String, clusterCol: String): DataFrame =
+    df.select(col(clusterCol).as("cluster"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy("cluster", "pos")
+      .agg(avg(col("col")).as("v"))
+
+  /** IVF probe: rank clusters by query-centroid cosine, then brute-force
+    * ONLY the nprobe nearest clusters. At scale this is the standard ANN
+    * shape: the cluster column is the partition key, so a probe reads
+    * nprobe partitions instead of the corpus. Centroid ranking happens
+    * on the driver (centroids are tiny by construction).
+    */
+  def ivfTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      clusterCol: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(df, vecCol, clusterCol)
+      .collect()
+      .groupBy(_.getAs[Any]("cluster"))
+      .map { case (c, rows) =>
+        val vec = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("v"))
+        val dot = vec.zip(query).map { case (a, b) => a * b }.sum
+        val sim = dot / (math.sqrt(vec.map(x => x * x).sum) *
+          math.sqrt(query.map(x => x * x).sum))
+        c -> sim
+      }
+    val probed = cents.toSeq.sortBy(-_._2).take(nprobe).map(_._1)
+    bruteForceTopK(
+      df.where(col(clusterCol).isin(probed: _*)),
+      vecCol,
+      idCol,
+      query,
+      k)
+  }
+
   /** Many-queries exact top-k: broadcast the (small) query set, score
     * every (query, vector) pair, keep top-k per query via a partitioned
     * window — one broadcast join + one shuffle on query_id.

@@ -156,6 +156,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d === 0.0)
   }
 
+  test("IVF probe finds the exact neighbor when its cluster is probed") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 1)
+      .head().getAs[Long]("id")
+    val ivf = Similarity
+      .ivfTopK(emb, "embedding", "vec_id", "label", q, k = 5, nprobe = 3)
+      .collect()
+    // nprobe = all clusters → must contain the exact nearest neighbor
+    assert(ivf.map(_.getAs[Long]("id")).contains(exact))
+    // fewer probes → results drawn only from probed clusters
+    val narrow = Similarity
+      .ivfTopK(emb, "embedding", "vec_id", "label", q, k = 5, nprobe = 1)
+      .collect()
+    assert(narrow.nonEmpty && narrow.length <= 5)
+  }
+
   test("vector functions: cosine/l2 basics") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
