@@ -428,6 +428,29 @@ object SparkEntry {
       k = 10,
       nprobe = 2)
 
+  /** TF-IDF document-term scores (vocab join is broadcast-sized). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.tfIdf(Tables.documents(s, d), "doc_id", "text")
+
+  /** Distinct aggregation: exact distinct users + event count per type. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** ROLLUP grouping-set aggregation over the lineitem flags. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -463,7 +486,10 @@ object SparkEntry {
     "q29_vocabulary" -> (q29 _),
     "q30_rolling_scalable" -> (q30 _),
     "q31_ivf_centroids" -> (q31 _),
-    "q32_ivf_topk" -> (q32 _)
+    "q32_ivf_topk" -> (q32 _),
+    "q33_tfidf" -> (q33 _),
+    "q34_distinct_agg" -> (q34 _),
+    "q35_rollup" -> (q35 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -677,6 +703,28 @@ object SparkEntry {
              unnest([{'p': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
                      for i in range(1, len(embedding) + 1)]) AS u
            FROM embeddings)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q33_tfidf" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+           FROM documents WHERE trim(text) <> ''
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+         ), df AS (
+           SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+         )
+         SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 6)
+             AS tfidf
+         FROM tf JOIN df USING (term)""",
+    "q34_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "q35_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
   )
 }

@@ -57,4 +57,28 @@ object Sampling {
       .agg(
         count(lit(1)).as("total_count"),
         countDistinct(col("__doc")).as("doc_freq"))
+
+  /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations (term
+    * frequencies per doc; document frequencies per term) joined on term —
+    * df-side is vocabulary-sized, so the join broadcasts; the corpus
+    * never shuffles twice.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count().toDouble
+    val terms = df.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+        .as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms
+      .select("doc_id", "term")
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .select(
+        col("doc_id"),
+        col("term"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+  }
 }
