@@ -1,26 +1,22 @@
 package graft.tools
 
-import graft.Session
+import org.apache.spark.sql.functions._
 
-/** Dev-only smoke main (not part of the driver contract): boots the
-  * engine session through the public facade and calls the injected
-  * native function from plain SQL.
-  */
+import graft.{Session, Tables}
+import graft.operators.SkewJoin
+
+/** Dev-only smoke main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = Session.initialize(8)
-    spark.read
-      .parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .createOrReplaceTempView("emb")
-    val row = spark
-      .sql("""SELECT vec_id,
-                graft_cosine_sim(embedding,
-                  (SELECT embedding FROM emb WHERE vec_id = 0)) AS sim
-              FROM emb ORDER BY sim DESC LIMIT 3""")
-      .collect()
-    println("[scratch] top3: " + row.map(r => (r.getLong(0), r.getDouble(1))).mkString(", "))
-    assert(row.head.getLong(0) == 0L && math.abs(row.head.getDouble(1) - 1.0) < 1e-12)
-    println("[scratch] extensions SQL path OK")
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d).select("event_id", "user_id", "value")
+    val users = Tables.events(spark, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val plain = ev.join(users, Seq("user_id")).count()
+    val salted = SkewJoin.salted(ev, users, "user_id", col("event_id"), 8).count()
+    println(s"[scratch] plain=$plain salted=$salted")
+    assert(plain == salted)
+    println("[scratch] salted join OK")
     spark.stop()
   }
 }
