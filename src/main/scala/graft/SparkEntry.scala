@@ -451,6 +451,22 @@ object SparkEntry {
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
 
+  /** Token-window chunking (32-token chunks, 8-token overlap) — the
+    * pre-embedding chunking pass; one row per chunk.
+    */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(
+        col("doc_id"),
+        explode(TextFunctions.chunksOf(col("__tk"), 32, 8)).as("u"))
+      .select(
+        col("doc_id"),
+        col("u.idx").as("idx"),
+        col("u.chunk").as("chunk"),
+        col("u.n_tokens").as("n_tokens"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -489,7 +505,8 @@ object SparkEntry {
     "q32_ivf_topk" -> (q32 _),
     "q33_tfidf" -> (q33 _),
     "q34_distinct_agg" -> (q34 _),
-    "q35_rollup" -> (q35 _)
+    "q35_rollup" -> (q35 _),
+    "q36_chunking" -> (q36 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -725,6 +742,21 @@ object SparkEntry {
     "q35_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q36_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text),'\s+') END AS tk
+           FROM documents
+         )
+         SELECT doc_id, u.idx, u.chunk, u.n_tokens FROM (
+           SELECT doc_id,
+             unnest([{'idx': j,
+                      'chunk': array_to_string(tk[j*24+1 : j*24+32], ' '),
+                      'n_tokens': len(tk[j*24+1 : j*24+32])}
+                     for j in range(0,
+                       greatest(CAST(ceil((len(tk)-8)/24.0) AS INT), 1))]) AS u
+           FROM t WHERE len(tk) > 0)"""
   )
 }

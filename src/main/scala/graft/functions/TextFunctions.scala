@@ -148,4 +148,29 @@ object TextFunctions {
 
   def minShingleHash(c: Column, n: Int = 8): Column =
     minShingleHashOf(shingles(c, n))
+
+  /** Token-window chunking: split a token array into windows of
+    * `chunkTokens` tokens advancing by `chunkTokens - overlap` — the
+    * pre-embedding/pre-training chunking pass. Returns an array of
+    * structs (idx, chunk text, token count); explode it for one row per
+    * chunk. `tokensAttr` must be an attribute reference (see
+    * [[shinglesOf]] evaluation-cost contract).
+    */
+  def chunksOf(tokensAttr: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    val n = size(tokensAttr)
+    when(n === 0, array().cast("array<struct<idx:int,chunk:string,n_tokens:int>>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), greatest(ceil((n - lit(overlap)) / lit(step.toDouble)).cast("int") - 1, lit(0))),
+          i => {
+            val start = i * step + 1 // slice() is 1-based
+            val piece = slice(tokensAttr, start, lit(chunkTokens))
+            struct(
+              i.cast("int").as("idx"),
+              concat_ws(" ", piece).as("chunk"),
+              size(piece).as("n_tokens"))
+          }))
+  }
 }
