@@ -3,20 +3,29 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.{Session, Tables}
-import graft.operators.SkewJoin
+import graft.sources.Bucketing
 
 /** Dev-only smoke main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = Session.initialize(8)
+    val spark = Session.builder(8)
+      .config("spark.sql.warehouse.dir", "/tmp/graft-scratch-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.001"
-    val ev = Tables.events(spark, d).select("event_id", "user_id", "value")
-    val users = Tables.events(spark, d).groupBy("user_id").agg(count(lit(1)).as("n"))
-    val plain = ev.join(users, Seq("user_id")).count()
-    val salted = SkewJoin.salted(ev, users, "user_id", col("event_id"), 8).count()
-    println(s"[scratch] plain=$plain salted=$salted")
-    assert(plain == salted)
-    println("[scratch] salted join OK")
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, d).select("l_orderkey", "l_quantity"),
+      "s_li", "l_orderkey", 4)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, d).select("o_orderkey", "o_totalprice"),
+      "s_ord", "o_orderkey", 4)
+    val j = Bucketing.table(spark, "s_li").hint("merge")
+      .join(Bucketing.table(spark, "s_ord"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    println("[scratch] shuffle-free=" + !plan.contains("Exchange hashpartitioning")
+      + " bucketed=" + plan.contains("Bucketed: true")
+      + " rows=" + j.count())
     spark.stop()
   }
 }
