@@ -93,15 +93,18 @@ object Similarity {
       .select(VectorFunctions.hyperplaneSignature(vecLit(query), nBits))
       .head
       .getLong(0)
-    val sig = VectorFunctions.hyperplaneSignature(col(vecCol), nBits)
     val qBands = array((0 until bands).map { b =>
       lit(((qSigVal >> (b * bandBits)) & mask) | (b.toLong << bandBits))
     }: _*)
 
+    // signature staged to a real column: bandArray references it `bands`
+    // times, and an inlined signature expression would re-run the full
+    // hyperplane projection per band (see TextFunctions.shinglesOf note)
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),
-        bandArray(sig).as("vb"))
+        VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("__sig"))
+      .select(col("id"), col("v"), bandArray(col("__sig")).as("vb"))
       .where(size(array_intersect(col("vb"), qBands)) > 0)
       .select(
         col("id"),
