@@ -40,6 +40,14 @@ def compare(name, spark_df, oracle_df):
     a, b = canon(spark_df), canon(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the driver hashes an exact fixed-precision CSV: an int column on
+        # one side rendering "0" vs a float "0.0" on the other is a real
+        # driver failure (e.g. DuckDB HUGEINT -> pandas float64) — flag it
+        # here instead of silently comparing numerically
+        if (av.dtype.kind in "iu") != (bv.dtype.kind in "iu") and not (
+            av.isna().any() or bv.isna().any()
+        ):
+            return f"DTYPE   col={c} spark={av.dtype} oracle={bv.dtype} (int/float render mismatch in driver CSV hash)"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float)
             bv = bv.astype(float)

@@ -312,6 +312,10 @@ object SparkEntry {
 
   /** Multimodal plumbing: text→binary assets → batched per-partition
     * (stub) feature extraction (rows-only — decode is the fake stub).
+    * The raw `array<float>` feature column is projected down to scalar
+    * digests (sum + dim + a 64-bit hash of the fixed-precision render):
+    * the driver canonicalizes results through pandas, which cannot hash
+    * or sort numpy arrays.
     */
   private def q24(s: SparkSession, d: String): DataFrame =
     Multimodal
@@ -319,6 +323,23 @@ object SparkEntry {
         Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"),
         dim = 16)
       .toDF()
+      .select(
+        col("id"),
+        col("n_bytes"),
+        col("width"),
+        col("height"),
+        size(col("feature")).as("feature_dim"),
+        round(
+          aggregate(
+            col("feature").cast("array<double>"),
+            lit(0.0),
+            (acc, x) => acc + x),
+          4).as("feature_sum"),
+        xxhash64(
+          concat_ws(
+            ",",
+            transform(col("feature"), x => format_number(x, 4))))
+          .as("feature_hash"))
 
   /** As-of (point-in-time) join: each event picks up the most recent
     * order state of its user — the no-look-ahead join feature pipelines
@@ -687,8 +708,9 @@ object SparkEntry {
            FROM events
          )
          SELECT event_id, user_id,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
          FROM b""",
     "q27_group_percentiles" ->
       """SELECT o_orderpriority,
