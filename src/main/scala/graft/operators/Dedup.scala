@@ -96,6 +96,10 @@ object Dedup {
     // materialization the whole normalize→shingle→k-minhash pipeline
     // re-executes per consumer. Persisting signatures is what production
     // minhash pipelines do at any scale (they are the index).
+    // localCheckpoint (not persist): blocks are freed by the
+    // ContextCleaner when the frame is GC'd — a plain persist is pinned
+    // in the CacheManager forever, and sequential many-query runs
+    // accumulate dead signature caches.
     // The shingle *strings* never leave this pipeline: dedup verification
     // runs on the 64-bit base hashes (same Jaccard modulo ~2^-64 hash
     // collisions), which shuffle 3x smaller and compare as longs.
@@ -111,7 +115,7 @@ object Dedup {
         col("id"),
         col("bh"),
         minHashFromBaseHashes(col("bh"), numHashes).as("mh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // band key = hash of the band's slice of the signature. The band join
     // carries ONLY (bucket, id) — shingle arrays would multiply the
@@ -228,6 +232,13 @@ object Dedup {
   /** Exact n-gram Jaccard over candidate pairs produced by equi-joining
     * on a blocking key (default: identical token count). Exact and
     * shuffle-bounded: pair space = sum over blocks of |block|².
+    *
+    * @param maxBlockSize skew guard (same idea as [[minHashNearDup]]'s
+    *                 maxBucketSize): a block is ONE equi-join key, so a
+    *                 block of b docs is b² pairs in one task — one hot
+    *                 blocking key (boilerplate-heavy corpora) melts a
+    *                 task without this cap. Oversized blocks are dropped;
+    *                 dedup them by digest ([[exact]]) instead of pairwise.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -235,13 +246,24 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       blockKey: Option[Column] = None,
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0,
+      maxBlockSize: Int = 256): DataFrame = {
     val blk = blockKey.getOrElse(TextFunctions.tokenCount(col(textCol)))
+    // block sizes come from a cheap scan of (blk) alone — never the
+    // shingle pipeline; the keep-list is one row per small block and
+    // joins back as a broadcast semi-join under AQE
+    val keepBlocks = df
+      .select(blk.as("blk"))
+      .groupBy("blk")
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn").between(2, maxBlockSize))
+      .select("blk")
     val prep = df
       .select(
         col(idCol).as("id"),
         blk.as("blk"),
         TextFunctions.normalized(col(textCol)).as("__norm"))
+      .join(keepBlocks, Seq("blk"), "left_semi")
       .select(
         col("id"),
         col("blk"),

@@ -59,12 +59,15 @@ object Sampling {
         countDistinct(col("__doc")).as("doc_freq"))
 
   /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations (term
-    * frequencies per doc; document frequencies per term) joined on term —
-    * df-side is vocabulary-sized, so the join broadcasts; the corpus
-    * never shuffles twice.
+    * frequencies per doc; document frequencies per term) joined on term.
+    *
+    * No forced broadcast on the df side: at web scale the vocabulary is
+    * billions of terms — a mandatory BroadcastExchange there OOMs the
+    * cluster. AQE still broadcasts when the table genuinely fits. N is a
+    * one-row lazy aggregate cross-joined in (broadcast of one row), not a
+    * separate driver `count()` pass.
     */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.count().toDouble
     val terms = df.select(
       col(idCol).as("doc_id"),
       explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
@@ -75,10 +78,12 @@ object Sampling {
       .distinct()
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(nDocs)
       .select(
         col("doc_id"),
         col("term"),
-        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
   }
 }

@@ -126,35 +126,94 @@ object Similarity {
       .groupBy("cluster", "pos")
       .agg(avg(col("col")).as("v"))
 
-  /** IVF probe: rank clusters by query-centroid cosine, then brute-force
-    * ONLY the nprobe nearest clusters. At scale this is the standard ANN
-    * shape: the cluster column is the partition key, so a probe reads
-    * nprobe partitions instead of the corpus. Centroid ranking happens
-    * on the driver (centroids are tiny by construction).
+  /** Rank IVF clusters by query↔centroid cosine and return the `nprobe`
+    * nearest cluster keys. A tiny Spark job over the (cluster, pos, v)
+    * centroid rows — never touches the corpus. The query norm is constant
+    * across clusters, so `dot/|centroid|` preserves the cosine ranking.
+    */
+  def ivfRankClusters(
+      centroids: DataFrame,
+      query: Seq[Double],
+      nprobe: Int): Seq[Any] = {
+    val q = vecLit(query)
+    centroids
+      .groupBy("cluster")
+      .agg(
+        sum(col("v") * element_at(q, col("pos").cast("int") + 1)).as("dot"),
+        sum(col("v") * col("v")).as("nrm"))
+      .select(col("cluster"), (col("dot") / sqrt(col("nrm"))).as("sim"))
+      .orderBy(col("sim").desc)
+      .limit(nprobe)
+      .collect()
+      .map(_.get(0))
+      .toSeq
+  }
+
+  /** IVF probe against a PRECOMPUTED centroid table: rank clusters, then
+    * brute-force only the nprobe nearest. Build the centroids once
+    * ([[ivfCentroids]] / [[ivfWriteIndex]]) and reuse across queries —
+    * recomputing the index per probe is the classic ANN scale-killer.
     */
   def ivfTopK(
       df: DataFrame,
+      centroids: DataFrame,
       vecCol: String,
       idCol: String,
       clusterCol: String,
       query: Seq[Double],
       k: Int,
       nprobe: Int): DataFrame = {
-    val cents = ivfCentroids(df, vecCol, clusterCol)
-      .collect()
-      .groupBy(_.getAs[Any]("cluster"))
-      .map { case (c, rows) =>
-        val vec = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("v"))
-        val dot = vec.zip(query).map { case (a, b) => a * b }.sum
-        val sim = dot / (math.sqrt(vec.map(x => x * x).sum) *
-          math.sqrt(query.map(x => x * x).sum))
-        c -> sim
-      }
-    val probed = cents.toSeq.sortBy(-_._2).take(nprobe).map(_._1)
+    val probed = ivfRankClusters(centroids, query, nprobe)
     bruteForceTopK(
       df.where(col(clusterCol).isin(probed: _*)),
       vecCol,
       idCol,
+      query,
+      k)
+  }
+
+  /** Persist the build-once IVF index: the corpus laid out PARTITIONED BY
+    * cluster (so a probe's `cluster IN (...)` filter becomes partition
+    * pruning — nprobe directories read, not a corpus scan) plus the
+    * centroid table. At 100 TB this layout is the difference between a
+    * probe reading ~nprobe/nclusters of the data and reading all of it.
+    */
+  def ivfWriteIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      clusterCol: String,
+      path: String): Unit = {
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        col(clusterCol).as("cluster"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$path/corpus")
+    ivfCentroids(df, vecCol, clusterCol)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted [[ivfWriteIndex]] layout. The `cluster` partition
+    * filter prunes at planning time (see PlanSpec's PartitionFilters
+    * assertion).
+    */
+  def ivfProbeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = ivfRankClusters(centroids, query, nprobe)
+    bruteForceTopK(
+      spark.read.parquet(s"$path/corpus").where(col("cluster").isin(probed: _*)),
+      "v",
+      "id",
       query,
       k)
   }

@@ -122,9 +122,12 @@ object Windows {
     *      few KB per partition — and broadcast them;
     *   3. per partition, prepend the previous partition's tail, run the
     *      windows, and emit outputs only for own rows.
-    * Data passes: 2 scans of the sorted frame (one for tails, one for
-    * compute) — wall-clock scales with partitions instead of serializing
-    * on one core. Output matches the single-partition window exactly.
+    * The sorted frame is locally checkpointed (eager, MEMORY_AND_DISK),
+    * so the range exchange + sort runs ONCE and both passes (tails,
+    * compute) read materialized blocks — at 100 TB a re-run of the global
+    * sort would double the job. Blocks are freed by the ContextCleaner
+    * when the frame goes out of scope. Output matches the
+    * single-partition window exactly.
     *
     * @param orderCol  numeric total-order key (must be globally sortable)
     */
@@ -146,6 +149,7 @@ object Windows {
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
       .select(col(orderCol).cast("long").as("__ord"), col(valueCol).cast("double").as("__v"))
+      .localCheckpoint() // materialize the sort once; both passes reuse it
 
     // pass 1: last (w-1) values of each partition (KBs total). The carry
     // for partition i is the last (w-1) values of the WHOLE prefix —

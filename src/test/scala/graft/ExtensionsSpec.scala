@@ -39,6 +39,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("ngram jaccard drops oversized blocks (skew cap)") {
+    // 300 docs sharing one blocking key (5 tokens each) = a mega-block
+    // that would expand to ~45k pairs in ONE task; 2 near-identical docs
+    // in their own small block must still pair up.
+    val mega = (1 to 300).map(i => (i.toLong, f"alpha beta gamma delta t$i%03d"))
+    val small = Seq(
+      (301L, "the quick brown fox jumps over the lazy hound"),
+      (302L, "the quick brown fox jumps over the lazy hounds"))
+    val df = (mega ++ small).toDF("doc_id", "text")
+    val pairs = Dedup
+      .ngramJaccardPairs(df, "text", "doc_id", n = 3,
+        threshold = 0.1, maxBlockSize = 64)
+      .collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") == 301L && r.getAs[Long]("id_b") == 302L))
+    // nothing from the dropped mega-block
+    assert(pairs.forall(r => r.getAs[Long]("id_a") > 300L))
+  }
+
   test("simhash: identical text → identical signature, determinism") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
       .toDF("doc_id", "text")
@@ -162,15 +181,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 1)
       .head().getAs[Long]("id")
+    // centroid table built ONCE, reused across both probes below
+    val cents = Similarity.ivfCentroids(emb, "embedding", "label").cache()
     val ivf = Similarity
-      .ivfTopK(emb, "embedding", "vec_id", "label", q, k = 5, nprobe = 3)
+      .ivfTopK(emb, cents, "embedding", "vec_id", "label", q, k = 5, nprobe = 3)
       .collect()
     // nprobe = all clusters → must contain the exact nearest neighbor
     assert(ivf.map(_.getAs[Long]("id")).contains(exact))
     // fewer probes → results drawn only from probed clusters
     val narrow = Similarity
-      .ivfTopK(emb, "embedding", "vec_id", "label", q, k = 5, nprobe = 1)
+      .ivfTopK(emb, cents, "embedding", "vec_id", "label", q, k = 5, nprobe = 1)
       .collect()
+    cents.unpersist()
     assert(narrow.nonEmpty && narrow.length <= 5)
   }
 

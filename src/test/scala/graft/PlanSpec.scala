@@ -57,6 +57,13 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash exchange in:\n$p")
   }
 
+  test("q32 IVF probe prunes corpus partitions instead of scanning") {
+    val p = plan(SparkEntry.queries("q32_ivf_topk")(spark, TestSpark.sf))
+    val pf = p.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("cluster"))
+    assert(pf.isDefined, s"no cluster partition filter in probe scan:\n$p")
+  }
+
   test("dedup candidate generation is equi-join shaped, never cartesian") {
     val p = plan(SparkEntry.queries("q14_minhash_neardup")(spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
