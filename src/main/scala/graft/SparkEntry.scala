@@ -502,6 +502,52 @@ object SparkEntry {
         col("u.chunk").as("chunk"),
         col("u.n_tokens").as("n_tokens"))
 
+  /** Centered grouped rolling mean (pandas rolling(5, center=True,
+    * min_periods=3)) — the rolling-attribute replay path (reference
+    * series_rolling.py:22-28): frame [-2, +2], null under 3 observations.
+    */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rollingAgg(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        window = 5,
+        minPeriods = Some(3),
+        center = true)(avg)
+      .withColumnRenamed("__rolling__", "v")
+      .select("user_id", "event_id", "v")
+
+  /** Grouped rolling sum with closed="left" (window excludes the current
+    * row — pandas rolling(3, closed='left')): frame [-3, -1].
+    */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rollingAgg(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        window = 3,
+        closed = "left")(sum)
+      .withColumnRenamed("__rolling__", "v")
+      .select("user_id", "event_id", "v")
+
+  /** Grouped expanding mean with min_periods=5 (pandas
+    * expanding(min_periods=5).mean()): null warm-up for the first 4 rows.
+    */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Windows
+      .expandingAgg(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        outName = "cum_avg",
+        minPeriods = 5)(avg)
+      .select("user_id", "event_id", "cum_avg")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -541,7 +587,10 @@ object SparkEntry {
     "q33_tfidf" -> (q33 _),
     "q34_distinct_agg" -> (q34 _),
     "q35_rollup" -> (q35 _),
-    "q36_chunking" -> (q36 _)
+    "q36_chunking" -> (q36 _),
+    "q37_rolling_center" -> (q37 _),
+    "q38_rolling_closed" -> (q38 _),
+    "q39_expanding_minp" -> (q39 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -797,6 +846,21 @@ object SparkEntry {
                       'n_tokens': len(tk[j*24+1 : j*24+32])}
                      for j in range(0,
                        greatest(CAST(ceil((len(tk)-8)/24.0) AS INT), 1))]) AS u
-           FROM t WHERE len(tk) > 0)"""
+           FROM t WHERE len(tk) > 0)""",
+    "q37_rolling_center" ->
+      """SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w >= 3 THEN avg(value) OVER w END AS v
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""",
+    "q38_rolling_closed" ->
+      """SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w >= 3 THEN sum(value) OVER w END AS v
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""",
+    "q39_expanding_minp" ->
+      """SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS cum_avg
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
   )
 }

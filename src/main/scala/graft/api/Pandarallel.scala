@@ -63,9 +63,15 @@ object Pandarallel {
     def parallelGroupBy(keys: String*): ParallelGroupBy =
       new ParallelGroupBy(df, keys)
 
-    /** O6 entry (core.py:554-556). */
-    def rolling(window: Int, orderBy: Column): ParallelRolling =
-      new ParallelRolling(df, window, Seq(orderBy), Nil)
+    /** O6 entry (core.py:554-556). `center`/`closed`/`minPeriods` replay
+      * pandas' rolling attributes (series_rolling.py:22-28).
+      */
+    def rolling(
+        window: Int,
+        orderBy: Column,
+        center: Boolean = false,
+        closed: String = "right"): ParallelRolling =
+      new ParallelRolling(df, window, Seq(orderBy), Nil, center, closed)
   }
 
   implicit final class ParallelSeries[T](private val ds: Dataset[T])
@@ -96,9 +102,15 @@ object Pandarallel {
         f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[T] =
       GroupApply.flatMapGroups(df)(keyFn)(f)
 
-    /** O7 entry (core.py:543-545). */
-    def rolling(window: Int, orderBy: Column): ParallelRolling =
-      new ParallelRolling(df, window, Seq(orderBy), keys.map(col))
+    /** O7 entry (core.py:543-545) with rolling-attribute replay
+      * (rolling_groupby.py:35-40).
+      */
+    def rolling(
+        window: Int,
+        orderBy: Column,
+        center: Boolean = false,
+        closed: String = "right"): ParallelRolling =
+      new ParallelRolling(df, window, Seq(orderBy), keys.map(col), center, closed)
 
     /** O8 entry (core.py:538-540). */
     def expanding(orderBy: Column): ParallelExpanding =
@@ -109,18 +121,27 @@ object Pandarallel {
       df: DataFrame,
       window: Int,
       orderBy: Seq[Column],
-      partitionBy: Seq[Column]) {
+      partitionBy: Seq[Column],
+      center: Boolean = false,
+      closed: String = "right") {
 
     /** Black-box window function over the materialized frame. */
-    def parallelApply(valueCol: Column, outName: String)(
+    def parallelApply(
+        valueCol: Column,
+        outName: String,
+        minPeriods: Option[Int] = None)(
         f: Seq[Double] => Double): DataFrame =
-      Windows.rollingCollect(df, valueCol, orderBy, partitionBy, window, outName)(f)
+      Windows.rollingCollect(
+        df, valueCol, orderBy, partitionBy, window, outName,
+        minPeriods, center, closed)(f)
 
     /** Algebraic aggregate over the frame (preferred at scale). */
     def parallelAgg(
         valueCol: Column,
         minPeriods: Option[Int] = None)(agg: Column => Column): DataFrame =
-      Windows.rollingAgg(df, valueCol, orderBy, partitionBy, window, minPeriods)(agg)
+      Windows.rollingAgg(
+        df, valueCol, orderBy, partitionBy, window,
+        minPeriods, center, closed)(agg)
   }
 
   final class ParallelExpanding(
@@ -131,9 +152,13 @@ object Pandarallel {
     /** Algebraic cumulative aggregate (expanding_groupby.py semantics —
       * always prefer the algebraic rewrite; a collect-based expanding
       * frame is O(n) state per row and does not survive scale).
+      * `minPeriods` replays pandas `expanding(min_periods=n)` (default 1).
       */
-    def parallelAgg(valueCol: Column, outName: String)(
+    def parallelAgg(
+        valueCol: Column,
+        outName: String,
+        minPeriods: Int = 1)(
         agg: Column => Column): DataFrame =
-      Windows.expandingAgg(df, valueCol, orderBy, partitionBy, outName)(agg)
+      Windows.expandingAgg(df, valueCol, orderBy, partitionBy, outName, minPeriods)(agg)
   }
 }

@@ -129,37 +129,7 @@ object Dedup {
             hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
           }: _*)).as("bucket"))
 
-    // One hash aggregation collects each bucket's ids (bounded above by
-    // maxBucketSize, so collect_list memory is capped), then pairs are
-    // generated in-place from the sorted array — no self-join, no
-    // separate bucket-size pass. The sorted order makes id_a < id_b by
-    // construction; distinct() removes pairs colliding in several bands.
-    // CPU-vs-bytes note: these post-shuffle stages are compute-heavy on
-    // few bytes (pair explosion; array intersections), so AQE's
-    // size-based coalescing would funnel them onto 1-2 cores. Explicit
-    // repartition pins the parallelism; the extra exchange moves only
-    // megabytes of (bucket|pair) keys.
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val cand = banded
-      .groupBy("bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
-      .repartition(p)
-      .select(
-        explode(
-          flatten(
-            transform(
-              col("ids"),
-              (x, i) =>
-                transform(
-                  slice(
-                    col("ids"),
-                    i + lit(2),
-                    greatest(size(col("ids")) - i - 1, lit(0))),
-                  y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-      .repartition(p)
+    val cand = pairsFromBuckets(banded, maxBucketSize)
 
     // verify candidates with exact Jaccard over shingle sets.
     // Two scale guards learned the hard way (skewed-bucket grind):
@@ -182,6 +152,45 @@ object Dedup {
         col("id_b"),
         (inter / (nA + nB - inter)).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Shared LSH step: (id, bucket) rows → distinct candidate (id_a, id_b)
+    * pairs with id_a < id_b. One hash aggregation collects each bucket's
+    * ids (bounded above by maxBucketSize, so collect_list memory is
+    * capped), then pairs are generated in-place from the sorted array —
+    * no self-join, no separate bucket-size pass. The sorted order makes
+    * id_a < id_b by construction; distinct() removes pairs colliding in
+    * several buckets.
+    * CPU-vs-bytes note: these post-shuffle stages are compute-heavy on
+    * few bytes (pair explosion; array intersections downstream), so AQE's
+    * size-based coalescing would funnel them onto 1-2 cores. Explicit
+    * repartition pins the parallelism; the extra exchange moves only
+    * megabytes of (bucket|pair) keys.
+    */
+  private def pairsFromBuckets(
+      banded: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val p = banded.sparkSession.sparkContext.defaultParallelism
+    banded
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .repartition(p)
+      .select(
+        explode(
+          flatten(
+            transform(
+              col("ids"),
+              (x, i) =>
+                transform(
+                  slice(
+                    col("ids"),
+                    i + lit(2),
+                    greatest(size(col("ids")) - i - 1, lit(0))),
+                  y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+      .repartition(p)
   }
 
   /** 64-bit SimHash from an already-materialized token-hash array: bit j
@@ -217,7 +226,8 @@ object Dedup {
   }
 
   /** SimHash near-dup groups: docs sharing an identical 64-bit simhash.
-    * (For Hamming distance > 0, band the signature like MinHash-LSH.)
+    * For Hamming distance > 0 use [[simHashBandPairs]] /
+    * [[simHashNearDupPairs]] (banded, pigeonhole-complete).
     */
   def simHashNearDup(
       df: DataFrame,
@@ -228,6 +238,62 @@ object Dedup {
       .groupBy("sig")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n"))
       .where(col("n") > 1)
+
+  /** Banded SimHash near-dup pairs over a precomputed (id, sig) frame:
+    * finds pairs within `maxHamming` bit flips of each other, not just
+    * exact-equal signatures. Pigeonhole guarantee: d flips can break at
+    * most d of the `bands` band keys, so any pair with d < bands still
+    * shares >= 1 exact band and becomes a candidate — 100% recall at
+    * d <= maxHamming when maxHamming < bands. Candidates verify with an
+    * exact popcount on the XOR (one integer op). Same banded equi-join
+    * shape as MinHash — never all-pairs, bucket-size capped.
+    */
+  def simHashBandPairs(
+      sigDf: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 256): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      "pigeonhole guarantee needs maxHamming < bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = sigDf.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          hash(
+            lit(b),
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)))
+        }: _*)).as("bucket"))
+    val sa = sigDf.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigDf.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    pairsFromBuckets(banded, maxBucketSize)
+      .join(sa, Seq("id_a"))
+      .join(sb, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Banded SimHash near-dup pairs from raw text (staged token-hash →
+    * signature projection, then [[simHashBandPairs]]).
+    */
+  def simHashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 256): DataFrame =
+    simHashBandPairs(
+      df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+        .select(col("id"), simHashFromTokenHashes(col("__th")).as("sig")),
+      maxHamming,
+      bands,
+      maxBucketSize)
 
   /** Exact n-gram Jaccard over candidate pairs produced by equi-joining
     * on a blocking key (default: identical token count). Exact and

@@ -50,7 +50,8 @@ object ColApply {
       f: Column => Column,
       cols: Seq[String] = Nil,
       keep: Seq[String] = Nil,
-      outName: String => String = identity): DataFrame = {
+      outName: String => String = identity,
+      counter: Option[graft.progress.Progress.RowCounter] = None): DataFrame = {
     val target =
       if (cols.nonEmpty) cols
       else
@@ -60,6 +61,12 @@ object ColApply {
           .toSeq
     val kept = keep.map(col)
     val mapped = target.map(c => f(col(c)).as(outName(c)))
-    df.select(kept ++ mapped: _*)
+    val out = df.select(kept ++ mapped: _*)
+    // applymap accounting = rows × cols (reference core.py:228-235):
+    // the tap ticks #target units per row after the codegen'd select
+    counter match {
+      case None    => out
+      case Some(c) => graft.progress.Progress.ticked(out, c, target.size.toLong)
+    }
   }
 }

@@ -36,13 +36,34 @@ object GroupApply {
     df.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
-  /** Black-box group UDF, one output row per group. */
-  def mapGroups[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
-      f: (K, Iterator[Row]) => T): Dataset[T] =
-    df.groupByKey(keyFn)(implicitly[Encoder[K]]).mapGroups(f)
+  /** Black-box group UDF, one output row per group. Counter ticks once
+    * per GROUP — the reference's per-group accounting for grouped
+    * operators (rolling_groupby.py:71-74: progress unit = dealt group).
+    */
+  def mapGroups[K: Encoder, T: Encoder](
+      df: DataFrame,
+      counter: Option[graft.progress.Progress.RowCounter] = None)(
+      keyFn: Row => K)(
+      f: (K, Iterator[Row]) => T): Dataset[T] = {
+    val g = counter match {
+      case None    => f
+      case Some(c) => (k: K, it: Iterator[Row]) => { c.tick(); f(k, it) }
+    }
+    df.groupByKey(keyFn)(implicitly[Encoder[K]]).mapGroups(g)
+  }
 
-  /** Black-box group UDF, many output rows per group (UDTF-like). */
-  def flatMapGroups[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
-      f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[T] =
-    df.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups(f)
+  /** Black-box group UDF, many output rows per group (UDTF-like).
+    * Counter ticks once per group, as above.
+    */
+  def flatMapGroups[K: Encoder, T: Encoder](
+      df: DataFrame,
+      counter: Option[graft.progress.Progress.RowCounter] = None)(
+      keyFn: Row => K)(
+      f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[T] = {
+    val g = counter match {
+      case None    => f
+      case Some(c) => (k: K, it: Iterator[Row]) => { c.tick(); f(k, it) }
+    }
+    df.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups(g)
+  }
 }

@@ -29,7 +29,17 @@ object RowApply {
   def exprApply(df: DataFrame)(outputs: (String, Column)*): DataFrame =
     df.select(outputs.map { case (n, c) => c.as(n) }: _*)
 
-  /** Black-box row UDF over typed rows. */
-  def apply[T: Encoder](df: DataFrame)(f: Row => T): Dataset[T] =
-    df.map(f)(implicitly[Encoder[T]])
+  /** Black-box row UDF over typed rows. With a counter attached, ticks
+    * once per row — the reference's `apply` accounting (one unit per UDF
+    * invocation, core.py:228-235); read it live via
+    * [[graft.progress.Progress.withConsoleBar]].
+    */
+  def apply[T: Encoder](
+      df: DataFrame,
+      counter: Option[graft.progress.Progress.RowCounter] = None)(
+      f: Row => T): Dataset[T] =
+    counter match {
+      case None    => df.map(f)(implicitly[Encoder[T]])
+      case Some(c) => df.map { r => c.tick(); f(r) }(implicitly[Encoder[T]])
+    }
 }

@@ -39,14 +39,37 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** pandas fixed-window frame with full attribute replay (the reference
+    * captures and re-applies `window/min_periods/center/closed` —
+    * series_rolling.py:22-28, rolling_groupby.py:35-40). Frame bounds
+    * follow pandas' FixedWindowIndexer exactly:
+    *   - base frame ending at the current row: [-(w-1), 0]
+    *   - center=true shifts both bounds forward by (w-1)/2
+    *   - closed: "right" (default) keeps w rows; "both" extends the start
+    *     one earlier (w+1 rows); "left" shifts the whole frame one back
+    *     (w rows, excluding the current row); "neither" drops the current
+    *     row (w-1 rows)
+    */
   def rollingFrame(
       orderBy: Seq[Column],
       partitionBy: Seq[Column],
-      window: Int): WindowSpec = {
+      window: Int,
+      center: Boolean = false,
+      closed: String = "right"): WindowSpec = {
     val base =
       if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
       else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-    base.rowsBetween(-(window - 1), 0)
+    val offset = if (center) (window - 1) / 2 else 0
+    val (lo, hi) = closed match {
+      case "right"   => (offset - window + 1, offset)
+      case "both"    => (offset - window, offset)
+      case "left"    => (offset - window, offset - 1)
+      case "neither" => (offset - window + 1, offset - 1)
+      case other =>
+        throw new IllegalArgumentException(
+          s"closed must be right|both|left|neither, got '$other'")
+    }
+    base.rowsBetween(lo, hi)
   }
 
   def expandingFrame(
@@ -68,15 +91,19 @@ object Windows {
       minPeriods: Int): Column =
     when(count(countedCol).over(frame) >= minPeriods, value)
 
-  /** Algebraic rolling aggregate over a fixed window of `window` rows. */
+  /** Algebraic rolling aggregate over a fixed window of `window` rows,
+    * with pandas attribute replay (center / closed / min_periods).
+    */
   def rollingAgg(
       df: DataFrame,
       valueCol: Column,
       orderBy: Seq[Column],
       partitionBy: Seq[Column],
       window: Int,
-      minPeriods: Option[Int] = None)(agg: Column => Column): DataFrame = {
-    val frame = rollingFrame(orderBy, partitionBy, window)
+      minPeriods: Option[Int] = None,
+      center: Boolean = false,
+      closed: String = "right")(agg: Column => Column): DataFrame = {
+    val frame = rollingFrame(orderBy, partitionBy, window, center, closed)
     val mp = minPeriods.getOrElse(window)
     df.withColumn(
       "__rolling__",
@@ -85,7 +112,9 @@ object Windows {
 
   /** Black-box rolling UDF: frame → Array[Double] → Scala function.
     * Memory per row is O(window); the UDF runs outside codegen (same
-    * trade the reference makes for arbitrary Python).
+    * trade the reference makes for arbitrary Python). With
+    * `minPeriods < window` the UDF sees shorter arrays near edges —
+    * exactly pandas' rolling.apply contract.
     */
   def rollingCollect(
       df: DataFrame,
@@ -93,21 +122,46 @@ object Windows {
       orderBy: Seq[Column],
       partitionBy: Seq[Column],
       window: Int,
-      outName: String)(f: Seq[Double] => Double): DataFrame = {
-    val frame = rollingFrame(orderBy, partitionBy, window)
-    val fUdf = udf(f)
+      outName: String,
+      minPeriods: Option[Int] = None,
+      center: Boolean = false,
+      closed: String = "right",
+      counter: Option[graft.progress.Progress.RowCounter] = None)(
+      f: Seq[Double] => Double): DataFrame = {
+    val frame = rollingFrame(orderBy, partitionBy, window, center, closed)
+    val mp = minPeriods.getOrElse(window)
+    // progress ticks once per UDF invocation (valid windows only) —
+    // WindowExec's work unit is the row; the reference's per-group unit
+    // (rolling_groupby.py:71-74) corresponds to the hash-exchange groups
+    // the task listener already tracks
+    val g = counter match {
+      case None    => f
+      case Some(c) => (xs: Seq[Double]) => { c.tick(); f(xs) }
+    }
+    val fUdf = udf(g)
     val arr = collect_list(valueCol).over(frame)
-    df.withColumn(outName, when(size(arr) >= window, fUdf(arr)))
+    df.withColumn(outName, when(size(arr) >= mp, fUdf(arr)))
   }
 
-  /** Algebraic expanding (cumulative) aggregate per group. */
+  /** Algebraic expanding (cumulative) aggregate per group. pandas
+    * `expanding(min_periods=n)` (default 1) is replayed as a null
+    * warm-up: output is null until the frame holds >= n observations
+    * (the reference replays this attribute — expanding_groupby.py:35-40).
+    */
   def expandingAgg(
       df: DataFrame,
       valueCol: Column,
       orderBy: Seq[Column],
       partitionBy: Seq[Column],
-      outName: String)(agg: Column => Column): DataFrame =
-    df.withColumn(outName, agg(valueCol).over(expandingFrame(orderBy, partitionBy)))
+      outName: String,
+      minPeriods: Int = 1)(agg: Column => Column): DataFrame = {
+    val frame = expandingFrame(orderBy, partitionBy)
+    val out =
+      if (minPeriods > 1)
+        withMinPeriods(agg(valueCol).over(frame), valueCol, frame, minPeriods)
+      else agg(valueCol).over(frame)
+    df.withColumn(outName, out)
+  }
 
   /** SCALABLE total-order rolling window — the distributed answer to the
     * one operator Spark's `WindowExec` cannot parallelize (an ungrouped

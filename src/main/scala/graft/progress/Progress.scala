@@ -39,6 +39,38 @@ object Progress {
   def rowCounter(spark: SparkSession, name: String): RowCounter =
     new RowCounter(spark.sparkContext.longAccumulator(s"graft.progress.$name"))
 
+  /** Progress tap: ticks `perRow` units per row as rows stream through —
+    * a narrow pass appended AFTER the operator's stage, so the operator's
+    * own expressions stay inside whole-stage codegen. Used for the
+    * reference's accounting modes that are per-cell rather than per-row
+    * (applymap total = rows × cols, core.py:228-235).
+    */
+  def ticked(
+      df: org.apache.spark.sql.DataFrame,
+      counter: RowCounter,
+      perRow: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      it.map { r => counter.tick(perRow); r }
+    }(enc)
+  }
+
+  /** Expected totals per accounting mode (reference core.py:228-235:
+    * apply = rows, applymap = rows × cols, group ops = number of groups).
+    * Each costs one count job — the reference gets totals free from the
+    * in-memory frame; a 100-TB scan does not, so totals are opt-in and
+    * the bar can also run total-less (indeterminate).
+    */
+  object totals {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+
+    def rows(df: DataFrame): Long = df.count()
+    def cells(df: DataFrame, nCols: Int): Long = df.count() * nCols
+    def groups(df: DataFrame, keys: Seq[String]): Long =
+      df.select(keys.map(col): _*).distinct().count()
+  }
+
   /** Poll `counter` every `intervalMs` while `body` runs, rendering a
     * console progress line; returns body's result. Mirrors the 0.25 s
     * refresh target of the reference (progress_bars.py:13).

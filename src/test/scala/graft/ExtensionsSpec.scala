@@ -68,6 +68,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sigs.toSeq === again.toSeq)
   }
 
+  test("banded simhash finds pairs at Hamming distance 1-3, not far ones") {
+    val base = 0x0F0F0F0F0F0F0F0FL
+    val flip1 = base ^ (1L << 7) // distance 1
+    val flip3 = base ^ (1L << 3) ^ (1L << 20) ^ (1L << 55) // distance 3
+    // distance 8, spread across all 4 bands → no shared band, and over
+    // maxHamming anyway
+    val far = base ^ (1L << 0) ^ (1L << 1) ^ (1L << 17) ^ (1L << 18) ^
+      (1L << 33) ^ (1L << 34) ^ (1L << 49) ^ (1L << 50)
+    val sigs = Seq((1L, base), (2L, flip1), (3L, flip3), (4L, far))
+      .toDF("id", "sig")
+    val pairs = Dedup.simHashBandPairs(sigs, maxHamming = 3, bands = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 3))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // end-to-end from text: identical docs pair at distance 0
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val textPairs = Dedup.simHashNearDupPairs(docs, "text", "doc_id").collect()
+    assert(textPairs.length === 1 && textPairs.head.getAs[Int]("hamming") === 0)
+  }
+
   test("shingles edge cases: short/empty text") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
     val sh = df.select(TextFunctions.shingles(col("text"), 3)).collect()

@@ -88,6 +88,57 @@ class FacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling attribute replay: center/closed frames, min_periods warm-up") {
+    // pandas fixed-window bounds on a known sequence: values 1..6, w=3
+    val df = (1 to 6).map(i => (i.toLong, i.toDouble)).toDF("i", "x")
+
+    // center=True, w=3 → frame [-1, +1]; min_periods=3 → edges null
+    val centered = df.rolling(3, col("i"), center = true)
+      .parallelAgg(col("x"))(sum)
+      .select(col("i"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(centered(1L).isEmpty && centered(6L).isEmpty)
+    assert(centered(2L).contains(1.0 + 2 + 3))
+    assert(centered(5L).contains(4.0 + 5 + 6))
+
+    // closed="left", w=3 → frame [-3, -1], current row excluded
+    val left = df.rolling(3, col("i"), closed = "left")
+      .parallelAgg(col("x"))(sum)
+      .select(col("i"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(left(3L).isEmpty) // only 2 rows before row 3
+    assert(left(4L).contains(1.0 + 2 + 3))
+    assert(left(6L).contains(3.0 + 4 + 5))
+
+    // closed="both", w=3 → frame [-3, 0]: 4 rows once warm
+    val both = df.rolling(3, col("i"), closed = "both")
+      .parallelAgg(col("x"), minPeriods = Some(4))(sum)
+      .select(col("i"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(both(3L).isEmpty)
+    assert(both(4L).contains(1.0 + 2 + 3 + 4))
+
+    // min_periods=1: black-box UDF sees short frames at the edges
+    val mp1 = df.rolling(3, col("i"))
+      .parallelApply(col("x"), "v", minPeriods = Some(1))(xs => xs.sum)
+      .select(col("i"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(mp1(1L).contains(1.0))
+    assert(mp1(2L).contains(3.0))
+    assert(mp1(3L).contains(6.0))
+  }
+
+  test("expanding min_periods warm-up") {
+    val df = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("i", "x")
+    val out = df.parallelGroupBy().expanding(col("i"))
+      .parallelAgg(col("x"), "cum", minPeriods = 3)(sum)
+      .select(col("i"), col("cum"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L).contains(6.0))
+    assert(out(5L).contains(15.0))
+  }
+
   test("O8: expanding cumulative aggregate") {
     val out = ev
       .parallelGroupBy("user_id")

@@ -25,6 +25,67 @@ class ProgressSpec extends AnyFunSuite {
     assert(counter.value === n)
   }
 
+  test("O1 black-box apply ticks once per row (apply accounting)") {
+    val counter = Progress.rowCounter(spark, "acct-apply")
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val n = li.count()
+    graft.ops.RowApply(li, Some(counter))(_.getAs[Double]("l_quantity") * 2)
+      .write.format("noop").mode("overwrite").save()
+    assert(counter.value === n)
+  }
+
+  test("O2 applymap ticks rows × cols (applymap accounting)") {
+    val counter = Progress.rowCounter(spark, "acct-applymap")
+    val part = Tables.part(spark, TestSpark.sf)
+    val n = part.count()
+    graft.ops.ColApply
+      .applymap(
+        part,
+        c => c * 2,
+        cols = Seq("p_size", "p_retailprice"),
+        keep = Seq("p_partkey"),
+        counter = Some(counter))
+      .write.format("noop").mode("overwrite").save()
+    assert(counter.value === n * 2)
+  }
+
+  test("O5 black-box group UDF ticks once per group (group accounting)") {
+    val counter = Progress.rowCounter(spark, "acct-groups")
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val nGroups = Progress.totals.groups(li, Seq("l_returnflag"))
+    graft.ops.GroupApply
+      .flatMapGroups(li.select("l_returnflag", "l_quantity"), Some(counter))(
+        _.getString(0)) { (k, it) =>
+        Iterator.single((k, it.map(_.getDouble(1)).sum))
+      }
+      .write.format("noop").mode("overwrite").save()
+    assert(counter.value === nGroups)
+  }
+
+  test("O6/O7 rolling UDF ticks once per evaluated window") {
+    import org.apache.spark.sql.functions.col
+    val counter = Progress.rowCounter(spark, "acct-rolling")
+    val ev = Tables.events(spark, TestSpark.sf)
+    // the UDF runs only on full windows: per user, max(0, count - 3) rows
+    val expected = ev
+      .groupBy("user_id").count()
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.greatest(
+          col("count") - 3, org.apache.spark.sql.functions.lit(0L))))
+      .head().getLong(0)
+    graft.ops.Windows
+      .rollingCollect(
+        ev,
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        window = 4,
+        outName = "v",
+        counter = Some(counter))(xs => xs.sum)
+      .write.format("noop").mode("overwrite").save()
+    assert(counter.value === expected)
+  }
+
   test("task listener observes completed stages and tasks") {
     val l = Progress.installListener(spark)
     Tables.lineitem(spark, TestSpark.sf).repartition(4).count()
