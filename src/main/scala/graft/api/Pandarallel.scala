@@ -102,6 +102,21 @@ object Pandarallel {
         f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[T] =
       GroupApply.flatMapGroups(df)(keyFn)(f)
 
+    /** O5, "new object" result shape: pandas puts group keys in the
+      * result index (dataframe_groupby.py:49-81) — here they become the
+      * leading column of every output row.
+      */
+    def applyKeyed[K: Encoder, T: Encoder](keyFn: Row => K)(
+        f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[(K, T)] =
+      GroupApply.applyGroupsKeyed(df)(keyFn)(f)
+
+    /** O5, "mutation" result shape: pandas keeps the original row index
+      * (utils.py:61-85 sniff) — here outputs return in source-row order.
+      */
+    def transform[K: Encoder, T: Encoder](keyFn: Row => K)(
+        f: (K, Seq[Row]) => Seq[T]): Dataset[T] =
+      GroupApply.transformGroups(df)(keyFn)(f)
+
     /** O7 entry (core.py:543-545) with rolling-attribute replay
       * (rolling_groupby.py:35-40).
       */

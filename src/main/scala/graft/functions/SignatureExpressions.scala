@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the dedup signature hot loops
+  * (brief preference order (b): custom Expression over UDF).
+  *
+  * Why: the composable forms fold k=32 (minhash) / 64 (simhash)
+  * higher-order-function trees over the same array attribute. Each HOF
+  * evaluates an interpreted lambda per element (closures never enter
+  * whole-stage codegen), so signature computation pays k interpreted
+  * array traversals per row — AND the giant expression tree dominates
+  * first-run codegen/JIT time (profiled: q14 cold run 17 s vs 3.4 s
+  * steady-state). These expressions do ONE tight JVM loop per row.
+  *
+  * Bit parity with the composable forms is exact and spec-asserted:
+  *  - minhash: `xxhash64(lit(i), h)` ≡ `XXH64.hashLong(h,
+  *    XXH64.hashInt(i, 42L))` (Spark's XxHash64 folds fields
+  *    left-to-right from seed 42; the int literal folds via hashInt),
+  *    so per-function seeds are precomputed once and each element costs
+  *    one `hashLong`.
+  *  - simhash: bit j of the result = sign of Σ over tokens of
+  *    (bit j set ? +1 : -1) — identical vote math, 64 counters in one
+  *    pass instead of 64 `aggregate` passes.
+  */
+object SignatureExpressions {
+
+  val MinHashName = "graft_minhash_sig"
+  val SimHashName = "graft_simhash64"
+
+  /** Idempotent per-session registration (temp function registry) —
+    * mirrors [[VectorExpressions.register]].
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashName,
+      exprs =>
+        MinHashSignatureExpr(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimHashName,
+      exprs => SimHash64Expr(exprs(0)),
+      "built-in")
+  }
+
+  /** k-minima minhash signature over a base-hash array attribute —
+    * requires [[register]] on the session first.
+    */
+  def minHashFast(baseHashes: Column, k: Int): Column =
+    call_function(MinHashName, baseHashes, lit(k))
+
+  /** One-pass 64-bit simhash over a token-hash array attribute —
+    * requires [[register]] on the session first.
+    */
+  def simHashFast(tokenHashes: Column): Column =
+    call_function(SimHashName, tokenHashes)
+}
+
+/** array<long> base hashes → array<long> of `numHashes` minima, where
+  * hash function i is `xxhash64(lit(i), h)`. Empty input → all-null
+  * signature (parity with `array_min` of an empty array).
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<bigint>, got ${t.simpleString}")
+    }
+
+  // seed for function i: XxHash64's fold of the leading lit(i) field —
+  // lit(i) is an INT literal, so the fold step is hashInt, not hashLong
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashLong(h, seeds(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = SignatureExpressions.MinHashName
+}
+
+/** array<long> token hashes → 64-bit simhash (sign of per-bit votes).
+  * Empty input → 0L (all votes are -1 ties → all bits clear), matching
+  * the composable form.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<bigint>, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = SignatureExpressions.SimHashName
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions, VectorExpressions, VectorFunctions}
+import graft.functions.{SignatureExpressions, TextFunctions, VectorExpressions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines (extension set —
   * the reference has none; `drop_duplicates` is plain pandas outside
@@ -50,6 +50,11 @@ object Dedup {
     * integer ops (no wrapping multiply, which ANSI mode rejects).
     * `baseHashAttr` must be an attribute reference — it is folded k
     * times, and an inlined expression would re-evaluate k times per row.
+    *
+    * COMPOSABLE REFERENCE FORM (k interpreted HOF passes): hot paths use
+    * the bit-identical native one-pass
+    * [[graft.functions.MinHashSignatureExpr]] instead — see
+    * SignatureExpressions for why (k× traversal + codegen-size cost).
     */
   def minHashFromBaseHashes(baseHashAttr: Column, k: Int): Column =
     array((0 until k).map { i =>
@@ -103,6 +108,7 @@ object Dedup {
     // The shingle *strings* never leave this pipeline: dedup verification
     // runs on the 64-bit base hashes (same Jaccard modulo ~2^-64 hash
     // collisions), which shuffle 3x smaller and compare as longs.
+    SignatureExpressions.register(df.sparkSession)
     val sig = df
       .select(
         col(idCol).as("id"),
@@ -114,7 +120,7 @@ object Dedup {
       .select(
         col("id"),
         col("bh"),
-        minHashFromBaseHashes(col("bh"), numHashes).as("mh"))
+        SignatureExpressions.minHashFast(col("bh"), numHashes).as("mh"))
       .localCheckpoint()
 
     // band key = hash of the band's slice of the signature. The band join
@@ -198,6 +204,10 @@ object Dedup {
     * -1). The attribute is folded 64 times — cheap over a materialized
     * long array, quadratic-regex disaster if a tokenization expression
     * were inlined here (see TextFunctions.shinglesOf contract).
+    *
+    * COMPOSABLE REFERENCE FORM (64 interpreted `aggregate` passes): hot
+    * paths use the bit-identical native one-pass
+    * [[graft.functions.SimHash64Expr]] instead.
     */
   def simHashFromTokenHashes(tokenHashesAttr: Column): Column = {
     val bits = (0 until 64).map { j =>
@@ -232,12 +242,14 @@ object Dedup {
   def simHashNearDup(
       df: DataFrame,
       textCol: String,
-      idCol: String): DataFrame =
+      idCol: String): DataFrame = {
+    SignatureExpressions.register(df.sparkSession)
     df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
-      .select(col("id"), simHashFromTokenHashes(col("__th")).as("sig"))
+      .select(col("id"), SignatureExpressions.simHashFast(col("__th")).as("sig"))
       .groupBy("sig")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n"))
       .where(col("n") > 1)
+  }
 
   /** Banded SimHash near-dup pairs over a precomputed (id, sig) frame:
     * finds pairs within `maxHamming` bit flips of each other, not just
@@ -287,13 +299,17 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 256): DataFrame =
+      maxBucketSize: Int = 256): DataFrame = {
+    SignatureExpressions.register(df.sparkSession)
     simHashBandPairs(
       df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
-        .select(col("id"), simHashFromTokenHashes(col("__th")).as("sig")),
+        .select(
+          col("id"),
+          SignatureExpressions.simHashFast(col("__th")).as("sig")),
       maxHamming,
       bands,
       maxBucketSize)
+  }
 
   /** Exact n-gram Jaccard over candidate pairs produced by equi-joining
     * on a blocking key (default: identical token count). Exact and

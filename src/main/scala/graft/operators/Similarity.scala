@@ -113,6 +113,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the build-once LSH index: the corpus exploded into one row
+    * per (band, band-key) bucket — the standard inverted-index-per-band
+    * layout (data duplicated `bands` times, the classic LSH trade) —
+    * PARTITIONED BY (band, bk) so a probe reads exactly `bands` bucket
+    * directories instead of scanning + re-signing the corpus per query.
+    */
+  def lshWriteIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      nBits: Int = 16,
+      bandBits: Int = 4): Unit = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    val bands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("__sig"))
+      .select(
+        col("id"),
+        col("v"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("__sig"), b * bandBits)
+              .bitwiseAND(lit(mask))
+              .cast("int")
+              .as("bk"))
+        }: _*)).as("e"))
+      .select(col("id"), col("v"), col("e.band"), col("e.bk"))
+      .write
+      .mode("overwrite")
+      .partitionBy("band", "bk")
+      .parquet(path)
+  }
+
+  /** Probe a persisted [[lshWriteIndex]] layout: the query signature is
+    * computed once (tiny job), then `bands` (band, bk) equality
+    * predicates prune to the matching bucket directories. Candidates are
+    * deduped (a vector can collide in several bands) and scored exactly.
+    */
+  def lshProbeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Double],
+      k: Int,
+      nBits: Int = 16,
+      bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    val bands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val qSig: Long = spark
+      .range(1)
+      .select(VectorFunctions.hyperplaneSignature(vecLit(query), nBits))
+      .head
+      .getLong(0)
+    val pred = (0 until bands)
+      .map { b =>
+        col("band") === b &&
+        col("bk") === ((qSig >> (b * bandBits)) & mask).toInt
+      }
+      .reduce(_ || _)
+    val cand = spark.read.parquet(path).where(pred).dropDuplicates("id")
+    bruteForceTopK(cand, "v", "id", query, k)
+  }
+
   /** IVF (inverted-file) index build: per-cluster element-wise centroid
     * of the embedding column. posexplode + (cluster, dim) aggregation —
     * partial+final, one exchange carrying (cluster, dim, partial sums);

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
 
 /** O5 — `DataFrameGroupBy.parallel_apply(func)`.
   * Reference: pandarallel/core.py:533-535, data_types/dataframe_groupby.py.
@@ -50,6 +50,48 @@ object GroupApply {
       case Some(c) => (k: K, it: Iterator[Row]) => { c.tick(); f(k, it) }
     }
     df.groupByKey(keyFn)(implicitly[Encoder[K]]).mapGroups(g)
+  }
+
+  /** pandas result-index shaping, "new object" branch: when a group UDF
+    * returns a fresh object, pandas moves the group keys into the result
+    * index (dataframe_groupby.py:49-81 via the utils.py:61-85 mutation
+    * sniff). Spark has no index, so the keys become leading columns —
+    * every output row carries its group key automatically.
+    */
+  def applyGroupsKeyed[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
+      f: (K, Iterator[Row]) => IterableOnce[T]): Dataset[(K, T)] = {
+    implicit val enc: Encoder[(K, T)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[T]])
+    df.groupByKey(keyFn)(implicitly[Encoder[K]])
+      .flatMapGroups((k: K, it: Iterator[Row]) => f(k, it).iterator.map(k -> _))
+  }
+
+  /** pandas result-index shaping, "mutation" branch: when the UDF
+    * transforms the group in place, pandas keeps the ORIGINAL row index
+    * (utils.py:61-85). Ported via the __index__ discipline: each group's
+    * outputs are zipped to its rows' source positions and the result is
+    * emitted in source order. The per-group function must return one
+    * output per input row (enforced by the zip); rows arrive in the
+    * group's encounter order, with the attached `Index.col` visible.
+    */
+  def transformGroups[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
+      f: (K, Seq[Row]) => Seq[T]): Dataset[T] = {
+    implicit val pairEnc: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[T]])
+    graft.Index
+      .attach(df)
+      .groupByKey(keyFn)(implicitly[Encoder[K]])
+      .flatMapGroups { (k: K, it: Iterator[Row]) =>
+        val rows = it.toSeq
+        val out = f(k, rows)
+        require(
+          out.length == rows.length,
+          s"transformGroups UDF returned ${out.length} rows for a " +
+            s"${rows.length}-row group — the mutation branch is same-length")
+        rows.map(_.getAs[Long](graft.Index.col)).iterator.zip(out.iterator)
+      }
+      .orderBy(org.apache.spark.sql.functions.col("_1"))
+      .map(_._2)(implicitly[Encoder[T]])
   }
 
   /** Black-box group UDF, many output rows per group (UDTF-like).

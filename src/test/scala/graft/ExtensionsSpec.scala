@@ -68,6 +68,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sigs.toSeq === again.toSeq)
   }
 
+  test("native signature expressions match composable forms bit-for-bit") {
+    import graft.functions.SignatureExpressions
+    SignatureExpressions.register(spark)
+    val staged = Tables.documents(spark, TestSpark.sf)
+      .select(
+        col("doc_id"),
+        Dedup.tokenHashes(col("text")).as("th"),
+        TextFunctions.normalized(col("text")).as("__n"))
+      .select(
+        col("doc_id"),
+        col("th"),
+        TextFunctions.shinglesOf(col("__n"), 4).as("sh"))
+      .select(
+        col("doc_id"),
+        col("th"),
+        Dedup.shingleBaseHashes(col("sh")).as("bh"))
+    val mismatches = staged
+      .select(
+        SignatureExpressions.minHashFast(col("bh"), 16)
+          .eqNullSafe(Dedup.minHashFromBaseHashes(col("bh"), 16)).as("mh_eq"),
+        SignatureExpressions.simHashFast(col("th"))
+          .eqNullSafe(Dedup.simHashFromTokenHashes(col("th"))).as("sh_eq"))
+      .where(!col("mh_eq") || !col("sh_eq"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("banded simhash finds pairs at Hamming distance 1-3, not far ones") {
     val base = 0x0F0F0F0F0F0F0F0FL
     val flip1 = base ^ (1L << 7) // distance 1

@@ -88,6 +88,35 @@ class FacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("O5 result-index shaping: keys-as-index vs original-index branches") {
+    // "new object" branch: group keys ride along as the leading column
+    val keyed = li
+      .select("l_returnflag", "l_quantity")
+      .parallelGroupBy("l_returnflag")
+      .applyKeyed(_.getString(0)) { (_, it) =>
+        Iterator.single(it.map(_.getDouble(1)).sum)
+      }
+      .collect().toMap
+    val oracle = li.groupBy("l_returnflag").agg(sum("l_quantity"))
+      .as[(String, Double)].collect().toMap
+    assert(keyed.keySet === oracle.keySet)
+    oracle.foreach { case (k, v) => assert(math.abs(keyed(k) - v) < 1e-6) }
+
+    // "mutation" branch: per-group demean, outputs in source-row order
+    val src = Seq(("a", 1.0), ("b", 10.0), ("a", 3.0), ("b", 20.0), ("a", 5.0))
+      .toDF("k", "x")
+    val demeaned = src
+      .parallelGroupBy("k")
+      .transform(_.getString(0)) { (_, rows) =>
+        val xs = rows.map(_.getDouble(1))
+        val m = xs.sum / xs.size
+        xs.map(_ - m)
+      }
+      .collect().toSeq
+    // group a mean=3, group b mean=15 — source order preserved
+    assert(demeaned === Seq(-2.0, -5.0, 0.0, 5.0, 2.0))
+  }
+
   test("rolling attribute replay: center/closed frames, min_periods warm-up") {
     // pandas fixed-window bounds on a known sequence: values 1..6, w=3
     val df = (1 to 6).map(i => (i.toLong, i.toDouble)).toDF("i", "x")

@@ -64,6 +64,13 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.isDefined, s"no cluster partition filter in probe scan:\n$p")
   }
 
+  test("q18 ANN probe prunes LSH bucket partitions instead of scanning") {
+    val p = plan(SparkEntry.queries("q18_ann_lsh_topk")(spark, TestSpark.sf))
+    val pf = p.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("band"))
+    assert(pf.isDefined, s"no band partition filter in probe scan:\n$p")
+  }
+
   test("dedup candidate generation is equi-join shaped, never cartesian") {
     val p = plan(SparkEntry.queries("q14_minhash_neardup")(spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
