@@ -4,9 +4,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `ArrayType` embedding columns, built from Spark's
-  * codegen'd higher-order functions (`zip_with` / `aggregate`) — no UDFs,
-  * so expressions stay inside whole-stage codegen and the parquet scan
-  * only reads the embedding column.
+  * higher-order functions (`zip_with` / `aggregate`) — no UDFs, so the
+  * parquet scan only reads the embedding column and plans stay
+  * declarative. NOTE: HOF lambdas evaluate interpreted per element
+  * (they never enter whole-stage codegen) — these are the composable
+  * reference forms; hot paths use the native single-pass expressions
+  * ([[VectorExpressions.cosineFast]], SignatureExpressions), which are
+  * bit-parity-tested against these.
   *
   * Beyond the reference surface (pandarallel has no vector ops); part of
   * the training-data-pipeline extension set (similarity search, near-dup).
@@ -44,7 +48,7 @@ object VectorFunctions {
     * `nBits` sign bits of projections onto deterministic pseudo-random
     * hyperplanes, packed into a long. Hyperplane components are derived
     * from a hash of (bit, dim) — fully deterministic, no driver-side
-    * randomness, and evaluated as one codegen'd expression per row.
+    * randomness, one expression per row (interpreted HOF evaluation).
     *
     * At scale: signatures bucket vectors so candidate generation is a
     * hash-partition join on the signature (or signature bands) instead of

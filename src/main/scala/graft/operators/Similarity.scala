@@ -10,7 +10,7 @@ import graft.functions.{VectorExpressions, VectorFunctions}
   *
   * Two paths, as the brief requires:
   *  - [[bruteForceTopK]] — the exact baseline: score every vector (narrow
-  *    map, codegen'd cosine) then global top-k. Spark plans the top-k as
+  *    map, native tight-loop cosine) then global top-k. Spark plans the top-k as
   *    per-partition TakeOrdered partials + a tiny driver merge: only
   *    k rows per partition move, never the corpus.
   *  - [[lshTopK]] — the scale path: hyperplane-LSH signature buckets;
