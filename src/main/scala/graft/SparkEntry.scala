@@ -308,11 +308,13 @@ object SparkEntry {
         round(TextFunctions.digitRatio(t), 6).as("digit_ratio"))
   }
 
-  /** Stopword-ratio language-ID heuristic per document. */
+  /** Stopword-ratio language-ID heuristic per document (staged token
+    * projection; docs() spreads the single-file corpus across cores).
+    */
   private def q20(s: SparkSession, d: String): DataFrame =
-    Tables
-      .documents(s, d)
-      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    docs(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("__tk"))
+      .select(col("doc_id"), TextFunctions.langIdFromTokens(col("__tk")).as("lang_pred"))
 
   /** Composite quality score per document. */
   private def q21(s: SparkSession, d: String): DataFrame =
@@ -574,6 +576,21 @@ object SparkEntry {
         minPeriods = 5)(avg)
       .select("user_id", "event_id", "cum_avg")
 
+  /** Grouped triangular weighted rolling mean (pandas
+    * rolling(4, win_type='triang').mean()): weights [.25,.75,.75,.25],
+    * full-window requirement — the win_type attribute replay, declared
+    * as codegen'd lag expressions (no array materialization).
+    */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    Windows.rollingWeightedMean(
+      Tables.events(s, d),
+      col("value"),
+      orderBy = Seq(col("event_id")),
+      partitionBy = Seq(col("user_id")),
+      weights = Windows.windowWeights("triang", 4),
+      outName = "v")
+      .select("user_id", "event_id", "v")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -616,7 +633,8 @@ object SparkEntry {
     "q36_chunking" -> (q36 _),
     "q37_rolling_center" -> (q37 _),
     "q38_rolling_closed" -> (q38 _),
-    "q39_expanding_minp" -> (q39 _)
+    "q39_expanding_minp" -> (q39 _),
+    "q40_rolling_wintype" -> (q40 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -887,6 +905,12 @@ object SparkEntry {
       """SELECT user_id, event_id,
          CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS cum_avg
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q40_rolling_wintype" ->
+      """SELECT user_id, event_id,
+         CASE WHEN row_number() OVER wb >= 4 THEN
+           (0.25*lag(value,3) OVER wb + 0.75*lag(value,2) OVER wb
+            + 0.75*lag(value,1) OVER wb + 0.25*value) / 2.0 END AS v
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)"""
   )
 }

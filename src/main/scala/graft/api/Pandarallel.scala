@@ -157,6 +157,18 @@ object Pandarallel {
       Windows.rollingAgg(
         df, valueCol, orderBy, partitionBy, window,
         minPeriods, center, closed)(agg)
+
+    /** pandas `rolling(w, win_type=...).mean()` — weighted window mean
+      * (win_type is the last replayed rolling attribute,
+      * series_rolling.py:22-28).
+      */
+    def parallelWeightedMean(
+        valueCol: Column,
+        outName: String,
+        winType: String = "triang"): DataFrame =
+      Windows.rollingWeightedMean(
+        df, valueCol, orderBy, partitionBy,
+        Windows.windowWeights(winType, window), outName)
   }
 
   final class ParallelExpanding(

@@ -93,6 +93,30 @@ object TextFunctions {
       .otherwise(lit("es"))
   }
 
+  /** [[langId]] over a MATERIALIZED lowercase token-array attribute —
+    * the hot-path form: [[langId]] re-tokenizes the raw text inside
+    * every ratio reference (the when-chain references each ratio
+    * several times), while this form runs set-membership passes over an
+    * already-split array. All four ratios share one denominator, so the
+    * argmax over hit COUNTS is the same language — no division needed.
+    */
+  def langIdFromTokens(tk: Column): Column = {
+    def hitsIn(words: Seq[String]): Column = {
+      val set = array(words.map(lit): _*)
+      size(filter(tk, t => array_contains(set, t)))
+    }
+    val en = hitsIn(StopwordsEn)
+    val fr = hitsIn(StopwordsFr)
+    val de = hitsIn(StopwordsDe)
+    val es = hitsIn(StopwordsEs)
+    val m = greatest(en, fr, de, es)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(fr === m, lit("fr"))
+      .when(de === m, lit("de"))
+      .otherwise(lit("es"))
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
     * punctuation/digit noise — the usual cheap pre-filter before
     * expensive dedup/training steps.

@@ -340,6 +340,8 @@ object Dedup {
       .agg(count(lit(1)).as("__bn"))
       .where(col("__bn").between(2, maxBlockSize))
       .select("blk")
+    // localCheckpoint: prep feeds BOTH sides of the self-join — without
+    // materialization the normalize→shingle pipeline executes twice
     val prep = df
       .select(
         col(idCol).as("id"),
@@ -350,6 +352,7 @@ object Dedup {
         col("id"),
         col("blk"),
         TextFunctions.shinglesOf(col("__norm"), n).as("sh"))
+      .localCheckpoint()
     val l = prep.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = prep.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     // |A∪B| = |A|+|B|-|A∩B| — one hash set per pair, not two

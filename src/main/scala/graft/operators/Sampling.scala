@@ -73,11 +73,10 @@ object Sampling {
       explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
         .as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = terms
-      .select("doc_id", "term")
-      .distinct()
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"))
+    // df derives from tf (tf rows are already distinct (doc, term)
+    // pairs): one explode + one exchange feed both aggregates — the
+    // naive distinct().groupBy() re-exploded the corpus a second time
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
     tf.join(dfreq, Seq("term"))
       .crossJoin(nDocs)

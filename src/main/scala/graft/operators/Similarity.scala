@@ -181,6 +181,62 @@ object Similarity {
     bruteForceTopK(cand, "v", "id", query, k)
   }
 
+  /** Many-queries probe of a persisted [[lshWriteIndex]] layout: each
+    * query's band keys join the index on (band, bk) — ONE equi-join for
+    * the whole query batch instead of per-query scans, and the corpus is
+    * never re-signed. The query side is broadcast (query batches are
+    * small by assumption, same as [[crossTopK]]); candidates dedupe on
+    * (query, id) before exact scoring + per-query window top-k.
+    * This is the 100-TB shape for batch ANN: index once, join probes.
+    */
+  def lshProbeIndexMany(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      nBits: Int = 16,
+      bandBits: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    val bands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val qb = queries
+      .select(
+        col(qIdCol).as("query_id"),
+        col(qVecCol).as("qv"),
+        VectorFunctions.hyperplaneSignature(col(qVecCol), nBits).as("__sig"))
+      .select(
+        col("query_id"),
+        col("qv"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("__sig"), b * bandBits)
+              .bitwiseAND(lit(mask))
+              .cast("int")
+              .as("bk"))
+        }: _*)).as("e"))
+      .select(col("query_id"), col("qv"), col("e.band"), col("e.bk"))
+    VectorExpressions.register(spark)
+    val scored = spark.read
+      .parquet(path)
+      .join(broadcast(qb), Seq("band", "bk"))
+      .dropDuplicates("query_id", "id")
+      .select(
+        col("query_id"),
+        col("id"),
+        VectorExpressions.cosineFast(col("v"), col("qv")).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** IVF (inverted-file) index build: per-cluster element-wise centroid
     * of the embedding column. posexplode + (cluster, dim) aggregation —
     * partial+final, one exchange carrying (cluster, dim, partial sums);

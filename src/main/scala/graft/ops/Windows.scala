@@ -163,6 +163,50 @@ object Windows {
     df.withColumn(outName, out)
   }
 
+  /** pandas `win_type` weighted-window weights. `triang` matches
+    * scipy.signal.windows.triang(M): even M → (2k+1)/M mirrored,
+    * odd M → 2(k+1)/(M+1) mirrored.
+    */
+  def windowWeights(winType: String, window: Int): Seq[Double] = winType match {
+    case "triang" =>
+      val half =
+        if (window % 2 == 0)
+          (0 until window / 2).map(k => (2.0 * k + 1) / window)
+        else
+          (0 until (window + 1) / 2).map(k => 2.0 * (k + 1) / (window + 1))
+      half ++ half.reverse.drop(window % 2)
+    case "boxcar" => Seq.fill(window)(1.0)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported win_type '$other'")
+  }
+
+  /** pandas `rolling(w, win_type=...).mean()` — weighted window mean
+    * Σwᵢxᵢ / Σwᵢ over the trailing frame, null under `window` rows
+    * (pandas requires a full window for weighted means). Declared as a
+    * sum of `lag` expressions: fully codegen'd, no array materialization,
+    * scales like any window aggregate.
+    */
+  def rollingWeightedMean(
+      df: DataFrame,
+      valueCol: Column,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column],
+      weights: Seq[Double],
+      outName: String): DataFrame = {
+    val w = weights.length
+    val base =
+      if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+      else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    // weights index i = oldest..newest → lag distance w-1-i
+    val weighted = weights.zipWithIndex
+      .map { case (wt, i) => lag(valueCol, w - 1 - i).over(base) * lit(wt) }
+      .reduce(_ + _)
+    val frame = base.rowsBetween(-(w - 1), 0)
+    df.withColumn(
+      outName,
+      when(count(valueCol).over(frame) >= w, weighted / lit(weights.sum)))
+  }
+
   /** SCALABLE total-order rolling window — the distributed answer to the
     * one operator Spark's `WindowExec` cannot parallelize (an ungrouped
     * `Window.orderBy` collapses to a single partition).

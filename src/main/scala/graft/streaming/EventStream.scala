@@ -58,6 +58,20 @@ object EventStream {
         col("n"),
         col("sum_value"))
 
+  /** Streaming exact dedup: first arrival per key wins. State is purged
+    * by the watermark (`dropDuplicatesWithinWatermark`), so it stays
+    * bounded on an infinite stream — duplicates separated by more than
+    * the watermark horizon can re-emit, the standard streaming trade.
+    * Exact global dedup is the batch operator ([[graft.operators.Dedup]]).
+    */
+  def dedupStream(
+      stream: DataFrame,
+      keys: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    withEventTime(stream)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Read the events parquet as a stream. The file source wants a
     * directory, so stream the sf directory with a glob pinned to the
     * events file.

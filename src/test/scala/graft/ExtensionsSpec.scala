@@ -175,6 +175,19 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("staged langIdFromTokens matches langId on the corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs
+      .select(
+        TextFunctions.langId(col("text")).as("a"),
+        TextFunctions
+          .langIdFromTokens(TextFunctions.tokens(lower(col("text"))))
+          .as("b"))
+      .where(col("a") =!= col("b"))
+      .count()
+    assert(n === 0L)
+  }
+
   test("langId picks the language whose stopwords dominate") {
     val df = Seq(
       (1L, "the cat is one of the animals that live in the house"),
@@ -245,6 +258,26 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()
     cents.unpersist()
     assert(narrow.nonEmpty && narrow.length <= 5)
+  }
+
+  test("many-query LSH index probe: each query finds itself first") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val path = System.getProperty("java.io.tmpdir") + "/graft-lsh-spec"
+    Similarity.lshWriteIndex(emb, "embedding", "vec_id", path)
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = Similarity
+      .lshProbeIndexMany(spark, path, queries, "qv", "qid", k = 5)
+      .collect()
+    (0L until 3L).foreach { q =>
+      val mine = top.filter(_.getAs[Long]("query_id") == q)
+      assert(mine.nonEmpty && mine.length <= 5)
+      // a vector always collides with itself in every band → candidate;
+      // cosine(self) = 1.0 ranks first
+      val best = mine.maxBy(_.getAs[Double]("sim"))
+      assert(best.getAs[Long]("id") === q)
+      assert(math.abs(best.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
   }
 
   test("vector functions: cosine/l2 basics") {

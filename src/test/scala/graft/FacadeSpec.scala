@@ -157,6 +157,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(mp1(3L).contains(6.0))
   }
 
+  test("win_type weighted rolling mean (triang weights)") {
+    import graft.ops.Windows
+    // scipy parity: triang(3) = [0.5, 1, 0.5]; triang(4) = [.25,.75,.75,.25]
+    assert(Windows.windowWeights("triang", 3) === Seq(0.5, 1.0, 0.5))
+    assert(Windows.windowWeights("triang", 4) === Seq(0.25, 0.75, 0.75, 0.25))
+    val df = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("i", "x")
+    val out = df.rolling(3, col("i"))
+      .parallelWeightedMean(col("x"), "v", winType = "triang")
+      .select(col("i"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L).contains(2.0)) // (0.5*1 + 1*2 + 0.5*3) / 2
+    assert(out(5L).contains(4.0)) // (0.5*3 + 1*4 + 0.5*5) / 2
+  }
+
   test("expanding min_periods warm-up") {
     val df = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("i", "x")
     val out = df.parallelGroupBy().expanding(col("i"))

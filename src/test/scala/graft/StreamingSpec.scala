@@ -37,6 +37,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits one row per key (batch distinct parity)") {
+    val expected = Tables.events(spark, TestSpark.sf)
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    val stream = EventStream.readEventsStream(spark, TestSpark.sf)
+    // watermark far beyond the data's time span → exact within the test
+    val q = EventStream.dedupStream(stream, Seq("user_id"), "3650 days")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_dedup_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) FROM graft_dedup_stream")
+        .head().getLong(0)
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization agrees with the batch form") {
     import spark.implicits._
     import graft.operators.Sessionize
