@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{
   CosineSimilarityExpr,
   MinHashSignatureExpr,
+  ShingleHashesExpr,
   SignatureExpressions,
   SimHash64Expr,
   VectorExpressions
@@ -51,5 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[SimHash64Expr].getCanonicalName,
           SignatureExpressions.SimHashName),
         exprs => SimHash64Expr(exprs(0))))
+    e.injectFunction(
+      (
+        FunctionIdentifier(SignatureExpressions.ShingleHashName),
+        new ExpressionInfo(
+          classOf[ShingleHashesExpr].getCanonicalName,
+          SignatureExpressions.ShingleHashName),
+        exprs =>
+          ShingleHashesExpr(
+            exprs(0),
+            exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

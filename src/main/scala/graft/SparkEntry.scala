@@ -226,12 +226,10 @@ object SparkEntry {
         TextFunctions.normalized(col("text")).as("__norm"))
       .select(
         col("doc_id"),
-        col("__th"),
-        TextFunctions.shinglesOf(col("__norm"), 8).as("__sh"))
-      .select(
-        col("doc_id"),
         graft.functions.SignatureExpressions.simHashFast(col("__th")).as("simhash"),
-        TextFunctions.minShingleHashOf(col("__sh")).as("roll_fp"))
+        array_min(
+          graft.functions.SignatureExpressions.shingleHashesFast(col("__norm"), 8))
+          .as("roll_fp"))
   }
 
   /** Exact blocked n-gram Jaccard pairs (trigrams). Blocking on the

@@ -32,6 +32,7 @@ object SignatureExpressions {
 
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash64"
+  val ShingleHashName = "graft_shingle_hashes"
 
   /** Idempotent per-session registration (temp function registry) —
     * mirrors [[VectorExpressions.register]].
@@ -48,6 +49,13 @@ object SignatureExpressions {
       SimHashName,
       exprs => SimHash64Expr(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleHashName,
+      exprs =>
+        ShingleHashesExpr(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   /** k-minima minhash signature over a base-hash array attribute —
@@ -61,6 +69,79 @@ object SignatureExpressions {
     */
   def simHashFast(tokenHashes: Column): Column =
     call_function(SimHashName, tokenHashes)
+
+  /** Distinct character-n-gram hashes of a (normalized) string in one
+    * linear pass — requires [[register]] on the session first.
+    */
+  def shingleHashesFast(normStr: Column, n: Int): Column =
+    call_function(ShingleHashName, normStr, lit(n))
+}
+
+/** string → array<long>: xxhash64 of every DISTINCT character n-gram, in
+  * first-occurrence order. Replaces `shingleBaseHashes(shinglesOf(s, n))`
+  * on hot paths, which is quadratic: each `substr(i, n)` walks the
+  * UTF8String from byte 0 to find character i (O(len) per shingle →
+  * O(len²) per document), and the distinct string-shingle array
+  * materializes ~len × n bytes per row. This expression walks the code
+  * points ONCE, hashes each n-char byte window in place
+  * (`XXH64.hashUnsafeBytes`, seed 42 = what `xxhash64(str)` computes),
+  * and never materializes a shingle string. Dedup is by hash value —
+  * identical to string dedup modulo ~2⁻⁶⁴ collisions, and downstream
+  * consumers (minhash, jaccard-on-hashes, min-fingerprint) already treat
+  * the hash as the shingle identity.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes
+    // char-start byte offsets, one linear walk
+    val starts = new Array[Int](nBytes + 1)
+    var m = 0
+    var i = 0
+    while (i < nBytes) {
+      starts(m) = i
+      m += 1
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+    }
+    starts(m) = nBytes
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]((m - n + 1) * 2)
+    var k = 0
+    while (k <= m - n) {
+      val b0 = starts(k)
+      val b1 = starts(k + n)
+      seen.add(XXH64.hashUnsafeBytes(base, off + b0, b1 - b0, 42L))
+      k += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = SignatureExpressions.ShingleHashName
 }
 
 /** array<long> base hashes → array<long> of `numHashes` minima, where

@@ -115,8 +115,9 @@ object Dedup {
         TextFunctions.normalized(col(textCol)).as("__norm"))
       .select(
         col("id"),
-        TextFunctions.shinglesOf(col("__norm"), shingleLen).as("sh"))
-      .select(col("id"), shingleBaseHashes(col("sh")).as("bh"))
+        SignatureExpressions
+          .shingleHashesFast(col("__norm"), shingleLen)
+          .as("bh"))
       .select(
         col("id"),
         col("bh"),
@@ -330,6 +331,7 @@ object Dedup {
       blockKey: Option[Column] = None,
       threshold: Double = 0.0,
       maxBlockSize: Int = 256): DataFrame = {
+    SignatureExpressions.register(df.sparkSession)
     val blk = blockKey.getOrElse(TextFunctions.tokenCount(col(textCol)))
     // block sizes come from a cheap scan of (blk) alone — never the
     // shingle pipeline; the keep-list is one row per small block and
@@ -348,10 +350,12 @@ object Dedup {
         blk.as("blk"),
         TextFunctions.normalized(col(textCol)).as("__norm"))
       .join(keepBlocks, Seq("blk"), "left_semi")
+      // shingle sets as 64-bit hashes (ShingleHashesExpr): intersections
+      // compare longs instead of strings, identical Jaccard modulo ~2^-64
       .select(
         col("id"),
         col("blk"),
-        TextFunctions.shinglesOf(col("__norm"), n).as("sh"))
+        SignatureExpressions.shingleHashesFast(col("__norm"), n).as("sh"))
       .localCheckpoint()
     val l = prep.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = prep.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))

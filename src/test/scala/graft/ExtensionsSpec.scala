@@ -93,6 +93,19 @@ class ExtensionsSpec extends AnyFunSuite {
       .where(!col("mh_eq") || !col("sh_eq"))
       .count()
     assert(mismatches === 0L)
+
+    // one-pass shingle hashing ≡ distinct string shingles then xxhash64
+    // (same values, same first-occurrence order)
+    val shingleMismatch = Tables.documents(spark, TestSpark.sf)
+      .select(TextFunctions.normalized(col("text")).as("__n"))
+      .select(
+        SignatureExpressions.shingleHashesFast(col("__n"), 4)
+          .eqNullSafe(
+            Dedup.shingleBaseHashes(TextFunctions.shinglesOf(col("__n"), 4)))
+          .as("eq"))
+      .where(!col("eq"))
+      .count()
+    assert(shingleMismatch === 0L)
   }
 
   test("banded simhash finds pairs at Hamming distance 1-3, not far ones") {
