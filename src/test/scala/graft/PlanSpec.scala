@@ -71,6 +71,20 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.isDefined, s"no band partition filter in probe scan:\n$p")
   }
 
+  test("tfIdf never forces a broadcast of the document-frequency table") {
+    // at web scale the vocabulary is not broadcastable: with the
+    // broadcast threshold off, the term join must degrade to a shuffle
+    // join (a forced broadcast() hint would still plan BroadcastHashJoin)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(
+        graft.operators.Sampling
+          .tfIdf(Tables.documents(spark, TestSpark.sf), "doc_id", "text"))
+      assert(!p.contains("BroadcastHashJoin"), s"forced broadcast in:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("dedup candidate generation is equi-join shaped, never cartesian") {
     val p = plan(SparkEntry.queries("q14_minhash_neardup")(spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
