@@ -76,6 +76,69 @@ object Multimodal {
       height: Int,
       feature: Array[Float])
 
+  /** Deterministic fake "resize": subsamples the byte payload to a
+    * w×h-proportional length (stride sampling — stands in for a real
+    * scaler, ??? boundary). Pure function of (bytes, w, h).
+    */
+  def fakeResize(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(data.length, w * h / 64))
+    val stride = math.max(1, data.length / target)
+    val out = new Array[Byte](if (data.isEmpty) 0 else (data.length + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < data.length) { out(j) = data(i); j += 1; i += stride }
+    out
+  }
+
+  case class ResizedAsset(id: Long, width: Int, height: Int, data: Array[Byte])
+
+  /** Batched per-partition resize — the image-preprocessing plumbing
+    * (schema + batching real, scaler stubbed). One scaler instance per
+    * task, rows streamed through it.
+    */
+  def resize(assets: DataFrame, w: Int, h: Int): Dataset[ResizedAsset] = {
+    implicit val enc: ExpressionEncoder[ResizedAsset] =
+      ExpressionEncoder[ResizedAsset]()
+    assets.mapPartitions { rows: Iterator[Row] =>
+      // real impl: val scaler = Codec.openScaler(w, h) — once per partition
+      rows.map { r =>
+        ResizedAsset(
+          r.getLong(r.fieldIndex("id")),
+          w,
+          h,
+          fakeResize(r.getAs[Array[Byte]]("data"), w, h))
+      }
+    }
+  }
+
+  case class Frame(id: Long, frame_idx: Int, data: Array[Byte])
+
+  /** Deterministic frame sampling for video-modality assets: the payload
+    * is treated as `nFrames` equal-size segments and every `everyN`-th
+    * segment is emitted as one row — the explode shape a real
+    * frame-sampler produces (decode stubbed as byte slicing).
+    */
+  def frameSample(
+      assets: DataFrame,
+      nFrames: Int,
+      everyN: Int): Dataset[Frame] = {
+    implicit val enc: ExpressionEncoder[Frame] = ExpressionEncoder[Frame]()
+    assets.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val id = r.getLong(r.fieldIndex("id"))
+        val data = r.getAs[Array[Byte]]("data")
+        val seg = math.max(1, data.length / math.max(1, nFrames))
+        (0 until nFrames by everyN).iterator
+          .map { f =>
+            val from = math.min(f * seg, data.length)
+            val until = math.min(from + seg, data.length)
+            Frame(id, f, java.util.Arrays.copyOfRange(data, from, until))
+          }
+          .filter(_.data.nonEmpty)
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction. One "decoder" per task
     * (here a no-op; a real codec would be constructed once per
     * partition), rows streamed through it — the scale-correct shape for

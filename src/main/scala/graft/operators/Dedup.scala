@@ -375,26 +375,37 @@ object Dedup {
   /** Embedding cosine near-dup via hyperplane-LSH bucketing: vectors in
     * the same signature bucket are verified with exact cosine.
     * Recall is tunable via nBits (fewer bits → bigger buckets).
+    *
+    * @param maxBucketSize skew guard, same as [[minHashNearDup]]: a hot
+    *                 signature bucket (zero vectors, exact-duplicate
+    *                 embeddings) is one join key = b² pairs in one task.
+    *                 Oversized buckets are dropped — their contents are
+    *                 near-identical by construction; dedup them by exact
+    *                 signature instead of pairwise cosine.
     */
   def embeddingNearDup(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       nBits: Int = 12,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxBucketSize: Int = 1024): DataFrame = {
     val sig = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("sig"))
-    val l = sig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = sig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("sig"))
-      .where(col("id_a") < col("id_b"))
+    val cand =
+      pairsFromBuckets(sig.select(col("id"), col("sig").as("bucket")), maxBucketSize)
+    val va = sig.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = sig.select(col("id").as("id_b"), col("v").as("v_b"))
+    VectorExpressions.register(df.sparkSession)
+    cand
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
-        { VectorExpressions.register(df.sparkSession)
-          VectorExpressions.cosineFast(col("v_a"), col("v_b")) }.as("cos"))
+        VectorExpressions.cosineFast(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

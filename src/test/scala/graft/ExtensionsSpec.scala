@@ -132,6 +132,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(textPairs.length === 1 && textPairs.head.getAs[Int]("hamming") === 0)
   }
 
+  test("embedding near-dup finds a planted duplicate, caps hot buckets") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val rows = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .embeddingNearDup(rows, "embedding", "vec_id", nBits = 8, threshold = 0.99)
+      .collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    assert(!pairs.exists(r =>
+      r.getAs[Long]("id_a") == 3L || r.getAs[Long]("id_b") == 3L))
+    // a bucket of 50 identical vectors = 1225 pairs in one task — capped
+    val manyDup = (1 to 50).map(i => (i.toLong, base)).toDF("vec_id", "embedding")
+    val capped = Dedup
+      .embeddingNearDup(manyDup, "embedding", "vec_id", nBits = 8,
+        threshold = 0.9, maxBucketSize = 10)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("shingles edge cases: short/empty text") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
     val sh = df.select(TextFunctions.shingles(col("text"), 3)).collect()
@@ -236,6 +257,26 @@ class ExtensionsSpec extends AnyFunSuite {
     // determinism across runs
     val again = Multimodal.extractFeatures(assets, dim = 8).collect()
     assert(feats.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("multimodal resize + frame-sample plumbing: shapes and determinism") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(20)
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    val resized = Multimodal.resize(assets, 64, 64).collect()
+    assert(resized.length === 20)
+    resized.foreach { r =>
+      assert(r.width === 64 && r.height === 64)
+      assert(r.data.length <= 64 * 64)
+    }
+    val again = Multimodal.resize(assets, 64, 64).collect()
+    assert(resized.map(_.data.toSeq).toSeq === again.map(_.data.toSeq).toSeq)
+
+    val frames = Multimodal.frameSample(assets, nFrames = 8, everyN = 2).collect()
+    // every asset emits at most ceil(8/2) frames, indexed 0,2,4,6
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.frame_idx % 2 == 0 && f.frame_idx < 8))
+    val perId = frames.groupBy(_.id)
+    assert(perId.values.forall(_.length <= 4))
   }
 
   test("native cosine expression matches composable form bit-for-bit") {
