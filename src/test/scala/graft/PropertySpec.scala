@@ -60,6 +60,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("partition count never changes dedup pair results") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b")
+        .as[(Long, Long)].collect().sortBy(identity).toSeq
+    val partsList = Seq(1, 7, 32)
+    // minhash, banded simhash and ngram jaccard are all deterministic
+    // expressions over content — the partitioning must never matter
+    val mh = partsList.map(p =>
+      pairs(Dedup.minHashNearDup(docs.repartition(p), "text", "doc_id",
+        shingleLen = 4, numHashes = 32, bands = 8, threshold = 0.4)))
+    assert(mh.distinct.size === 1)
+    val sh = partsList.map(p =>
+      pairs(Dedup.simHashNearDupPairs(docs.repartition(p), "text", "doc_id")))
+    assert(sh.distinct.size === 1)
+    val nj = partsList.map(p =>
+      pairs(Dedup.ngramJaccardPairs(docs.repartition(p), "text", "doc_id",
+        n = 3, threshold = 0.2)))
+    assert(nj.distinct.size === 1)
+  }
+
   test("partition count never changes grouped aggregation results") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     (1 to 4).foreach { _ =>
