@@ -27,9 +27,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Double = {
+    def materialize(name: String, dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
@@ -44,10 +44,17 @@ object Bench {
     // one-time whole-stage-codegen + JIT compilation of its operator
     // pipeline on first execution (profiled: q14 cold 16 s vs 3 s
     // steady-state) — steady-state throughput is the number comparable
-    // across engines. This also builds the ANN queries' build-once
-    // indexes (q18/q32), so their timed runs measure the probe, which is
-    // the operation that repeats in production.
-    names.foreach(materialize)
+    // across engines. JIT/codegen depend on the PLAN, not the data, so
+    // the warm-up runs at the smallest scale factor available; the two
+    // ANN probes additionally warm at the timed scale so their
+    // build-once indexes exist before timing (the probe is the
+    // operation that repeats in production).
+    val warmDir = {
+      val w = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+      if (new java.io.File(w).isDirectory) w else sfDir
+    }
+    names.foreach(n => materialize(n, warmDir))
+    Seq("q18_ann_lsh_topk", "q32_ivf_topk").foreach(n => materialize(n))
 
     val results = names.map(n => n -> materialize(n))
     val qs = results
