@@ -589,6 +589,33 @@ object SparkEntry {
       outName = "v")
       .select("user_id", "event_id", "v")
 
+  /** Bucketized range join (operators/RangeJoin): orders matched into
+    * OVERLAPPING price bands (stride 5k, width 12k → each order hits
+    * 2-3 bands) — a genuine many-to-many interval join that Spark would
+    * otherwise plan as a nested loop. PlanSpec asserts the equi-join
+    * shape.
+    */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val bands = s
+      .range(0, 120)
+      .select(
+        col("id").cast("int").as("band"),
+        (col("id") * 5000.0).as("lo"),
+        (col("id") * 5000.0 + 12000.0).as("hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        bands,
+        "o_totalprice",
+        "lo",
+        "hi",
+        bucketWidth = 5000.0)
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -632,7 +659,8 @@ object SparkEntry {
     "q37_rolling_center" -> (q37 _),
     "q38_rolling_closed" -> (q38 _),
     "q39_expanding_minp" -> (q39 _),
-    "q40_rolling_wintype" -> (q40 _)
+    "q40_rolling_wintype" -> (q40 _),
+    "q41_range_join" -> (q41 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -909,6 +937,16 @@ object SparkEntry {
          CASE WHEN row_number() OVER wb >= 4 THEN
            (0.25*lag(value,3) OVER wb + 0.75*lag(value,2) OVER wb
             + 0.75*lag(value,1) OVER wb + 0.25*value) / 2.0 END AS v
-         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)"""
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q41_range_join" ->
+      """WITH bands AS (
+           SELECT CAST(i AS INTEGER) AS band, i*5000.0 AS lo,
+                  i*5000.0 + 12000.0 AS hi
+           FROM range(0, 120) t(i)
+         )
+         SELECT band, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+         FROM orders JOIN bands
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY band"""
   )
 }

@@ -334,6 +334,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketized range join matches the naive non-equi join") {
+    import graft.operators.RangeJoin
+    val points = (0 until 200).map(i => (i.toLong, i * 37.3 % 1000)).toDF("pid", "x")
+    val ivals = (0 until 30).map(i => (i, i * 30.0, i * 30.0 + 75.0))
+      .toDF("iid", "lo", "hi") // overlapping intervals → many-to-many
+    val fast = RangeJoin
+      .pointInInterval(points, ivals, "x", "lo", "hi", bucketWidth = 50.0)
+      .select("pid", "iid").as[(Long, Int)].collect().sorted.toSeq
+    val naive = points
+      .join(ivals, col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pid", "iid").as[(Long, Int)].collect().sorted.toSeq
+    assert(fast === naive && fast.nonEmpty)
+  }
+
   test("vector functions: cosine/l2 basics") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),

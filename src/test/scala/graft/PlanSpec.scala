@@ -85,6 +85,13 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q41 range join is bucketized equi-join, never nested loop") {
+    val p = plan(SparkEntry.queries("q41_range_join")(spark, TestSpark.sf))
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop range join in:\n$p")
+  }
+
   test("dedup candidate generation is equi-join shaped, never cartesian") {
     val p = plan(SparkEntry.queries("q14_minhash_neardup")(spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
