@@ -41,26 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[MinHashSignatureExpr].getCanonicalName,
           SignatureExpressions.MinHashName),
-        exprs =>
-          MinHashSignatureExpr(
-            exprs(0),
-            exprs(1).eval().asInstanceOf[Number].intValue())))
+        SignatureExpressions.minHashBuilder))
     e.injectFunction(
       (
         FunctionIdentifier(SignatureExpressions.SimHashName),
         new ExpressionInfo(
           classOf[SimHash64Expr].getCanonicalName,
           SignatureExpressions.SimHashName),
-        exprs => SimHash64Expr(exprs(0))))
+        SignatureExpressions.simHashBuilder))
     e.injectFunction(
       (
         FunctionIdentifier(SignatureExpressions.ShingleHashName),
         new ExpressionInfo(
           classOf[ShingleHashesExpr].getCanonicalName,
           SignatureExpressions.ShingleHashName),
-        exprs =>
-          ShingleHashesExpr(
-            exprs(0),
-            exprs(1).eval().asInstanceOf[Number].intValue())))
+        SignatureExpressions.shingleHashBuilder))
   }
 }

@@ -160,15 +160,20 @@ object Pandarallel {
 
     /** pandas `rolling(w, win_type=...).mean()` — weighted window mean
       * (win_type is the last replayed rolling attribute,
-      * series_rolling.py:22-28).
+      * series_rolling.py:22-28). Replays `center`; non-default `closed`
+      * is rejected loudly rather than silently replaying the wrong frame.
       */
     def parallelWeightedMean(
         valueCol: Column,
         outName: String,
-        winType: String = "triang"): DataFrame =
+        winType: String = "triang"): DataFrame = {
+      require(
+        closed == "right",
+        s"win_type windows support closed=\"right\" only (got \"$closed\")")
       Windows.rollingWeightedMean(
         df, valueCol, orderBy, partitionBy,
-        Windows.windowWeights(winType, window), outName)
+        Windows.windowWeights(winType, window), outName, center)
+    }
   }
 
   final class ParallelExpanding(

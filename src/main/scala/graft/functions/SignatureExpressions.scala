@@ -34,28 +34,35 @@ object SignatureExpressions {
   val SimHashName = "graft_simhash64"
   val ShingleHashName = "graft_shingle_hashes"
 
+  /** Fold a literal integer argument (the SQL-facing parameter of the
+    * parameterized expressions); rejects non-foldable args loudly.
+    */
+  private def intArg(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name expects a literal integer argument")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Single source of truth for the expression builders — used by both
+    * the per-session temp registration below and GraftExtensions'
+    * SQL-extension injection, so the two paths cannot diverge.
+    */
+  val minHashBuilder: Seq[Expression] => Expression =
+    exprs => MinHashSignatureExpr(exprs(0), intArg(MinHashName, exprs(1)))
+  val simHashBuilder: Seq[Expression] => Expression =
+    exprs => SimHash64Expr(exprs(0))
+  val shingleHashBuilder: Seq[Expression] => Expression =
+    exprs => ShingleHashesExpr(exprs(0), intArg(ShingleHashName, exprs(1)))
+
   /** Idempotent per-session registration (temp function registry) —
     * mirrors [[VectorExpressions.register]].
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      MinHashName,
-      exprs =>
-        MinHashSignatureExpr(
-          exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      MinHashName, minHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SimHashName,
-      exprs => SimHash64Expr(exprs(0)),
-      "built-in")
+      SimHashName, simHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      ShingleHashName,
-      exprs =>
-        ShingleHashesExpr(
-          exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      ShingleHashName, shingleHashBuilder, "built-in")
   }
 
   /** k-minima minhash signature over a base-hash array attribute —

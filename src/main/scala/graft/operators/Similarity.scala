@@ -113,11 +113,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** One struct (band, bk) per LSH band of a signature column — the
+    * band-key encoding that index write and probes MUST share (a single
+    * definition so a layout change cannot silently diverge).
+    */
+  private def bandKeys(sig: Column, nBits: Int, bandBits: Int): Column = {
+    val bands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(sig, b * bandBits)
+          .bitwiseAND(lit(mask))
+          .cast("int")
+          .as("bk"))
+    }: _*)
+  }
+
+  /** Validate that a persisted LSH index was built with the probe's
+    * (nBits, bandBits) — a mismatch would otherwise return silently
+    * wrong candidates (wrong bucket directories), not an error.
+    */
+  private def checkLshMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nBits: Int,
+      bandBits: Int): Unit = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    val (wn, wb) = (m.getAs[Int]("nBits"), m.getAs[Int]("bandBits"))
+    require(
+      wn == nBits && wb == bandBits,
+      s"LSH index at $path was built with nBits=$wn bandBits=$wb; " +
+        s"probe requested nBits=$nBits bandBits=$bandBits")
+  }
+
   /** Persist the build-once LSH index: the corpus exploded into one row
     * per (band, band-key) bucket — the standard inverted-index-per-band
     * layout (data duplicated `bands` times, the classic LSH trade) —
     * PARTITIONED BY (band, bk) so a probe reads exactly `bands` bucket
     * directories instead of scanning + re-signing the corpus per query.
+    * Build parameters are recorded in `_meta` (hidden from the corpus
+    * read) and validated by the probes.
     */
   def lshWriteIndex(
       df: DataFrame,
@@ -127,8 +163,6 @@ object Similarity {
       nBits: Int = 16,
       bandBits: Int = 4): Unit = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
-    val bands = nBits / bandBits
-    val mask = (1L << bandBits) - 1
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),
@@ -136,19 +170,18 @@ object Similarity {
       .select(
         col("id"),
         col("v"),
-        explode(array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            shiftright(col("__sig"), b * bandBits)
-              .bitwiseAND(lit(mask))
-              .cast("int")
-              .as("bk"))
-        }: _*)).as("e"))
+        explode(bandKeys(col("__sig"), nBits, bandBits)).as("e"))
       .select(col("id"), col("v"), col("e.band"), col("e.bk"))
       .write
       .mode("overwrite")
       .partitionBy("band", "bk")
       .parquet(path)
+    df.sparkSession
+      .range(1)
+      .select(lit(nBits).as("nBits"), lit(bandBits).as("bandBits"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
   }
 
   /** Probe a persisted [[lshWriteIndex]] layout: the query signature is
@@ -164,6 +197,7 @@ object Similarity {
       nBits: Int = 16,
       bandBits: Int = 4): DataFrame = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
+    checkLshMeta(spark, path, nBits, bandBits)
     val bands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val qSig: Long = spark
@@ -199,8 +233,7 @@ object Similarity {
       nBits: Int = 16,
       bandBits: Int = 4): DataFrame = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
-    val bands = nBits / bandBits
-    val mask = (1L << bandBits) - 1
+    checkLshMeta(spark, path, nBits, bandBits)
     val qb = queries
       .select(
         col(qIdCol).as("query_id"),
@@ -209,14 +242,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("qv"),
-        explode(array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            shiftright(col("__sig"), b * bandBits)
-              .bitwiseAND(lit(mask))
-              .cast("int")
-              .as("bk"))
-        }: _*)).as("e"))
+        explode(bandKeys(col("__sig"), nBits, bandBits)).as("e"))
       .select(col("query_id"), col("qv"), col("e.band"), col("e.bk"))
     VectorExpressions.register(spark)
     val scored = spark.read

@@ -69,10 +69,12 @@ object GroupApply {
   /** pandas result-index shaping, "mutation" branch: when the UDF
     * transforms the group in place, pandas keeps the ORIGINAL row index
     * (utils.py:61-85). Ported via the __index__ discipline: each group's
-    * outputs are zipped to its rows' source positions and the result is
-    * emitted in source order. The per-group function must return one
-    * output per input row (enforced by the zip); rows arrive in the
-    * group's encounter order, with the attached `Index.col` visible.
+    * rows are presented to the UDF in SOURCE order (sorted by the
+    * attached index — shuffle arrival order is arbitrary, and pandas
+    * transforms are order-sensitive), outputs are zipped back to the
+    * rows' source positions, and the result is emitted in source order.
+    * The per-group function must return one output per input row
+    * (enforced by the zip); the attached `Index.col` is visible.
     */
   def transformGroups[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
       f: (K, Seq[Row]) => Seq[T]): Dataset[T] = {
@@ -82,7 +84,7 @@ object GroupApply {
       .attach(df)
       .groupByKey(keyFn)(implicitly[Encoder[K]])
       .flatMapGroups { (k: K, it: Iterator[Row]) =>
-        val rows = it.toSeq
+        val rows = it.toSeq.sortBy(_.getAs[Long](graft.Index.col))
         val out = f(k, rows)
         require(
           out.length == rows.length,

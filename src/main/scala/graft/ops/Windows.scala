@@ -180,11 +180,12 @@ object Windows {
       throw new IllegalArgumentException(s"unsupported win_type '$other'")
   }
 
-  /** pandas `rolling(w, win_type=...).mean()` — weighted window mean
-    * Σwᵢxᵢ / Σwᵢ over the trailing frame, null under `window` rows
-    * (pandas requires a full window for weighted means). Declared as a
-    * sum of `lag` expressions: fully codegen'd, no array materialization,
-    * scales like any window aggregate.
+  /** pandas `rolling(w, win_type=..., center=...).mean()` — weighted
+    * window mean Σwᵢxᵢ / Σwᵢ, null under `window` rows (pandas requires
+    * a full window for weighted means). `center` shifts the frame
+    * forward by (w-1)/2, same as [[rollingFrame]]; negative lag = lead.
+    * Declared as a sum of `lag` expressions: fully codegen'd, no array
+    * materialization, scales like any window aggregate.
     */
   def rollingWeightedMean(
       df: DataFrame,
@@ -192,16 +193,20 @@ object Windows {
       orderBy: Seq[Column],
       partitionBy: Seq[Column],
       weights: Seq[Double],
-      outName: String): DataFrame = {
+      outName: String,
+      center: Boolean = false): DataFrame = {
     val w = weights.length
+    val offset = if (center) (w - 1) / 2 else 0
     val base =
       if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
       else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-    // weights index i = oldest..newest → lag distance w-1-i
+    // weights index i = oldest..newest → lag distance (w-1-i) - offset
     val weighted = weights.zipWithIndex
-      .map { case (wt, i) => lag(valueCol, w - 1 - i).over(base) * lit(wt) }
+      .map { case (wt, i) =>
+        lag(valueCol, w - 1 - i - offset).over(base) * lit(wt)
+      }
       .reduce(_ + _)
-    val frame = base.rowsBetween(-(w - 1), 0)
+    val frame = base.rowsBetween(offset - w + 1, offset)
     df.withColumn(
       outName,
       when(count(valueCol).over(frame) >= w, weighted / lit(weights.sum)))

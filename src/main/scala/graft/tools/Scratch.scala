@@ -36,6 +36,10 @@ object Scratch {
         .format("noop").mode("overwrite").save()
       println(f"[scratch] $name run $r: ${(System.nanoTime - t0) / 1e9}%.2f s")
     }
+    // listener events arrive on an async bus — give the final stages'
+    // completions time to land before printing (else the hottest, last
+    // stages are exactly the ones missing from the table)
+    Thread.sleep(1500)
     import scala.jdk.CollectionConverters._
     stages.asScala.toSeq.sortBy(-_._3).take(12).foreach {
       case (id, n, ms, tasks) =>

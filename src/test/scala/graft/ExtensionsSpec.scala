@@ -332,6 +332,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(best.getAs[Long]("id") === q)
       assert(math.abs(best.getAs[Double]("sim") - 1.0) < 1e-9)
     }
+    // probing with mismatched build parameters fails loudly instead of
+    // silently returning wrong-bucket candidates
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    intercept[IllegalArgumentException] {
+      Similarity.lshProbeIndex(spark, path, qv, k = 5, nBits = 32, bandBits = 8)
+    }
   }
 
   test("bucketized range join matches the naive non-equi join") {

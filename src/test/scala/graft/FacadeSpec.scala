@@ -102,19 +102,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(keyed.keySet === oracle.keySet)
     oracle.foreach { case (k, v) => assert(math.abs(keyed(k) - v) < 1e-6) }
 
-    // "mutation" branch: per-group demean, outputs in source-row order
+    // "mutation" branch with an ORDER-SENSITIVE UDF (per-group running
+    // sum, the canonical pandas transform): the UDF must see each
+    // group's rows in SOURCE order even though the groupByKey shuffle's
+    // arrival order is arbitrary (the 5-row toDF spreads one row per
+    // input partition, so the group assembles from 3 separate map
+    // outputs), and outputs return in source-row order
     val src = Seq(("a", 1.0), ("b", 10.0), ("a", 3.0), ("b", 20.0), ("a", 5.0))
       .toDF("k", "x")
-    val demeaned = src
-      .parallelGroupBy("k")
-      .transform(_.getString(0)) { (_, rows) =>
-        val xs = rows.map(_.getDouble(1))
-        val m = xs.sum / xs.size
-        xs.map(_ - m)
+    val cumsum = graft.ops.GroupApply
+      .transformGroups(src)(_.getString(0)) { (_, rows) =>
+        rows.map(_.getDouble(1)).scanLeft(0.0)(_ + _).tail
       }
       .collect().toSeq
-    // group a mean=3, group b mean=15 — source order preserved
-    assert(demeaned === Seq(-2.0, -5.0, 0.0, 5.0, 2.0))
+    // a: 1,3,5 → 1,4,9; b: 10,20 → 10,30; interleaved in source order
+    assert(cumsum === Seq(1.0, 10.0, 4.0, 30.0, 9.0))
   }
 
   test("rolling attribute replay: center/closed frames, min_periods warm-up") {
@@ -170,6 +172,20 @@ class FacadeSpec extends AnyFunSuite {
     assert(out(1L).isEmpty && out(2L).isEmpty)
     assert(out(3L).contains(2.0)) // (0.5*1 + 1*2 + 0.5*3) / 2
     assert(out(5L).contains(4.0)) // (0.5*3 + 1*4 + 0.5*5) / 2
+
+    // center=true shifts the weighted frame to [-1, +1]
+    val centered = df.rolling(3, col("i"), center = true)
+      .parallelWeightedMean(col("x"), "v", winType = "triang")
+      .select(col("i"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(centered(1L).isEmpty && centered(5L).isEmpty)
+    assert(centered(2L).contains(2.0)) // (0.5*1 + 1*2 + 0.5*3) / 2
+    assert(centered(4L).contains(4.0))
+    // non-default closed is rejected loudly, not silently mis-framed
+    intercept[IllegalArgumentException] {
+      df.rolling(3, col("i"), closed = "left")
+        .parallelWeightedMean(col("x"), "v")
+    }
   }
 
   test("expanding min_periods warm-up") {
