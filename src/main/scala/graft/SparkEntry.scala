@@ -541,7 +541,7 @@ object SparkEntry {
         partitionBy = Seq(col("user_id")),
         window = 5,
         minPeriods = Some(3),
-        center = true)(avg)
+        center = true)(c => round(avg(c), 4)) // rounded both sides, same rationale as q39
       .withColumnRenamed("__rolling__", "v")
       .select("user_id", "event_id", "v")
 
@@ -562,6 +562,9 @@ object SparkEntry {
 
   /** Grouped expanding mean with min_periods=5 (pandas
     * expanding(min_periods=5).mean()): null warm-up for the first 4 rows.
+    * Rounded to 4 decimals on both sides — raw running averages sit on
+    * exact 5e-7 ties of the driver's fixed-precision hash, and Spark vs
+    * DuckDB summation order flips the 6th decimal (~1e-14 noise).
     */
   private def q39(s: SparkSession, d: String): DataFrame =
     Windows
@@ -571,7 +574,7 @@ object SparkEntry {
         orderBy = Seq(col("event_id")),
         partitionBy = Seq(col("user_id")),
         outName = "cum_avg",
-        minPeriods = 5)(avg)
+        minPeriods = 5)(c => round(avg(c), 4))
       .select("user_id", "event_id", "cum_avg")
 
   /** Grouped triangular weighted rolling mean (pandas
@@ -919,7 +922,8 @@ object SparkEntry {
            FROM t WHERE len(tk) > 0)""",
     "q37_rolling_center" ->
       """SELECT user_id, event_id,
-         CASE WHEN count(value) OVER w >= 3 THEN avg(value) OVER w END AS v
+         CASE WHEN count(value) OVER w >= 3 THEN round(avg(value) OVER w, 4) END
+           AS v
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""",
     "q38_rolling_closed" ->
@@ -929,7 +933,8 @@ object SparkEntry {
            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""",
     "q39_expanding_minp" ->
       """SELECT user_id, event_id,
-         CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS cum_avg
+         CASE WHEN count(value) OVER w >= 5 THEN round(avg(value) OVER w, 4) END
+           AS cum_avg
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "q40_rolling_wintype" ->
