@@ -65,7 +65,10 @@ def compare(name, spark_df, oracle_df):
 
 
 def main():
+    # usage: check.py <sfDir> <outDir> [name ...] — trailing names restrict
+    # the compare (pairs with graft.Verify's query filter for dev loops)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -75,6 +78,8 @@ def main():
         oracles = json.load(f)
     failures = 0
     for name in sorted(oracles):
+        if only and name not in only:
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"[MISS] {name}: no spark output")

@@ -40,6 +40,7 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val annProbes = Seq("q18_ann_lsh_topk", "q32_ivf_topk")
     // Warm-up pass over EVERY query, untimed: each distinct query pays
     // one-time whole-stage-codegen + JIT compilation of its operator
     // pipeline on first execution (profiled: q14 cold 16 s vs 3 s
@@ -54,15 +55,27 @@ object Bench {
       if (new java.io.File(w).isDirectory) w else sfDir
     }
     names.foreach(n => materialize(n, warmDir))
-    Seq("q18_ann_lsh_topk", "q32_ivf_topk").foreach(n => materialize(n))
+    // ANN probes warm at the timed scale too — this first run BUILDS the
+    // build-once persisted indexes, and we time it separately so the
+    // steady-state probe numbers are self-describing (index construction
+    // is a one-time cost amortized over every later probe).
+    val indexBuild = annProbes.map(n => n -> materialize(n))
 
     val results = names.map(n => n -> materialize(n))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ib = indexBuild
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // a failed query must be LOUD: it is excluded from the total, so
+    // without this field a regression reads as a speedup
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failedJson = failed.mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build":$ib,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

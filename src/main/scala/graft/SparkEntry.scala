@@ -541,8 +541,12 @@ object SparkEntry {
         partitionBy = Seq(col("user_id")),
         window = 5,
         minPeriods = Some(3),
-        center = true)(c => round(avg(c), 4)) // rounded both sides, same rationale as q39
-      .withColumnRenamed("__rolling__", "v")
+        center = true)(avg)
+      // round AFTER the window (round is not a window function; rounding the
+      // callback would put round(avg(c),4).over(frame) in the plan and fail
+      // analysis). round(null) stays null, so the min_periods warm-up holds.
+      // Rounded both sides, same rationale as q39.
+      .withColumn("v", round(col("__rolling__"), 4))
       .select("user_id", "event_id", "v")
 
   /** Grouped rolling sum with closed="left" (window excludes the current
@@ -562,20 +566,29 @@ object SparkEntry {
 
   /** Grouped expanding mean with min_periods=5 (pandas
     * expanding(min_periods=5).mean()): null warm-up for the first 4 rows.
-    * Rounded to 4 decimals on both sides — raw running averages sit on
-    * exact 5e-7 ties of the driver's fixed-precision hash, and Spark vs
-    * DuckDB summation order flips the 6th decimal (~1e-14 noise).
+    *
+    * The mean is computed in EXACT integer cents, then half-up rounded to
+    * 4 decimals with integer arithmetic. `value` carries exactly 2
+    * decimals, so expanding means land EXACTLY on 4-decimal rounding ties
+    * (e.g. n=8: 210.43/8 = 26.303750), where ~1e-14 double summation-order
+    * noise flips Spark's HALF_UP vs DuckDB's rounding — no floating
+    * rounding precision is tie-safe. With cents as a long, sum is exact,
+    * and half-up = floor((200·s + n) / (2·n)): numerator ≤ ~1e11 here
+    * (exact in IEEE double up to 2^53 ≈ 9e15), and a non-integer quotient
+    * is ≥ 1/(2n) from any integer — 7 orders above double ulp — so the
+    * floor is deterministic on both engines.
     */
-  private def q39(s: SparkSession, d: String): DataFrame =
-    Windows
-      .expandingAgg(
-        Tables.events(s, d),
-        col("value"),
-        orderBy = Seq(col("event_id")),
-        partitionBy = Seq(col("user_id")),
-        outName = "cum_avg",
-        minPeriods = 5)(c => round(avg(c), 4))
+  private def q39(sess: SparkSession, d: String): DataFrame = {
+    val frame = Windows.expandingFrame(Seq(col("event_id")), Seq(col("user_id")))
+    val cents = round(col("value") * 100).cast("long")
+    val n = count(col("value")).over(frame)
+    val sc = sum(cents).over(frame)
+    val exact4 = floor((lit(200) * sc + n) / (lit(2) * n)) / lit(10000.0)
+    Tables
+      .events(sess, d)
+      .withColumn("cum_avg", Windows.withMinPeriods(exact4, col("value"), frame, 5))
       .select("user_id", "event_id", "cum_avg")
+  }
 
   /** Grouped triangular weighted rolling mean (pandas
     * rolling(4, win_type='triang').mean()): weights [.25,.75,.75,.25],
@@ -933,7 +946,10 @@ object SparkEntry {
            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""",
     "q39_expanding_minp" ->
       """SELECT user_id, event_id,
-         CASE WHEN count(value) OVER w >= 5 THEN round(avg(value) OVER w, 4) END
+         CASE WHEN count(value) OVER w >= 5 THEN
+           floor((200*sum(CAST(round(value*100) AS BIGINT)) OVER w
+                  + count(value) OVER w)
+                 / (2*count(value) OVER w)) / 10000.0 END
            AS cum_avg
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
