@@ -266,18 +266,28 @@ object SparkEntry {
     */
   private val lshIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Collision-free scratch path per data dir: the sanitized FULL dir
+    * string is the directory name (a 32-bit hashCode suffix can collide
+    * between two data dirs and silently cross-wire their indexes). The
+    * raw dir is also recorded in the index `_meta` and re-validated at
+    * probe time, so even a path collision is an error, not wrong rows.
+    */
+  private def indexScratch(kind: String, d: String): String =
+    System.getProperty("java.io.tmpdir") +
+      s"/graft-$kind-${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
   private def lshIndex(s: SparkSession, d: String): String =
     lshIndexCache.getOrElseUpdate(
       d, {
-        val path = System.getProperty("java.io.tmpdir") +
-          s"/graft-lsh-${Integer.toHexString(d.hashCode)}"
+        val path = indexScratch("lsh", d)
         Similarity.lshWriteIndex(
           Tables.embeddings(s, d),
           "embedding",
           "vec_id",
           path,
           nBits = 16,
-          bandBits = 4)
+          bandBits = 4,
+          sourceTag = d)
         path
       })
 
@@ -292,7 +302,8 @@ object SparkEntry {
       queryVec(s, d),
       k = 10,
       nBits = 16,
-      bandBits = 4)
+      bandBits = 4,
+      sourceTag = d)
 
   /** Token-count / punctuation / digit stats per document. */
   private def q19(s: SparkSession, d: String): DataFrame = {
@@ -413,6 +424,13 @@ object SparkEntry {
 
   /** Exact interpolated percentiles of order value per priority class —
     * partial+final percentile aggregation (one exchange).
+    *
+    * SCALE BOUND: Spark's exact `percentile` buffers the full per-group
+    * value multiset in the aggregation buffer — executor memory grows
+    * with group size, a scale-killer on a 100-TB table. This form is for
+    * oracle-scale exactness; at scale use [[q43]]'s `approx_percentile`
+    * (Greenwald-Khanna sketch, memory bounded by the accuracy parameter
+    * regardless of group size) or a two-pass exact rank join.
     */
   private def q27(s: SparkSession, d: String): DataFrame =
     Tables
@@ -422,6 +440,23 @@ object SparkEntry {
         expr("percentile(o_totalprice, 0.25)").as("p25"),
         expr("percentile(o_totalprice, 0.5)").as("p50"),
         expr("percentile(o_totalprice, 0.75)").as("p75"))
+
+  /** Scale-safe twin of [[q27]]: `approx_percentile` keeps a bounded
+    * Greenwald-Khanna sketch per group (size set by the accuracy arg, NOT
+    * by group cardinality) — the percentile form that survives 100 TB.
+    * Discrete (returns actual data values), so while the group fits the
+    * sketch (n ≤ accuracy; true at oracle scale) the result is the exact
+    * discrete quantile and DuckDB's `quantile_disc` matches it; beyond
+    * that the answer degrades gracefully to ±1/accuracy rank error.
+    */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.25, 10000)").as("p25"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.75, 10000)").as("p75"))
 
   /** Deterministic stratified sample: downsample English docs to 25%,
     * keep half of everything else — replayable curation decisions
@@ -471,14 +506,14 @@ object SparkEntry {
   private def ivfIndex(s: SparkSession, d: String): String =
     ivfIndexCache.getOrElseUpdate(
       d, {
-        val path = System.getProperty("java.io.tmpdir") +
-          s"/graft-ivf-${Integer.toHexString(d.hashCode)}"
+        val path = indexScratch("ivf", d)
         Similarity.ivfWriteIndex(
           Tables.embeddings(s, d),
           "embedding",
           "vec_id",
           "label",
-          path)
+          path,
+          sourceTag = d)
         path
       })
 
@@ -487,7 +522,13 @@ object SparkEntry {
     * Probes the persisted build-once index — no corpus-wide work.
     */
   private def q32(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfProbeIndex(s, ivfIndex(s, d), queryVec(s, d), k = 10, nprobe = 2)
+    Similarity.ivfProbeIndex(
+      s,
+      ivfIndex(s, d),
+      queryVec(s, d),
+      k = 10,
+      nprobe = 2,
+      sourceTag = d)
 
   /** TF-IDF document-term scores (vocab join is broadcast-sized). */
   private def q33(s: SparkSession, d: String): DataFrame =
@@ -632,6 +673,44 @@ object SparkEntry {
         round(avg(col("o_totalprice")), 4).as("avg_price"))
   }
 
+  /** TIME-OFFSET rolling window (pandas `rolling("24h")` on the event
+    * time index — the duration form of the `_attributes` replay,
+    * series_rolling.py:22-28): per user, event count and value sum over
+    * (t-24h, t]. Declared as `rangeBetween` over the epoch-nanos ts —
+    * one hash exchange on user_id, frames evaluated inside WindowExec.
+    * The sum is carried in EXACT integer cents (see q39) so both engines
+    * divide the same integer by 100.0.
+    */
+  private def q42(sess: SparkSession, d: String): DataFrame = {
+    val frame = Windows.rollingRangeFrame(
+      col("ts"),
+      Seq(col("user_id")),
+      Windows.offsetNanos("24h"))
+    val cents = round(col("value") * 100).cast("long")
+    Tables
+      .events(sess, d)
+      .withColumn("n_24h", count(col("value")).over(frame))
+      .withColumn("v_24h", sum(cents).over(frame) / lit(100.0))
+      .select("user_id", "event_id", "n_24h", "v_24h")
+  }
+
+  /** Hamming weighted rolling mean (pandas `rolling(4,
+    * win_type='hamming').mean()`) — the cosine-taper half of the win_type
+    * corpus (q40 covers triang). The oracle spells each weight as the
+    * SAME 0.54 - 0.46·cos(2πk/(M-1)) expression, so both engines derive
+    * bit-identical IEEE weights instead of decimal approximations.
+    */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rollingWeightedMean(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        weights = Windows.windowWeights("hamming", 4),
+        outName = "v")
+      .select("user_id", "event_id", "v")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -676,7 +755,10 @@ object SparkEntry {
     "q38_rolling_closed" -> (q38 _),
     "q39_expanding_minp" -> (q39 _),
     "q40_rolling_wintype" -> (q40 _),
-    "q41_range_join" -> (q41 _)
+    "q41_range_join" -> (q41 _),
+    "q42_rolling_range" -> (q42 _),
+    "q43_approx_percentiles" -> (q43 _),
+    "q44_rolling_hamming" -> (q44 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -968,6 +1050,30 @@ object SparkEntry {
          SELECT band, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
-         GROUP BY band"""
+         GROUP BY band""",
+    "q42_rolling_range" ->
+      """SELECT user_id, event_id,
+         count(value) OVER w AS n_24h,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) / 100.0
+           AS v_24h
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+           RANGE BETWEEN 86399999999999 PRECEDING AND CURRENT ROW)""",
+    "q43_approx_percentiles" ->
+      """SELECT o_orderpriority,
+         quantile_disc(o_totalprice, 0.25) AS p25,
+         quantile_disc(o_totalprice, 0.5) AS p50,
+         quantile_disc(o_totalprice, 0.75) AS p75
+         FROM orders GROUP BY o_orderpriority""",
+    "q44_rolling_hamming" ->
+      """SELECT user_id, event_id,
+         CASE WHEN row_number() OVER wb >= 4 THEN
+           ((0.54-0.46*cos(2*pi()*0/3))*lag(value,3) OVER wb
+            + (0.54-0.46*cos(2*pi()*1/3))*lag(value,2) OVER wb
+            + (0.54-0.46*cos(2*pi()*2/3))*lag(value,1) OVER wb
+            + (0.54-0.46*cos(2*pi()*3/3))*value)
+           / ((0.54-0.46*cos(2*pi()*0/3)) + (0.54-0.46*cos(2*pi()*1/3))
+              + (0.54-0.46*cos(2*pi()*2/3)) + (0.54-0.46*cos(2*pi()*3/3)))
+           END AS v
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)"""
   )
 }

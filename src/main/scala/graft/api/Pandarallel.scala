@@ -72,6 +72,17 @@ object Pandarallel {
         center: Boolean = false,
         closed: String = "right"): ParallelRolling =
       new ParallelRolling(df, window, Seq(orderBy), Nil, center, closed)
+
+    /** pandas `rolling("24h")` — time-offset window over a numeric
+      * (epoch-nanos) order column (series_rolling.py:22-28 attribute
+      * replay, VariableWindowIndexer semantics).
+      */
+    def rollingRange(
+        offset: String,
+        orderBy: Column,
+        closed: String = "right"): ParallelRollingRange =
+      new ParallelRollingRange(
+        df, Windows.offsetNanos(offset), orderBy, Nil, closed)
   }
 
   implicit final class ParallelSeries[T](private val ds: Dataset[T])
@@ -130,6 +141,33 @@ object Pandarallel {
     /** O8 entry (core.py:538-540). */
     def expanding(orderBy: Column): ParallelExpanding =
       new ParallelExpanding(df, Seq(orderBy), keys.map(col))
+
+    /** Grouped time-offset rolling (`gb.rolling("24h")`) — one hash
+      * exchange on the group keys, frames evaluated inside WindowExec.
+      */
+    def rollingRange(
+        offset: String,
+        orderBy: Column,
+        closed: String = "right"): ParallelRollingRange =
+      new ParallelRollingRange(
+        df, Windows.offsetNanos(offset), orderBy, keys.map(col), closed)
+  }
+
+  final class ParallelRollingRange(
+      df: DataFrame,
+      rangeNanos: Long,
+      orderBy: Column,
+      partitionBy: Seq[Column],
+      closed: String = "right") {
+
+    /** Algebraic aggregate over the offset frame (min_periods defaults
+      * to 1, pandas' offset-window default).
+      */
+    def parallelAgg(
+        valueCol: Column,
+        minPeriods: Int = 1)(agg: Column => Column): DataFrame =
+      Windows.rollingRangeAgg(
+        df, valueCol, orderBy, partitionBy, rangeNanos, minPeriods, closed)(agg)
   }
 
   final class ParallelRolling(
@@ -166,13 +204,14 @@ object Pandarallel {
     def parallelWeightedMean(
         valueCol: Column,
         outName: String,
-        winType: String = "triang"): DataFrame = {
+        winType: String = "triang",
+        winTypeParams: Map[String, Double] = Map.empty): DataFrame = {
       require(
         closed == "right",
         s"win_type windows support closed=\"right\" only (got \"$closed\")")
       Windows.rollingWeightedMean(
         df, valueCol, orderBy, partitionBy,
-        Windows.windowWeights(winType, window), outName, center)
+        Windows.windowWeights(winType, window, winTypeParams), outName, center)
     }
   }
 

@@ -39,7 +39,11 @@ object SignatureExpressions {
     */
   private def intArg(name: String, e: Expression): Int = {
     require(e.foldable, s"$name expects a literal integer argument")
-    e.eval().asInstanceOf[Number].intValue()
+    val v = e.eval().asInstanceOf[Number].intValue()
+    // reject at analysis time — k=0 minhash / n=0 shingles would otherwise
+    // build an expression that only fails (or degenerates) at eval
+    require(v >= 1, s"$name argument must be >= 1, got $v")
+    v
   }
 
   /** Single source of truth for the expression builders — used by both

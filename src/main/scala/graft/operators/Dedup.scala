@@ -101,10 +101,12 @@ object Dedup {
     // materialization the whole normalize→shingle→k-minhash pipeline
     // re-executes per consumer. Persisting signatures is what production
     // minhash pipelines do at any scale (they are the index).
-    // localCheckpoint (not persist): blocks are freed by the
-    // ContextCleaner when the frame is GC'd — a plain persist is pinned
-    // in the CacheManager forever, and sequential many-query runs
-    // accumulate dead signature caches.
+    // Stage.materializeOnce: localCheckpoint on local masters (blocks
+    // freed by the ContextCleaner when the frame is GC'd — a plain
+    // persist is pinned in the CacheManager forever, and sequential
+    // many-query runs accumulate dead signature caches), reliable
+    // checkpoint on a cluster with a checkpoint dir (executor loss
+    // would otherwise be unrecoverable past the truncated lineage).
     // The shingle *strings* never leave this pipeline: dedup verification
     // runs on the 64-bit base hashes (same Jaccard modulo ~2^-64 hash
     // collisions), which shuffle 3x smaller and compare as longs.
@@ -122,7 +124,7 @@ object Dedup {
         col("id"),
         col("bh"),
         SignatureExpressions.minHashFast(col("bh"), numHashes).as("mh"))
-      .localCheckpoint()
+      .transform(graft.ops.Stage.materializeOnce)
 
     // band key = hash of the band's slice of the signature. The band join
     // carries ONLY (bucket, id) — shingle arrays would multiply the
@@ -342,7 +344,7 @@ object Dedup {
       .agg(count(lit(1)).as("__bn"))
       .where(col("__bn").between(2, maxBlockSize))
       .select("blk")
-    // localCheckpoint: prep feeds BOTH sides of the self-join — without
+    // materializeOnce: prep feeds BOTH sides of the self-join — without
     // materialization the normalize→shingle pipeline executes twice
     val prep = df
       .select(
@@ -356,7 +358,7 @@ object Dedup {
         col("id"),
         col("blk"),
         SignatureExpressions.shingleHashesFast(col("__norm"), n).as("sh"))
-      .localCheckpoint()
+      .transform(graft.ops.Stage.materializeOnce)
     val l = prep.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = prep.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     // |A∪B| = |A|+|B|-|A∩B| — one hash set per pair, not two

@@ -45,9 +45,11 @@ object Sessionize {
 
   /** Streaming gap sessionization over a keyed event stream. Emits each
     * session when a new event arrives more than `gap` after the
-    * session's last event (plus any still-open sessions never emit until
-    * closed — production would add a timeout flush; the state is O(1)
-    * per key either way).
+    * session's last event. Still-open sessions never emit until closed —
+    * an idle key holds its last session forever; use
+    * [[streamingSessionsTimeout]] for the production form whose
+    * watermark flushes idle sessions. The state is O(1) per key either
+    * way.
     */
   def streamingSessions(
       events: Dataset[SessionEvent],
@@ -76,6 +78,65 @@ object Sessionize {
           }
           cur.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  /** Timestamped event for the watermark-driven variant (watermarks
+    * require a real TimestampType event-time column).
+    */
+  case class TsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** PRODUCTION streaming sessionization: gap close PLUS watermark-driven
+    * timeout flush. A session also emits when the event-time watermark
+    * passes `last + gap` — an idle key's open session flushes instead of
+    * lingering forever (the gap in [[streamingSessions]]).
+    *
+    * Caller contract: `events` must carry a watermark on `ts`
+    * (`withWatermark`) — EventTimeTimeout requires one. Times in
+    * [[SessionOut]] are epoch millis here (GroupState timeouts are
+    * millisecond-granular). State stays O(1) per key; expired state is
+    * removed on flush, so total state is bounded by the live-key count —
+    * the property that lets this run forever on a cluster.
+    */
+  def streamingSessionsTimeout(
+      events: Dataset[TsEvent],
+      gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TsEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark (late data
+              // can put last+gap behind it; flush at the next boundary)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
       }
   }
 }

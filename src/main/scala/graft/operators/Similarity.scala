@@ -138,14 +138,34 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       nBits: Int,
-      bandBits: Int): Unit = {
+      bandBits: Int,
+      sourceTag: String): Unit = {
     val m = spark.read.parquet(s"$path/_meta").head()
     val (wn, wb) = (m.getAs[Int]("nBits"), m.getAs[Int]("bandBits"))
     require(
       wn == nBits && wb == bandBits,
       s"LSH index at $path was built with nBits=$wn bandBits=$wb; " +
         s"probe requested nBits=$nBits bandBits=$bandBits")
+    // pre-source indexes have no `source` field — treat as anonymous
+    val built =
+      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source") else ""
+    checkSource("LSH", path, built, sourceTag)
   }
+
+  /** Source-identity check shared by the index formats: an index probed
+    * with the wrong `sourceTag` (e.g. a cache path collision between two
+    * data dirs) would return silently wrong neighbors, not an error.
+    * Empty tag on either side skips the check (anonymous index).
+    */
+  private def checkSource(
+      kind: String,
+      path: String,
+      built: String,
+      probed: String): Unit =
+    require(
+      probed.isEmpty || built == null || built.isEmpty || built == probed,
+      s"$kind index at $path was built from source '$built'; " +
+        s"probe expected source '$probed' — refusing to cross-wire indexes")
 
   /** Persist the build-once LSH index: the corpus exploded into one row
     * per (band, band-key) bucket — the standard inverted-index-per-band
@@ -161,7 +181,8 @@ object Similarity {
       idCol: String,
       path: String,
       nBits: Int = 16,
-      bandBits: Int = 4): Unit = {
+      bandBits: Int = 4,
+      sourceTag: String = ""): Unit = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
     df.select(
         col(idCol).as("id"),
@@ -178,7 +199,10 @@ object Similarity {
       .parquet(path)
     df.sparkSession
       .range(1)
-      .select(lit(nBits).as("nBits"), lit(bandBits).as("bandBits"))
+      .select(
+        lit(nBits).as("nBits"),
+        lit(bandBits).as("bandBits"),
+        lit(sourceTag).as("source"))
       .write
       .mode("overwrite")
       .parquet(s"$path/_meta")
@@ -195,9 +219,10 @@ object Similarity {
       query: Seq[Double],
       k: Int,
       nBits: Int = 16,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 4,
+      sourceTag: String = ""): DataFrame = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
-    checkLshMeta(spark, path, nBits, bandBits)
+    checkLshMeta(spark, path, nBits, bandBits, sourceTag)
     val bands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val qSig: Long = spark
@@ -231,9 +256,10 @@ object Similarity {
       qIdCol: String,
       k: Int,
       nBits: Int = 16,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 4,
+      sourceTag: String = ""): DataFrame = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
-    checkLshMeta(spark, path, nBits, bandBits)
+    checkLshMeta(spark, path, nBits, bandBits, sourceTag)
     val qb = queries
       .select(
         col(qIdCol).as("query_id"),
@@ -333,7 +359,8 @@ object Similarity {
       vecCol: String,
       idCol: String,
       clusterCol: String,
-      path: String): Unit = {
+      path: String,
+      sourceTag: String = ""): Unit = {
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),
@@ -346,6 +373,12 @@ object Similarity {
       .write
       .mode("overwrite")
       .parquet(s"$path/centroids")
+    df.sparkSession
+      .range(1)
+      .select(lit(sourceTag).as("source"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
   }
 
   /** Probe a persisted [[ivfWriteIndex]] layout. The `cluster` partition
@@ -357,7 +390,12 @@ object Similarity {
       path: String,
       query: Seq[Double],
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      sourceTag: String = ""): DataFrame = {
+    if (sourceTag.nonEmpty) {
+      val m = spark.read.parquet(s"$path/_meta").head()
+      checkSource("IVF", path, m.getAs[String]("source"), sourceTag)
+    }
     val centroids = spark.read.parquet(s"$path/centroids")
     val probed = ivfRankClusters(centroids, query, nprobe)
     bruteForceTopK(

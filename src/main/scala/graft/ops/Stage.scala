@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager one-time materialization of an intermediate frame that feeds
+  * multiple downstream jobs (signature indexes, self-join prep, two-pass
+  * window protocols). Without it the whole upstream pipeline re-executes
+  * once per consumer.
+  *
+  * Mechanism by deployment:
+  *  - reliable `checkpoint()` when the context has a checkpoint dir and
+  *    is NOT local: blocks live in the checkpoint store (HDFS/object
+  *    store), so losing an executor loses nothing — the posture for a
+  *    real cluster, where `localCheckpoint`'s truncated lineage makes a
+  *    lost executor's blocks unrecoverable and fails the job.
+  *  - `localCheckpoint()` otherwise: eager, MEMORY_AND_DISK on the
+  *    executors, and blocks are freed by the ContextCleaner when the
+  *    frame is GC'd. (A plain `persist` would pin the frame in the
+  *    CacheManager until an explicit unpersist that no caller can issue
+  *    — the returned frame still reads the persisted blocks lazily.)
+  *    In `local[*]` there are no executors to lose, so the reliability
+  *    trade is free. On a cluster WITHOUT a checkpoint dir this keeps
+  *    the localCheckpoint behavior: fast, but an executor loss aborts
+  *    the job — set `spark.sparkContext.setCheckpointDir(...)` to buy
+  *    fault tolerance for long pipelines.
+  */
+object Stage {
+  def materializeOnce(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined && !sc.isLocal) df.checkpoint()
+    else df.localCheckpoint()
+  }
+}

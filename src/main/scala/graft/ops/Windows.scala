@@ -72,6 +72,84 @@ object Windows {
     base.rowsBetween(lo, hi)
   }
 
+  /** pandas duration string → nanoseconds (the offset grammar of
+    * `rolling("30min")` / `rolling("24h")`, pandas Timedelta units).
+    */
+  def offsetNanos(offset: String): Long = {
+    val m = "^\\s*(\\d+)\\s*(ns|us|ms|s|min|h|d)\\s*$".r
+      .findFirstMatchIn(offset)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable window offset '$offset' (expected e.g. 30min, 24h, 10s)"))
+    val n = m.group(1).toLong
+    val unit = m.group(2) match {
+      case "ns"  => 1L
+      case "us"  => 1000L
+      case "ms"  => 1000L * 1000
+      case "s"   => 1000L * 1000 * 1000
+      case "min" => 60L * 1000 * 1000 * 1000
+      case "h"   => 3600L * 1000 * 1000 * 1000
+      case "d"   => 24L * 3600 * 1000 * 1000 * 1000
+    }
+    Math.multiplyExact(n, unit)
+  }
+
+  /** pandas TIME-OFFSET rolling frame — `rolling("24h")` on a time index
+    * (VariableWindowIndexer; the same `_attributes` replay machinery as
+    * the fixed frame, series_rolling.py:22-28). Declared as a
+    * `rangeBetween` over a NUMERIC order column (e.g. epoch-nanos ts),
+    * so Spark's WindowExec evaluates it after one hash exchange — no
+    * per-chunk overlap shipping.
+    *
+    * `closed` follows pandas' offset-window semantics (default "right"
+    * EXCLUDES the left edge): right = (t-w, t], both = [t-w, t],
+    * left = [t-w, t), neither = (t-w, t). Range bounds are value-based,
+    * so rows tied with the current row's order value are peers: "left"/
+    * "neither" exclude all of them, in both Spark and standard SQL RANGE
+    * semantics.
+    *
+    * Scale posture: identical to any grouped window — one exchange on the
+    * partition keys; ungrouped use collapses to one partition (same
+    * caveat as [[rollingFrame]], same [[rollingGlobalScalable]] escape).
+    */
+  def rollingRangeFrame(
+      orderBy: Column,
+      partitionBy: Seq[Column],
+      rangeSize: Long,
+      closed: String = "right"): WindowSpec = {
+    require(rangeSize > 0, s"window offset must be positive, got $rangeSize")
+    val base =
+      if (partitionBy.isEmpty) Window.orderBy(orderBy)
+      else Window.partitionBy(partitionBy: _*).orderBy(orderBy)
+    val (lo, hi) = closed match {
+      case "right"   => (-(rangeSize - 1), 0L)
+      case "both"    => (-rangeSize, 0L)
+      case "left"    => (-rangeSize, -1L)
+      case "neither" => (-(rangeSize - 1), -1L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"closed must be right|both|left|neither, got '$other'")
+    }
+    base.rangeBetween(lo, hi)
+  }
+
+  /** Algebraic aggregate over a time-offset frame with pandas attribute
+    * replay (`min_periods` defaults to 1 for offset windows — every row
+    * has at least itself in a right-closed frame).
+    */
+  def rollingRangeAgg(
+      df: DataFrame,
+      valueCol: Column,
+      orderBy: Column,
+      partitionBy: Seq[Column],
+      rangeSize: Long,
+      minPeriods: Int = 1,
+      closed: String = "right")(agg: Column => Column): DataFrame = {
+    val frame = rollingRangeFrame(orderBy, partitionBy, rangeSize, closed)
+    df.withColumn(
+      "__rolling__",
+      withMinPeriods(agg(valueCol).over(frame), valueCol, frame, minPeriods))
+  }
+
   def expandingFrame(
       orderBy: Seq[Column],
       partitionBy: Seq[Column]): WindowSpec = {
@@ -163,11 +241,19 @@ object Windows {
     df.withColumn(outName, out)
   }
 
-  /** pandas `win_type` weighted-window weights. `triang` matches
-    * scipy.signal.windows.triang(M): even M → (2k+1)/M mirrored,
-    * odd M → 2(k+1)/(M+1) mirrored.
+  /** pandas `win_type` weighted-window weights (scipy.signal.windows
+    * formulas, symmetric form — what pandas hands to the rolling mean):
+    *  - `triang(M)`: even M → (2k+1)/M mirrored, odd M → 2(k+1)/(M+1)
+    *    mirrored
+    *  - `boxcar(M)`: all ones
+    *  - `hamming(M)`: 0.54 - 0.46·cos(2πk/(M-1))
+    *  - `gaussian(M, std)`: exp(-½((k-(M-1)/2)/std)²) — pandas passes
+    *    `std` through `.mean(std=...)`; here via `params("std")`
     */
-  def windowWeights(winType: String, window: Int): Seq[Double] = winType match {
+  def windowWeights(
+      winType: String,
+      window: Int,
+      params: Map[String, Double] = Map.empty): Seq[Double] = winType match {
     case "triang" =>
       val half =
         if (window % 2 == 0)
@@ -176,6 +262,18 @@ object Windows {
           (0 until (window + 1) / 2).map(k => 2.0 * (k + 1) / (window + 1))
       half ++ half.reverse.drop(window % 2)
     case "boxcar" => Seq.fill(window)(1.0)
+    case "hamming" =>
+      if (window == 1) Seq(1.0)
+      else (0 until window).map(k =>
+        0.54 - 0.46 * math.cos(2 * math.Pi * k / (window - 1)))
+    case "gaussian" =>
+      val std = params.getOrElse(
+        "std",
+        throw new IllegalArgumentException(
+          "win_type 'gaussian' requires params(\"std\") (pandas .mean(std=...))"))
+      require(std > 0, s"gaussian std must be positive, got $std")
+      val c = (window - 1) / 2.0
+      (0 until window).map(k => math.exp(-0.5 * math.pow((k - c) / std, 2)))
     case other =>
       throw new IllegalArgumentException(s"unsupported win_type '$other'")
   }
@@ -225,12 +323,13 @@ object Windows {
     *      few KB per partition — and broadcast them;
     *   3. per partition, prepend the previous partition's tail, run the
     *      windows, and emit outputs only for own rows.
-    * The sorted frame is locally checkpointed (eager, MEMORY_AND_DISK),
-    * so the range exchange + sort runs ONCE and both passes (tails,
-    * compute) read materialized blocks — at 100 TB a re-run of the global
-    * sort would double the job. Blocks are freed by the ContextCleaner
-    * when the frame goes out of scope. Output matches the
-    * single-partition window exactly.
+    * The sorted frame is materialized eagerly ([[Stage.materializeOnce]]:
+    * localCheckpoint locally, reliable checkpoint on a cluster with a
+    * checkpoint dir), so the range exchange + sort runs ONCE and both
+    * passes (tails, compute) read materialized blocks — at 100 TB a
+    * re-run of the global sort would double the job. Local blocks are
+    * freed by the ContextCleaner when the frame goes out of scope.
+    * Output matches the single-partition window exactly.
     *
     * @param orderCol  numeric total-order key (must be globally sortable)
     */
@@ -252,7 +351,7 @@ object Windows {
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
       .select(col(orderCol).cast("long").as("__ord"), col(valueCol).cast("double").as("__v"))
-      .localCheckpoint() // materialize the sort once; both passes reuse it
+      .transform(Stage.materializeOnce) // sort runs once; both passes reuse it
 
     // pass 1: last (w-1) values of each partition (KBs total). The carry
     // for partition i is the last (w-1) values of the WHOLE prefix —

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{SignatureExpressions, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
 
@@ -338,6 +338,46 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     intercept[IllegalArgumentException] {
       Similarity.lshProbeIndex(spark, path, qv, k = 5, nBits = 32, bandBits = 8)
+    }
+  }
+
+  test("index source tags: probing with the wrong source dir fails loudly") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    val lshPath = System.getProperty("java.io.tmpdir") + "/graft-lsh-src-spec"
+    Similarity.lshWriteIndex(
+      emb, "embedding", "vec_id", lshPath, sourceTag = "/data/dirA")
+    // matching tag passes; mismatched tag = a cache-path collision between
+    // two data dirs → must be an error, never silently wrong neighbors
+    assert(Similarity.lshProbeIndex(
+      spark, lshPath, qv, k = 3, sourceTag = "/data/dirA").count() > 0)
+    intercept[IllegalArgumentException] {
+      Similarity.lshProbeIndex(spark, lshPath, qv, k = 3, sourceTag = "/data/dirB")
+    }
+
+    val ivfPath = System.getProperty("java.io.tmpdir") + "/graft-ivf-src-spec"
+    Similarity.ivfWriteIndex(
+      emb, "embedding", "vec_id", "label", ivfPath, sourceTag = "/data/dirA")
+    assert(Similarity.ivfProbeIndex(
+      spark, ivfPath, qv, k = 3, nprobe = 2, sourceTag = "/data/dirA").count() > 0)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfProbeIndex(
+        spark, ivfPath, qv, k = 3, nprobe = 2, sourceTag = "/data/dirB")
+    }
+  }
+
+  test("signature expression int args are validated at analysis time") {
+    val df = Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("bh")
+    // k=0 minhash / n=0 shingles must fail when the expression is BUILT,
+    // not at eval on some executor mid-job
+    intercept[IllegalArgumentException] {
+      df.select(SignatureExpressions.minHashFast(col("bh"), 0)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      df.select(SignatureExpressions.shingleHashesFast(lit("some text"), -1))
+        .collect()
     }
   }
 

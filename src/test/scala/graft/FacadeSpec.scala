@@ -159,6 +159,35 @@ class FacadeSpec extends AnyFunSuite {
     assert(mp1(3L).contains(6.0))
   }
 
+  test("win_type weight corpus matches scipy.signal.windows") {
+    import graft.ops.Windows
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.size == b.size && a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 }
+    // scipy.signal.windows.hamming(4) / .gaussian(5, std=1.5), sym=True
+    assert(close(
+      Windows.windowWeights("hamming", 4),
+      Seq(0.08000000000000002, 0.7699999999999999, 0.7700000000000002,
+        0.08000000000000002)))
+    assert(Windows.windowWeights("hamming", 1) === Seq(1.0))
+    assert(close(
+      Windows.windowWeights("gaussian", 5, Map("std" -> 1.5)),
+      Seq(0.41111229050718745, 0.8007374029168081, 1.0, 0.8007374029168081,
+        0.41111229050718745)))
+    // gaussian without its std param (pandas .mean(std=...)) is loud
+    intercept[IllegalArgumentException] {
+      Windows.windowWeights("gaussian", 5)
+    }
+    // a gaussian weighted mean of a constant series is that constant
+    val const = (1 to 8).map(i => (i.toLong, 7.5)).toDF("i", "x")
+    val g = const.rolling(5, col("i"))
+      .parallelWeightedMean(
+        col("x"), "v", winType = "gaussian", winTypeParams = Map("std" -> 1.5))
+      .select(col("i"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(g(4L).isEmpty)
+    (5 to 8).foreach(i => assert(math.abs(g(i.toLong).get - 7.5) < 1e-12))
+  }
+
   test("win_type weighted rolling mean (triang weights)") {
     import graft.ops.Windows
     // scipy parity: triang(3) = [0.5, 1, 0.5]; triang(4) = [.25,.75,.75,.25]
@@ -197,6 +226,29 @@ class FacadeSpec extends AnyFunSuite {
     assert(out(1L).isEmpty && out(2L).isEmpty)
     assert(out(3L).contains(6.0))
     assert(out(5L).contains(15.0))
+  }
+
+  test("time-offset rolling: rollingRange matches a hand-built frame") {
+    // ts in "nanos": rows at 0s, 10s, 25s, 40s, 100s → a 30s right-closed
+    // window (t-30s, t] at each row
+    val ns = Seq(0L, 10L, 25L, 40L, 100L).map(_ * 1000000000L)
+    val df = ns.zipWithIndex
+      .map { case (t, i) => (1L, t, (i + 1).toDouble) }
+      .toDF("g", "ts", "x")
+    val out = df.parallelGroupBy("g").rollingRange("30s", col("ts"))
+      .parallelAgg(col("x"))(sum)
+      .select(col("ts"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(ns(0)).contains(1.0)) //   [1]
+    assert(out(ns(1)).contains(3.0)) //   [1,2]
+    assert(out(ns(2)).contains(6.0)) //   [1,2,3]  (0s is exactly t-25s, in)
+    assert(out(ns(3)).contains(7.0)) //   [3,4]  (10s is exactly t-30s —
+    //   pandas closed="right" EXCLUDES the left edge)
+    assert(out(ns(4)).contains(5.0)) //   [5]
+    // pandas grammar errors are loud
+    intercept[IllegalArgumentException] {
+      df.parallelGroupBy("g").rollingRange("30 parsecs", col("ts"))
+    }
   }
 
   test("O8: expanding cumulative aggregate") {

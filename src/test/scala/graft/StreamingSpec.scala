@@ -56,6 +56,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes an idle key's open session") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val gapMs = 1800L * 1000 // 30 min
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input
+      .toDS()
+      .toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.TsEvent]
+    val q = Sessionize
+      .streamingSessionsTimeout(events, gapMs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_sessions_timeout")
+      .start()
+    try {
+      // user 1: two events, then silence forever (t=1000s clears the
+      // stream's initial watermark of 0 — an epoch-0 event is "late")
+      input.addData((1L, ts(1000), 1.0), (1L, ts(1010), 2.0))
+      q.processAllAvailable()
+      // user 2 keeps the stream (and the watermark) moving past 1's gap
+      input.addData((2L, ts(9200), 5.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(9210), 6.0))
+      q.processAllAvailable() // batch runs with watermark 9200s > 1010s+gap
+      val out = spark
+        .sql("SELECT * FROM graft_sessions_timeout WHERE user_id = 1")
+        .as[Sessionize.SessionOut]
+        .collect()
+      // the idle session flushed via timeout, with nobody closing it
+      assert(out.length === 1)
+      assert(out.head === Sessionize.SessionOut(1L, 1000000L, 1010000L, 2L, 3.0))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization agrees with the batch form") {
     import spark.implicits._
     import graft.operators.Sessionize
