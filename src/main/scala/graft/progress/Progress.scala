@@ -24,8 +24,18 @@ import org.apache.spark.util.LongAccumulator
   *    per stage — the analog of per-worker Success messages
   *    (core.py:299-322).
   *
-  * Rendering is a plain console line (progress_bars.py:57-121 console
-  * flavor); Jupyter widgets have no analog here.
+  * Rendering is pluggable ([[Renderer]]): a console line by default
+  * (progress_bars.py:57-121 console flavor) or a caller-supplied
+  * callback — the hook a notebook kernel (Almond, Zeppelin) binds a
+  * widget to, mirroring the reference's environment-picked
+  * ProgressBarsNotebookLab (progress_bars.py:124-188).
+  *
+  * Worker-side cost is throttled the same way the reference throttles
+  * its queue puts (progress_wrapper, progress_bars.py:190-230):
+  * [[AdaptiveTicker]] batches ticks locally and flushes to the
+  * accumulator at a rate-adapted iteration stride targeting ~4 Hz —
+  * per-row accumulator contention from 32 executor threads costs more
+  * than the progress information is worth.
   */
 object Progress {
 
@@ -55,6 +65,77 @@ object Progress {
     }(enc)
   }
 
+  /** Worker-side adaptive tick throttle — the reference's
+    * `ProgressState` / `progress_wrapper` protocol (progress_bars.py:
+    * 37-41, 190-230) on Spark primitives: ticks accumulate in a plain
+    * local counter and flush to the [[RowCounter]] accumulator only at
+    * `nextFlush` iterations; after each flush the stride is re-derived
+    * from the observed rate so flushes land ~`intervalNs` apart
+    * (`max(rate · interval, 1)` — the reference's exact formula).
+    * Create ONE per task/partition and call [[flush]] when the
+    * partition ends (pending ticks would otherwise be lost).
+    */
+  final class AdaptiveTicker(
+      counter: RowCounter,
+      intervalNs: Long = 250L * 1000 * 1000) {
+    private var iter = 0L
+    private var pending = 0L
+    private var nextFlush = 1L
+    private var lastFlushIter = 0L
+    private var lastFlushTime = 0L
+    private[graft] var flushes = 0L
+
+    def tick(n: Long = 1L): Unit = {
+      iter += 1
+      pending += n
+      if (iter >= nextFlush) {
+        val now = System.nanoTime()
+        if (lastFlushTime != 0L) {
+          val dt = now - lastFlushTime
+          val di = iter - lastFlushIter
+          nextFlush = iter + (
+            if (dt > 0) math.max((di.toDouble / dt * intervalNs).toLong, 1L)
+            else 1L)
+        } else nextFlush = iter + 1
+        lastFlushIter = iter
+        lastFlushTime = now
+        flush()
+      }
+    }
+
+    /** Push pending ticks to the accumulator (idempotent). */
+    def flush(): Unit = if (pending > 0) {
+      counter.tick(pending)
+      pending = 0
+      flushes += 1
+    }
+  }
+
+  /** [[ticked]] with the adaptive throttle: progress taps on hot paths
+    * (millions of rows per task) flush the accumulator a few times a
+    * second instead of per row.
+    */
+  def tickedAdaptive(
+      df: org.apache.spark.sql.DataFrame,
+      counter: RowCounter,
+      perRow: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val t = new AdaptiveTicker(counter)
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) t.flush()
+          h
+        }
+        def next(): org.apache.spark.sql.Row = {
+          t.tick(perRow)
+          it.next()
+        }
+      }
+    }(enc)
+  }
+
   /** Expected totals per accounting mode (reference core.py:228-235:
     * apply = rows, applymap = rows × cols, group ops = number of groups).
     * Each costs one count job — the reference gets totals free from the
@@ -71,18 +152,50 @@ object Progress {
       df.select(keys.map(col): _*).distinct().count()
   }
 
-  /** Poll `counter` every `intervalMs` while `body` runs, rendering a
-    * console progress line; returns body's result. Mirrors the 0.25 s
-    * refresh target of the reference (progress_bars.py:13).
+  /** Frontend hook — the analog of the reference's environment-picked
+    * bar flavor (console vs Jupyter widget, progress_bars.py:191-198).
+    * The driver-side poller calls `update` ~4 Hz and `close` once at
+    * the end; a notebook kernel binds a widget in a [[CallbackRenderer]].
     */
-  def withConsoleBar[T](
+  trait Renderer {
+    def update(done: Long, total: Long): Unit
+    def close(done: Long, total: Long): Unit = update(done, total)
+  }
+
+  /** `\r`-refreshed console line (progress_bars.py:57-121). */
+  object ConsoleRenderer extends Renderer {
+    def update(done: Long, total: Long): Unit = {
+      val width = 40
+      val frac =
+        if (total <= 0) 0.0 else math.min(1.0, done.toDouble / total)
+      val filled = (frac * width).toInt
+      val bar = "#" * filled + "-" * (width - filled)
+      System.err.print(s"\r[$bar] $done/$total (${(frac * 100).toInt}%)")
+    }
+    override def close(done: Long, total: Long): Unit = {
+      update(done, total)
+      System.err.println()
+    }
+  }
+
+  /** Adapter for widget frontends: `f(done, total)` on every refresh. */
+  final class CallbackRenderer(f: (Long, Long) => Unit) extends Renderer {
+    def update(done: Long, total: Long): Unit = f(done, total)
+  }
+
+  /** Poll `counter` every `intervalMs` while `body` runs, pushing to
+    * `renderer`; returns body's result. Mirrors the 0.25 s refresh
+    * target of the reference (progress_bars.py:13).
+    */
+  def withBar[T](
       counter: RowCounter,
       total: Long,
+      renderer: Renderer,
       intervalMs: Long = 250L)(body: => T): T = {
     @volatile var done = false
     val t = new Thread(() => {
       while (!done) {
-        render(counter.value, total)
+        renderer.update(counter.value, total)
         Thread.sleep(intervalMs)
       }
     })
@@ -94,19 +207,15 @@ object Progress {
     } finally {
       done = true
       t.join(intervalMs * 2)
-      render(counter.value, total)
-      System.err.println()
+      renderer.close(counter.value, total)
     }
   }
 
-  private def render(done: Long, total: Long): Unit = {
-    val width = 40
-    val frac =
-      if (total <= 0) 0.0 else math.min(1.0, done.toDouble / total)
-    val filled = (frac * width).toInt
-    val bar = "#" * filled + "-" * (width - filled)
-    System.err.print(s"\r[$bar] $done/$total (${(frac * 100).toInt}%)")
-  }
+  def withConsoleBar[T](
+      counter: RowCounter,
+      total: Long,
+      intervalMs: Long = 250L)(body: => T): T =
+    withBar(counter, total, ConsoleRenderer, intervalMs)(body)
 
   /** Stage/task progress listener — per-worker accounting analog. */
   final class TaskProgressListener extends SparkListener {

@@ -104,4 +104,43 @@ class ProgressSpec extends AnyFunSuite {
     }
     assert(r === 42)
   }
+
+  test("adaptive ticker: every tick lands, flushes are throttled") {
+    val counter = Progress.rowCounter(spark, "test-adaptive")
+    val t = new Progress.AdaptiveTicker(counter)
+    val n = 500000
+    (1 to n).foreach(_ => t.tick())
+    t.flush()
+    assert(counter.value === n.toLong) // no tick lost to batching
+    // the point of the throttle: far fewer accumulator flushes than rows
+    // (the reference's ~4 Hz put-interval adaptation, progress_bars.py:205-217)
+    assert(t.flushes < n / 100)
+  }
+
+  test("adaptive progress tap counts every row of a distributed frame") {
+    val counter = Progress.rowCounter(spark, "test-adaptive-tap")
+    val li = Tables.lineitem(spark, TestSpark.sf).repartition(8)
+    val n = li.count()
+    Progress
+      .tickedAdaptive(li, counter)
+      .write.format("noop").mode("overwrite").save()
+    assert(counter.value === n)
+  }
+
+  test("callback renderer receives refreshes (notebook-widget hook)") {
+    val counter = Progress.rowCounter(spark, "test-cb")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    var closedWith = -1L
+    val r = new Progress.CallbackRenderer((done, _) => {
+      seen.incrementAndGet(); closedWith = done
+    })
+    val out = Progress.withBar(counter, total = 5, renderer = r, intervalMs = 10) {
+      counter.acc.add(5)
+      Thread.sleep(60)
+      "ok"
+    }
+    assert(out === "ok")
+    assert(seen.get() >= 2) // polled during the body plus the final close
+    assert(closedWith === 5L)
+  }
 }
