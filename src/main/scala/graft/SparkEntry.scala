@@ -686,12 +686,17 @@ object SparkEntry {
       col("ts"),
       Seq(col("user_id")),
       Windows.offsetNanos("24h"))
-    val cents = round(col("value") * 100).cast("long")
     Tables
       .events(sess, d)
-      .withColumn("n_24h", count(col("value")).over(frame))
-      .withColumn("v_24h", sum(cents).over(frame) / lit(100.0))
-      .select("user_id", "event_id", "n_24h", "v_24h")
+      // cents staged to an attribute: both window expressions then share
+      // one Window operator (CollapseWindow) instead of two passes over
+      // the sorted partition
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        count(col("value")).over(frame).as("n_24h"),
+        (sum(col("__cents")).over(frame) / lit(100.0)).as("v_24h"))
   }
 
   /** Hamming weighted rolling mean (pandas `rolling(4,

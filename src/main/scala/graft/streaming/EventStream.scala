@@ -72,6 +72,19 @@ object EventStream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join: each micro-batch of the event stream
+    * joins a STATIC dimension frame (user profile, customer table). Spark
+    * plans the static side per micro-batch like any batch join — a small
+    * dimension broadcasts, so the streaming side never shuffles, which is
+    * the only join shape a high-rate stream tolerates. No watermark
+    * needed (the static side never grows stale state).
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Read the events parquet as a stream. The file source wants a
     * directory, so stream the sf directory with a glob pinned to the
     * events file.

@@ -57,6 +57,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash exchange in:\n$p")
   }
 
+  test("time-offset rolling (q42) exchanges once, frames inside WindowExec") {
+    val p = plan(SparkEntry.queries("q42_rolling_range")(spark, TestSpark.sf))
+    assert(p.contains("Window"))
+    assert(p.contains("RangeFrame"), s"expected a range frame in:\n$p")
+    assert(
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected exactly one hash exchange in:\n$p")
+    // both aggregates share ONE Window operator (cents staged to an
+    // attribute so CollapseWindow merges the specs)
+    assert(
+      p.linesIterator.count(_.trim.startsWith("+- Window")) === 1,
+      s"expected a single collapsed Window operator in:\n$p")
+  }
+
+  test("approx percentiles (q43) aggregate partial+final (bounded sketch)") {
+    val p = plan(SparkEntry.queries("q43_approx_percentiles")(spark, TestSpark.sf))
+    assert(
+      p.contains("partial_approx_percentile"),
+      s"expected a partial approx_percentile (map-side sketch merge) in:\n$p")
+    assert(
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected exactly one hash exchange in:\n$p")
+  }
+
   test("q32 IVF probe prunes corpus partitions instead of scanning") {
     val p = plan(SparkEntry.queries("q32_ivf_topk")(spark, TestSpark.sf))
     val pf = p.linesIterator.find(l =>

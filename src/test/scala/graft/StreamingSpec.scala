@@ -56,6 +56,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    // static dimension: per-user tier derived once (stands in for a
+    // profile table)
+    val dim = ev.groupBy("user_id")
+      .agg((count(lit(1)) % 3).as("tier"))
+    val batchTotal = ev.join(dim, Seq("user_id"))
+      .agg(sum("tier")).head().getLong(0)
+
+    val stream = EventStream.readEventsStream(spark, TestSpark.sf)
+    val q = EventStream.enrichStream(stream, dim, Seq("user_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_enriched")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamedTotal = spark
+        .sql("SELECT sum(tier) FROM graft_enriched").head().getLong(0)
+      assert(streamedTotal === batchTotal)
+      // every event row survived the enrichment (inner join, full dim)
+      val n = spark.sql("SELECT count(*) FROM graft_enriched").head().getLong(0)
+      assert(n === ev.count())
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes an idle key's open session") {
     import spark.implicits._
     import graft.operators.Sessionize
