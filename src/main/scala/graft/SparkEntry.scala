@@ -716,6 +716,36 @@ object SparkEntry {
         outName = "v")
       .select("user_id", "event_id", "v")
 
+  /** Typed COGROUP merge (ops/GroupApply.cogroupApply): every order
+    * aligned with ALL its lineitems in one group-wise UDF — each side
+    * shuffles once on the key; orders with zero lineitems still reach
+    * the UDF (empty right iterator), which a row-level inner join cannot
+    * express. The quantity sum is carried in exact integer cents so both
+    * engines aggregate the same integers in any order (see q39).
+    */
+  private def q45(sess: SparkSession, d: String): DataFrame = {
+    import sess.implicits._
+    val orders = Tables.orders(sess, d).select("o_orderkey", "o_totalprice")
+    val lines = Tables.lineitem(sess, d).select("l_orderkey", "l_quantity")
+    GroupApply
+      .cogroupApply[Long, (Long, Double, Long, Double)](orders, lines)(
+        _.getLong(0),
+        _.getLong(0)) { (k, os, ls) =>
+        val heads = os.toSeq
+        if (heads.isEmpty) Iterator.empty // line with no order: drop (LEFT)
+        else {
+          var n = 0L
+          var cents = 0L
+          ls.foreach { l =>
+            n += 1
+            cents += math.round(l.getDouble(1) * 100)
+          }
+          heads.iterator.map(o => (k, o.getDouble(1), n, cents / 100.0))
+        }
+      }
+      .toDF("o_orderkey", "o_totalprice", "n_lines", "sum_qty")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -763,7 +793,8 @@ object SparkEntry {
     "q41_range_join" -> (q41 _),
     "q42_rolling_range" -> (q42 _),
     "q43_approx_percentiles" -> (q43 _),
-    "q44_rolling_hamming" -> (q44 _)
+    "q44_rolling_hamming" -> (q44 _),
+    "q45_cogroup" -> (q45 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1069,6 +1100,13 @@ object SparkEntry {
          quantile_disc(o_totalprice, 0.5) AS p50,
          quantile_disc(o_totalprice, 0.75) AS p75
          FROM orders GROUP BY o_orderpriority""",
+    "q45_cogroup" ->
+      """SELECT o_orderkey, o_totalprice,
+         count(l_orderkey) AS n_lines,
+         CAST(coalesce(sum(CAST(round(l_quantity*100) AS BIGINT)), 0)
+              AS BIGINT) / 100.0 AS sum_qty
+         FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey, o_totalprice""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN

@@ -110,4 +110,30 @@ object GroupApply {
     }
     df.groupByKey(keyFn)(implicitly[Encoder[K]]).flatMapGroups(g)
   }
+
+  /** Group-wise MERGE of two tables — the training-pipeline shape "align
+    * each document with all its annotations" without materializing the
+    * wide row-level join. Each side shuffles ONCE on its key, then the
+    * UDF sees both groups zipped (`Dataset.cogroup` / CoGroupExec): a key
+    * present in only one side still reaches the UDF with the other
+    * iterator empty, which a plain inner join cannot express, and a hot
+    * key costs one task rather than an |A|×|B| pair explosion.
+    */
+  def cogroupApply[K: Encoder, T: Encoder](
+      left: DataFrame,
+      right: DataFrame,
+      counter: Option[graft.progress.Progress.RowCounter] = None)(
+      keyL: Row => K,
+      keyR: Row => K)(
+      f: (K, Iterator[Row], Iterator[Row]) => IterableOnce[T]): Dataset[T] = {
+    val g = counter match {
+      case None => f
+      case Some(c) =>
+        (k: K, a: Iterator[Row], b: Iterator[Row]) => { c.tick(); f(k, a, b) }
+    }
+    left
+      .groupByKey(keyL)(implicitly[Encoder[K]])
+      .cogroup(right.groupByKey(keyR)(implicitly[Encoder[K]]))(
+        (k: K, a: Iterator[Row], b: Iterator[Row]) => g(k, a, b).iterator)
+  }
 }

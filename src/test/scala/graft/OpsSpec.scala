@@ -126,6 +126,32 @@ class OpsSpec extends AnyFunSuite {
     assert(groups > 0)
   }
 
+  test("cogroup apply sees one-sided keys with the other iterator empty") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val left = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val right = Seq((2L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "rv")
+    val counter = graft.progress.Progress.rowCounter(spark2, "cogroup")
+    val out = GroupApply
+      .cogroupApply[Long, (Long, String, Long, Double)](
+        left, right, Some(counter))(_.getLong(0), _.getLong(0)) {
+        (k, ls, rs) =>
+          val l = ls.toSeq
+          val r = rs.toSeq
+          // every key from EITHER side reaches the UDF — join can't do this
+          Iterator.single(
+            (k, l.headOption.map(_.getString(1)).getOrElse("-"),
+              r.size.toLong, r.map(_.getDouble(1)).sum))
+      }
+      .collect()
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, "a", 0L, 0.0),   // left-only key, right iterator empty
+      (2L, "b", 2L, 30.0),  // both sides
+      (3L, "-", 1L, 30.0))) // right-only key, left iterator empty
+    assert(counter.value === 3L) // per-group accounting
+  }
+
   test("user exception class survives Spark wrapping") {
     import graft.errors.Propagation
     final class BoomException(msg: String) extends RuntimeException(msg)
