@@ -82,6 +82,35 @@ class PropertySpec extends AnyFunSuite {
     assert(nj.distinct.size === 1)
   }
 
+  test("partition count never changes time-offset rolling or cogroup results") {
+    import graft.ops.{GroupApply, Windows}
+    val ev = Tables.events(spark, TestSpark.sf)
+
+    def rollRange(p: Int) = {
+      val frame = Windows.rollingRangeFrame(
+        col("ts"), Seq(col("user_id")), Windows.offsetNanos("24h"))
+      ev.repartition(p)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          count(col("value")).over(frame).as("n"))
+        .as[(Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    assert(Seq(1, 7, 32).map(rollRange).distinct.size === 1)
+
+    val orders = Tables.orders(spark, TestSpark.sf).select("o_orderkey")
+    val lines = Tables.lineitem(spark, TestSpark.sf).select("l_orderkey")
+    def cog(p: Int) = GroupApply
+      .cogroupApply[Long, (Long, Long)](
+        orders.repartition(p), lines.repartition(p))(
+        _.getLong(0), _.getLong(0)) { (k, os, ls) =>
+        if (os.isEmpty) Iterator.empty else Iterator.single((k, ls.size.toLong))
+      }
+      .collect().sortBy(_._1).toSeq
+    assert(Seq(1, 7, 32).map(cog).distinct.size === 1)
+  }
+
   test("partition count never changes grouped aggregation results") {
     val li = Tables.lineitem(spark, TestSpark.sf)
     (1 to 4).foreach { _ =>
