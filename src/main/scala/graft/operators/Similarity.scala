@@ -406,6 +406,81 @@ object Similarity {
       k)
   }
 
+  /** Many-queries probe of a persisted [[ivfWriteIndex]] layout — the
+    * batch twin of [[ivfProbeIndex]], mirroring [[lshProbeIndexMany]]:
+    *  1. rank clusters per query against the centroid table (one small
+    *     job over queries × centroids — centroids are nclusters×dim
+    *     rows, never the corpus);
+    *  2. read the corpus ONCE with `cluster IN (union of probed
+    *     clusters)` — a partition-pruning filter, so only the probed
+    *     directories are scanned;
+    *  3. broadcast-join the (query, cluster) assignment so each corpus
+    *     row scores only against the queries that probed its cluster,
+    *     then window top-k per query.
+    * One corpus scan for the whole batch instead of one per query.
+    */
+  def ivfProbeIndexMany(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int,
+      sourceTag: String = ""): DataFrame = {
+    if (sourceTag.nonEmpty) {
+      val m = spark.read.parquet(s"$path/_meta").head()
+      checkSource("IVF", path, m.getAs[String]("source"), sourceTag)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val qb = queries.select(
+      col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    // per-(query, cluster) cosine rank against centroids; |q| is constant
+    // per query so dot/|centroid| preserves each query's ranking
+    val ranked = centroids
+      .crossJoin(broadcast(qb))
+      .groupBy("query_id", "cluster")
+      .agg(
+        sum(col("v") * element_at(col("qv"), col("pos").cast("int") + 1))
+          .as("dot"),
+        sum(col("v") * col("v")).as("nrm"),
+        first(col("qv")).as("qv2"))
+      .select(
+        col("query_id"),
+        col("cluster"),
+        (col("dot") / sqrt(col("nrm"))).as("csim"),
+        col("qv2"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc)
+    val assignment = ranked
+      .withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("cluster"), col("qv2"))
+    // the union of probed clusters, as literals, so the corpus read gets
+    // a planning-time partition filter (nqueries × nprobe values — tiny)
+    val clusters = assignment.select("cluster").distinct().collect()
+      .map(_.get(0)).toSeq
+    VectorExpressions.register(spark)
+    val scored = spark.read
+      .parquet(s"$path/corpus")
+      .where(col("cluster").isin(clusters: _*)) // partition pruning
+      .join(broadcast(assignment), Seq("cluster"))
+      .select(
+        col("query_id"),
+        col("id"),
+        VectorExpressions.cosineFast(col("v"), col("qv2")).as("sim"))
+    // no dedup needed: IVF assigns each corpus vector to exactly ONE
+    // cluster directory (unlike LSH bands), so (query, id) is unique
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+
   /** Many-queries exact top-k: broadcast the (small) query set, score
     * every (query, vector) pair, keep top-k per query via a partitioned
     * window — one broadcast join + one shuffle on query_id.

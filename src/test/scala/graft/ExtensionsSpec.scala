@@ -302,9 +302,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // centroid table built ONCE, reused across both probes below
     val cents = Similarity.ivfCentroids(emb, "embedding", "label").cache()
     val ivf = Similarity
-      .ivfTopK(emb, cents, "embedding", "vec_id", "label", q, k = 5, nprobe = 3)
+      .ivfTopK(emb, cents, "embedding", "vec_id", "label", q, k = 5, nprobe = 10)
       .collect()
-    // nprobe = all clusters → must contain the exact nearest neighbor
+    // nprobe = 10 = all clusters (labels 0-9) → exhaustive search → must
+    // contain the exact nearest neighbor
     assert(ivf.map(_.getAs[Long]("id")).contains(exact))
     // fewer probes → results drawn only from probed clusters
     val narrow = Similarity
@@ -338,6 +339,30 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     intercept[IllegalArgumentException] {
       Similarity.lshProbeIndex(spark, path, qv, k = 5, nBits = 32, bandBits = 8)
+    }
+  }
+
+  test("many-query IVF index probe: each query finds itself first") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val path = System.getProperty("java.io.tmpdir") + "/graft-ivf-many-spec"
+    Similarity.ivfWriteIndex(emb, "embedding", "vec_id", "label", path)
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // nprobe = 10 covers every cluster at this sf (labels 0-9) → self is
+    // guaranteed a candidate; smaller nprobe only narrows the pool
+    val top = Similarity
+      .ivfProbeIndexMany(spark, path, queries, "qv", "qid", k = 5, nprobe = 10)
+      .collect()
+    val narrow = Similarity
+      .ivfProbeIndexMany(spark, path, queries, "qv", "qid", k = 5, nprobe = 2)
+      .collect()
+    assert(narrow.nonEmpty && narrow.length <= 15)
+    (0L until 3L).foreach { q =>
+      val mine = top.filter(_.getAs[Long]("query_id") == q)
+      assert(mine.nonEmpty && mine.length <= 5)
+      val best = mine.maxBy(_.getAs[Double]("sim"))
+      assert(best.getAs[Long]("id") === q)
+      assert(math.abs(best.getAs[Double]("sim") - 1.0) < 1e-9)
     }
   }
 
