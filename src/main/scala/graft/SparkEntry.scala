@@ -746,6 +746,54 @@ object SparkEntry {
       .toDF("o_orderkey", "o_totalprice", "n_lines", "sum_qty")
   }
 
+  /** Gopher-style repetition signals per document — the curation filters
+    * a pretraining pipeline runs before anything else: token-repetition
+    * ratio (1 - distinct/total, a pure narrow expression) and
+    * top-bigram fraction (most frequent adjacent bigram / all bigrams —
+    * explode + two partial+final aggregations, the scalable shape for a
+    * per-doc mode). Ratios of token counts ≤ 127 terminate within 6
+    * decimals, so the 6-decimal rounding is tie-free (see q39 on ties).
+    */
+  private def q46(sess: SparkSession, d: String): DataFrame = {
+    val tk = Tables
+      .documents(sess, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+    val rep = tk.select(
+      col("doc_id"),
+      round(TextFunctions.tokenRepetition(col("tk")), 6).as("rep_ratio"))
+    val top = tk
+      .select(col("doc_id"), explode(TextFunctions.bigramsOf(col("tk"))).as("bigram"))
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c") / sum("c"), 6).as("top_bigram_frac"))
+    rep
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("rep_ratio"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Per-source cap curation (operators/Sampling.capPerGroup): keep the
+    * 25 longest documents per language, ordered by an INTEGER key with a
+    * unique tiebreaker — a float score order would let 1e-16 engine
+    * noise flip which row sits at the cap boundary. WindowGroupLimit
+    * pre-prunes map-side (PlanSpec).
+    */
+  private def q47(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .capPerGroup(
+        Tables
+          .documents(sess, d)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        groupCols = Seq(col("lang")),
+        orderBy = Seq(col("n_tokens").desc, col("doc_id").asc),
+        n = 25)
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -794,7 +842,9 @@ object SparkEntry {
     "q42_rolling_range" -> (q42 _),
     "q43_approx_percentiles" -> (q43 _),
     "q44_rolling_hamming" -> (q44 _),
-    "q45_cogroup" -> (q45 _)
+    "q45_cogroup" -> (q45 _),
+    "q46_repetition" -> (q46 _),
+    "q47_group_cap" -> (q47 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1107,6 +1157,40 @@ object SparkEntry {
               AS BIGINT) / 100.0 AS sum_qty
          FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderkey, o_totalprice""",
+    "q46_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         bc AS (
+           SELECT doc_id, bigram, count(*) AS c FROM (
+             SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+                 AS bigram
+             FROM tk WHERE len(t) >= 2)
+           GROUP BY doc_id, bigram),
+         top AS (
+           SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS f
+           FROM bc GROUP BY doc_id)
+         SELECT tk.doc_id,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6)
+           END AS rep_ratio,
+           coalesce(top.f, 0.0) AS top_bigram_frac
+         FROM tk LEFT JOIN top ON tk.doc_id = top.doc_id""",
+    "q47_group_cap" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             CASE WHEN trim(text)='' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           FROM documents),
+         w AS (
+           SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_tokens DESC, doc_id ASC) AS rn
+           FROM r)
+         SELECT doc_id, lang, n_tokens FROM w WHERE rn <= 25""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN

@@ -170,6 +170,32 @@ object TextFunctions {
   def minShingleHashOf(shinglesAttr: Column): Column =
     array_min(transform(shinglesAttr, s => xxhash64(s)))
 
+  /** Token-repetition ratio (Gopher-style repetition signal): fraction of
+    * tokens that are repeats of an earlier token, `1 - distinct/total`
+    * (0 for empty). Pure array expressions — codegen'd, narrow, scales
+    * like any projection.
+    */
+  def tokenRepetition(tokensAttr: Column): Column =
+    when(size(tokensAttr) === 0, lit(0.0)).otherwise(
+      lit(1.0) -
+        size(array_distinct(tokensAttr)).cast("double") / size(tokensAttr))
+
+  /** Adjacent-token bigrams of a token-array ATTRIBUTE (same evaluation
+    * contract as [[shinglesOf]]): n-1 "a b" strings, [] under 2 tokens.
+    * Feed to explode + count for top-bigram-fraction style repetition
+    * scoring.
+    */
+  def bigramsOf(tokensAttr: Column): Column =
+    when(size(tokensAttr) < 2, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tokensAttr) - 2),
+          i =>
+            concat(
+              element_at(tokensAttr, i + 1),
+              lit(" "),
+              element_at(tokensAttr, i + 2))))
+
   def minShingleHash(c: Column, n: Int = 8): Column =
     minShingleHashOf(shingles(c, n))
 

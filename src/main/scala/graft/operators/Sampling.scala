@@ -67,6 +67,31 @@ object Sampling {
     * one-row lazy aggregate cross-joined in (broadcast of one row), not a
     * separate driver `count()` pass.
     */
+  /** Per-group cap: keep the top `n` rows of each group under a
+    * DETERMINISTIC total order (make the last `orderBy` column a unique
+    * tiebreaker, or the kept set is engine/run-dependent at the cap
+    * boundary). The per-source caps of web-corpus curation ("≤ n docs
+    * per domain").
+    *
+    * Scale: `row_number <= n` is recognized by Spark's WindowGroupLimit
+    * optimization — each map task pre-prunes to its local top-n BEFORE
+    * the exchange, so the shuffle carries O(parts·n) rows per group,
+    * not the whole group (asserted in PlanSpec). A hot key costs one
+    * sort of its surviving rows, never an unbounded buffer.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderBy: Seq[Column],
+      n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(
       col(idCol).as("doc_id"),

@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash exchange in:\n$p")
   }
 
+  test("per-group cap (q47) pre-prunes map-side via WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("q47_group_cap")(spark, TestSpark.sf))
+    // rank<=n pushdown: each map task keeps its local top-n BEFORE the
+    // exchange — the difference between shuffling O(parts·n) rows and
+    // shuffling every row of every group
+    assert(
+      p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown in:\n$p")
+  }
+
   test("q32 IVF probe prunes corpus partitions instead of scanning") {
     val p = plan(SparkEntry.queries("q32_ivf_topk")(spark, TestSpark.sf))
     val pf = p.linesIterator.find(l =>
