@@ -762,6 +762,11 @@ object SparkEntry {
       col("doc_id"),
       round(TextFunctions.tokenRepetition(col("tk")), 6).as("rep_ratio"))
     val top = tk
+      // scan → tokenize → explode → partial agg pipeline in ONE stage:
+      // parallelism = input splits (at corpus scale, thousands). A
+      // repartition here would shuffle the full token arrays — strictly
+      // worse at scale; locally the one-split documents file serializes
+      // this stage, a bench artifact, not a plan defect.
       .select(col("doc_id"), explode(TextFunctions.bigramsOf(col("tk"))).as("bigram"))
       .groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("c"))
