@@ -799,6 +799,27 @@ object SparkEntry {
         orderBy = Seq(col("n_tokens").desc, col("doc_id").asc),
         n = 25)
 
+  /** Rank transforms per group — the pandas `groupby.rank(pct=True)` /
+    * `qcut` analogs a curation pipeline uses for quantile binning and
+    * curriculum ordering: percent_rank, cume_dist, and ntile(10) over
+    * (value, event_id) — the unique tiebreaker makes every rank
+    * deterministic, and rank ratios are IEEE divisions of identical
+    * integers on both engines, so no rounding is needed at all.
+    */
+  private def q48(sess: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(10).over(w).as("decile"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -849,7 +870,8 @@ object SparkEntry {
     "q44_rolling_hamming" -> (q44 _),
     "q45_cogroup" -> (q45 _),
     "q46_repetition" -> (q46 _),
-    "q47_group_cap" -> (q47 _)
+    "q47_group_cap" -> (q47 _),
+    "q48_rank_transforms" -> (q48 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1196,6 +1218,13 @@ object SparkEntry {
                ORDER BY n_tokens DESC, doc_id ASC) AS rn
            FROM r)
          SELECT doc_id, lang, n_tokens FROM w WHERE rn <= 25""",
+    "q48_rank_transforms" ->
+      """SELECT user_id, event_id,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         CAST(ntile(10) OVER w AS INTEGER) AS decile
+         FROM events WINDOW w AS (PARTITION BY user_id
+           ORDER BY value, event_id)""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN
