@@ -142,6 +142,21 @@ object Pandarallel {
     def expanding(orderBy: Column): ParallelExpanding =
       new ParallelExpanding(df, Seq(orderBy), keys.map(col))
 
+    /** Group-wise two-table merge ([[GroupApply.cogroupApply]]): align
+      * each group of this frame with the matching group of `other`.
+      */
+    def cogroup[K: Encoder, T: Encoder](other: DataFrame)(
+        keyL: Row => K,
+        keyR: Row => K)(
+        f: (K, Iterator[Row], Iterator[Row]) => IterableOnce[T]): Dataset[T] =
+      GroupApply.cogroupApply[K, T](df, other)(keyL, keyR)(f)
+
+    /** Per-group cap ([[graft.operators.Sampling.capPerGroup]]): top-n
+      * rows per group under a deterministic order.
+      */
+    def cap(orderBy: Seq[Column], n: Int): DataFrame =
+      graft.operators.Sampling.capPerGroup(df, keys.map(col), orderBy, n)
+
     /** Grouped time-offset rolling (`gb.rolling("24h")`) — one hash
       * exchange on the group keys, frames evaluated inside WindowExec.
       */
@@ -168,6 +183,15 @@ object Pandarallel {
         minPeriods: Int = 1)(agg: Column => Column): DataFrame =
       Windows.rollingRangeAgg(
         df, valueCol, orderBy, partitionBy, rangeNanos, minPeriods, closed)(agg)
+
+    /** Black-box window UDF (pandas `rolling("24h").apply(f)`). */
+    def parallelApply(
+        valueCol: Column,
+        outName: String,
+        minPeriods: Int = 1)(f: Seq[Double] => Double): DataFrame =
+      Windows.rollingRangeCollect(
+        df, valueCol, orderBy, partitionBy, rangeNanos, outName,
+        minPeriods, closed)(f)
   }
 
   final class ParallelRolling(

@@ -150,6 +150,34 @@ object Windows {
       withMinPeriods(agg(valueCol).over(frame), valueCol, frame, minPeriods))
   }
 
+  /** Black-box UDF over a time-offset frame — pandas
+    * `rolling("24h").apply(f)`. Same trade as [[rollingCollect]]: the
+    * frame materializes as an array, but a duration window is bounded by
+    * the data rate within the offset, not a fixed row count — size the
+    * offset so the densest key's window fits (or switch to an algebraic
+    * [[rollingRangeAgg]]).
+    */
+  def rollingRangeCollect(
+      df: DataFrame,
+      valueCol: Column,
+      orderBy: Column,
+      partitionBy: Seq[Column],
+      rangeSize: Long,
+      outName: String,
+      minPeriods: Int = 1,
+      closed: String = "right",
+      counter: Option[graft.progress.Progress.RowCounter] = None)(
+      f: Seq[Double] => Double): DataFrame = {
+    val frame = rollingRangeFrame(orderBy, partitionBy, rangeSize, closed)
+    val g = counter match {
+      case None    => f
+      case Some(c) => (xs: Seq[Double]) => { c.tick(); f(xs) }
+    }
+    val fUdf = udf(g)
+    val arr = collect_list(valueCol).over(frame)
+    df.withColumn(outName, when(size(arr) >= minPeriods, fUdf(arr)))
+  }
+
   def expandingFrame(
       orderBy: Seq[Column],
       partitionBy: Seq[Column]): WindowSpec = {

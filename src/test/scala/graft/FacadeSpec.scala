@@ -245,6 +245,13 @@ class FacadeSpec extends AnyFunSuite {
     assert(out(ns(3)).contains(7.0)) //   [3,4]  (10s is exactly t-30s —
     //   pandas closed="right" EXCLUDES the left edge)
     assert(out(ns(4)).contains(5.0)) //   [5]
+    // black-box apply over the same offset frame agrees with the
+    // algebraic form
+    val applied = df.parallelGroupBy("g").rollingRange("30s", col("ts"))
+      .parallelApply(col("x"), "v")(_.sum)
+      .select(col("ts"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    ns.foreach(t => assert(applied(t) === out(t)))
     // pandas grammar errors are loud
     intercept[IllegalArgumentException] {
       df.parallelGroupBy("g").rollingRange("30 parsecs", col("ts"))
