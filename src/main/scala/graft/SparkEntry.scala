@@ -820,6 +820,38 @@ object SparkEntry {
         ntile(10).over(w).as("decile"))
   }
 
+  /** Pivot / crosstab (pandas `pivot_table(index=user, columns=type,
+    * aggfunc=count)`): per-user event counts fanned into one column per
+    * event type. Pivot values are DECLARED (the 5 known types), so the
+    * plan is a single partial+final aggregation — an undeclared-values
+    * pivot needs an extra distinct pass to discover columns, a
+    * scan-the-world cost the declared form avoids at 100 TB. Integer
+    * counts, no float parity concerns.
+    */
+  private def q49(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Unpivot / melt (pandas `melt`, the inverse of q49): lineitem's
+    * numeric measures fanned into (key, metric, value) rows —
+    * `Dataset.unpivot` is a pure narrow projection (Expand node: each
+    * input row emits one row per measure, no shuffle, no UDF). Values
+    * are copied verbatim, so the oracle is exact.
+    */
+  private def q50(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(sess, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric",
+        "value")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -871,7 +903,9 @@ object SparkEntry {
     "q45_cogroup" -> (q45 _),
     "q46_repetition" -> (q46 _),
     "q47_group_cap" -> (q47 _),
-    "q48_rank_transforms" -> (q48 _)
+    "q48_rank_transforms" -> (q48 _),
+    "q49_pivot" -> (q49 _),
+    "q50_unpivot" -> (q50 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1225,6 +1259,22 @@ object SparkEntry {
          CAST(ntile(10) OVER w AS INTEGER) AS decile
          FROM events WINDOW w AS (PARTITION BY user_id
            ORDER BY value, event_id)""",
+    "q49_pivot" ->
+      """SELECT user_id,
+         count(CASE WHEN event_type='click' THEN 1 END) AS click,
+         count(CASE WHEN event_type='error' THEN 1 END) AS error,
+         count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type='view' THEN 1 END) AS view
+         FROM events GROUP BY user_id""",
+    "q50_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+              l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN
