@@ -77,6 +77,12 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     failures = 0
+    # a typo'd filter name must not read as a silent pass
+    dumped = {d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))}
+    unknown = only - set(oracles) - dumped
+    if unknown:
+        print(f"[ERR] unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     for name in sorted(oracles):
         if only and name not in only:
             continue

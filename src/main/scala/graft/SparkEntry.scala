@@ -266,15 +266,34 @@ object SparkEntry {
     */
   private val lshIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Collision-free scratch path per data dir: the sanitized FULL dir
-    * string is the directory name (a 32-bit hashCode suffix can collide
-    * between two data dirs and silently cross-wire their indexes). The
-    * raw dir is also recorded in the index `_meta` and re-validated at
-    * probe time, so even a path collision is an error, not wrong rows.
+  /** Drop the build-once memoization so the next ANN query rebuilds its
+    * index (Bench uses this to time a genuine build when the warm-up
+    * pass already ran at the timed scale).
     */
-  private def indexScratch(kind: String, d: String): String =
-    System.getProperty("java.io.tmpdir") +
-      s"/graft-$kind-${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+  def clearIndexCaches(): Unit = {
+    lshIndexCache.clear()
+    ivfIndexCache.clear()
+  }
+
+  /** Collision-free scratch path per data dir: a truncated sanitized
+    * basename for readability plus a 128-bit SHA-256 prefix of the FULL
+    * dir string for uniqueness (a 32-bit hashCode can collide between
+    * two data dirs and cross-wire their indexes; embedding the whole
+    * sanitized path instead would blow the 255-byte filename limit on
+    * long dirs, and sanitization itself collapses distinct dirs). The
+    * raw dir is also recorded in the index `_meta` and re-validated at
+    * probe time, so even a digest collision is an error, not wrong rows.
+    */
+  private def indexScratch(kind: String, d: String): String = {
+    val digest = java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8"))
+      .take(16)
+      .map("%02x".format(_))
+      .mkString
+    val base = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
+    System.getProperty("java.io.tmpdir") + s"/graft-$kind-$base-$digest"
+  }
 
   private def lshIndex(s: SparkSession, d: String): String =
     lshIndexCache.getOrElseUpdate(

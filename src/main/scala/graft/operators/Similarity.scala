@@ -167,6 +167,21 @@ object Similarity {
       s"$kind index at $path was built from source '$built'; " +
         s"probe expected source '$probed' — refusing to cross-wire indexes")
 
+  /** IVF `source` from `_meta`, treating indexes written before `_meta`
+    * existed as anonymous (same grace as [[checkLshMeta]]'s missing-field
+    * branch — a tagged probe of an old index must not crash).
+    */
+  private def ivfBuiltSource(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    try {
+      val m = spark.read.parquet(s"$path/_meta").head()
+      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
+      else ""
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => ""
+    }
+
   /** Persist the build-once LSH index: the corpus exploded into one row
     * per (band, band-key) bucket — the standard inverted-index-per-band
     * layout (data duplicated `bands` times, the classic LSH trade) —
@@ -392,10 +407,8 @@ object Similarity {
       k: Int,
       nprobe: Int,
       sourceTag: String = ""): DataFrame = {
-    if (sourceTag.nonEmpty) {
-      val m = spark.read.parquet(s"$path/_meta").head()
-      checkSource("IVF", path, m.getAs[String]("source"), sourceTag)
-    }
+    if (sourceTag.nonEmpty)
+      checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
     val centroids = spark.read.parquet(s"$path/centroids")
     val probed = ivfRankClusters(centroids, query, nprobe)
     bruteForceTopK(
@@ -428,10 +441,8 @@ object Similarity {
       k: Int,
       nprobe: Int,
       sourceTag: String = ""): DataFrame = {
-    if (sourceTag.nonEmpty) {
-      val m = spark.read.parquet(s"$path/_meta").head()
-      checkSource("IVF", path, m.getAs[String]("source"), sourceTag)
-    }
+    if (sourceTag.nonEmpty)
+      checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
     import org.apache.spark.sql.expressions.Window
     val centroids = spark.read.parquet(s"$path/centroids")
     val qb = queries.select(
@@ -452,15 +463,23 @@ object Similarity {
         col("cluster"),
         (col("dot") / sqrt(col("nrm"))).as("csim"),
         col("qv2"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc)
-    val assignment = ranked
+    // deterministic cluster tiebreak: equal-csim clusters at the nprobe
+    // boundary must resolve the same way in every evaluation
+    val wq = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cluster").asc)
+    // materialize the tiny assignment ONCE (nqueries × nprobe rows):
+    // deriving the IN-list and the join side from the same lazy plan
+    // would re-run the centroid-ranking job twice
+    val assignmentRows = ranked
       .withColumn("crank", row_number().over(wq))
       .where(col("crank") <= nprobe)
       .select(col("query_id"), col("cluster"), col("qv2"))
-    // the union of probed clusters, as literals, so the corpus read gets
-    // a planning-time partition filter (nqueries × nprobe values — tiny)
-    val clusters = assignment.select("cluster").distinct().collect()
-      .map(_.get(0)).toSeq
+    val collected = assignmentRows.collect()
+    val clusters = collected.map(_.get(1)).distinct.toSeq
+    val assignment = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*),
+      assignmentRows.schema)
     VectorExpressions.register(spark)
     val scored = spark.read
       .parquet(s"$path/corpus")

@@ -27,7 +27,17 @@ import org.apache.spark.sql.DataFrame
 object Stage {
   def materializeOnce(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isDefined && !sc.isLocal) df.checkpoint()
-    else df.localCheckpoint()
+    if (sc.getCheckpointDir.isDefined && !sc.isLocal) {
+      // persist BEFORE the eager checkpoint: Dataset.checkpoint runs a
+      // count job and then the ReliableCheckpointRDD write job — without
+      // a cache the upstream pipeline (the global sort / signature prep
+      // this helper exists to run ONCE) would execute twice. The write
+      // reads the cached blocks; afterwards the checkpointed frame is
+      // backed by the checkpoint store, so the cache can be dropped.
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint()
+      finally cached.unpersist(blocking = false)
+    } else df.localCheckpoint()
   }
 }
