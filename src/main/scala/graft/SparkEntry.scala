@@ -871,6 +871,23 @@ object SparkEntry {
         "metric",
         "value")
 
+  /** INCREMENTAL dedup — the daily-batch shape of exact dedup: new
+    * documents anti-joined on normalization fingerprint against the
+    * already-ingested set (here: doc_id < 250 stands in for yesterday's
+    * fingerprint index). A broadcast/shuffled LEFT ANTI join — state
+    * lives in a fingerprint table, not in memory, so the "seen" side can
+    * be 100 TB of history while each increment only shuffles its own
+    * fingerprints.
+    */
+  private def q51(sess: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(sess, d)
+    val seen = docs
+      .where(col("doc_id") < 250)
+      .select(TextFunctions.normFingerprint(col("text")).as("fp"))
+    graft.operators.Dedup
+      .incrementalNew(docs.where(col("doc_id") >= 250), seen, "text", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -924,7 +941,8 @@ object SparkEntry {
     "q47_group_cap" -> (q47 _),
     "q48_rank_transforms" -> (q48 _),
     "q49_pivot" -> (q49 _),
-    "q50_unpivot" -> (q50 _)
+    "q50_unpivot" -> (q50 _),
+    "q51_incremental_dedup" -> (q51 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1294,6 +1312,16 @@ object SparkEntry {
          FROM lineitem
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+    "q51_incremental_dedup" ->
+      """WITH seen AS (
+           SELECT DISTINCT md5(lower(regexp_replace(trim(text),'\s+',' ','g')))
+             AS fp
+           FROM documents WHERE doc_id < 250)
+         SELECT doc_id FROM documents d
+         WHERE doc_id >= 250
+           AND NOT EXISTS (SELECT 1 FROM seen
+             WHERE seen.fp =
+               md5(lower(regexp_replace(trim(d.text),'\s+',' ','g'))))""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN

@@ -36,6 +36,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** INCREMENTAL exact dedup — the daily-batch form: keep rows of `df`
+    * whose normalization fingerprint is NOT in `seen` (a one-column `fp`
+    * frame, e.g. yesterday's persisted fingerprint index). LEFT ANTI
+    * join on the fingerprint: the seen side can be the full corpus
+    * history on disk while each increment shuffles only its own
+    * fingerprints (AQE broadcasts the smaller side when it fits).
+    */
+  def incrementalNew(
+      df: DataFrame,
+      seen: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame =
+    df.select(
+        col(idCol),
+        graft.functions.TextFunctions.normFingerprint(col(textCol)).as("fp"))
+      .join(seen.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(idCol)
+
   /** Base 64-bit hash per shingle — hash each *string* exactly once;
     * the k minhash functions are cheap affine/xor re-mixes of this array
     * (one string hash + k integer ops per shingle, instead of k string

@@ -366,6 +366,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup drops exactly the re-ingested duplicates") {
+    import graft.operators.Dedup
+    val seenDocs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "pack my box with jugs")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "THE  quick   Brown fox"), // normalizes to a seen fingerprint
+      (11L, "pack my box with jugs"),  // verbatim duplicate
+      (12L, "a genuinely new document")).toDF("id", "text")
+    val seen = seenDocs.select(
+      graft.functions.TextFunctions.normFingerprint(col("text")).as("fp"))
+    val kept = Dedup.incrementalNew(batch, seen, "text", "id")
+      .as[Long].collect().sorted
+    assert(kept === Array(12L))
+  }
+
   test("index source tags: probing with the wrong source dir fails loudly") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val qv = emb.where(col("vec_id") === 0)
