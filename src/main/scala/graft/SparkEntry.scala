@@ -888,6 +888,20 @@ object SparkEntry {
       .incrementalNew(docs.where(col("doc_id") >= 250), seen, "text", "doc_id")
   }
 
+  /** Set operations (INTERSECT DISTINCT / EXCEPT DISTINCT): orderkeys
+    * appearing among both high-discount and low-tax lineitems, minus
+    * returned ones. Spark plans both as aggregated joins (partial+final
+    * on the key) — no row-level materialization of the intermediate
+    * sets.
+    */
+  private def q52(sess: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(sess, d)
+    li.where(col("l_discount") >= 0.08)
+      .select("l_orderkey")
+      .intersect(li.where(col("l_tax") <= 0.02).select("l_orderkey"))
+      .except(li.where(col("l_returnflag") === "R").select("l_orderkey"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -942,7 +956,8 @@ object SparkEntry {
     "q48_rank_transforms" -> (q48 _),
     "q49_pivot" -> (q49 _),
     "q50_unpivot" -> (q50 _),
-    "q51_incremental_dedup" -> (q51 _)
+    "q51_incremental_dedup" -> (q51 _),
+    "q52_setops" -> (q52 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1322,6 +1337,12 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM seen
              WHERE seen.fp =
                md5(lower(regexp_replace(trim(d.text),'\s+',' ','g'))))""",
+    "q52_setops" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.08
+         INTERSECT
+         SELECT l_orderkey FROM lineitem WHERE l_tax <= 0.02
+         EXCEPT
+         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN
