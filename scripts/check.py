@@ -77,11 +77,14 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     failures = 0
-    # a typo'd filter name must not read as a silent pass
+    # a typo'd filter name must not read as a silent pass. A name with
+    # neither an oracle nor a dump is either a typo or a query whose
+    # Verify dump failed — both deserve a loud nonzero exit.
     dumped = {d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))}
     unknown = only - set(oracles) - dumped
     if unknown:
-        print(f"[ERR] unknown query name(s): {sorted(unknown)}")
+        print(f"[ERR] no oracle and no dump for: {sorted(unknown)} "
+              f"(typo, or graft.Verify failed to write it)")
         sys.exit(2)
     for name in sorted(oracles):
         if only and name not in only:
@@ -104,10 +107,10 @@ def main():
             failures += 1
         else:
             print(f"[ok]   {name}  rows={len(spark_df)}")
-    # queries with no oracle: rows-only note
+    # queries with no oracle: rows-only note (respects the name filter)
     for d in sorted(os.listdir(out_dir)):
         full = os.path.join(out_dir, d)
-        if os.path.isdir(full) and d not in oracles:
+        if os.path.isdir(full) and d not in oracles and (not only or d in only):
             n = sum(len(pd.read_parquet(f)) for f in glob.glob(full + "/*.parquet"))
             print(f"[rows] {d}  rows={n} (no oracle)")
     sys.exit(1 if failures else 0)

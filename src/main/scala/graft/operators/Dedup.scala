@@ -51,7 +51,10 @@ object Dedup {
     df.select(
         col(idCol),
         graft.functions.TextFunctions.normFingerprint(col(textCol)).as("fp"))
-      .join(seen.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      // no distinct on the seen side: LEFT ANTI ignores duplicate right
+      // keys anyway, and a distinct would force a full aggregation pass
+      // over the (arbitrarily large) history
+      .join(seen.select(col("fp")), Seq("fp"), "left_anti")
       .select(idCol)
 
   /** Base 64-bit hash per shingle — hash each *string* exactly once;
