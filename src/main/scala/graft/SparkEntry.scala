@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -640,15 +641,21 @@ object SparkEntry {
     */
   private def q39(sess: SparkSession, d: String): DataFrame = {
     val frame = Windows.expandingFrame(Seq(col("event_id")), Seq(col("user_id")))
-    val cents = round(col("value") * 100).cast("long")
     val n = count(col("value")).over(frame)
-    val sc = sum(cents).over(frame)
+    val sc = sum(centsOf(col("value"))).over(frame)
     val exact4 = floor((lit(200) * sc + n) / (lit(2) * n)) / lit(10000.0)
     Tables
       .events(sess, d)
       .withColumn("cum_avg", Windows.withMinPeriods(exact4, col("value"), frame, 5))
       .select("user_id", "event_id", "cum_avg")
   }
+
+  /** Exact integer cents of a 2-decimal double column — the tie-proof
+    * currency for cross-engine sums and means (see q39's rounding-tie
+    * note; used by q39/q42, and mirrored in the oracles as
+    * `CAST(round(x*100) AS BIGINT)`).
+    */
+  private def centsOf(c: Column): Column = round(c * 100).cast("long")
 
   /** Grouped triangular weighted rolling mean (pandas
     * rolling(4, win_type='triang').mean()): weights [.25,.75,.75,.25],
@@ -710,7 +717,7 @@ object SparkEntry {
       // cents staged to an attribute: both window expressions then share
       // one Window operator (CollapseWindow) instead of two passes over
       // the sorted partition
-      .withColumn("__cents", round(col("value") * 100).cast("long"))
+      .withColumn("__cents", centsOf(col("value")))
       .select(
         col("user_id"),
         col("event_id"),
@@ -826,7 +833,7 @@ object SparkEntry {
     * integers on both engines, so no rounding is needed at all.
     */
   private def q48(sess: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("value"), col("event_id"))
     Tables
