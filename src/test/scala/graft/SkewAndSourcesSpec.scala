@@ -57,4 +57,16 @@ class SkewAndSourcesSpec extends AnyFunSuite {
     assert(canon(backCsv) === canon(df))
     assert(canon(backJson) === canon(df))
   }
+
+  test("orc source roundtrips a query result (columnar alternative)") {
+    val df = SparkEntry.queries("q07_group_stats")(spark, TestSpark.sf)
+    val orcDir = Files.createTempDirectory("graft-orc").toString
+    df.write.mode("overwrite").orc(orcDir)
+    val back = spark.read.orc(orcDir)
+    // ORC is typed like parquet — schema survives without a reader hint
+    assert(back.schema === df.schema)
+    assert(
+      back.collect().map(_.toSeq).sortBy(_.toString()).toSeq ===
+        df.collect().map(_.toSeq).sortBy(_.toString()).toSeq)
+  }
 }

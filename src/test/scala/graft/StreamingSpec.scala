@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -122,6 +124,31 @@ class StreamingSpec extends AnyFunSuite {
       // the idle session flushed via timeout, with nobody closing it
       assert(out.length === 1)
       assert(out.head === Sessionize.SessionOut(1L, 1000000L, 1010000L, 2L, 3.0))
+    } finally q.stop()
+  }
+
+  test("streaming ingestion dedup: state converges to the batch dedup") {
+    import spark.implicits._
+    import graft.streaming.IngestDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val statePath = Files.createTempDirectory("graft-ingest-state").toString + "/fp"
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = IngestDedup.start(
+      input.toDS().toDF("doc_id", "text"), statePath, ckpt)
+    try {
+      // batch 1: one intra-batch duplicate (3 repeats 1 modulo case/space)
+      input.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "Alpha   BETA"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (4 repeats 2) + one new doc
+      input.addData((4L, "gamma"), (5L, "delta"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(statePath)
+        .select("id").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 5L)) // min-id per fingerprint survives
     } finally q.stop()
   }
 
