@@ -909,6 +909,22 @@ object SparkEntry {
       .except(li.where(col("l_returnflag") === "R").select("l_orderkey"))
   }
 
+  /** Gaussian weighted rolling mean (pandas `rolling(5,
+    * win_type='gaussian').mean(std=1.5)` — the parameterized win_type).
+    * Weights exp(-½((k-2)/1.5)²) are spelled as the SAME expression in
+    * the oracle (see q44's bit-identical-weights rationale).
+    */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rollingWeightedMean(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        weights = Windows.windowWeights("gaussian", 5, Map("std" -> 1.5)),
+        outName = "v")
+      .select("user_id", "event_id", "v")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -964,7 +980,8 @@ object SparkEntry {
     "q49_pivot" -> (q49 _),
     "q50_unpivot" -> (q50 _),
     "q51_incremental_dedup" -> (q51 _),
-    "q52_setops" -> (q52 _)
+    "q52_setops" -> (q52 _),
+    "q53_rolling_gaussian" -> (q53 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1350,6 +1367,18 @@ object SparkEntry {
          SELECT l_orderkey FROM lineitem WHERE l_tax <= 0.02
          EXCEPT
          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'""",
+    "q53_rolling_gaussian" ->
+      """SELECT user_id, event_id,
+         CASE WHEN row_number() OVER wb >= 5 THEN
+           (exp(-0.5*pow((0-2.0)/1.5,2))*lag(value,4) OVER wb
+            + exp(-0.5*pow((1-2.0)/1.5,2))*lag(value,3) OVER wb
+            + exp(-0.5*pow((2-2.0)/1.5,2))*lag(value,2) OVER wb
+            + exp(-0.5*pow((3-2.0)/1.5,2))*lag(value,1) OVER wb
+            + exp(-0.5*pow((4-2.0)/1.5,2))*value)
+           / (exp(-0.5*pow((0-2.0)/1.5,2)) + exp(-0.5*pow((1-2.0)/1.5,2))
+              + exp(-0.5*pow((2-2.0)/1.5,2)) + exp(-0.5*pow((3-2.0)/1.5,2))
+              + exp(-0.5*pow((4-2.0)/1.5,2))) END AS v
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN
