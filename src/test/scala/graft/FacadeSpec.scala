@@ -245,6 +245,25 @@ class FacadeSpec extends AnyFunSuite {
     assert(out(ns(3)).contains(7.0)) //   [3,4]  (10s is exactly t-30s —
     //   pandas closed="right" EXCLUDES the left edge)
     assert(out(ns(4)).contains(5.0)) //   [5]
+    // the full pandas closed matrix at t=40s, 30s window:
+    // both [10,40] / left [10,40) / neither (10,40)
+    def sumAt(closed: String): Option[Double] = df
+      .parallelGroupBy("g").rollingRange("30s", col("ts"), closed = closed)
+      .parallelAgg(col("x"))(sum)
+      .select(col("ts"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap.apply(ns(3))
+    assert(sumAt("both").contains(9.0))    // {10,25,40} → 2+3+4
+    assert(sumAt("left").contains(5.0))    // {10,25}    → 2+3
+    assert(sumAt("neither").contains(3.0)) // {25}       → 3
+    // row-frame closed="neither", w=3 → frame [-2,-1]
+    val rows = (1 to 4).map(i => (i.toLong, i.toDouble)).toDF("i", "x")
+    val neither = rows.rolling(3, col("i"), closed = "neither")
+      .parallelAgg(col("x"), minPeriods = Some(2))(sum)
+      .select(col("i"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(neither(2L).isEmpty)        // only {1} in frame, under min_periods
+    assert(neither(3L).contains(3.0))  // {1,2}
+    assert(neither(4L).contains(5.0))  // {2,3}
     // black-box apply over the same offset frame agrees with the
     // algebraic form
     val applied = df.parallelGroupBy("g").rollingRange("30s", col("ts"))
