@@ -925,6 +925,24 @@ object SparkEntry {
         outName = "v")
       .select("user_id", "event_id", "v")
 
+  /** Benchmark decontamination (operators/Dedup.contamination): training
+    * docs (doc_id ≥ 50) sharing ≥ 10 distinct character 3-gram shingles
+    * with the benchmark set (doc_id < 50 stands in for an eval corpus).
+    * Broadcast semi-join on shingle hashes — the training side never
+    * shuffles. Counts compare hashes vs the oracle's strings: identical
+    * modulo ~2^-64 collisions (q16 precedent).
+    */
+  private def q54(sess: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(sess, d)
+    graft.operators.Dedup.contamination(
+      docs.where(col("doc_id") >= 50),
+      docs.where(col("doc_id") < 50),
+      "text",
+      "doc_id",
+      n = 3,
+      minShared = 10)
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -981,7 +999,8 @@ object SparkEntry {
     "q50_unpivot" -> (q50 _),
     "q51_incremental_dedup" -> (q51 _),
     "q52_setops" -> (q52 _),
-    "q53_rolling_gaussian" -> (q53 _)
+    "q53_rolling_gaussian" -> (q53 _),
+    "q54_decontamination" -> (q54 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1379,6 +1398,23 @@ object SparkEntry {
               + exp(-0.5*pow((2-2.0)/1.5,2)) + exp(-0.5*pow((3-2.0)/1.5,2))
               + exp(-0.5*pow((4-2.0)/1.5,2))) END AS v
          FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q54_decontamination" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  lower(regexp_replace(trim(text),'\s+',' ','g')) AS t
+           FROM documents),
+         bench AS (
+           SELECT DISTINCT unnest(
+             list_distinct([t[i:i+2] for i in range(1, len(t)-1)])) AS sh
+           FROM norm WHERE doc_id < 50),
+         tr AS (
+           SELECT doc_id, unnest(
+             list_distinct([t[i:i+2] for i in range(1, len(t)-1)])) AS sh
+           FROM norm WHERE doc_id >= 50)
+         SELECT tr.doc_id, count(*) AS n_shared
+         FROM tr JOIN bench USING (sh)
+         GROUP BY tr.doc_id
+         HAVING count(*) >= 10""",
     "q44_rolling_hamming" ->
       """SELECT user_id, event_id,
          CASE WHEN row_number() OVER wb >= 4 THEN

@@ -57,6 +57,40 @@ object Dedup {
       .join(seen.select(col("fp")), Seq("fp"), "left_anti")
       .select(idCol)
 
+  /** Benchmark DECONTAMINATION — flag training documents sharing at
+    * least `minShared` distinct character n-gram shingles with ANY part
+    * of a benchmark/eval corpus (the overlap check every pretraining
+    * pipeline runs before training). Shape: explode both sides to
+    * 64-bit shingle hashes (same Jaccard-modulo-2^-64 trade as
+    * [[ngramJaccardPairs]]), inner-join on the hash, count per training
+    * doc. The benchmark side is distinct'd and small by nature (eval
+    * sets), so AQE broadcasts it — the training side never shuffles,
+    * which is what lets this run over a 100-TB corpus.
+    */
+  def contamination(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minShared: Int = 10): DataFrame = {
+    SignatureExpressions.register(train.sparkSession)
+    def shingled(df: DataFrame) = df
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.normalized(col(textCol)).as("__norm"))
+      .select(
+        col("id"),
+        explode(SignatureExpressions.shingleHashesFast(col("__norm"), n))
+          .as("sh"))
+    val benchSet = shingled(bench).select("sh").distinct()
+    shingled(train)
+      .join(benchSet, Seq("sh"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Base 64-bit hash per shingle — hash each *string* exactly once;
     * the k minhash functions are cheap affine/xor re-mixes of this array
     * (one string hash + k integer ops per shingle, instead of k string
