@@ -943,6 +943,34 @@ object SparkEntry {
       minShared = 10)
   }
 
+  /** O8 black-box expanding apply (the reference's arbitrary-function
+    * form — expanding_groupby.py:63-67, tests/test_pandarallel.py:131-141):
+    * a position-weighted prefix sum Σ (i+1)·xᵢ per user with
+    * min_periods=5 — NOT expressible as a single algebraic aggregate of
+    * the value column alone, so it exercises the collect-based UDF path
+    * ([[graft.ops.Windows.expandingCollect]]).
+    *
+    * Cross-engine determinism: the UDF runs on exact integer CENTS
+    * (centsOf cast to double — exact in IEEE up to 2^53; here ≤ ~1e13),
+    * so the sum is order-independent and hash-stable vs DuckDB's exact
+    * BIGINT sum (q39's rationale). Output scaled back to value units.
+    */
+  private def q55(sess: SparkSession, d: String): DataFrame = {
+    import graft.api.Pandarallel._
+    Tables
+      .events(sess, d)
+      .withColumn("__cents", centsOf(col("value")).cast("double"))
+      .parallelGroupBy("user_id")
+      .expanding(col("event_id"))
+      .parallelApply(col("__cents"), "wsum", minPeriods = 5) { xs =>
+        var acc = 0.0
+        var i = 0
+        while (i < xs.length) { acc += (i + 1) * xs(i); i += 1 }
+        acc / 100.0
+      }
+      .select("user_id", "event_id", "wsum")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1000,7 +1028,8 @@ object SparkEntry {
     "q51_incremental_dedup" -> (q51 _),
     "q52_setops" -> (q52 _),
     "q53_rolling_gaussian" -> (q53 _),
-    "q54_decontamination" -> (q54 _)
+    "q54_decontamination" -> (q54 _),
+    "q55_expanding_apply" -> (q55 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1425,6 +1454,17 @@ object SparkEntry {
            / ((0.54-0.46*cos(2*pi()*0/3)) + (0.54-0.46*cos(2*pi()*1/3))
               + (0.54-0.46*cos(2*pi()*2/3)) + (0.54-0.46*cos(2*pi()*3/3)))
            END AS v
-         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)"""
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q55_expanding_apply" ->
+      """SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w >= 5 THEN
+           sum(rn * CAST(round(value*100) AS BIGINT)) OVER w / 100.0
+         END AS wsum
+         FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -255,5 +255,21 @@ object Pandarallel {
         minPeriods: Int = 1)(
         agg: Column => Column): DataFrame =
       Windows.expandingAgg(df, valueCol, orderBy, partitionBy, outName, minPeriods)(agg)
+
+    /** Black-box expanding UDF — pandas
+      * `expanding(min_periods=n).parallel_apply(f)` with an ARBITRARY
+      * function (expanding_groupby.py:63-67; the reference test's
+      * non-algebraic weighted form, tests/test_pandarallel.py:131-141).
+      * The UDF at row i sees the group's first i+1 values in order.
+      * O(n)-per-row memory / O(n²)-per-group work — prefer
+      * [[parallelAgg]] whenever the function is algebraic (see
+      * [[Windows.expandingCollect]] for the full trade).
+      */
+    def parallelApply(
+        valueCol: Column,
+        outName: String,
+        minPeriods: Int = 1)(f: Seq[Double] => Double): DataFrame =
+      Windows.expandingCollect(
+        df, valueCol, orderBy, partitionBy, outName, minPeriods)(f)
   }
 }

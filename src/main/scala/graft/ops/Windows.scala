@@ -269,6 +269,38 @@ object Windows {
     df.withColumn(outName, out)
   }
 
+  /** Black-box EXPANDING UDF — pandas `expanding(min_periods=n).apply(f)`
+    * with an arbitrary function (the reference runs any Python callable
+    * per expanding window — expanding_groupby.py:63-67,
+    * tests/test_pandarallel.py:131-141). The frame materializes as an
+    * array via `collect_list`, so the UDF at row i sees the first i+1
+    * values in order — which means O(n) memory PER ROW and O(n²) total
+    * work per group. That is the honest cost of an arbitrary cumulative
+    * function (the reference pays the same inside each worker); whenever
+    * the function is recognizable as an algebraic aggregate, use
+    * [[expandingAgg]] instead — O(1) state per row, the only shape that
+    * survives unbounded group sizes. Size groups (the partition keys)
+    * so the largest group's full history fits in a task when using this.
+    */
+  def expandingCollect(
+      df: DataFrame,
+      valueCol: Column,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column],
+      outName: String,
+      minPeriods: Int = 1,
+      counter: Option[graft.progress.Progress.RowCounter] = None)(
+      f: Seq[Double] => Double): DataFrame = {
+    val frame = expandingFrame(orderBy, partitionBy)
+    val g = counter match {
+      case None    => f
+      case Some(c) => (xs: Seq[Double]) => { c.tick(); f(xs) }
+    }
+    val fUdf = udf(g)
+    val arr = collect_list(valueCol).over(frame)
+    df.withColumn(outName, when(size(arr) >= minPeriods, fUdf(arr)))
+  }
+
   /** pandas `win_type` weighted-window weights (scipy.signal.windows
     * formulas, symmetric form — what pandas hands to the rolling mean):
     *  - `triang(M)`: even M → (2k+1)/M mirrored, odd M → 2(k+1)/(M+1)

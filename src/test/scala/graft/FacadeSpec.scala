@@ -292,4 +292,31 @@ class FacadeSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     totals.foreach { case (u, t) => assert(math.abs(last(u) - t) < 1e-6) }
   }
+
+  test("O8: black-box expanding apply agrees with the algebraic form") {
+    // differential on a sum-shaped UDF: expandingCollect(f=_.sum) must
+    // reproduce expandingAgg(sum) exactly, including the min_periods
+    // warm-up nulls (the reference's own oracle stance:
+    // parallel_apply ≡ sequential apply, tests/test_pandarallel.py:131-141)
+    val gb = ev.parallelGroupBy("user_id").expanding(col("event_id"))
+    val viaAgg = gb
+      .parallelAgg(col("value"), "cum", minPeriods = 3)(sum)
+      .select(col("user_id"), col("event_id"), round(col("cum"), 6).as("cum"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    val viaUdf = gb
+      .parallelApply(col("value"), "cum", minPeriods = 3)(_.sum)
+      .select(col("user_id"), col("event_id"), round(col("cum"), 6).as("cum"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(viaUdf === viaAgg)
+    // a genuinely non-algebraic function: median of the prefix
+    val med = ev
+      .parallelGroupBy("user_id")
+      .expanding(col("event_id"))
+      .parallelApply(col("value"), "med") { xs =>
+        val s = xs.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }
+    assert(med.where(col("med").isNotNull).count() === ev.count())
+  }
 }
