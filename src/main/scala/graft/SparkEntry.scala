@@ -971,6 +971,17 @@ object SparkEntry {
       .select("user_id", "event_id", "wsum")
   }
 
+  /** Near-dup RESOLUTION (operators/Dedup.resolveComponents): q16's
+    * verified Jaccard pairs → connected components via min-label
+    * propagation → (id, component) with component = min doc_id of the
+    * group. id == component marks the survivor; transitive chains
+    * (A~B, B~C, A≁C) collapse to ONE survivor — the step that makes
+    * pair-emitting dedup actually deduplicate. Oracle: DuckDB recursive
+    * CTE computing reachability-min over the same pairs.
+    */
+  private def q56(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.resolveComponents(q16(sess, d))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1029,7 +1040,8 @@ object SparkEntry {
     "q52_setops" -> (q52 _),
     "q53_rolling_gaussian" -> (q53 _),
     "q54_decontamination" -> (q54 _),
-    "q55_expanding_apply" -> (q55 _)
+    "q55_expanding_apply" -> (q55 _),
+    "q56_neardup_components" -> (q56 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1465,6 +1477,35 @@ object SparkEntry {
                    AS rn
                FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q56_neardup_components" ->
+      """WITH RECURSIVE norm AS (
+           SELECT doc_id, n_chars,
+                  lower(regexp_replace(trim(text),'\s+',' ','g')) AS t
+           FROM documents
+         ), sz AS (
+           SELECT n_chars AS blk FROM documents
+           GROUP BY 1 HAVING count(*) <= 256
+         ), p AS (
+           SELECT doc_id,
+                  n_chars AS blk,
+                  list_distinct([t[i:i+2] for i in range(1, len(t)-1)]) AS sh
+           FROM norm
+           WHERE n_chars IN (SELECT blk FROM sz)
+         ), pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) > 0.2
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs
+         ), reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         )
+         SELECT id, min(r) AS component FROM reach GROUP BY id"""
   )
 }

@@ -429,6 +429,95 @@ object Dedup {
       .where(col("jaccard") > threshold)
   }
 
+  /** Near-dup RESOLUTION: verified pairs → connected components — the
+    * step that turns pair emission ([[minHashNearDup]] /
+    * [[simHashNearDupPairs]] / [[ngramJaccardPairs]]) into an actual
+    * dedup decision. Transitive groups are why naive per-pair dropping
+    * goes wrong: with A~B and B~C (but A≁C), dropping "the second of
+    * every pair" can drop B twice and keep both A and C, or worse lose
+    * all three; the correct decision is one survivor per CONNECTED
+    * COMPONENT.
+    *
+    * Algorithm: iterative min-label propagation — every vertex starts
+    * labeled with itself; each round every vertex takes the min of its
+    * own label and its neighbors' labels; fixpoint = every vertex holds
+    * the min id of its component. Each round is two shuffles of
+    * (id, component) pairs over the PAIR GRAPH ONLY (near-dup vertices,
+    * not the corpus — at 100 TB the pair graph is orders of magnitude
+    * smaller than the input). Rounds needed = graph diameter; near-dup
+    * components are shallow (chains of boilerplate variants), so the
+    * default cap is generous — hitting it is a loud error, not a wrong
+    * answer. Every round's frame is materialized
+    * ([[graft.ops.Stage.materializeOnce]]) so lineage stays flat and no
+    * round re-executes its predecessors.
+    *
+    * @return one row per vertex of the pair graph: (id, component) with
+    *         component = min id of the vertex's connected component —
+    *         id == component marks the canonical survivor
+    */
+  def resolveComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    // symmetric edge list: propagation must flow both ways
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .transform(graft.ops.Stage.materializeOnce)
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .transform(graft.ops.Stage.materializeOnce)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels
+        .union(prop)
+        .groupBy("id")
+        .agg(min("component").as("component"))
+        .transform(graft.ops.Stage.materializeOnce)
+      // converged when no vertex improved its label this round (min-label
+      // is monotone decreasing, so "changed" == "decreased")
+      val changed = next
+        .join(labels.withColumnRenamed("component", "__prev"), Seq("id"))
+        .where(col("component") =!= col("__prev"))
+        .count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    require(
+      converged,
+      s"resolveComponents did not converge in $maxIters rounds — the pair " +
+        "graph has a component of diameter > maxIters (raise maxIters, or " +
+        "inspect the pairs: components that deep usually mean the pair " +
+        "threshold is too loose)")
+    labels
+  }
+
+  /** Apply the dedup decision from [[resolveComponents]]: keep every row
+    * whose id is NOT a non-canonical member of a component (rows absent
+    * from the pair graph are untouched). LEFT ANTI on the drop-list —
+    * the corpus side never shuffles more than its join keys, and the
+    * drop-list is small (near-dup vertices only), so AQE broadcasts it.
+    */
+  def dedupByComponents(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame): DataFrame =
+    df.join(
+      components
+        .where(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol),
+      "left_anti")
+
   /** Embedding cosine near-dup via hyperplane-LSH bucketing: vectors in
     * the same signature bucket are verified with exact cosine.
     * Recall is tunable via nBits (fewer bits → bigger buckets).

@@ -39,6 +39,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("resolveComponents: transitive chain collapses to one survivor") {
+    // planted topology: A~B, B~C but A≁C (the transitive case naive
+    // per-pair dropping gets wrong), plus an unrelated pair D~E
+    val pairs = Seq(
+      (10L, 20L), // A~B
+      (20L, 30L), // B~C
+      (50L, 40L)  // E~D (reversed order: symmetrization must handle it)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup
+      .resolveComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L))
+
+    // the dedup decision: exactly one survivor per component, rows
+    // outside the pair graph untouched
+    val corpus = Seq(10L, 20L, 30L, 40L, 50L, 99L).toDF("doc_id")
+    val kept = Dedup
+      .dedupByComponents(corpus, "doc_id", Dedup.resolveComponents(pairs))
+      .as[Long].collect().toSet
+    assert(kept === Set(10L, 40L, 99L))
+
+    // a long path needs diameter rounds — the loud cap fires below it
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComp = Dedup.resolveComponents(chain).as[(Long, Long)]
+      .collect().toMap
+    assert(chainComp.values.toSet === Set(0L))
+    intercept[IllegalArgumentException] {
+      Dedup.resolveComponents(chain, maxIters = 2)
+    }
+  }
+
   test("ngram jaccard drops oversized blocks (skew cap)") {
     // 300 docs sharing one blocking key (5 tokens each) = a mega-block
     // that would expand to ~45k pairs in ONE task; 2 near-identical docs
