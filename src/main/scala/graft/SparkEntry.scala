@@ -274,6 +274,7 @@ object SparkEntry {
   def clearIndexCaches(): Unit = {
     lshIndexCache.clear()
     ivfIndexCache.clear()
+    ivfKmIndexCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -548,6 +549,41 @@ object SparkEntry {
       queryVec(s, d),
       k = 10,
       nprobe = 2,
+      sourceTag = d)
+
+  /** Build-once k-means IVF index cache — the unlabeled-corpus twin of
+    * [[ivfIndex]] (coarse quantizer = [[Similarity.kmeansAssign]], not
+    * the testdata's label column).
+    */
+  private val ivfKmIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfKmIndex(s: SparkSession, d: String): String =
+    ivfKmIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("ivfkm", d)
+        Similarity.ivfWriteIndexKmeans(
+          Tables.embeddings(s, d).drop("label"),
+          "embedding",
+          "vec_id",
+          path,
+          k = 8,
+          iters = 3,
+          sourceTag = d)
+        path
+      })
+
+  /** IVF probe over a K-MEANS-built index (rows-only — approximate):
+    * same probe as q32, but the coarse quantizer is learned from the
+    * vectors alone (label column explicitly dropped) — the
+    * self-contained ANN story for a corpus with no labels.
+    */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfProbeIndex(
+      s,
+      ivfKmIndex(s, d),
+      queryVec(s, d),
+      k = 10,
+      nprobe = 3,
       sourceTag = d)
 
   /** TF-IDF document-term scores (vocab join is broadcast-sized). */
@@ -1041,7 +1077,8 @@ object SparkEntry {
     "q53_rolling_gaussian" -> (q53 _),
     "q54_decontamination" -> (q54 _),
     "q55_expanding_apply" -> (q55 _),
-    "q56_neardup_components" -> (q56 _)
+    "q56_neardup_components" -> (q56 _),
+    "q57_ann_kmeans_topk" -> (q57 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

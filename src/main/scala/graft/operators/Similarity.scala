@@ -317,6 +317,109 @@ object Similarity {
       .groupBy("cluster", "pos")
       .agg(avg(col("col")).as("v"))
 
+  /** Nearest-centroid assignment against a driver-side centroid table.
+    * A Scala UDF with a tight primitive loop over the (k × dim) constant
+    * array — the centroids are plan constants (closure-broadcast, a few
+    * KB), so there is NO join and NO shuffle: assignment is a narrow map
+    * over the corpus. A codegen'd Expression would shave interpreter
+    * overhead, but assignment runs once per index build (not per probe),
+    * and k·dim multiply-adds per row dominate either way. Ties go to the
+    * lowest cluster index (strict `<`), so assignment is deterministic.
+    */
+  private def nearestCentroid(
+      centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ct = centroids(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(ct.length, v.length)
+        while (i < n) { val x = v(i) - ct(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Deterministic k-means over an embedding column — the coarse
+    * quantizer that lets the IVF path build on UNLABELED corpora (a real
+    * pretraining corpus has no `label`; without this, [[ivfWriteIndex]]
+    * needs a cluster column from somewhere else).
+    *
+    * Shape per Lloyd round (classic distributed k-means, nothing novel):
+    *  1. assignment — [[nearestCentroid]] narrow map, no shuffle;
+    *  2. re-average — [[ivfCentroids]]' posexplode + (cluster, pos)
+    *     partial+final aggregation: ONE exchange carrying k·dim partial
+    *     sums per upstream partition, never the vectors;
+    *  3. the k·dim centroid table collects to the driver (bounded,
+    *     independent of corpus size) and feeds the next round's constant.
+    * Seeds are the k vectors with the smallest xxhash64(id) — a
+    * deterministic hash-sample (no RNG: same corpus → same clustering,
+    * any cluster size, any partitioning; planned as TakeOrdered, k rows
+    * to the driver). Empty clusters keep their previous centroid. Few
+    * rounds suffice for a COARSE quantizer — cells only gate which
+    * corpus partitions a probe reads; exact scoring happens inside them.
+    *
+    * @return `df` plus an integer `cluster` column in [0, k)
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val vecs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var centroids: Array[Array[Double]] = vecs
+      .select(col("v"), xxhash64(col("id")).as("h"))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("cluster", nearestCentroid(centroids)(col("v")))
+      val updated = ivfCentroids(assigned, "v", "cluster")
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("v"))
+        }
+      centroids = centroids.indices
+        .map(c => updated.getOrElse(c, centroids(c)))
+        .toArray
+    }
+    df.withColumn(
+      "cluster",
+      nearestCentroid(centroids)(col(vecCol).cast("array<double>")))
+  }
+
+  /** [[ivfWriteIndex]] for an UNLABELED corpus: run [[kmeansAssign]] for
+    * the coarse assignment, then write the same partitioned layout. The
+    * assigned frame is materialized once — it feeds both the corpus
+    * write and the centroid aggregation.
+    */
+  def ivfWriteIndexKmeans(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      k: Int,
+      iters: Int = 3,
+      sourceTag: String = ""): Unit =
+    ivfWriteIndex(
+      graft.ops.Stage.materializeOnce(kmeansAssign(df, vecCol, idCol, k, iters)),
+      vecCol,
+      idCol,
+      "cluster",
+      path,
+      sourceTag)
+
   /** Rank IVF clusters by query↔centroid cosine and return the `nprobe`
     * nearest cluster keys. A tiny Spark job over the (cluster, pos, v)
     * centroid rows — never touches the corpus. The query norm is constant

@@ -325,6 +325,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d === 0.0)
   }
 
+  test("kmeans quantizer: deterministic unlabeled IVF build with recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf).drop("label")
+    val a1 = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val a2 = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(a1 === a2) // hash-sampled seeds, no RNG → replayable
+    assert(a1.values.forall(c => c >= 0 && c < 8))
+    assert(a1.values.toSet.size > 1) // actually partitions the space
+
+    // self-contained ANN: index built from the vectors alone (no label),
+    // probed with partition pruning; recall measured vs brute force
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans-ivf").toString
+    Similarity.ivfWriteIndexKmeans(
+      emb, "embedding", "vec_id", dir, k = 8, iters = 2)
+    val full = Tables.embeddings(spark, TestSpark.sf)
+    val q = full.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(full, "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val approx = Similarity.ivfProbeIndex(spark, dir, q, k = 10, nprobe = 4)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(approx.contains(0L)) // the query's own cluster is always probed
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.5, s"kmeans-IVF recall $recall below 0.5 at nprobe=4/8")
+  }
+
   test("IVF probe finds the exact neighbor when its cluster is probed") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.where(col("vec_id") === 0)
