@@ -1018,6 +1018,39 @@ object SparkEntry {
   private def q56(sess: SparkSession, d: String): DataFrame =
     graft.operators.Dedup.resolveComponents(q16(sess, d))
 
+  /** Weighted rolling mean with closed="left" (pandas
+    * rolling(4, win_type='triang', closed='left').mean()): the weighted
+    * frame excludes the current row — weights [.25,.75,.75,.25] over
+    * lags 4..1. Exercises the closed-attribute replay on the win_type
+    * path (previously a loud rejection).
+    */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Windows.rollingWeightedMean(
+      Tables.events(s, d),
+      col("value"),
+      orderBy = Seq(col("event_id")),
+      partitionBy = Seq(col("user_id")),
+      weights = Windows.windowWeights("triang", 4),
+      outName = "v",
+      closed = "left")
+      .select("user_id", "event_id", "v")
+
+  /** Blackman weighted rolling mean (pandas
+    * rolling(5, win_type='blackman').mean()). Weights
+    * 0.42 - 0.5·cos(2πk/4) + 0.08·cos(4πk/4) are spelled as the SAME
+    * expression in the oracle (q44/q53's bit-identical-weights
+    * rationale).
+    */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    Windows.rollingWeightedMean(
+      Tables.events(s, d),
+      col("value"),
+      orderBy = Seq(col("event_id")),
+      partitionBy = Seq(col("user_id")),
+      weights = Windows.windowWeights("blackman", 5),
+      outName = "v")
+      .select("user_id", "event_id", "v")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1078,7 +1111,9 @@ object SparkEntry {
     "q54_decontamination" -> (q54 _),
     "q55_expanding_apply" -> (q55 _),
     "q56_neardup_components" -> (q56 _),
-    "q57_ann_kmeans_topk" -> (q57 _)
+    "q57_ann_kmeans_topk" -> (q57 _),
+    "q58_weighted_closed" -> (q58 _),
+    "q59_rolling_blackman" -> (q59 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1543,6 +1578,28 @@ object SparkEntry {
            UNION
            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
          )
-         SELECT id, min(r) AS component FROM reach GROUP BY id"""
+         SELECT id, min(r) AS component FROM reach GROUP BY id""",
+    "q58_weighted_closed" ->
+      """SELECT user_id, event_id,
+         CASE WHEN row_number() OVER wb >= 5 THEN
+           (0.25*lag(value,4) OVER wb + 0.75*lag(value,3) OVER wb
+            + 0.75*lag(value,2) OVER wb + 0.25*lag(value,1) OVER wb) / 2.0
+         END AS v
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q59_rolling_blackman" ->
+      """SELECT user_id, event_id,
+         CASE WHEN row_number() OVER wb >= 5 THEN
+           ((0.42-0.5*cos(2*pi()*0/4)+0.08*cos(4*pi()*0/4))*lag(value,4) OVER wb
+            + (0.42-0.5*cos(2*pi()*1/4)+0.08*cos(4*pi()*1/4))*lag(value,3) OVER wb
+            + (0.42-0.5*cos(2*pi()*2/4)+0.08*cos(4*pi()*2/4))*lag(value,2) OVER wb
+            + (0.42-0.5*cos(2*pi()*3/4)+0.08*cos(4*pi()*3/4))*lag(value,1) OVER wb
+            + (0.42-0.5*cos(2*pi()*4/4)+0.08*cos(4*pi()*4/4))*value)
+           / ((0.42-0.5*cos(2*pi()*0/4)+0.08*cos(4*pi()*0/4))
+              + (0.42-0.5*cos(2*pi()*1/4)+0.08*cos(4*pi()*1/4))
+              + (0.42-0.5*cos(2*pi()*2/4)+0.08*cos(4*pi()*2/4))
+              + (0.42-0.5*cos(2*pi()*3/4)+0.08*cos(4*pi()*3/4))
+              + (0.42-0.5*cos(2*pi()*4/4)+0.08*cos(4*pi()*4/4)))
+         END AS v
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)"""
   )
 }

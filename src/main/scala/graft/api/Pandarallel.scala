@@ -222,21 +222,21 @@ object Pandarallel {
 
     /** pandas `rolling(w, win_type=...).mean()` — weighted window mean
       * (win_type is the last replayed rolling attribute,
-      * series_rolling.py:22-28). Replays `center`; non-default `closed`
-      * is rejected loudly rather than silently replaying the wrong frame.
+      * series_rolling.py:22-28). Replays `center` and `closed`
+      * (right/left — the frame shifts; the length-changing
+      * both/neither are rejected loudly by
+      * [[Windows.rollingWeightedMean]] rather than silently
+      * mis-weighted).
       */
     def parallelWeightedMean(
         valueCol: Column,
         outName: String,
         winType: String = "triang",
-        winTypeParams: Map[String, Double] = Map.empty): DataFrame = {
-      require(
-        closed == "right",
-        s"win_type windows support closed=\"right\" only (got \"$closed\")")
+        winTypeParams: Map[String, Double] = Map.empty): DataFrame =
       Windows.rollingWeightedMean(
         df, valueCol, orderBy, partitionBy,
-        Windows.windowWeights(winType, window, winTypeParams), outName, center)
-    }
+        Windows.windowWeights(winType, window, winTypeParams), outName,
+        center, closed)
   }
 
   final class ParallelExpanding(

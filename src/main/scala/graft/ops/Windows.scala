@@ -334,14 +334,44 @@ object Windows {
       require(std > 0, s"gaussian std must be positive, got $std")
       val c = (window - 1) / 2.0
       (0 until window).map(k => math.exp(-0.5 * math.pow((k - c) / std, 2)))
+    case "bartlett" =>
+      // scipy.signal.windows.bartlett: 1 - |2k/(M-1) - 1|
+      if (window == 1) Seq(1.0)
+      else (0 until window).map(k =>
+        1.0 - math.abs(2.0 * k / (window - 1) - 1.0))
+    case "blackman" =>
+      // scipy.signal.windows.blackman:
+      //   0.42 - 0.5·cos(2πk/(M-1)) + 0.08·cos(4πk/(M-1))
+      if (window == 1) Seq(1.0)
+      else (0 until window).map { k =>
+        0.42 - 0.5 * math.cos(2 * math.Pi * k / (window - 1)) +
+          0.08 * math.cos(4 * math.Pi * k / (window - 1))
+      }
+    case "exponential" =>
+      // scipy.signal.windows.exponential, symmetric form (what pandas
+      // hands the weighted mean): exp(-|k - (M-1)/2| / tau); pandas
+      // passes tau through `.mean(tau=...)` — here via params("tau")
+      val tau = params.getOrElse(
+        "tau",
+        throw new IllegalArgumentException(
+          "win_type 'exponential' requires params(\"tau\") (pandas .mean(tau=...))"))
+      require(tau > 0, s"exponential tau must be positive, got $tau")
+      val c = (window - 1) / 2.0
+      (0 until window).map(k => math.exp(-math.abs(k - c) / tau))
     case other =>
       throw new IllegalArgumentException(s"unsupported win_type '$other'")
   }
 
-  /** pandas `rolling(w, win_type=..., center=...).mean()` — weighted
-    * window mean Σwᵢxᵢ / Σwᵢ, null under `window` rows (pandas requires
-    * a full window for weighted means). `center` shifts the frame
-    * forward by (w-1)/2, same as [[rollingFrame]]; negative lag = lead.
+  /** pandas `rolling(w, win_type=..., center=..., closed=...).mean()` —
+    * weighted window mean Σwᵢxᵢ / Σwᵢ, null under `window` rows (pandas
+    * requires a full window for weighted means). `center` shifts the
+    * frame forward by (w-1)/2, same as [[rollingFrame]]; negative
+    * lag = lead. `closed` replays the same frame SHIFTS as
+    * [[rollingFrame]]: "right" (default) ends at the current row,
+    * "left" shifts the whole frame one row back (excludes the current
+    * row). "both"/"neither" CHANGE the observation count (w+1 / w-1
+    * rows) — incompatible with a fixed-length weight vector, so they
+    * are rejected loudly rather than silently mis-weighted.
     * Declared as a sum of `lag` expressions: fully codegen'd, no array
     * materialization, scales like any window aggregate.
     */
@@ -352,19 +382,32 @@ object Windows {
       partitionBy: Seq[Column],
       weights: Seq[Double],
       outName: String,
-      center: Boolean = false): DataFrame = {
+      center: Boolean = false,
+      closed: String = "right"): DataFrame = {
     val w = weights.length
     val offset = if (center) (w - 1) / 2 else 0
+    val shift = closed match {
+      case "right" => 0
+      case "left"  => 1
+      case "both" | "neither" =>
+        throw new IllegalArgumentException(
+          s"win_type windows are fixed-length ($w weights); closed " +
+            s"\"$closed\" would change the row count — use right|left")
+      case other =>
+        throw new IllegalArgumentException(
+          s"closed must be right|left for win_type windows, got '$other'")
+    }
     val base =
       if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
       else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
-    // weights index i = oldest..newest → lag distance (w-1-i) - offset
+    // weights index i = oldest..newest → lag distance (w-1-i) - offset,
+    // plus one more row back when the frame excludes the current row
     val weighted = weights.zipWithIndex
       .map { case (wt, i) =>
-        lag(valueCol, w - 1 - i - offset).over(base) * lit(wt)
+        lag(valueCol, w - 1 - i - offset + shift).over(base) * lit(wt)
       }
       .reduce(_ + _)
-    val frame = base.rowsBetween(offset - w + 1, offset)
+    val frame = base.rowsBetween(offset - w + 1 - shift, offset - shift)
     df.withColumn(
       outName,
       when(count(valueCol).over(frame) >= w, weighted / lit(weights.sum)))

@@ -210,10 +210,51 @@ class FacadeSpec extends AnyFunSuite {
     assert(centered(1L).isEmpty && centered(5L).isEmpty)
     assert(centered(2L).contains(2.0)) // (0.5*1 + 1*2 + 0.5*3) / 2
     assert(centered(4L).contains(4.0))
-    // non-default closed is rejected loudly, not silently mis-framed
+    // closed="left" shifts the weighted frame one row back (excludes the
+    // current row) — same shift as the unweighted rollingFrame
+    val left = df.rolling(3, col("i"), closed = "left")
+      .parallelWeightedMean(col("x"), "v")
+      .select(col("i"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(left(3L).isEmpty) // only {1,2} before row 3: under 3 obs
+    assert(left(4L).contains(2.0)) // (0.5*1 + 1*2 + 0.5*3) / 2
+    assert(left(5L).contains(3.0)) // (0.5*2 + 1*3 + 0.5*4) / 2
+    // the length-changing closed modes stay loud errors (w weights
+    // cannot cover w+1 / w-1 observations)
     intercept[IllegalArgumentException] {
-      df.rolling(3, col("i"), closed = "left")
+      df.rolling(3, col("i"), closed = "both")
         .parallelWeightedMean(col("x"), "v")
+    }
+  }
+
+  test("win_type corpus: bartlett / blackman / exponential weights") {
+    import graft.ops.Windows
+    // scipy parity (closed-form values)
+    assert(Windows.windowWeights("bartlett", 5) === Seq(0.0, 0.5, 1.0, 0.5, 0.0))
+    assert(Windows.windowWeights("bartlett", 1) === Seq(1.0))
+    val bk = Windows.windowWeights("blackman", 5)
+    val bkExp = (0 until 5).map(k =>
+      0.42 - 0.5 * math.cos(2 * math.Pi * k / 4) +
+        0.08 * math.cos(4 * math.Pi * k / 4))
+    assert(bk === bkExp)
+    assert(math.abs(bk(2) - 1.0) < 1e-12) // blackman peaks at 1 mid-window
+    val ex = Windows.windowWeights("exponential", 5, Map("tau" -> 2.0))
+    assert(ex === (0 until 5).map(k => math.exp(-math.abs(k - 2.0) / 2.0)))
+    intercept[IllegalArgumentException] {
+      Windows.windowWeights("exponential", 5) // tau is required
+    }
+    // a weighted mean of a constant series is that constant, any window
+    val const = (1 to 8).map(i => (i.toLong, 3.25)).toDF("i", "x")
+    Seq(
+      ("bartlett", Map.empty[String, Double]),
+      ("blackman", Map.empty[String, Double]),
+      ("exponential", Map("tau" -> 1.5))).foreach { case (wt, p) =>
+      val out = const.rolling(4, col("i"))
+        .parallelWeightedMean(col("x"), "v", winType = wt, winTypeParams = p)
+        .select(col("i"), col("v"))
+        .as[(Long, Option[Double])].collect().toMap
+      (4 to 8).foreach(i =>
+        assert(math.abs(out(i.toLong).get - 3.25) < 1e-12, s"$wt at $i"))
     }
   }
 
