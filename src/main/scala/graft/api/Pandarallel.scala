@@ -128,6 +128,16 @@ object Pandarallel {
         f: (K, Seq[Row]) => Seq[T]): Dataset[T] =
       GroupApply.transformGroups(df)(keyFn)(f)
 
+    /** [[transform]] minus the global order restoration (one shuffle
+      * instead of two — [[GroupApply.transformGroupsLocal]]): same
+      * values, per-group source order, group order arbitrary. Use when
+      * the result is consumed grouped (re-aggregated, joined, written
+      * partitioned) rather than read top-to-bottom.
+      */
+    def transformLocal[K: Encoder, T: Encoder](keyFn: Row => K)(
+        f: (K, Seq[Row]) => Seq[T]): Dataset[T] =
+      GroupApply.transformGroupsLocal(df)(keyFn)(f)
+
     /** O7 entry (core.py:543-545) with rolling-attribute replay
       * (rolling_groupby.py:35-40).
       */

@@ -75,11 +75,46 @@ object GroupApply {
     * rows' source positions, and the result is emitted in source order.
     * The per-group function must return one output per input row
     * (enforced by the zip); the attached `Index.col` is visible.
+    *
+    * COST NOTE: restoring GLOBAL source order is a full `orderBy` on the
+    * index — a range exchange + sort on top of the group shuffle. That
+    * second exchange is the honest price of the pandas contract (the
+    * mutation branch returns rows in the frame's original order), but
+    * many callers only consume the result grouped — feed it to another
+    * groupBy, join it on a key, write it partitioned — and for them the
+    * global order is wasted work: use [[transformGroupsLocal]], which
+    * stops after the per-group ordering and skips the exchange.
     */
   def transformGroups[K: Encoder, T: Encoder](df: DataFrame)(keyFn: Row => K)(
       f: (K, Seq[Row]) => Seq[T]): Dataset[T] = {
     implicit val pairEnc: Encoder[(Long, T)] =
       Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[T]])
+    transformGroupsIndexed(df)(keyFn)(f)
+      .orderBy(org.apache.spark.sql.functions.col("_1"))
+      .map(_._2)(implicitly[Encoder[T]])
+  }
+
+  /** [[transformGroups]] minus the global order restoration: the UDF
+    * still sees each group in SOURCE order and outputs still map 1:1 to
+    * source rows, but results are emitted grouped (each group's outputs
+    * contiguous and in source order, group order arbitrary) — one
+    * shuffle total. Same-values-different-order vs [[transformGroups]].
+    */
+  def transformGroupsLocal[K: Encoder, T: Encoder](df: DataFrame)(
+      keyFn: Row => K)(
+      f: (K, Seq[Row]) => Seq[T]): Dataset[T] = {
+    implicit val pairEnc: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, implicitly[Encoder[T]])
+    transformGroupsIndexed(df)(keyFn)(f).map(_._2)(implicitly[Encoder[T]])
+  }
+
+  /** Shared mutation-branch core: (source index, output) pairs, grouped,
+    * per-group in source order.
+    */
+  private def transformGroupsIndexed[K: Encoder, T: Encoder](df: DataFrame)(
+      keyFn: Row => K)(
+      f: (K, Seq[Row]) => Seq[T])(implicit
+      pairEnc: Encoder[(Long, T)]): Dataset[(Long, T)] =
     graft.Index
       .attach(df)
       .groupByKey(keyFn)(implicitly[Encoder[K]])
@@ -92,9 +127,6 @@ object GroupApply {
             s"${rows.length}-row group — the mutation branch is same-length")
         rows.map(_.getAs[Long](graft.Index.col)).iterator.zip(out.iterator)
       }
-      .orderBy(org.apache.spark.sql.functions.col("_1"))
-      .map(_._2)(implicitly[Encoder[T]])
-  }
 
   /** Black-box group UDF, many output rows per group (UDTF-like).
     * Counter ticks once per group, as above.

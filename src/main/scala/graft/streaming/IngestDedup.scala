@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -10,27 +11,47 @@ import graft.functions.TextFunctions
   * [[graft.operators.Dedup.incrementalNew]]: each micro-batch is
   * fingerprinted, deduped within itself (min id per fingerprint, so the
   * result is batching-invariant), anti-joined against the PERSISTED
-  * fingerprint table, and the survivors are appended to that table.
+  * fingerprint table, and the survivors are committed to that table.
   *
   * State lives in a parquet table, not executor memory: history can be
   * 100 TB while each micro-batch shuffles only its own fingerprints —
-  * the standard "dedup against the lake" ingestion loop. Exactly-once
-  * per batch comes from the streaming checkpoint (a replayed batch
-  * re-anti-joins and re-appends only what is still unseen... a replay
-  * after a partial append can duplicate state rows, which is harmless
-  * here: the anti-join only asks set membership. A transactional table
-  * format would make the append atomic; plain parquet is the
-  * no-extra-dependency version of the same loop).
+  * the standard "dedup against the lake" ingestion loop.
+  *
+  * COMMIT PROTOCOL (exactly-once state): each batch's survivors are
+  * written to a hidden staging directory (`_staging/batch-<id>` —
+  * underscore-prefixed paths are invisible to Spark's file listing,
+  * so a half-written attempt can never be read as state), then
+  * published with ONE directory rename to `batch=<id>` — atomic on
+  * HDFS and POSIX filesystems. Replay of an already-committed batch id
+  * finds the target directory and is a no-op; a crash before the
+  * rename leaves only staging garbage, which the retry deletes first.
+  * Net: any interleaving of crash + replay yields each batch's rows in
+  * the state exactly once. (On object stores where directory rename is
+  * copy-based, front this with a transactional table format — the loop
+  * shape is unchanged.) The `batch=<id>` layout doubles as hive-style
+  * partitioning, so time-travel ("state as of batch N") is a partition
+  * filter.
   */
 object IngestDedup {
 
-  /** One micro-batch step (also usable directly for batch backfill). */
+  /** One micro-batch step (also usable directly for batch backfill —
+    * pass a monotonically increasing `batchId`, e.g. the day number).
+    * Idempotent per (statePath, batchId): replaying a committed batch
+    * is a no-op.
+    */
   def ingestBatch(
       batch: DataFrame,
       statePath: String,
       textCol: String,
-      idCol: String): Unit = {
+      idCol: String,
+      batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(root, s"batch=$batchId")
+    if (fs.exists(target)) return // committed on a previous attempt
+    val staging = new Path(root, s"_staging/batch-$batchId")
+    fs.delete(staging, true) // clear a crashed partial attempt
     val intra = batch
       .select(
         col(idCol).as("id"),
@@ -41,17 +62,24 @@ object IngestDedup {
       case Some(seen) => intra.join(seen.select("fp"), Seq("fp"), "left_anti")
       case None       => intra
     }
-    fresh.select("fp", "id").write.mode("append").parquet(statePath)
+    fresh.select("fp", "id").write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"failed to commit ingest batch $batchId: rename $staging -> $target")
   }
 
-  /** The persisted fingerprint set, or None before the first append. */
+  /** The persisted fingerprint set, or None before the first commit. */
   def seenFingerprints(
       spark: SparkSession,
       statePath: String): Option[DataFrame] =
     try Some(spark.read.parquet(statePath))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
-  /** Run the ingestion loop over a document stream. */
+  /** Run the ingestion loop over a document stream. The streaming
+    * checkpoint makes batch ids stable across restarts, and
+    * [[ingestBatch]]'s rename commit makes each id's state append
+    * atomic — together: exactly-once state under replay.
+    */
   def start(
       stream: DataFrame,
       statePath: String,
@@ -60,8 +88,8 @@ object IngestDedup {
       idCol: String = "doc_id"): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, statePath, textCol, idCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, statePath, textCol, idCol, batchId)
       }
       .start()
 }

@@ -117,6 +117,18 @@ class FacadeSpec extends AnyFunSuite {
       .collect().toSeq
     // a: 1,3,5 → 1,4,9; b: 10,20 → 10,30; interleaved in source order
     assert(cumsum === Seq(1.0, 10.0, 4.0, 30.0, 9.0))
+
+    // transformGroupsLocal: same values (per-group still in source
+    // order), but no global order restoration — one exchange fewer
+    val local = graft.ops.GroupApply
+      .transformGroupsLocal(src)(_.getString(0)) { (_, rows) =>
+        rows.map(_.getDouble(1)).scanLeft(0.0)(_ + _).tail
+      }
+      .collect().toSeq
+    assert(local.sorted === cumsum.sorted)
+    // each group's outputs are contiguous and in source order
+    assert(local.indexOfSlice(Seq(1.0, 4.0, 9.0)) >= 0)
+    assert(local.indexOfSlice(Seq(10.0, 30.0)) >= 0)
   }
 
   test("rolling attribute replay: center/closed frames, min_periods warm-up") {

@@ -152,6 +152,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest commit is atomic: partial-append replay yields no duplicates") {
+    import spark.implicits._
+    import graft.streaming.IngestDedup
+    val statePath = Files.createTempDirectory("graft-ingest-atomic").toString + "/fp"
+
+    IngestDedup.ingestBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      statePath, "text", "doc_id", batchId = 0L)
+
+    // simulate a crashed attempt of batch 1: a partial STAGING dir is on
+    // disk (crash before the rename commit) — it must be invisible as
+    // state and cleaned up by the retry
+    Seq(("deadbeef", 99L)).toDF("fp", "id")
+      .write.parquet(statePath + "/_staging/batch-1")
+    assert(spark.read.parquet(statePath)
+      .select("id").as[Long].collect().sorted === Array(1L, 2L))
+
+    val b1 = Seq((3L, "beta"), (4L, "gamma")).toDF("doc_id", "text")
+    IngestDedup.ingestBatch(b1, statePath, "text", "doc_id", batchId = 1L)
+    val after = spark.read.parquet(statePath)
+      .select("fp", "id").as[(String, Long)].collect()
+    assert(after.map(_._2).sorted === Array(1L, 2L, 4L)) // beta already seen
+    assert(after.map(_._1).distinct.length === after.length) // fp unique
+    assert(!after.exists(_._2 == 99L)) // staging garbage purged, not committed
+
+    // replaying the committed batch id is a no-op — state unchanged
+    IngestDedup.ingestBatch(b1, statePath, "text", "doc_id", batchId = 1L)
+    assert(spark.read.parquet(statePath)
+      .select("id").as[Long].collect().sorted === Array(1L, 2L, 4L))
+  }
+
   test("stateful streaming sessionization agrees with the batch form") {
     import spark.implicits._
     import graft.operators.Sessionize
