@@ -130,4 +130,23 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(SparkEntry.queries("q14_minhash_neardup")(spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("scale twins: q09 single-partition window is intentional; q30 is not") {
+    // q09 is pandas' global sequence verbatim — an ungrouped ORDER BY
+    // window MUST plan Exchange SinglePartition (README "Scale twins").
+    // If this assertion ever fails because Spark learned to parallelize
+    // it, retire rollingGlobalScalable; until then the pair is the
+    // documented scale story, not an accident.
+    val p09 = plan(SparkEntry.queries("q09_rolling")(spark, TestSpark.sf))
+    assert(
+      p09.contains("SinglePartition"),
+      s"q09 expected the deliberate single-partition window in:\n$p09")
+    // q30 (same output, rollingGlobalScalable) never funnels to one
+    // partition: the sort is range-partitioned and the result is a
+    // partitioned RDD scan
+    val p30 = plan(SparkEntry.queries("q30_rolling_scalable")(spark, TestSpark.sf))
+    assert(
+      !p30.contains("SinglePartition"),
+      s"q30 must stay partitioned, got:\n$p30")
+  }
 }
