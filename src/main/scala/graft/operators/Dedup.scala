@@ -438,18 +438,23 @@ object Dedup {
     * all three; the correct decision is one survivor per CONNECTED
     * COMPONENT.
     *
-    * Algorithm: iterative min-label propagation — every vertex starts
-    * labeled with itself; each round every vertex takes the min of its
-    * own label and its neighbors' labels; fixpoint = every vertex holds
-    * the min id of its component. Each round is two shuffles of
-    * (id, component) pairs over the PAIR GRAPH ONLY (near-dup vertices,
-    * not the corpus — at 100 TB the pair graph is orders of magnitude
-    * smaller than the input). Rounds needed = graph diameter; near-dup
-    * components are shallow (chains of boilerplate variants), so the
-    * default cap is generous — hitting it is a loud error, not a wrong
-    * answer. Every round's frame is materialized
+    * Algorithm: iterative min-label propagation WITH pointer jumping —
+    * every vertex starts labeled with itself; each round every vertex
+    * takes the min of its own label and its neighbors' labels
+    * (propagation), then replaces its label with its label's label
+    * (path compression — labels are vertex ids, so the label table is
+    * its own lookup table). Fixpoint = every vertex holds the min id of
+    * its component. Compression makes label chains collapse
+    * exponentially: O(log diameter) rounds instead of O(diameter) —
+    * the shape every BSP connected-components implementation uses
+    * (large-star/small-star is this same idea with fancier stars).
+    * Each round shuffles (id, component) pairs over the PAIR GRAPH
+    * ONLY (near-dup vertices, not the corpus — at 100 TB the pair
+    * graph is orders of magnitude smaller than the input). Every
+    * round's frame is materialized
     * ([[graft.ops.Stage.materializeOnce]]) so lineage stays flat and no
-    * round re-executes its predecessors.
+    * round re-executes its predecessors; hitting the round cap is a
+    * loud error, never a wrong answer.
     *
     * @return one row per vertex of the pair graph: (id, component) with
     *         component = min id of the vertex's connected component —
@@ -477,10 +482,20 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels
+      val propagated = labels
         .union(prop)
         .groupBy("id")
         .agg(min("component").as("component"))
+      // pointer jump: component values are vertex ids, so `propagated`
+      // doubles as its own lookup table — label(x) := label(label(x)).
+      // Monotone (labels only decrease), collapses chains exponentially.
+      val next = propagated
+        .join(
+          propagated.select(
+            col("id").as("component"),
+            col("component").as("__jump")),
+          Seq("component"))
+        .select(col("id"), col("__jump").as("component"))
         .transform(graft.ops.Stage.materializeOnce)
       // converged when no vertex improved its label this round (min-label
       // is monotone decreasing, so "changed" == "decreased")
