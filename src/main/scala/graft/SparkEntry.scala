@@ -1051,6 +1051,26 @@ object SparkEntry {
       outName = "v")
       .select("user_id", "event_id", "v")
 
+  /** Exponentially weighted mean per user (pandas
+    * `groupby('user_id').ewm(alpha=0.1, adjust=False).mean()`):
+    * y₁ = x₁, yₜ = (1−α)·yₜ₋₁ + α·xₜ — the recursive window no frame
+    * spec can express ([[graft.ops.Windows.ewmMean]]: one exchange +
+    * streaming per-key scan). The oracle replays the IDENTICAL
+    * recursion as a DuckDB recursive CTE — same `(1 - 0.1)*y + 0.1*x`
+    * expression, same evaluation order, so the doubles are
+    * bit-identical (no rounding needed).
+    */
+  private def q60(sess: SparkSession, d: String): DataFrame =
+    Windows
+      .ewmMean(
+        Tables.events(sess, d),
+        "value",
+        orderBy = Seq(col("event_id")),
+        keyCols = Seq("user_id"),
+        alpha = 0.1,
+        outName = "ewm")
+      .select("user_id", "event_id", "ewm")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1113,7 +1133,8 @@ object SparkEntry {
     "q56_neardup_components" -> (q56 _),
     "q57_ann_kmeans_topk" -> (q57 _),
     "q58_weighted_closed" -> (q58 _),
-    "q59_rolling_blackman" -> (q59 _)
+    "q59_rolling_blackman" -> (q59 _),
+    "q60_ewm_mean" -> (q60 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1600,6 +1621,20 @@ object SparkEntry {
               + (0.42-0.5*cos(2*pi()*3/4)+0.08*cos(4*pi()*3/4))
               + (0.42-0.5*cos(2*pi()*4/4)+0.08*cos(4*pi()*4/4)))
          END AS v
-         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)"""
+         FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q60_ewm_mean" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+           FROM events),
+         r(user_id, event_id, rn, ewm) AS (
+           SELECT user_id, event_id, rn, value FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rn,
+                  (1 - 0.1)*r.ewm + 0.1*e.value
+           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+         )
+         SELECT user_id, event_id, ewm FROM r"""
   )
 }

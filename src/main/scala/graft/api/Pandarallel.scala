@@ -152,6 +152,13 @@ object Pandarallel {
     def expanding(orderBy: Column): ParallelExpanding =
       new ParallelExpanding(df, Seq(orderBy), keys.map(col))
 
+    /** pandas `gb.ewm(alpha=..., adjust=False)` — per-key exponentially
+      * weighted windows ([[Windows.ewmMean]]: one exchange, streaming
+      * per-key recursion).
+      */
+    def ewm(alpha: Double, orderBy: Column): ParallelEwm =
+      new ParallelEwm(df, alpha, Seq(orderBy), keys)
+
     /** Group-wise two-table merge ([[GroupApply.cogroupApply]]): align
       * each group of this frame with the matching group of `other`.
       */
@@ -247,6 +254,19 @@ object Pandarallel {
         df, valueCol, orderBy, partitionBy,
         Windows.windowWeights(winType, window, winTypeParams), outName,
         center, closed)
+  }
+
+  final class ParallelEwm(
+      df: DataFrame,
+      alpha: Double,
+      orderBy: Seq[Column],
+      keys: Seq[String]) {
+
+    /** pandas `.ewm(alpha, adjust=False).mean()` — see
+      * [[Windows.ewmMean]] for the recursion and its scale shape.
+      */
+    def parallelMean(valueCol: String, outName: String): DataFrame =
+      Windows.ewmMean(df, valueCol, orderBy, keys, alpha, outName)
   }
 
   final class ParallelExpanding(

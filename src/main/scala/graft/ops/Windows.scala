@@ -413,6 +413,63 @@ object Windows {
       when(count(valueCol).over(frame) >= w, weighted / lit(weights.sum)))
   }
 
+  /** pandas `ewm(alpha=..., adjust=False).mean()` — exponentially
+    * weighted mean, the one pandas window family whose definition is a
+    * RECURSION (y₁ = x₁; yₜ = (1−α)·yₜ₋₁ + α·xₜ) and therefore cannot
+    * be a Spark window aggregate: no frame expresses "my own previous
+    * output". (The closed form Σ(1−α)⁻ⁱxᵢ·(1−α)ᵗ overflows doubles past
+    * a few thousand rows — not an option.)
+    *
+    * Shape: key-partition + in-partition sort, then ONE streaming scan
+    * with O(1) state per key (`mapPartitions`, state resets on key
+    * change — every key's rows are contiguous after the sort). This is
+    * exactly how a cluster computes any per-key recursion: one
+    * exchange, then sequential within the key, all keys in parallel —
+    * the same cost profile as a grouped window. Ungrouped use collapses
+    * to a single partition (same caveat and same reason as
+    * [[rollingFrame]]'s O6 note).
+    *
+    * The scan is a UDF-shaped row mapper (outside codegen) — inherent,
+    * since the recursion is user-visible state; the per-row work is two
+    * multiplies. `valueCol` must be a non-null DoubleType column (cast
+    * upstream); pandas' `ignore_na` refinements are out of scope and
+    * rejected by the type check rather than half-replayed.
+    */
+  def ewmMean(
+      df: DataFrame,
+      valueCol: String,
+      orderBy: Seq[Column],
+      keyCols: Seq[String],
+      alpha: Double,
+      outName: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    val base =
+      if (keyCols.isEmpty) df.coalesce(1)
+      else df.repartition(keyCols.map(col): _*)
+    val sorted = base.sortWithinPartitions(keyCols.map(col) ++ orderBy: _*)
+    val schema = sorted.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    require(
+      schema(vIdx).dataType == DoubleType,
+      s"ewmMean needs a double $valueCol, got ${schema(vIdx).dataType}")
+    val outSchema = schema.add(outName, DoubleType)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var started = false
+      var y = 0.0
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (key != curKey) { curKey = key; started = false }
+        val x = r.getDouble(vIdx)
+        y = if (!started) { started = true; x } else (1 - alpha) * y + alpha * x
+        Row.fromSeq(r.toSeq :+ y)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** SCALABLE total-order rolling window — the distributed answer to the
     * one operator Spark's `WindowExec` cannot parallelize (an ungrouped
     * `Window.orderBy` collapses to a single partition).

@@ -346,6 +346,31 @@ class FacadeSpec extends AnyFunSuite {
     totals.foreach { case (u, t) => assert(math.abs(last(u) - t) < 1e-6) }
   }
 
+  test("ewm: per-key recursion, state resets between keys") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 8.0),
+      ("b", 1L, 10.0), ("b", 2L, 0.0))
+      .toDF("k", "i", "x")
+    val out = df.parallelGroupBy("k").ewm(0.5, col("i"))
+      .parallelMean("x", "y")
+      .select(col("k"), col("i"), col("y"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, i, y) => (k, i) -> y }.toMap
+    assert(out(("a", 1L)) === 2.0)
+    assert(out(("a", 2L)) === 3.0) // 0.5*2 + 0.5*4
+    assert(out(("a", 3L)) === 5.5) // 0.5*3 + 0.5*8
+    assert(out(("b", 1L)) === 10.0) // state resets on key change
+    assert(out(("b", 2L)) === 5.0)
+    // a constant series is a fixpoint of the recursion (up to the
+    // (1-α)+α != 1 ulp), any alpha
+    val const = (1 to 6).map(i => ("g", i.toLong, 3.5)).toDF("k", "i", "x")
+    const.parallelGroupBy("k").ewm(0.2, col("i")).parallelMean("x", "y")
+      .select("y").as[Double].collect()
+      .foreach(y => assert(math.abs(y - 3.5) < 1e-12))
+    intercept[IllegalArgumentException] {
+      df.parallelGroupBy("k").ewm(0.0, col("i")).parallelMean("x", "y")
+    }
+  }
+
   test("O8: black-box expanding apply agrees with the algebraic form") {
     // differential on a sum-shaped UDF: expandingCollect(f=_.sum) must
     // reproduce expandingAgg(sum) exactly, including the min_periods
