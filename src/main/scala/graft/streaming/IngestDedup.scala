@@ -68,6 +68,62 @@ object IngestDedup {
         s"failed to commit ingest batch $batchId: rename $staging -> $target")
   }
 
+  /** COMPACT the state table: rewrite every committed batch directory
+    * into one consolidated directory (min id per fingerprint — the same
+    * batching-invariant rule as ingestion) and delete the originals.
+    * Run periodically: the ingestion loop adds one directory per
+    * micro-batch, and a year of minutely batches is half a million
+    * directories — listing cost grows without bound unless compacted.
+    *
+    * Safety: the consolidated directory commits with the same staged
+    * write + rename as [[ingestBatch]], under `batch=c<maxId>` — a
+    * namespace that can never collide with a FUTURE numeric stream
+    * batch id (a compacted dir named `batch=<n>` would make the
+    * stream's eventual batch n look already-committed and silently
+    * drop it). Readers racing the post-commit deletes may briefly see
+    * a fingerprint twice (once compacted, once in a not-yet-deleted
+    * original) — harmless, the anti-join only asks membership; a crash
+    * mid-delete is repaired by the next compact.
+    */
+  def compact(spark: SparkSession, statePath: String): Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs
+      .listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    if (batchDirs.length <= 1) return // nothing to consolidate
+    val maxId = batchDirs
+      .map(_.getName.stripPrefix("batch="))
+      .collect { case s if s.forall(_.isDigit) && s.nonEmpty => s.toLong }
+      .maxOption
+      .getOrElse(0L)
+    val target = new Path(root, s"batch=c$maxId")
+    if (fs.exists(target)) {
+      // this span is already compacted — repair a crash mid-delete by
+      // removing dirs whose ids were folded into the committed c<maxId>
+      // (ids > maxId arrived after the compaction and are untouched)
+      batchDirs.filter(_.getName != target.getName).foreach { p =>
+        val n = p.getName.stripPrefix("batch=").stripPrefix("c")
+        if (n.nonEmpty && n.forall(_.isDigit) && n.toLong <= maxId)
+          fs.delete(p, true)
+      }
+      return
+    }
+    val staging = new Path(root, s"_staging/compact-$maxId")
+    fs.delete(staging, true)
+    spark.read
+      .parquet(batchDirs.map(_.toString): _*)
+      .groupBy("fp")
+      .agg(min(col("id")).as("id"))
+      .select("fp", "id")
+      .write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"failed to commit compaction: rename $staging -> $target")
+    batchDirs.foreach(p => fs.delete(p, true))
+  }
+
   /** The persisted fingerprint set, or None before the first commit. */
   def seenFingerprints(
       spark: SparkSession,

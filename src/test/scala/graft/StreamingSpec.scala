@@ -183,6 +183,37 @@ class StreamingSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted === Array(1L, 2L, 4L))
   }
 
+  test("ingest state compaction folds batch dirs, preserves the set") {
+    import spark.implicits._
+    import graft.streaming.IngestDedup
+    val statePath =
+      Files.createTempDirectory("graft-ingest-compact").toString + "/fp"
+    IngestDedup.ingestBatch(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      statePath, "text", "doc_id", 0L)
+    IngestDedup.ingestBatch(Seq((3L, "b"), (4L, "c")).toDF("doc_id", "text"),
+      statePath, "text", "doc_id", 1L)
+    IngestDedup.ingestBatch(Seq((5L, "d")).toDF("doc_id", "text"),
+      statePath, "text", "doc_id", 2L)
+    val before = spark.read.parquet(statePath)
+      .select("fp", "id").as[(String, Long)].collect().toSet
+
+    IngestDedup.compact(spark, statePath)
+    val dirs = new java.io.File(statePath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+    assert(dirs.toSeq === Seq("batch=c2")) // one consolidated span
+    val after = spark.read.parquet(statePath)
+      .select("fp", "id").as[(String, Long)].collect().toSet
+    assert(after === before) // same fingerprint set, min ids kept
+
+    // compaction is idempotent, and the numeric id sequence keeps working
+    // (the c-namespace cannot shadow a future stream batch id)
+    IngestDedup.compact(spark, statePath)
+    IngestDedup.ingestBatch(Seq((6L, "d"), (7L, "e")).toDF("doc_id", "text"),
+      statePath, "text", "doc_id", 3L)
+    assert(spark.read.parquet(statePath)
+      .select("id").as[Long].collect().sorted === Array(1L, 2L, 4L, 5L, 7L))
+  }
+
   test("stateful streaming sessionization agrees with the batch form") {
     import spark.implicits._
     import graft.operators.Sessionize
