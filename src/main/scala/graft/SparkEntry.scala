@@ -979,6 +979,25 @@ object SparkEntry {
       minShared = 10)
   }
 
+  /** Bloom-prefiltered decontamination
+    * ([[graft.operators.Dedup.contaminationBloom]]): the SAME overlap
+    * check as q54, with the benchmark shingles compacted to a broadcast
+    * Bloom filter that discards non-matching training shingles before
+    * the confirming join — the 100-TB posture (q54's scaladoc). Bloom
+    * false positives are removed by the exact join, so the result — and
+    * the oracle SQL — are identical to q54's.
+    */
+  private def q61(sess: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(sess, d)
+    graft.operators.Dedup.contaminationBloom(
+      docs.where(col("doc_id") >= 50),
+      docs.where(col("doc_id") < 50),
+      "text",
+      "doc_id",
+      n = 3,
+      minShared = 10)
+  }
+
   /** O8 black-box expanding apply (the reference's arbitrary-function
     * form — expanding_groupby.py:63-67, tests/test_pandarallel.py:131-141):
     * a position-weighted prefix sum Σ (i+1)·xᵢ per user with
@@ -1134,7 +1153,8 @@ object SparkEntry {
     "q57_ann_kmeans_topk" -> (q57 _),
     "q58_weighted_closed" -> (q58 _),
     "q59_rolling_blackman" -> (q59 _),
-    "q60_ewm_mean" -> (q60 _)
+    "q60_ewm_mean" -> (q60 _),
+    "q61_bloom_decontamination" -> (q61 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1635,6 +1655,25 @@ object SparkEntry {
                   (1 - 0.1)*r.ewm + 0.1*e.value
            FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
          )
-         SELECT user_id, event_id, ewm FROM r"""
+         SELECT user_id, event_id, ewm FROM r""",
+    // identical to q54's oracle by design: the bloom prefilter changes the
+    // plan, never the result set
+    "q61_bloom_decontamination" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  lower(regexp_replace(trim(text),'\s+',' ','g')) AS t
+           FROM documents),
+         bench AS (
+           SELECT DISTINCT unnest(
+             list_distinct([t[i:i+2] for i in range(1, len(t)-1)])) AS sh
+           FROM norm WHERE doc_id < 50),
+         tr AS (
+           SELECT doc_id, unnest(
+             list_distinct([t[i:i+2] for i in range(1, len(t)-1)])) AS sh
+           FROM norm WHERE doc_id >= 50)
+         SELECT tr.doc_id, count(*) AS n_shared
+         FROM tr JOIN bench USING (sh)
+         GROUP BY tr.doc_id
+         HAVING count(*) >= 10"""
   )
 }

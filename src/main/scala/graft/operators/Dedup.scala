@@ -75,16 +75,71 @@ object Dedup {
       n: Int = 3,
       minShared: Int = 10): DataFrame = {
     SignatureExpressions.register(train.sparkSession)
-    def shingled(df: DataFrame) = df
-      .select(
-        col(idCol).as("id"),
-        TextFunctions.normalized(col(textCol)).as("__norm"))
-      .select(
-        col("id"),
-        explode(SignatureExpressions.shingleHashesFast(col("__norm"), n))
-          .as("sh"))
-    val benchSet = shingled(bench).select("sh").distinct()
-    shingled(train)
+    val benchSet = shingled(bench, textCol, idCol, n).select("sh").distinct()
+    shingled(train, textCol, idCol, n)
+      .join(benchSet, Seq("sh"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** (id, sh) rows: one exploded 64-bit hash per distinct n-gram shingle
+    * of the normalized text. Shared by [[contamination]] and
+    * [[contaminationBloom]] — both sides of the overlap check must
+    * shingle identically.
+    */
+  private def shingled(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = df
+    .select(
+      col(idCol).as("id"),
+      TextFunctions.normalized(col(textCol)).as("__norm"))
+    .select(
+      col("id"),
+      explode(SignatureExpressions.shingleHashesFast(col("__norm"), n))
+        .as("sh"))
+
+  /** Bloom-prefiltered DECONTAMINATION — exactly [[contamination]]'s
+    * results with a different scale posture. [[contamination]] broadcasts
+    * the distinct'd benchmark shingles as a join hash relation; the cost
+    * that remains at 100 TB is probing EVERY exploded training shingle
+    * into it. Here the benchmark shingles are first compacted into a
+    * Bloom filter (`Dataset.stat.bloomFilter` — a mergeable sketch built
+    * by one tree-aggregation over the small side; ~1.2 MB per million
+    * distinct shingles at 1% fpp, vs the tens of MB a broadcast hash
+    * relation of the same keys costs), broadcast once, and used to drop
+    * the overwhelming share of training shingles BEFORE the confirming
+    * equi-join. Bloom false positives pass the prefilter and are then
+    * removed by the exact join, so the output is bit-identical to
+    * [[contamination]] — the driver oracle is the same SQL. This is the
+    * runtime-filter shape Spark's own BloomFilterMightContain applies to
+    * shuffle joins, made explicit so it also covers the broadcast case.
+    *
+    * The probe is a long⇒boolean Scala UDF (Spark exposes no public
+    * might_contain function; the internal expression only backs AQE
+    * runtime filters). It costs two hash probes per shingle between two
+    * codegen stages — noise next to the explode it gates — and its
+    * selectivity (~fpp for non-contaminated corpora) is what shrinks the
+    * join probe side by ~99%.
+    */
+  def contaminationBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minShared: Int = 10,
+      fpp: Double = 0.01): DataFrame = {
+    SignatureExpressions.register(train.sparkSession)
+    // benchSet feeds three consumers (count for sizing, the bloom
+    // aggregation, the confirming join) — materialize it once
+    val benchSet = graft.ops.Stage.materializeOnce(
+      shingled(bench, textCol, idCol, n).select("sh").distinct())
+    val nDistinct = math.max(benchSet.count(), 1L) // bounded: eval corpus
+    val bloom = benchSet.stat.bloomFilter("sh", nDistinct, fpp)
+    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    shingled(train, textCol, idCol, n)
+      .where(mightContain(col("sh")))
       .join(benchSet, Seq("sh"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_shared"))

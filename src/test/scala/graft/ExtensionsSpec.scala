@@ -71,6 +71,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-prefiltered decontamination is result-identical to exact") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val train = docs.where(col("doc_id") >= 50)
+    val bench = docs.where(col("doc_id") < 50)
+    val exactOut = Dedup
+      .contamination(train, bench, "text", "doc_id", n = 3, minShared = 10)
+    val bloomOut = Dedup
+      .contaminationBloom(train, bench, "text", "doc_id", n = 3,
+        minShared = 10)
+    assert(exactOut.count() > 0) // non-vacuous: overlap exists at sf0.001
+    // bit-identical both ways: bloom fps are removed by the confirm join
+    assert(bloomOut.exceptAll(exactOut).isEmpty)
+    assert(exactOut.exceptAll(bloomOut).isEmpty)
+  }
+
   test("ngram jaccard drops oversized blocks (skew cap)") {
     // 300 docs sharing one blocking key (5 tokens each) = a mega-block
     // that would expand to ~45k pairs in ONE task; 2 near-identical docs
