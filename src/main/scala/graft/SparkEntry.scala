@@ -998,6 +998,22 @@ object SparkEntry {
       minShared = 10)
   }
 
+  /** Segment-level dedup ([[graft.operators.Dedup.segmentDedup]], the
+    * remove-duplicated-paragraphs-everywhere pass of web-corpus
+    * pipelines): 8-token non-overlapping segments, drop every occurrence
+    * of any segment seen more than once corpus-wide, reassemble the
+    * survivors in document order. Counts compare 64-bit segment hashes
+    * vs the oracle's strings — identical modulo ~2⁻⁶⁴ collisions (q54's
+    * rationale).
+    */
+  private def q62(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.segmentDedup(
+      Tables.documents(sess, d),
+      "text",
+      "doc_id",
+      segTokens = 8,
+      maxOccurrences = 1)
+
   /** O8 black-box expanding apply (the reference's arbitrary-function
     * form — expanding_groupby.py:63-67, tests/test_pandarallel.py:131-141):
     * a position-weighted prefix sum Σ (i+1)·xᵢ per user with
@@ -1154,7 +1170,8 @@ object SparkEntry {
     "q58_weighted_closed" -> (q58 _),
     "q59_rolling_blackman" -> (q59 _),
     "q60_ewm_mean" -> (q60 _),
-    "q61_bloom_decontamination" -> (q61 _)
+    "q61_bloom_decontamination" -> (q61 _),
+    "q62_segment_dedup" -> (q62 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1674,6 +1691,30 @@ object SparkEntry {
          SELECT tr.doc_id, count(*) AS n_shared
          FROM tr JOIN bench USING (sh)
          GROUP BY tr.doc_id
-         HAVING count(*) >= 10"""
+         HAVING count(*) >= 10""",
+    "q62_segment_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text),'\s+') END AS tk
+           FROM documents),
+         seg AS (
+           SELECT doc_id, j, array_to_string(tk[j*8+1 : j*8+8], ' ') AS s
+           FROM (SELECT doc_id, tk,
+                   unnest(range(0, CAST(ceil(len(tk)/8.0) AS INT))) AS j
+                 FROM t WHERE len(tk) > 0)),
+         c AS (SELECT s, count(*) AS n FROM seg GROUP BY s),
+         kept AS (
+           SELECT seg.doc_id,
+             string_agg(seg.s, ' ' ORDER BY seg.j) FILTER (c.n <= 1)
+               AS clean_text,
+             count(*) FILTER (c.n <= 1) AS n_kept,
+             count(*) FILTER (c.n > 1) AS n_dropped
+           FROM seg JOIN c USING (s)
+           GROUP BY seg.doc_id)
+         SELECT t.doc_id, coalesce(kept.clean_text, '') AS clean_text,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           coalesce(kept.n_dropped, 0) AS n_dropped
+         FROM t LEFT JOIN kept USING (doc_id)"""
   )
 }

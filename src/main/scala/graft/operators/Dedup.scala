@@ -146,6 +146,68 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** SEGMENT-level dedup (the "remove duplicated lines/paragraphs
+    * everywhere" pass of web-corpus pipelines — within-document AND
+    * cross-document): split each document into fixed non-overlapping
+    * `segTokens`-token segments, count each distinct segment's
+    * occurrences across the whole corpus, drop every occurrence of any
+    * segment appearing more than `maxOccurrences` times, and reassemble
+    * the survivors in document order. Returns one row per input document:
+    * (idCol, clean_text, n_kept, n_dropped) — documents whose text is
+    * empty or entirely boilerplate come back with clean_text = ''.
+    *
+    * Scale shape: explode to (id, idx, seg) once; aggregate occurrence
+    * counts on a 64-bit hash of the segment (the count exchange carries
+    * (hash, partial-count), never segment text); join the verdict back on
+    * the hash (hash-partitioned equi-join — over-represented segments are
+    * usually few, so AQE turns this into a broadcast of the hot set when
+    * it fits); then one groupBy(id) reassembles with an array_sort over
+    * (idx, seg) structs, O(doc length) memory per group. Dropping by a
+    * 64-bit hash rather than the string trades a ~2⁻⁶⁴ per-pair collision
+    * (a uniquely-occurring segment miscounted as hot) for never shuffling
+    * segment text into the count — the q14/q54 trade.
+    */
+  def segmentDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int = 8,
+      maxOccurrences: Long = 1): DataFrame = {
+    val segs = df
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__tk"))
+      .select(
+        col("id"),
+        explode_outer(TextFunctions.chunksOf(col("__tk"), segTokens, 0))
+          .as("c"))
+      .select(
+        col("id"),
+        col("c.idx").as("idx"),
+        col("c.chunk").as("seg"),
+        // xxhash64(null) returns the seed hash, not null — the empty-doc
+        // placeholder row from explode_outer must NOT join the counts
+        when(col("c.chunk").isNotNull, xxhash64(col("c.chunk"))).as("segh"))
+    val counts = segs
+      .groupBy("segh")
+      .agg(count(lit(1)).as("__n"))
+    segs
+      .join(counts, Seq("segh"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(
+              collect_list(
+                when(
+                  col("__n") <= maxOccurrences,
+                  struct(col("idx"), col("seg"))))),
+            s => s("seg"))).as("clean_text"),
+        count(when(col("__n") <= maxOccurrences, lit(1))).as("n_kept"),
+        count(when(col("__n") > maxOccurrences, lit(1))).as("n_dropped"))
+  }
+
   /** Base 64-bit hash per shingle — hash each *string* exactly once;
     * the k minhash functions are cheap affine/xor re-mixes of this array
     * (one string hash + k integer ops per shingle, instead of k string

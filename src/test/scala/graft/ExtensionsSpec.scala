@@ -86,6 +86,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exactOut.exceptAll(bloomOut).isEmpty)
   }
 
+  test("segment dedup drops repeated boilerplate, keeps unique text in order") {
+    val boiler = "one two three four" // 4-token segment, repeated everywhere
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi"), // two unique segments
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup
+      .segmentDedup(df, "text", "doc_id", segTokens = 4, maxOccurrences = 1)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("n_dropped"))))
+      .toMap
+    assert(out(1L) === (("alpha beta gamma delta", 1L, 1L)))
+    assert(out(2L) === (("epsilon zeta eta theta", 1L, 1L)))
+    // doc 3: both segments unique, order preserved across segment boundary
+    assert(out(3L) === (("iota kappa lambda mu nu xi omicron pi", 2L, 0L)))
+    assert(out(4L) === (("", 0L, 0L))) // empty doc survives as empty
+  }
+
   test("ngram jaccard drops oversized blocks (skew cap)") {
     // 300 docs sharing one blocking key (5 tokens each) = a mega-block
     // that would expand to ~45k pairs in ONE task; 2 near-identical docs
