@@ -1014,6 +1014,32 @@ object SparkEntry {
       segTokens = 8,
       maxOccurrences = 1)
 
+  /** Rolling correlation + covariance of two series per user (pandas
+    * `rolling(10).corr(other)` / `.cov(other)` —
+    * [[graft.ops.Windows.rollingAgg2]]). The second series is
+    * sin(value): a deterministic nonlinear companion both engines
+    * compute bit-identically. Both outputs rounded to 5 decimals — the
+    * co-moment update ORDER differs between engines (~1e-12 relative
+    * noise on a ratio in [-1, 1]), the q37 rationale at the advisor's
+    * recommended precision.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val x = col("value")
+    val y = sin(col("value"))
+    val ord = Seq(col("event_id"))
+    val part = Seq(col("user_id"))
+    val withCorr = Windows
+      .rollingAgg2(Tables.events(s, d), x, y, ord, part, 10)(corr(_, _))
+      .withColumnRenamed("__rolling__", "__corr")
+    Windows
+      .rollingAgg2(withCorr, x, y, ord, part, 10)(covar_samp(_, _))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(col("__corr"), 5).as("c"),
+        round(col("__rolling__"), 5).as("cv"))
+  }
+
   /** O8 black-box expanding apply (the reference's arbitrary-function
     * form — expanding_groupby.py:63-67, tests/test_pandarallel.py:131-141):
     * a position-weighted prefix sum Σ (i+1)·xᵢ per user with
@@ -1171,7 +1197,8 @@ object SparkEntry {
     "q59_rolling_blackman" -> (q59 _),
     "q60_ewm_mean" -> (q60 _),
     "q61_bloom_decontamination" -> (q61 _),
-    "q62_segment_dedup" -> (q62 _)
+    "q62_segment_dedup" -> (q62 _),
+    "q63_rolling_corr" -> (q63 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1715,6 +1742,14 @@ object SparkEntry {
          SELECT t.doc_id, coalesce(kept.clean_text, '') AS clean_text,
            coalesce(kept.n_kept, 0) AS n_kept,
            coalesce(kept.n_dropped, 0) AS n_dropped
-         FROM t LEFT JOIN kept USING (doc_id)"""
+         FROM t LEFT JOIN kept USING (doc_id)""",
+    "q63_rolling_corr" ->
+      """SELECT user_id, event_id,
+         CASE WHEN count(*) OVER w >= 10 THEN
+           round(corr(value, sin(value)) OVER w, 5) END AS c,
+         CASE WHEN count(*) OVER w >= 10 THEN
+           round(covar_samp(value, sin(value)) OVER w, 5) END AS cv
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, corr, covar_samp}
 
 import graft.ops._
 
@@ -236,6 +236,27 @@ object Pandarallel {
       Windows.rollingAgg(
         df, valueCol, orderBy, partitionBy, window,
         minPeriods, center, closed)(agg)
+
+    /** pandas `rolling(w).corr(other)` — rolling Pearson correlation of
+      * two series ([[Windows.rollingAgg2]] for pair-counting min_periods
+      * semantics).
+      */
+    def parallelCorr(
+        x: Column,
+        y: Column,
+        minPeriods: Option[Int] = None): DataFrame =
+      Windows.rollingAgg2(
+        df, x, y, orderBy, partitionBy, window,
+        minPeriods, center, closed)(corr(_, _))
+
+    /** pandas `rolling(w).cov(other)` — rolling sample covariance. */
+    def parallelCov(
+        x: Column,
+        y: Column,
+        minPeriods: Option[Int] = None): DataFrame =
+      Windows.rollingAgg2(
+        df, x, y, orderBy, partitionBy, window,
+        minPeriods, center, closed)(covar_samp(_, _))
 
     /** pandas `rolling(w, win_type=...).mean()` — weighted window mean
       * (win_type is the last replayed rolling attribute,

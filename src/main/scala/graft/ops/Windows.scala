@@ -197,6 +197,34 @@ object Windows {
       minPeriods: Int): Column =
     when(count(countedCol).over(frame) >= minPeriods, value)
 
+  /** Bivariate rolling aggregate — pandas `rolling(w).corr(other)` /
+    * `.cov(other)`, the two-series window surface. Same frame and
+    * attribute replay as [[rollingAgg]]; `min_periods` counts complete
+    * (x, y) PAIRS, matching pandas' pairwise semantics (a row where
+    * either side is null does not advance the warm-up — and Spark's
+    * `corr`/`covar_samp` likewise skip incomplete pairs inside the
+    * frame). Stays a declarative window aggregate: one hash exchange on
+    * `partitionBy`, then WindowExec computes the co-moments per frame —
+    * no collect, scales like every other grouped rolling op here.
+    */
+  def rollingAgg2(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column],
+      window: Int,
+      minPeriods: Option[Int] = None,
+      center: Boolean = false,
+      closed: String = "right")(agg: (Column, Column) => Column): DataFrame = {
+    val frame = rollingFrame(orderBy, partitionBy, window, center, closed)
+    val mp = minPeriods.getOrElse(window)
+    val pair = when(x.isNotNull && y.isNotNull, lit(1))
+    df.withColumn(
+      "__rolling__",
+      when(count(pair).over(frame) >= mp, agg(x, y).over(frame)))
+  }
+
   /** Algebraic rolling aggregate over a fixed window of `window` rows,
     * with pandas attribute replay (center / closed / min_periods).
     */

@@ -239,6 +239,40 @@ class FacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling corr/cov: exact on a hand-computed frame, pair min_periods") {
+    // x = 1..4, y = x^2: corr/cov of the full 3-row frames are
+    // hand-computable (sample covariance, n-1 denominator)
+    val df = Seq(
+      (1L, 1.0, 1.0), (2L, 2.0, 4.0), (3L, 3.0, 9.0), (4L, 4.0, 16.0))
+      .toDF("i", "x", "y")
+    val cov = df.rolling(3, col("i"))
+      .parallelCov(col("x"), col("y"))
+      .select(col("i"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(cov(1L).isEmpty && cov(2L).isEmpty) // warm-up: under 3 pairs
+    assert(math.abs(cov(3L).get - 4.0) < 1e-12) // cov({1,2,3},{1,4,9})
+    assert(math.abs(cov(4L).get - 6.0) < 1e-12) // cov({2,3,4},{4,9,16})
+    val c = df.rolling(3, col("i"))
+      .parallelCorr(col("x"), col("y"))
+      .select(col("i"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    // corr({1,2,3},{1,4,9}) = 4 / sqrt(1 * 16.33...)
+    assert(math.abs(c(3L).get - 4.0 / math.sqrt(49.0 / 3.0)) < 1e-12)
+
+    // a null on either side breaks the PAIR, not just one column: the
+    // 3-row frame around the null never reaches 3 complete pairs
+    val withNull = Seq(
+      (1L, 1.0, Some(1.0)), (2L, 2.0, None), (3L, 3.0, Some(9.0)),
+      (4L, 4.0, Some(16.0)), (5L, 5.0, Some(25.0)))
+      .toDF("i", "x", "y")
+    val cn = withNull.rolling(3, col("i"))
+      .parallelCov(col("x"), col("y"))
+      .select(col("i"), col("__rolling__"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(cn(3L).isEmpty && cn(4L).isEmpty) // frames contain the null row
+    assert(cn(5L).isDefined) // {3,4,5} all complete
+  }
+
   test("win_type corpus: bartlett / blackman / exponential weights") {
     import graft.ops.Windows
     // scipy parity (closed-form values)
