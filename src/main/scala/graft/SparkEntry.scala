@@ -1132,6 +1132,25 @@ object SparkEntry {
         outName = "ewm")
       .select("user_id", "event_id", "ewm")
 
+  /** Exponentially weighted variance + std per user (pandas
+    * `groupby('user_id').ewm(alpha=0.2, adjust=False).var()` /
+    * `.std()`, bias=False): [[graft.ops.Windows.ewmVar]]'s delta-form
+    * recursions (μ, biased v, Σw²) — one exchange + O(1)-state streaming
+    * scan per key. The oracle replays the IDENTICAL delta-form
+    * recursion as a DuckDB recursive CTE (same expression shapes, same
+    * evaluation order → bit-identical doubles, q60's rationale).
+    */
+  private def q64(sess: SparkSession, d: String): DataFrame =
+    Windows
+      .ewmVar(
+        Tables.events(sess, d),
+        "value",
+        orderBy = Seq(col("event_id")),
+        keyCols = Seq("user_id"),
+        alpha = 0.2,
+        outName = "ewm_var")
+      .select("user_id", "event_id", "ewm_var", "ewm_var_std")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1198,7 +1217,8 @@ object SparkEntry {
     "q60_ewm_mean" -> (q60 _),
     "q61_bloom_decontamination" -> (q61 _),
     "q62_segment_dedup" -> (q62 _),
-    "q63_rolling_corr" -> (q63 _)
+    "q63_rolling_corr" -> (q63 _),
+    "q64_ewm_var" -> (q64 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1750,6 +1770,28 @@ object SparkEntry {
          CASE WHEN count(*) OVER w >= 10 THEN
            round(covar_samp(value, sin(value)) OVER w, 5) END AS cv
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    // replays ewmVar's delta-form recursions verbatim — see q64 scaladoc
+    "q64_ewm_var" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+           FROM events),
+         r(user_id, event_id, rn, mu, v, u) AS (
+           SELECT user_id, event_id, rn, value,
+                  CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rn,
+                  r.mu + 0.2*(e.value - r.mu),
+                  (1 - 0.2)*(r.v + 0.2*(e.value - r.mu)*(e.value - r.mu)),
+                  (1 - 0.2)*(1 - 0.2)*r.u + 0.2*0.2
+           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+         )
+         SELECT user_id, event_id,
+           CASE WHEN rn > 1 THEN v/(1 - u) END AS ewm_var,
+           CASE WHEN rn > 1 THEN sqrt(v/(1 - u)) END AS ewm_var_std
+         FROM r"""
   )
 }

@@ -288,6 +288,13 @@ object Pandarallel {
       */
     def parallelMean(valueCol: String, outName: String): DataFrame =
       Windows.ewmMean(df, valueCol, orderBy, keys, alpha, outName)
+
+    /** pandas `.ewm(alpha, adjust=False).var()` (bias=False) — emits
+      * `outName` (unbiased var) and `outName_std`; see [[Windows.ewmVar]]
+      * for the delta-form recursions.
+      */
+    def parallelVar(valueCol: String, outName: String): DataFrame =
+      Windows.ewmVar(df, valueCol, orderBy, keys, alpha, outName)
   }
 
   final class ParallelExpanding(

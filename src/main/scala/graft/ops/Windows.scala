@@ -463,6 +463,71 @@ object Windows {
     * upstream); pandas' `ignore_na` refinements are out of scope and
     * rejected by the type check rather than half-replayed.
     */
+  /** pandas `ewm(alpha, adjust=False).var()` / `.std()` (bias=False, the
+    * pandas default) — same per-key streaming scan as [[ewmMean]], with
+    * three coupled recursions carried per key (normalized weights,
+    * Σw = 1), in the cancellation-free DELTA form:
+    *   δ   = xₜ − μₜ₋₁
+    *   μₜ  = μₜ₋₁ + α·δ
+    *   vₜ  = (1−α)·(vₜ₋₁ + α·δ²)          (biased var — never negative,
+    *                                       unlike the m2 − μ² form, so
+    *                                       sqrt is always defined)
+    *   uₜ  = (1−α)²·uₜ₋₁ + α²             (Σ wᵢ², u₁ = 1)
+    * The bias=False correction is Σw²/(Σw² − Σ(w²)) = 1/(1−u), undefined
+    * at t=1 (u=1) — the first row per key is NULL, matching pandas' NaN.
+    * Emitted columns: `⟨outName⟩` (unbiased var = v/(1−u)) and
+    * `⟨outName⟩_std` (its sqrt). O(1) state per key; one exchange on
+    * `keyCols` — identical scale posture to [[ewmMean]].
+    */
+  def ewmVar(
+      df: DataFrame,
+      valueCol: String,
+      orderBy: Seq[Column],
+      keyCols: Seq[String],
+      alpha: Double,
+      outName: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    val base =
+      if (keyCols.isEmpty) df.coalesce(1)
+      else df.repartition(keyCols.map(col): _*)
+    val sorted = base.sortWithinPartitions(keyCols.map(col) ++ orderBy: _*)
+    val schema = sorted.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    require(
+      schema(vIdx).dataType == DoubleType,
+      s"ewmVar needs a double $valueCol, got ${schema(vIdx).dataType}")
+    val outSchema =
+      schema.add(outName, DoubleType).add(outName + "_std", DoubleType)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var started = false
+      var mu = 0.0
+      var v = 0.0
+      var u = 0.0
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (key != curKey) { curKey = key; started = false }
+        val x = r.getDouble(vIdx)
+        val out: Seq[Any] =
+          if (!started) {
+            started = true; mu = x; v = 0.0; u = 1.0
+            Seq(null, null)
+          } else {
+            val delta = x - mu
+            mu = mu + alpha * delta
+            v = (1 - alpha) * (v + alpha * delta * delta)
+            u = (1 - alpha) * (1 - alpha) * u + alpha * alpha
+            val unbiased = v / (1 - u)
+            Seq(unbiased, math.sqrt(unbiased))
+          }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   def ewmMean(
       df: DataFrame,
       valueCol: String,

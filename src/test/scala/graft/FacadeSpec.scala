@@ -405,6 +405,30 @@ class FacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("ewm var/std: hand-computed recursion values, per-key reset") {
+    // alpha=0.5 on x=[1,2,3]: weights at t3 = [.25,.25,.5] →
+    // biased var .6875, Σw² = .375, unbiased = .6875/.625 = 1.1
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 1L, 10.0), ("b", 2L, 12.0))
+      .toDF("k", "i", "x")
+    val out = df.parallelGroupBy("k").ewm(0.5, col("i"))
+      .parallelVar("x", "ev")
+      .select(col("k"), col("i"), col("ev"), col("ev_std"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(("a", 1L))._1.isEmpty) // first obs per key: NULL (pandas NaN)
+    assert(math.abs(out(("a", 2L))._1.get - 0.5) < 1e-12)
+    assert(math.abs(out(("a", 3L))._1.get - 1.1) < 1e-12)
+    assert(math.abs(out(("a", 3L))._2.get - math.sqrt(1.1)) < 1e-12)
+    // key b restarts the recursion: var of [10,12] = (10-12)²/2 · ¼·2 = 2
+    assert(out(("b", 1L))._1.isEmpty)
+    assert(math.abs(out(("b", 2L))._1.get - 2.0) < 1e-12)
+  }
+
   test("O8: black-box expanding apply agrees with the algebraic form") {
     // differential on a sum-shaped UDF: expandingCollect(f=_.sum) must
     // reproduce expandingAgg(sum) exactly, including the min_periods
