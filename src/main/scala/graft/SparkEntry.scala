@@ -1151,6 +1151,27 @@ object SparkEntry {
         outName = "ewm_var")
       .select("user_id", "event_id", "ewm_var", "ewm_var_std")
 
+  /** Per-key linear interpolation + ffill/bfill (pandas
+    * `groupby('user_id').value.interpolate()` —
+    * [[graft.ops.Windows.interpolateLinear]]). Nulls are synthesized
+    * deterministically (every event_id divisible by 7), then repaired
+    * per user in event order. The blend `pv + (nv-pv)*(rn-pp)/(np-pp)`
+    * is spelled identically in the oracle — long row-distances divide
+    * exactly and both engines run the same double ops, so no rounding
+    * is needed.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Windows
+      .interpolateLinear(
+        Tables.events(s, d).withColumn(
+          "x",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))),
+        col("x"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        outName = "filled")
+      .select("user_id", "event_id", "filled", "filled_ffill", "filled_bfill")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1218,7 +1239,8 @@ object SparkEntry {
     "q61_bloom_decontamination" -> (q61 _),
     "q62_segment_dedup" -> (q62 _),
     "q63_rolling_corr" -> (q63 _),
-    "q64_ewm_var" -> (q64 _)
+    "q64_ewm_var" -> (q64 _),
+    "q65_interpolate" -> (q65 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1792,6 +1814,35 @@ object SparkEntry {
          SELECT user_id, event_id,
            CASE WHEN rn > 1 THEN v/(1 - u) END AS ewm_var,
            CASE WHEN rn > 1 THEN sqrt(v/(1 - u)) END AS ewm_var_std
-         FROM r"""
+         FROM r""",
+    "q65_interpolate" ->
+      """WITH b AS (
+           SELECT user_id, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, x, rn,
+             last_value(x IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN x IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER wb AS pp,
+             first_value(x IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN x IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER wf AS np
+           FROM b
+           WINDOW
+             wb AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, event_id,
+           CASE WHEN x IS NOT NULL THEN x
+                WHEN pv IS NULL THEN NULL
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (rn - pp) / (np - pp) END AS filled,
+           coalesce(x, pv) AS filled_ffill,
+           coalesce(x, nv) AS filled_bfill
+         FROM f"""
   )
 }

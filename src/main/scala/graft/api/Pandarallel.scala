@@ -159,6 +159,18 @@ object Pandarallel {
     def ewm(alpha: Double, orderBy: Column): ParallelEwm =
       new ParallelEwm(df, alpha, Seq(orderBy), keys)
 
+    /** pandas `gb[col].interpolate()` + `ffill()`/`bfill()` — per-group
+      * missing-value repair ([[Windows.interpolateLinear]]: one
+      * exchange, two mirrored running-anchor frames). Emits `outName`,
+      * `outName_ffill`, `outName_bfill`.
+      */
+    def interpolate(
+        valueCol: Column,
+        orderBy: Column,
+        outName: String): DataFrame =
+      Windows.interpolateLinear(
+        df, valueCol, Seq(orderBy), keys.map(col), outName)
+
     /** Group-wise two-table merge ([[GroupApply.cogroupApply]]): align
       * each group of this frame with the matching group of `other`.
       */

@@ -528,6 +528,59 @@ object Windows {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** pandas `Series.interpolate(method='linear')` / `ffill()` / `bfill()`
+    * per group — the missing-value repair pass of feature pipelines.
+    * Declarative shape: a row_number plus two mirrored running lookups
+    * (`last(x, ignoreNulls)` over the unbounded-preceding frame,
+    * `first(x, ignoreNulls)` over the unbounded-following frame) give the
+    * previous/next anchor value AND its position; a null row is then
+    *   - left as null with no left anchor (pandas: leading NaNs stay),
+    *   - forward-filled with no right anchor (pandas default
+    *     limit_direction: trailing NaNs take the last valid value),
+    *   - otherwise linearly blended by row distance between anchors.
+    * Emits `outName` (interpolated), `outName_ffill`, `outName_bfill`.
+    * One hash exchange on `partitionBy`, then WindowExec streams both
+    * frames — no state beyond the running anchors; scales like every
+    * grouped window here. Empty `partitionBy` = one global series =
+    * single-partition window (the O6 caveat at the top of this file).
+    */
+  def interpolateLinear(
+      df: DataFrame,
+      valueCol: Column,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column],
+      outName: String): DataFrame = {
+    val base =
+      if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+      else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val x = valueCol
+    // row_number materialized first: a window expression can't nest
+    // inside another window aggregate's argument
+    df.withColumn("__rn", row_number().over(base))
+      .withColumn("__pv", last(x, ignoreNulls = true).over(wb))
+      .withColumn(
+        "__pp",
+        last(when(x.isNotNull, col("__rn")), ignoreNulls = true).over(wb))
+      .withColumn("__nv", first(x, ignoreNulls = true).over(wf))
+      .withColumn(
+        "__np",
+        first(when(x.isNotNull, col("__rn")), ignoreNulls = true).over(wf))
+      .withColumn(
+        outName,
+        when(x.isNotNull, x)
+          .when(col("__pv").isNull, lit(null))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(
+            col("__pv") +
+              (col("__nv") - col("__pv")) * (col("__rn") - col("__pp")) /
+              (col("__np") - col("__pp"))))
+      .withColumn(outName + "_ffill", coalesce(x, col("__pv")))
+      .withColumn(outName + "_bfill", coalesce(x, col("__nv")))
+      .drop("__rn", "__pv", "__pp", "__nv", "__np")
+  }
+
   def ewmMean(
       df: DataFrame,
       valueCol: String,

@@ -429,6 +429,26 @@ class FacadeSpec extends AnyFunSuite {
     assert(math.abs(out(("b", 2L))._1.get - 2.0) < 1e-12)
   }
 
+  test("interpolate: linear blend, leading nulls stay, trailing ffill") {
+    val df = Seq(
+      ("a", 1L, None), ("a", 2L, Some(1.0)), ("a", 3L, None),
+      ("a", 4L, None), ("a", 5L, Some(4.0)), ("a", 6L, None))
+      .toDF("k", "i", "x")
+    val out = df.parallelGroupBy("k")
+      .interpolate(col("x"), col("i"), "y")
+      .select(col("i"), col("y"), col("y_ffill"), col("y_bfill"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(out(1L)._1.isEmpty) // leading null: no left anchor
+    assert(out(3L)._1 === Some(2.0)) // 1 + (4-1)*(1/3)
+    assert(out(4L)._1 === Some(3.0)) // 1 + (4-1)*(2/3)
+    assert(out(6L)._1 === Some(4.0)) // trailing: forward-filled
+    assert(out(1L)._2.isEmpty && out(1L)._3 === Some(1.0)) // ffill/bfill
+    assert(out(6L)._2 === Some(4.0) && out(6L)._3.isEmpty)
+  }
+
   test("O8: black-box expanding apply agrees with the algebraic form") {
     // differential on a sum-shaped UDF: expandingCollect(f=_.sum) must
     // reproduce expandingAgg(sum) exactly, including the min_periods
