@@ -1172,6 +1172,23 @@ object SparkEntry {
         outName = "filled")
       .select("user_id", "event_id", "filled", "filled_ffill", "filled_bfill")
 
+  /** Per-group shift/diff/pct_change (pandas `gb.value.shift(1)` /
+    * `.diff(1)` / `.pct_change(1)` plus a forward shift(-1) —
+    * [[graft.ops.Windows.shiftOps]]). All four columns come from one
+    * window; identical lag/lead arithmetic on both engines — no
+    * rounding needed (events.value ≥ 0.01, so pct_change never divides
+    * by zero).
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq(col("event_id"))
+    val part = Seq(col("user_id"))
+    val fwd = Windows.shiftOps(
+      Tables.events(s, d), col("value"), ord, part, 1, "s1")
+    Windows
+      .shiftOps(fwd, col("value"), ord, part, -1, "sm1")
+      .select("user_id", "event_id", "s1", "s1_diff", "s1_pct", "sm1")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1240,7 +1257,8 @@ object SparkEntry {
     "q62_segment_dedup" -> (q62 _),
     "q63_rolling_corr" -> (q63 _),
     "q64_ewm_var" -> (q64 _),
-    "q65_interpolate" -> (q65 _)
+    "q65_interpolate" -> (q65 _),
+    "q66_shift_family" -> (q66 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1843,6 +1861,13 @@ object SparkEntry {
                 ELSE pv + (nv - pv) * (rn - pp) / (np - pp) END AS filled,
            coalesce(x, pv) AS filled_ffill,
            coalesce(x, nv) AS filled_bfill
-         FROM f"""
+         FROM f""",
+    "q66_shift_family" ->
+      """SELECT user_id, event_id,
+         lag(value, 1) OVER w AS s1,
+         value - lag(value, 1) OVER w AS s1_diff,
+         value / lag(value, 1) OVER w - 1 AS s1_pct,
+         lead(value, 1) OVER w AS sm1
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"""
   )
 }

@@ -159,6 +159,18 @@ object Pandarallel {
     def ewm(alpha: Double, orderBy: Column): ParallelEwm =
       new ParallelEwm(df, alpha, Seq(orderBy), keys)
 
+    /** pandas `gb[col].shift(n)` / `diff(n)` / `pct_change(n)` — emits
+      * `outName`, `outName_diff`, `outName_pct` in ONE window pass
+      * ([[Windows.shiftOps]]). Negative `periods` looks forward.
+      */
+    def parallelShift(
+        valueCol: Column,
+        orderBy: Column,
+        outName: String,
+        periods: Int = 1): DataFrame =
+      Windows.shiftOps(
+        df, valueCol, Seq(orderBy), keys.map(col), periods, outName)
+
     /** pandas `gb[col].interpolate()` + `ffill()`/`bfill()` — per-group
       * missing-value repair ([[Windows.interpolateLinear]]: one
       * exchange, two mirrored running-anchor frames). Emits `outName`,

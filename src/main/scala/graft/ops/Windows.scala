@@ -528,6 +528,28 @@ object Windows {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** pandas `shift(n)` / `diff(n)` / `pct_change(n)` per group — the
+    * lag-expression family. `periods` may be negative (pandas shift(-n)
+    * looks forward; Spark's unified lag accepts negative offsets).
+    * Emits `outName` (shifted), `outName_diff`, `outName_pct`: all three
+    * share one window, so Catalyst plans a single exchange + WindowExec.
+    */
+  def shiftOps(
+      df: DataFrame,
+      valueCol: Column,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column],
+      periods: Int,
+      outName: String): DataFrame = {
+    val base =
+      if (partitionBy.isEmpty) Window.orderBy(orderBy: _*)
+      else Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    val shifted = lag(valueCol, periods).over(base)
+    df.withColumn(outName, shifted)
+      .withColumn(outName + "_diff", valueCol - col(outName))
+      .withColumn(outName + "_pct", valueCol / col(outName) - 1)
+  }
+
   /** pandas `Series.interpolate(method='linear')` / `ffill()` / `bfill()`
     * per group — the missing-value repair pass of feature pipelines.
     * Declarative shape: a row_number plus two mirrored running lookups

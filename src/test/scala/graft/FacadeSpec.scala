@@ -449,6 +449,31 @@ class FacadeSpec extends AnyFunSuite {
     assert(out(6L)._2 === Some(4.0) && out(6L)._3.isEmpty)
   }
 
+  test("shift family: lag, diff, pct_change, negative shift leads") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 3.0), ("a", 3L, 6.0),
+      ("b", 1L, 5.0))
+      .toDF("k", "i", "x")
+    val out = df.parallelGroupBy("k")
+      .parallelShift(col("x"), col("i"), "s")
+      .select(col("k"), col("i"), col("s"), col("s_diff"), col("s_pct"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    assert(out(("a", 1L)) === ((None, None, None))) // no predecessor
+    assert(out(("a", 2L)) === ((Some(2.0), Some(1.0), Some(0.5))))
+    assert(out(("a", 3L)) === ((Some(3.0), Some(3.0), Some(1.0))))
+    assert(out(("b", 1L)) === ((None, None, None))) // group boundary
+    // negative periods = pandas shift(-1): forward-looking
+    val fwd = df.parallelGroupBy("k")
+      .parallelShift(col("x"), col("i"), "s", periods = -1)
+      .select(col("k"), col("i"), col("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(fwd(("a", 1L)) === Some(3.0))
+    assert(fwd(("a", 3L)).isEmpty)
+  }
+
   test("O8: black-box expanding apply agrees with the algebraic form") {
     // differential on a sum-shaped UDF: expandingCollect(f=_.sum) must
     // reproduce expandingAgg(sum) exactly, including the min_periods
