@@ -1189,6 +1189,22 @@ object SparkEntry {
       .select("user_id", "event_id", "s1", "s1_diff", "s1_pct", "sm1")
   }
 
+  /** Winsorize order totals at per-priority p05/p95
+    * ([[graft.operators.Sampling.winsorize]], exact form for oracle
+    * fidelity — the `approx = true` switch is the 100-TB twin, q27/q43
+    * rationale). The clipped value is either a raw double or an
+    * interpolated percentile bound both engines compute identically
+    * (q27 precedent) — no rounding.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .winsorize(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority",
+          "o_totalprice"),
+        "o_totalprice",
+        keys = Seq("o_orderpriority"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice_wins")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1258,7 +1274,8 @@ object SparkEntry {
     "q63_rolling_corr" -> (q63 _),
     "q64_ewm_var" -> (q64 _),
     "q65_interpolate" -> (q65 _),
-    "q66_shift_family" -> (q66 _)
+    "q66_shift_family" -> (q66 _),
+    "q67_winsorize" -> (q67 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1868,6 +1885,15 @@ object SparkEntry {
          value - lag(value, 1) OVER w AS s1_diff,
          value / lag(value, 1) OVER w - 1 AS s1_pct,
          lead(value, 1) OVER w AS sm1
-         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"""
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q67_winsorize" ->
+      """WITH b AS (
+           SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderkey, o_orderpriority,
+           least(greatest(o_totalprice, lo), hi) AS o_totalprice_wins
+         FROM orders JOIN b USING (o_orderpriority)"""
   )
 }

@@ -16,6 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** WINSORIZE — clip a numeric column at per-group percentile bounds
+    * (the outlier-taming pass of feature/quality pipelines:
+    * `gb[col].clip(q05, q95)`). Two jobs: one grouped percentile
+    * aggregation producing ONE ROW PER GROUP (so the bounds side is
+    * broadcast-size by construction — AQE broadcasts the join back), then
+    * a narrow `least(greatest(...))` clip on the fact side, which never
+    * shuffles. Emits `⟨valueCol⟩_wins`.
+    *
+    * `approx = false` uses Spark's exact interpolated `percentile` —
+    * q27's SCALE BOUND applies (full per-group value multiset in the agg
+    * buffer; fine at oracle scale, wrong at 100 TB). `approx = true` is
+    * the 100-TB path: `approx_percentile` keeps a bounded KLL-style
+    * sketch per group and clips at bounds within `accuracy` rank error —
+    * winsorizing is exactly the operation where a small bound error is
+    * immaterial (the q43 twin rationale).
+    */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String],
+      lo: Double = 0.05,
+      hi: Double = 0.95,
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0<=lo<=hi<=1, got $lo/$hi")
+    val (loAgg, hiAgg) =
+      if (approx)
+        (expr(s"approx_percentile($valueCol, $lo, $accuracy)"),
+          expr(s"approx_percentile($valueCol, $hi, $accuracy)"))
+      else
+        (expr(s"percentile($valueCol, $lo)"),
+          expr(s"percentile($valueCol, $hi)"))
+    val bounds = df
+      .groupBy(keys.map(col): _*)
+      .agg(loAgg.as("__lo"), hiAgg.as("__hi"))
+    df.join(bounds, keys)
+      .withColumn(
+        valueCol + "_wins",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** keep iff first-byte bucket of md5(c) < rate*256 (rate in [0,1]). */
   def keepExpr(c: Column, rate: Double): Column = {
     val threshold = math.round(rate * 256).toInt

@@ -40,6 +40,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q67 winsorize broadcasts the one-row-per-group bounds side") {
+    val p = plan(SparkEntry.queries("q67_winsorize")(spark, TestSpark.sf))
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"bounds join should broadcast (one row per group):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q06 aggregate is partial+final (map-side combine)") {
     val p = plan(SparkEntry.queries("q06_group_scalar")(spark, TestSpark.sf))
     assert(p.contains("partial_avg") || p.contains("HashAggregate"))

@@ -30,6 +30,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count() === nonEn)
   }
 
+  test("winsorize clips at per-group bounds; approx twin stays within rank error") {
+    // group a: 1..100 → p05 ≈ 5.95, p95 ≈ 95.05 (linear interpolation)
+    val df = ((1 to 100).map(i => ("a", i.toLong, i.toDouble)) :+
+      (("b", 999L, 7.0))) // single-value group: both bounds = the value
+      .toDF("k", "id", "x")
+    val out = Sampling.winsorize(df, "x", Seq("k"))
+      .select(col("k"), col("id"), col("x_wins"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("a", 1L)) - 5.95) < 1e-9) // clipped up to p05
+    assert(math.abs(out(("a", 100L)) - 95.05) < 1e-9) // clipped down
+    assert(out(("a", 50L)) === 50.0) // interior untouched
+    assert(out(("b", 999L)) === 7.0) // degenerate group is identity
+    // approx twin: same shape, bounds within coarse tolerance of exact
+    val approxOut = Sampling
+      .winsorize(df, "x", Seq("k"), approx = true)
+      .where(col("k") === "a")
+      .agg(min("x_wins"), max("x_wins"))
+      .as[(Double, Double)].first()
+    assert(approxOut._1 >= 1.0 && approxOut._1 <= 10.0)
+    assert(approxOut._2 >= 90.0 && approxOut._2 <= 100.0)
+  }
+
   test("vocabulary counts match a hand computation on a tiny corpus") {
     val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
     val v = Sampling.vocabulary(df, "doc_id", "text")
