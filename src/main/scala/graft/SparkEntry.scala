@@ -1205,6 +1205,20 @@ object SparkEntry {
         keys = Seq("o_orderpriority"))
       .select("o_orderkey", "o_orderpriority", "o_totalprice_wins")
 
+  /** HLL-sketch distinct users per event type
+    * ([[graft.operators.Sketches.hllDistinct]]) — the mergeable,
+    * bounded-state scale twin of q34's exact `count(DISTINCT)`.
+    * Rows-only by design: the estimate is Datasketches-HLL-specific
+    * (not reproducible by DuckDB's approx_count_distinct); the
+    * SketchesSpec differential asserts the estimate against q34's exact
+    * counts and the pre-agg/union path against the direct path.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+      Tables.events(s, d),
+      keys = Seq("event_type"),
+      valueCol = "user_id")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1275,7 +1289,8 @@ object SparkEntry {
     "q64_ewm_var" -> (q64 _),
     "q65_interpolate" -> (q65 _),
     "q66_shift_family" -> (q66 _),
-    "q67_winsorize" -> (q67 _)
+    "q67_winsorize" -> (q67 _),
+    "q68_hll_distinct" -> (q68 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -71,6 +71,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll distinct: within error of exact; pre-agg union = direct sketch") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, TestSpark.sf)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.hllDistinct(ev, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k).toDouble - n) / math.max(n, 1L)
+      assert(err < 0.05, s"$k: approx=${approx(k)} exact=$n") // ~0.8% @ lgK=12
+    }
+    // mergeability: per-shard sketches rolled up give the SAME estimate
+    // as one direct sketch — union is exact over register state
+    val sharded = Sketches.hllSketches(
+      ev.withColumn("shard", col("event_id") % 7),
+      Seq("event_type", "shard"), "user_id")
+    val merged = Sketches.hllMerge(sharded, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === approx)
+  }
+
   test("bloom-prefiltered decontamination is result-identical to exact") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val train = docs.where(col("doc_id") >= 50)
