@@ -1219,6 +1219,86 @@ object SparkEntry {
       keys = Seq("event_type"),
       valueCol = "user_id")
 
+  /** Semi-structured extraction: parse the JSON `props` column ONCE per
+    * row with a typed schema (`from_json` — one JsonToStructs per row;
+    * `get_json_object` would re-parse per extracted path) and aggregate
+    * the extracted field per event type. The sum under avg is exact
+    * (ints ≪ 2⁵³), so no rounding is needed cross-engine. At scale the
+    * parse is a narrow map fused into the scan stage; only the 5-group
+    * aggregate exchanges.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .withColumn(
+        "k",
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("k")).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  /** Rolling median + quantile per user (pandas `rolling(7).median()` /
+    * `.quantile(0.25)`): exact interpolated `percentile` as a WINDOW
+    * aggregate over the 7-row frame — O(w) buffer per frame, fine for
+    * small fixed windows; the full window (odd count) makes the median
+    * an exact element and p25 a 2-decimal-input interpolation, so both
+    * engines agree without rounding (q27 precedent).
+    */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq(col("event_id"))
+    val part = Seq(col("user_id"))
+    val med = Windows
+      .rollingAgg(Tables.events(s, d), col("value"), ord, part, 7)(c =>
+        expr("percentile(value, 0.5)"))
+      .withColumnRenamed("__rolling__", "med")
+    Windows
+      .rollingAgg(med, col("value"), ord, part, 7)(c =>
+        expr("percentile(value, 0.25)"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("med"),
+        col("__rolling__").as("p25"))
+  }
+
+  /** pandas `rank()` tie methods (first/min/max/dense/average) per user
+    * over `value` ([[graft.ops.Windows.rankMethods]]). event_id breaks
+    * first-method ties deterministically; value duplicates DO occur
+    * (2-decimal grid), so the five methods genuinely diverge.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rankMethods(
+        Tables.events(s, d),
+        col("value"),
+        tiebreak = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")))
+      .select("user_id", "event_id", "r_first", "r_min", "r_max",
+        "r_dense", "r_avg")
+
+  /** pandas `groupby('o_orderpriority').o_totalprice.describe()` —
+    * [[graft.ops.ColApply.describeBy]], one aggregation pass. mean/std
+    * rounded to 4 on both sides (accumulation-order noise on doubles);
+    * min/max/percentiles are exact values off the 2-decimal input grid.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    graft.ops.ColApply
+      .describeBy(Tables.orders(s, d), "o_totalprice",
+        Seq("o_orderpriority"))
+      .select(
+        col("o_orderpriority"),
+        col("n"),
+        round(col("mean"), 4).as("mean"),
+        round(col("std"), 4).as("std"),
+        col("min"),
+        col("p25"),
+        col("p50"),
+        col("p75"),
+        col("max"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1290,7 +1370,11 @@ object SparkEntry {
     "q65_interpolate" -> (q65 _),
     "q66_shift_family" -> (q66 _),
     "q67_winsorize" -> (q67 _),
-    "q68_hll_distinct" -> (q68 _)
+    "q68_hll_distinct" -> (q68 _),
+    "q69_json_extract" -> (q69 _),
+    "q70_rolling_median" -> (q70 _),
+    "q71_rank_methods" -> (q71 _),
+    "q72_describe" -> (q72 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -1909,6 +1993,44 @@ object SparkEntry {
            FROM orders GROUP BY o_orderpriority)
          SELECT o_orderkey, o_orderpriority,
            least(greatest(o_totalprice, lo), hi) AS o_totalprice_wins
-         FROM orders JOIN b USING (o_orderpriority)"""
+         FROM orders JOIN b USING (o_orderpriority)""",
+    "q69_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type""",
+    "q70_rolling_median" ->
+      """SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w >= 7 THEN
+           quantile_cont(value, 0.5) OVER w END AS med,
+         CASE WHEN count(value) OVER w >= 7 THEN
+           quantile_cont(value, 0.25) OVER w END AS p25
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "q71_rank_methods" ->
+      """SELECT user_id, event_id,
+         CAST(row_number() OVER wt AS INTEGER) AS r_first,
+         CAST(rank() OVER wv AS INTEGER) AS r_min,
+         CAST(rank() OVER wv
+              + count(*) OVER (PARTITION BY user_id, value) - 1
+              AS INTEGER) AS r_max,
+         CAST(dense_rank() OVER wv AS INTEGER) AS r_dense,
+         rank() OVER wv
+           + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0
+           AS r_avg
+         FROM events WINDOW
+           wv AS (PARTITION BY user_id ORDER BY value),
+           wt AS (PARTITION BY user_id ORDER BY value, event_id)""",
+    "q72_describe" ->
+      """SELECT o_orderpriority,
+         count(o_totalprice) AS n,
+         round(avg(o_totalprice), 4) AS mean,
+         round(stddev_samp(o_totalprice), 4) AS std,
+         min(o_totalprice) AS min,
+         quantile_cont(o_totalprice, 0.25) AS p25,
+         quantile_cont(o_totalprice, 0.5) AS p50,
+         quantile_cont(o_totalprice, 0.75) AS p75,
+         max(o_totalprice) AS max
+         FROM orders GROUP BY o_orderpriority"""
   )
 }

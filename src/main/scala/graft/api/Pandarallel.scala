@@ -159,6 +159,19 @@ object Pandarallel {
     def ewm(alpha: Double, orderBy: Column): ParallelEwm =
       new ParallelEwm(df, alpha, Seq(orderBy), keys)
 
+    /** pandas `gb[col].rank(method=...)` — all five tie methods in one
+      * pass ([[Windows.rankMethods]]): emits r_first, r_min, r_max,
+      * r_dense, r_avg.
+      */
+    def parallelRank(valueCol: Column, tiebreak: Column): DataFrame =
+      Windows.rankMethods(df, valueCol, Seq(tiebreak), keys.map(col))
+
+    /** pandas `gb[col].describe()` — eight summary stats per group in
+      * one aggregation pass ([[graft.ops.ColApply.describeBy]]).
+      */
+    def parallelDescribe(valueCol: String): DataFrame =
+      graft.ops.ColApply.describeBy(df, valueCol, keys)
+
     /** pandas `gb[col].shift(n)` / `diff(n)` / `pct_change(n)` — emits
       * `outName`, `outName_diff`, `outName_pct` in ONE window pass
       * ([[Windows.shiftOps]]). Negative `periods` looks forward.

@@ -40,6 +40,31 @@ object ColApply {
       outName: String => String = identity): DataFrame =
     df.select(cols.map(c => f(col(c)).as(outName(c))): _*)
 
+  /** pandas `gb[col].describe()` — the eight summary stats per group in
+    * ONE aggregation pass (count/mean/std/min/p25/p50/p75/max). std is
+    * the sample std (pandas ddof=1). The three exact interpolated
+    * percentiles share q27's SCALE BOUND (per-group value multiset in
+    * the agg buffer) — at 100 TB swap them for `approx_percentile`
+    * (q43's twin rationale); count/mean/std/min/max are plain
+    * partial+final aggregates at any scale.
+    */
+  def describeBy(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n"),
+        avg(col(valueCol)).as("mean"),
+        stddev_samp(col(valueCol)).as("std"),
+        min(col(valueCol)).as("min"),
+        expr(s"percentile($valueCol, 0.25)").as("p25"),
+        expr(s"percentile($valueCol, 0.5)").as("p50"),
+        expr(s"percentile($valueCol, 0.75)").as("p75"),
+        max(col(valueCol)).as("max"))
+  }
+
   /** O2 applymap: apply the cell function to every column of `cols`
     * (default: all numeric columns), carrying `keep` columns through
     * unchanged (pandas applymap transforms all cells; we keep key columns

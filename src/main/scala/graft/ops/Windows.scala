@@ -528,6 +528,42 @@ object Windows {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** pandas `rank()` with all five tie methods per group, over the sort
+    * key `valueCol` (ascending, 1-based, like pandas):
+    *   - first:   ties broken by `tiebreak` order (row_number)
+    *   - min:     SQL rank()
+    *   - max:     rank + (ties in this value) − 1
+    *   - dense:   SQL dense_rank()
+    *   - average: rank + (ties − 1)/2
+    * Emits `r_first, r_min, r_max, r_dense, r_avg`. All six window
+    * expressions share the per-group sort, so Catalyst plans one
+    * exchange; the ties count adds a second WindowExec over the
+    * (group, value) partitioning — no extra shuffle beyond its hash
+    * re-key. pandas emits float ranks — r_avg is double, the others
+    * stay integral.
+    */
+  def rankMethods(
+      df: DataFrame,
+      valueCol: Column,
+      tiebreak: Seq[Column],
+      partitionBy: Seq[Column]): DataFrame = {
+    val byValue =
+      if (partitionBy.isEmpty) Window.orderBy(valueCol)
+      else Window.partitionBy(partitionBy: _*).orderBy(valueCol)
+    val byValueTb =
+      if (partitionBy.isEmpty) Window.orderBy(valueCol +: tiebreak: _*)
+      else
+        Window.partitionBy(partitionBy: _*).orderBy(valueCol +: tiebreak: _*)
+    val ties = Window.partitionBy(partitionBy :+ valueCol: _*)
+    df.withColumn("r_first", row_number().over(byValueTb))
+      .withColumn("r_min", rank().over(byValue))
+      .withColumn("__ties", count(lit(1)).over(ties))
+      .withColumn("r_max", col("r_min") + col("__ties") - 1)
+      .withColumn("r_dense", dense_rank().over(byValue))
+      .withColumn("r_avg", col("r_min") + (col("__ties") - 1) / 2.0)
+      .drop("__ties")
+  }
+
   /** pandas `shift(n)` / `diff(n)` / `pct_change(n)` per group — the
     * lag-expression family. `periods` may be negative (pandas shift(-n)
     * looks forward; Spark's unified lag accepts negative offsets).

@@ -474,6 +474,41 @@ class FacadeSpec extends AnyFunSuite {
     assert(fwd(("a", 3L)).isEmpty)
   }
 
+  test("rank methods: the five pandas tie methods on a planted tie") {
+    import graft.ops.Windows
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 30.0))
+      .toDF("k", "i", "x")
+    val out = Windows
+      .rankMethods(df, col("x"), Seq(col("i")), Seq(col("k")))
+      .select(col("i"), col("r_first"), col("r_min"), col("r_max"),
+        col("r_dense"), col("r_avg"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4),
+          r.getDouble(5))))
+      .toMap
+    assert(out(1L) === ((1, 1, 1L, 1, 1.0)))
+    assert(out(2L) === ((2, 2, 3L, 2, 2.5))) // tie: min 2, max 3, avg 2.5
+    assert(out(3L) === ((3, 2, 3L, 2, 2.5)))
+    assert(out(4L) === ((4, 4, 4L, 3, 4.0))) // dense collapses the tie
+  }
+
+  test("describe: eight summary stats match a hand computation") {
+    import graft.ops.ColApply
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0))
+      .toDF("k", "x")
+    val r = ColApply.describeBy(df, "x", Seq("k")).collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("mean") === 2.5)
+    // sample std of 1..4 = sqrt(5/3)
+    assert(math.abs(r.getAs[Double]("std") - math.sqrt(5.0 / 3.0)) < 1e-12)
+    assert(r.getAs[Double]("min") === 1.0 && r.getAs[Double]("max") === 4.0)
+    assert(r.getAs[Double]("p25") === 1.75) // 1 + 0.75*(2-1)
+    assert(r.getAs[Double]("p50") === 2.5)
+    assert(r.getAs[Double]("p75") === 3.25)
+  }
+
   test("O8: black-box expanding apply agrees with the algebraic form") {
     // differential on a sum-shaped UDF: expandingCollect(f=_.sum) must
     // reproduce expandingAgg(sum) exactly, including the min_periods
