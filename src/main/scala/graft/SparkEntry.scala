@@ -1299,6 +1299,21 @@ object SparkEntry {
         col("p75"),
         col("max"))
 
+  /** Click→purchase attribution interval self-join
+    * ([[graft.streaming.EventStream.attributionJoin]] in its BATCH form
+    * — the same function runs as a watermarked stream-stream join, spec
+    * in StreamingSpec): each purchase matched to the same user's clicks
+    * in the preceding 30 minutes. Timestamps compare at micros
+    * (event_time truncation); the oracle mirrors with integer-division
+    * micros, so the bound is exact on both engines.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.streaming.EventStream.attributionJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1374,7 +1389,8 @@ object SparkEntry {
     "q69_json_extract" -> (q69 _),
     "q70_rolling_median" -> (q70 _),
     "q71_rank_methods" -> (q71 _),
-    "q72_describe" -> (q72 _)
+    "q72_describe" -> (q72 _),
+    "q73_attribution_join" -> (q73 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2031,6 +2047,13 @@ object SparkEntry {
          quantile_cont(o_totalprice, 0.5) AS p50,
          quantile_cont(o_totalprice, 0.75) AS p75,
          max(o_totalprice) AS max
-         FROM orders GROUP BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority""",
+    "q73_attribution_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+           AND epoch_ns(p.ts) // 1000
+               <= epoch_ns(c.ts) // 1000 + 1800000000"""
   )
 }

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
-  /** nanos-long → TimestampType (micros precision). */
+  /** nanos-long → TimestampType (micros precision). Integral `div`, not
+    * Column./ — the double detour rounds a ~1.7e18 nanos value to a
+    * multiple of 256 BEFORE dividing (2⁵³ mantissa), shifting boundary
+    * rows by ±256 ns (same rationale as [[bucketCol]]).
+    */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn(
-      "event_time",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** 10-minute tumbling bucket as epoch seconds. Integral `div` on the
     * nanos long — Column./ would detour through double and lose nanosecond
@@ -84,6 +86,50 @@ object EventStream {
       dim: DataFrame,
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
+
+  /** STREAM-STREAM interval join (click→purchase attribution): match
+    * each purchase to the same user's clicks in the preceding
+    * `windowMin` minutes. Works unchanged on two streaming frames or two
+    * batch frames — the parity that lets backfill and live attribution
+    * share one definition (the [[windowedCounts]] principle).
+    *
+    * On streams BOTH sides carry a watermark and the join condition
+    * bounds purchase_time to [click_time, click_time + windowMin], so
+    * Spark can expire join state: a click older than
+    * watermark + windowMin can never match a future purchase and is
+    * dropped from the state store. Without the time bound the state
+    * grows forever — the condition is not an optimization, it is what
+    * makes an infinite stream-stream join runnable at all. State is
+    * hash-partitioned on user_id: the same one-exchange-per-side shape
+    * as the batch join at any cluster size.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowMin: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame) = {
+      val t = withEventTime(df)
+      if (t.isStreaming) t.withWatermark("event_time", watermark) else t
+    }
+    val c = side(clicks).select(
+      col("user_id").as("c_user"),
+      col("event_id").as("click_id"),
+      col("event_time").as("click_time"))
+    val p = side(purchases).select(
+      col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"),
+      col("event_time").as("purchase_time"))
+    c.join(
+        p,
+        expr(s"""c_user = p_user
+                 AND purchase_time >= click_time
+                 AND purchase_time <= click_time + interval $windowMin minutes"""))
+      .select(
+        col("c_user").as("user_id"),
+        col("click_id"),
+        col("purchase_id"))
+  }
 
   /** Read the events parquet as a stream. The file source wants a
     * directory, so stream the sf directory with a glob pinned to the

@@ -214,6 +214,40 @@ class StreamingSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted === Array(1L, 2L, 4L, 5L, 7L))
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val batch = EventStream
+      .attributionJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(batch.nonEmpty) // non-vacuous at sf0.001
+
+    val stream = EventStream.readEventsStream(spark, TestSpark.sf)
+    val q = EventStream
+      .attributionJoin(
+        stream.where(col("event_type") === "click"),
+        stream.where(col("event_type") === "purchase"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_ss_join_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .sql("SELECT user_id, click_id, purchase_id FROM graft_ss_join_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // one finite source fully processed: watermarking drops nothing
+      // that the batch join keeps, so the sets are identical
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization agrees with the batch form") {
     import spark.implicits._
     import graft.operators.Sessionize
