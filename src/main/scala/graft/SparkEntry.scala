@@ -1314,6 +1314,44 @@ object SparkEntry {
       ev.where(col("event_type") === "purchase"))
   }
 
+  /** FORWARD as-of join with tolerance (pandas
+    * `merge_asof(direction='forward', tolerance=30min)` —
+    * [[graft.operators.AsOfJoin]]): each click attached to the same
+    * user's NEXT purchase, nulled out beyond 30 minutes (the row stays —
+    * pandas tolerance semantics). Times compare on the micros grid on
+    * both engines (`ts div 1000` / `epoch_ns // 1000`), so the
+    * tolerance boundary is integer-exact. Complements q25's backward
+    * direction; q73 is the pair-expanding variant of the same shape.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(s, d)
+    val clicks = ev
+      .where(col("event_type") === "click")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("t"))
+    val purchases = ev
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("pt"),
+        col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    AsOfJoin(
+      left = clicks,
+      right = purchases,
+      key = "user_id",
+      leftTime = col("t"),
+      rightTime = col("pt"),
+      payload = Seq("purchase_id", "purchase_value"),
+      tieBreak = "purchase_id",
+      direction = "forward",
+      tolerance = Some(30L * 60 * 1000000))
+      .select("event_id", "user_id", "purchase_id", "purchase_value")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1390,7 +1428,8 @@ object SparkEntry {
     "q70_rolling_median" -> (q70 _),
     "q71_rank_methods" -> (q71 _),
     "q72_describe" -> (q72 _),
-    "q73_attribution_join" -> (q73 _)
+    "q73_attribution_join" -> (q73 _),
+    "q74_asof_forward" -> (q74 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2054,6 +2093,26 @@ object SparkEntry {
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
            AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
            AND epoch_ns(p.ts) // 1000
-               <= epoch_ns(c.ts) // 1000 + 1800000000"""
+               <= epoch_ns(c.ts) // 1000 + 1800000000""",
+    "q74_asof_forward" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value, event_type,
+                  epoch_ns(ts) // 1000 AS t
+           FROM events),
+         p AS (
+           SELECT user_id, t, max(event_id) AS purchase_id,
+                  max_by(value, event_id) AS purchase_value
+           FROM e WHERE event_type = 'purchase' GROUP BY user_id, t),
+         j AS (
+           SELECT c.event_id, c.user_id, c.t AS ct,
+                  p.purchase_id, p.purchase_value, p.t AS pt
+           FROM (SELECT * FROM e WHERE event_type = 'click') c
+           ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t <= p.t)
+         SELECT event_id, user_id,
+           CASE WHEN pt - ct <= 1800000000 THEN purchase_id END
+             AS purchase_id,
+           CASE WHEN pt - ct <= 1800000000 THEN purchase_value END
+             AS purchase_value
+         FROM j"""
   )
 }

@@ -4,20 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for each left row, attach the most recent right row with
-  * `rightTime <= leftTime` within the same key — the point-in-time join
-  * every feature/training pipeline needs (no look-ahead leakage).
+/** As-of join with full pandas `merge_asof` direction/tolerance parity:
+  * for each left row, attach the closest right row within the same key —
+  * `direction = "backward"` (most recent right with t' <= t: the
+  * point-in-time join every feature/training pipeline needs, no
+  * look-ahead leakage), `"forward"` (next right with t' >= t), or
+  * `"nearest"` (closer of the two; backward wins exact-distance ties,
+  * like pandas). An optional `tolerance` nulls out matches farther than
+  * the bound (pandas `tolerance` — the row is kept, the payload is
+  * null); its unit is MICROSECONDS for timestamp/date time columns and
+  * the column's own units for numeric time columns.
   *
   * Spark has no native as-of join; the composition ladder (brief
   * preference (a)) gives a fully scalable one: tag both sides, union,
-  * and carry the last right payload forward with
-  * `last(_, ignoreNulls).over(key-partitioned time window)`.
-  * Cost: ONE hash exchange on the key + per-partition sort — the same
-  * plan shape as a sort-merge join, with none of the range-join pair
-  * explosion. Skewed keys behave like any window partition (one task
-  * per key's run).
+  * and carry the nearest right payload across with
+  * `last(_, ignoreNulls)` over the unbounded-preceding frame (backward)
+  * / `first(_, ignoreNulls)` over the unbounded-following frame
+  * (forward). Cost: ONE hash exchange on the key + per-partition sort —
+  * the same plan shape as a sort-merge join, with none of the range-join
+  * pair explosion ("nearest" adds the second frame's sort, still zero
+  * extra exchanges). Skewed keys behave like any window partition (one
+  * task per key's run).
   *
-  * Ties (right.t == left.t) match, and among right rows sharing a
+  * Ties (right.t == left.t) match in every direction (pandas
+  * `allow_exact_matches=True` default), and among right rows sharing a
   * timestamp the one with the greatest tie-break column wins —
   * deterministic regardless of partitioning.
   */
@@ -30,6 +40,10 @@ object AsOfJoin {
     * @param rightTime event-time column on the right
     * @param payload   right columns to attach
     * @param tieBreak  right column ordering ties at equal rightTime
+    * @param direction backward | forward | nearest
+    * @param tolerance max |leftTime − matched rightTime| (µs for
+    *                  timestamp/date times, native units for numeric
+    *                  times); farther matches null out
     */
   def apply(
       left: DataFrame,
@@ -38,7 +52,12 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       payload: Seq[String],
-      tieBreak: String): DataFrame = {
+      tieBreak: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(
+      Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
 
     // deduplicate right to one row per (key, t): greatest tie-break wins
@@ -58,20 +77,66 @@ object AsOfJoin {
             .filterNot(Set(key))
             .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    // right rows sort before left rows at equal time → <= semantics
-    val w = Window
+    // backward frame: right rows sort BEFORE left at equal time, so the
+    // unbounded-preceding frame of a left row sees same-instant rights
+    val wb = Window
       .partitionBy(col(key))
       .orderBy(col("__t"), col("__isL"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward frame: the mirrored tie order (left BEFORE right) so the
+    // unbounded-following frame sees same-instant rights. Different sort
+    // key, same partitioning — a second per-partition sort, no exchange.
+    val wf = Window
+      .partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__isL").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    lTagged
+    val unioned = lTagged
       .select(rTagged.columns.map(col): _*)
       .unionByName(rTagged.select(rTagged.columns.map(col): _*))
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn(
+        "__c",
+        when(
+          col("__isL") === 0,
+          struct(col("__t").as("__mt"), col("__p").as("__pp"))))
+
+    val numericTime = unioned
+      .schema("__t").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def micros(c: Column): Column =
+      if (numericTime) c else unix_micros(c.cast("timestamp"))
+    val lt = micros(col("__t"))
+    val withMatch = direction match {
+      case "backward" =>
+        unioned.withColumn("__m", last(col("__c"), ignoreNulls = true).over(wb))
+      case "forward" =>
+        unioned.withColumn("__m", first(col("__c"), ignoreNulls = true).over(wf))
+      case "nearest" =>
+        unioned
+          .withColumn("__mb", last(col("__c"), ignoreNulls = true).over(wb))
+          .withColumn("__mf", first(col("__c"), ignoreNulls = true).over(wf))
+          .withColumn(
+            "__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when( // backward wins exact-distance ties (pandas)
+                lt - micros(col("__mb.__mt")) <=
+                  micros(col("__mf.__mt")) - lt,
+                col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    val bounded = tolerance match {
+      case None => withMatch
+      case Some(tol) =>
+        withMatch.withColumn(
+          "__m",
+          when(abs(lt - micros(col("__m.__mt"))) <= tol, col("__m")))
+    }
+    bounded
       .where(col("__isL") === 1)
       .select(
         leftCols.map(col) ++
           (tieBreak +: payload.filterNot(_ == tieBreak))
-            .map(c => col(s"__m.$c").as(c)): _*)
+            .map(c => col(s"__m.__pp.$c").as(c)): _*)
   }
 }
