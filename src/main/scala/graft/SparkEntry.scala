@@ -1352,6 +1352,17 @@ object SparkEntry {
       .select("event_id", "user_id", "purchase_id", "purchase_value")
   }
 
+  /** Unigram-LM surprisal per document
+    * ([[graft.operators.Sampling.unigramSurprisal]]): avg −ln p(term)
+    * under the corpus unigram distribution — the cheap perplexity proxy
+    * quality filters threshold on. toks appears on both sides of its
+    * own count join; the oracle replays the identical expression with
+    * both engines' avg order absorbed by the 5-decimal rounding.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.unigramSurprisal(
+      Tables.documents(s, d), "doc_id", "text")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1429,7 +1440,8 @@ object SparkEntry {
     "q71_rank_methods" -> (q71 _),
     "q72_describe" -> (q72 _),
     "q73_attribution_join" -> (q73 _),
-    "q74_asof_forward" -> (q74 _)
+    "q74_asof_forward" -> (q74 _),
+    "q75_surprisal" -> (q75 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2113,6 +2125,17 @@ object SparkEntry {
              AS purchase_id,
            CASE WHEN pt - ct <= 1800000000 THEN purchase_value END
              AS purchase_value
-         FROM j"""
+         FROM j""",
+    "q75_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+         tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+         SELECT doc_id,
+           round(avg(-ln(c / (SELECT n FROM tot))), 5) AS surprisal
+         FROM tok JOIN tc USING (term)
+         GROUP BY doc_id"""
   )
 }

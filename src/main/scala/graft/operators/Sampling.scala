@@ -134,6 +134,37 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Unigram-LM surprisal per document — the corpus-statistics quality
+    * signal (a cheap stand-in for model perplexity): score every token
+    * occurrence by −ln p(term) under the corpus unigram distribution and
+    * average per document. Low = boilerplate/repetitive, high = rare-token
+    * soup; both tails are what quality filters cut.
+    *
+    * Shape: one explode feeds both the term-count aggregation and the
+    * scoring join (hash-partitioned on term, co-partitioned with the
+    * counts it joins — AQE broadcasts the count table when the
+    * vocabulary fits); the corpus total is a one-row lazy aggregate
+    * cross-joined in (broadcast of one row, not a driver count() —
+    * [[tfIdf]]'s rationale). Rounded to 5: the per-doc avg of logs is
+    * order-sensitive at ~1e-15 relative.
+    */
+  def unigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+        .as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    toks
+      .join(counts, Seq("term"))
+      .crossJoin(total)
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("__c") / col("__n"))), 5).as("surprisal"))
+  }
+
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(
       col(idCol).as("doc_id"),
