@@ -1363,6 +1363,27 @@ object SparkEntry {
     graft.operators.Sampling.unigramSurprisal(
       Tables.documents(s, d), "doc_id", "text")
 
+  /** Rolling skew + kurtosis per user (pandas `rolling(10).skew()` /
+    * `.kurt()`, bias-corrected — [[graft.ops.Windows.rollingSkewKurt]]).
+    * The oracle spells the IDENTICAL raw-moment expression tree; the
+    * residual cross-engine noise is the window-sum association order
+    * (~1e-14 here), absorbed by 5-decimal rounding on both sides.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Windows
+      .rollingSkewKurt(
+        Tables.events(s, d),
+        col("value"),
+        orderBy = Seq(col("event_id")),
+        partitionBy = Seq(col("user_id")),
+        window = 10,
+        outName = "v")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(col("v_skew"), 5).as("v_skew"),
+        round(col("v_kurt"), 5).as("v_kurt"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1441,7 +1462,8 @@ object SparkEntry {
     "q72_describe" -> (q72 _),
     "q73_attribution_join" -> (q73 _),
     "q74_asof_forward" -> (q74 _),
-    "q75_surprisal" -> (q75 _)
+    "q75_surprisal" -> (q75 _),
+    "q76_rolling_skew" -> (q76 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2136,6 +2158,37 @@ object SparkEntry {
          SELECT doc_id,
            round(avg(-ln(c / (SELECT n FROM tot))), 5) AS surprisal
          FROM tok JOIN tc USING (term)
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    // same raw-moment expression tree as Windows.rollingSkewKurt — only
+    // the window-sum association differs (absorbed by round 5)
+    "q76_rolling_skew" ->
+      """WITH b AS (
+           SELECT user_id, event_id,
+             count(value) OVER w AS cnt,
+             sum(value) OVER w AS s1,
+             sum(value*value) OVER w AS s2,
+             sum(value*value*value) OVER w AS s3,
+             sum(value*value*value*value) OVER w AS s4
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         c AS (
+           SELECT user_id, event_id, cnt,
+             CAST(cnt AS DOUBLE) AS n, s1, s2, s3, s4,
+             s1/CAST(cnt AS DOUBLE) AS m
+           FROM b),
+         d AS (
+           SELECT *,
+             s2/n - m*m AS m2,
+             s3/n - 3*m*(s2/n) + 2*m*m*m AS m3,
+             s4/n - 4*m*(s3/n) + 6*m*m*(s2/n) - 3*m*m*m*m AS m4,
+             n*(s2/n - m*m)/(n-1) AS sv
+           FROM c)
+         SELECT user_id, event_id,
+           CASE WHEN cnt >= 10 THEN
+             round(sqrt(n*(n-1))/(n-2)*m3/pow(m2,1.5), 5) END AS v_skew,
+           CASE WHEN cnt >= 10 THEN
+             round(n*(n+1)/((n-1)*(n-2)*(n-3))*(n*m4)/(sv*sv)
+                   - 3*(n-1)*(n-1)/((n-2)*(n-3)), 5) END AS v_kurt
+         FROM d"""
   )
 }

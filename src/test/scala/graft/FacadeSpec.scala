@@ -509,6 +509,36 @@ class FacadeSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p75") === 3.25)
   }
 
+  test("rolling skew/kurt match two-pass centered bias-corrected moments") {
+    import graft.ops.Windows
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    val df = xs.zipWithIndex
+      .map { case (v, i) => ("g", (i + 1).toLong, v) }
+      .toDF("k", "i", "x")
+    val row = Windows
+      .rollingSkewKurt(df, col("x"), Seq(col("i")), Seq(col("k")), 5, "v")
+      .where(col("i") === 5)
+      .select("v_skew", "v_kurt")
+      .as[(Option[Double], Option[Double])].head()
+    // independent two-pass computation (centered moments, not the
+    // operator's raw-moment expansion)
+    val n = xs.size.toDouble
+    val mean = xs.sum / n
+    def cm(p: Int) = xs.map(v => math.pow(v - mean, p)).sum / n
+    val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+    val g1 = math.sqrt(n * (n - 1)) / (n - 2) * m3 / math.pow(m2, 1.5)
+    val sv = n * m2 / (n - 1)
+    val g2 = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * (n * m4) /
+      (sv * sv) - 3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    assert(math.abs(row._1.get - g1) < 1e-9)
+    assert(math.abs(row._2.get - g2) < 1e-9)
+    // warm-up below min_periods
+    val warm = Windows
+      .rollingSkewKurt(df, col("x"), Seq(col("i")), Seq(col("k")), 5, "v")
+      .where(col("i") === 4).select("v_skew").as[Option[Double]].head()
+    assert(warm.isEmpty)
+  }
+
   test("O8: black-box expanding apply agrees with the algebraic form") {
     // differential on a sum-shaped UDF: expandingCollect(f=_.sum) must
     // reproduce expandingAgg(sum) exactly, including the min_periods
