@@ -2071,7 +2071,8 @@ object SparkEntry {
       """SELECT user_id, event_id,
          lag(value, 1) OVER w AS s1,
          value - lag(value, 1) OVER w AS s1_diff,
-         value / lag(value, 1) OVER w - 1 AS s1_pct,
+         CASE WHEN lag(value, 1) OVER w <> 0
+           THEN value / lag(value, 1) OVER w - 1 END AS s1_pct,
          lead(value, 1) OVER w AS sm1
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
     "q67_winsorize" ->
@@ -2184,9 +2185,9 @@ object SparkEntry {
              n*(s2/n - m*m)/(n-1) AS sv
            FROM c)
          SELECT user_id, event_id,
-           CASE WHEN cnt >= 10 THEN
+           CASE WHEN cnt >= 10 AND m2 > 0 THEN
              round(sqrt(n*(n-1))/(n-2)*m3/pow(m2,1.5), 5) END AS v_skew,
-           CASE WHEN cnt >= 10 THEN
+           CASE WHEN cnt >= 10 AND m2 > 0 THEN
              round(n*(n+1)/((n-1)*(n-2)*(n-3))*(n*m4)/(sv*sv)
                    - 3*(n-1)*(n-1)/((n-2)*(n-3)), 5) END AS v_kurt
          FROM d"""

@@ -62,6 +62,71 @@ object Similarity {
       col(idCol).as("id"),
       cos(df)(col(vecCol), vecLit(query)).as("sim"))
 
+  /** INT8 scalar quantization of an embedding column — the 4× storage /
+    * bandwidth lever of a 100-TB vector corpus (raw float32 vectors
+    * dominate scan time; rescoring reads the quantized corpus and only
+    * fetches full-precision vectors for the final candidates).
+    *
+    * Per-DIMENSION affine quantization: one tiny aggregation computes
+    * each dimension's [min, max] over the corpus (a ≤dim-element pair of
+    * arrays — broadcast-size by construction), then each component maps
+    * to round((x − lo) · 255/(hi − lo)) stored as a byte array. A
+    * constant dimension (hi == lo) quantizes to 0 and dequantizes to its
+    * constant. Returns (df with `⟨vecCol⟩_q8`, bounds frame to persist
+    * beside the index — dequantization needs it).
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String): (DataFrame, DataFrame) = {
+    // per-dimension min/max as a partial+final aggregation (posexplode →
+    // groupBy dim): the exchange carries one (dim, lo, hi) partial per
+    // partition — never whole vectors; the final collect_list is over
+    // ≤dim rows
+    val perDim = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "x")))
+      .groupBy("p")
+      .agg(min("x").as("l"), max("x").as("h"))
+    val bounds = perDim.agg(
+      transform(
+        array_sort(collect_list(struct(col("p"), col("l")))),
+        s => s("l")).as("lo"),
+      transform(
+        array_sort(collect_list(struct(col("p"), col("h")))),
+        s => s("h")).as("hi"))
+    val quantized = df
+      .crossJoin(broadcast(bounds))
+      .withColumn(
+        vecCol + "_q8",
+        zip_with(
+          zip_with(col(vecCol).cast("array<double>"), col("lo"),
+            (x, l) => x - l),
+          zip_with(col("hi"), col("lo"), (h, l) => h - l),
+          (num, range) =>
+            when(range === 0d, lit(0))
+              .otherwise(round(num * 255d / range))
+              .cast("int")))
+      .drop("lo", "hi")
+    (quantized, bounds)
+  }
+
+  /** Dequantize `⟨vecCol⟩_q8` back to doubles given the bounds frame
+    * from [[quantizeInt8]] (each component: lo + q·range/255).
+    */
+  def dequantizeInt8(
+      df: DataFrame,
+      q8Col: String,
+      bounds: DataFrame,
+      outCol: String): DataFrame =
+    df.crossJoin(broadcast(bounds))
+      .withColumn(
+        outCol,
+        zip_with(
+          zip_with(col(q8Col), col("lo"), (q, l) => struct(q.as("q"), l.as("l"))),
+          zip_with(col("hi"), col("lo"), (h, l) => h - l),
+          (ql, range) =>
+            ql.getField("l") + ql.getField("q") * range / 255d))
+      .drop("lo", "hi")
+
   /** LSH-bucketed approximate top-k: score only vectors sharing at least
     * one signature band with the query.
     *

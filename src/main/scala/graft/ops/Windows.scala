@@ -569,7 +569,9 @@ object Windows {
     val kurt = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) *
       (n * m4) / (sVar * sVar) -
       lit(3) * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
-    val gate = count(x).over(frame) >= mp
+    // constant window (m2 == 0) → NULL like pandas' NaN — also keeps
+    // ANSI mode from throwing DIVIDE_BY_ZERO on the m2^1.5 / sv² bases
+    val gate = count(x).over(frame) >= mp && m2 > 0
     df.withColumn(outName + "_skew", when(gate, skew))
       .withColumn(outName + "_kurt", when(gate, kurt))
   }
@@ -629,7 +631,12 @@ object Windows {
     val shifted = lag(valueCol, periods).over(base)
     df.withColumn(outName, shifted)
       .withColumn(outName + "_diff", valueCol - col(outName))
-      .withColumn(outName + "_pct", valueCol / col(outName) - 1)
+      // zero base → NULL (pandas emits ±inf; NULL is the cross-engine-
+      // stable choice, and Spark's ANSI mode would otherwise throw
+      // DIVIDE_BY_ZERO on the first zero in the data)
+      .withColumn(
+        outName + "_pct",
+        when(col(outName) =!= 0, valueCol / col(outName) - 1))
   }
 
   /** pandas `Series.interpolate(method='linear')` / `ffill()` / `bfill()`

@@ -385,6 +385,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d === 0.0)
   }
 
+  test("int8 quantization: bounded roundtrip error, top-k recall holds") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (q8, bounds) = Similarity.quantizeInt8(emb, "v")
+    val deq = Similarity.dequantizeInt8(q8, "v_q8", bounds, "v_deq")
+    // per-component roundtrip error <= half a quantization step
+    val maxErr = deq
+      .select(
+        aggregate(
+          zip_with(col("v"), col("v_deq"), (a, b) => abs(a - b)),
+          lit(0.0),
+          (acc, e) => greatest(acc, e)).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    val range = bounds
+      .select(
+        aggregate(
+          zip_with(col("hi"), col("lo"), (h, l) => h - l),
+          lit(0.0),
+          (acc, r) => greatest(acc, r)).as("r"))
+      .head().getDouble(0)
+    assert(maxErr <= range / 255.0 / 2.0 + 1e-12,
+      s"maxErr=$maxErr range=$range")
+    // cosine top-10 on dequantized vectors recalls >=8 of the exact top-10
+    val query = emb.where(col("vec_id") === 1)
+      .select(col("v")).head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(emb, "v", "vec_id", query, 10)
+      .select("id").as[Long].collect().toSet
+    val approx = Similarity
+      .bruteForceTopK(
+        deq.select(col("vec_id"), col("v_deq").as("v")), "v", "vec_id",
+        query, 10)
+      .select("id").as[Long].collect().toSet
+    assert((exact intersect approx).size >= 8,
+      s"recall ${(exact intersect approx).size}/10")
+  }
+
   test("kmeans quantizer: deterministic unlabeled IVF build with recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf).drop("label")
     val a1 = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)

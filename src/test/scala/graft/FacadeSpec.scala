@@ -451,7 +451,7 @@ class FacadeSpec extends AnyFunSuite {
 
   test("shift family: lag, diff, pct_change, negative shift leads") {
     val df = Seq(("a", 1L, 2.0), ("a", 2L, 3.0), ("a", 3L, 6.0),
-      ("b", 1L, 5.0))
+      ("b", 1L, 5.0), ("c", 1L, 0.0), ("c", 2L, 4.0))
       .toDF("k", "i", "x")
     val out = df.parallelGroupBy("k")
       .parallelShift(col("x"), col("i"), "s")
@@ -464,6 +464,9 @@ class FacadeSpec extends AnyFunSuite {
     assert(out(("a", 2L)) === ((Some(2.0), Some(1.0), Some(0.5))))
     assert(out(("a", 3L)) === ((Some(3.0), Some(3.0), Some(1.0))))
     assert(out(("b", 1L)) === ((None, None, None))) // group boundary
+    // zero base: shift/diff defined, pct_change NULL (pandas inf; ANSI-
+    // safe cross-engine choice)
+    assert(out(("c", 2L)) === ((Some(0.0), Some(4.0), None)))
     // negative periods = pandas shift(-1): forward-looking
     val fwd = df.parallelGroupBy("k")
       .parallelShift(col("x"), col("i"), "s", periods = -1)
