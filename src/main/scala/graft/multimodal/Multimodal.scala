@@ -9,9 +9,13 @@ import org.apache.spark.sql.types._
   * set). Media assets are opaque `binary` columns plus a typed metadata
   * struct; decode / feature-extraction runs batched per partition.
   *
-  * The decode step itself is STUBBED with a deterministic fake (this
-  * container has no image/audio codecs — see the build brief); the
-  * Spark-side plumbing is real and what actually matters at scale:
+  * The IMAGE modality is decoded FOR REAL via the JDK's built-in
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — [[decodeImages]] /
+  * [[resizeImages]], no external codecs required). Audio/video decode
+  * remains STUBBED with a deterministic fake (the JDK ships no codecs
+  * for them and this container has none — see the build brief); the
+  * Spark-side plumbing is identical either way and is what actually
+  * matters at scale:
   *   - schema: (id, modality, data binary, meta struct)
   *   - per-partition batched processing via `mapPartitions` — one
   *     decoder/model instantiation per task, amortized over the
@@ -135,6 +139,102 @@ object Multimodal {
             Frame(id, f, java.util.Arrays.copyOfRange(data, from, until))
           }
           .filter(_.data.nonEmpty)
+      }
+    }
+  }
+
+  /** REAL image decode — the JDK's built-in `javax.imageio` reads
+    * PNG/JPEG/BMP/GIF with no external codecs, so the IMAGE modality
+    * needs no stub at all (audio/video remain stubbed: the JDK has no
+    * built-in codecs for them). Returns the true (width, height) and a
+    * feature vector of 3 channel means (normalized to [0,1]) followed by
+    * a `histBins`-bucket luminance histogram (row-count normalized) —
+    * the pixel-statistics features dataset-quality filters use.
+    * Undecodable payloads → None (route to quarantine, don't crash the
+    * job on one corrupt file).
+    */
+  def decodeImageBytes(
+      data: Array[Byte],
+      histBins: Int): Option[(Int, Int, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val feat = new Array[Float](3 + histBins)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          feat(0) += r; feat(1) += g; feat(2) += b
+          val lum = (r * 299 + g * 587 + b * 114) / 1000
+          feat(3 + lum * histBins / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      feat(0) /= n * 255f; feat(1) /= n * 255f; feat(2) /= n * 255f
+      var i = 0
+      while (i < histBins) { feat(3 + i) /= n; i += 1 }
+      Some((w, h, feat))
+    }
+  }
+
+  /** Batched REAL image decode over an asset table: undecodable rows are
+    * dropped (count them upstream if quarantine reporting is needed).
+    * Same mapPartitions batching contract as [[extractFeatures]] —
+    * ImageIO's reader lookup is cached JVM-wide, so per-task cost is one
+    * stream per row, no per-partition codec handle needed.
+    */
+  def decodeImages(assets: DataFrame, histBins: Int = 16): Dataset[AssetFeatures] = {
+    implicit val enc: ExpressionEncoder[AssetFeatures] =
+      ExpressionEncoder[AssetFeatures]()
+    assets.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val data = r.getAs[Array[Byte]]("data")
+        decodeImageBytes(data, histBins).map { case (w, h, feat) =>
+          AssetFeatures(r.getLong(r.fieldIndex("id")), data.length.toLong,
+            w, h, feat)
+        }
+      }
+    }
+  }
+
+  /** REAL image resize via JDK Graphics2D (bilinear) + PNG re-encode —
+    * the actual thumbnail/downscale pass, pure JDK. Undecodable rows
+    * are dropped.
+    */
+  def resizeImages(assets: DataFrame, w: Int, h: Int): Dataset[ResizedAsset] = {
+    implicit val enc: ExpressionEncoder[ResizedAsset] =
+      ExpressionEncoder[ResizedAsset]()
+    assets.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val data = r.getAs[Array[Byte]]("data")
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, w, h, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(ResizedAsset(r.getLong(r.fieldIndex("id")), w, h,
+            bos.toByteArray))
+        }
       }
     }
   }

@@ -333,6 +333,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fps(0) !== fps(2))
   }
 
+  test("multimodal: REAL png decode + resize through Spark (JDK imageio)") {
+    import java.awt.image.BufferedImage
+    // paint solid-color PNGs: decoded channel means are exactly known
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      (1L, png(8, 6, 0xff0000), "image"), // pure red
+      (2L, png(4, 4, 0x00ff00), "image"), // pure green
+      (3L, "not an image".getBytes("UTF-8"), "image")) // corrupt
+      .toDF("id", "data", "modality")
+      .select(
+        col("id"),
+        col("data"),
+        struct(col("modality"), lit(0L).as("n_bytes"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    val decoded = Multimodal.decodeImages(assets, histBins = 4)
+      .collect().map(f => f.id -> f).toMap
+    assert(decoded.keySet === Set(1L, 2L)) // corrupt row quarantined
+    assert(decoded(1L).width === 8 && decoded(1L).height === 6)
+    assert(math.abs(decoded(1L).feature(0) - 1.0f) < 1e-6) // red mean 1
+    assert(math.abs(decoded(1L).feature(1)) < 1e-6)
+    assert(math.abs(decoded(2L).feature(1) - 1.0f) < 1e-6) // green mean 1
+    // real bilinear resize re-encodes to PNG; decoding the output gives
+    // the target dimensions and preserves a solid color
+    val resized = Multimodal.resizeImages(assets, 3, 2)
+      .collect().map(r => r.id -> r).toMap
+    assert(resized.keySet === Set(1L, 2L))
+    val back = Multimodal
+      .decodeImageBytes(resized(1L).data, histBins = 4).get
+    assert(back._1 === 3 && back._2 === 2)
+    assert(math.abs(back._3(0) - 1.0f) < 0.02f) // still red after scale
+  }
+
   test("multimodal: deterministic fake decode through mapPartitions") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(20)
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
