@@ -1384,6 +1384,32 @@ object SparkEntry {
         round(col("v_skew"), 5).as("v_skew"),
         round(col("v_kurt"), 5).as("v_kurt"))
 
+  /** Per-group mode of the extracted JSON field (pandas
+    * `gb.k.mode()[0]` — [[graft.ops.ColApply.modeBy]]): most frequent
+    * `k` per event type, ties to the LOWEST value (pandas mode() sorts
+    * ascending). Two partial+final aggregations, no window.
+    */
+  private def q77(sess: SparkSession, d: String): DataFrame =
+    graft.ops.ColApply.modeBy(
+      Tables
+        .events(sess, d)
+        .withColumn(
+          "k",
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k")),
+      "k",
+      keys = Seq("event_type"))
+
+  /** pandas `duplicated(keep='first')` flags
+    * ([[graft.operators.Dedup.duplicatedFlags]]): mark — don't drop —
+    * every document whose normalized fingerprint already appeared at a
+    * lower doc_id. Complements q13 (dedup that drops).
+    */
+  private def q78(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .duplicatedFlags(Tables.documents(sess, d), "text", "doc_id")
+      .select("doc_id", "is_dup")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1463,7 +1489,9 @@ object SparkEntry {
     "q73_attribution_join" -> (q73 _),
     "q74_asof_forward" -> (q74 _),
     "q75_surprisal" -> (q75 _),
-    "q76_rolling_skew" -> (q76 _)
+    "q76_rolling_skew" -> (q76 _),
+    "q77_group_mode" -> (q77 _),
+    "q78_duplicated_flags" -> (q78 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2190,6 +2218,24 @@ object SparkEntry {
            CASE WHEN cnt >= 10 AND m2 > 0 THEN
              round(n*(n+1)/((n-1)*(n-2)*(n-3))*(n*m4)/(sv*sv)
                    - 3*(n-1)*(n-1)/((n-2)*(n-3)), 5) END AS v_kurt
-         FROM d"""
+         FROM d""",
+    "q77_group_mode" ->
+      """WITH x AS (
+           SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           FROM events),
+         c AS (SELECT event_type, k, count(*) AS n FROM x GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, k, n,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY n DESC, k ASC) AS rn
+           FROM c)
+         SELECT event_type, k AS mode, n AS n_mode FROM r WHERE rn = 1""",
+    "q78_duplicated_flags" ->
+      """SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY md5(lower(regexp_replace(trim(text),'\s+',' ','g')))
+           ORDER BY doc_id) > 1 AS is_dup
+         FROM documents"""
   )
 }

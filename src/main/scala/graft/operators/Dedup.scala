@@ -208,6 +208,25 @@ object Dedup {
         count(when(col("__n") > maxOccurrences, lit(1))).as("n_dropped"))
   }
 
+  /** pandas `duplicated(keep='first')` — FLAG duplicates instead of
+    * dropping them (audit/lineage pipelines keep the rows and mark
+    * them). A row is a duplicate iff an earlier row (lower id) has the
+    * same normalized-content fingerprint. One hash exchange on the
+    * digest (same as [[exact]]); the flag is a row_number over each
+    * fingerprint's id order.
+    */
+  def duplicatedFlags(
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+      .orderBy(col(idCol))
+    df.withColumn("__fp", md5(TextFunctions.normalized(col(textCol))))
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .drop("__fp")
+  }
+
   /** Base 64-bit hash per shingle — hash each *string* exactly once;
     * the k minhash functions are cheap affine/xor re-mixes of this array
     * (one string hash + k integer ops per shingle, instead of k string

@@ -65,6 +65,28 @@ object ColApply {
         max(col(valueCol)).as("max"))
   }
 
+  /** pandas `gb[col].mode()` (first mode) — most frequent value per
+    * group with an explicit deterministic tiebreak (highest count, then
+    * LOWEST value — pandas mode() returns values sorted ascending, so
+    * its first element matches). Two partial+final aggregations: count
+    * per (key, value), then max_by on the (count, −value) order — no
+    * window, no per-group buffering. Returns (keys..., mode, n_mode).
+    */
+  def modeBy(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max_by(
+          col(valueCol),
+          struct(col("__c"), negate(col(valueCol)))).as("mode"),
+        max(col("__c")).as("n_mode"))
+  }
+
   /** O2 applymap: apply the cell function to every column of `cols`
     * (default: all numeric columns), carrying `keep` columns through
     * unchanged (pandas applymap transforms all cells; we keep key columns

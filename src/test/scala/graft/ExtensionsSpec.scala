@@ -71,6 +71,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("group mode ties resolve to the lowest value; duplicated flags keep first") {
+    val df = Seq(("a", 3), ("a", 3), ("a", 1), ("a", 1), ("a", 2))
+      .toDF("k", "v")
+    val m = graft.ops.ColApply.modeBy(df, "v", Seq("k")).collect().head
+    assert(m.getAs[Int]("mode") === 1) // 1 and 3 both count 2 → lowest
+    assert(m.getAs[Long]("n_mode") === 2L)
+
+    val docs = Seq(
+      (1L, "same text"), (2L, "same  TEXT "), // normalized duplicates
+      (3L, "other")).toDF("doc_id", "text")
+    val flags = Dedup.duplicatedFlags(docs, "text", "doc_id")
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("hll distinct: within error of exact; pre-agg union = direct sketch") {
     import graft.operators.Sketches
     val ev = Tables.events(spark, TestSpark.sf)
