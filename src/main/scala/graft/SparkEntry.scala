@@ -1410,6 +1410,53 @@ object SparkEntry {
       .duplicatedFlags(Tables.documents(sess, d), "text", "doc_id")
       .select("doc_id", "is_dup")
 
+  /** Session-level analytics over q26's gap sessionization
+    * ([[graft.operators.Sessionize.batch]] → one more partial+final
+    * aggregation on the SAME (user) hash partitioning — Catalyst reuses
+    * the window's exchange for the groupBy): events, exact-nanos
+    * duration, cents-exact value sum per session.
+    */
+  private def q79(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize
+      .batch(
+        Tables.events(sess, d),
+        col("user_id"),
+        col("ts"),
+        1800L * 1000000000L)
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        // micros grid: DuckDB's TIMESTAMP truncates the nanos parquet
+        // type to µs, so the oracle can't see sub-µs durations
+        (max(expr("ts div 1000")) - min(expr("ts div 1000")))
+          .as("duration_us"),
+        (sum(centsOf(col("value"))).cast("bigint") / 100.0).as("sum_value"))
+
+  /** Day-N cohort retention — the canonical event-pipeline rollup: users
+    * bucketed by FIRST active day, counted by distinct activity on each
+    * later day offset. Two aggregations (first day per user, then
+    * distinct users per (cohort, offset)); the cohort frame is one row
+    * per user, so the join back is AQE-broadcast at test scale and a
+    * co-partitioned shuffle join at 100 TB (both sides hash on
+    * user_id).
+    */
+  private def q80(sess: SparkSession, d: String): DataFrame = {
+    val days = Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        expr("ts div 86400000000000").cast("long").as("day"))
+    val firstDay = days
+      .groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    days
+      .join(firstDay, Seq("user_id"))
+      .groupBy(
+        col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1491,7 +1538,9 @@ object SparkEntry {
     "q75_surprisal" -> (q75 _),
     "q76_rolling_skew" -> (q76 _),
     "q77_group_mode" -> (q77 _),
-    "q78_duplicated_flags" -> (q78 _)
+    "q78_duplicated_flags" -> (q78 _),
+    "q79_session_stats" -> (q79 _),
+    "q80_cohort_retention" -> (q80 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2236,6 +2285,33 @@ object SparkEntry {
          row_number() OVER (
            PARTITION BY md5(lower(regexp_replace(trim(text),'\s+',' ','g')))
            ORDER BY doc_id) > 1 AS is_dup
-         FROM documents"""
+         FROM documents""",
+    "q79_session_stats" ->
+      """WITH b AS (
+           SELECT user_id, value, epoch_ns(ts) AS t,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > 1800000000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, value, t,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM b)
+         SELECT user_id, session_id, count(*) AS n_events,
+           max(t // 1000) - min(t // 1000) AS duration_us,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+         FROM s GROUP BY user_id, session_id""",
+    "q80_cohort_retention" ->
+      """WITH d AS (
+           SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+         SELECT cohort_day, day - cohort_day AS day_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM d JOIN f USING (user_id)
+         GROUP BY cohort_day, day_offset"""
   )
 }
