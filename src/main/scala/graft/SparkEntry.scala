@@ -1457,6 +1457,18 @@ object SparkEntry {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** view → click → purchase funnel ([[graft.operators.Funnel.stages]]):
+    * distinct users reaching each stage under sequential min-time
+    * chaining. Times compare on the micros grid (q73/q74 rationale).
+    */
+  private def q81(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.stages(
+      Tables.events(sess, d),
+      userCol = "user_id",
+      typeCol = col("event_type"),
+      timeCol = expr("ts div 1000"),
+      stageTypes = Seq("view", "click", "purchase"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1540,7 +1552,8 @@ object SparkEntry {
     "q77_group_mode" -> (q77 _),
     "q78_duplicated_flags" -> (q78 _),
     "q79_session_stats" -> (q79 _),
-    "q80_cohort_retention" -> (q80 _)
+    "q80_cohort_retention" -> (q80 _),
+    "q81_funnel" -> (q81 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2312,6 +2325,23 @@ object SparkEntry {
          SELECT cohort_day, day - cohort_day AS day_offset,
            count(DISTINCT user_id) AS n_users
          FROM d JOIN f USING (user_id)
-         GROUP BY cohort_day, day_offset"""
+         GROUP BY cohort_day, day_offset""",
+    "q81_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+           FROM events),
+         v AS (SELECT user_id, min(t) AS t FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.t) AS t
+               FROM e JOIN v ON e.user_id = v.user_id AND e.t >= v.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.t) AS t
+               FROM e JOIN c ON e.user_id = c.user_id AND e.t >= c.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT 'view' AS stage, 0 AS stage_idx, count(*) AS n_users FROM v
+         UNION ALL
+         SELECT 'click', 1, count(*) FROM c
+         UNION ALL
+         SELECT 'purchase', 2, count(*) FROM p"""
   )
 }

@@ -71,6 +71,26 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: sequential chaining — out-of-order stages don't convert") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE the first view — reaches view only
+      (2L, "purchase", 5L), (2L, "view", 10L),
+      // user 3: click at the same instant as view (>= matches), no buy
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: never views — contributes to no stage
+      (4L, "click", 10L), (4L, "purchase", 20L))
+      .toDF("user_id", "event_type", "t")
+    val out = Funnel
+      .stages(ev, "user_id", col("event_type"), col("t"),
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   test("group mode ties resolve to the lowest value; duplicated flags keep first") {
     val df = Seq(("a", 3), ("a", 3), ("a", 1), ("a", 1), ("a", 2))
       .toDF("k", "v")
