@@ -1469,6 +1469,23 @@ object SparkEntry {
       timeCol = expr("ts div 1000"),
       stageTypes = Seq("view", "click", "purchase"))
 
+  /** Quality-weighted deterministic sampling
+    * ([[graft.operators.Sampling.qualityWeighted]]): keep probability =
+    * length-based quality weight × 0.5, decided by a 16-bit content-hash
+    * bucket — replayable on any engine. The weight expression
+    * (`least(n_chars/400, 1)`) is computed identically by both engines
+    * (exact integer/400.0 division), so the threshold comparison is
+    * bit-deterministic.
+    */
+  private def q82(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .qualityWeighted(
+        Tables.documents(sess, d),
+        "text",
+        least(col("n_chars") / 400.0, lit(1.0)),
+        rate = 0.5)
+      .select("doc_id", "lang", "n_chars")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1553,7 +1570,8 @@ object SparkEntry {
     "q78_duplicated_flags" -> (q78 _),
     "q79_session_stats" -> (q79 _),
     "q80_cohort_retention" -> (q80 _),
-    "q81_funnel" -> (q81 _)
+    "q81_funnel" -> (q81 _),
+    "q82_weighted_sample" -> (q82 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2342,6 +2360,10 @@ object SparkEntry {
          UNION ALL
          SELECT 'click', 1, count(*) FROM c
          UNION ALL
-         SELECT 'purchase', 2, count(*) FROM p"""
+         SELECT 'purchase', 2, count(*) FROM p""",
+    "q82_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(('0x' || substr(md5(text),1,4)) AS INTEGER)
+               < least(n_chars/400.0, 1.0) * 0.5 * 65536.0"""
   )
 }

@@ -68,6 +68,26 @@ object Sampling {
   def deterministic(df: DataFrame, contentCol: String, rate: Double): DataFrame =
     df.where(keepExpr(col(contentCol), rate))
 
+  /** QUALITY-WEIGHTED deterministic sample: keep probability =
+    * `weight · rate` per row (weight in [0,1] — a quality score), so
+    * curation keeps high-quality documents preferentially while staying
+    * content-hash replayable ([[keepExpr]]'s rationale: same rows
+    * selected on any cluster size, any engine, any run). Uses a 16-bit
+    * hash bucket (65536 levels) so small weight differences still move
+    * the threshold. Pure narrow filter — pushes toward the scan, no
+    * shuffle.
+    */
+  def weightedKeepExpr(c: Column, weight: Column, rate: Double): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int") <
+      weight * rate * 65536.0
+
+  def qualityWeighted(
+      df: DataFrame,
+      contentCol: String,
+      weight: Column,
+      rate: Double): DataFrame =
+    df.where(weightedKeepExpr(col(contentCol), weight, rate))
+
   /** Stratified deterministic sample: per-stratum rates (e.g. downsample
     * dominant languages, keep all of rare ones). Unlisted strata keep
     * `defaultRate`.

@@ -48,6 +48,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q62 segment dedup: hash joins only, partial+final counts") {
+    val p = plan(SparkEntry.queries("q62_segment_dedup")(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("q73 attribution self-join: equi-join on user, no nested loop") {
+    val p = plan(
+      SparkEntry.queries("q73_attribution_join")(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("Join"), s"expected an equi-join in:\n$p")
+  }
+
+  test("q80 cohort: both aggregations partial+final") {
+    val p = plan(
+      SparkEntry.queries("q80_cohort_retention")(spark, TestSpark.sf))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q06 aggregate is partial+final (map-side combine)") {
     val p = plan(SparkEntry.queries("q06_group_scalar")(spark, TestSpark.sf))
     assert(p.contains("partial_avg") || p.contains("HashAggregate"))
