@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
-import org.apache.spark.sql.functions.{col, corr, covar_samp}
+import org.apache.spark.sql.functions.{col, corr, count, countDistinct, covar_samp, lit}
 
 import graft.ops._
 
@@ -158,6 +158,23 @@ object Pandarallel {
       */
     def ewm(alpha: Double, orderBy: Column): ParallelEwm =
       new ParallelEwm(df, alpha, Seq(orderBy), keys)
+
+    /** pandas `gb[col].nunique()` — distinct values per group (exact;
+      * the HLL twin for 100-TB cardinalities is
+      * [[graft.operators.Sketches.hllDistinct]]).
+      */
+    def nunique(valueCol: String): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(countDistinct(col(valueCol)).as("nunique"))
+
+    /** pandas `gb[col].value_counts()` — per-group value frequencies,
+      * most frequent first (ties by value ascending, deterministic).
+      */
+    def valueCounts(valueCol: String): DataFrame =
+      df.groupBy((keys :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .orderBy(
+          keys.map(col) ++ Seq(col("n").desc, col(valueCol).asc): _*)
 
     /** pandas `gb[col].rank(method=...)` — all five tie methods in one
       * pass ([[Windows.rankMethods]]): emits r_first, r_min, r_max,

@@ -477,6 +477,17 @@ class FacadeSpec extends AnyFunSuite {
     assert(fwd(("a", 3L)).isEmpty)
   }
 
+  test("nunique and value_counts facade verbs") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val nu = df.parallelGroupBy("k").nunique("v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nu === Map("a" -> 2L, "b" -> 1L))
+    val vc = df.parallelGroupBy("k").valueCounts("v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(vc.head === (("a", 1, 2L))) // most frequent first
+    assert(vc.toSet === Set(("a", 1, 2L), ("a", 2, 1L), ("b", 9, 1L)))
+  }
+
   test("rank methods: the five pandas tie methods on a planted tie") {
     import graft.ops.Windows
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
