@@ -29,6 +29,12 @@ object Scratch {
       }
     })
 
+    if (reps == 0) { // reps=0: dump the executed plan instead of running
+      println(SparkEntry.queries(name)(spark, d)
+        .queryExecution.executedPlan.toString)
+      spark.stop()
+      return
+    }
     (1 to reps).foreach { r =>
       stages.clear()
       val t0 = System.nanoTime()
