@@ -1486,6 +1486,29 @@ object SparkEntry {
         rate = 0.5)
       .select("doc_id", "lang", "n_chars")
 
+  /** Cumulative family per user (pandas `gb.value.cumsum()/cummax()/
+    * cummin()/cumprod()`): expanding-frame aggregates. Both engines
+    * accumulate unbounded-preceding frames sequentially in frame order,
+    * so even the floating sums/products are bit-identical (q11
+    * precedent) — cumprod runs on `1 + value/1e6` to stay in a sane
+    * dynamic range.
+    */
+  private def q83(sess: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        sum(col("value")).over(w).as("cum_sum"),
+        max(col("value")).over(w).as("cum_max"),
+        min(col("value")).over(w).as("cum_min"),
+        product(lit(1) + col("value") / 1e6).over(w).as("cum_prod"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1571,7 +1594,8 @@ object SparkEntry {
     "q79_session_stats" -> (q79 _),
     "q80_cohort_retention" -> (q80 _),
     "q81_funnel" -> (q81 _),
-    "q82_weighted_sample" -> (q82 _)
+    "q82_weighted_sample" -> (q82 _),
+    "q83_cumulative" -> (q83 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2364,6 +2388,14 @@ object SparkEntry {
     "q82_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST(('0x' || substr(md5(text),1,4)) AS INTEGER)
-               < least(n_chars/400.0, 1.0) * 0.5 * 65536.0"""
+               < least(n_chars/400.0, 1.0) * 0.5 * 65536.0""",
+    "q83_cumulative" ->
+      """SELECT user_id, event_id,
+         sum(value) OVER w AS cum_sum,
+         max(value) OVER w AS cum_max,
+         min(value) OVER w AS cum_min,
+         product(1 + value / 1000000.0) OVER w AS cum_prod
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
   )
 }
