@@ -1509,6 +1509,194 @@ object SparkEntry {
         product(lit(1) + col("value") / 1e6).over(w).as("cum_prod"))
   }
 
+  /** Time resample (pandas `df.resample("1h").agg(...)`): downsample the
+    * event stream onto an hour grid. The bucket key is integer nanos
+    * div-ed by 3.6e12 — pure integer arithmetic on the raw parquet
+    * value, so both engines bucket identically and the value sum rides
+    * the cents-exact integer grid (q79 precedent). One partial+final
+    * hash aggregation; scales as a single shuffle keyed on
+    * (hour, event_type) — no global sort, unlike a naive
+    * order-then-scan resample.
+    */
+  private def q84(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .groupBy(
+        expr("ts div 3600000000000").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(centsOf(col("value"))).cast("bigint") / 100.0).as("sum_value"))
+
+  /** idxmax / idxmin (pandas `gb.value.idxmax()`): the row KEY at each
+    * group's extreme value, first-occurrence (lowest event_id) on ties —
+    * spelled as a group-max window + conditional-min aggregation so the
+    * tiebreak is explicit and engine-portable (arg_max tie order is
+    * unspecified in both engines). The aggregation reuses the window's
+    * hash partitioning on user_id: one exchange total. Value equality is
+    * bit-exact (no arithmetic on the doubles).
+    */
+  private def q85(sess: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        max(col("value")).over(w).as("vmax"),
+        min(col("value")).over(w).as("vmin"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("value") === col("vmax"), col("event_id")))
+          .as("idx_max"),
+        min(when(col("value") === col("vmin"), col("event_id")))
+          .as("idx_min"),
+        max(col("vmax")).as("val_max"),
+        min(col("vmin")).as("val_min"))
+  }
+
+  /** PII-shaped redaction pass (the training-data scrub shape: regex →
+    * replace → audit count): every digit run in the semi-structured
+    * `props` payload becomes `<NUM>`, with a per-row redaction count and
+    * a digest of the redacted payload proving the rewrite byte-for-byte.
+    * Pure narrow projection — codegen'd, shuffle-free, scales linearly.
+    * The character class `[0-9]` means the same thing in Java regex and
+    * RE2 (TextFunctions class-portability rule).
+    */
+  private def q86(sess: SparkSession, d: String): DataFrame = {
+    val red = regexp_replace(col("props"), "[0-9]+", "<NUM>")
+    Tables
+      .events(sess, d)
+      .select(
+        col("event_id"),
+        md5(red).as("digest"),
+        length(red).as("redacted_len"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_redacted"))
+  }
+
+  /** Training-sequence packing (concat-then-split): documents are laid
+    * end-to-end per source shard in doc_id order and chopped into
+    * 512-token bins — bin = exclusive-prefix-sum div capacity, the
+    * deterministic, shuffle-parallel packing real pretraining pipelines
+    * use (greedy first-fit is inherently sequential; start-offset
+    * binning is order-preserving and embarrassingly parallel per
+    * shard). One window pass per source + one aggregation on the same
+    * (source) partitioning. At 100 TB the shard key keeps every
+    * partition's prefix sum independent — no global order.
+    */
+  private def q87(sess: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    Tables
+      .documents(sess, d)
+      .select(
+        col("source"),
+        col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr("(cum - tok) div 512"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+  }
+
+  /** Fixed-width binning + histogram (pandas `cut` + `value_counts`):
+    * floor(value/25) buckets with cents-exact per-bin sums. The bin
+    * edge arithmetic is one double divide + floor — identical IEEE ops
+    * in both engines. Partial+final hash agg, one shuffle of ~14 rows.
+    */
+  private def q88(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(centsOf(col("value"))).cast("bigint") / 100.0).as("sum_value"))
+
+  /** Lag-1 autocorrelation per series (pandas `Series.autocorr()`):
+    * lag window + Pearson corr aggregation on the same user_id
+    * partitioning (one exchange). Both engines use the textbook
+    * two-pass sample-corr definition but accumulate in different
+    * orders, so the result is rounded to 5 decimals on both sides
+    * (q63 rolling-corr precedent).
+    */
+  private def q89(sess: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("value"),
+        lag(col("value"), 1).over(wo).as("lv"))
+      .groupBy("user_id")
+      .agg(
+        round(corr(col("value"), col("lv")), 5).as("acf1"),
+        count(col("lv")).as("n_pairs"))
+  }
+
+  /** first / last / nth per group (pandas `gb.first()/last()/nth(2)`):
+    * first and last as arg-min/arg-max over the unique event_id order
+    * (deterministic — the order key is unique), nth via one row_number
+    * window whose partitioning the aggregation then reuses. Values are
+    * carried untouched (bit-exact).
+    */
+  private def q90(sess: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables
+      .events(sess, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wo))
+      .groupBy("user_id")
+      .agg(
+        min_by(col("value"), col("event_id")).as("first_val"),
+        max_by(col("value"), col("event_id")).as("last_val"),
+        max(when(col("rn") === 3, col("value"))).as("nth3"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Token explode + top-k vocabulary slice (pandas
+    * `s.str.split().explode().value_counts().head(50)`): generator
+    * (explode) → partial+final count agg → TakeOrdered top-k on the
+    * deterministic total order (n desc, token asc) — ties at the k
+    * boundary cannot flip rows. The explode is map-side; only
+    * (token, partial count) pairs shuffle, never the exploded rows.
+    */
+  private def q91(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(sess, d)
+      .select(
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** fillna with the group mean (pandas
+    * `gb.value.transform(lambda s: s.fillna(s.mean()))`): nulls are
+    * planted deterministically (event_id % 7), then repaired from the
+    * per-group mean via an unordered window avg — null-ignoring in both
+    * engines. The mean is a float reduction (order-dependent), so the
+    * filled column rounds to 5 decimals on both sides; untouched values
+    * survive rounding unchanged (2-decimal inputs).
+    */
+  private def q92(sess: SparkSession, d: String): DataFrame = {
+    val vn =
+      when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+        .otherwise(col("value"))
+    val w = Window.partitionBy(col("user_id"))
+    Tables
+      .events(sess, d)
+      .select(col("user_id"), col("event_id"), vn.as("vn"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("vn").isNull.as("was_null"),
+        round(coalesce(col("vn"), avg(col("vn")).over(w)), 5).as("filled"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1595,7 +1783,16 @@ object SparkEntry {
     "q80_cohort_retention" -> (q80 _),
     "q81_funnel" -> (q81 _),
     "q82_weighted_sample" -> (q82 _),
-    "q83_cumulative" -> (q83 _)
+    "q83_cumulative" -> (q83 _),
+    "q84_resample" -> (q84 _),
+    "q85_idxmax" -> (q85 _),
+    "q86_redact" -> (q86 _),
+    "q87_pack_sequences" -> (q87 _),
+    "q88_histogram" -> (q88 _),
+    "q89_autocorr" -> (q89 _),
+    "q90_first_last_nth" -> (q90 _),
+    "q91_token_explode" -> (q91 _),
+    "q92_fillna_mean" -> (q92 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2396,6 +2593,87 @@ object SparkEntry {
          min(value) OVER w AS cum_min,
          product(1 + value / 1000000.0) OVER w AS cum_prod
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q84_resample" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q85_idxmax" ->
+      """WITH w AS (
+           SELECT user_id, event_id, value,
+             max(value) OVER (PARTITION BY user_id) AS vmax,
+             min(value) OVER (PARTITION BY user_id) AS vmin
+           FROM events)
+         SELECT user_id,
+           min(CASE WHEN value = vmax THEN event_id END) AS idx_max,
+           min(CASE WHEN value = vmin THEN event_id END) AS idx_min,
+           max(vmax) AS val_max,
+           min(vmin) AS val_min
+         FROM w GROUP BY 1""",
+    "q86_redact" ->
+      """SELECT event_id,
+         md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS digest,
+         length(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+           AS redacted_len,
+         len(regexp_extract_all(props, '[0-9]+')) AS n_redacted
+         FROM events""",
+    "q87_pack_sequences" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2""",
+    "q88_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
+         FROM events GROUP BY 1""",
+    "q89_autocorr" ->
+      """WITH l AS (
+           SELECT user_id, value,
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS lv
+           FROM events)
+         SELECT user_id, round(corr(value, lv), 5) AS acf1,
+           count(lv) AS n_pairs
+         FROM l GROUP BY 1""",
+    "q90_first_last_nth" ->
+      """WITH w AS (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+           FROM events)
+         SELECT user_id,
+           arg_min(value, event_id) AS first_val,
+           arg_max(value, event_id) AS last_val,
+           max(CASE WHEN rn = 3 THEN value END) AS nth3,
+           count(*) AS n
+         FROM w GROUP BY 1""",
+    "q91_token_explode" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents WHERE trim(text) <> '')
+         GROUP BY 1 ORDER BY n DESC, token LIMIT 50""",
+    "q92_fillna_mean" ->
+      """WITH p AS (
+           SELECT user_id, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS vn
+           FROM events)
+         SELECT user_id, event_id,
+           vn IS NULL AS was_null,
+           round(coalesce(vn, avg(vn) OVER (PARTITION BY user_id)), 5)
+             AS filled
+         FROM p"""
   )
 }
