@@ -1697,6 +1697,26 @@ object SparkEntry {
         round(coalesce(col("vn"), avg(col("vn")).over(w)), 5).as("filled"))
   }
 
+  /** Character-trigram language ID ([[graft.functions.LangProfiles]]):
+    * the production-grade upgrade of q20's stopword heuristic — mean
+    * trigram log-likelihood argmax over 6 embedded language profiles.
+    * Rows-only (a statistical classifier has no SQL oracle); accuracy
+    * is covered by LangIdSpec's per-language held-out sentences.
+    * Output aggregates to language × count so the result is small and
+    * stable.
+    */
+  private def q93(sess: SparkSession, d: String): DataFrame = {
+    graft.functions.LangIdExpressions.register(sess)
+    Tables
+      .documents(sess, d)
+      .select(
+        graft.functions.LangIdExpressions
+          .langIdNgram(col("text"))
+          .as("lang_pred"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1792,7 +1812,8 @@ object SparkEntry {
     "q89_autocorr" -> (q89 _),
     "q90_first_last_nth" -> (q90 _),
     "q91_token_explode" -> (q91 _),
-    "q92_fillna_mean" -> (q92 _)
+    "q92_fillna_mean" -> (q92 _),
+    "q93_langid_ngram" -> (q93 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
