@@ -1717,6 +1717,132 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Merge with indicator (pandas `merge(how="outer", indicator=True)`):
+    * full outer join + provenance column (both / left_only /
+    * right_only). The join shuffles both sides on the key — at 100 TB
+    * AQE picks SMJ and handles skew; no broadcast is forced because
+    * outer joins on the big side can't broadcast-prune anyway.
+    */
+  private def q94(sess: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(sess, d).select(col("c_custkey"))
+    val o = Tables
+      .orders(sess, d)
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("o_orderkey"),
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull,
+          lit("both"))
+          .when(col("o_custkey").isNull, lit("left_only"))
+          .otherwise(lit("right_only"))
+          .as("merge_ind"))
+  }
+
+  /** Datetime accessor surface (pandas `.dt.year/month/day/weekday/
+    * hour/minute`): calendar parts from the exact-micros event time
+    * (`ts div 1000` — the nanos→micros integral grid both engines
+    * agree on; session timezone UTC). Pure narrow projection. Weekday
+    * is pandas convention (Monday=0).
+    */
+  private def q95(sess: SparkSession, d: String): DataFrame = {
+    val t = timestamp_micros(expr("ts div 1000"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("event_id"),
+        year(t).as("y"),
+        month(t).as("m"),
+        dayofmonth(t).as("dom"),
+        weekday(t).as("dow"),
+        hour(t).as("h"),
+        minute(t).as("mi"))
+  }
+
+  /** Training-mixture reweighting: per-source token mass → sampling
+    * weight that rebalances the corpus to a uniform target share (the
+    * domain-mixture knob every pretraining pipeline has). One
+    * partial+final agg to ~#sources rows, then an unpartitioned window
+    * over that tiny aggregate (source cardinality, not data, bounds the
+    * single partition — fine at 100 TB). share and weight are two IEEE
+    * divisions on identical integers: bit-deterministic.
+    */
+  private def q96(sess: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables
+      .documents(sess, d)
+      .groupBy(col("source"))
+      .agg(
+        sum(
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("tokens"))
+      .select(
+        col("source"),
+        col("tokens"),
+        (col("tokens").cast("double") / sum(col("tokens")).over(wAll))
+          .as("share"))
+      .withColumn(
+        "weight",
+        lit(0.2) / col("share"))
+  }
+
+  /** Lexical diversity (type-token ratio — the classic Gopher-style
+    * repetition/quality signal alongside q46): distinct tokens /
+    * tokens per document, computed in one narrow pass
+    * (`array_distinct` over the split — no explode, no shuffle).
+    */
+  private def q97(sess: SparkSession, d: String): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    Tables
+      .documents(sess, d)
+      .select(
+        col("doc_id"),
+        size(tk).as("n_tokens"),
+        size(array_distinct(tk)).as("n_types"))
+      .withColumn(
+        "ttr",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_types").cast("double") / col("n_tokens")))
+  }
+
+  /** Quality filter with an audit trail (keep/drop + first-failing
+    * reason — pipelines need the WHY for every dropped doc, not a bare
+    * filter): ordered CASE chain over cheap integer-derived signals.
+    * Narrow, codegen'd, shuffle-free.
+    */
+  private def q98(sess: SparkSession, d: String): DataFrame = {
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text"))
+    Tables
+      .documents(sess, d)
+      .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"))
+      .withColumn(
+        "reason",
+        when(col("n_chars") < 60, lit("too_short"))
+          .when(col("n_tokens") < 12, lit("few_tokens"))
+          .when(
+            col("n_chars").cast("double") / col("n_tokens") > 8.0,
+            lit("long_words"))
+          .otherwise(lit("keep")))
+  }
+
+  /** Pairwise correlation matrix (pandas `df[num_cols].corr()`): all
+    * six pairs of the four lineitem numeric measures in ONE aggregation
+    * pass (partial+final; each co-moment accumulator merges
+    * associatively across partitions). Rounded to 5 decimals on both
+    * sides (corr accumulates in engine-specific order — q63/q89
+    * precedent).
+    */
+  private def q99(sess: SparkSession, d: String): DataFrame = {
+    val cols =
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.length
+    } yield round(corr(col(cols(i)), col(cols(j))), 5)
+      .as(s"c_${i}_${j}")
+    Tables.lineitem(sess, d).agg(pairs.head, pairs.tail: _*)
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1813,7 +1939,13 @@ object SparkEntry {
     "q90_first_last_nth" -> (q90 _),
     "q91_token_explode" -> (q91 _),
     "q92_fillna_mean" -> (q92 _),
-    "q93_langid_ngram" -> (q93 _)
+    "q93_langid_ngram" -> (q93 _),
+    "q94_merge_indicator" -> (q94 _),
+    "q95_dt_accessors" -> (q95 _),
+    "q96_mixture_weights" -> (q96 _),
+    "q97_ttr" -> (q97 _),
+    "q98_filter_audit" -> (q98 _),
+    "q99_corr_matrix" -> (q99 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2695,6 +2827,71 @@ object SparkEntry {
            vn IS NULL AS was_null,
            round(coalesce(vn, avg(vn) OVER (PARTITION BY user_id)), 5)
              AS filled
-         FROM p"""
+         FROM p""",
+    "q94_merge_indicator" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           o.o_orderkey,
+           CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                  THEN 'both'
+                WHEN o.o_custkey IS NULL THEN 'left_only'
+                ELSE 'right_only' END AS merge_ind
+         FROM customer c FULL OUTER JOIN orders o
+           ON c.c_custkey = o.o_custkey""",
+    "q95_dt_accessors" ->
+      """SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS dom,
+           CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS mi
+         FROM events""",
+    "q96_mixture_weights" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS BIGINT) AS tokens
+           FROM documents GROUP BY 1)
+         SELECT source, tokens,
+           CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS share,
+           0.2 / (CAST(tokens AS DOUBLE) / sum(tokens) OVER ()) AS weight
+         FROM t""",
+    "q97_ttr" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS tk
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(tk) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS INTEGER) AS n_types,
+           CASE WHEN len(tk) = 0 THEN 0.0
+                ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END
+             AS ttr
+         FROM t""",
+    "q98_filter_audit" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CASE WHEN n_chars < 60 THEN 'too_short'
+                WHEN n_tokens < 12 THEN 'few_tokens'
+                WHEN CAST(n_chars AS DOUBLE) / n_tokens > 8.0
+                  THEN 'long_words'
+                ELSE 'keep' END AS reason
+         FROM t""",
+    "q99_corr_matrix" ->
+      """SELECT
+         round(corr(l_quantity, l_extendedprice), 5) AS c_0_1,
+         round(corr(l_quantity, l_discount), 5) AS c_0_2,
+         round(corr(l_quantity, l_tax), 5) AS c_0_3,
+         round(corr(l_extendedprice, l_discount), 5) AS c_1_2,
+         round(corr(l_extendedprice, l_tax), 5) AS c_1_3,
+         round(corr(l_discount, l_tax), 5) AS c_2_3
+         FROM lineitem"""
   )
 }
