@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row}
-import org.apache.spark.sql.functions.{col, corr, count, countDistinct, covar_samp, lit}
+import org.apache.spark.sql.functions.{avg, call_function, coalesce, col, corr, count, countDistinct, covar_samp, lag, lit, max, max_by, min, min_by, row_number, sum, when}
 
 import graft.ops._
 
@@ -62,6 +62,25 @@ object Pandarallel {
     /** O5 entry (core.py:533-535). */
     def parallelGroupBy(keys: String*): ParallelGroupBy =
       new ParallelGroupBy(df, keys)
+
+    /** pandas `df.resample(every).agg(...)` over an integer-nanos event
+      * time (q84 shape): bucket = tsNanos div offset — a hash agg keyed
+      * on the bucket (plus optional extra keys), never a global
+      * time sort. Offset grammar matches `rolling("24h")`
+      * ([[Windows.offsetNanos]]).
+      */
+    def parallelResample(
+        tsNanos: Column,
+        every: String,
+        extraKeys: Seq[Column],
+        aggs: Column*): DataFrame = {
+      val step = Windows.offsetNanos(every)
+      // integral divide (`div`), NOT `/`: the double detour loses
+      // exactness on 1e18-scale nano timestamps
+      val bucket =
+        call_function("div", tsNanos, lit(step)).cast("long").as("bucket")
+      df.groupBy((bucket +: extraKeys): _*).agg(aggs.head, aggs.tail: _*)
+    }
 
     /** O6 entry (core.py:554-556). `center`/`closed`/`minPeriods` replay
       * pandas' rolling attributes (series_rolling.py:22-28).
@@ -227,6 +246,80 @@ object Pandarallel {
       */
     def cap(orderBy: Seq[Column], n: Int): DataFrame =
       graft.operators.Sampling.capPerGroup(df, keys.map(col), orderBy, n)
+
+    /** pandas `gb[col].cumsum()/cummax()/cummin()` — expanding frames
+      * over the group, one exchange (q83 shape). Emits
+      * `<prefix>_sum/_max/_min` next to the input columns.
+      */
+    def cumulative(
+        valueCol: Column,
+        orderBy: Column,
+        outPrefix: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(orderBy)
+        .rowsBetween(Long.MinValue, 0)
+      df.withColumn(s"${outPrefix}_sum", sum(valueCol).over(w))
+        .withColumn(s"${outPrefix}_max", max(valueCol).over(w))
+        .withColumn(s"${outPrefix}_min", min(valueCol).over(w))
+    }
+
+    /** pandas `gb[col].idxmax()/idxmin()` — the `idCol` at each group's
+      * extreme `valueCol`, first occurrence (lowest id) on ties (q85
+      * shape: group-extreme window + conditional-min agg, one shared
+      * exchange).
+      */
+    def idxExtrema(valueCol: Column, idCol: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      df.withColumn("__vmax", max(valueCol).over(w))
+        .withColumn("__vmin", min(valueCol).over(w))
+        .groupBy(keys.map(col): _*)
+        .agg(
+          min(when(valueCol === col("__vmax"), idCol)).as("idx_max"),
+          min(when(valueCol === col("__vmin"), idCol)).as("idx_min"))
+    }
+
+    /** pandas `gb.first()/last()/nth(n)` — n is 0-based like pandas
+      * (q90 shape: arg-extrema on the unique order key + one
+      * row_number window for nth).
+      */
+    def nth(valueCol: Column, orderBy: Column, n: Int): DataFrame = {
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(orderBy)
+      df.withColumn("__rn", row_number().over(wo))
+        .groupBy(keys.map(col): _*)
+        .agg(
+          min_by(valueCol, orderBy).as("first_val"),
+          max_by(valueCol, orderBy).as("last_val"),
+          max(when(col("__rn") === n + 1, valueCol)).as("nth_val"))
+    }
+
+    /** pandas `Series.autocorr(lag)` per group — lag window + Pearson
+      * corr on the same partitioning (q89 shape).
+      */
+    def autocorr(
+        valueCol: Column,
+        orderBy: Column,
+        lagN: Int = 1): DataFrame = {
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(orderBy)
+      df.withColumn("__lv", lag(valueCol, lagN).over(wo))
+        .groupBy(keys.map(col): _*)
+        .agg(corr(valueCol, col("__lv")).as("autocorr"))
+    }
+
+    /** pandas `gb[col].transform(lambda s: s.fillna(s.mean()))` — repair
+      * nulls from the group mean without collapsing the frame (q92
+      * shape: unordered window avg, null-ignoring).
+      */
+    def fillnaMean(valueCol: Column, outName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      df.withColumn(outName, coalesce(valueCol, avg(valueCol).over(w)))
+    }
 
     /** Grouped time-offset rolling (`gb.rolling("24h")`) — one hash
       * exchange on the group keys, frames evaluated inside WindowExec.

@@ -579,4 +579,124 @@ class FacadeSpec extends AnyFunSuite {
       }
     assert(med.where(col("med").isNotNull).count() === ev.count())
   }
+
+  test("cumulative: running sum/max/min match a driver-side scan") {
+    val got = ev
+      .parallelGroupBy("user_id")
+      .cumulative(col("value"), col("event_id"), "cum")
+      .select("user_id", "event_id", "cum_sum", "cum_max", "cum_min")
+      .as[(Long, Long, Double, Double, Double)]
+      .collect()
+      .groupBy(_._1)
+    val src = ev
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    got.foreach { case (u, rows) =>
+      val ordered = src(u).sortBy(_._2).map(_._3)
+      val byId = rows.map(r => r._2 -> r).toMap
+      val ids = src(u).map(_._2).sorted
+      ids.zipWithIndex.foreach { case (id, i) =>
+        val prefix = ordered.take(i + 1)
+        val (_, _, s, mx, mn) = byId(id)
+        assert(math.abs(s - prefix.sum) < 1e-9)
+        assert(mx === prefix.max && mn === prefix.min)
+      }
+    }
+  }
+
+  test("idxExtrema: first-occurrence tiebreak on planted ties") {
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 9.0), (1L, 13L, 1.0),
+      (2L, 20L, 3.0), (2L, 21L, 3.0)
+    ).toDF("g", "id", "v")
+    val got = df
+      .parallelGroupBy("g")
+      .idxExtrema(col("v"), col("id"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got(1L) === ((11L, 13L))) // max 9.0 first at id=11
+    assert(got(2L) === ((20L, 20L))) // all-tied: both extremes at id=20
+  }
+
+  test("nth: pandas 0-based n, null when the group is short") {
+    val got = ev
+      .parallelGroupBy("user_id")
+      .nth(col("value"), col("event_id"), 2)
+      .select("user_id", "first_val", "last_val", "nth_val")
+      .as[(Long, Double, Double, Option[Double])]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    val src = ev
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.sortBy(_._2).map(_._3))
+    src.foreach { case (u, vs) =>
+      val (_, f, l, n3) = got(u)
+      assert(f === vs.head && l === vs.last)
+      assert(n3 === (if (vs.length > 2) Some(vs(2)) else None))
+    }
+  }
+
+  test("autocorr: hand-computed lag-1 correlation on a small series") {
+    val df = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0), (1L, 4L, 3.0),
+      (1L, 5L, 5.0)
+    ).toDF("g", "id", "v")
+    val got = df
+      .parallelGroupBy("g")
+      .autocorr(col("v"), col("id"))
+      .as[(Long, Double)]
+      .head()
+      ._2
+    // pairs: (1,2)(2,4)(4,3)(3,5) -> pearson by hand
+    val xs = Seq(1.0, 2.0, 4.0, 3.0)
+    val ys = Seq(2.0, 4.0, 3.0, 5.0)
+    val mx = xs.sum / 4
+    val my = ys.sum / 4
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(got - cov / (sx * sy)) < 1e-12)
+  }
+
+  test("fillnaMean repairs nulls from the group mean, leaves others") {
+    val df = Seq(
+      (1L, 1.0), (1L, 3.0), (1L, Double.NaN), (2L, 7.0)
+    ).toDF("g", "raw")
+      .select(
+        col("g"),
+        when(isnan(col("raw")), lit(null)).otherwise(col("raw")).as("v"))
+    val got = df
+      .parallelGroupBy("g")
+      .fillnaMean(col("v"), "filled")
+      .select("g", "filled")
+      .as[(Long, Double)]
+      .collect()
+      .toSeq
+      .sorted
+    assert(got === Seq((1L, 1.0), (1L, 2.0), (1L, 3.0), (2L, 7.0)).sorted)
+  }
+
+  test("parallelResample buckets on the exact nanos grid (no double detour)") {
+    val got = ev
+      .parallelResample(
+        col("ts"),
+        "1h",
+        Seq(col("event_type")),
+        count(lit(1)).as("n"))
+    val expect = ev
+      .groupBy(expr("ts div 3600000000000").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(
+      got.as[(Long, String, Long)].collect().toSet ===
+        expect.as[(Long, String, Long)].collect().toSet)
+  }
 }

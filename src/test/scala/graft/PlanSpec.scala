@@ -109,6 +109,63 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash exchange in:\n$p")
   }
 
+  test("resample (q84) is a hash agg, not a sort — and it's partial+final") {
+    val p = plan(SparkEntry.queries("q84_resample")(spark, TestSpark.sf))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+    // a naive resample sorts by time; ours never orders anything
+    assert(!p.contains("Sort "), s"resample must not global-sort:\n$p")
+    assert(
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected exactly one hash exchange in:\n$p")
+  }
+
+  test("idxmax (q85): aggregation reuses the window's user_id exchange") {
+    val p = plan(SparkEntry.queries("q85_idxmax")(spark, TestSpark.sf))
+    assert(p.contains("Window"))
+    assert(
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"window + agg should share one exchange on user_id:\n$p")
+  }
+
+  test("sequence packing (q87): agg on (source,bin) reuses the source exchange") {
+    val p = plan(SparkEntry.queries("q87_pack_sequences")(spark, TestSpark.sf))
+    assert(p.contains("Window"))
+    // hash(source) co-locates every (source, bin) group — Catalyst must
+    // recognize the subset clustering and not re-shuffle
+    assert(
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected exactly one hash exchange in:\n$p")
+  }
+
+  test("token explode (q91): partial count before the shuffle, TakeOrdered top-k") {
+    val p = plan(SparkEntry.queries("q91_token_explode")(spark, TestSpark.sf))
+    assert(p.contains("Generate explode"), s"expected explode generator:\n$p")
+    assert(
+      p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"count must combine map-side (exploded rows never shuffle):\n$p")
+    assert(
+      p.contains("TakeOrderedAndProject"),
+      s"top-50 should be TakeOrdered, not global sort+limit:\n$p")
+  }
+
+  test("merge indicator (q94): equi-join, never a nested loop") {
+    val p = plan(SparkEntry.queries("q94_merge_indicator")(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"full outer join must be a shuffled equi-join:\n$p")
+  }
+
+  test("corr matrix (q99): all six pairs in one partial+final agg pass") {
+    val p = plan(SparkEntry.queries("q99_corr_matrix")(spark, TestSpark.sf))
+    assert(
+      p.linesIterator.count(_.contains("HashAggregate")) === 2,
+      s"six co-moments must share one agg pass:\n$p")
+    assert(
+      p.linesIterator.count(_.contains("Exchange")) === 1,
+      s"expected a single exchange to the final reducer:\n$p")
+  }
+
   test("per-group cap (q47) pre-prunes map-side via WindowGroupLimit") {
     val p = plan(SparkEntry.queries("q47_group_cap")(spark, TestSpark.sf))
     // rank<=n pushdown: each map task keeps its local top-n BEFORE the
