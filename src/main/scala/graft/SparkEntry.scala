@@ -1843,6 +1843,127 @@ object SparkEntry {
     Tables.lineitem(sess, d).agg(pairs.head, pairs.tail: _*)
   }
 
+  /** Schema-evolving concat (pandas `pd.concat` aligning by column name,
+    * NaN-filling the gaps): `unionByName(allowMissingColumns)` — the
+    * Spark-native way to append frames whose schemas drifted (exactly
+    * what multi-vintage parquet corpora look like). Shuffle-free: union
+    * is plan-level concatenation.
+    */
+  private def q100(sess: SparkSession, d: String): DataFrame = {
+    val a = Tables
+      .documents(sess, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val b = Tables
+      .documents(sess, d)
+      .where(col("n_chars") >= 200)
+      .select(col("doc_id"), col("source"))
+    a.unionByName(b, allowMissingColumns = true)
+  }
+
+  /** String accessor corpus (pandas `.str` surface: upper/substr/
+    * contains/startswith/pad): every function here is codegen'd and
+    * defined identically in both engines (1-based substr, ASCII case
+    * map). Narrow, shuffle-free.
+    */
+  private def q101(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(sess, d)
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_u"),
+        substring(col("text"), 1, 12).as("prefix12"),
+        col("text").contains("spark").as("has_spark"),
+        col("text").startsWith("the").as("the_start"),
+        lpad(col("lang"), 5, "_").as("lang_pad"),
+        length(col("text")).as("len"))
+
+  /** Value recode via a broadcast dimension (pandas `map(dict)` /
+    * `replace`): the mapping lives in a tiny literal frame joined in —
+    * at 100 TB this is THE pattern (a CASE chain hard-codes the dict
+    * into the plan; a broadcast dim updates without replanning and
+    * joins map-side, zero shuffle of the fact side). Left join keeps
+    * unmapped values as null, like pandas map.
+    */
+  private def q102(sess: SparkSession, d: String): DataFrame = {
+    import sess.implicits._
+    val dim = Seq(
+      ("signup", "acquisition"),
+      ("view", "engagement"),
+      ("click", "engagement"),
+      ("purchase", "revenue"),
+      ("error", "ops")).toDF("event_type", "category")
+    Tables
+      .events(sess, d)
+      .select(col("event_id"), col("event_type"))
+      .join(broadcast(dim), Seq("event_type"), "left")
+  }
+
+  /** Exact-n deterministic sample (pandas `df.sample(n=100)` made
+    * replayable): order by a content digest (unique — doc_id is mixed
+    * in) and take the first 100. Plans as TakeOrderedAndProject: each
+    * partition keeps its local top-100, the driver merges — no global
+    * sort, no fraction-tuning loop. The digest order is uniform, so
+    * this IS a uniform exact-n sample.
+    */
+  private def q103(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(sess, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        md5(concat(col("text"), col("doc_id"))).as("rk"))
+      .orderBy(col("rk"))
+      .limit(100)
+
+  /** Blocked fuzzy-duplicate pairs (edit distance — the data-cleaning
+    * join pandas users hand-roll with python-Levenshtein): block on the
+    * n_chars bucket (near-dups have near-equal lengths), compare
+    * normalized 30-char prefixes within each block, keep pairs under
+    * the distance cutoff. The block equi-join bounds the pair space to
+    * Σ|block|² exactly like q16's n-gram blocking — never all-pairs.
+    */
+  private def q104(sess: SparkSession, d: String): DataFrame = {
+    val base = Tables
+      .documents(sess, d)
+      .select(
+        col("doc_id"),
+        expr("n_chars div 20").as("blk"),
+        substring(
+          regexp_replace(lower(col("text")), "\\s+", " "),
+          1,
+          30).as("pfx"))
+    val l = base.select(
+      col("blk"),
+      col("doc_id").as("id_a"),
+      col("pfx").as("pfx_a"))
+    val r = base.select(
+      col("blk"),
+      col("doc_id").as("id_b"),
+      col("pfx").as("pfx_b"))
+    l.join(r, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
+      .where(col("dist") <= 6)
+  }
+
+  /** Cross merge (pandas `merge(how="cross")`): the sanctioned tiny×tiny
+    * cartesian — both sides are dimension tables (5 × 25 rows), so the
+    * nested-loop product is a non-issue at any corpus scale (its size
+    * is dim-bounded, not data-bounded).
+    */
+  private def q105(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .region(sess, d)
+      .select(col("r_name"))
+      .crossJoin(Tables.nation(sess, d).select(col("n_name")))
+      .select(
+        col("r_name"),
+        col("n_name"),
+        concat_ws("/", col("r_name"), col("n_name")).as("pair"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1945,7 +2066,13 @@ object SparkEntry {
     "q96_mixture_weights" -> (q96 _),
     "q97_ttr" -> (q97 _),
     "q98_filter_audit" -> (q98 _),
-    "q99_corr_matrix" -> (q99 _)
+    "q99_corr_matrix" -> (q99 _),
+    "q100_concat_align" -> (q100 _),
+    "q101_string_ops" -> (q101 _),
+    "q102_recode" -> (q102 _),
+    "q103_sample_n" -> (q103 _),
+    "q104_fuzzy_pairs" -> (q104 _),
+    "q105_cross_merge" -> (q105 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -2892,6 +3019,43 @@ object SparkEntry {
          round(corr(l_extendedprice, l_discount), 5) AS c_1_2,
          round(corr(l_extendedprice, l_tax), 5) AS c_1_3,
          round(corr(l_discount, l_tax), 5) AS c_2_3
-         FROM lineitem"""
+         FROM lineitem""",
+    "q100_concat_align" ->
+      """SELECT doc_id, lang, n_chars, NULL AS source FROM documents
+         UNION ALL
+         SELECT doc_id, NULL AS lang, NULL AS n_chars, source
+         FROM documents WHERE n_chars >= 200""",
+    "q101_string_ops" ->
+      """SELECT doc_id,
+           upper(lang) AS lang_u,
+           substr(text, 1, 12) AS prefix12,
+           contains(text, 'spark') AS has_spark,
+           starts_with(text, 'the') AS the_start,
+           lpad(lang, 5, '_') AS lang_pad,
+           CAST(length(text) AS INTEGER) AS len
+         FROM documents""",
+    "q102_recode" ->
+      """SELECT e.event_id, e.event_type, m.category
+         FROM events e LEFT JOIN (VALUES
+           ('signup', 'acquisition'), ('view', 'engagement'),
+           ('click', 'engagement'), ('purchase', 'revenue'),
+           ('error', 'ops')) AS m(event_type, category)
+         ON e.event_type = m.event_type""",
+    "q103_sample_n" ->
+      """SELECT doc_id, lang, md5(text || CAST(doc_id AS VARCHAR)) AS rk
+         FROM documents ORDER BY rk LIMIT 100""",
+    "q104_fuzzy_pairs" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars // 20 AS blk,
+             substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 30)
+               AS pfx
+           FROM documents)
+         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, c.pfx) AS INTEGER) AS dist
+         FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         WHERE levenshtein(a.pfx, c.pfx) <= 6""",
+    "q105_cross_merge" ->
+      """SELECT r_name, n_name, r_name || '/' || n_name AS pair
+         FROM region CROSS JOIN nation"""
   )
 }
