@@ -1964,6 +1964,24 @@ object SparkEntry {
         col("n_name"),
         concat_ws("/", col("r_name"), col("n_name")).as("pair"))
 
+  /** Approximate heavy hitters ([[graft.operators.HeavyHitters]]):
+    * Misra–Gries top-20 tokens — the k-bounded mergeable twin of q91's
+    * exact top-k (whose exchange scales with vocabulary size).
+    * Rows-only: the summary content is guarantee-bounded, not
+    * value-exact (HeavyHittersSpec proves the bounds); est undercounts
+    * by ≤ N/(k+1).
+    */
+  private def q106(sess: SparkSession, d: String): DataFrame =
+    graft.operators.HeavyHitters.approxTopK(
+      Tables
+        .documents(sess, d)
+        .select(
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("token")),
+      "token",
+      k = 64,
+      topN = 20)
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2072,7 +2090,8 @@ object SparkEntry {
     "q102_recode" -> (q102 _),
     "q103_sample_n" -> (q103 _),
     "q104_fuzzy_pairs" -> (q104 _),
-    "q105_cross_merge" -> (q105 _)
+    "q105_cross_merge" -> (q105 _),
+    "q106_approx_topk" -> (q106 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

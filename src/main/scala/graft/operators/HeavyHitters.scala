@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy-hitters sketch — the bounded-state, mergeable twin
+  * of exact `value_counts` / top-k (q91).
+  *
+  * Exact top-k over a 100 TB token stream shuffles one partial count
+  * per DISTINCT token per partition — the exchange scales with
+  * vocabulary size (billions of web n-grams). A Misra–Gries summary is
+  * a hard-capped table of k counters with the classic guarantees
+  * (Misra & Gries 1982; merge form Agarwal et al., "Mergeable
+  * Summaries", PODS'12):
+  *
+  *  - undercount only: est(x) ≤ true(x) ≤ est(x) + N/(k+1)
+  *  - every item with true frequency > N/(k+1) is IN the summary
+  *  - summaries MERGE: combine tables, subtract the (k+1)-th largest
+  *    count, drop ≤0 — the merged summary keeps the same error bound,
+  *    so per-shard / per-day summaries roll up without rescanning
+  *    (the [[Sketches]] HLL argument, applied to frequencies).
+  *
+  * Implemented as a typed [[Aggregator]] (the custom-UDAF surface):
+  * partial aggregation runs map-side, the exchange carries one ≤k-entry
+  * map per partition, merge is associative.
+  */
+object HeavyHitters {
+
+  /** Aggregation buffer/output: the counter table. A case class (not a
+    * bare Map) so the product encoder serializes it without Kryo.
+    */
+  case class MGSummary(counters: Map[String, Long]) {
+    /** Total stream length is tracked OUTSIDE the sketch (a plain
+      * count(*) alongside) — the summary itself stays k-bounded.
+      */
+    def topK(n: Int): Seq[(String, Long)] =
+      counters.toSeq.sortBy { case (t, c) => (-c, t) }.take(n)
+  }
+
+  /** Decrement-all step shared by reduce (by 1) and merge (by the
+    * (k+1)-th count): subtract `d`, drop non-positive counters.
+    */
+  private def shrink(m: Map[String, Long], d: Long): Map[String, Long] =
+    if (d <= 0) m
+    else m.collect { case (t, c) if c > d => t -> (c - d) }
+
+  final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, MGSummary, MGSummary] {
+
+    override def zero: MGSummary = MGSummary(Map.empty)
+
+    override def reduce(b: MGSummary, token: String): MGSummary = {
+      val m = b.counters
+      if (token == null) b
+      else if (m.contains(token)) MGSummary(m.updated(token, m(token) + 1L))
+      else if (m.size < k) MGSummary(m.updated(token, 1L))
+      else MGSummary(shrink(m, 1L)) // classic decrement-all on overflow
+    }
+
+    override def merge(a: MGSummary, b: MGSummary): MGSummary = {
+      val combined = b.counters.foldLeft(a.counters) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (combined.size <= k) MGSummary(combined)
+      else {
+        // subtract the (k+1)-th largest count — the mergeable-summaries
+        // reduction that preserves the N/(k+1) error bound
+        val d = combined.values.toSeq.sortBy(-_).apply(k)
+        MGSummary(shrink(combined, d))
+      }
+    }
+
+    override def finish(r: MGSummary): MGSummary = r
+
+    override def bufferEncoder: Encoder[MGSummary] =
+      ExpressionEncoder[MGSummary]()
+
+    override def outputEncoder: Encoder[MGSummary] =
+      ExpressionEncoder[MGSummary]()
+  }
+
+  /** Column aggregate: Misra–Gries summary of a string column. */
+  def mgSummary(c: Column, k: Int): Column =
+    udaf(new MisraGriesAgg(k)).apply(c)
+
+  /** Approximate top-n frequent values of `valueCol` (optionally per
+    * group): ONE partial+final aggregation whose exchange carries
+    * ≤k-entry summaries, then an in-place explode of the final table.
+    * `est` is the lower-bound estimate (true count ≤ est + N/(k+1)).
+    */
+  def approxTopK(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String] = Nil,
+      k: Int = 64,
+      topN: Int = 20): DataFrame = {
+    val grouped =
+      if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    val agged = grouped.agg(
+      mgSummary(col(valueCol), k).as("mg"),
+      count(col(valueCol)).as("n_total"))
+    val exploded = agged
+      .select(
+        (keys.map(col) :+ col("n_total") :+
+          explode(col("mg.counters")).as(Seq("value", "est"))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("est").desc, col("value"))
+    exploded
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topN)
+      .drop("__rn")
+  }
+}
