@@ -1982,6 +1982,79 @@ object SparkEntry {
       k = 64,
       topN = 20)
 
+  /** OHLC resample (pandas `resample("1h").ohlc()` — the finance
+    * downsample): open/close as arg-extrema over the unique in-bucket
+    * order key, high/low as plain extremes. One partial+final agg on
+    * (user, hour); every accumulator is O(1). Values carried untouched
+    * (bit-exact).
+    */
+  private def q107(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .groupBy(
+        col("user_id"),
+        expr("ts div 3600000000000").as("hour"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n"))
+
+  /** Feature scaling transforms (the sklearn/pandas preprocessing pair:
+    * z-score + min-max per group) in ONE unordered window pass — four
+    * group statistics over the same user_id partitioning, no frame
+    * collapse. Degenerate groups (zero variance / single row) null out
+    * instead of dividing by zero (ANSI-safe). Rounded to 5 decimals on
+    * both sides (stddev accumulation order differs — q63/q89
+    * precedent).
+    */
+  private def q108(sess: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        avg(col("value")).over(w).as("__m"),
+        stddev_samp(col("value")).over(w).as("__s"),
+        min(col("value")).over(w).as("__lo"),
+        max(col("value")).over(w).as("__hi"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(
+          when(
+            col("__s").isNull || col("__s") === 0.0,
+            lit(null))
+            .otherwise((col("value") - col("__m")) / col("__s")),
+          5).as("zscore"),
+        round(
+          when(col("__hi") === col("__lo"), lit(null))
+            .otherwise(
+              (col("value") - col("__lo")) / (col("__hi") - col("__lo"))),
+          5).as("minmax"))
+  }
+
+  /** One-hot encoding (pandas `get_dummies`): five indicator columns in
+    * one narrow codegen'd projection — the categorical-to-feature step
+    * before any model. No shuffle; at 100 TB this is a free map.
+    */
+  private def q109(sess: SparkSession, d: String): DataFrame = {
+    def ind(v: String) =
+      (col("event_type") === v).cast("int").as(s"is_$v")
+    Tables
+      .events(sess, d)
+      .select(
+        col("event_id"),
+        ind("signup"),
+        ind("view"),
+        ind("click"),
+        ind("purchase"),
+        ind("error"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2091,7 +2164,10 @@ object SparkEntry {
     "q103_sample_n" -> (q103 _),
     "q104_fuzzy_pairs" -> (q104 _),
     "q105_cross_merge" -> (q105 _),
-    "q106_approx_topk" -> (q106 _)
+    "q106_approx_topk" -> (q106 _),
+    "q107_ohlc" -> (q107 _),
+    "q108_scaling" -> (q108 _),
+    "q109_onehot" -> (q109 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3075,6 +3151,36 @@ object SparkEntry {
          WHERE levenshtein(a.pfx, c.pfx) <= 6""",
     "q105_cross_merge" ->
       """SELECT r_name, n_name, r_name || '/' || n_name AS pair
-         FROM region CROSS JOIN nation"""
+         FROM region CROSS JOIN nation""",
+    "q107_ohlc" ->
+      """SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour,
+           arg_min(value, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, event_id) AS close,
+           count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "q108_scaling" ->
+      """WITH s AS (
+           SELECT user_id, event_id, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             min(value) OVER w AS lo,
+             max(value) OVER w AS hi
+           FROM events WINDOW w AS (PARTITION BY user_id))
+         SELECT user_id, event_id,
+           round(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                 ELSE (value - m) / sd END, 5) AS zscore,
+           round(CASE WHEN hi = lo THEN NULL
+                 ELSE (value - lo) / (hi - lo) END, 5) AS minmax
+         FROM s""",
+    "q109_onehot" ->
+      """SELECT event_id,
+           CAST(event_type = 'signup' AS INTEGER) AS is_signup,
+           CAST(event_type = 'view' AS INTEGER) AS is_view,
+           CAST(event_type = 'click' AS INTEGER) AS is_click,
+           CAST(event_type = 'purchase' AS INTEGER) AS is_purchase,
+           CAST(event_type = 'error' AS INTEGER) AS is_error
+         FROM events"""
   )
 }
