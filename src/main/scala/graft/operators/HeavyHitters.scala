@@ -46,31 +46,40 @@ object HeavyHitters {
     if (d <= 0) m
     else m.collect { case (t, c) if c > d => t -> (c - d) }
 
+  /** One MG insertion (batch reduce AND streaming state update share
+    * this): count if tracked, admit if room, else decrement-all.
+    */
+  def insert(m: Map[String, Long], token: String, k: Int): Map[String, Long] =
+    if (token == null) m
+    else if (m.contains(token)) m.updated(token, m(token) + 1L)
+    else if (m.size < k) m.updated(token, 1L)
+    else shrink(m, 1L) // classic decrement-all on overflow
+
+  /** Merge two MG tables — the mergeable-summaries reduction that
+    * preserves the N/(k+1) bound: combine, subtract the (k+1)-th
+    * largest count, drop ≤0.
+    */
+  def mergeTables(
+      a: Map[String, Long],
+      b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val combined = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (combined.size <= k) combined
+    else shrink(combined, combined.values.toSeq.sortBy(-_).apply(k))
+  }
+
   final class MisraGriesAgg(k: Int)
       extends Aggregator[String, MGSummary, MGSummary] {
 
     override def zero: MGSummary = MGSummary(Map.empty)
 
-    override def reduce(b: MGSummary, token: String): MGSummary = {
-      val m = b.counters
-      if (token == null) b
-      else if (m.contains(token)) MGSummary(m.updated(token, m(token) + 1L))
-      else if (m.size < k) MGSummary(m.updated(token, 1L))
-      else MGSummary(shrink(m, 1L)) // classic decrement-all on overflow
-    }
+    override def reduce(b: MGSummary, token: String): MGSummary =
+      MGSummary(insert(b.counters, token, k))
 
-    override def merge(a: MGSummary, b: MGSummary): MGSummary = {
-      val combined = b.counters.foldLeft(a.counters) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
-      }
-      if (combined.size <= k) MGSummary(combined)
-      else {
-        // subtract the (k+1)-th largest count — the mergeable-summaries
-        // reduction that preserves the N/(k+1) error bound
-        val d = combined.values.toSeq.sortBy(-_).apply(k)
-        MGSummary(shrink(combined, d))
-      }
-    }
+    override def merge(a: MGSummary, b: MGSummary): MGSummary =
+      MGSummary(mergeTables(a.counters, b.counters, k))
 
     override def finish(r: MGSummary): MGSummary = r
 

@@ -127,6 +127,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k: MG state across batches keeps the batch bound") {
+    import spark.implicits._
+    import graft.streaming.StreamTopK
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // key "a": 120×hot + 60 distinct cold tokens, split across batches
+    val batch1 =
+      Seq.fill(70)("hot") ++ (0 until 30).map(i => s"c$i")
+    val batch2 =
+      Seq.fill(50)("hot") ++ (30 until 60).map(i => s"c$i")
+    val k = 16
+    val n = (batch1.length + batch2.length).toDouble
+
+    val input = MemoryStream[StreamTopK.TokenEvent]
+    val q = StreamTopK
+      .topKStream(input.toDS(), k = k, topN = 5)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("graft_stream_topk")
+      .start()
+    try {
+      input.addData(batch1.map(StreamTopK.TokenEvent("a", _)): _*)
+      q.processAllAvailable()
+      input.addData(batch2.map(StreamTopK.TokenEvent("a", _)): _*)
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT * FROM graft_stream_topk")
+        .as[StreamTopK.TopKOut]
+        .collect()
+      val last = rows.maxBy(_.n_total) // update mode: latest emission
+      assert(last.n_total === n.toLong)
+      val est = last.top.zip(last.est).toMap
+      // hot (true 120 > N/(k+1) ≈ 10.6) must survive, undercount-bounded
+      assert(est.contains("hot"))
+      assert(est("hot") <= 120L && est("hot") >= 120L - n / (k + 1))
+      // state is k-bounded: emitted top can never exceed k entries
+      assert(last.top.length <= k)
+    } finally q.stop()
+  }
+
   test("streaming ingestion dedup: state converges to the batch dedup") {
     import spark.implicits._
     import graft.streaming.IngestDedup
