@@ -2055,6 +2055,145 @@ object SparkEntry {
         ind("error"))
   }
 
+  /** Time-weighted average (the irregular-series mean pandas users
+    * build by hand): each value weighted by its holding interval
+    * (lead(ts) − ts on the exact micros grid), one lead window + one
+    * agg sharing the user_id exchange. Final ratio rounded to 5
+    * (double dot-product accumulates in engine order).
+    */
+  private def q110(sess: SparkSession, d: String): DataFrame = {
+    val wo =
+      Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("value"),
+        (lead(expr("ts div 1000"), 1).over(wo) - expr("ts div 1000"))
+          .as("dt"))
+      .where(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        round(
+          sum(col("value") * col("dt")) / sum(col("dt")),
+          5).as("twa"),
+        sum(col("dt")).as("span_us"))
+  }
+
+  /** Rolling z-score (the streaming anomaly-detection signal): value
+    * standardized against its own trailing 6-row window; warm-up rows
+    * (<3 obs) and zero-variance windows null out. ONE Window operator
+    * evaluates all three trailing stats (avg/std/count share a frame),
+    * then the arithmetic is a narrow projection. Round 5 (q63/q108
+    * precedent).
+    */
+  private def q112(sess: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(-5, 0)
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        avg(col("value")).over(w).as("__m"),
+        stddev_samp(col("value")).over(w).as("__s"),
+        count(col("value")).over(w).as("__n"),
+        col("value"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(
+          when(
+            col("__n") < 3 || col("__s").isNull || col("__s") === 0.0,
+            lit(null))
+            .otherwise((col("value") - col("__m")) / col("__s")),
+          5).as("rz"))
+  }
+
+  /** Upsample + forward-fill (pandas `resample("1h").ffill()`): densify
+    * each user's irregular series onto its own hour grid, carrying the
+    * last observation forward. Grid = `sequence(first_hour, last_hour)`
+    * exploded per user (generated, never shuffled); per-hour "last" is
+    * arg-max on the ingestion sequence; the fill is one
+    * last-ignore-nulls running window. Everything keys on user_id, so
+    * the grid join and the fill reuse one partitioning; grid size is
+    * span-bounded per user, not corpus-bounded.
+    */
+  private def q111(sess: SparkSession, d: String): DataFrame = {
+    val hourly = Tables
+      .events(sess, d)
+      .groupBy(
+        col("user_id"),
+        expr("ts div 3600000000000").as("hour"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val grid = hourly
+      .groupBy("user_id")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val wFill = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("hour"))
+      .rowsBetween(Long.MinValue, 0)
+    grid
+      .join(hourly, Seq("user_id", "hour"), "left")
+      .select(
+        col("user_id"),
+        col("hour"),
+        last(col("v"), ignoreNulls = true).over(wFill).as("v_ffill"))
+  }
+
+  /** Distinct-collection aggregate (pandas `gb.unique()`): the set of
+    * event types per user as a sorted CSV (array outputs don't survive
+    * the driver's pandas canonicalization — q24 note — so the set is
+    * rendered to a deterministic string). collect_set is partial+final:
+    * each map task accumulates its local set, the exchange carries sets
+    * not rows.
+    */
+  private def q113(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types_csv"),
+        countDistinct(col("event_type")).as("n_types"))
+
+  /** Anti join as a surface verb (pandas `~isin` / anti-merge): orders
+    * having NO high-quantity lineitem. LEFT ANTI plans as a one-sided
+    * existence probe — no row multiplication, the probe side streams;
+    * the qty filter is pushed into the lineitem scan before the
+    * exchange.
+    */
+  private def q114(sess: SparkSession, d: String): DataFrame = {
+    val big = Tables
+      .lineitem(sess, d)
+      .where(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    Tables
+      .orders(sess, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Weighted average (pandas `np.average(v, weights=w)` per group):
+    * quantity-weighted unit price per return flag — two sums sharing
+    * one partial+final agg pass. Round 5 (double dot product).
+    */
+  private def q115(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(sess, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(
+          sum(col("l_extendedprice") * col("l_quantity")) /
+            sum(col("l_quantity")),
+          5).as("wavg_price"),
+        sum(col("l_quantity")).as("w_total"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2167,7 +2306,13 @@ object SparkEntry {
     "q106_approx_topk" -> (q106 _),
     "q107_ohlc" -> (q107 _),
     "q108_scaling" -> (q108 _),
-    "q109_onehot" -> (q109 _)
+    "q109_onehot" -> (q109 _),
+    "q110_time_weighted_avg" -> (q110 _),
+    "q111_upsample_ffill" -> (q111 _),
+    "q112_rolling_zscore" -> (q112 _),
+    "q113_collect_set" -> (q113 _),
+    "q114_anti_join" -> (q114 _),
+    "q115_weighted_avg" -> (q115 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3181,6 +3326,66 @@ object SparkEntry {
            CAST(event_type = 'click' AS INTEGER) AS is_click,
            CAST(event_type = 'purchase' AS INTEGER) AS is_purchase,
            CAST(event_type = 'error' AS INTEGER) AS is_error
-         FROM events"""
+         FROM events""",
+    "q110_time_weighted_avg" ->
+      """WITH l AS (
+           SELECT user_id, value,
+             lead(epoch_ns(ts) // 1000, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_ns(ts) // 1000 AS dt
+           FROM events)
+         SELECT user_id,
+           round(sum(value * dt) / sum(dt), 5) AS twa,
+           CAST(sum(dt) AS BIGINT) AS span_us
+         FROM l WHERE dt IS NOT NULL GROUP BY 1""",
+    "q111_upsample_ffill" ->
+      """WITH h AS (
+           SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour,
+             arg_max(value, event_id) AS v
+           FROM events GROUP BY 1, 2),
+         b AS (
+           SELECT user_id, min(hour) AS h0, max(hour) AS h1
+           FROM h GROUP BY 1),
+         g AS (
+           SELECT user_id, unnest(generate_series(h0, h1)) AS hour
+           FROM b),
+         j AS (
+           SELECT g.user_id, g.hour, h.v
+           FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
+         SELECT user_id, hour,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+         FROM j""",
+    "q112_rolling_zscore" ->
+      """WITH s AS (
+           SELECT user_id, event_id, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             count(value) OVER w AS n
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id,
+           round(CASE WHEN n < 3 OR sd IS NULL OR sd = 0 THEN NULL
+                 ELSE (value - m) / sd END, 5) AS rz
+         FROM s""",
+    "q113_collect_set" ->
+      """SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types_csv,
+           count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY 1""",
+    "q114_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+    "q115_weighted_avg" ->
+      """SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 5)
+             AS wavg_price,
+           sum(l_quantity) AS w_total
+         FROM lineitem GROUP BY 1"""
   )
 }
