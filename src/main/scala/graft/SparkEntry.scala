@@ -2117,9 +2117,12 @@ object SparkEntry {
     * last observation forward. Grid = `sequence(first_hour, last_hour)`
     * exploded per user (generated, never shuffled); per-hour "last" is
     * arg-max on the ingestion sequence; the fill is one
-    * last-ignore-nulls running window. Everything keys on user_id, so
-    * the grid join and the fill reuse one partitioning; grid size is
-    * span-bounded per user, not corpus-bounded.
+    * last-ignore-nulls running window. Two agg exchanges (user grid
+    * bounds; per-hour lasts); AQE broadcasts the hourly side into the
+    * grid join at test scale — at 100 TB it becomes a co-hashed join —
+    * and the fill window reuses the grid side's user_id partitioning
+    * either way (no third exchange). Grid size is span-bounded per
+    * user, not corpus-bounded.
     */
   private def q111(sess: SparkSession, d: String): DataFrame = {
     val hourly = Tables
