@@ -2197,6 +2197,85 @@ object SparkEntry {
           5).as("wavg_price"),
         sum(col("l_quantity")).as("w_total"))
 
+  /** Scalable global rank ([[graft.ops.GlobalRank]]): documents ranked
+    * corpus-wide by (n_chars desc, doc_id) WITHOUT the Exchange
+    * SinglePartition a `row_number() over (order by ...)` window plans —
+    * range partitions + a counts pass + per-partition offsets. The
+    * oracle runs the single-partition window form; results are
+    * identical because the sort key is a total order.
+    */
+  private def q116(sess: SparkSession, d: String): DataFrame =
+    graft.ops.GlobalRank
+      .withGlobalRowNumber(
+        Tables.documents(sess, d).select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        "rk")
+
+  /** Bigram counting (the n-gram LM / repetition-analysis table; q29's
+    * vocabulary is the unigram row): adjacent token pairs via an
+    * in-place `zip_with` of the array against its own tail — built
+    * BEFORE explode, so the generator emits pairs, not tokens. Top 50
+    * under the deterministic (n desc, bigram) order.
+    */
+  private def q117(sess: SparkSession, d: String): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    Tables
+      .documents(sess, d)
+      .select(tk.as("__tk"))
+      .where(size(col("__tk")) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+            slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** Cross-source vocabulary overlap (corpus-drift analytics: how much
+    * does each shard share with each other shard): distinct
+    * (source, token) pairs — ONE dedup exchange — then a self-join on
+    * token restricted to ordered pairs, aggregated to Jaccard per
+    * source pair. The token join is the only O(vocab) shuffle; the
+    * per-source distinct token counts ride a broadcast join back.
+    */
+  private def q118(sess: SparkSession, d: String): DataFrame = {
+    val st = Tables
+      .documents(sess, d)
+      .select(
+        col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val shared = st
+      .select(col("source").as("s_a"), col("token"))
+      .join(
+        st.select(col("source").as("s_b"), col("token")),
+        Seq("token"))
+      .where(col("s_a") < col("s_b"))
+      .groupBy("s_a", "s_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(
+        broadcast(sizes.select(col("source").as("s_a"), col("sz").as("sz_a"))),
+        Seq("s_a"))
+      .join(
+        broadcast(sizes.select(col("source").as("s_b"), col("sz").as("sz_b"))),
+        Seq("s_b"))
+      .select(
+        col("s_a"),
+        col("s_b"),
+        col("n_shared"),
+        round(
+          col("n_shared").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_shared")),
+          5).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2315,7 +2394,10 @@ object SparkEntry {
     "q112_rolling_zscore" -> (q112 _),
     "q113_collect_set" -> (q113 _),
     "q114_anti_join" -> (q114 _),
-    "q115_weighted_avg" -> (q115 _)
+    "q115_weighted_avg" -> (q115 _),
+    "q116_global_rank" -> (q116 _),
+    "q117_bigram_counts" -> (q117 _),
+    "q118_source_overlap" -> (q118 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3389,6 +3471,37 @@ object SparkEntry {
            round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 5)
              AS wavg_price,
            sum(l_quantity) AS w_total
-         FROM lineitem GROUP BY 1"""
+         FROM lineitem GROUP BY 1""",
+    "q116_global_rank" ->
+      """SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents""",
+    "q117_bigram_counts" ->
+      """WITH t AS (
+           SELECT string_split_regex(trim(text), '\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         b AS (
+           SELECT unnest(
+             [tk[i] || ' ' || tk[i + 1] for i in generate_series(1, len(tk) - 1)])
+             AS bigram
+           FROM t WHERE len(tk) >= 2)
+         SELECT bigram, count(*) AS n FROM b
+         GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    "q118_source_overlap" ->
+      """WITH st AS (
+           SELECT DISTINCT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents WHERE trim(text) <> ''),
+         sz AS (SELECT source, count(*) AS sz FROM st GROUP BY 1),
+         sh AS (
+           SELECT a.source AS s_a, b.source AS s_b, count(*) AS n_shared
+           FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT s_a, s_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) /
+             (za.sz + zb.sz - n_shared), 5) AS jaccard
+         FROM sh
+         JOIN sz za ON za.source = s_a
+         JOIN sz zb ON zb.source = s_b"""
   )
 }

@@ -166,6 +166,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected a single exchange to the final reducer:\n$p")
   }
 
+  test("global rank (q116) never plans Exchange SinglePartition") {
+    val p = plan(SparkEntry.queries("q116_global_rank")(spark, TestSpark.sf))
+    assert(
+      !p.contains("Exchange SinglePartition"),
+      s"scalable rank must not funnel through one partition:\n$p")
+  }
+
+  test("source overlap (q118): sizes broadcast back onto the pair agg") {
+    val p = plan(SparkEntry.queries("q118_source_overlap")(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"per-source sizes (#sources rows) must broadcast:\n$p")
+  }
+
   test("per-group cap (q47) pre-prunes map-side via WindowGroupLimit") {
     val p = plan(SparkEntry.queries("q47_group_cap")(spark, TestSpark.sf))
     // rank<=n pushdown: each map task keeps its local top-n BEFORE the
