@@ -2276,6 +2276,90 @@ object SparkEntry {
           5).as("jaccard"))
   }
 
+  /** Row-normalized crosstab (pandas `crosstab(normalize="index")`):
+    * per-source language shares — the q49 pivot with each row divided
+    * by its own total. Declared pivot values → one agg pass; the
+    * normalization is a narrow projection (exact integer/integer
+    * division, bit-deterministic).
+    */
+  private def q119(sess: SparkSession, d: String): DataFrame = {
+    val langs = Seq("en", "fr", "de", "es")
+    val counts = Tables
+      .documents(sess, d)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+    val total = langs.map(col).reduce(_ + _)
+    counts.select(
+      (col("source") +: langs.map(l =>
+        (col(l).cast("double") / total).as(s"p_$l"))): _*)
+  }
+
+  /** Datetime format/parse roundtrip (pandas `strftime` +
+    * `to_datetime`): render the exact-micros event time to a string and
+    * parse it back — the string is the interchange format every
+    * ingest pipeline hits. The seconds-precision roundtrip is lossy by
+    * exactly the sub-second part, surfaced as `us_lost` (micros modulo
+    * 1e6) rather than hidden. All on the session-UTC grid.
+    */
+  private def q120(sess: SparkSession, d: String): DataFrame = {
+    val t = timestamp_micros(expr("ts div 1000"))
+    val s = date_format(t, "yyyy-MM-dd HH:mm:ss")
+    Tables
+      .events(sess, d)
+      .select(
+        col("event_id"),
+        s.as("rendered"),
+        (unix_timestamp(to_timestamp(s, "yyyy-MM-dd HH:mm:ss")) * 1000000L)
+          .as("reparsed_us"),
+        expr("ts div 1000 % 1000000").as("us_lost"))
+  }
+
+  /** Calendar accessor corpus (pandas `.dt` part 2: quarter,
+    * month-end snapping, day-of-year, ISO week): the date-dimension
+    * derivations every reporting rollup needs. Narrow projection on
+    * the exact-micros grid; ISO week/year use the ISO-8601 definition
+    * in both engines.
+    */
+  private def q121(sess: SparkSession, d: String): DataFrame = {
+    val t = timestamp_micros(expr("ts div 1000"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("event_id"),
+        quarter(t).as("q"),
+        dayofyear(t).as("doy"),
+        weekofyear(t).as("iso_week"),
+        date_format(last_day(t), "yyyy-MM-dd").as("month_end"))
+  }
+
+  /** Median absolute deviation (the robust-stats outlier scale pandas
+    * users compute via `(s - s.median()).abs().median()`): two exact
+    * percentile aggregations — group median, then median of absolute
+    * deviations — joined back per group (tiny bounds frame, broadcast
+    * at any scale). Exact interpolated percentiles match DuckDB's
+    * quantile_cont; deviations are rounded at 5 before the second
+    * median so both engines interpolate the same multiset.
+    */
+  private def q122(sess: SparkSession, d: String): DataFrame = {
+    val med = Tables
+      .events(sess, d)
+      .groupBy("user_id")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    Tables
+      .events(sess, d)
+      .join(broadcast(med), Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("med"),
+        round(abs(col("value") - col("med")), 5).as("ad"))
+      .groupBy("user_id")
+      .agg(
+        round(max(col("med")), 5).as("median"),
+        round(percentile(col("ad"), lit(0.5)), 5).as("mad"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2397,7 +2481,11 @@ object SparkEntry {
     "q115_weighted_avg" -> (q115 _),
     "q116_global_rank" -> (q116 _),
     "q117_bigram_counts" -> (q117 _),
-    "q118_source_overlap" -> (q118 _)
+    "q118_source_overlap" -> (q118 _),
+    "q119_crosstab_norm" -> (q119 _),
+    "q120_datetime_roundtrip" -> (q120 _),
+    "q121_calendar" -> (q121 _),
+    "q122_mad" -> (q122 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3502,6 +3590,45 @@ object SparkEntry {
              (za.sz + zb.sz - n_shared), 5) AS jaccard
          FROM sh
          JOIN sz za ON za.source = s_a
-         JOIN sz zb ON zb.source = s_b"""
+         JOIN sz zb ON zb.source = s_b""",
+    "q119_crosstab_norm" ->
+      """WITH c AS (
+           SELECT source,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+             sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+             sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es
+           FROM documents GROUP BY 1)
+         SELECT source,
+           CAST(en AS DOUBLE) / (en + fr + de + es) AS p_en,
+           CAST(fr AS DOUBLE) / (en + fr + de + es) AS p_fr,
+           CAST(de AS DOUBLE) / (en + fr + de + es) AS p_de,
+           CAST(es AS DOUBLE) / (en + fr + de + es) AS p_es
+         FROM c""",
+    "q120_datetime_roundtrip" ->
+      """SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS rendered,
+           epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+             '%Y-%m-%d %H:%M:%S')) AS reparsed_us,
+           epoch_ns(ts) // 1000 % 1000000 AS us_lost
+         FROM events""",
+    "q121_calendar" ->
+      """SELECT event_id,
+           CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+           strftime(last_day(ts), '%Y-%m-%d') AS month_end
+         FROM events""",
+    "q122_mad" ->
+      """WITH m AS (
+           SELECT user_id, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         d AS (
+           SELECT e.user_id, m.med,
+             round(abs(e.value - m.med), 5) AS ad
+           FROM events e JOIN m USING (user_id))
+         SELECT user_id, round(max(med), 5) AS median,
+           round(quantile_cont(ad, 0.5), 5) AS mad
+         FROM d GROUP BY 1"""
   )
 }
