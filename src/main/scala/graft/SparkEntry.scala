@@ -640,10 +640,12 @@ object SparkEntry {
         minPeriods = Some(3),
         center = true)(avg)
       // round AFTER the window (round is not a window function; rounding the
-      // callback would put round(avg(c),4).over(frame) in the plan and fail
+      // callback would put round(avg(c),5).over(frame) in the plan and fail
       // analysis). round(null) stays null, so the min_periods warm-up holds.
-      // Rounded both sides, same rationale as q39.
-      .withColumn("v", round(col("__rolling__"), 4))
+      // Rounded both sides at 5 decimals (per-frame window avg iterates in
+      // frame order in both engines, so the doubles are bit-identical and
+      // 5 keeps ~10x more sensitivity than 4 — r4 advice).
+      .withColumn("v", round(col("__rolling__"), 5))
       .select("user_id", "event_id", "v")
 
   /** Grouped rolling sum with closed="left" (window excludes the current
@@ -2744,7 +2746,7 @@ object SparkEntry {
            FROM t WHERE len(tk) > 0)""",
     "q37_rolling_center" ->
       """SELECT user_id, event_id,
-         CASE WHEN count(value) OVER w >= 3 THEN round(avg(value) OVER w, 4) END
+         CASE WHEN count(value) OVER w >= 3 THEN round(avg(value) OVER w, 5) END
            AS v
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""",
