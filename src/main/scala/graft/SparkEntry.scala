@@ -2362,6 +2362,30 @@ object SparkEntry {
         round(percentile(col("ad"), lit(0.5)), 5).as("mad"))
   }
 
+  /** Data-quality expectations audit (the great-expectations-style
+    * validation gate every ingest runs): null counts, domain
+    * violations, key cardinality, and time bounds — ALL in one
+    * partial+final aggregation pass over one scan (each expectation is
+    * a conditional count; adding one more is free). One row out.
+    */
+  private def q123(sess: SparkSession, d: String): DataFrame = {
+    val knownTypes =
+      Seq("signup", "view", "click", "purchase", "error")
+    Tables
+      .events(sess, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("n_null_value"),
+        count(when(col("props").isNull, 1)).as("n_null_props"),
+        count(when(!col("event_type").isin(knownTypes: _*), 1))
+          .as("n_bad_type"),
+        count(when(col("value") < 0 || col("value") > 10000, 1))
+          .as("n_bad_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(expr("ts div 1000")).as("ts_min_us"),
+        max(expr("ts div 1000")).as("ts_max_us"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2487,7 +2511,8 @@ object SparkEntry {
     "q119_crosstab_norm" -> (q119 _),
     "q120_datetime_roundtrip" -> (q120 _),
     "q121_calendar" -> (q121 _),
-    "q122_mad" -> (q122 _)
+    "q122_mad" -> (q122 _),
+    "q123_data_quality" -> (q123 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3631,6 +3656,19 @@ object SparkEntry {
            FROM events e JOIN m USING (user_id))
          SELECT user_id, round(max(med), 5) AS median,
            round(quantile_cont(ad, 0.5), 5) AS mad
-         FROM d GROUP BY 1"""
+         FROM d GROUP BY 1""",
+    "q123_data_quality" ->
+      """SELECT count(*) AS n_rows,
+           count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+           count(CASE WHEN props IS NULL THEN 1 END) AS n_null_props,
+           count(CASE WHEN event_type NOT IN
+             ('signup','view','click','purchase','error') THEN 1 END)
+             AS n_bad_type,
+           count(CASE WHEN value < 0 OR value > 10000 THEN 1 END)
+             AS n_bad_value,
+           count(DISTINCT user_id) AS n_users,
+           min(epoch_ns(ts) // 1000) AS ts_min_us,
+           max(epoch_ns(ts) // 1000) AS ts_max_us
+         FROM events"""
   )
 }
