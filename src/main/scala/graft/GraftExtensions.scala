@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{
   CosineSimilarityExpr,
+  LangIdExpressions,
+  LangIdNgramExpr,
   MinHashSignatureExpr,
   ShingleHashesExpr,
   SignatureExpressions,
@@ -56,5 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[ShingleHashesExpr].getCanonicalName,
           SignatureExpressions.ShingleHashName),
         SignatureExpressions.shingleHashBuilder))
+    e.injectFunction(
+      (
+        FunctionIdentifier(LangIdExpressions.Name),
+        new ExpressionInfo(
+          classOf[LangIdNgramExpr].getCanonicalName,
+          LangIdExpressions.Name),
+        exprs => LangIdNgramExpr(exprs.head)))
   }
 }
