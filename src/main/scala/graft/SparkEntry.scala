@@ -2386,6 +2386,49 @@ object SparkEntry {
         max(expr("ts div 1000")).as("ts_max_us"))
   }
 
+  /** Event transition matrix (first-order Markov counts — the sequence
+    * analytics behind "what happens after a click"): lead over each
+    * user's event order, then (state, next) pair counts with row
+    * probabilities normalized by a tiny window over the aggregate
+    * (#event-types² rows, not data rows). One data exchange (the lead
+    * window); the agg output is dimension-bounded.
+    */
+  private def q124(sess: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wNorm = Window.partitionBy(col("event_type"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("event_type"),
+        lead(col("event_type"), 1).over(wo).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "p",
+        col("n").cast("double") / sum(col("n")).over(wNorm))
+  }
+
+  /** Max drawdown (the expanding-window composite finance/monitoring
+    * signal: largest drop from a running peak): cummax minus value per
+    * user, reduced to the worst case — one expanding window + one agg
+    * on the same partitioning. Running max and subtraction are exact
+    * on identical parquet doubles: no rounding needed.
+    */
+  private def q125(sess: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        (max(col("value")).over(w) - col("value")).as("dd"))
+      .groupBy("user_id")
+      .agg(max(col("dd")).as("max_drawdown"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2512,7 +2555,9 @@ object SparkEntry {
     "q120_datetime_roundtrip" -> (q120 _),
     "q121_calendar" -> (q121 _),
     "q122_mad" -> (q122 _),
-    "q123_data_quality" -> (q123 _)
+    "q123_data_quality" -> (q123 _),
+    "q124_transitions" -> (q124 _),
+    "q125_drawdown" -> (q125 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3669,6 +3714,27 @@ object SparkEntry {
            count(DISTINCT user_id) AS n_users,
            min(epoch_ns(ts) // 1000) AS ts_min_us,
            max(epoch_ns(ts) // 1000) AS ts_max_us
-         FROM events"""
+         FROM events""",
+    "q124_transitions" ->
+      """WITH l AS (
+           SELECT event_type,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY event_id) AS next_type
+           FROM events),
+         c AS (
+           SELECT event_type, next_type, count(*) AS n
+           FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, next_type, n,
+           CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY event_type) AS p
+         FROM c""",
+    "q125_drawdown" ->
+      """WITH d AS (
+           SELECT user_id,
+             max(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - value AS dd
+           FROM events)
+         SELECT user_id, max(dd) AS max_drawdown FROM d GROUP BY 1"""
   )
 }
