@@ -1947,8 +1947,12 @@ object SparkEntry {
       .select(
         col("id_a"),
         col("id_b"),
-        levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
-      .where(col("dist") <= 6)
+        // threshold form early-abandons the DP row once the running
+        // minimum exceeds 6 (returns -1 instead) — same surviving
+        // pairs and distances, a fraction of the comparisons on the
+        // overwhelmingly-distant majority
+        levenshtein(col("pfx_a"), col("pfx_b"), 6).as("dist"))
+      .where(col("dist") >= 0)
   }
 
   /** Cross merge (pandas `merge(how="cross")`): the sanctioned tiny×tiny
