@@ -2433,6 +2433,71 @@ object SparkEntry {
       .agg(max(col("dd")).as("max_drawdown"))
   }
 
+  /** Longest same-event streak per user (gaps-and-islands): island id =
+    * global position minus per-type position (the classic two-rank
+    * difference — constant within a run, distinct across runs), then
+    * two aggregations. All three windows/groupings hash on user_id, so
+    * Catalyst plans ONE data exchange; the islands never materialize
+    * as a join.
+    */
+  private def q126(sess: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wt = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        (row_number().over(w) - row_number().over(wt)).as("island"))
+      .groupBy("user_id", "event_type", "island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("user_id")
+      .agg(
+        max(col("run_len")).as("longest_streak"),
+        max(struct(col("run_len"), col("event_type")))
+          .getField("event_type")
+          .as("streak_type"))
+  }
+
+  /** A/B lift with a two-proportion z-statistic (the experiment-readout
+    * aggregation): users split by a deterministic id hash (replayable
+    * assignment — the q28 sampling stance), purchase rate per arm, lift
+    * and z from the pooled standard error. Two tiny aggregations; all
+    * arithmetic from exact integer counts (bit-deterministic except the
+    * final sqrt, rounded at 5).
+    */
+  private def q127(sess: SparkSession, d: String): DataFrame = {
+    val arms = Tables
+      .events(sess, d)
+      .select(
+        pmod(col("user_id"), lit(2)).as("arm"),
+        (col("event_type") === "purchase").cast("long").as("is_p"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("is_p")).as("k"))
+    val wide = arms
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 0, col("k"))).as("k_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 1, col("k"))).as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a")
+    val pb = col("k_b").cast("double") / col("n_b")
+    val pool =
+      (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(
+      pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    wide.select(
+      col("n_a"),
+      col("k_a"),
+      col("n_b"),
+      col("k_b"),
+      round(pb - pa, 5).as("lift"),
+      round((pb - pa) / se, 5).as("z"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2561,7 +2626,9 @@ object SparkEntry {
     "q122_mad" -> (q122 _),
     "q123_data_quality" -> (q123 _),
     "q124_transitions" -> (q124 _),
-    "q125_drawdown" -> (q125 _)
+    "q125_drawdown" -> (q125 _),
+    "q126_streaks" -> (q126 _),
+    "q127_ab_lift" -> (q127 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3739,6 +3806,42 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - value AS dd
            FROM events)
-         SELECT user_id, max(dd) AS max_drawdown FROM d GROUP BY 1"""
+         SELECT user_id, max(dd) AS max_drawdown FROM d GROUP BY 1""",
+    "q126_streaks" ->
+      """WITH i AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY event_id) AS island
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, island, count(*) AS run_len
+           FROM i GROUP BY 1, 2, 3)
+         SELECT user_id, max(run_len) AS longest_streak,
+           (max(struct_pack(r := run_len, t := event_type))).t
+             AS streak_type
+         FROM r GROUP BY 1""",
+    "q127_ab_lift" ->
+      """WITH a AS (
+           SELECT user_id % 2 AS arm,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+           FROM events GROUP BY 1),
+         w AS (
+           SELECT
+             max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             max(CASE WHEN arm = 0 THEN k END) AS k_a,
+             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             max(CASE WHEN arm = 1 THEN k END) AS k_b
+           FROM a)
+         SELECT n_a, CAST(k_a AS BIGINT) AS k_a,
+           n_b, CAST(k_b AS BIGINT) AS k_b,
+           round(CAST(k_b AS DOUBLE) / n_b - CAST(k_a AS DOUBLE) / n_a, 5)
+             AS lift,
+           round((CAST(k_b AS DOUBLE) / n_b - CAST(k_a AS DOUBLE) / n_a) /
+             sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+               (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+               (1.0 / n_a + 1.0 / n_b)), 5) AS z
+         FROM w"""
   )
 }
