@@ -564,6 +564,56 @@ object Similarity {
       .parquet(s"$path/_meta")
   }
 
+  /** Incremental IVF maintenance: assign a NEW batch of vectors against
+    * the index's EXISTING centroid table (the coarse quantizer is
+    * frozen — the standard IVF evolution: inverted lists grow, cells
+    * don't move, so the probe contract is unchanged and nothing is
+    * rebuilt) and append it into the partitioned corpus layout. The
+    * centroid table is k×dim driver-side rows (bounded, corpus-size
+    * independent); assignment is the same narrow no-shuffle map as the
+    * build; the append writes only the batch.
+    *
+    * Trades, stated: (1) parquet append is not atomic under mid-write
+    * failure (same boundary as IngestDedup.scala:18-23 — a table format
+    * closes it); (2) a drifted corpus eventually wants re-training the
+    * quantizer (rebuild), exactly like production IVF systems.
+    */
+  def ivfAppendIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      sourceTag: String = ""): Unit = {
+    val spark = df.sparkSession
+    if (sourceTag.nonEmpty)
+      checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
+    val byCluster = spark.read
+      .parquet(s"$path/centroids")
+      .collect()
+      .groupBy(_.getAs[Int]("cluster"))
+      .map { case (c, rows) =>
+        c -> rows
+          .sortBy(_.getAs[Int]("pos"))
+          .map(_.getAs[Double]("v"))
+      }
+    // centroid ids need not be dense (label-built indexes): assignment
+    // returns an array slot, mapped back to the real cluster id
+    val ids = byCluster.keys.toArray.sorted
+    val arrs = ids.map(byCluster)
+    val idLits = array(ids.map(i => lit(i)): _*)
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        element_at(
+          idLits,
+          nearestCentroid(arrs)(col(vecCol).cast("array<double>")) + 1)
+          .as("cluster"))
+      .write
+      .mode("append")
+      .partitionBy("cluster")
+      .parquet(s"$path/corpus")
+  }
+
   /** Probe a persisted [[ivfWriteIndex]] layout. The `cluster` partition
     * filter prunes at planning time (see PlanSpec's PartitionFilters
     * assertion).

@@ -525,6 +525,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"kmeans-IVF recall $recall below 0.5 at nprobe=4/8")
   }
 
+  test("IVF append: incremental batches converge to the full index") {
+    val full = Tables.embeddings(spark, TestSpark.sf)
+    val seed = full.where(col("vec_id") % 3 =!= 0)
+    val batch = full.where(col("vec_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.ivfWriteIndexKmeans(
+      seed, "embedding", "vec_id", dir, k = 8, iters = 2, sourceTag = "emb")
+    Similarity.ivfAppendIndex(batch, "embedding", "vec_id", dir, sourceTag = "emb")
+
+    // every appended row landed, in a valid existing cluster
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.count() === full.count())
+    val clusters = corpus.select("cluster").distinct()
+      .as[Int].collect().toSet
+    val centroidClusters = spark.read.parquet(s"$dir/centroids")
+      .select("cluster").distinct().as[Int].collect().toSet
+    assert(clusters.subsetOf(centroidClusters))
+
+    // probing ALL cells after the append IS brute force over the full
+    // corpus — appended vectors are fully searchable
+    val q = full.where(col("vec_id") === 3) // an appended (vec_id%3==0) row
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(full, "embedding", "vec_id", q, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val probed = Similarity.ivfProbeIndex(spark, dir, q, k = 10, nprobe = 8)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(probed === exact)
+
+    // a wrong source tag is an error, not wrong rows (the q18/q32 stance)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendIndex(batch, "embedding", "vec_id", dir, sourceTag = "other")
+    }
+  }
+
   test("IVF probe finds the exact neighbor when its cluster is probed") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.where(col("vec_id") === 0)
