@@ -2498,6 +2498,68 @@ object SparkEntry {
       round((pb - pa) / se, 5).as("z"))
   }
 
+  /** Sparse TF-IDF similarity search — the inverted-index counterpart
+    * to the dense ANN family (q17/q18/q31): the query document's
+    * weighted terms broadcast onto the corpus weight table (join ON
+    * TERM — only postings sharing a term ever meet, the sparse dot
+    * product's whole point), partial-sum to per-doc dots, normalize by
+    * precomputed norms, top-10 under the rounded-sim + doc_id
+    * deterministic order. Weights reuse [[graft.operators.Sampling
+    * .tfIdf]] (rounded at 6 on both engines, so the dot products start
+    * from identical inputs).
+    */
+  private def q128(sess: SparkSession, d: String): DataFrame = {
+    val w = graft.operators.Sampling
+      .tfIdf(Tables.documents(sess, d), "doc_id", "text")
+    val norms = w
+      .groupBy("doc_id")
+      .agg(sum(col("tfidf") * col("tfidf")).as("n2"))
+    val qw = w
+      .where(col("doc_id") === 42)
+      .select(col("term"), col("tfidf").as("qtf"))
+    val qn = norms
+      .where(col("doc_id") === 42)
+      .select(col("n2").as("qn2"))
+    w.join(broadcast(qw), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tfidf") * col("qtf")).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qn))
+      .where(col("doc_id") =!= 42)
+      .select(
+        col("doc_id"),
+        round(col("dot") / (sqrt(col("n2")) * sqrt(col("qn2"))), 5)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Quantile binning (pandas `qcut` proper — boundaries from the data,
+    * not fixed widths like q88): exact corpus quartiles in one tiny
+    * aggregate, broadcast onto the scan, CASE-assigned. Two passes by
+    * necessity (boundaries must exist before assignment); the second is
+    * a narrow map.
+    */
+  private def q129(sess: SparkSession, d: String): DataFrame = {
+    val qs = Tables
+      .documents(sess, d)
+      .agg(
+        percentile(col("n_chars"), lit(0.25)).as("q1"),
+        percentile(col("n_chars"), lit(0.5)).as("q2"),
+        percentile(col("n_chars"), lit(0.75)).as("q3"))
+    Tables
+      .documents(sess, d)
+      .crossJoin(broadcast(qs))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        when(col("n_chars") <= col("q1"), lit("q1"))
+          .when(col("n_chars") <= col("q2"), lit("q2"))
+          .when(col("n_chars") <= col("q3"), lit("q3"))
+          .otherwise(lit("q4"))
+          .as("bucket"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2628,7 +2690,9 @@ object SparkEntry {
     "q124_transitions" -> (q124 _),
     "q125_drawdown" -> (q125 _),
     "q126_streaks" -> (q126 _),
-    "q127_ab_lift" -> (q127 _)
+    "q127_ab_lift" -> (q127 _),
+    "q128_sparse_topk" -> (q128 _),
+    "q129_qcut" -> (q129 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3842,6 +3906,42 @@ object SparkEntry {
              sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
                (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
                (1.0 / n_a + 1.0 / n_b)), 5) AS z
-         FROM w"""
+         FROM w""",
+    "q128_sparse_topk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+           FROM documents WHERE trim(text) <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         w AS (
+           SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE
+               / dfq.df), 6) AS tfidf
+           FROM tf JOIN dfq USING (term)),
+         nm AS (SELECT doc_id, sum(tfidf * tfidf) AS n2 FROM w GROUP BY 1),
+         dots AS (
+           SELECT w.doc_id, sum(w.tfidf * q.tfidf) AS dot
+           FROM w JOIN (SELECT term, tfidf FROM w WHERE doc_id = 42) q
+             USING (term)
+           GROUP BY 1)
+         SELECT d.doc_id,
+           round(d.dot / (sqrt(nm.n2) *
+             (SELECT sqrt(n2) FROM nm WHERE doc_id = 42)), 5) AS sim
+         FROM dots d JOIN nm USING (doc_id)
+         WHERE d.doc_id <> 42
+         ORDER BY sim DESC, d.doc_id LIMIT 10""",
+    "q129_qcut" ->
+      """WITH q AS (
+           SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.5) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+           FROM documents)
+         SELECT doc_id, n_chars,
+           CASE WHEN n_chars <= q1 THEN 'q1'
+                WHEN n_chars <= q2 THEN 'q2'
+                WHEN n_chars <= q3 THEN 'q3'
+                ELSE 'q4' END AS bucket
+         FROM documents CROSS JOIN q"""
   )
 }
