@@ -2560,6 +2560,54 @@ object SparkEntry {
           .as("bucket"))
   }
 
+  /** The curation pipeline as ONE composed query (the flagship
+    * LLM-data shape: quality gate → exact dedup → language select →
+    * per-source yield report): q98's audit filter, q13's normalized-
+    * digest dedup (keep lowest doc_id), a lang filter, then the
+    * survivor statistics every curation run reports. Catalyst fuses
+    * the narrow stages into the scan pipeline; the dedup window and
+    * final agg are the only exchanges.
+    */
+  private def q130(sess: SparkSession, d: String): DataFrame = {
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text"))
+    val wFp = Window
+      .partitionBy(col("__fp"))
+      .orderBy(col("doc_id"))
+    Tables
+      .documents(sess, d)
+      .where(col("n_chars") >= 60)
+      .withColumn("__ntok", nTok)
+      .where(col("__ntok") >= 12)
+      .withColumn(
+        "__fp",
+        md5(graft.functions.TextFunctions.normalized(col("text"))))
+      .withColumn("__rn", row_number().over(wFp))
+      .where(col("__rn") === 1)
+      .where(col("lang") === "en")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok").cast("long")).as("n_tokens"),
+        round(avg(col("n_chars")), 5).as("avg_chars"))
+  }
+
+  /** Multi-aggregate pivot (pandas `pivot_table(values=[...])` with two
+    * measures): count + cents-exact average length per language, wide —
+    * Spark emits `<lang>_n` / `<lang>_avg` column pairs from ONE agg
+    * pass over the pivot Expand.
+    */
+  private def q131(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(sess, d)
+      .groupBy("source")
+      .pivot("lang", Seq("en", "fr"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 5).as("avg"))
+      // a source with zero docs of a language pivots to null; pandas
+      // (and the count semantics) say 0 — averages stay null on purpose
+      .na.fill(0L, Seq("en_n", "fr_n"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2692,7 +2740,9 @@ object SparkEntry {
     "q126_streaks" -> (q126 _),
     "q127_ab_lift" -> (q127 _),
     "q128_sparse_topk" -> (q128 _),
-    "q129_qcut" -> (q129 _)
+    "q129_qcut" -> (q129 _),
+    "q130_curation_pipeline" -> (q130 _),
+    "q131_pivot_multi" -> (q131 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -3942,6 +3992,33 @@ object SparkEntry {
                 WHEN n_chars <= q2 THEN 'q2'
                 WHEN n_chars <= q3 THEN 'q3'
                 ELSE 'q4' END AS bucket
-         FROM documents CROSS JOIN q"""
+         FROM documents CROSS JOIN q""",
+    "q130_curation_pipeline" ->
+      """WITH f AS (
+           SELECT doc_id, source, lang, n_chars, text,
+             CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS ntok
+           FROM documents WHERE n_chars >= 60),
+         g AS (SELECT * FROM f WHERE ntok >= 12),
+         d AS (
+           SELECT *,
+             row_number() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text),
+                 '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+           FROM g)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           round(avg(n_chars), 5) AS avg_chars
+         FROM d WHERE rn = 1 AND lang = 'en'
+         GROUP BY 1""",
+    "q131_pivot_multi" ->
+      """SELECT source,
+           count(CASE WHEN lang = 'en' THEN 1 END) AS en_n,
+           round(avg(CASE WHEN lang = 'en' THEN n_chars END), 5) AS en_avg,
+           count(CASE WHEN lang = 'fr' THEN 1 END) AS fr_n,
+           round(avg(CASE WHEN lang = 'fr' THEN n_chars END), 5) AS fr_avg
+         FROM documents GROUP BY 1"""
   )
 }
