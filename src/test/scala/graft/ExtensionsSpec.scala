@@ -410,6 +410,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(back._3(0) - 1.0f) < 0.02f) // still red after scale
   }
 
+  test("multimodal retrieval end-to-end: decode → features → int8 → search") {
+    import java.awt.image.BufferedImage
+    def png(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // three color families, two near-identical members each — retrieval
+    // across the REAL decode + histogram features + int8 roundtrip must
+    // bring back the same-family image
+    val assets = Seq(
+      (1L, png(0xff0000)), (2L, png(0xfe0202)),
+      (3L, png(0x00ff00)), (4L, png(0x02fe02)),
+      (5L, png(0x0000ff)), (6L, png(0x0202fe)))
+      .toDF("id", "data")
+      .select(
+        col("id"),
+        col("data"),
+        struct(lit("image").as("modality"), lit(0L).as("n_bytes"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    val feats = Multimodal
+      .decodeImages(assets, histBins = 4)
+      .toDF()
+      .select(col("id"), col("feature"))
+    val (q8, bounds) = Similarity.quantizeInt8(feats, "feature")
+    val deq = Similarity.dequantizeInt8(q8, "feature_q8", bounds, "v")
+    val qvec = feats
+      .where(col("id") === 1)
+      .select(col("feature").cast("array<double>"))
+      .head()
+      .getSeq[Double](0)
+    val top = Similarity
+      .bruteForceTopK(deq.where(col("id") =!= 1), "v", "id", qvec, 1)
+      .head()
+      .getAs[Long]("id")
+    assert(top === 2L, s"nearest to red image 1 must be red image 2, got $top")
+  }
+
   test("multimodal: deterministic fake decode through mapPartitions") {
     val docs = Tables.documents(spark, TestSpark.sf).limit(20)
     val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
