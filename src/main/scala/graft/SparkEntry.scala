@@ -2608,6 +2608,27 @@ object SparkEntry {
       // (and the count semantics) say 0 — averages stay null on purpose
       .na.fill(0L, Seq("en_n", "fr_n"))
 
+  /** Regex extract + findall (pandas `str.extract` / `str.findall`):
+    * capture-group extraction and full match enumeration, projected to
+    * scalars (match count, first, last) so the driver can hash the
+    * result. The pattern uses explicit ASCII classes (portable across
+    * Java regex and RE2 — the TextFunctions rule).
+    */
+  private def q132(sess: SparkSession, d: String): DataFrame = {
+    val pat = "(s[a-z]+)"
+    Tables
+      .documents(sess, d)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), pat, 1).as("first_s_word"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(1)))
+          .as("n_s_words"),
+        // try_element_at: [-1] of an empty match list is null, not an
+        // ANSI index error (mirrors DuckDB's list[-1] semantics)
+        try_element_at(regexp_extract_all(col("text"), lit(pat), lit(1)),
+          lit(-1)).as("last_s_word"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2742,7 +2763,8 @@ object SparkEntry {
     "q128_sparse_topk" -> (q128 _),
     "q129_qcut" -> (q129 _),
     "q130_curation_pipeline" -> (q130 _),
-    "q131_pivot_multi" -> (q131 _)
+    "q131_pivot_multi" -> (q131 _),
+    "q132_regex_extract" -> (q132 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4019,6 +4041,12 @@ object SparkEntry {
            round(avg(CASE WHEN lang = 'en' THEN n_chars END), 5) AS en_avg,
            count(CASE WHEN lang = 'fr' THEN 1 END) AS fr_n,
            round(avg(CASE WHEN lang = 'fr' THEN n_chars END), 5) AS fr_avg
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+    "q132_regex_extract" ->
+      """SELECT doc_id,
+           regexp_extract(text, '(s[a-z]+)', 1) AS first_s_word,
+           len(regexp_extract_all(text, '(s[a-z]+)', 1)) AS n_s_words,
+           (regexp_extract_all(text, '(s[a-z]+)', 1))[-1] AS last_s_word
+         FROM documents"""
   )
 }

@@ -181,6 +181,23 @@ class PlanSpec extends AnyFunSuite {
       s"per-source sizes (#sources rows) must broadcast:\n$p")
   }
 
+  test("sparse similarity (q128): query weights broadcast into the term join") {
+    val p = plan(SparkEntry.queries("q128_sparse_topk")(spark, TestSpark.sf))
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"query-side weights must broadcast onto the postings:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must TakeOrdered:\n$p")
+  }
+
+  test("curation pipeline (q130): quality filter reaches the parquet scan") {
+    val p = plan(
+      SparkEntry.queries("q130_curation_pipeline")(spark, TestSpark.sf))
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("n_chars"))
+    assert(scanLine.isDefined, s"n_chars >= 60 not pushed to scan:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
   test("per-group cap (q47) pre-prunes map-side via WindowGroupLimit") {
     val p = plan(SparkEntry.queries("q47_group_cap")(spark, TestSpark.sf))
     // rank<=n pushdown: each map task keeps its local top-n BEFORE the
