@@ -2629,6 +2629,60 @@ object SparkEntry {
           lit(-1)).as("last_s_word"))
   }
 
+  /** Deterministic train/val/test split (the 80/10/10 every training
+    * run needs, replayable on any engine — no RNG, no state): a 16-bit
+    * content-hash bucket thresholded into three disjoint, exhaustive
+    * splits (q82's hash grid). Narrow projection; the split column
+    * then drives partitioned writes downstream.
+    */
+  private def q133(sess: SparkSession, d: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    Tables
+      .documents(sess, d)
+      .select(
+        col("doc_id"),
+        when(bucket < (65536 * 0.8).toLong, lit("train"))
+          .when(bucket < (65536 * 0.9).toLong, lit("val"))
+          .otherwise(lit("test"))
+          .as("split"))
+  }
+
+  /** Population stability index (the drift monitor between two corpus
+    * snapshots — here first vs second half of the event stream):
+    * per-type shares in each window, PSI contribution
+    * (p2−p1)·ln(p2/p1) per type plus the total. Two conditional-count
+    * aggregations in ONE pass; every share is an exact integer
+    * division, ln rounded at 5.
+    */
+  private def q134(sess: SparkSession, d: String): DataFrame = {
+    // the window boundary is a 1-row aggregate broadcast into the scan —
+    // no driver-side action in the query definition
+    val midDf = Tables
+      .events(sess, d)
+      .agg(percentile(col("event_id"), lit(0.5)).as("__mid"))
+    val wAll = Window.partitionBy()
+    Tables
+      .events(sess, d)
+      .crossJoin(broadcast(midDf))
+      .groupBy("event_type")
+      .agg(
+        count(when(col("event_id") <= col("__mid"), 1)).as("n1"),
+        count(when(col("event_id") > col("__mid"), 1)).as("n2"))
+      .select(
+        col("event_type"),
+        col("n1"),
+        col("n2"),
+        (col("n1").cast("double") / sum(col("n1")).over(wAll)).as("p1"),
+        (col("n2").cast("double") / sum(col("n2")).over(wAll)).as("p2"))
+      .select(
+        col("event_type"),
+        col("n1"),
+        col("n2"),
+        round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 5)
+          .as("psi"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2764,7 +2818,9 @@ object SparkEntry {
     "q129_qcut" -> (q129 _),
     "q130_curation_pipeline" -> (q130 _),
     "q131_pivot_multi" -> (q131 _),
-    "q132_regex_extract" -> (q132 _)
+    "q132_regex_extract" -> (q132 _),
+    "q133_split" -> (q133 _),
+    "q134_psi_drift" -> (q134 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4047,6 +4103,30 @@ object SparkEntry {
            regexp_extract(text, '(s[a-z]+)', 1) AS first_s_word,
            len(regexp_extract_all(text, '(s[a-z]+)', 1)) AS n_s_words,
            (regexp_extract_all(text, '(s[a-z]+)', 1))[-1] AS last_s_word
-         FROM documents"""
+         FROM documents""",
+    "q133_split" ->
+      """SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(text),1,4)) AS INTEGER)
+                  < 52428 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(text),1,4)) AS INTEGER)
+                  < 58982 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+    "q134_psi_drift" ->
+      """WITH m AS (
+           SELECT quantile_cont(event_id, 0.5) AS mid FROM events),
+         c AS (
+           SELECT event_type,
+             count(CASE WHEN event_id <= mid THEN 1 END) AS n1,
+             count(CASE WHEN event_id > mid THEN 1 END) AS n2
+           FROM events CROSS JOIN m GROUP BY 1),
+         p AS (
+           SELECT event_type, n1, n2,
+             CAST(n1 AS DOUBLE) / sum(n1) OVER () AS p1,
+             CAST(n2 AS DOUBLE) / sum(n2) OVER () AS p2
+           FROM c)
+         SELECT event_type, n1, n2,
+           round((p2 - p1) * ln(p2 / p1), 5) AS psi
+         FROM p"""
   )
 }
