@@ -2683,6 +2683,30 @@ object SparkEntry {
           .as("psi"))
   }
 
+  /** pandas `gb.cumcount()` + `gb.ngroup()`: position within group and
+    * global group index. cumcount is one per-key window; ngroup is a
+    * GLOBAL dense rank over the keys — planned scalably by ranking the
+    * DISTINCT key frame with [[graft.ops.GlobalRank]] (tiny, one row
+    * per group) and broadcasting it back, instead of the
+    * single-partition dense_rank window the naive form plans over the
+    * full data. The oracle runs that naive form; results are
+    * identical.
+    */
+  private def q135(sess: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val groups = graft.ops.GlobalRank
+      .withGlobalRowNumber(
+        Tables.events(sess, d).select(col("user_id")).distinct(),
+        Seq(col("user_id").asc),
+        "__g")
+      .select(col("user_id"), (col("__g") - 1).as("ngroup"))
+    Tables
+      .events(sess, d)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("cumcount", row_number().over(wo) - 1)
+      .join(broadcast(groups), Seq("user_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2820,7 +2844,8 @@ object SparkEntry {
     "q131_pivot_multi" -> (q131 _),
     "q132_regex_extract" -> (q132 _),
     "q133_split" -> (q133 _),
-    "q134_psi_drift" -> (q134 _)
+    "q134_psi_drift" -> (q134 _),
+    "q135_cumcount_ngroup" -> (q135 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4127,6 +4152,12 @@ object SparkEntry {
            FROM c)
          SELECT event_type, n1, n2,
            round((p2 - p1) * ln(p2 / p1), 5) AS psi
-         FROM p"""
+         FROM p""",
+    "q135_cumcount_ngroup" ->
+      """SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+             AS cumcount,
+           dense_rank() OVER (ORDER BY user_id) - 1 AS ngroup
+         FROM events"""
   )
 }
