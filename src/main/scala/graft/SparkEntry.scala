@@ -1785,7 +1785,10 @@ object SparkEntry {
           .as("share"))
       .withColumn(
         "weight",
-        lit(0.2) / col("share"))
+        // a shard of only empty-text docs has zero share: the weight is
+        // undefined (null) in both engines, not a zero-divide
+        when(col("tokens") === 0, lit(null))
+          .otherwise(lit(0.2) / col("share")))
   }
 
   /** Lexical diversity (type-token ratio — the classic Gopher-style
@@ -2580,7 +2583,7 @@ object SparkEntry {
       .where(col("__ntok") >= 12)
       .withColumn(
         "__fp",
-        md5(graft.functions.TextFunctions.normalized(col("text"))))
+        graft.functions.TextFunctions.normFingerprint(col("text")))
       .withColumn("__rn", row_number().over(wFp))
       .where(col("__rn") === 1)
       .where(col("lang") === "en")
@@ -2679,7 +2682,12 @@ object SparkEntry {
         col("event_type"),
         col("n1"),
         col("n2"),
-        round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 5)
+        // PSI is undefined for an empty bin (ln(p2/0) — and Spark NULLs
+        // a zero-divide where IEEE engines produce inf): declare the
+        // undefined case as null in BOTH engines
+        when(col("n1") === 0 || col("n2") === 0, lit(null))
+          .otherwise(
+            round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 5))
           .as("psi"))
   }
 
@@ -3755,7 +3763,9 @@ object SparkEntry {
            FROM documents GROUP BY 1)
          SELECT source, tokens,
            CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS share,
-           0.2 / (CAST(tokens AS DOUBLE) / sum(tokens) OVER ()) AS weight
+           CASE WHEN tokens = 0 THEN NULL
+                ELSE 0.2 / (CAST(tokens AS DOUBLE) / sum(tokens) OVER ())
+           END AS weight
          FROM t""",
     "q97_ttr" ->
       """WITH t AS (
@@ -4151,7 +4161,8 @@ object SparkEntry {
              CAST(n2 AS DOUBLE) / sum(n2) OVER () AS p2
            FROM c)
          SELECT event_type, n1, n2,
-           round((p2 - p1) * ln(p2 / p1), 5) AS psi
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                ELSE round((p2 - p1) * ln(p2 / p1), 5) END AS psi
          FROM p""",
     "q135_cumcount_ngroup" ->
       """SELECT user_id, event_id,

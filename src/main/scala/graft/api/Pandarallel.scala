@@ -73,13 +73,16 @@ object Pandarallel {
         tsNanos: Column,
         every: String,
         extraKeys: Seq[Column],
+        agg: Column,
         aggs: Column*): DataFrame = {
       val step = Windows.offsetNanos(every)
       // integral divide (`div`), NOT `/`: the double detour loses
       // exactness on 1e18-scale nano timestamps
       val bucket =
         call_function("div", tsNanos, lit(step)).cast("long").as("bucket")
-      df.groupBy((bucket +: extraKeys): _*).agg(aggs.head, aggs.tail: _*)
+      // (agg, aggs*) mirrors Dataset.agg: zero aggregates is a compile
+      // error, not a runtime NoSuchElementException
+      df.groupBy((bucket +: extraKeys): _*).agg(agg, aggs: _*)
     }
 
     /** O6 entry (core.py:554-556). `center`/`closed`/`minPeriods` replay

@@ -587,14 +587,18 @@ object Similarity {
     val spark = df.sparkSession
     if (sourceTag.nonEmpty)
       checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
+    // numeric-width-agnostic reads: a label-built index round-trips its
+    // cluster column at the label's original type (e.g. BIGINT), and
+    // the probe path (ivfRankClusters) is deliberately type-agnostic —
+    // this must be too
     val byCluster = spark.read
       .parquet(s"$path/centroids")
       .collect()
-      .groupBy(_.getAs[Int]("cluster"))
+      .groupBy(_.getAs[Number]("cluster").intValue)
       .map { case (c, rows) =>
         c -> rows
-          .sortBy(_.getAs[Int]("pos"))
-          .map(_.getAs[Double]("v"))
+          .sortBy(_.getAs[Number]("pos").intValue)
+          .map(_.getAs[Number]("v").doubleValue)
       }
     // centroid ids need not be dense (label-built indexes): assignment
     // returns an array slot, mapped back to the real cluster id

@@ -44,8 +44,13 @@ object StreamTopK {
           var m = prior.counters
           var n = prior.n
           rows.foreach { e =>
-            m = HeavyHitters.insert(m, e.token, k)
-            n += 1
+            // null tokens are uncountable in the batch twin too
+            // (count(valueCol) skips them) — n must track what insert
+            // tracks or the N/(k+1) bound bookkeeping inflates
+            if (e.token != null) {
+              m = HeavyHitters.insert(m, e.token, k)
+              n += 1
+            }
           }
           state.update(TopKState(m, n))
           val top = m.toSeq.sortBy { case (t, c) => (-c, t) }.take(topN)
