@@ -2715,6 +2715,56 @@ object SparkEntry {
       .join(broadcast(groups), Seq("user_id"))
   }
 
+  /** Weighted median (the robust weighted-percentile every curation
+    * reweighting needs; no engine has it built in): running weight sum
+    * in value order, first value whose cumulative weight crosses half
+    * the total. One ordered window + one unordered window + one agg,
+    * all on the same group partitioning; weights are integer-valued
+    * doubles, so every comparison is exact.
+    */
+  private def q136(sess: SparkSession, d: String): DataFrame = {
+    val wOrd = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(
+        col("l_extendedprice"),
+        col("l_orderkey"),
+        col("l_linenumber"))
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables
+      .lineitem(sess, d)
+      .select(
+        col("l_returnflag"),
+        col("l_extendedprice"),
+        sum(col("l_quantity")).over(wOrd).as("cw"),
+        sum(col("l_quantity")).over(wAll).as("tw"))
+      .where(col("cw") >= col("tw") / 2)
+      .groupBy("l_returnflag")
+      .agg(min(col("l_extendedprice")).as("wmedian"))
+  }
+
+  /** Rolling 7-day active users (the growth metric no window distinct
+    * can express — neither engine supports count(DISTINCT) over a
+    * frame): each (user, day) contributes itself to the 7 observation
+    * days it keeps the user "active" for — a generated explode — then
+    * a plain distinct count per observation day. The contribution
+    * explode multiplies the DISTINCT (user, day) frame by 7, never the
+    * raw events; this is THE scalable shape for sliding distinct
+    * counts.
+    */
+  private def q137(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .select(
+        col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("obs_day"))
+      .groupBy("obs_day")
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2853,7 +2903,9 @@ object SparkEntry {
     "q132_regex_extract" -> (q132 _),
     "q133_split" -> (q133 _),
     "q134_psi_drift" -> (q134 _),
-    "q135_cumcount_ngroup" -> (q135 _)
+    "q135_cumcount_ngroup" -> (q135 _),
+    "q136_weighted_median" -> (q136 _),
+    "q137_rolling_active" -> (q137 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4169,6 +4221,27 @@ object SparkEntry {
            row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
              AS cumcount,
            dense_rank() OVER (ORDER BY user_id) - 1 AS ngroup
-         FROM events"""
+         FROM events""",
+    "q136_weighted_median" ->
+      """WITH c AS (
+           SELECT l_returnflag, l_extendedprice,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+           FROM lineitem)
+         SELECT l_returnflag, min(l_extendedprice) AS wmedian
+         FROM c WHERE cw >= tw / 2 GROUP BY 1""",
+    "q137_rolling_active" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day
+           FROM events),
+         c AS (
+           SELECT user_id,
+             unnest(generate_series(day, day + 6)) AS obs_day
+           FROM d)
+         SELECT obs_day, count(DISTINCT user_id) AS active_7d
+         FROM c GROUP BY 1"""
   )
 }
