@@ -2765,6 +2765,82 @@ object SparkEntry {
       .groupBy("obs_day")
       .agg(countDistinct(col("user_id")).as("active_7d"))
 
+  /** Gini coefficient per group (value-concentration inequality — the
+    * curation dashboard's "is one supplier dominating" number):
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over rank-ordered values.
+    * One ranking window + one agg on the same partitioning; the rank
+    * dot product rounds at 5 (double accumulation order).
+    */
+  private def q138(sess: SparkSession, d: String): DataFrame = {
+    val wr = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(
+        col("l_extendedprice"),
+        col("l_orderkey"),
+        col("l_linenumber"))
+    Tables
+      .lineitem(sess, d)
+      .select(
+        col("l_returnflag"),
+        col("l_extendedprice").as("x"),
+        row_number().over(wr).cast("double").as("i"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(
+          (lit(2.0) * sum(col("i") * col("x")) -
+            (count(lit(1)) + 1).cast("double") * sum(col("x"))) /
+            (count(lit(1)).cast("double") * sum(col("x"))),
+          5).as("gini"))
+  }
+
+  /** Shannon entropy of each user's event-type mix (behavioral
+    * diversity; same formula as a token-distribution entropy quality
+    * signal): counts → shares → −Σ p·ln p, two aggregations sharing
+    * the user_id partitioning. Shares are exact integer divisions;
+    * only the final log dot product rounds (5).
+    */
+  private def q139(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("user_id"))))
+      .groupBy("user_id")
+      .agg(round(-sum(col("p") * log(col("p"))), 5).as("entropy"))
+
+  /** Chi-squared independence statistic for the source × lang
+    * contingency table (corpus-drift testing: is language mix
+    * independent of shard?): observed counts in ONE aggregation over
+    * the scan; expected values and the statistic derive from window
+    * sums over that tiny table (#sources×#langs rows), so the heavy
+    * pass never runs twice.
+    */
+  private def q140(sess: SparkSession, d: String): DataFrame = {
+    val wRow = Window.partitionBy(col("source"))
+    val wCol = Window.partitionBy(col("lang"))
+    val wAll = Window.partitionBy()
+    Tables
+      .documents(sess, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("o"))
+      .select(
+        col("source"),
+        col("lang"),
+        col("o"),
+        (sum(col("o")).over(wRow) * sum(col("o")).over(wCol))
+          .cast("double")
+          ./(sum(col("o")).over(wAll))
+          .as("e"))
+      .groupBy()
+      .agg(
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 5).as("chi2"),
+        count(lit(1)).as("n_cells"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2905,7 +2981,10 @@ object SparkEntry {
     "q134_psi_drift" -> (q134 _),
     "q135_cumcount_ngroup" -> (q135 _),
     "q136_weighted_median" -> (q136 _),
-    "q137_rolling_active" -> (q137 _)
+    "q137_rolling_active" -> (q137 _),
+    "q138_gini" -> (q138 _),
+    "q139_entropy" -> (q139 _),
+    "q140_chi2" -> (q140 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4242,6 +4321,41 @@ object SparkEntry {
              unnest(generate_series(day, day + 6)) AS obs_day
            FROM d)
          SELECT obs_day, count(DISTINCT user_id) AS active_7d
-         FROM c GROUP BY 1"""
+         FROM c GROUP BY 1""",
+    "q138_gini" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_extendedprice AS x,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS DOUBLE) AS i
+           FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+           round((2.0 * sum(i * x) -
+             CAST(count(*) + 1 AS DOUBLE) * sum(x)) /
+             (CAST(count(*) AS DOUBLE) * sum(x)), 5) AS gini
+         FROM r GROUP BY 1""",
+    "q139_entropy" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT user_id,
+             CAST(n AS DOUBLE) /
+               sum(n) OVER (PARTITION BY user_id) AS p
+           FROM c)
+         SELECT user_id, round(-sum(p * ln(p)), 5) AS entropy
+         FROM p GROUP BY 1""",
+    "q140_chi2" ->
+      """WITH o AS (
+           SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+         e AS (
+           SELECT source, lang, o,
+             CAST(sum(o) OVER (PARTITION BY source) *
+                  sum(o) OVER (PARTITION BY lang) AS DOUBLE) /
+               sum(o) OVER () AS e
+           FROM o)
+         SELECT round(sum(pow(o - e, 2) / e), 5) AS chi2,
+           count(*) AS n_cells
+         FROM e"""
   )
 }
