@@ -2841,6 +2841,84 @@ object SparkEntry {
         count(lit(1)).as("n_cells"))
   }
 
+  /** Lag-feature matrix (the feature-engineering pass before any
+    * sequence model: multiple lags + trailing means in one go): four
+    * lag columns and two rolling means from ONE ordered window spec —
+    * Catalyst collapses every frame into a single WindowExec, so the
+    * whole matrix costs one exchange + one sort. Values carried
+    * bit-exact; the means round at 5.
+    */
+  private def q141(sess: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value"),
+        lag(col("value"), 1).over(wo).as("lag1"),
+        lag(col("value"), 2).over(wo).as("lag2"),
+        lag(col("value"), 3).over(wo).as("lag3"),
+        lag(col("value"), 7).over(wo).as("lag7"),
+        round(avg(col("value")).over(wo.rowsBetween(-2, 0)), 5)
+          .as("ma3"),
+        round(avg(col("value")).over(wo.rowsBetween(-6, 0)), 5)
+          .as("ma7"))
+  }
+
+  /** Leave-one-out target encoding (the categorical encoder that avoids
+    * self-leakage: each row's category mean EXCLUDES the row itself):
+    * (group sum − v) / (group n − 1) from one unordered window pass —
+    * no join, no second scan. Singleton categories null out (undefined
+    * LOO). Fully exact arithmetic: cents-grid sums (q79), integer
+    * milli-cents floor division, one int→double conversion — no float
+    * rounding boundary anywhere.
+    */
+  private def q142(sess: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        sum(centsOf(col("value"))).over(w).as("__sc"),
+        count(lit(1)).over(w).as("__n"),
+        centsOf(col("value")).as("__vc"))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        // exact arithmetic all the way down: integer milli-cents
+        // division (floor) then one int→double conversion — no float
+        // rounding boundary for the driver hash to trip on
+        when(col("__n") === 1, lit(null))
+          .otherwise(
+            expr("((__sc - __vc) * 1000) div (__n - 1)") / 100000.0)
+          .as("loo_mean"))
+  }
+
+  /** Longest consecutive-day activity streak per user (THE retention
+    * number): gaps-and-islands on the DISTINCT (user, day) frame —
+    * day − row_number is constant within a run — then two
+    * aggregations. The distinct frame is tiny relative to events;
+    * everything hashes on user_id.
+    */
+  private def q143(sess: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(wo))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("user_id")
+      .agg(
+        max(col("run")).as("longest_daily_streak"),
+        count(lit(1)).as("n_runs"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2984,7 +3062,10 @@ object SparkEntry {
     "q137_rolling_active" -> (q137 _),
     "q138_gini" -> (q138 _),
     "q139_entropy" -> (q139 _),
-    "q140_chi2" -> (q140 _)
+    "q140_chi2" -> (q140 _),
+    "q141_lag_features" -> (q141 _),
+    "q142_target_encoding" -> (q142 _),
+    "q143_daily_streak" -> (q143 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4356,6 +4437,47 @@ object SparkEntry {
            FROM o)
          SELECT round(sum(pow(o - e, 2) / e), 5) AS chi2,
            count(*) AS n_cells
-         FROM e"""
+         FROM e""",
+    "q141_lag_features" ->
+      """SELECT user_id, event_id, value,
+           lag(value, 1) OVER w AS lag1,
+           lag(value, 2) OVER w AS lag2,
+           lag(value, 3) OVER w AS lag3,
+           lag(value, 7) OVER w AS lag7,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 5) AS ma3,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 5) AS ma7
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q142_target_encoding" ->
+      """WITH s AS (
+           SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type) AS sc,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_id, event_type,
+           CASE WHEN n = 1 THEN NULL
+                ELSE (((sc - vc) * 1000) // (n - 1)) / 100000.0 END
+             AS loo_mean
+         FROM s""",
+    "q143_daily_streak" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day
+           FROM events),
+         i AS (
+           SELECT user_id,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+           FROM d),
+         r AS (
+           SELECT user_id, island, count(*) AS run
+           FROM i GROUP BY 1, 2)
+         SELECT user_id, max(run) AS longest_daily_streak,
+           count(*) AS n_runs
+         FROM r GROUP BY 1"""
   )
 }
