@@ -2919,6 +2919,90 @@ object SparkEntry {
         count(lit(1)).as("n_runs"))
   }
 
+  /** Quantile drift (the Q-Q companion to q134's PSI: how each decile
+    * of the value distribution moved between stream halves): exact
+    * interpolated deciles per half in one aggregation each, joined on
+    * decile index. Interpolation arithmetic is identical in both
+    * engines over identical sorted doubles — only the delta output
+    * rounds (5).
+    */
+  private def q144(sess: SparkSession, d: String): DataFrame = {
+    val midDf = Tables
+      .events(sess, d)
+      .agg(percentile(col("event_id"), lit(0.5)).as("__mid"))
+    val base = Tables.events(sess, d).crossJoin(broadcast(midDf))
+    def deciles(cond: Column, name: String) = base
+      .where(cond)
+      .agg(
+        percentile(
+          col("value"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("d", name)))
+    deciles(col("event_id") <= col("__mid"), "v1")
+      .join(deciles(col("event_id") > col("__mid"), "v2"), Seq("d"))
+      .select(
+        col("d"),
+        round(col("v1"), 5).as("v1"),
+        round(col("v2"), 5).as("v2"),
+        round(col("v2") - col("v1"), 5).as("delta"))
+  }
+
+  /** Per-source top bigrams (q117's corpus table, grouped, with the
+    * q47 cap discipline): explode bigram pairs, count per (source,
+    * bigram), keep each source's top 5 under the deterministic
+    * (n desc, bigram) order — rank pushdown pre-prunes map-side
+    * (WindowGroupLimit), so the exchange never carries a source's full
+    * vocabulary.
+    */
+  private def q145(sess: SparkSession, d: String): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    val counts = Tables
+      .documents(sess, d)
+      .select(col("source"), tk.as("__tk"))
+      .where(size(col("__tk")) >= 2)
+      .select(
+        col("source"),
+        explode(
+          zip_with(
+            slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+            slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("source", "bigram")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Sampling
+      .capPerGroup(
+        counts,
+        Seq(col("source")),
+        Seq(col("n").desc, col("bigram").asc),
+        5)
+  }
+
+  /** Null-safe equality join (`<=>` / SQL IS NOT DISTINCT FROM — the
+    * join pandas `merge` does on NaN keys and Spark's eqNullSafe
+    * expresses): null keys MATCH null keys instead of vanishing.
+    * Planned as a hash join on the null-safe key (no nested loop);
+    * the demo plants nulls deterministically.
+    */
+  private def q146(sess: SparkSession, d: String): DataFrame = {
+    val keyed = Tables
+      .events(sess, d)
+      .select(
+        col("event_id"),
+        nullif(col("event_type"), lit("error")).as("k"))
+    val dim = Tables
+      .events(sess, d)
+      .select(nullif(col("event_type"), lit("error")).as("k"))
+      .distinct()
+      .withColumn(
+        "label",
+        coalesce(upper(col("k")), lit("UNTYPED")))
+    keyed
+      .alias("a")
+      .join(dim.alias("b"), expr("a.k <=> b.k"))
+      .groupBy(col("b.label").as("label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3065,7 +3149,10 @@ object SparkEntry {
     "q140_chi2" -> (q140 _),
     "q141_lag_features" -> (q141 _),
     "q142_target_encoding" -> (q142 _),
-    "q143_daily_streak" -> (q143 _)
+    "q143_daily_streak" -> (q143 _),
+    "q144_quantile_drift" -> (q144 _),
+    "q145_top_bigrams_by_source" -> (q145 _),
+    "q146_nullsafe_join" -> (q146 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4478,6 +4565,50 @@ object SparkEntry {
            FROM i GROUP BY 1, 2)
          SELECT user_id, max(run) AS longest_daily_streak,
            count(*) AS n_runs
-         FROM r GROUP BY 1"""
+         FROM r GROUP BY 1""",
+    "q144_quantile_drift" ->
+      """WITH m AS (
+           SELECT quantile_cont(event_id, 0.5) AS mid FROM events),
+         h1 AS (
+           SELECT quantile_cont(value,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+           FROM events CROSS JOIN m WHERE event_id <= mid),
+         h2 AS (
+           SELECT quantile_cont(value,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+           FROM events CROSS JOIN m WHERE event_id > mid),
+         g AS (SELECT unnest(generate_series(1, 9)) AS i)
+         SELECT CAST(g.i - 1 AS INTEGER) AS d,
+           round(h1.qs[g.i], 5) AS v1,
+           round(h2.qs[g.i], 5) AS v2,
+           round(h2.qs[g.i] - h1.qs[g.i], 5) AS delta
+         FROM g CROSS JOIN h1 CROSS JOIN h2""",
+    "q145_top_bigrams_by_source" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents WHERE trim(text) <> ''),
+         b AS (
+           SELECT source, unnest(
+             [tk[i] || ' ' || tk[i + 1]
+              for i in generate_series(1, len(tk) - 1)]) AS bigram
+           FROM t WHERE len(tk) >= 2),
+         c AS (
+           SELECT source, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+         r AS (
+           SELECT source, bigram, n,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n DESC, bigram) AS rk
+           FROM c)
+         SELECT source, bigram, n FROM r WHERE rk <= 5""",
+    "q146_nullsafe_join" ->
+      """WITH k AS (
+           SELECT event_id, nullif(event_type, 'error') AS k FROM events),
+         d AS (
+           SELECT k, coalesce(upper(k), 'UNTYPED') AS label
+           FROM (SELECT DISTINCT nullif(event_type, 'error') AS k
+                 FROM events))
+         SELECT d.label, count(*) AS n
+         FROM k JOIN d ON k.k IS NOT DISTINCT FROM d.k
+         GROUP BY 1"""
   )
 }
