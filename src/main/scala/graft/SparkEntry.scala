@@ -3003,6 +3003,54 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Global percent rank of per-user spend (pandas
+    * `s.rank(pct=True)` over a grouped total — leaderboard
+    * percentiles): cents-exact spend per user, ranked corpus-wide by
+    * [[graft.ops.GlobalRank]] (no single-partition window), pct =
+    * (rk−1)/(n−1) with n broadcast from a one-row aggregate. Exact
+    * integer inputs; one final double division, identical in both
+    * engines.
+    */
+  private def q147(sess: SparkSession, d: String): DataFrame = {
+    val spend = Tables
+      .events(sess, d)
+      .groupBy("user_id")
+      .agg(sum(centsOf(col("value"))).as("spend_cents"))
+    val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+      spend,
+      Seq(col("spend_cents").desc, col("user_id").asc),
+      "rk")
+    val n = spend.agg(count(lit(1)).as("__n"))
+    ranked
+      .crossJoin(broadcast(n))
+      .select(
+        col("user_id"),
+        (col("spend_cents").cast("bigint") / 100.0).as("spend"),
+        col("rk"),
+        ((col("rk") - 1).cast("double") / (col("__n") - 1)).as("pct"))
+  }
+
+  /** Cumulative adoption curve (distinct users EVER active by each
+    * day — the other retention chart): first-active-day per user (one
+    * agg), users-per-first-day (tiny), running total over the day
+    * axis. The running window orders ~#days rows, not events — the
+    * scalable shape for cumulative distinct counts (a naive
+    * count(DISTINCT) per day rescans everything per day).
+    */
+  private def q148(sess: SparkSession, d: String): DataFrame = {
+    val firstDay = Tables
+      .events(sess, d)
+      .groupBy("user_id")
+      .agg(min(expr("ts div 86400000000000")).as("day"))
+    firstDay
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn(
+        "total_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day")).rowsBetween(Long.MinValue, 0)))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3152,7 +3200,9 @@ object SparkEntry {
     "q143_daily_streak" -> (q143 _),
     "q144_quantile_drift" -> (q144 _),
     "q145_top_bigrams_by_source" -> (q145 _),
-    "q146_nullsafe_join" -> (q146 _)
+    "q146_nullsafe_join" -> (q146 _),
+    "q147_spend_pct_rank" -> (q147 _),
+    "q148_adoption_curve" -> (q148 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4609,6 +4659,31 @@ object SparkEntry {
                  FROM events))
          SELECT d.label, count(*) AS n
          FROM k JOIN d ON k.k IS NOT DISTINCT FROM d.k
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q147_spend_pct_rank" ->
+      """WITH s AS (
+           SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+           FROM events GROUP BY 1),
+         r AS (
+           SELECT user_id, spend_cents,
+             row_number() OVER (ORDER BY spend_cents DESC, user_id)
+               AS rk,
+             count(*) OVER () AS n
+           FROM s)
+         SELECT user_id, spend_cents / 100.0 AS spend, rk,
+           CAST(rk - 1 AS DOUBLE) / (n - 1) AS pct
+         FROM r""",
+    "q148_adoption_curve" ->
+      """WITH f AS (
+           SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS day
+           FROM events GROUP BY 1),
+         c AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+         SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS total_users
+         FROM c"""
   )
 }
