@@ -3051,6 +3051,57 @@ object SparkEntry {
           Window.orderBy(col("day")).rowsBetween(Long.MinValue, 0)))
   }
 
+  /** Gopher-style duplicated 5-gram fraction per document
+    * ([[graft.operators.Dedup.duplicatedNgramFraction]]): the
+    * corpus-level quality signal behind "drop docs whose text is mostly
+    * duplicated elsewhere". Spark hashes grams to 64 bits before any
+    * exchange; the oracle counts the raw gram strings — identical modulo
+    * the documented 2^-64 collision trade.
+    */
+  private def q149(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.duplicatedNgramFraction(
+      Tables.documents(sess, d),
+      "doc_id",
+      "text",
+      n = 5)
+
+  /** EXACT heavy hitters: users with >= 0.75% of all events
+    * ([[graft.operators.HeavyHitters.exactHeavyHitters]]) — two passes,
+    * k-bounded exchange, InSet-filtered exact recount; provably equal to
+    * the full groupBy-HAVING the oracle runs.
+    */
+  private def q150(sess: SparkSession, d: String): DataFrame =
+    graft.operators.HeavyHitters
+      .exactHeavyHitters(
+        Tables.events(sess, d),
+        "user_id",
+        supportNum = 3,
+        supportDen = 400,
+        k = 256)
+      .orderBy("user_id")
+
+  /** Bloom-pruned semi-join ([[graft.operators.BloomJoin]]): line items
+    * of high-value orders (o_totalprice > 450k), revenue base summed in
+    * exact cents (q39's tie-proof currency). The bloom prune drops
+    * ~90% of lineitem before the exchange; the residual semi-join makes
+    * the result exactly the oracle's IN-subquery.
+    */
+  private def q151(sess: SparkSession, d: String): DataFrame = {
+    val hot = Tables.orders(sess, d).where(col("o_totalprice") > 450000.0)
+    graft.operators.BloomJoin
+      .bloomPrunedSemiJoin(
+        Tables.lineitem(sess, d),
+        "l_orderkey",
+        hot.select("o_orderkey"),
+        "o_orderkey",
+        expectedItems = 1 << 20,
+        fpp = 0.01)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(centsOf(col("l_extendedprice"))) / 100.0).as("sum_base"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3202,7 +3253,10 @@ object SparkEntry {
     "q145_top_bigrams_by_source" -> (q145 _),
     "q146_nullsafe_join" -> (q146 _),
     "q147_spend_pct_rank" -> (q147 _),
-    "q148_adoption_curve" -> (q148 _)
+    "q148_adoption_curve" -> (q148 _),
+    "q149_dup_ngram_frac" -> (q149 _),
+    "q150_exact_heavy_hitters" -> (q150 _),
+    "q151_bloom_semijoin" -> (q151 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4684,6 +4738,38 @@ object SparkEntry {
            CAST(sum(new_users) OVER (ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS total_users
-         FROM c"""
+         FROM c""",
+    "q149_dup_ngram_frac" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         dg AS (
+           SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     FOR i IN range(1, len(t) - 3)]) AS gram
+           FROM tk WHERE len(t) >= 5),
+         c AS (SELECT gram, count(*) AS ndocs FROM dg GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac
+         FROM dg d JOIN c USING (gram)
+         GROUP BY 1""",
+    "q150_exact_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1
+         HAVING count(*) * 400 >= (SELECT count(*) FROM events) * 3
+         ORDER BY user_id""",
+    "q151_bloom_semijoin" ->
+      """SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_base
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+         GROUP BY 1"""
   )
 }

@@ -705,4 +705,51 @@ object Dedup {
         VectorExpressions.cosineFast(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Gopher-style duplicated-n-gram fraction per document: the share of
+    * each doc's DISTINCT word n-grams that also occur in at least one
+    * OTHER document (Rae et al., "Scaling Language Models: ... Gopher",
+    * arXiv:2112.11446 §A1.1 uses duplicate-n-gram fractions as quality
+    * filters). Returns (id, n_grams, n_dup, dup_frac); docs with fewer
+    * than n tokens have no n-grams and are absent.
+    *
+    * Scale shape: grams are reduced to 64-bit xxhash64 values BEFORE any
+    * exchange, so every shuffle carries (id, 16-byte hash) rows instead
+    * of gram strings (the same 2^-64 collision trade as
+    * [[minHashNearDup]]'s shingle hashes). Three exchanges total:
+    * distinct (doc, gram) pairs, the per-gram document-frequency partial
+    * aggregation, and the per-doc roll-up; the df side is aggregated
+    * (partial+final), not windowed, so a boilerplate gram present in
+    * millions of docs streams through the join instead of buffering one
+    * giant window group.
+    */
+  def duplicatedNgramFraction(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    val tk = TextFunctions.tokens(col(textCol))
+    // one 64-bit hash per word n-gram, generated in place (no string array
+    // of grams is ever materialized per row beyond this projection)
+    val grams = when(
+      size(tk) >= n,
+      transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    val docGram = docs
+      .select(col(idCol), explode(grams).as("gh"))
+      .distinct() // a gram repeated WITHIN a doc counts once
+    val docFreq = docGram.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+    docGram
+      .join(docFreq, "gh")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      // ratio of two exact integers: one correctly-rounded IEEE division,
+      // identical in any engine
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams"))
+  }
 }

@@ -94,6 +94,50 @@ object HeavyHitters {
   def mgSummary(c: Column, k: Int): Column =
     udaf(new MisraGriesAgg(k)).apply(c)
 
+  /** EXACT heavy hitters at or above rational support
+    * `supportNum/supportDen` in two passes — the scalable exact form of
+    * `value_counts()` filtered to frequent keys.
+    *
+    * A one-pass exact `groupBy(key).count()` over 100 TB shuffles one
+    * partial count per DISTINCT key per partition — the exchange scales
+    * with vocabulary size. Here pass 1 computes a global Misra–Gries
+    * summary (the exchange carries one ≤k-entry table per partition) plus
+    * the exact stream length; the classic guarantee puts every key with
+    * true count > N/(k+1) IN the summary, so requiring
+    * (k+1)·supportNum > supportDen makes the ≤k candidate keys a provable
+    * superset of every key at support. Pass 2 rescans once with a
+    * codegen'd `InSet` filter on the candidates (≤k literals — no join, no
+    * extra exchange beyond a ≤k-group aggregation) and counts them
+    * exactly. The support filter compares integers
+    * (cnt·supportDen ≥ N·supportNum — no floating threshold), so the
+    * output is EXACTLY what the full groupBy would return.
+    *
+    * The driver materializes only the ≤k-entry summary row (bounded).
+    */
+  def exactHeavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      supportNum: Long,
+      supportDen: Long,
+      k: Int = 256): DataFrame = {
+    require(supportNum > 0 && supportDen > 0, "support must be positive")
+    require(
+      (k + 1).toLong * supportNum > supportDen,
+      s"capacity $k cannot certify support $supportNum/$supportDen: " +
+        "need (k+1)*supportNum > supportDen for the MG superset guarantee")
+    val key = col(keyCol).cast("string")
+    val row = df
+      .agg(mgSummary(key, k).as("mg"), count(key).as("n"))
+      .select(map_keys(col("mg.counters")).as("cands"), col("n"))
+      .collect()(0)
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    df.where(key.isInCollection(cands))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") * supportDen >= lit(n) * supportNum)
+  }
+
   /** Approximate top-n frequent values of `valueCol` (optionally per
     * group): ONE partial+final aggregation whose exchange carries
     * ≤k-entry summaries, then an in-place explode of the final table.

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BloomJoin, Dedup}
+
+/** Corpus-curation operators: duplicated-n-gram fraction (planted
+  * overlaps with hand-computed fractions) and the bloom-pruned
+  * semi-join (exactness must not depend on bloom quality).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("duplicatedNgramFraction: planted overlap, hand-computed fractions") {
+    // doc 1: "a b c d e f"  → 5-grams {a b c d e, b c d e f}
+    // doc 2: "a b c d e x"  → 5-grams {a b c d e, b c d e x}
+    // doc 3: "p q r s t u v" → 3 grams, none shared
+    // doc 4: "w x"          → shorter than n, no grams, absent from output
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e x"),
+      (3L, "p q r s t u v"),
+      (4L, "w x")).toDF("doc_id", "text")
+    val got = Dedup
+      .duplicatedNgramFraction(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((3L, 0L, 0.0)))
+    assert(!got.contains(4L))
+  }
+
+  test("duplicatedNgramFraction: a gram repeated WITHIN a doc counts once") {
+    // doc 1 contains "a b" twice; doc 2 once. Both grams of doc 1 are the
+    // same gram, distinct'd to one — dup_frac 1.0 for both docs.
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Dedup
+      .duplicatedNgramFraction(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    // doc 1's distinct 2-grams: {a b, b a} — "a b" shared, "b a" not
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((1L, 1L, 1.0)))
+  }
+
+  test("bloomPrunedSemiJoin equals the exact semi-join even at fpp=0.5") {
+    val big = (0L until 2000L).map(i => (i, i % 7)).toDF("k", "payload")
+    val small = Seq(3L, 10L, 500L, 1999L, 4242L).toDF("sk")
+    val expected = big
+      .join(small.select(col("sk").as("k")), Seq("k"), "leftsemi")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    // a deliberately terrible bloom (fpp 0.5) must not change the result —
+    // false positives die in the residual semi-join
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = BloomJoin
+        .bloomPrunedSemiJoin(big, "k", small, "sk", expectedItems = 16, fpp = fpp)
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      assert(got === expected, s"fpp=$fpp")
+      assert(got.map(_._1) === Set(3L, 10L, 500L, 1999L))
+    }
+  }
+
+  test("bloomPrunedSemiJoin: null keys never match") {
+    val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"))
+      .toDF("k", "v")
+    val small = Seq(1L).toDF("sk")
+    val got = BloomJoin
+      .bloomPrunedSemiJoin(big, "k", small, "sk", expectedItems = 8)
+      .select("v")
+      .as[String]
+      .collect()
+      .toSeq
+    assert(got === Seq("a"))
+  }
+}

@@ -80,4 +80,48 @@ class HeavyHittersSpec extends AnyFunSuite {
       .approxTopK(planted, "token", k = 16, topN = 1000)
     assert(got.count() <= 16)
   }
+
+  test("exactHeavyHitters equals the full groupBy-HAVING, any partitioning") {
+    // support 2% of N=1240 → threshold 24.8: hot1/hot2/warm qualify,
+    // every cold singleton does not
+    val expected = planted
+      .groupBy("token")
+      .count()
+      .where(col("count") * 50 >= lit(1240L) * 1)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    for (parts <- Seq(1, 7)) {
+      val got = HeavyHitters
+        .exactHeavyHitters(
+          planted.repartition(parts),
+          "token",
+          supportNum = 1,
+          supportDen = 50,
+          k = 64)
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      assert(got === expected, s"parts=$parts")
+    }
+    assert(expected.keySet === Set("hot1", "hot2", "warm"))
+  }
+
+  test("exactHeavyHitters boundary: a key EXACTLY at support is kept") {
+    // 10 ×"edge" in N=200 at support 1/20 → count*20 == N*1 exactly
+    val df =
+      (Seq.fill(10)("edge") ++ (0 until 190).map(i => s"c$i")).toDF("token")
+    val got = HeavyHitters
+      .exactHeavyHitters(df.repartition(3), "token", 1, 20, k = 64)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(got === Map("edge" -> 10L))
+  }
+
+  test("exactHeavyHitters rejects a capacity that voids the MG guarantee") {
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHitters(planted, "token", 1, 100, k = 64)
+    }
+  }
 }
