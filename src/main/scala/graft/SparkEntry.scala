@@ -3102,6 +3102,44 @@ object SparkEntry {
         (sum(centsOf(col("l_extendedprice"))) / 100.0).as("sum_base"))
   }
 
+  /** CUBE grouping-set aggregation with grouping_id — the full 2^k
+    * grouping lattice over (returnflag, linestatus); q35's ROLLUP twin
+    * completes the grouping-sets surface. One Expand + one aggregation
+    * (no per-set rescans); gid bit order (first column = MSB) matches
+    * DuckDB's GROUPING().
+    */
+  private def q152(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(sess, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        (sum(centsOf(col("l_extendedprice"))) / 100.0).as("sum_base"))
+
+  /** Batch MERGE / upsert ([[graft.operators.Upsert.merge]]): apply a
+    * change batch (1% price bump on orderkey%10, delete orderkey%30) to
+    * the orders snapshot. New price computed in exact cents
+    * (cents·101/10000 — one integer product, one exact double division),
+    * so both engines agree bit-for-bit.
+    */
+  private def q153(sess: SparkSession, d: String): DataFrame = {
+    val snap = Tables
+      .orders(sess, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val changes = Tables
+      .orders(sess, d)
+      .where(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        ((centsOf(col("o_totalprice")) * 101) / 10000.0).as("o_totalprice"),
+        lit(2L).as("version"),
+        (col("o_orderkey") % 30 === 0).as("deleted"))
+    graft.operators.Upsert
+      .merge(snap, changes, Seq("o_orderkey"), "version", "deleted")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3256,7 +3294,9 @@ object SparkEntry {
     "q148_adoption_curve" -> (q148 _),
     "q149_dup_ngram_frac" -> (q149 _),
     "q150_exact_heavy_hitters" -> (q150 _),
-    "q151_bloom_semijoin" -> (q151 _)
+    "q151_bloom_semijoin" -> (q151 _),
+    "q152_cube" -> (q152 _),
+    "q153_merge_upsert" -> (q153 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4770,6 +4810,23 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey IN
            (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q152_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_base
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q153_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 10 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) * 101 / 10000.0
+             AS o_totalprice
+         FROM orders
+         WHERE o_orderkey % 10 = 0 AND o_orderkey % 30 <> 0"""
   )
 }
