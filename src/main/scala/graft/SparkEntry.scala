@@ -275,6 +275,7 @@ object SparkEntry {
     lshIndexCache.clear()
     ivfIndexCache.clear()
     ivfKmIndexCache.clear()
+    pqIndexCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -3102,6 +3103,51 @@ object SparkEntry {
         (sum(centsOf(col("l_extendedprice"))) / 100.0).as("sum_base"))
   }
 
+  /** Build-once PQ "index": train codebooks + persist the m-byte codes
+    * ([[graft.operators.ProductQuant]]). Cached per sf dir like the
+    * LSH/IVF indexes; the codebooks (a few KB) stay on the driver, the
+    * codes live as parquet.
+    */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.operators.ProductQuant.Codebooks, String)]
+
+  private def pqIndex(
+      s: SparkSession,
+      d: String): (graft.operators.ProductQuant.Codebooks, String) =
+    pqIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("pq", d)
+        val emb = Tables.embeddings(s, d)
+        val cb =
+          graft.operators.ProductQuant
+            .pqTrain(emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 3)
+        graft.operators.ProductQuant
+          .pqEncode(emb, "embedding", "vec_id", cb)
+          .write
+          .mode("overwrite")
+          .parquet(path)
+        (cb, path)
+      })
+
+  /** PQ/ADC top-10 (rows-only — approximate): the probe scans the
+    * 8-byte-per-vector code table (32× less I/O than the float
+    * vectors), TakeOrders the top-50 ADC candidates, and re-ranks only
+    * those with exact cosine. Completes the ANN ladder: brute force
+    * (q17) → LSH (q18) → IVF (q32/q57) → PQ codes.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val (cb, codesPath) = pqIndex(s, d)
+    graft.operators.ProductQuant.pqTopK(
+      s.read.parquet(codesPath),
+      Tables.embeddings(s, d),
+      "embedding",
+      "vec_id",
+      cb,
+      queryVec(s, d),
+      k = 10,
+      refine = 50)
+  }
+
   /** CUBE grouping-set aggregation with grouping_id — the full 2^k
     * grouping lattice over (returnflag, linestatus); q35's ROLLUP twin
     * completes the grouping-sets surface. One Expand + one aggregation
@@ -3296,7 +3342,8 @@ object SparkEntry {
     "q150_exact_heavy_hitters" -> (q150 _),
     "q151_bloom_semijoin" -> (q151 _),
     "q152_cube" -> (q152 _),
-    "q153_merge_upsert" -> (q153 _)
+    "q153_merge_upsert" -> (q153 _),
+    "q154_pq_topk" -> (q154 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Product quantization (PQ) — the compressed-code ANN path that
+  * completes the Faiss-style ladder next to [[Similarity]]'s LSH and
+  * IVF: brute force (exact, full scan), LSH buckets (hash pruning), IVF
+  * (partition pruning), PQ (the SCAN ITSELF reads m-byte codes instead
+  * of the vectors). Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — asymmetric distance
+  * computation (ADC) form.
+  *
+  * The vector space is split into `m` contiguous subspaces; each
+  * subspace gets its own ksub-entry codebook (k-means over the
+  * subvectors); a vector is stored as m codebook indices packed into an
+  * m-byte binary. At probe time the query is NOT quantized: a
+  * (m × ksub) table of exact query-subvector ⋅ centroid dot products is
+  * computed once on the driver, and each corpus code scores with m
+  * table lookups — no float vector is touched until the optional exact
+  * re-rank of the top `refine` candidates.
+  *
+  * Scale posture, in order of what matters at 100 TB:
+  *  - a 1024-dim float corpus is 4 KB/vector; PQ codes at m=16 are 16
+  *    bytes — 256× less I/O on every probe scan, which is why every
+  *    billion-vector ANN system stores codes, not vectors;
+  *  - training is bounded: per Lloyd round ONE exchange of
+  *    (subspace, cluster, pos) partial sums (the [[Similarity
+  *    .kmeansAssign]] argument, m subspaces in the same job via
+  *    posexplode), and the m·ksub·(dim/m) codebook — a few KB — is the
+  *    only thing the driver holds;
+  *  - encoding is a narrow map (codebooks are plan constants);
+  *  - the ADC scan is TakeOrdered (no global sort), and the exact
+  *    re-rank touches `refine` vectors, not the corpus.
+  *
+  * Cosine setup: corpus vectors and query are L2-normalized before
+  * training/encoding, so the ADC inner product approximates cosine and
+  * the exact re-rank returns true cosines.
+  */
+object ProductQuant {
+
+  /** Codebooks: [m][ksub][dim/m], driver-side plan constant. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def l2normalize(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    transform(v, x => x / n)
+  }
+
+  /** (id, array of m subvectors) — the shared projection for train and
+    * encode. Normalization first: PQ approximates the metric it was
+    * trained in.
+    */
+  private def subvectors(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int): DataFrame = {
+    val v = l2normalize(col(vecCol).cast("array<double>"))
+    df.select(
+      col(idCol).as("id"),
+      transform(
+        sequence(lit(0), lit(m - 1)),
+        j => slice(v, j * (size(v) / m) + 1, size(v) / m)).as("subs"))
+  }
+
+  private def assignUdf(cb: Codebooks) =
+    udf { (j: Int, sub: Seq[Double]) =>
+      val book = cb(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val ct = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < ct.length) { val x = sub(i) - ct(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Train m codebooks of ksub centroids each. Deterministic: seeds are
+    * the ksub subvectors with the smallest xxhash64(id) per subspace
+    * (no RNG); empty clusters keep their previous centroid; ties in
+    * assignment go to the lowest code. (Centroid re-averaging sums
+    * doubles in partition order, so codebooks are reproducible up to
+    * ~1e-16 summation noise — like [[Similarity.kmeansAssign]].) All m
+    * subspaces train in the same jobs — per round: one narrow
+    * assignment pass + ONE (subspace, cluster, pos) aggregation
+    * exchange.
+    */
+  def pqTrain(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      ksub: Int,
+      iters: Int = 3): Codebooks = {
+    require(m >= 1 && ksub >= 2, s"need m>=1, ksub>=2; got m=$m ksub=$ksub")
+    require(ksub <= 256, s"codes pack into one byte: ksub<=256, got $ksub")
+    val subRows = subvectors(df, vecCol, idCol, m)
+      .select(col("id"), posexplode(col("subs")).as(Seq("j", "sub")))
+    // deterministic hash-sample seeds, ksub per subspace in one job
+    val seedW = Window.partitionBy("j").orderBy(xxhash64(col("id")), col("id"))
+    var cb: Codebooks = subRows
+      .withColumn("__rn", row_number().over(seedW))
+      .where(col("__rn") <= ksub)
+      .select(col("j"), (col("__rn") - 1).as("c"), col("sub"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .toSeq
+      .sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+      .toArray
+    for (_ <- 1 to iters) {
+      val assigned =
+        subRows.withColumn("c", assignUdf(cb)(col("j"), col("sub")))
+      val updated = assigned
+        .select(col("j"), col("c"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("j", "c", "pos")
+        .agg(avg(col("x")).as("v"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rows) =>
+          jc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+        }
+      cb = cb.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (ct, c) =>
+          updated.getOrElse((j, c), ct)
+        }
+      }
+    }
+    cb
+  }
+
+  /** Encode each vector as an m-byte binary of codebook indices — the
+    * compressed corpus representation a probe scans. Narrow map; the
+    * codebooks ride in the closure.
+    */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cb: Codebooks): DataFrame = {
+    val m = cb.length
+    val enc = udf { (subs: Seq[Seq[Double]]) =>
+      val out = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        val book = cb(j)
+        val sub = subs(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val ct = book(c)
+          var d = 0.0
+          var i = 0
+          while (i < ct.length) { val x = sub(i) - ct(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best.toByte
+        j += 1
+      }
+      out
+    }
+    subvectors(df, vecCol, idCol, m).select(col("id"), enc(col("subs")).as("code"))
+  }
+
+  /** ADC probe: score every code with m table lookups against the
+    * query's exact per-subspace dot-product table, TakeOrdered the top
+    * `refine` candidates, then re-rank those — and only those — with
+    * the exact cosine against the original vectors. Returns (id, cos)
+    * descending, deterministic id tie-break.
+    */
+  def pqTopK(
+      codes: DataFrame,
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cb: Codebooks,
+      query: Seq[Double],
+      k: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val qn = {
+      val nrm = math.sqrt(query.map(x => x * x).sum)
+      query.map(_ / nrm)
+    }
+    val m = cb.length
+    val sub = qn.length / m
+    // (m × ksub) exact query⋅centroid table — the "asymmetric" in ADC
+    val table: Array[Array[Double]] = Array.tabulate(m) { j =>
+      cb(j).map { ct =>
+        var d = 0.0
+        var i = 0
+        while (i < ct.length) { d += ct(i) * qn(j * sub + i); i += 1 }
+        d
+      }
+    }
+    val score = udf { (code: Array[Byte]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += table(j)(code(j) & 0xff); j += 1 }
+      s
+    }
+    val cand = codes
+      .select(col("id"), score(col("code")).as("adc"))
+      .orderBy(col("adc").desc, col("id"))
+      .limit(refine)
+    VectorExpressions.register(vectors.sparkSession)
+    val q = array(qn.map(lit): _*)
+    cand
+      .join(vectors.select(col(idCol).as("id"), col(vecCol).as("__v")), "id")
+      .select(
+        col("id"),
+        VectorExpressions.cosineFast(col("__v"), q).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+}
