@@ -3060,8 +3060,10 @@ object SparkEntry {
     * the documented 2^-64 collision trade.
     */
   private def q149(sess: SparkSession, d: String): DataFrame =
+    // docs(): the tokenize→hash→explode projection is CPU-bound per row —
+    // same rationale as q14's use of the repartitioned reader
     graft.operators.Dedup.duplicatedNgramFraction(
-      Tables.documents(sess, d),
+      docs(sess, d),
       "doc_id",
       "text",
       n = 5)

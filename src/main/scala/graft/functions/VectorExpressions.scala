@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -20,10 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match [[VectorFunctions.cosine]] bit-for-bit: elements
   * widened to double, left-to-right summation, dot/(sqrt(na)*sqrt(nb)).
   * Null if either side is null; NaN propagates like plain double math.
+  *
+  * Implements [[doGenCode]] (brief: "a native Catalyst Expression (with
+  * doGenCode)"): the generated Java is the same fused loop, spliced
+  * into the surrounding WholeStageCodegen so ANN scoring stays in one
+  * compiled pipeline instead of breaking out to interpreted eval per
+  * row. [[nullSafeEval]] remains the interpreted twin (constant
+  * folding, non-codegen parents); the ExtensionsSpec parity tests pin
+  * both paths to the composable form bit-for-bit.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -64,6 +71,40 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val af =
+          left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+        val bf =
+          right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val getA = if (af) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getB = if (bf) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |double $na = 0.0;
+           |double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final double $x = $getA;
+           |  final double $y = $getB;
+           |  $dot += $x * $y;
+           |  $na += $x * $x;
+           |  $nb += $y * $y;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,
