@@ -276,6 +276,7 @@ object SparkEntry {
     ivfIndexCache.clear()
     ivfKmIndexCache.clear()
     pqIndexCache.clear()
+    ivfPqIndexCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -3188,6 +3189,81 @@ object SparkEntry {
       .merge(snap, changes, Seq("o_orderkey"), "version", "deleted")
   }
 
+  /** Build-once IVF-PQ index cache ([[graft.operators.ProductQuant
+    * .ivfPqWriteIndex]]): coarse k-means clusters for partition pruning
+    * × PQ codes for the scan, vectors co-located for the exact re-rank.
+    */
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfPqIndex(s: SparkSession, d: String): String =
+    ivfPqIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("ivfpq", d)
+        graft.operators.ProductQuant.ivfPqWriteIndex(
+          Tables.embeddings(s, d).drop("label"),
+          "embedding",
+          "vec_id",
+          path,
+          kClusters = 8,
+          m = 8,
+          ksub = 16,
+          iters = 3,
+          sourceTag = d)
+        path
+      })
+
+  /** IVF-PQ probe (rows-only — approximate): partition pruning picks
+    * nprobe cluster directories, the ADC pass reads only the (id, code)
+    * columns (parquet column pruning keeps the vectors unread), and the
+    * exact re-rank touches `refine` vectors via a pushed id filter. The
+    * Faiss `IVF8,PQ8` shape on Spark — the terminal rung of the ANN
+    * ladder (q17 → q18 → q32/q57 → q154 → here).
+    */
+  private def q155(s: SparkSession, d: String): DataFrame =
+    graft.operators.ProductQuant.ivfPqProbe(
+      s,
+      ivfPqIndex(s, d),
+      queryVec(s, d),
+      k = 10,
+      nprobe = 3,
+      refine = 50,
+      sourceTag = d)
+
+  /** Per-group OLS regression (pandas `groupby().apply(lambda g:
+    * np.polyfit(...))` — the grouped model-fit shape): slope/intercept
+    * of value-cents on event_id per user, from EXACT integer sums
+    * (n, Σx, Σy, Σxy, Σx² as BIGINTs — order-independent), with one
+    * final double division per coefficient. Map-side partial aggregation
+    * carries five longs per (partition, user): the textbook
+    * decomposable-moments shape that replaces a per-group UDF at scale.
+    */
+  private def q157(sess: SparkSession, d: String): DataFrame = {
+    val e = Tables
+      .events(sess, d)
+      .select(
+        col("user_id"),
+        col("event_id").as("x"),
+        centsOf(col("value")).as("y"))
+    e.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn(
+        "slope_cents",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn(
+        "icept_cents",
+        (col("sy").cast("double") -
+          col("slope_cents") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select("user_id", "n", "slope_cents", "icept_cents")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3345,7 +3421,9 @@ object SparkEntry {
     "q151_bloom_semijoin" -> (q151 _),
     "q152_cube" -> (q152 _),
     "q153_merge_upsert" -> (q153 _),
-    "q154_pq_topk" -> (q154 _)
+    "q154_pq_topk" -> (q154 _),
+    "q155_ivfpq_topk" -> (q155 _),
+    "q157_group_ols" -> (q157 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4876,6 +4954,26 @@ object SparkEntry {
            CAST(round(o_totalprice * 100) AS BIGINT) * 101 / 10000.0
              AS o_totalprice
          FROM orders
-         WHERE o_orderkey % 10 = 0 AND o_orderkey % 30 <> 0"""
+         WHERE o_orderkey % 10 = 0 AND o_orderkey % 30 <> 0""",
+    "q157_group_ols" ->
+      """WITH s AS (
+           SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(event_id * CAST(round(value * 100) AS BIGINT))
+               AS BIGINT) AS sxy,
+             CAST(sum(event_id * event_id) AS BIGINT) AS sxx
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT user_id, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+             sx, sy
+           FROM s)
+         SELECT user_id, n, slope_cents,
+           (CAST(sy AS DOUBLE) - slope_cents * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS icept_cents
+         FROM m"""
   )
 }

@@ -58,13 +58,15 @@ object ProductQuant {
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      m: Int): DataFrame = {
+      m: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val v = l2normalize(col(vecCol).cast("array<double>"))
     df.select(
-      col(idCol).as("id"),
-      transform(
-        sequence(lit(0), lit(m - 1)),
-        j => slice(v, j * (size(v) / m) + 1, size(v) / m)).as("subs"))
+      (col(idCol).as("id") +:
+        transform(
+          sequence(lit(0), lit(m - 1)),
+          j => slice(v, j * (size(v) / m) + 1, size(v) / m)).as("subs") +:
+        carry.map(col)): _*)
   }
 
   private def assignUdf(cb: Codebooks) =
@@ -148,7 +150,8 @@ object ProductQuant {
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      cb: Codebooks): DataFrame = {
+      cb: Codebooks,
+      carry: Seq[String] = Nil): DataFrame = {
     val m = cb.length
     val enc = udf { (subs: Seq[Seq[Double]]) =>
       val out = new Array[Byte](m)
@@ -172,7 +175,8 @@ object ProductQuant {
       }
       out
     }
-    subvectors(df, vecCol, idCol, m).select(col("id"), enc(col("subs")).as("code"))
+    subvectors(df, vecCol, idCol, m, carry)
+      .select((col("id") +: enc(col("subs")).as("code") +: carry.map(col)): _*)
   }
 
   /** ADC probe: score every code with m table lookups against the
@@ -223,6 +227,155 @@ object ProductQuant {
       .select(
         col("id"),
         VectorExpressions.cosineFast(col("__v"), q).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: coarse-cluster partition pruning × PQ code scans
+  // ------------------------------------------------------------------
+
+  /** Persist the combined IVF-PQ index: corpus rows (id, code, v)
+    * PARTITIONED BY coarse k-means cluster, plus the centroid table,
+    * the codebook table, and a validated `_meta`. The full Faiss
+    * `IVFx,PQy` layout, Spark-native:
+    *
+    *  - a probe's `cluster IN (...)` becomes PARTITION PRUNING — only
+    *    nprobe directories are read;
+    *  - the ADC pass selects (id, code) only, so parquet COLUMN PRUNING
+    *    keeps the float vectors' column chunks unread — the PQ I/O win
+    *    without a second copy of the corpus;
+    *  - the exact re-rank re-reads the pruned partitions with an
+    *    `id IN (candidates)` pushed filter (row-group pruning) and
+    *    touches `refine` vectors.
+    */
+  def ivfPqWriteIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      kClusters: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int = 3,
+      sourceTag: String = ""): Unit = {
+    val spark = df.sparkSession
+    val assigned = graft.ops.Stage.materializeOnce(
+      Similarity.kmeansAssign(df, vecCol, idCol, kClusters, iters))
+    val cb = pqTrain(assigned, vecCol, idCol, m, ksub, iters)
+    pqEncode(assigned, vecCol, idCol, cb, carry = Seq(vecCol, "cluster"))
+      .withColumnRenamed(vecCol, "v")
+      .write
+      .mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(s"$path/corpus")
+    Similarity
+      .ivfCentroids(assigned, vecCol, "cluster")
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/centroids")
+    import spark.implicits._
+    (for {
+      j <- cb.indices
+      c <- cb(j).indices
+      p <- cb(j)(c).indices
+    } yield (j, c, p, cb(j)(c)(p)))
+      .toDF("j", "c", "pos", "v")
+      .repartition(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/codebooks")
+    spark
+      .range(1)
+      .select(
+        lit(sourceTag).as("source"),
+        lit(m).as("m"),
+        lit(ksub).as("ksub"),
+        lit(kClusters).as("kclusters"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
+  }
+
+  /** Read the persisted codebooks back into the driver-side constant
+    * (m·ksub·subdim doubles — bounded).
+    */
+  private def readCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int,
+      ksub: Int): Codebooks = {
+    val rows = spark.read
+      .parquet(s"$path/codebooks")
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (jc, rs) =>
+        jc -> rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      }
+    Array.tabulate(m, ksub)((j, c) =>
+      rows.getOrElse((j, c), Array.empty[Double]))
+  }
+
+  /** Probe the persisted IVF-PQ index: rank clusters by query↔centroid
+    * cosine (never touches the corpus), ADC-scan codes in the nprobe
+    * pruned partitions, exact-cosine re-rank of the top `refine`
+    * candidates. Returns (id, cos) descending. The candidate id list is
+    * the only driver materialization (≤ refine rows, bounded).
+    */
+  def ivfPqProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int,
+      refine: Int,
+      sourceTag: String = ""): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val built = meta.getAs[String]("source")
+    require(
+      sourceTag.isEmpty || built == null || built.isEmpty || built == sourceTag,
+      s"ivfpq index at $path was built from source '$built'; " +
+        s"probe expected source '$sourceTag' — refusing to cross-wire indexes")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val cb = readCodebooks(spark, path, m, ksub)
+    val probed = Similarity
+      .ivfRankClusters(spark.read.parquet(s"$path/centroids"), query, nprobe)
+    val qn = {
+      val nrm = math.sqrt(query.map(x => x * x).sum)
+      query.map(_ / nrm)
+    }
+    val sub = qn.length / m
+    val table: Array[Array[Double]] = Array.tabulate(m) { j =>
+      cb(j).map { ct =>
+        var d = 0.0
+        var i = 0
+        while (i < ct.length) { d += ct(i) * qn(j * sub + i); i += 1 }
+        d
+      }
+    }
+    val score = udf { (code: Array[Byte]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += table(j)(code(j) & 0xff); j += 1 }
+      s
+    }
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val pruned = corpus.where(col("cluster").isin(probed: _*))
+    val candIds = pruned
+      .select(col("id"), score(col("code")).as("adc"))
+      .orderBy(col("adc").desc, col("id"))
+      .limit(refine)
+      .select("id")
+      .collect()
+      .map(_.get(0))
+      .toSeq
+    VectorExpressions.register(spark)
+    val q = array(qn.map(lit): _*)
+    pruned
+      .where(col("id").isInCollection(candIds))
+      .select(col("id"), VectorExpressions.cosineFast(col("v"), q).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
