@@ -3230,6 +3230,72 @@ object SparkEntry {
       refine = 50,
       sourceTag = d)
 
+  /** Hybrid retrieval with reciprocal-rank fusion: dense (exact cosine
+    * vs vec 42) and sparse (integer term-frequency dot vs doc 42's
+    * text) channels each produce a top-100, fused as
+    * Σ 1/(60+rank) (Cormack & Clarke's RRF, k=60), top-20 out.
+    *
+    * Cross-engine determinism by construction: the dense cosines are
+    * bit-identical in both engines (same left-to-right loop — verified
+    * empirically; the self-match, where DuckDB clamps to 1.0, is
+    * excluded), the sparse scores are exact BIGINTs, so both channel
+    * rankings — and therefore the RRF rationals — are identical. The
+    * per-channel rank windows run on the ALREADY-LIMITED 100-row channel
+    * results (bounded by construction, not a corpus-wide single-partition
+    * window); channel top-100s are TakeOrdered.
+    */
+  private def q156(sess: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("s").desc, col("doc_id"))
+    // dense channel: everything with an embedding, except the query itself
+    val qv = Tables
+      .embeddings(sess, d)
+      .where(col("vec_id") === 42L)
+      .select(col("embedding").cast("array<double>"))
+      .head()
+      .getSeq[Double](0)
+    graft.functions.VectorExpressions.register(sess)
+    val dense = Tables
+      .embeddings(sess, d)
+      .where(col("vec_id") =!= 42L)
+      .select(
+        col("vec_id").as("doc_id"),
+        graft.functions.VectorExpressions
+          .cosineFast(col("embedding"), array(qv.map(lit): _*))
+          .as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("rd", row_number().over(w))
+      .select("doc_id", "rd")
+    // sparse channel: exact integer tf·tf_q over shared terms
+    val tf = docs(sess, d)
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val qt = tf
+      .where(col("doc_id") === 42L)
+      .select(col("term"), col("tf").as("qtf"))
+    val sparse = tf
+      .where(col("doc_id") =!= 42L)
+      .join(qt, "term") // query-doc term list: AQE broadcasts it
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("qtf")).as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("rs", row_number().over(w))
+      .select("doc_id", "rs")
+    dense
+      .join(sparse, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        (coalesce(lit(1.0) / (col("rd") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rs") + 60), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Per-group OLS regression (pandas `groupby().apply(lambda g:
     * np.polyfit(...))` — the grouped model-fit shape): slope/intercept
     * of value-cents on event_id per user, from EXACT integer sums
@@ -3423,6 +3489,7 @@ object SparkEntry {
     "q153_merge_upsert" -> (q153 _),
     "q154_pq_topk" -> (q154 _),
     "q155_ivfpq_topk" -> (q155 _),
+    "q156_hybrid_rrf" -> (q156 _),
     "q157_group_ols" -> (q157 _)
   )
 
@@ -4974,6 +5041,38 @@ object SparkEntry {
          SELECT user_id, n, slope_cents,
            (CAST(sy AS DOUBLE) - slope_cents * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS icept_cents
-         FROM m"""
+         FROM m""",
+    "q156_hybrid_rrf" ->
+      """WITH d AS (
+           SELECT vec_id AS doc_id,
+             list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings
+                WHERE vec_id = 42)) AS s
+           FROM embeddings WHERE vec_id <> 42),
+         dr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rd
+           FROM d QUALIFY rd <= 100),
+         tk AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+         qt AS (SELECT term, tf AS qtf FROM tf WHERE doc_id = 42),
+         sp AS (
+           SELECT tf.doc_id, CAST(sum(tf.tf * qt.qtf) AS BIGINT) AS s
+           FROM tf JOIN qt USING (term)
+           WHERE tf.doc_id <> 42 GROUP BY 1),
+         sr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rs
+           FROM sp QUALIFY rs <= 100)
+         SELECT COALESCE(dr.doc_id, sr.doc_id) AS doc_id,
+           COALESCE(CAST(1.0 AS DOUBLE) / (rd + 60), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / (rs + 60), 0.0) AS rrf
+         FROM dr FULL OUTER JOIN sr ON dr.doc_id = sr.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20"""
   )
 }
