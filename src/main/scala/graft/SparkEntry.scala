@@ -3330,6 +3330,41 @@ object SparkEntry {
       .select("user_id", "n", "slope_cents", "icept_cents")
   }
 
+  /** Customer revenue deciles — the TPC-H-flavored multi-join + rank +
+    * re-aggregation composition: lineitem ⋈ orders (the big shuffle
+    * pair) rolled up to customer revenue in exact cents·percent
+    * integers, decile from [[graft.ops.GlobalRank]] over the reduced
+    * customer frame (rk−1)·10 div n — integer arithmetic, no
+    * single-partition ntile window — then per-decile stats.
+    */
+  private def q158(sess: SparkSession, d: String): DataFrame = {
+    val li = Tables
+      .lineitem(sess, d)
+      .select(
+        col("l_orderkey"),
+        (centsOf(col("l_extendedprice")) *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("rev"))
+    val cust = li
+      .join(
+        Tables.orders(sess, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev")).as("rev"))
+    val n = cust.agg(count(lit(1)).as("__n"))
+    graft.ops.GlobalRank
+      .withGlobalRowNumber(
+        cust,
+        Seq(col("rev").desc, col("o_custkey").asc),
+        "rk")
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("(rk - 1) * 10 div __n") + 1)
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        (sum(col("rev")) / 10000.0).as("revenue"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3490,7 +3525,8 @@ object SparkEntry {
     "q154_pq_topk" -> (q154 _),
     "q155_ivfpq_topk" -> (q155 _),
     "q156_hybrid_rrf" -> (q156 _),
-    "q157_group_ols" -> (q157 _)
+    "q157_group_ols" -> (q157 _),
+    "q158_revenue_deciles" -> (q158 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5073,6 +5109,25 @@ object SparkEntry {
            COALESCE(CAST(1.0 AS DOUBLE) / (rd + 60), 0.0)
              + COALESCE(CAST(1.0 AS DOUBLE) / (rs + 60), 0.0) AS rrf
          FROM dr FULL OUTER JOIN sr ON dr.doc_id = sr.doc_id
-         ORDER BY rrf DESC, doc_id LIMIT 20"""
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "q158_revenue_deciles" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+           FROM lineitem),
+         cust AS (
+           SELECT o_custkey, CAST(sum(rev) AS BIGINT) AS rev
+           FROM li JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1),
+         r AS (
+           SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             count(*) OVER () AS n
+           FROM cust)
+         SELECT (rk - 1) * 10 // n + 1 AS decile,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           sum(rev) / 10000.0 AS revenue
+         FROM r GROUP BY 1"""
   )
 }

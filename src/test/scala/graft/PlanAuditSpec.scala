@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-surface plan hygiene: EVERY declared query's physical plan is
+  * swept for the classic scale-killers, with the deliberate exceptions
+  * named and justified inline. Individual PlanSpec tests pin specific
+  * plans; this sweep guarantees no FUTURE query quietly ships an
+  * accidental cross product or an unjustified global sort — adding one
+  * means consciously adding its name here with a reason.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Queries allowed a BroadcastNestedLoopJoin. Every entry is a join
+    * whose build side is a 1-row (or ≤k-row) AGGREGATE crossed onto the
+    * data (Spark plans a condition-less crossJoin(broadcast(oneRow)) as
+    * BNL; with one build row it is a map-side constant attach, not a
+    * pair explosion):
+    *  - q105_cross_merge — pandas merge(how="cross") itself: tiny×tiny.
+    *  - q33/q75 — corpus-size scalar (N docs / N tokens) joined onto
+    *    term stats.
+    *  - q128 — query-doc weight norm (1 row) onto candidate scores.
+    *  - q129/q134/q144 — global quantile/bin boundary rows onto values.
+    *  - q147/q158 — global count n (1 row) onto ranked frames.
+    */
+  private val allowNestedLoop: Set[String] = Set(
+    "q105_cross_merge",
+    "q33_tfidf",
+    "q75_surprisal",
+    "q128_sparse_topk",
+    "q129_qcut",
+    "q134_psi_drift",
+    "q144_quantile_drift",
+    "q147_spend_pct_rank",
+    "q158_revenue_deciles")
+
+  /** Queries allowed an `Exchange SinglePartition`. Two legitimate
+    * shapes, each bounded:
+    *  - GLOBAL AGGREGATES (1-row or k-row results): q02, q96, q99,
+    *    q106, q123, q127, q140 — the final single-partition combine of
+    *    a partial+final agg IS the answer's cardinality.
+    *  - windows/sorts over an ALREADY-REDUCED frame orders of magnitude
+    *    smaller than the corpus: q81 (per-user funnel flags), q129/q134/
+    *    q144 (quantile boundaries), q147/q158 (ranked per-user/customer
+    *    aggregates via GlobalRank's bounded boundary pass), q148 (day
+    *    axis), q128/q33/q75 (per-term/doc stats), q156 (channel
+    *    top-100s).
+    *  - q09_rolling — the deliberate pandas-verbatim twin of q30
+    *    (README scale-twins table; PlanSpec pins the pair).
+    */
+  private val allowSinglePartition: Set[String] = Set(
+    "q02_col_reduce",
+    "q09_rolling",
+    "q33_tfidf",
+    "q75_surprisal",
+    "q81_funnel",
+    "q96_mixture_weights",
+    "q99_corr_matrix",
+    "q106_approx_topk",
+    "q123_data_quality",
+    "q127_ab_lift",
+    "q128_sparse_topk",
+    "q129_qcut",
+    "q134_psi_drift",
+    "q140_chi2",
+    "q144_quantile_drift",
+    "q147_spend_pct_rank",
+    "q148_adoption_curve",
+    "q156_hybrid_rrf",
+    "q158_revenue_deciles")
+
+  private def planOf(name: String): String =
+    SparkEntry
+      .queries(name)(spark, TestSpark.sf)
+      .queryExecution
+      .executedPlan
+      .toString
+
+  test("no declared query ever plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      assert(!planOf(n).contains("CartesianProduct"), s"$n plans a cartesian")
+    }
+  }
+
+  test("nested-loop joins appear only with a justified 1-row build side") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val bnl = planOf(n).contains("BroadcastNestedLoop")
+      assert(
+        !bnl || allowNestedLoop(n),
+        s"$n plans an unjustified BroadcastNestedLoopJoin — add it to the " +
+          "allow-list WITH a bounded-build-side argument, or fix the join")
+      assert(
+        bnl || !allowNestedLoop(n) || n == "q105_cross_merge",
+        s"$n is allow-listed for BNL but no longer plans one — prune the list")
+    }
+  }
+
+  test("single-partition exchanges appear only in global aggs / reduced frames") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val sp = planOf(n).contains("Exchange SinglePartition")
+      assert(
+        !sp || allowSinglePartition(n),
+        s"$n plans an Exchange SinglePartition — if the frame is reduced " +
+          "or the result is a global aggregate, allow-list it with the " +
+          "argument; otherwise repartition or use GlobalRank")
+    }
+  }
+}
