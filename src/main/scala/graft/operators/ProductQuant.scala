@@ -45,29 +45,33 @@ object ProductQuant {
   /** Codebooks: [m][ksub][dim/m], driver-side plan constant. */
   type Codebooks = Array[Array[Array[Double]]]
 
-  private def l2normalize(v: Column): Column = {
-    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    transform(v, x => x / n)
-  }
-
   /** (id, array of m subvectors) — the shared projection for train and
     * encode. Normalization first: PQ approximates the metric it was
-    * trained in.
+    * trained in. One UDF with a tight primitive loop: the composable
+    * form (l2-normalize via `aggregate` + per-subspace `slice` inside a
+    * `transform`) re-evaluates interpreted higher-order lambdas per
+    * subspace per row — measured ~30× slower on the index build.
     */
+  private def subsUdf(m: Int) =
+    udf { (v: Seq[Double]) =>
+      var nsq = 0.0
+      var i = 0
+      while (i < v.length) { nsq += v(i) * v(i); i += 1 }
+      val n = math.sqrt(nsq)
+      val sub = v.length / m
+      Array.tabulate(m)(j => Array.tabulate(sub)(i => v(j * sub + i) / n))
+    }
+
   private def subvectors(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       m: Int,
-      carry: Seq[String] = Nil): DataFrame = {
-    val v = l2normalize(col(vecCol).cast("array<double>"))
+      carry: Seq[String] = Nil): DataFrame =
     df.select(
       (col(idCol).as("id") +:
-        transform(
-          sequence(lit(0), lit(m - 1)),
-          j => slice(v, j * (size(v) / m) + 1, size(v) / m)).as("subs") +:
+        subsUdf(m)(col(vecCol).cast("array<double>")).as("subs") +:
         carry.map(col)): _*)
-  }
 
   private def assignUdf(cb: Codebooks) =
     udf { (j: Int, sub: Seq[Double]) =>
@@ -105,8 +109,12 @@ object ProductQuant {
       iters: Int = 3): Codebooks = {
     require(m >= 1 && ksub >= 2, s"need m>=1, ksub>=2; got m=$m ksub=$ksub")
     require(ksub <= 256, s"codes pack into one byte: ksub<=256, got $ksub")
-    val subRows = subvectors(df, vecCol, idCol, m)
-      .select(col("id"), posexplode(col("subs")).as(Seq("j", "sub")))
+    // the (id, j, sub) training frame feeds the seed pass + every Lloyd
+    // round (2 jobs each) — materialize once instead of re-running the
+    // subvector projection per job
+    val subRows = graft.ops.Stage.materializeOnce(
+      subvectors(df, vecCol, idCol, m)
+        .select(col("id"), posexplode(col("subs")).as(Seq("j", "sub"))))
     // deterministic hash-sample seeds, ksub per subspace in one job
     val seedW = Window.partitionBy("j").orderBy(xxhash64(col("id")), col("id"))
     var cb: Codebooks = subRows

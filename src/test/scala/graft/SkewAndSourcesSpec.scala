@@ -69,4 +69,33 @@ class SkewAndSourcesSpec extends AnyFunSuite {
       back.collect().map(_.toSeq).sortBy(_.toString()).toSeq ===
         df.collect().map(_.toSeq).sortBy(_.toString()).toSeq)
   }
+
+  test("schema evolution: mergeSchema unions old and new parquet batches") {
+    import spark.implicits._
+    // a long-lived ingest dir accumulates batches whose schema widened
+    // mid-stream — the reader must union the fields, null-filling the
+    // column the old batch never had
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "name")
+      .write
+      .parquet(s"$dir/batch=0")
+    Seq((3L, "c", 0.5))
+      .toDF("id", "name", "score")
+      .write
+      .parquet(s"$dir/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(
+      merged.schema.fieldNames.toSet === Set("id", "name", "score", "batch"))
+    val rows = merged
+      .select("id", "score")
+      .as[(Long, Option[Double])]
+      .collect()
+      .toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    // without the hint, parquet serves ONE footer's schema — the
+    // documented default; evolution is an explicit reader choice
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= merged.columns.length)
+  }
 }
