@@ -3365,6 +3365,29 @@ object SparkEntry {
         (sum(col("rev")) / 10000.0).as("revenue"))
   }
 
+  /** Cardinality-validated join (pandas `merge(validate="many_to_one")`
+    * — [[graft.operators.ValidatedJoin]]): lineitem ⋈ orders with the
+    * orders side PROVEN unique per key by an in-plan assert_true guard
+    * (a violated assumption fails the job naming the key — no silent
+    * fanout), then order-priority stats in exact cents.
+    */
+  private def q159(sess: SparkSession, d: String): DataFrame =
+    graft.operators.ValidatedJoin
+      .join(
+        Tables
+          .lineitem(sess, d)
+          .select(
+            col("l_orderkey").as("o_orderkey"),
+            centsOf(col("l_extendedprice")).as("cents")),
+        Tables.orders(sess, d).select("o_orderkey", "o_orderpriority"),
+        Seq("o_orderkey"),
+        "inner",
+        "many_to_one")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(col("cents")) / 100.0).as("sum_base"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3526,7 +3549,8 @@ object SparkEntry {
     "q155_ivfpq_topk" -> (q155 _),
     "q156_hybrid_rrf" -> (q156 _),
     "q157_group_ols" -> (q157 _),
-    "q158_revenue_deciles" -> (q158 _)
+    "q158_revenue_deciles" -> (q158 _),
+    "q159_validated_join" -> (q159 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5128,6 +5152,13 @@ object SparkEntry {
          SELECT (rk - 1) * 10 // n + 1 AS decile,
            CAST(count(*) AS BIGINT) AS n_cust,
            sum(rev) / 10000.0 AS revenue
-         FROM r GROUP BY 1"""
+         FROM r GROUP BY 1""",
+    "q159_validated_join" ->
+      """SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_base
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1"""
   )
 }

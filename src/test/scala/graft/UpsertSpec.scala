@@ -71,4 +71,32 @@ class UpsertSpec extends AnyFunSuite {
       Upsert.merge(snap, bad, Seq("k"), "version", "deleted")
     }
   }
+
+  test("validated join: clean keys pass, planted dup fails naming the key") {
+    import graft.operators.ValidatedJoin
+    val left = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "l")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "r")
+    val ok = ValidatedJoin
+      .join(left, right, Seq("k"), "inner", "many_to_one")
+      .as[(Long, String, Double)]
+      .collect()
+      .toSet
+    assert(ok === Set((1L, "x", 10.0), (1L, "y", 10.0), (2L, "z", 20.0)))
+
+    val dupRight = right.union(Seq((1L, 99.0)).toDF("k", "r"))
+    val e = intercept[Exception] {
+      ValidatedJoin
+        .join(left, dupRight, Seq("k"), "inner", "many_to_one")
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate key"))
+    // one_to_one additionally rejects the left side's duplicate
+    val e2 = intercept[Exception] {
+      ValidatedJoin.join(left, right, Seq("k"), "inner", "one_to_one").collect()
+    }
+    assert(e2.getMessage.contains("left side has duplicate"))
+    intercept[IllegalArgumentException] {
+      ValidatedJoin.join(left, right, Seq("k"), "inner", "one_to_n")
+    }
+  }
 }
