@@ -103,11 +103,20 @@ object EventStream {
     * hash-partitioned on user_id: the same one-exchange-per-side shape
     * as the batch join at any cluster size.
     */
+  /** @param joinType `inner` (matched pairs only) or `leftOuter` —
+    *   the conversion-funnel shape: EVERY click emits, unconverted ones
+    *   with a null purchase once the watermark proves no purchase can
+    *   still arrive inside the window (Spark holds the left row in
+    *   state until event-time passes click_time + window + watermark,
+    *   then emits the null match — outer results are late by exactly
+    *   the watermark, the documented trade).
+    */
   def attributionJoin(
       clicks: DataFrame,
       purchases: DataFrame,
       windowMin: Int = 30,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     def side(df: DataFrame) = {
       val t = withEventTime(df)
       if (t.isStreaming) t.withWatermark("event_time", watermark) else t
@@ -124,7 +133,8 @@ object EventStream {
         p,
         expr(s"""c_user = p_user
                  AND purchase_time >= click_time
-                 AND purchase_time <= click_time + interval $windowMin minutes"""))
+                 AND purchase_time <= click_time + interval $windowMin minutes"""),
+        joinType)
       .select(
         col("c_user").as("user_id"),
         col("click_id"),

@@ -290,6 +290,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unconverted clicks as nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ns(min: Long) = min * 60L * 1000000000L // minutes → epoch nanos
+
+    val clicks = MemoryStream[(Long, Long)] // (event_id, ts)
+    val purchases = MemoryStream[(Long, Long)]
+    def shaped(s: MemoryStream[(Long, Long)], user: org.apache.spark.sql.Column) =
+      s.toDS().toDF("event_id", "ts").withColumn("user_id", user)
+
+    val joined = EventStream.attributionJoin(
+      shaped(clicks, col("event_id") % 10),
+      shaped(purchases, col("event_id") % 10),
+      windowMin = 30,
+      watermark = "1 hour",
+      joinType = "leftOuter")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_outer_join_test")
+      .start()
+    try {
+      // click 11 (user 1) converts; click 12 (user 2) never does
+      clicks.addData((11L, ns(600)), (12L, ns(600)))
+      purchases.addData((21L, ns(610))) // user 1, 10 min after the click
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks past click_time + window + wm so
+      // the unmatched click's state is provably complete and the null
+      // match is released (outer results are late by the watermark)
+      clicks.addData((998L, ns(800)))
+      purchases.addData((999L, ns(800)))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("SELECT user_id, click_id, purchase_id FROM graft_outer_join_test")
+        .as[(Long, Long, Option[Long])]
+        .collect()
+        .toSet
+      assert(rows.contains((1L, 11L, Some(21L))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, 12L, None)), s"outer null row missing: $rows")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization agrees with the batch form") {
     import spark.implicits._
     import graft.operators.Sessionize
