@@ -3388,6 +3388,20 @@ object SparkEntry {
         count(lit(1)).as("n_items"),
         (sum(col("cents")) / 100.0).as("sum_base"))
 
+  /** pandas `groupby().filter()` ([[graft.ops.GroupApply.filterGroups]]):
+    * events of users whose exact-cents total spend exceeds the group
+    * median's ballpark — whole groups kept or dropped by a group-level
+    * predicate, member rows returned.
+    */
+  private def q160(sess: SparkSession, d: String): DataFrame =
+    graft.ops.GroupApply
+      .filterGroups(
+        Tables.events(sess, d).select("user_id", "event_id", "value"),
+        Seq("user_id"))(
+        sum(centsOf(col("value"))),
+        _ > 330000L)
+      .select("user_id", "event_id", "value")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3550,7 +3564,8 @@ object SparkEntry {
     "q156_hybrid_rrf" -> (q156 _),
     "q157_group_ols" -> (q157 _),
     "q158_revenue_deciles" -> (q158 _),
-    "q159_validated_join" -> (q159 _)
+    "q159_validated_join" -> (q159 _),
+    "q160_group_filter" -> (q160 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5159,6 +5174,11 @@ object SparkEntry {
            sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
              AS sum_base
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q160_group_filter" ->
+      """SELECT user_id, event_id, value FROM events
+         WHERE user_id IN (
+           SELECT user_id FROM events GROUP BY 1
+           HAVING sum(CAST(round(value * 100) AS BIGINT)) > 330000)"""
   )
 }

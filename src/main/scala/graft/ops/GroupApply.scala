@@ -36,6 +36,27 @@ object GroupApply {
     df.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** pandas `groupby(keys).filter(pred)` — keep the MEMBER ROWS of every
+    * group whose aggregate satisfies `pred` (reference-adjacent O5
+    * surface: the group-level predicate that pandas evaluates with a
+    * per-group lambda). Shape: one partial+final aggregation reduces the
+    * data to per-group rows, the predicate filters THAT tiny frame, and
+    * a semi-join carries the verdict back — the qualifying-key relation
+    * is group-cardinality-sized, so AQE broadcasts it and the data side
+    * is filtered in place, never shuffled.
+    */
+  def filterGroups(
+      df: DataFrame,
+      keys: Seq[String])(agg: Column, pred: Column => Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = df
+      .groupBy(keys.map(col): _*)
+      .agg(agg.as("__agg"))
+      .where(pred(col("__agg")))
+      .select(keys.map(col): _*)
+    df.join(keep, keys, "leftsemi")
+  }
+
   /** Black-box group UDF, one output row per group. Counter ticks once
     * per GROUP — the reference's per-group accounting for grouped
     * operators (rolling_groupby.py:71-74: progress unit = dealt group).

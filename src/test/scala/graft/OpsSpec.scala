@@ -152,6 +152,28 @@ class OpsSpec extends AnyFunSuite {
     assert(counter.value === 3L) // per-group accounting
   }
 
+  test("filterGroups keeps whole groups by predicate, any partitioning") {
+    // pandas groupby().filter(): member rows of qualifying groups only
+    val df = Seq(
+      (1L, 10.0), (1L, 20.0), // sum 30 → kept
+      (2L, 5.0), (2L, 4.0), // sum 9 → dropped
+      (3L, 31.0)) // sum 31 → kept
+      .toDF("k", "v")
+    for (parts <- Seq(1, 6)) {
+      val got = GroupApply
+        .filterGroups(df.repartition(parts), Seq("k"))(sum(col("v")), _ > 10.0)
+        .as[(Long, Double)]
+        .collect()
+        .toSet
+      assert(got === Set((1L, 10.0), (1L, 20.0), (3L, 31.0)), s"parts=$parts")
+    }
+    // a predicate nothing satisfies: empty result, not an error
+    val none = GroupApply
+      .filterGroups(df, Seq("k"))(sum(col("v")), _ > 1e9)
+      .count()
+    assert(none === 0L)
+  }
+
   test("user exception class survives Spark wrapping") {
     import graft.errors.Propagation
     final class BoomException(msg: String) extends RuntimeException(msg)
