@@ -128,6 +128,12 @@ object Pandarallel {
     /** O5, aggregate-expression shape — partial+final hash aggregate. */
     def apply(aggs: Column*): DataFrame = GroupApply.agg(df, keys)(aggs: _*)
 
+    /** pandas `groupby(keys).filter(pred)` — member rows of groups whose
+      * aggregate satisfies the predicate ([[GroupApply.filterGroups]]).
+      */
+    def filter(agg: Column)(pred: Column => Column): DataFrame =
+      GroupApply.filterGroups(df, keys)(agg, pred)
+
     /** O5, black-box group function, many rows out per group
       * (dataframe_groupby.py:24-40 generalized).
       */

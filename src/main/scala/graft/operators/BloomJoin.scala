@@ -40,7 +40,13 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    // stat.bloomFilter NPEs on a zero-row build side (the sketch
+    // aggregate returns null bytes); an empty key set means an empty
+    // filter — the quiet-period batch must not crash the join
+    val bf =
+      if (small.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     // the UDF is only a PRUNE (cheap, stage-local, no exchange); rows it
     // keeps still pass through the exact semi-join below, so a udf here

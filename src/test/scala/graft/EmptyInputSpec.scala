@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BloomJoin, Dedup, HeavyHitters, Upsert}
+import graft.ops.GroupApply
+
+/** Degenerate-input behavior: every operator must return an EMPTY (or
+  * identity) result on empty input — never throw. An hourly pipeline's
+  * quiet-period batch is empty; an operator that crashes on it pages
+  * someone at 3am.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def noKV = Seq.empty[(Long, Double)].toDF("k", "v")
+
+  test("dedup family: empty corpus in, empty out") {
+    assert(Dedup.exact(noDocs, "text", "doc_id").count() === 0)
+    assert(
+      Dedup.duplicatedNgramFraction(noDocs, "doc_id", "text", 5).count() === 0)
+    assert(
+      Dedup
+        .minHashNearDup(noDocs, "text", "doc_id")
+        .count() === 0)
+    assert(
+      Dedup
+        .resolveComponents(
+          Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+        .count() === 0)
+  }
+
+  test("heavy hitters: empty stream has no hitters") {
+    assert(
+      HeavyHitters
+        .exactHeavyHitters(noKV, "k", 1, 100, k = 256)
+        .count() === 0)
+    assert(HeavyHitters.approxTopK(noKV, "k").count() === 0)
+  }
+
+  test("joins and merge: empty sides behave as identities") {
+    val data = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    // empty small side: bloom semi-join keeps nothing
+    assert(
+      BloomJoin
+        .bloomPrunedSemiJoin(data, "k", noKV.select(col("k").as("sk")), "sk",
+          expectedItems = 8)
+        .count() === 0)
+    // empty big side: nothing to keep
+    assert(
+      BloomJoin
+        .bloomPrunedSemiJoin(noKV, "k", data.select(col("k").as("sk")), "sk",
+          expectedItems = 8)
+        .count() === 0)
+    // empty change batch: merge returns the snapshot unchanged
+    val empt = Seq.empty[(Long, Double, Long, Boolean)]
+      .toDF("k", "v", "version", "deleted")
+    val merged = Upsert
+      .merge(data, empt, Seq("k"), "version", "deleted")
+      .as[(Long, Double)]
+      .collect()
+      .toSet
+    assert(merged === Set((1L, 2.0), (2L, 3.0)))
+  }
+
+  test("group filter on empty input is empty, not an error") {
+    assert(
+      GroupApply
+        .filterGroups(noKV, Seq("k"))(sum(col("v")), _ > 0.0)
+        .count() === 0)
+  }
+}
