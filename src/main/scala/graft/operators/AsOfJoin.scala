@@ -92,8 +92,8 @@ object AsOfJoin {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val unioned = lTagged
-      .select(rTagged.columns.map(col): _*)
-      .unionByName(rTagged.select(rTagged.columns.map(col): _*))
+      .select(rTagged.columns.toIndexedSeq.map(col): _*)
+      .unionByName(rTagged.select(rTagged.columns.toIndexedSeq.map(col): _*))
       .withColumn(
         "__c",
         when(

@@ -156,7 +156,7 @@ object Similarity {
     val qSigVal: Long = df.sparkSession
       .range(1)
       .select(VectorFunctions.hyperplaneSignature(vecLit(query), nBits))
-      .head
+      .head()
       .getLong(0)
     val qBands = array((0 until bands).map { b =>
       lit(((qSigVal >> (b * bandBits)) & mask) | (b.toLong << bandBits))
@@ -308,7 +308,7 @@ object Similarity {
     val qSig: Long = spark
       .range(1)
       .select(VectorFunctions.hyperplaneSignature(vecLit(query), nBits))
-      .head
+      .head()
       .getLong(0)
     val pred = (0 until bands)
       .map { b =>
@@ -604,7 +604,7 @@ object Similarity {
     // returns an array slot, mapped back to the real cluster id
     val ids = byCluster.keys.toArray.sorted
     val arrs = ids.map(byCluster)
-    val idLits = array(ids.map(i => lit(i)): _*)
+    val idLits = array(ids.toIndexedSeq.map(i => lit(i)): _*)
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),

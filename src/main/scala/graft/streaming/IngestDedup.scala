@@ -113,7 +113,7 @@ object IngestDedup {
     val staging = new Path(root, s"_staging/compact-$maxId")
     fs.delete(staging, true)
     spark.read
-      .parquet(batchDirs.map(_.toString): _*)
+      .parquet(batchDirs.toIndexedSeq.map(_.toString): _*)
       .groupBy("fp")
       .agg(min(col("id")).as("id"))
       .select("fp", "id")
