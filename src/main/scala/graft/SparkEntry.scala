@@ -3402,6 +3402,28 @@ object SparkEntry {
         _ > 330000L)
       .select("user_id", "event_id", "value")
 
+  /** Native `session_window` gap sessionization — the built-in twin of
+    * q26's hand-rolled gaps-and-islands ([[graft.operators.Sessionize
+    * .batch]]): Catalyst's SessionWindow aggregate merges events closer
+    * than the gap in ONE partial+final aggregation (no lag window, no
+    * running-sum pass), exactly the "compose built-ins first" ladder
+    * rung. Session end = last event + gap (Spark's session semantics,
+    * mirrored in the oracle); timestamps carried as exact micros longs.
+    */
+  private def q161(sess: SparkSession, d: String): DataFrame =
+    Tables
+      .events(sess, d)
+      .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      .groupBy(
+        col("user_id"),
+        session_window(col("et"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("s_start"),
+        unix_micros(col("sw.end")).as("s_end"),
+        col("n"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3565,7 +3587,8 @@ object SparkEntry {
     "q157_group_ols" -> (q157 _),
     "q158_revenue_deciles" -> (q158 _),
     "q159_validated_join" -> (q159 _),
-    "q160_group_filter" -> (q160 _)
+    "q160_group_filter" -> (q160 _),
+    "q161_session_window" -> (q161 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5179,6 +5202,24 @@ object SparkEntry {
       """SELECT user_id, event_id, value FROM events
          WHERE user_id IN (
            SELECT user_id FROM events GROUP BY 1
-           HAVING sum(CAST(round(value * 100) AS BIGINT)) > 330000)"""
+           HAVING sum(CAST(round(value * 100) AS BIGINT)) > 330000)""",
+    "q161_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events),
+         b AS (
+           SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+               >= 600000000 THEN 1 ELSE 0 END AS brk
+           FROM e),
+         s AS (
+           SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b)
+         SELECT user_id,
+           min(t) AS s_start,
+           max(t) + 600000000 AS s_end,
+           CAST(count(*) AS BIGINT) AS n
+         FROM s GROUP BY user_id, sid"""
   )
 }
