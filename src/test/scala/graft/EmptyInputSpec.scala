@@ -72,4 +72,29 @@ class EmptyInputSpec extends AnyFunSuite {
         .filterGroups(noKV, Seq("k"))(sum(col("v")), _ > 0.0)
         .count() === 0)
   }
+
+  test("all-null value column: aggregates null out, dedup treats null text as empty") {
+    val nulls = Seq[(Long, Option[Double])]((1L, None), (1L, None), (2L, None))
+      .toDF("k", "v")
+    // sum/min/max of an all-null group are null (SQL semantics), count is 0
+    val agg = nulls
+      .groupBy("k")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("s"))
+      .as[(Long, Long, Option[Double])]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(agg(1L) === ((0L, None)) && agg(2L) === ((0L, None)))
+    // null text rows: the hitters guard drops null keys, exact dedup
+    // normalizes null text like empty text — neither throws
+    val nullDocs = Seq[(Long, String)]((1L, null), (2L, "x"), (3L, null))
+      .toDF("doc_id", "text")
+    assert(Dedup.exact(nullDocs, "text", "doc_id").count() >= 1)
+    assert(
+      HeavyHitters
+        .exactHeavyHitters(
+          Seq[Option[Long]](None, None, Some(7L)).toDF("k"),
+          "k", 1, 2, k = 16)
+        .count() <= 1)
+  }
 }
