@@ -3424,6 +3424,26 @@ object SparkEntry {
         unix_micros(col("sw.end")).as("s_end"),
         col("n"))
 
+  /** pandas `pd.factorize` — integer codes by FIRST APPEARANCE order
+    * (stream order = event_id), distinct from q135's ngroup (key-sort
+    * order) and q102's recode (explicit mapping). One tiny
+    * distinct-key aggregation, GlobalRank over it, broadcast join back
+    * — the data side never shuffles.
+    */
+  private def q162(sess: SparkSession, d: String): DataFrame = {
+    val first = Tables
+      .events(sess, d)
+      .groupBy("event_type")
+      .agg(min(col("event_id")).as("first_id"))
+    val codes = graft.ops.GlobalRank
+      .withGlobalRowNumber(first, Seq(col("first_id").asc), "rk")
+      .select(col("event_type"), (col("rk") - 1).as("code"))
+    Tables
+      .events(sess, d)
+      .join(broadcast(codes), "event_type")
+      .select("event_id", "event_type", "code")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3588,7 +3608,8 @@ object SparkEntry {
     "q158_revenue_deciles" -> (q158 _),
     "q159_validated_join" -> (q159 _),
     "q160_group_filter" -> (q160 _),
-    "q161_session_window" -> (q161 _)
+    "q161_session_window" -> (q161 _),
+    "q162_factorize" -> (q162 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5220,6 +5241,15 @@ object SparkEntry {
            min(t) AS s_start,
            max(t) + 600000000 AS s_end,
            CAST(count(*) AS BIGINT) AS n
-         FROM s GROUP BY user_id, sid"""
+         FROM s GROUP BY user_id, sid""",
+    "q162_factorize" ->
+      """WITH f AS (
+           SELECT event_type, min(event_id) AS fid FROM events GROUP BY 1),
+         c AS (
+           SELECT event_type,
+             CAST(row_number() OVER (ORDER BY fid) - 1 AS BIGINT) AS code
+           FROM f)
+         SELECT e.event_id, e.event_type, c.code
+         FROM events e JOIN c USING (event_type)"""
   )
 }
