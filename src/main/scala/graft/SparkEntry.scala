@@ -3444,6 +3444,42 @@ object SparkEntry {
       .select("event_id", "event_type", "code")
   }
 
+  /** pandas `pd.merge_ordered(fill_method="ffill")` — ordered full merge
+    * of two keyed series (views × purchases per user, ordered by
+    * event_id) with each side's value forward-filled across the union.
+    * The as-of union shape (q25's rationale): ONE hash exchange on the
+    * key + per-partition sort; `last(_, ignoreNulls)` over the
+    * unbounded-preceding frame carries each side across the other's
+    * rows. Values pass through untouched — no cross-engine arithmetic.
+    */
+  private def q163(sess: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(sess, d)
+    def side(t: String) = ev
+      .where(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val unioned = side("view")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("value").as("v_view"),
+        lit(null).cast("double").as("v_purchase"))
+      .unionByName(
+        side("purchase").select(
+          col("user_id"),
+          col("event_id"),
+          lit(null).cast("double").as("v_view"),
+          col("value").as("v_purchase")))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("v_view", last(col("v_view"), ignoreNulls = true).over(w))
+      .withColumn(
+        "v_purchase",
+        last(col("v_purchase"), ignoreNulls = true).over(w))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3609,7 +3645,8 @@ object SparkEntry {
     "q159_validated_join" -> (q159 _),
     "q160_group_filter" -> (q160 _),
     "q161_session_window" -> (q161 _),
-    "q162_factorize" -> (q162 _)
+    "q162_factorize" -> (q162 _),
+    "q163_merge_ordered" -> (q163 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5250,6 +5287,20 @@ object SparkEntry {
              CAST(row_number() OVER (ORDER BY fid) - 1 AS BIGINT) AS code
            FROM f)
          SELECT e.event_id, e.event_type, c.code
-         FROM events e JOIN c USING (event_type)"""
+         FROM events e JOIN c USING (event_type)""",
+    "q163_merge_ordered" ->
+      """WITH u AS (
+           SELECT user_id, event_id, value AS v_view,
+             CAST(NULL AS DOUBLE) AS v_purchase
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, event_id, CAST(NULL AS DOUBLE), value
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id, event_id,
+           last_value(v_view IGNORE NULLS) OVER w AS v_view,
+           last_value(v_purchase IGNORE NULLS) OVER w AS v_purchase
+         FROM u
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
   )
 }
