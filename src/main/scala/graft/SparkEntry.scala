@@ -3480,6 +3480,31 @@ object SparkEntry {
         last(col("v_purchase"), ignoreNulls = true).over(w))
   }
 
+  /** Per-user behavior drift via array set algebra: event types retained
+    * / new / churned between the first and second half of the stream
+    * (split at the global max event_id ÷ 2 — one broadcast row).
+    * `collect_set` + `array_intersect`/`array_except` keep the whole
+    * set computation inside ONE aggregation pass — no per-half
+    * re-aggregation, no self-join of the data side.
+    */
+  private def q164(sess: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(sess, d)
+    val mid = ev.agg(expr("max(event_id) div 2").as("__h"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        collect_set(when(col("event_id") <= col("__h"), col("event_type")))
+          .as("a"),
+        collect_set(when(col("event_id") > col("__h"), col("event_type")))
+          .as("b"))
+      .select(
+        col("user_id"),
+        size(array_intersect(col("a"), col("b"))).cast("long")
+          .as("n_retained"),
+        size(array_except(col("b"), col("a"))).cast("long").as("n_new"),
+        size(array_except(col("a"), col("b"))).cast("long").as("n_churned"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3646,7 +3671,8 @@ object SparkEntry {
     "q160_group_filter" -> (q160 _),
     "q161_session_window" -> (q161 _),
     "q162_factorize" -> (q162 _),
-    "q163_merge_ordered" -> (q163 _)
+    "q163_merge_ordered" -> (q163 _),
+    "q164_type_drift" -> (q164 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5301,6 +5327,25 @@ object SparkEntry {
            last_value(v_purchase IGNORE NULLS) OVER w AS v_purchase
          FROM u
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q164_type_drift" ->
+      """WITH m AS (SELECT max(event_id) // 2 AS h FROM events),
+         a AS (SELECT DISTINCT user_id, event_type
+               FROM events, m WHERE event_id <= h),
+         b AS (SELECT DISTINCT user_id, event_type
+               FROM events, m WHERE event_id > h),
+         j AS (
+           SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             a.event_type AS ta, b.event_type AS tb
+           FROM a FULL OUTER JOIN b
+             ON a.user_id = b.user_id AND a.event_type = b.event_type)
+         SELECT user_id,
+           CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN tb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned
+         FROM j GROUP BY 1"""
   )
 }
