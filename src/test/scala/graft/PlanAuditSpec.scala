@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q128 — query-doc weight norm (1 row) onto candidate scores.
     *  - q129/q134/q144 — global quantile/bin boundary rows onto values.
     *  - q147/q158 — global count n (1 row) onto ranked frames.
+    *  - q164 — global max-event-id midpoint (1 row) onto the stream.
     */
   private val allowNestedLoop: Set[String] = Set(
     "q105_cross_merge",
@@ -33,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q134_psi_drift",
     "q144_quantile_drift",
     "q147_spend_pct_rank",
-    "q158_revenue_deciles")
+    "q158_revenue_deciles",
+    "q164_type_drift")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
@@ -68,7 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q147_spend_pct_rank",
     "q148_adoption_curve",
     "q156_hybrid_rrf",
-    "q158_revenue_deciles")
+    "q158_revenue_deciles",
+    "q164_type_drift") // global 1-row max-midpoint aggregate
 
   private def planOf(name: String): String =
     SparkEntry
