@@ -3505,6 +3505,22 @@ object SparkEntry {
         size(array_except(col("a"), col("b"))).cast("long").as("n_churned"))
   }
 
+  /** Near-dup dedup END-TO-END: q16's exact-Jaccard pairs →
+    * [[graft.operators.Dedup.resolveComponents]] (q56) →
+    * [[graft.operators.Dedup.dedupByComponents]] — the surviving corpus
+    * after transitive near-dup groups each keep one canonical member.
+    * The step q56 stops short of: this is the table a training run
+    * actually reads. LEFT ANTI on the (small) drop-list; the corpus
+    * side never shuffles more than its join keys.
+    */
+  private def q165(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .dedupByComponents(
+        Tables.documents(sess, d).select("doc_id", "source"),
+        "doc_id",
+        graft.operators.Dedup.resolveComponents(q16(sess, d)))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3672,7 +3688,8 @@ object SparkEntry {
     "q161_session_window" -> (q161 _),
     "q162_factorize" -> (q162 _),
     "q163_merge_ordered" -> (q163 _),
-    "q164_type_drift" -> (q164 _)
+    "q164_type_drift" -> (q164 _),
+    "q165_dedup_survivors" -> (q165 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5346,6 +5363,39 @@ object SparkEntry {
              AS n_new,
            CAST(sum(CASE WHEN tb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_churned
-         FROM j GROUP BY 1"""
+         FROM j GROUP BY 1""",
+    "q165_dedup_survivors" ->
+      """WITH RECURSIVE norm AS (
+           SELECT doc_id, n_chars,
+                  lower(regexp_replace(trim(text),'\\s+',' ','g')) AS t
+           FROM documents
+         ), sz AS (
+           SELECT n_chars AS blk FROM documents
+           GROUP BY 1 HAVING count(*) <= 256
+         ), p AS (
+           SELECT doc_id,
+                  n_chars AS blk,
+                  list_distinct([t[i:i+2] for i in range(1, len(t)-1)]) AS sh
+           FROM norm
+           WHERE n_chars IN (SELECT blk FROM sz)
+         ), pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) > 0.2
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs
+         ), reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         ), comp AS (
+           SELECT id, min(r) AS component FROM reach GROUP BY id
+         )
+         SELECT d.doc_id, d.source FROM documents d
+         WHERE d.doc_id NOT IN
+           (SELECT id FROM comp WHERE id <> component)"""
   )
 }
