@@ -126,8 +126,12 @@ object HeavyHitters {
       s"capacity $k cannot certify support $supportNum/$supportDen: " +
         "need (k+1)*supportNum > supportDen for the MG superset guarantee")
     val key = col(keyCol).cast("string")
+    // n = count(*) — INCLUDING null keys — so the support threshold
+    // matches the SQL `GROUP BY key HAVING count(*) >= n*support` form
+    // on data with null keys. (MG only tracks non-null keys; a larger N
+    // only strengthens the superset guarantee, never weakens it.)
     val row = df
-      .agg(mgSummary(key, k).as("mg"), count(key).as("n"))
+      .agg(mgSummary(key, k).as("mg"), count(lit(1)).as("n"))
       .select(map_keys(col("mg.counters")).as("cands"), col("n"))
       .collect()(0)
     val cands = row.getSeq[String](0)

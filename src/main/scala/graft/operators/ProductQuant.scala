@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions
@@ -54,10 +55,17 @@ object ProductQuant {
     */
   private def subsUdf(m: Int) =
     udf { (v: Seq[Double]) =>
+      require(
+        v.length % m == 0,
+        s"PQ needs dim divisible by m: dim=${v.length}, m=$m " +
+          "(trailing dimensions would be silently dropped)")
       var nsq = 0.0
       var i = 0
       while (i < v.length) { nsq += v(i) * v(i); i += 1 }
-      val n = math.sqrt(nsq)
+      // zero-norm guard: an all-zero vector has no direction; it encodes
+      // as the all-zero subvectors (assigned to whatever centroid is
+      // nearest the origin) instead of poisoning codebooks with NaN
+      val n = { val s = math.sqrt(nsq); if (s == 0.0) 1.0 else s }
       val sub = v.length / m
       Array.tabulate(m)(j => Array.tabulate(sub)(i => v(j * sub + i) / n))
     }
@@ -90,15 +98,55 @@ object ProductQuant {
       best
     }
 
+  /** Aggregation buffer for the seed pass: the ≤k smallest candidates
+    * seen so far, kept sorted by (hash, tie). A case class so the
+    * product encoder serializes it without Kryo.
+    */
+  case class SeedCand(h: Long, tie: String, sub: Seq[Double])
+  case class SeedBuf(rows: Seq[SeedCand])
+
+  /** Bounded k-smallest-by-(hash, tie) aggregator — TakeOrdered
+    * semantics as a partial+final aggregation, so the seed pass's
+    * exchange carries at most k candidates PER SUBSPACE PER MAP
+    * PARTITION (O(m·ksub) rows total) instead of landing every corpus
+    * subvector of a subspace in one task for a full sort. The common
+    * case (buffer full, candidate not smaller than the current worst)
+    * is a constant-time skip.
+    */
+  final class KSmallestSeeds(k: Int)
+      extends Aggregator[SeedCand, SeedBuf, Seq[SeedCand]] {
+    private def key(r: SeedCand): (Long, String) = (r.h, r.tie)
+    private val ord = Ordering.Tuple2[Long, String]
+
+    override def zero: SeedBuf = SeedBuf(Nil)
+
+    override def reduce(b: SeedBuf, a: SeedCand): SeedBuf =
+      if (b.rows.size >= k && ord.lteq(key(b.rows.last), key(a))) b
+      else SeedBuf((b.rows :+ a).sortBy(key).take(k))
+
+    override def merge(a: SeedBuf, b: SeedBuf): SeedBuf =
+      SeedBuf((a.rows ++ b.rows).sortBy(key).take(k))
+
+    override def finish(r: SeedBuf): Seq[SeedCand] = r.rows
+
+    override def bufferEncoder: Encoder[SeedBuf] = ExpressionEncoder[SeedBuf]()
+
+    override def outputEncoder: Encoder[Seq[SeedCand]] =
+      ExpressionEncoder[Seq[SeedCand]]()
+  }
+
   /** Train m codebooks of ksub centroids each. Deterministic: seeds are
     * the ksub subvectors with the smallest xxhash64(id) per subspace
-    * (no RNG); empty clusters keep their previous centroid; ties in
-    * assignment go to the lowest code. (Centroid re-averaging sums
-    * doubles in partition order, so codebooks are reproducible up to
-    * ~1e-16 summation noise — like [[Similarity.kmeansAssign]].) All m
-    * subspaces train in the same jobs — per round: one narrow
-    * assignment pass + ONE (subspace, cluster, pos) aggregation
-    * exchange.
+    * (no RNG; id stringified for the tie-break — only reachable on a
+    * 64-bit hash collision); empty clusters keep their previous
+    * centroid; ties in assignment go to the lowest code. (Centroid
+    * re-averaging sums doubles in partition order, so codebooks are
+    * reproducible up to ~1e-16 summation noise — like
+    * [[Similarity.kmeansAssign]].) All m subspaces train in the same
+    * jobs — per round: one narrow assignment pass + ONE
+    * (subspace, cluster, pos) aggregation exchange. The seed pass is a
+    * bounded [[KSmallestSeeds]] aggregation — every exchange in
+    * training is O(m·ksub)-bounded per partition.
     */
   def pqTrain(
       df: DataFrame,
@@ -115,20 +163,21 @@ object ProductQuant {
     val subRows = graft.ops.Stage.materializeOnce(
       subvectors(df, vecCol, idCol, m)
         .select(col("id"), posexplode(col("subs")).as(Seq("j", "sub"))))
-    // deterministic hash-sample seeds, ksub per subspace in one job
-    val seedW = Window.partitionBy("j").orderBy(xxhash64(col("id")), col("id"))
+    // deterministic hash-sample seeds, ksub per subspace in one job —
+    // a bounded partial+final aggregation (exchange ≤ m·ksub rows per
+    // map partition), never a per-subspace global sort
+    val seedAgg = udaf(new KSmallestSeeds(ksub), ExpressionEncoder[SeedCand]())
     var cb: Codebooks = subRows
-      .withColumn("__rn", row_number().over(seedW))
-      .where(col("__rn") <= ksub)
-      .select(col("j"), (col("__rn") - 1).as("c"), col("sub"))
+      .groupBy("j")
+      .agg(
+        seedAgg(xxhash64(col("id")), col("id").cast("string"), col("sub"))
+          .as("seeds"))
       .collect()
-      .groupBy(_.getInt(0))
-      .toSeq
-      .sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
-      }
-      .toArray
+      .sortBy(_.getInt(0))
+      .map(
+        _.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getSeq[Double](2).toArray)
+          .toArray)
     for (_ <- 1 to iters) {
       val assigned =
         subRows.withColumn("c", assignUdf(cb)(col("j"), col("sub")))

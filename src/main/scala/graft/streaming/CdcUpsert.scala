@@ -18,9 +18,14 @@ import graft.operators.Upsert
   * COMMIT PROTOCOL: each batch merges the CURRENT committed snapshot
   * with its changes and writes the NEXT snapshot to a hidden staging
   * directory (`_staging/snap-<id>`, invisible to Spark's file listing),
-  * then publishes it with ONE directory rename to `snap=<id>`. Replay
-  * of a committed id finds the target and is a no-op; a crash before
-  * the rename leaves staging garbage the retry deletes first. Readers
+  * then publishes it with a directory rename to `snap=<id>` followed by
+  * a zero-byte commit marker ([[SnapshotCommit]] — "committed" means
+  * marker present, NOT directory present, so the protocol survives
+  * object stores where rename is copy+delete and a crash can leave a
+  * partial target). Replay of a committed id finds the marker and is a
+  * no-op; a crash before the marker leaves a partial target the retry
+  * deletes and rebuilds; a crash before the rename leaves staging
+  * garbage the retry deletes first. Readers
   * always see the highest committed `snap=<id>` — a complete,
   * consistent table version (the layout doubles as time travel:
   * "state as of batch N" is a directory pick). Old snapshots accumulate
@@ -50,7 +55,9 @@ object CdcUpsert {
     val root = new Path(snapshotPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(root, s"snap=$batchId")
-    if (fs.exists(target)) return // committed on a previous attempt
+    // committed on a previous attempt; an UNMARKED existing target is a
+    // crashed partial publish and is rebuilt (SnapshotCommit.publish)
+    if (SnapshotCommit.isCommitted(fs, target)) return
     val staging = new Path(root, s"_staging/snap-$batchId")
     fs.delete(staging, true) // clear a crashed partial attempt
     val template = changes.drop(versionCol, deleteCol).limit(0)
@@ -60,9 +67,7 @@ object CdcUpsert {
       .write
       .mode("overwrite")
       .parquet(staging.toString)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(
-        s"failed to commit snapshot $batchId: rename $staging -> $target")
+    SnapshotCommit.publish(fs, staging, target)
   }
 
   /** The latest committed snapshot, or None before the first commit. */
@@ -71,14 +76,11 @@ object CdcUpsert {
       snapshotPath: String): Option[DataFrame] = {
     val root = new Path(snapshotPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val snaps = fs
-      .listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap="))
-      .map(_.getPath.getName.stripPrefix("snap="))
-      .collect { case s if s.nonEmpty && s.forall(_.isDigit) => s.toLong }
-    snaps.maxOption.map(id =>
-      spark.read.parquet(new Path(root, s"snap=$id").toString))
+    SnapshotCommit
+      .committed(fs, root)
+      .sortBy(_._1)
+      .lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
   }
 
   /** Retention: delete all but the newest `keep` committed snapshots.
@@ -90,17 +92,11 @@ object CdcUpsert {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val root = new Path(snapshotPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val snaps = fs
-      .listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap="))
-      .flatMap { p =>
-        val n = p.getPath.getName.stripPrefix("snap=")
-        if (n.nonEmpty && n.forall(_.isDigit)) Some((n.toLong, p.getPath))
-        else None
-      }
+    SnapshotCommit
+      .committed(fs, root)
       .sortBy(-_._1)
-    snaps.drop(keep).foreach { case (_, p) => fs.delete(p, true) }
+      .drop(keep)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** Run the continuous-merge loop over a change stream. */

@@ -21,9 +21,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * property that makes a 100 TB-history view maintainable at all.
   * Averages and the like derive from (n, sum) at read time.
   *
-  * Commit protocol: identical staged-directory + rename as
-  * [[CdcUpsert]] (`snap=<id>` versions, replay-idempotent, prune for
-  * retention). sum/minmax are computed on a LONG column (exact cents —
+  * Commit protocol: identical staged-directory + rename + marker as
+  * [[CdcUpsert]] / [[SnapshotCommit]] (`snap=<id>` versions, committed
+  * = marker present so object-store non-atomic renames can't publish a
+  * partial snapshot, replay-idempotent, prune for retention). sum/minmax are computed on a LONG column (exact cents —
   * order-independent across replays and partitionings; q39's argument).
   */
 object MatView {
@@ -41,7 +42,9 @@ object MatView {
     val root = new Path(viewPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(root, s"snap=$batchId")
-    if (fs.exists(target)) return // committed on a previous attempt
+    // committed on a previous attempt; an UNMARKED existing target is a
+    // crashed partial publish and is rebuilt (SnapshotCommit.publish)
+    if (SnapshotCommit.isCommitted(fs, target)) return
     val staging = new Path(root, s"_staging/snap-$batchId")
     fs.delete(staging, true)
     val partial = aggregateOf(batch, keys, col(valueCol))
@@ -58,9 +61,7 @@ object MatView {
             max(col("mx")).as("mx"))
     }
     merged.write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(
-        s"failed to commit view snapshot $batchId: rename $staging -> $target")
+    SnapshotCommit.publish(fs, staging, target)
   }
 
   /** The batch-equivalent aggregate — also the oracle the streamed view
@@ -78,13 +79,11 @@ object MatView {
   def currentView(spark: SparkSession, viewPath: String): Option[DataFrame] = {
     val root = new Path(viewPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap="))
-      .map(_.getPath.getName.stripPrefix("snap="))
-      .collect { case s if s.nonEmpty && s.forall(_.isDigit) => s.toLong }
-      .maxOption
-      .map(id => spark.read.parquet(new Path(root, s"snap=$id").toString))
+    SnapshotCommit
+      .committed(fs, root)
+      .sortBy(_._1)
+      .lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
   }
 
   /** Run the view-maintenance loop over a stream. */
