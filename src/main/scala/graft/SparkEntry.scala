@@ -3521,6 +3521,46 @@ object SparkEntry {
         graft.operators.Dedup.resolveComponents(q16(sess, d)))
       .orderBy("doc_id")
 
+  /** The 100-TB dedup pipeline as ONE composition: MinHash-LSH pairs
+    * (q14 — the pair generator that scales, vs q165's exact blocked
+    * Jaccard) → [[graft.operators.Dedup.resolveComponents]] →
+    * [[graft.operators.Dedup.dedupByComponents]]. Same survivor
+    * semantics as q165 with the scalable pair generator — the flagship
+    * query of the whole engine. Rows-only (MinHash is not
+    * SQL-expressible; q14 precedent); the planted-chain
+    * ExtensionsSpec proves the composition against the exact path.
+    */
+  private def q166(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .dedupByComponents(
+        Tables.documents(sess, d).select("doc_id", "source"),
+        "doc_id",
+        graft.operators.Dedup.resolveComponents(q14(sess, d)))
+      .orderBy("doc_id")
+
+  /** The DECONTAMINATED corpus ([[graft.operators.Dedup.decontaminate]])
+    * — q61's flag pass exists for this step: the training table with
+    * contaminated docs removed (LEFT ANTI on the small flag list — the
+    * corpus never shuffles). Long 24-char shingles with minShared=5:
+    * the verbatim-leak operating point (q61's 3-char/10 setting flags
+    * every doc on this phrase-pool corpus — a degenerate empty output).
+    * Bloom-prefiltered flag pass, bit-identical to the exact pass, so
+    * the oracle is plain NOT IN over the shingle join.
+    */
+  private def q167(sess: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(sess, d)
+    graft.operators.Dedup
+      .decontaminate(
+        docs.where(col("doc_id") >= 50),
+        docs.where(col("doc_id") < 50),
+        "text",
+        "doc_id",
+        n = 24,
+        minShared = 5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3689,7 +3729,9 @@ object SparkEntry {
     "q162_factorize" -> (q162 _),
     "q163_merge_ordered" -> (q163 _),
     "q164_type_drift" -> (q164 _),
-    "q165_dedup_survivors" -> (q165 _)
+    "q165_dedup_survivors" -> (q165 _),
+    "q166_minhash_survivors" -> (q166 _),
+    "q167_decontaminated" -> (q167 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5396,6 +5438,32 @@ object SparkEntry {
          )
          SELECT d.doc_id, d.source FROM documents d
          WHERE d.doc_id NOT IN
-           (SELECT id FROM comp WHERE id <> component)"""
+           (SELECT id FROM comp WHERE id <> component)""",
+    // q166 is rows-only by design (MinHash pair generation, q14
+    // precedent); the planted-chain ExtensionsSpec is its check.
+    // same contaminated-set construction as q61's oracle at the
+    // 24-char/minShared=5 verbatim-leak operating point; the LEFT ANTI
+    // is the only new step
+    "q167_decontaminated" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  lower(regexp_replace(trim(text),'\s+',' ','g')) AS t
+           FROM documents),
+         bench AS (
+           SELECT DISTINCT unnest(
+             list_distinct([t[i:i+23] for i in range(1, len(t)-22)])) AS sh
+           FROM norm WHERE doc_id < 50),
+         tr AS (
+           SELECT doc_id, unnest(
+             list_distinct([t[i:i+23] for i in range(1, len(t)-22)])) AS sh
+           FROM norm WHERE doc_id >= 50),
+         contam AS (
+           SELECT tr.doc_id
+           FROM tr JOIN bench USING (sh)
+           GROUP BY tr.doc_id
+           HAVING count(*) >= 5)
+         SELECT d.doc_id, d.source FROM documents d
+         WHERE d.doc_id >= 50
+           AND d.doc_id NOT IN (SELECT doc_id FROM contam)"""
   )
 }

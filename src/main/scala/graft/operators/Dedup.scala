@@ -146,6 +146,30 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** The decontaminated CORPUS — the table a training run actually
+    * consumes, one step past [[contamination]]/[[contaminationBloom]]'s
+    * flag list (the exact analog of [[dedupByComponents]] closing
+    * [[resolveComponents]]): every training row whose id is NOT in the
+    * contaminated set. LEFT ANTI on the flag list, which is small by
+    * nature (docs overlapping an eval set), so AQE broadcasts it — the
+    * corpus side never shuffles. Uses the bloom-prefiltered flag pass
+    * ([[contaminationBloom]]) because that is the 100-TB posture;
+    * results are bit-identical to the exact pass by construction.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minShared: Int = 10,
+      fpp: Double = 0.01): DataFrame =
+    train.join(
+      contaminationBloom(train, bench, textCol, idCol, n, minShared, fpp)
+        .select(idCol),
+      Seq(idCol),
+      "left_anti")
+
   /** SEGMENT-level dedup (the "remove duplicated lines/paragraphs
     * everywhere" pass of web-corpus pipelines — within-document AND
     * cross-document): split each document into fixed non-overlapping
@@ -592,6 +616,22 @@ object Dedup {
     * round re-executes its predecessors; hitting the round cap is a
     * loud error, never a wrong answer.
     *
+    * SKEW GUARD: a giant near-dup component concentrates its min-label
+    * on one join key — after a round or two, every vertex of a
+    * d-vertex component probes the jump table with the SAME `component`
+    * value, so one task receives d rows no matter how the rest of the
+    * graph distributes (pair-generation bucket caps bound vertex
+    * DEGREE, not component SIZE, so this is the one hot spot those caps
+    * can't prevent). The jump join is therefore SALTED: the probe side
+    * spreads each label over `saltBuckets` sub-keys by vertex-id hash
+    * and the (unique-keyed) jump table replicates each row
+    * `saltBuckets` times — per-task rows drop to d/saltBuckets at the
+    * cost of a saltBuckets× larger jump-table shuffle, which is
+    * (16·saltBuckets) bytes/vertex/round — small next to the edge-list
+    * shuffle the propagation step already pays every round
+    * (|E| ≥ |V| − #components on any pair graph).
+    *
+    * @param saltBuckets jump-join salt factor (1 = unsalted)
     * @return one row per vertex of the pair graph: (id, component) with
     *         component = min id of the vertex's connected component —
     *         id == component marks the canonical survivor
@@ -600,7 +640,9 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     // symmetric edge list: propagation must flow both ways
     val edges = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
@@ -625,12 +667,16 @@ object Dedup {
       // pointer jump: component values are vertex ids, so `propagated`
       // doubles as its own lookup table — label(x) := label(label(x)).
       // Monotone (labels only decrease), collapses chains exponentially.
+      // Salted (see scaladoc): probe spreads a hot label over
+      // saltBuckets sub-keys, the unique-keyed jump table replicates.
+      val jumpTable = propagated
+        .select(col("id").as("component"), col("component").as("__jump"))
+        .withColumn(
+          "__salt",
+          explode(array((0 until saltBuckets).map(lit): _*)))
       val next = propagated
-        .join(
-          propagated.select(
-            col("id").as("component"),
-            col("component").as("__jump")),
-          Seq("component"))
+        .withColumn("__salt", pmod(xxhash64(col("id")), lit(saltBuckets)).cast("int"))
+        .join(jumpTable, Seq("component", "__salt"))
         .select(col("id"), col("__jump").as("component"))
         .transform(graft.ops.Stage.materializeOnce)
       // converged when no vertex improved its label this round (min-label

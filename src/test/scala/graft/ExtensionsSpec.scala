@@ -71,6 +71,77 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveComponents: planted mega-component, salted == unsalted") {
+    // one giant star component (hub 7, 400 spokes): its min-label is a
+    // hot join key in the pointer jump — the case the salt guards —
+    // plus disjoint small components that must stay untouched
+    val star = (1L to 400L).map(i => (7L, 1000L + i))
+    val small = Seq((5000L, 5001L), (6001L, 6000L))
+    val pairs = (star ++ small).toDF("id_a", "id_b")
+    val salted = Dedup.resolveComponents(pairs, saltBuckets = 8)
+      .as[(Long, Long)].collect().toMap
+    val unsalted = Dedup.resolveComponents(pairs, saltBuckets = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(salted === unsalted)
+    assert(salted(1234L) === 7L && salted(7L) === 7L)
+    assert(salted(5001L) === 5000L && salted(6001L) === 6000L)
+    assert(salted.values.count(_ == 7L) === 401)
+  }
+
+  test("minhash survivors == exact survivors on planted transitive chains") {
+    // q166's composition (MinHash pairs -> components -> survivors)
+    // proven against the exact-pair path on a corpus where both pair
+    // generators find the same chains: two transitive near-dup chains
+    // (A~B~C via one-word edits, D~E) plus unrelated singletons. The
+    // survivor set must be identical: one canonical doc per chain,
+    // singletons untouched.
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today " +
+        "while the river runs quietly past the old stone mill"
+    val other =
+      "completely different text about distributed query engines and " +
+        "shuffle partitioning strategies for large scale analytics"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),            // ~1
+      (3L, base + " extra words"),      // ~2 (transitive to 1)
+      (10L, other),
+      (11L, other + " appended"),       // ~10
+      (20L, "a singleton document about nothing in particular at all"),
+      (21L, "another lone text mentioning entirely unrelated matters"))
+      .toDF("doc_id", "text")
+    def survivors(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup
+        .dedupByComponents(
+          docs.select("doc_id"), "doc_id", Dedup.resolveComponents(pairs))
+        .as[Long].collect().toSet
+    val viaMinhash = survivors(
+      Dedup.minHashNearDup(docs, "text", "doc_id", shingleLen = 4,
+        numHashes = 32, bands = 16, threshold = 0.4))
+    val viaExact = survivors(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 4,
+        blockKey = Some(lit(1)), // one block: true all-pairs ground truth
+        threshold = 0.4))
+    assert(viaMinhash === viaExact)
+    assert(viaMinhash === Set(1L, 10L, 20L, 21L))
+  }
+
+  test("decontaminate removes exactly the flagged docs, corpus columns intact") {
+    val benchText =
+      "evaluation question about the capital of france and its rivers"
+    val train = Seq(
+      (100L, benchText + " leaked into training verbatim", "web"),
+      (101L, "clean training document about cooking pasta properly", "web"),
+      (102L, "another clean one covering garden soil preparation", "books"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((1L, benchText, "eval")).toDF("doc_id", "text", "source")
+    val kept = Dedup
+      .decontaminate(train, bench, "text", "doc_id", n = 3, minShared = 10)
+      .select("doc_id", "source")
+      .as[(Long, String)].collect().toSet
+    assert(kept === Set((101L, "web"), (102L, "books")))
+  }
+
   test("funnel: sequential chaining — out-of-order stages don't convert") {
     import graft.operators.Funnel
     val ev = Seq(
