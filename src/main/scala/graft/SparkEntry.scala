@@ -3561,6 +3561,48 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** GLOBAL cumulative revenue (ungrouped pandas `.cumsum()` / SQL
+    * `sum() OVER (ORDER BY …)`) — the one remaining window Spark would
+    * single-partition, made scalable by
+    * [[graft.ops.Windows.prefixSumScalable]]: range-partition + sort,
+    * per-partition totals → driver offsets (one long per partition),
+    * one streaming pass. Exact LONG cents (money never prefix-sums in
+    * doubles — association order would drift vs any sequential oracle).
+    */
+  private def q168(sess: SparkSession, d: String): DataFrame =
+    graft.ops.Windows.prefixSumScalable(
+      Tables.orders(sess, d)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("__cents")),
+      "o_orderkey",
+      "__cents",
+      "cum_revenue_cents")
+
+  /** Exponentially weighted covariance + correlation per user (pandas
+    * `groupby('user_id').ewm(alpha=0.2, adjust=False).cov(other)` /
+    * `.corr(other)`, bias=False) — [[graft.ops.Windows.ewmCov]]'s
+    * polarization-extended delta recursions. The companion series is
+    * `value · (event_id mod 5)` — pure double arithmetic both engines
+    * compute bit-identically (no transcendental, so no rounding), with
+    * a non-affine relation so corr is nontrivial. Oracle replays the
+    * IDENTICAL recursion as a DuckDB recursive CTE (q64's rationale).
+    */
+  private def q169(sess: SparkSession, d: String): DataFrame =
+    graft.ops.Windows
+      .ewmCov(
+        Tables.events(sess, d)
+          .withColumn(
+            "value2",
+            col("value") * (col("event_id") % 5).cast("double")),
+        "value",
+        "value2",
+        orderBy = Seq(col("event_id")),
+        keyCols = Seq("user_id"),
+        alpha = 0.2,
+        outName = "ewm_cov")
+      .select("user_id", "event_id", "ewm_cov", "ewm_cov_corr")
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3731,7 +3773,9 @@ object SparkEntry {
     "q164_type_drift" -> (q164 _),
     "q165_dedup_survivors" -> (q165 _),
     "q166_minhash_survivors" -> (q166 _),
-    "q167_decontaminated" -> (q167 _)
+    "q167_decontaminated" -> (q167 _),
+    "q168_global_cumsum" -> (q168 _),
+    "q169_ewm_cov" -> (q169 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5464,6 +5508,43 @@ object SparkEntry {
            HAVING count(*) >= 5)
          SELECT d.doc_id, d.source FROM documents d
          WHERE d.doc_id >= 50
-           AND d.doc_id NOT IN (SELECT doc_id FROM contam)"""
+           AND d.doc_id NOT IN (SELECT doc_id FROM contam)""",
+    // exact long-cents running sum — association-order-free, so the
+    // scalable two-phase scan and the sequential window agree exactly
+    "q168_global_cumsum" ->
+      """SELECT o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_revenue_cents
+         FROM orders""",
+    // identical delta-form recursion as Windows.ewmCov, same expression
+    // shapes and evaluation order -> bit-identical doubles (q64)
+    "q169_ewm_cov" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, value AS x,
+                  value * CAST(event_id % 5 AS DOUBLE) AS y,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS rn
+           FROM events),
+         r(user_id, event_id, rn, mux, muy, c, vx, vy, u) AS (
+           SELECT user_id, event_id, rn, x, y,
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                  CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rn,
+                  r.mux + 0.2*(e.x - r.mux),
+                  r.muy + 0.2*(e.y - r.muy),
+                  (1 - 0.2)*(r.c + 0.2*(e.x - r.mux)*(e.y - r.muy)),
+                  (1 - 0.2)*(r.vx + 0.2*(e.x - r.mux)*(e.x - r.mux)),
+                  (1 - 0.2)*(r.vy + 0.2*(e.y - r.muy)*(e.y - r.muy)),
+                  (1 - 0.2)*(1 - 0.2)*r.u + 0.2*0.2
+           FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, event_id,
+           CASE WHEN rn > 1 THEN c/(1 - u) END AS ewm_cov,
+           CASE WHEN rn > 1 AND vx*vy > 0 THEN c/sqrt(vx*vy) END
+             AS ewm_cov_corr
+         FROM r"""
   )
 }

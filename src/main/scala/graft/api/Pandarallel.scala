@@ -451,6 +451,14 @@ object Pandarallel {
       */
     def parallelVar(valueCol: String, outName: String): DataFrame =
       Windows.ewmVar(df, valueCol, orderBy, keys, alpha, outName)
+
+    /** pandas `.ewm(alpha, adjust=False).cov(other)` / `.corr(other)`
+      * (bias=False cov; corr from the biased ratio, exactly as pandas
+      * computes it) — emits `outName` and `outName_corr`; see
+      * [[Windows.ewmCov]] for the polarization-extended recursions.
+      */
+    def parallelCov(xCol: String, yCol: String, outName: String): DataFrame =
+      Windows.ewmCov(df, xCol, yCol, orderBy, keys, alpha, outName)
   }
 
   final class ParallelExpanding(

@@ -528,6 +528,84 @@ object Windows {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** pandas `ewm(alpha, adjust=False).cov(other)` / `.corr(other)` —
+    * [[ewmVar]]'s delta-form recursions extended to the CROSS moment by
+    * polarization (both deltas use the PREVIOUS means):
+    *   δx  = xₜ − μx,ₜ₋₁         δy  = yₜ − μy,ₜ₋₁
+    *   μx,ₜ = μx,ₜ₋₁ + α·δx      μy,ₜ = μy,ₜ₋₁ + α·δy
+    *   cₜ  = (1−α)·(cₜ₋₁ + α·δx·δy)     (biased cov)
+    *   vx/vy as in [[ewmVar]];  uₜ = (1−α)²·uₜ₋₁ + α²  (Σw²)
+    * Emits `⟨outName⟩` = unbiased cov c/(1−u) (pandas bias=False,
+    * NULL at t=1 where 1−u=0) and `⟨outName⟩_corr` = c/√(vx·vy) (the
+    * bias corrections cancel in the ratio — pandas computes corr from
+    * the biased moments; NULL at t=1 and whenever either variance is 0,
+    * matching pandas NaN). Same shape as [[ewmVar]]: one exchange on
+    * `keyCols`, O(1) state per key, streaming in-partition scan.
+    */
+  def ewmCov(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      orderBy: Seq[Column],
+      keyCols: Seq[String],
+      alpha: Double,
+      outName: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    val base =
+      if (keyCols.isEmpty) df.coalesce(1)
+      else df.repartition(keyCols.map(col): _*)
+    val sorted = base.sortWithinPartitions(keyCols.map(col) ++ orderBy: _*)
+    val schema = sorted.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val xIdx = schema.fieldIndex(xCol)
+    val yIdx = schema.fieldIndex(yCol)
+    Seq(xIdx, yIdx).foreach(i =>
+      require(
+        schema(i).dataType == DoubleType,
+        s"ewmCov needs double columns, got ${schema(i).dataType} " +
+          s"for ${schema(i).name}"))
+    val outSchema =
+      schema.add(outName, DoubleType).add(outName + "_corr", DoubleType)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var started = false
+      var mux = 0.0
+      var muy = 0.0
+      var c = 0.0
+      var vx = 0.0
+      var vy = 0.0
+      var u = 0.0
+      it.map { r =>
+        val key = keyIdx.map(r.get)
+        if (key != curKey) { curKey = key; started = false }
+        val x = r.getDouble(xIdx)
+        val y = r.getDouble(yIdx)
+        val out: Seq[Any] =
+          if (!started) {
+            started = true
+            mux = x; muy = y; c = 0.0; vx = 0.0; vy = 0.0; u = 1.0
+            Seq(null, null)
+          } else {
+            val dx = x - mux
+            val dy = y - muy
+            mux = mux + alpha * dx
+            muy = muy + alpha * dy
+            c = (1 - alpha) * (c + alpha * dx * dy)
+            vx = (1 - alpha) * (vx + alpha * dx * dx)
+            vy = (1 - alpha) * (vy + alpha * dy * dy)
+            u = (1 - alpha) * (1 - alpha) * u + alpha * alpha
+            val cov = c / (1 - u)
+            val corr: Any =
+              if (vx * vy > 0) c / math.sqrt(vx * vy) else null
+            Seq(cov, corr)
+          }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** pandas `rolling(w).skew()` / `.kurt()` — bias-corrected sample
     * skewness (adjusted Fisher-Pearson G1) and excess kurtosis (G2),
     * the scipy `bias=False` forms pandas matches:
@@ -808,6 +886,71 @@ object Windows {
         Seq(
           StructField("__ord", org.apache.spark.sql.types.LongType),
           StructField(outName, DoubleType))))
+      .withColumnRenamed("__ord", orderCol)
+  }
+
+  /** SCALABLE ungrouped prefix sum — [[rollingGlobalScalable]]'s carry
+    * protocol applied to the UNBOUNDED frame (pandas ungrouped
+    * `.cumsum()` / SQL `sum() OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING)`), which Spark's `WindowExec` would otherwise collapse
+    * to a single partition. The classic two-phase parallel scan, on
+    * Spark primitives:
+    *   1. range-partition + in-partition sort on the order key (the one
+    *      exchange any global ordering pays), materialized once;
+    *   2. per-partition TOTALS — #partitions longs — collected and
+    *      scanLeft'd into per-partition OFFSETS on the driver (the
+    *      [[graft.ops.GlobalRank]] bounded-collect argument: the
+    *      driver holds one value per partition, never data);
+    *   3. one streaming pass per partition: running sum + broadcast
+    *      offset. Output matches the single-partition window exactly.
+    * LONG arithmetic — exact prefix sums, association-order-free (sum
+    * money in cents, not doubles; a double prefix sum would drift vs
+    * any sequential oracle by summation order). Null values count as 0
+    * (pre-filter upstream if null must poison).
+    */
+  def prefixSumScalable(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outName: String,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .select(
+        col(orderCol).cast("long").as("__ord"),
+        coalesce(col(valueCol).cast("long"), lit(0L)).as("__v"))
+      .transform(Stage.materializeOnce) // sort runs once; both passes reuse
+    val totals: Array[(Int, Long)] = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(1))
+        Iterator.single(i -> s)
+      }
+      .collect()
+    // offsets(i) = sum of everything before partition i (bounded:
+    // one long per partition on the driver)
+    val offsets = totals.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outRows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = bOffsets.value(i)
+      it.map { r =>
+        s += r.getLong(1)
+        Row(r.getLong(0), s)
+      }
+    }
+    spark.createDataFrame(
+      outRows,
+      StructType(
+        Seq(
+          StructField("__ord", LongType),
+          StructField(outName, LongType))))
       .withColumnRenamed("__ord", orderCol)
   }
 }

@@ -429,6 +429,37 @@ class FacadeSpec extends AnyFunSuite {
     assert(math.abs(out(("b", 2L))._1.get - 2.0) < 1e-12)
   }
 
+  test("ewm cov/corr: hand-computed weight-definition values, per-key reset") {
+    // alpha=0.5 on x=[1,2,3], y=[2,1,4] — computed from the WEIGHT
+    // definition (w at t3 = [.25,.25,.5]), independent of the delta
+    // recursion the implementation runs:
+    //   t2: cov_b=-.25, Σw²=.5  → cov=-0.5;  corr=-.25/.25 = -1
+    //   t3: μx=2.25, μy=2.75, cov_b=.8125, Σw²=.375 → cov=1.3;
+    //       var_bx=.6875, var_by=1.6875 → corr=.8125/√1.16015625
+    val df = Seq(
+      ("a", 1L, 1.0, 2.0), ("a", 2L, 2.0, 1.0), ("a", 3L, 3.0, 4.0),
+      ("b", 1L, 5.0, 5.0), ("b", 2L, 7.0, 9.0))
+      .toDF("k", "i", "x", "y")
+    val out = df.parallelGroupBy("k").ewm(0.5, col("i"))
+      .parallelCov("x", "y", "ec")
+      .select(col("k"), col("i"), col("ec"), col("ec_corr"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(("a", 1L))._1.isEmpty && out(("a", 1L))._2.isEmpty)
+    assert(math.abs(out(("a", 2L))._1.get - -0.5) < 1e-12)
+    assert(math.abs(out(("a", 2L))._2.get - -1.0) < 1e-12)
+    assert(math.abs(out(("a", 3L))._1.get - 1.3) < 1e-12)
+    assert(math.abs(
+      out(("a", 3L))._2.get - 0.8125 / math.sqrt(1.16015625)) < 1e-12)
+    // key b restarts: two co-moving points → cov of [5,7]x[5,9] = 4, corr +1
+    assert(out(("b", 1L))._1.isEmpty)
+    assert(math.abs(out(("b", 2L))._1.get - 4.0) < 1e-12)
+    assert(math.abs(out(("b", 2L))._2.get - 1.0) < 1e-12)
+  }
+
   test("interpolate: linear blend, leading nulls stay, trailing ffill") {
     val df = Seq(
       ("a", 1L, None), ("a", 2L, Some(1.0)), ("a", 3L, None),

@@ -266,4 +266,13 @@ class PlanSpec extends AnyFunSuite {
       !p30.contains("SinglePartition"),
       s"q30 must stay partitioned, got:\n$p30")
   }
+
+  test("global cumsum (q168) never plans Exchange SinglePartition") {
+    // the ungrouped running sum is the same trap as q09's window —
+    // prefixSumScalable's two-phase scan must keep it range-partitioned
+    val p = plan(SparkEntry.queries("q168_global_cumsum")(spark, TestSpark.sf))
+    assert(
+      !p.contains("SinglePartition"),
+      s"scalable prefix sum must not funnel through one partition:\n$p")
+  }
 }
