@@ -3603,6 +3603,35 @@ object SparkEntry {
         outName = "ewm_cov")
       .select("user_id", "event_id", "ewm_cov", "ewm_cov_corr")
 
+  /** REAL audio decode ([[graft.multimodal.Multimodal.decodeAudio]] —
+    * JDK `javax.sound.sampled`, WAV container parse + PCM conversion,
+    * no stub): per-doc synthesized sine WAVs (deterministic ingest
+    * shim, q24's pattern) decoded back to (rate, channels, frames) and
+    * the quality features audio filters run on (RMS, zero-crossing
+    * rate, energy envelope). Rows-only: the features are pure
+    * per-row functions of binary payloads — nothing SQL can oracle;
+    * the ExtensionsSpec pins known-tone values instead.
+    */
+  private def q170(s: SparkSession, d: String): DataFrame =
+    Multimodal
+      .decodeAudio(
+        Multimodal.audioAssetsFromIds(
+          Tables.documents(s, d).select("doc_id"),
+          "doc_id"))
+      .toDF()
+      .select(
+        col("id"),
+        col("sample_rate"),
+        col("channels"),
+        col("n_samples"),
+        round(col("rms"), 5).as("rms"),
+        round(col("zcr"), 5).as("zcr"),
+        xxhash64(
+          concat_ws(
+            ",",
+            transform(col("energy_profile"), x => format_number(x, 4))))
+          .as("profile_hash"))
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3775,7 +3804,8 @@ object SparkEntry {
     "q166_minhash_survivors" -> (q166 _),
     "q167_decontaminated" -> (q167 _),
     "q168_global_cumsum" -> (q168 _),
-    "q169_ewm_cov" -> (q169 _)
+    "q169_ewm_cov" -> (q169 _),
+    "q170_audio_decode" -> (q170 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE modality is decoded FOR REAL via the JDK's built-in
   * `javax.imageio` (PNG/JPEG/BMP/GIF — [[decodeImages]] /
-  * [[resizeImages]], no external codecs required). Audio/video decode
-  * remains STUBBED with a deterministic fake (the JDK ships no codecs
-  * for them and this container has none — see the build brief); the
-  * Spark-side plumbing is identical either way and is what actually
-  * matters at scale:
+  * [[resizeImages]], no external codecs required). The AUDIO modality
+  * is decoded FOR REAL via the JDK's built-in `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM — [[decodeAudio]], same no-external-codec
+  * argument). VIDEO decode remains STUBBED with a deterministic fake
+  * (the JDK genuinely ships no video codec and this container has
+  * none — see the build brief); the Spark-side plumbing is identical
+  * either way and is what actually matters at scale:
   *   - schema: (id, modality, data binary, meta struct)
   *   - per-partition batched processing via `mapPartitions` — one
   *     decoder/model instantiation per task, amortized over the
@@ -145,8 +147,9 @@ object Multimodal {
 
   /** REAL image decode — the JDK's built-in `javax.imageio` reads
     * PNG/JPEG/BMP/GIF with no external codecs, so the IMAGE modality
-    * needs no stub at all (audio/video remain stubbed: the JDK has no
-    * built-in codecs for them). Returns the true (width, height) and a
+    * needs no stub at all (video remains stubbed: the JDK has no
+    * built-in codec for it; audio is real too, see
+    * [[decodeAudioBytes]]). Returns the true (width, height) and a
     * feature vector of 3 channel means (normalized to [0,1]) followed by
     * a `histBins`-bucket luminance histogram (row-count normalized) —
     * the pixel-statistics features dataset-quality filters use.
@@ -261,5 +264,174 @@ object Multimodal {
           fakeDecode(data, dim))
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // AUDIO — real decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
+  // PCM; the same "the JDK ships the codec, so no stub" argument that
+  // un-stubbed images). Video is the only modality left stubbed.
+  // ------------------------------------------------------------------
+
+  case class AudioFeatures(
+      id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      rms: Double,
+      zcr: Double,
+      energy_profile: Array[Float])
+
+  /** REAL audio decode — `javax.sound.sampled.AudioSystem` parses
+    * WAV/AIFF/AU containers and converts any PCM encoding (8/16/24-bit,
+    * signed/unsigned, either endianness, ULAW/ALAW) to signed 16-bit
+    * through the JDK's own conversion chain. Returns the true
+    * (sampleRate, channels, frames) plus the features audio-quality
+    * filters run on: overall RMS (loudness, mono mixdown, samples
+    * normalized to [−1,1]), zero-crossing rate (sign changes per
+    * sample — a cheap pitch/noisiness proxy), and a `profileBins`-bin
+    * RMS-over-time envelope (silence/clipping detection). Undecodable
+    * payloads → None (quarantine, don't crash the job — the
+    * [[decodeImageBytes]] contract).
+    */
+  def decodeAudioBytes(
+      data: Array[Byte],
+      profileBins: Int): Option[AudioFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val decoded =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+        val src = in.getFormat
+        val fmt = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate,
+          16,
+          src.getChannels,
+          src.getChannels * 2,
+          src.getSampleRate,
+          false)
+        val pcm = AudioSystem.getAudioInputStream(fmt, in)
+        Some((fmt, pcm.readAllBytes()))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+        case _: IllegalArgumentException => None // no conversion path
+      }
+    decoded.flatMap { case (fmt, bytes) =>
+      val nCh = fmt.getChannels
+      val n = bytes.length / (2 * nCh)
+      if (n == 0) None
+      else {
+        val profile = new Array[Float](profileBins)
+        var sumSq = 0.0
+        var crossings = 0L
+        var prevSign = 0
+        var i = 0
+        while (i < n) {
+          // mono mixdown: average the frame's channels
+          var acc = 0.0
+          var c = 0
+          while (c < nCh) {
+            val off = (i * nCh + c) * 2
+            val s =
+              ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+            acc += s / 32768.0
+            c += 1
+          }
+          val x = acc / nCh
+          sumSq += x * x
+          val sign = if (x > 0) 1 else if (x < 0) -1 else 0
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) crossings += 1
+            prevSign = sign
+          }
+          profile(math.min(profileBins - 1, (i.toLong * profileBins / n).toInt)) +=
+            (x * x).toFloat
+          i += 1
+        }
+        var b = 0
+        val binSize = math.max(1, n / profileBins)
+        while (b < profileBins) {
+          profile(b) = math.sqrt(profile(b) / binSize).toFloat
+          b += 1
+        }
+        Some(AudioFeatures(
+          0L,
+          fmt.getSampleRate.toInt,
+          nCh,
+          n.toLong,
+          math.sqrt(sumSq / n),
+          if (n > 1) crossings.toDouble / (n - 1) else 0.0,
+          profile))
+      }
+    }
+  }
+
+  /** Batched REAL audio decode over an asset table — same
+    * mapPartitions contract as [[decodeImages]]; undecodable rows are
+    * dropped.
+    */
+  def decodeAudio(
+      assets: DataFrame,
+      profileBins: Int = 8): Dataset[AudioFeatures] = {
+    implicit val enc: ExpressionEncoder[AudioFeatures] =
+      ExpressionEncoder[AudioFeatures]()
+    assets.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        decodeAudioBytes(r.getAs[Array[Byte]]("data"), profileBins)
+          .map(_.copy(id = r.getLong(r.fieldIndex("id"))))
+      }
+    }
+  }
+
+  /** Deterministic in-JVM WAV synthesis — the audio-modality ingest
+    * shim (the [[assetsFromText]] analog: the testdata corpus has no
+    * real recordings, so assets are synthesized as a pure function of
+    * the id). 16-bit PCM mono sine, RIFF/WAVE-encoded by the SAME
+    * `javax.sound.sampled` stack that decodes it — the query path then
+    * exercises the real container parse + PCM conversion end-to-end.
+    */
+  def synthWavBytes(
+      freqHz: Double,
+      nSamples: Int,
+      rate: Float = 8000f,
+      amplitude: Double = 0.8): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v =
+        (math.sin(2 * math.Pi * freqHz * i / rate) * amplitude * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio asset table synthesized per id (tone frequency = pitch-class
+    * of the id on an A3 chromatic scale — deterministic, id-recoverable
+    * from the decoded features).
+    */
+  def audioAssetsFromIds(
+      df: DataFrame,
+      idCol: String,
+      nSamples: Int = 800): DataFrame = {
+    val synth = udf { (id: Long) =>
+      synthWavBytes(220.0 * math.pow(2.0, (id % 12) / 12.0), nSamples)
+    }
+    df.select(
+      col(idCol).cast("long").as("id"),
+      synth(col(idCol).cast("long")).as("data"),
+      struct(
+        lit("audio").as("modality"),
+        lit(44L + nSamples * 2L).as("n_bytes"),
+        lit(0).as("width"),
+        lit(0).as("height")).as("meta"))
   }
 }

@@ -126,6 +126,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaMinhash === Set(1L, 10L, 20L, 21L))
   }
 
+  test("audio: WAV roundtrip decodes to known tone statistics; corrupt rows quarantined") {
+    // 440 Hz sine, 0.8 amplitude, 8 kHz mono, 1600 samples — the
+    // decoded stats are known in closed form: sine RMS = A/sqrt(2),
+    // ZCR = 2 sign changes per period = 2f/rate
+    val wav = Multimodal.synthWavBytes(440.0, 1600)
+    val f = Multimodal.decodeAudioBytes(wav, profileBins = 8).get
+    assert(f.sample_rate === 8000)
+    assert(f.channels === 1)
+    assert(f.n_samples === 1600L)
+    assert(math.abs(f.rms - 0.8 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f.zcr - 2.0 * 440 / 8000) < 0.005)
+    assert(f.energy_profile.length === 8)
+    // steady tone: flat envelope, every bin near the global RMS
+    f.energy_profile.foreach(b => assert(math.abs(b - f.rms) < 0.02))
+    // silence decodes to zero energy, no crossings
+    val silent = Multimodal.synthWavBytes(440.0, 800, amplitude = 0.0)
+    val s = Multimodal.decodeAudioBytes(silent, 4).get
+    assert(s.rms === 0.0 && s.zcr === 0.0)
+    // not a WAV -> None (quarantine contract)
+    assert(Multimodal.decodeAudioBytes("not audio".getBytes, 4).isEmpty)
+
+    // the Dataset path: corrupt rows dropped, good rows decoded
+    val assets = Seq(
+      (1L, wav),
+      (2L, "garbage".getBytes)).toDF("id", "data")
+    val out = Multimodal.decodeAudio(assets).collect()
+    assert(out.length === 1)
+    assert(out.head.id === 1L && out.head.n_samples === 1600L)
+
+    // the query-shaped path: synthesized assets per id decode for real,
+    // pitch classes give distinct ZCRs recoverable from the features
+    val ids = Seq(0L, 6L).toDF("doc_id")
+    val feats = Multimodal
+      .decodeAudio(Multimodal.audioAssetsFromIds(ids, "doc_id"))
+      .collect()
+      .map(a => a.id -> a.zcr)
+      .toMap
+    assert(math.abs(feats(0L) - 2.0 * 220 / 8000) < 0.01)
+    assert(
+      math.abs(feats(6L) - 2.0 * 220 * math.pow(2, 0.5) / 8000) < 0.01)
+  }
+
   test("decontaminate removes exactly the flagged docs, corpus columns intact") {
     val benchText =
       "evaluation question about the capital of france and its rivers"
