@@ -3632,6 +3632,52 @@ object SparkEntry {
             transform(col("energy_profile"), x => format_number(x, 4))))
           .as("profile_hash"))
 
+  /** pandas `rolling(10, method="table").apply(f)` — the multi-column
+    * black-box window UDF ([[graft.ops.Windows.rollingTableApply]]):
+    * the user function sees the whole w×k frame matrix. Exercised with
+    * a rolling OLS slope (beta of y on x — genuinely cross-column, not
+    * per-column decomposable), which DuckDB can oracle as a window
+    * `regr_slope`. Both sides rounded to 5 decimals (different
+    * summation strategies, q63's rationale).
+    */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val beta: Seq[Seq[Double]] => Option[Double] = { m =>
+      val x = m(0)
+      val y = m(1)
+      val n = x.length
+      var sx = 0.0
+      var sy = 0.0
+      var i = 0
+      while (i < n) { sx += x(i); sy += y(i); i += 1 }
+      val mx = sx / n
+      val my = sy / n
+      var sxy = 0.0
+      var sxx = 0.0
+      i = 0
+      while (i < n) {
+        sxy += (x(i) - mx) * (y(i) - my)
+        sxx += (x(i) - mx) * (x(i) - mx)
+        i += 1
+      }
+      if (sxx == 0.0) None else Some(sxy / sxx)
+    }
+    graft.ops.Windows
+      .rollingTableApply(
+        Tables.events(s, d)
+          .withColumn(
+            "value2",
+            col("value") * (col("event_id") % 5).cast("double")),
+        Seq(col("value"), col("value2")),
+        Seq(col("event_id")),
+        Seq(col("user_id")),
+        window = 10,
+        outName = "__beta")(beta)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(col("__beta"), 5).as("beta"))
+  }
+
   // ---------------------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -3805,7 +3851,8 @@ object SparkEntry {
     "q167_decontaminated" -> (q167 _),
     "q168_global_cumsum" -> (q168 _),
     "q169_ewm_cov" -> (q169 _),
-    "q170_audio_decode" -> (q170 _)
+    "q170_audio_decode" -> (q170 _),
+    "q171_rolling_table" -> (q171 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5575,6 +5622,19 @@ object SparkEntry {
            CASE WHEN rn > 1 THEN c/(1 - u) END AS ewm_cov,
            CASE WHEN rn > 1 AND vx*vy > 0 THEN c/sqrt(vx*vy) END
              AS ewm_cov_corr
-         FROM r"""
+         FROM r""",
+    // q170 is rows-only by design (binary payload decode — nothing SQL
+    // can oracle; ExtensionsSpec pins closed-form tone statistics)
+    "q171_rolling_table" ->
+      """WITH b AS (
+           SELECT user_id, event_id, value AS x,
+                  value * CAST(event_id % 5 AS DOUBLE) AS y
+           FROM events)
+         SELECT user_id, event_id,
+           CASE WHEN count(*) OVER w = 10
+                THEN round(regr_slope(y, x) OVER w, 5) END AS beta
+         FROM b
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -393,6 +393,19 @@ object Pandarallel {
         df, valueCol, orderBy, partitionBy, window,
         minPeriods, center, closed)(agg)
 
+    /** pandas `rolling(w, method="table").apply(f)` — black-box UDF
+      * over the whole w×k frame matrix (column-major; see
+      * [[Windows.rollingTableApply]]).
+      */
+    def parallelApplyTable(
+        cols: Seq[Column],
+        outName: String,
+        minPeriods: Option[Int] = None)(
+        f: Seq[Seq[Double]] => Option[Double]): DataFrame =
+      Windows.rollingTableApply(
+        df, cols, orderBy, partitionBy, window, outName,
+        minPeriods, center, closed)(f)
+
     /** pandas `rolling(w).corr(other)` — rolling Pearson correlation of
       * two series ([[Windows.rollingAgg2]] for pair-counting min_periods
       * semantics).

@@ -329,6 +329,40 @@ object Windows {
     df.withColumn(outName, when(size(arr) >= minPeriods, fUdf(arr)))
   }
 
+  /** pandas `rolling(w, method="table").apply(f)` — black-box UDF over
+    * the WHOLE w×k frame MATRIX (all columns at once, not one series),
+    * the multi-column sibling of [[rollingCollect]]. Every column's
+    * frame slice materializes via `collect_list` over ONE shared window
+    * spec, so Catalyst collapses the k aggregates into a single
+    * `WindowExec` — one exchange + one sort regardless of k. The UDF
+    * receives the matrix COLUMN-major (`cols(j)(i)` = column j, row i
+    * of the frame, frame rows in window order) — the natural Spark
+    * shape; transpose inside `f` if row-major is wanted. Cost is the
+    * [[rollingCollect]] trade times k: O(w·k) memory per row — the
+    * honest price of an arbitrary multi-column function; if `f` is
+    * recognizable as per-column algebra or a pair aggregate, use
+    * [[rollingAgg]] / [[rollingAgg2]] instead.
+    */
+  def rollingTableApply(
+      df: DataFrame,
+      cols: Seq[Column],
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column],
+      window: Int,
+      outName: String,
+      minPeriods: Option[Int] = None,
+      center: Boolean = false,
+      closed: String = "right")(f: Seq[Seq[Double]] => Option[Double]): DataFrame = {
+    require(cols.nonEmpty, "rollingTableApply needs at least one column")
+    val frame = rollingFrame(orderBy, partitionBy, window, center, closed)
+    val fUdf = udf(f)
+    val arrs = cols.map(c => collect_list(c.cast("double")).over(frame))
+    val mp = minPeriods.getOrElse(window)
+    df.withColumn(
+      outName,
+      when(size(arrs.head) >= mp, fUdf(array(arrs: _*))))
+  }
+
   /** pandas `win_type` weighted-window weights (scipy.signal.windows
     * formulas, symmetric form — what pandas hands to the rolling mean):
     *  - `triang(M)`: even M → (2k+1)/M mirrored, odd M → 2(k+1)/(M+1)

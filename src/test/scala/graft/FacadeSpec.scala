@@ -429,6 +429,28 @@ class FacadeSpec extends AnyFunSuite {
     assert(math.abs(out(("b", 2L))._1.get - 2.0) < 1e-12)
   }
 
+  test("rolling table apply: whole-frame matrix reaches the UDF, column-major") {
+    // w=2 over (x, y): f = Σ xᵢ·yᵢ across the frame — cross-column,
+    // not per-column decomposable. Hand values:
+    //   i=2: 1·10 + 2·20 = 50;  i=3: 2·20 + 3·30 = 130
+    val df = Seq(
+      ("a", 1L, 1.0, 10.0), ("a", 2L, 2.0, 20.0), ("a", 3L, 3.0, 30.0),
+      ("b", 1L, 5.0, 1.0), ("b", 2L, 6.0, 2.0))
+      .toDF("k", "i", "x", "y")
+    val out = df.parallelGroupBy("k").rolling(2, col("i"))
+      .parallelApplyTable(Seq(col("x"), col("y")), "dot") { m =>
+        Some(m(0).zip(m(1)).map { case (a, b) => a * b }.sum)
+      }
+      .select(col("k"), col("i"), col("dot"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2)))
+      .toMap
+    assert(out(("a", 1L)).isEmpty) // below min_periods (= window)
+    assert(out(("a", 2L)) === Some(50.0))
+    assert(out(("a", 3L)) === Some(130.0))
+    assert(out(("b", 2L)) === Some(17.0)) // per-key frames don't leak
+  }
+
   test("ewm cov/corr: hand-computed weight-definition values, per-key reset") {
     // alpha=0.5 on x=[1,2,3], y=[2,1,4] — computed from the WEIGHT
     // definition (w at t3 = [.25,.25,.5]), independent of the delta
