@@ -657,13 +657,21 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // the labels rows are tagged so the SAME aggregation that takes
+      // the neighborhood min also carries each vertex's PREVIOUS label
+      // through the round — the convergence check then filters the
+      // already-materialized result instead of paying a join back to
+      // `labels` (one fewer shuffle per round)
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("component"))
+        .select(col("dst").as("id"), col("component"), lit(false).as("__own"))
       val propagated = labels
+        .select(col("id"), col("component"), lit(true).as("__own"))
         .union(prop)
         .groupBy("id")
-        .agg(min("component").as("component"))
+        .agg(
+          min("component").as("component"),
+          min(when(col("__own"), col("component"))).as("__prev"))
       // pointer jump: component values are vertex ids, so `propagated`
       // doubles as its own lookup table — label(x) := label(label(x)).
       // Monotone (labels only decrease), collapses chains exponentially.
@@ -677,16 +685,14 @@ object Dedup {
       val next = propagated
         .withColumn("__salt", pmod(xxhash64(col("id")), lit(saltBuckets)).cast("int"))
         .join(jumpTable, Seq("component", "__salt"))
-        .select(col("id"), col("__jump").as("component"))
+        .select(col("id"), col("__jump").as("component"), col("__prev"))
         .transform(graft.ops.Stage.materializeOnce)
       // converged when no vertex improved its label this round (min-label
-      // is monotone decreasing, so "changed" == "decreased")
-      val changed = next
-        .join(labels.withColumnRenamed("component", "__prev"), Seq("id"))
-        .where(col("component") =!= col("__prev"))
-        .count()
+      // is monotone decreasing, so "changed" == "decreased"); a filter
+      // scan of the materialized round, not a join
+      val changed = next.where(col("component") =!= col("__prev")).count()
       converged = changed == 0
-      labels = next
+      labels = next.select("id", "component")
       iter += 1
     }
     require(
