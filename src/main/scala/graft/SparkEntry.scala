@@ -3579,6 +3579,23 @@ object SparkEntry {
       "__cents",
       "cum_revenue_cents")
 
+  /** GLOBAL running max (ungrouped `.cummax()`) — q168's two-phase
+    * scan with the max monoid instead of sum
+    * ([[graft.ops.Windows.prefixScanScalable]] is monoid-generic:
+    * per-partition totals fold, driver scanLeft, streaming pass).
+    * Same no-single-partition posture.
+    */
+  private def q172(sess: SparkSession, d: String): DataFrame =
+    graft.ops.Windows.prefixScanScalable(
+      Tables.orders(sess, d)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("__cents")),
+      "o_orderkey",
+      "__cents",
+      "run_max_cents",
+      "max")
+
   /** Exponentially weighted covariance + correlation per user (pandas
     * `groupby('user_id').ewm(alpha=0.2, adjust=False).cov(other)` /
     * `.corr(other)`, bias=False) — [[graft.ops.Windows.ewmCov]]'s
@@ -3852,7 +3869,8 @@ object SparkEntry {
     "q168_global_cumsum" -> (q168 _),
     "q169_ewm_cov" -> (q169 _),
     "q170_audio_decode" -> (q170 _),
-    "q171_rolling_table" -> (q171 _)
+    "q171_rolling_table" -> (q171 _),
+    "q172_global_cummax" -> (q172 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5635,6 +5653,13 @@ object SparkEntry {
                 THEN round(regr_slope(y, x) OVER w, 5) END AS beta
          FROM b
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+    "q172_global_cummax" ->
+      """SELECT o_orderkey,
+           max(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_max_cents
+         FROM orders"""
   )
 }

@@ -134,7 +134,15 @@ object Dedup {
     // aggregation, the confirming join) — materialize it once
     val benchSet = graft.ops.Stage.materializeOnce(
       shingled(bench, textCol, idCol, n).select("sh").distinct())
-    val nDistinct = math.max(benchSet.count(), 1L) // bounded: eval corpus
+    val nDistinct = benchSet.count() // bounded: eval corpus
+    // empty benchmark side: nothing can be contaminated — return the
+    // empty flag frame rather than hit stat.bloomFilter's empty-input
+    // NPE (same guard as BloomJoin)
+    if (nDistinct == 0)
+      return train
+        .select(col(idCol))
+        .limit(0)
+        .withColumn("n_shared", lit(0L))
     val bloom = benchSet.stat.bloomFilter("sh", nDistinct, fpp)
     val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))

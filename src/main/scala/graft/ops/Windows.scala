@@ -947,9 +947,33 @@ object Windows {
       orderCol: String,
       valueCol: String,
       outName: String,
+      numPartitions: Int = 0): DataFrame =
+    prefixScanScalable(df, orderCol, valueCol, outName, "sum", numPartitions)
+
+  /** [[prefixSumScalable]] generalized to any associative-with-identity
+    * reduction over longs — `op` ∈ sum | max | min (cumsum / cummax /
+    * cummin). The two-phase scan is monoid-generic: per-partition
+    * totals fold with `op`, the driver scanLeft's them into offsets,
+    * and the streaming pass folds the offset into each row — the same
+    * protocol, identical cost, any monoid.
+    */
+  def prefixScanScalable(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outName: String,
+      op: String,
       numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val (zero: Long, fold: ((Long, Long) => Long)) = op match {
+      case "sum" => (0L, (a: Long, b: Long) => a + b)
+      case "max" => (Long.MinValue, (a: Long, b: Long) => math.max(a, b))
+      case "min" => (Long.MaxValue, (a: Long, b: Long) => math.min(a, b))
+      case other =>
+        throw new IllegalArgumentException(
+          s"prefixScanScalable op must be sum|max|min, got '$other'")
+    }
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
@@ -959,23 +983,23 @@ object Windows {
       .sortWithinPartitions(orderCol)
       .select(
         col(orderCol).cast("long").as("__ord"),
-        coalesce(col(valueCol).cast("long"), lit(0L)).as("__v"))
+        coalesce(col(valueCol).cast("long"), lit(zero)).as("__v"))
       .transform(Stage.materializeOnce) // sort runs once; both passes reuse
     val totals: Array[(Int, Long)] = sorted.rdd
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(1))
+        var s = zero
+        it.foreach(r => s = fold(s, r.getLong(1)))
         Iterator.single(i -> s)
       }
       .collect()
-    // offsets(i) = sum of everything before partition i (bounded:
+    // offsets(i) = fold of everything before partition i (bounded:
     // one long per partition on the driver)
-    val offsets = totals.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
+    val offsets = totals.sortBy(_._1).map(_._2).scanLeft(zero)(fold)
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val outRows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       var s = bOffsets.value(i)
       it.map { r =>
-        s += r.getLong(1)
+        s = fold(s, r.getLong(1))
         Row(r.getLong(0), s)
       }
     }

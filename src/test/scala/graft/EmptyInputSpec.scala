@@ -33,6 +33,41 @@ class EmptyInputSpec extends AnyFunSuite {
         .count() === 0)
   }
 
+  test("scan/window family: empty input in, empty out, never a crash") {
+    import graft.ops.Windows
+    // two-phase prefix scans: zero partitions of totals, empty result
+    assert(
+      Windows
+        .prefixSumScalable(noKV, "k", "v", "cum")
+        .count() === 0)
+    assert(
+      Windows
+        .prefixScanScalable(noKV, "k", "v", "cum", "max")
+        .count() === 0)
+    // streaming per-key recursions and the table window
+    val ek = Seq.empty[(String, Long, Double, Double)].toDF("k", "i", "x", "y")
+    assert(
+      Windows
+        .ewmCov(ek, "x", "y", Seq(col("i")), Seq("k"), 0.5, "c")
+        .count() === 0)
+    assert(
+      Windows
+        .rollingTableApply(
+          ek, Seq(col("x"), col("y")), Seq(col("i")), Seq(col("k")), 3,
+          "out")(m => Some(m.head.sum))
+        .count() === 0)
+    // audio decode: empty asset table, and decontaminate identities
+    val noAssets = Seq.empty[(Long, Array[Byte])].toDF("id", "data")
+    assert(graft.multimodal.Multimodal.decodeAudio(noAssets).count() === 0)
+    assert(
+      Dedup
+        .decontaminate(noDocs, noDocs, "text", "doc_id")
+        .count() === 0)
+    // empty bench side: nothing is contaminated, corpus passes through
+    val docs = Seq((60L, "some training text here")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(docs, noDocs, "text", "doc_id").count() === 1)
+  }
+
   test("heavy hitters: empty stream has no hitters") {
     assert(
       HeavyHitters

@@ -60,6 +60,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("partition count never changes global prefix scans (exact long path)") {
+    import graft.ops.Windows
+    val o = Tables.orders(spark, TestSpark.sf)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    def run(op: String, parts: Int): Array[(Long, Long)] =
+      Windows
+        .prefixScanScalable(o, "o_orderkey", "c", "out", op,
+          numPartitions = parts)
+        .as[(Long, Long)]
+        .collect()
+        .sortBy(_._1)
+    Seq("sum", "max", "min").foreach { op =>
+      val one = run(op, 1) // sequential ground truth: no carry at all
+      Seq(3, 7, 16).foreach { p =>
+        assert(
+          run(op, p).sameElements(one),
+          s"prefix $op differs between 1 and $p partitions")
+      }
+    }
+  }
+
   test("partition count never changes dedup pair results") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, TestSpark.sf)
