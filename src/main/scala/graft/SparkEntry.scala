@@ -277,6 +277,7 @@ object SparkEntry {
     ivfKmIndexCache.clear()
     pqIndexCache.clear()
     ivfPqIndexCache.clear()
+    mhIndexCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -3579,6 +3580,45 @@ object SparkEntry {
       "__cents",
       "cum_revenue_cents")
 
+  private val mhIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def mhIndex(s: SparkSession, d: String): String =
+    mhIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("mh", d)
+        graft.operators.Dedup.minHashWriteIndex(
+          Tables.documents(s, d).where(col("doc_id") >= 50),
+          "text",
+          "doc_id",
+          path,
+          shingleLen = 4,
+          numHashes = 32,
+          bands = 8,
+          sourceTag = d)
+        path
+      })
+
+  /** INCREMENTAL near-dup ingest ([[graft.operators.Dedup
+    * .dedupIncoming]]): the new batch (doc_id < 50) dedupes against
+    * the persisted MinHash index of the existing corpus (doc_id ≥ 50)
+    * — batch signed with the index's own parameters and BROADCAST, the
+    * index only ever scanned, never re-signed or shuffled. The
+    * streaming-ingest analog of q166's batch pipeline; rows-only (q14
+    * precedent), with the planted-pair differential in ExtensionsSpec.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .dedupIncoming(
+        Tables.documents(s, d).where(col("doc_id") < 50),
+        "text",
+        "doc_id",
+        mhIndex(s, d),
+        threshold = 0.4,
+        sourceTag = d)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** GLOBAL running max (ungrouped `.cummax()`) — q168's two-phase
     * scan with the max monoid instead of sum
     * ([[graft.ops.Windows.prefixScanScalable]] is monoid-generic:
@@ -3870,7 +3910,8 @@ object SparkEntry {
     "q169_ewm_cov" -> (q169 _),
     "q170_audio_decode" -> (q170 _),
     "q171_rolling_table" -> (q171 _),
-    "q172_global_cummax" -> (q172 _)
+    "q172_global_cummax" -> (q172 _),
+    "q173_minhash_ingest" -> (q173 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -305,6 +305,42 @@ object Dedup {
     *                   [[exact]]-style digest dedup instead of pairwise.
     * @return (id_a, id_b, jaccard) with id_a < id_b, distinct pairs
     */
+  /** (id, bh, mh) signature pipeline shared by [[minHashNearDup]] and
+    * the persisted-index family ([[minHashWriteIndex]] /
+    * [[minHashProbeIndex]]) — both sides of any probe must sign with
+    * the IDENTICAL expressions or buckets silently never match.
+    */
+  private def mhSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleLen: Int,
+      numHashes: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        TextFunctions.normalized(col(textCol)).as("__norm"))
+      .select(
+        col("id"),
+        SignatureExpressions
+          .shingleHashesFast(col("__norm"), shingleLen)
+          .as("bh"))
+      .select(
+        col("id"),
+        col("bh"),
+        SignatureExpressions.minHashFast(col("bh"), numHashes).as("mh"))
+
+  /** (id, bucket) banding of a signature frame — bucket = hash of the
+    * band index and the band's signature slice (the band index inside
+    * the hash keeps cross-band collisions apart without a band column).
+    */
+  private def mhBanded(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
+        }: _*)).as("bucket"))
+
   def minHashNearDup(
       df: DataFrame,
       textCol: String,
@@ -334,32 +370,14 @@ object Dedup {
     // runs on the 64-bit base hashes (same Jaccard modulo ~2^-64 hash
     // collisions), which shuffle 3x smaller and compare as longs.
     SignatureExpressions.register(df.sparkSession)
-    val sig = df
-      .select(
-        col(idCol).as("id"),
-        TextFunctions.normalized(col(textCol)).as("__norm"))
-      .select(
-        col("id"),
-        SignatureExpressions
-          .shingleHashesFast(col("__norm"), shingleLen)
-          .as("bh"))
-      .select(
-        col("id"),
-        col("bh"),
-        SignatureExpressions.minHashFast(col("bh"), numHashes).as("mh"))
+    val sig = mhSignatures(df, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
 
     // band key = hash of the band's slice of the signature. The band join
     // carries ONLY (bucket, id) — shingle arrays would multiply the
     // shuffle by numHashes/bands; they are joined back just for the
     // surviving candidate pairs.
-    val banded = sig
-      .select(
-        col("id"),
-        explode(
-          array((0 until bands).map { b =>
-            hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
-          }: _*)).as("bucket"))
+    val banded = mhBanded(sig, bands, rows)
 
     val cand = pairsFromBuckets(banded, maxBucketSize)
 
@@ -385,6 +403,178 @@ object Dedup {
         (inter / (nA + nB - inter)).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Persist a MinHash index of the corpus — the INCREMENTAL near-dup
+    * ingest path ([[graft.streaming.IngestDedup]] is the exact-hash
+    * analog): today's crawl batch dedupes against the existing corpus
+    * WITHOUT re-signing or rescanning it. Layout:
+    *
+    *  - `buckets/` — (bucket, id, bn): the banded table with each
+    *    bucket's size precomputed at build time, so probes skip
+    *    oversized buckets (the [[minHashNearDup]] `maxBucketSize`
+    *    guard) as a column filter, not a counting pass. `bn` is
+    *    per-index-segment: [[minHashAppendIndex]] writes its own
+    *    batch's counts (a recompaction recomputes globals — honest
+    *    append semantics, same trade as every LSM-ish index);
+    *  - `sig/` — (id, bh, mh): base shingle hashes for exact-Jaccard
+    *    verification, minhash signatures so appends can extend the
+    *    banding;
+    *  - `_meta` — (shingle_len, num_hashes, bands, source): probe-time
+    *    validated; mismatched signing parameters are an ERROR, never
+    *    silently-empty matches.
+    */
+  def minHashWriteIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      shingleLen: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      sourceTag: String = ""): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    SignatureExpressions.register(df.sparkSession)
+    val sig = mhSignatures(df, textCol, idCol, shingleLen, numHashes)
+      .transform(graft.ops.Stage.materializeOnce)
+    sig.write.mode("overwrite").parquet(s"$path/sig")
+    val banded = mhBanded(sig, bands, numHashes / bands)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    banded
+      .join(sizes, Seq("bucket")) // partial+final agg join, no windowing
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/buckets")
+    df.sparkSession
+      .range(1)
+      .select(
+        lit(shingleLen).as("shingle_len"),
+        lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"),
+        lit(sourceTag).as("source"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
+  }
+
+  private def mhMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      sourceTag: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$indexPath/_meta").collect()(0)
+    require(
+      sourceTag.isEmpty || m.getAs[String]("source") == sourceTag,
+      s"minhash index at $indexPath was built from " +
+        s"'${m.getAs[String]("source")}', not '$sourceTag' — refusing to " +
+        "probe/append a different corpus")
+    (
+      m.getAs[Int]("shingle_len"),
+      m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"))
+  }
+
+  /** Probe a persisted [[minHashWriteIndex]] with a NEW batch: sign the
+    * batch with the index's own parameters, band-join against the
+    * persisted buckets, verify candidates with exact Jaccard. The cost
+    * shape is what makes this the 100-TB ingest path: the batch side
+    * (small) is BROADCAST into both the bucket match and the
+    * verification, so the index is only ever SCANNED — column-pruned
+    * (bucket, id, bn) for candidates, (id, bh) for verification — and
+    * never shuffled; candidate volume is bounded by batch size ×
+    * bucket caps.
+    *
+    * @return (probe_id, corpus_id, jaccard) — one row per verified
+    *         near-dup of a batch doc against the indexed corpus
+    */
+  def minHashProbeIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256,
+      sourceTag: String = ""): DataFrame = {
+    val spark = batch.sparkSession
+    SignatureExpressions.register(spark)
+    val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
+    val bSig = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
+      .transform(graft.ops.Stage.materializeOnce)
+    val bBanded = mhBanded(bSig, bands, numHashes / bands)
+      .select(col("bucket"), col("id").as("probe_id"))
+    val cand = spark.read
+      .parquet(s"$indexPath/buckets")
+      .where(col("bn") <= maxBucketSize)
+      .join(broadcast(bBanded), Seq("bucket"))
+      .select(col("probe_id"), col("id").as("corpus_id"))
+      .distinct()
+    val candSh = cand.join(
+      bSig.select(col("id").as("probe_id"), col("bh").as("sh_p")),
+      Seq("probe_id"))
+    val nP = size(col("sh_p")).cast("double")
+    val nC = size(col("sh_c")).cast("double")
+    val inter = size(array_intersect(col("sh_p"), col("sh_c"))).cast("double")
+    spark.read
+      .parquet(s"$indexPath/sig")
+      .select(col("id").as("corpus_id"), col("bh").as("sh_c"))
+      .join(broadcast(candSh), Seq("corpus_id"))
+      .where(least(nP, nC) / greatest(nP, nC) >= threshold)
+      .select(
+        col("probe_id"),
+        col("corpus_id"),
+        (inter / (nP + nC - inter)).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Extend a persisted index with an (already deduped) batch — sign
+    * with the index's own parameters and APPEND; the corpus is never
+    * re-signed (the [[graft.operators.Similarity]] `ivfAppendIndex`
+    * frozen-quantizer argument applied to signatures).
+    */
+  def minHashAppendIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      sourceTag: String = ""): Unit = {
+    val spark = batch.sparkSession
+    SignatureExpressions.register(spark)
+    val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
+    val sig = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
+      .transform(graft.ops.Stage.materializeOnce)
+    sig.write.mode("append").parquet(s"$indexPath/sig")
+    val banded = mhBanded(sig, bands, numHashes / bands)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    banded
+      .join(sizes, Seq("bucket"))
+      .write
+      .mode("append")
+      .parquet(s"$indexPath/buckets")
+  }
+
+  /** The INGEST DECISION over a probe: keep only batch rows with no
+    * verified near-dup in the indexed corpus (LEFT ANTI on the flagged
+    * ids — the batch never shuffles more than its keys). Compose with
+    * [[minHashAppendIndex]] on the survivors to roll the corpus
+    * forward batch by batch.
+    */
+  def dedupIncoming(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 256,
+      sourceTag: String = ""): DataFrame =
+    batch.join(
+      // the flag list is bounded by the batch itself — broadcast it
+      // explicitly rather than leaving the anti-join to a sort-merge
+      broadcast(
+        minHashProbeIndex(
+          batch, textCol, idCol, indexPath, threshold, maxBucketSize,
+          sourceTag)
+          .select(col("probe_id").as(idCol))
+          .distinct()),
+      Seq(idCol),
+      "left_anti")
 
   /** Shared LSH step: (id, bucket) rows → distinct candidate (id_a, id_b)
     * pairs with id_a < id_b. One hash aggregation collects each bucket's

@@ -168,6 +168,56 @@ class ExtensionsSpec extends AnyFunSuite {
       math.abs(feats(6L) - 2.0 * 220 * math.pow(2, 0.5) / 8000) < 0.01)
   }
 
+  test("minhash index: probe finds corpus near-dups, append extends, tags validate") {
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today " +
+        "while the river runs quietly past the old stone mill"
+    val other =
+      "completely different text about distributed query engines and " +
+        "shuffle partitioning strategies for large scale analytics"
+    val corpus = Seq((100L, base), (200L, other)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh-index-").toString
+    Dedup.minHashWriteIndex(corpus, "text", "doc_id", dir,
+      shingleLen = 4, numHashes = 32, bands = 16, sourceTag = "t")
+
+    // batch: one near-dup of corpus doc 100, one novel doc
+    val batch = Seq(
+      (1L, base + " extra"),
+      (2L, "a wholly novel document mentioning nothing from the corpus"))
+      .toDF("doc_id", "text")
+    val hits = Dedup
+      .minHashProbeIndex(batch, "text", "doc_id", dir,
+        threshold = 0.4, sourceTag = "t")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.exists(h => h._1 == 1L && h._2 == 100L && h._3 > 0.4))
+    assert(!hits.exists(_._1 == 2L))
+
+    // the ingest decision: near-dup dropped, novel survives
+    val kept = Dedup
+      .dedupIncoming(batch, "text", "doc_id", dir,
+        threshold = 0.4, sourceTag = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+
+    // append the survivor; a near-dup of IT is now caught too
+    Dedup.minHashAppendIndex(
+      batch.where(col("doc_id") === 2L), "text", "doc_id", dir,
+      sourceTag = "t")
+    val round2 = Dedup
+      .minHashProbeIndex(
+        Seq((3L, "a wholly novel document mentioning nothing from the " +
+          "corpus either")).toDF("doc_id", "text"),
+        "text", "doc_id", dir, threshold = 0.4, sourceTag = "t")
+      .as[(Long, Long, Double)].collect()
+    assert(round2.exists(h => h._1 == 3L && h._2 == 2L))
+
+    // a different source tag is an error, never silently-empty matches
+    intercept[IllegalArgumentException] {
+      Dedup.minHashProbeIndex(batch, "text", "doc_id", dir,
+        sourceTag = "other-corpus")
+    }
+  }
+
   test("decontaminate removes exactly the flagged docs, corpus columns intact") {
     val benchText =
       "evaluation question about the capital of france and its rivers"

@@ -267,6 +267,20 @@ class PlanSpec extends AnyFunSuite {
       s"q30 must stay partitioned, got:\n$p30")
   }
 
+  test("minhash ingest (q173): the index side broadcasts the batch, never sort-merges") {
+    // the 100-TB contract of the incremental ingest path: the persisted
+    // index is only ever SCANNED — every join against it builds a hash
+    // relation from the (small, broadcast) batch side
+    val p = plan(SparkEntry.queries("q173_minhash_ingest")(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(
+      !p.contains("SortMergeJoin"),
+      s"index joins must broadcast the batch side, got:\n$p")
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins against the index scans:\n$p")
+  }
+
   test("global cumsum (q168) never plans Exchange SinglePartition") {
     // the ungrouped running sum is the same trap as q09's window —
     // prefixSumScalable's two-phase scan must keep it range-partitioned
