@@ -472,6 +472,64 @@ object Dedup {
       m.getAs[Int]("bands"))
   }
 
+  /** Validate-or-create the index `_meta` — the bootstrap step of the
+    * streaming ingest loop ([[graft.streaming.NearDupIngest]]): the
+    * first batch writes the signing parameters, every later batch must
+    * present the SAME ones (a parameter drift would make old and new
+    * signatures incomparable — silently, which is why it's an error).
+    */
+  def minHashEnsureMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int,
+      sourceTag: String = ""): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
+    val fs =
+      metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val (sl, nh, b) = mhMeta(spark, indexPath, sourceTag)
+      require(
+        sl == shingleLen && nh == numHashes && b == bands,
+        s"minhash index at $indexPath was built with " +
+          s"(shingleLen=$sl, numHashes=$nh, bands=$b); refusing " +
+          s"($shingleLen, $numHashes, $bands) — signatures would be " +
+          "incomparable")
+    } else
+      spark
+        .range(1)
+        .select(
+          lit(shingleLen).as("shingle_len"),
+          lit(numHashes).as("num_hashes"),
+          lit(bands).as("bands"),
+          lit(sourceTag).as("source"))
+        .write
+        .mode("overwrite")
+        .parquet(metaPath.toString)
+  }
+
+  /** Sign `df` with the index's OWN parameters and return its
+    * (signatures, sized buckets) segment frames — the building block
+    * [[graft.streaming.NearDupIngest]] stages and commits per batch.
+    */
+  def minHashSegmentFrames(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      sourceTag: String = ""): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    SignatureExpressions.register(spark)
+    val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
+    val sig = mhSignatures(df, textCol, idCol, shingleLen, numHashes)
+      .transform(graft.ops.Stage.materializeOnce)
+    val banded = mhBanded(sig, bands, numHashes / bands)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    (sig, banded.join(sizes, Seq("bucket")))
+  }
+
   /** Probe a persisted [[minHashWriteIndex]] with a NEW batch: sign the
     * batch with the index's own parameters, band-join against the
     * persisted buckets, verify candidates with exact Jaccard. The cost

@@ -32,6 +32,7 @@ object SnapshotCommit {
     */
   def publish(fs: FileSystem, staging: Path, target: Path): Unit = {
     if (fs.exists(target)) fs.delete(target, true) // crashed partial
+    fs.mkdirs(target.getParent) // rename needs the parent to exist
     if (!fs.rename(staging, target))
       throw new java.io.IOException(
         s"failed to publish snapshot: rename $staging -> $target")

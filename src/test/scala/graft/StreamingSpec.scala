@@ -169,6 +169,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: intra + cross-batch dedup, replay-safe") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today " +
+        "while the river runs quietly past the old stone mill"
+    val other =
+      "completely different text about distributed query engines and " +
+        "shuffle partitioning strategies for large scale analytics"
+    val idx = Files.createTempDirectory("graft-neardup-ingest").toString + "/mh"
+    val ckpt = Files.createTempDirectory("graft-neardup-ckpt").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupIngest.start(
+      input.toDS().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      // batch 1: 2 is an intra-batch near-dup of 1; 10 is unrelated
+      input.addData((1L, base), (2L, base + " extra"), (10L, other))
+      q.processAllAvailable()
+      assert(
+        NearDupIngest.ingestedIds(spark, idx).get
+          .as[Long].collect().toSet === Set(1L, 10L))
+      // batch 2: 3 is a CROSS-batch near-dup of 1; 20 is novel
+      input.addData(
+        (3L, base + " extra words"),
+        (20L, "a wholly novel document mentioning nothing else at all"))
+      q.processAllAvailable()
+      assert(
+        NearDupIngest.ingestedIds(spark, idx).get
+          .as[Long].collect().toSet === Set(1L, 10L, 20L))
+    } finally q.stop()
+
+    // replaying a committed batch id is a no-op (markers short-circuit)
+    NearDupIngest.ingestBatch(
+      Seq((1L, base), (2L, base + " extra"), (10L, other))
+        .toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 0L)
+    assert(
+      NearDupIngest.ingestedIds(spark, idx).get
+        .as[Long].collect().toSet === Set(1L, 10L, 20L))
+
+    // crashed partial publish: batch 2 commits, then its buckets twin
+    // vanishes (crash between the two publishes). The replay must
+    // rebuild BOTH segments — and must NOT flag doc 30 as a near-dup
+    // of its own half-committed signatures
+    val b2 = Seq((30L, "yet another unrelated piece of text entirely its own"))
+      .toDF("doc_id", "text")
+    NearDupIngest.ingestBatch(b2, idx, "text", "doc_id", batchId = 2L)
+    assert(
+      NearDupIngest.ingestedIds(spark, idx).get
+        .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "buckets/batch=2"), true)
+    NearDupIngest.ingestBatch(b2, idx, "text", "doc_id", batchId = 2L)
+    assert(
+      NearDupIngest.ingestedIds(spark, idx).get
+        .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
+    // the rebuilt buckets are live: a near-dup of 30 is caught
+    NearDupIngest.ingestBatch(
+      Seq((31L, "yet another unrelated piece of text entirely its own " +
+        "again")).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 3L)
+    assert(
+      NearDupIngest.ingestedIds(spark, idx).get
+        .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
+  }
+
   test("streaming ingestion dedup: state converges to the batch dedup") {
     import spark.implicits._
     import graft.streaming.IngestDedup
