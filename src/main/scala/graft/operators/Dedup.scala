@@ -530,6 +530,21 @@ object Dedup {
     (sig, banded.join(sizes, Seq("bucket")))
   }
 
+  /** Recompute sized buckets from STORED signatures (id, mh) — no text
+    * and no re-shingling needed, which is what makes index compaction
+    * a metadata-sized job: banding is a pure function of the persisted
+    * `mh` column and the index's own band count.
+    */
+  def minHashRebucket(
+      sig: DataFrame,
+      indexPath: String,
+      sourceTag: String = ""): DataFrame = {
+    val (_, numHashes, bands) = mhMeta(sig.sparkSession, indexPath, sourceTag)
+    val banded = mhBanded(sig, bands, numHashes / bands)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    banded.join(sizes, Seq("bucket"))
+  }
+
   /** Probe a persisted [[minHashWriteIndex]] with a NEW batch: sign the
     * batch with the index's own parameters, band-join against the
     * persisted buckets, verify candidates with exact Jaccard. The cost

@@ -240,6 +240,105 @@ class StreamingSpec extends AnyFunSuite {
         .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
   }
 
+  test("near-dup index compaction: one segment, exact bn, crash-replayable") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    import org.apache.hadoop.fs.{FileUtil, Path}
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today " +
+        "while the river runs quietly past the old stone mill"
+    val otherA =
+      "completely different text about distributed query engines and " +
+        "shuffle partitioning strategies for large scale analytics"
+    val otherB =
+      "a wholly novel document mentioning nothing else at all in common"
+    val otherC =
+      "yet another unrelated piece of text entirely its own invention"
+    val idx =
+      Files.createTempDirectory("graft-neardup-compact").toString + "/mh"
+    val fs = new Path(idx).getFileSystem(conf)
+    def segs(tree: String): Set[String] =
+      fs.listStatus(new Path(idx, tree))
+        .filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName)
+        .toSet
+    def bnIsExact(): Unit = {
+      // every stored bn must equal the bucket's actual member count
+      val bad = spark.read.parquet(s"$idx/buckets")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("bn").as("mn"), max("bn").as("mx"))
+        .where(col("n") =!= col("mn") || col("n") =!= col("mx"))
+        .count()
+      assert(bad === 0L)
+    }
+
+    NearDupIngest.ingestBatch(
+      Seq((1L, base), (10L, otherA)).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 0L)
+    NearDupIngest.ingestBatch( // 2 is a cross-batch near-dup of 1
+      Seq((2L, base + " extra"), (20L, otherB)).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 1L)
+    NearDupIngest.ingestBatch(
+      Seq((30L, otherC)).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 2L)
+    val before = NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet
+    assert(before === Set(1L, 10L, 20L, 30L))
+
+    // keep pre-compaction segments around to fake crashes below
+    val saved = Files.createTempDirectory("graft-neardup-saved").toString
+    for (t <- Seq("sig", "buckets"))
+      FileUtil.copy(fs, new Path(idx, t), fs, new Path(saved, t), false, conf)
+
+    NearDupIngest.compact(spark, idx)
+    assert(segs("sig") === Set("batch=c2"))
+    assert(segs("buckets") === Set("batch=c2"))
+    assert(NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === before)
+    bnIsExact()
+    NearDupIngest.compact(spark, idx) // single segment: no-op
+    assert(segs("sig") === Set("batch=c2"))
+
+    // the compacted index is live: a near-dup of a folded doc is caught
+    NearDupIngest.ingestBatch(
+      Seq((3L, base + " more")).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 3L)
+    assert(NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === before)
+
+    // crash BETWEEN the two publishes: sig's c-segment committed, the
+    // buckets twin missing, folded originals not yet deleted. The
+    // replay must rebuild exactly — docs present both in c2 and in a
+    // restored original must count ONCE (the fold dedups by id)
+    fs.delete(new Path(idx, "buckets/batch=c2"), true)
+    fs.delete(new Path(idx, "sig/batch=3"), true)
+    fs.delete(new Path(idx, "buckets/batch=3"), true)
+    for (t <- Seq("sig", "buckets"); b <- Seq("batch=0", "batch=1", "batch=2"))
+      FileUtil.copy(
+        fs, new Path(saved, s"$t/$b"), fs, new Path(idx, s"$t/$b"),
+        false, conf)
+    NearDupIngest.compact(spark, idx)
+    assert(segs("sig") === Set("batch=c2"))
+    assert(segs("buckets") === Set("batch=c2"))
+    assert(NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === before)
+    bnIsExact() // double-counted docs would inflate bn — exactness proves not
+
+    // crash MID-DELETE: both targets committed, one stale original left
+    for (t <- Seq("sig", "buckets"))
+      FileUtil.copy(
+        fs, new Path(saved, s"$t/batch=0"), fs,
+        new Path(idx, s"$t/batch=0"), false, conf)
+    NearDupIngest.compact(spark, idx) // repair: drops the stale fold
+    assert(segs("sig") === Set("batch=c2"))
+    assert(segs("buckets") === Set("batch=c2"))
+    assert(NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === before)
+  }
+
   test("streaming ingestion dedup: state converges to the batch dedup") {
     import spark.implicits._
     import graft.streaming.IngestDedup
