@@ -3619,6 +3619,47 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** EXACT semantic-dedup survivors over the embedding corpus: every
+    * cosine-≥-0.4 pair ([[graft.operators.Dedup.embeddingNearDupExact]],
+    * brute pairwise — the oracle-fidelity baseline), transitive chains
+    * resolved to components, one survivor (min vec_id) per component.
+    * Hash-checkable against a DuckDB recursive-CTE oracle (the q56
+    * component pattern over `list_cosine_similarity`). The corpus has
+    * real transitive structure at 0.4 (components up to size 8 at
+    * sf0.01), so this exercises the full pairs→components→survivors
+    * pipeline, not just pair detection. Scale twin: q175 (SemDeDup
+    * cluster blocking) bounds the quadratic scan.
+    */
+  private def q174(sess: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(sess, d)
+    graft.operators.Dedup
+      .dedupByComponents(
+        emb.select("vec_id", "label"),
+        "vec_id",
+        graft.operators.Dedup.resolveComponents(
+          graft.operators.Dedup
+            .embeddingNearDupExact(emb, "embedding", "vec_id", 0.4)))
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup semantic dedup (cluster-blocked, arXiv:2303.09540) — the
+    * 100-TB form of q174: k-means blocks the pairwise scan to within-
+    * cluster candidates, so the work is Σ cluster² instead of n².
+    * Rows-only by design (k-means assignment is not SQL-expressible);
+    * the differential spec proves clustered == exact on planted
+    * near-dup chains, and q174 is the exact twin on this corpus.
+    */
+  private def q175(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .semanticDedup(
+        Tables.embeddings(sess, d),
+        "embedding",
+        "vec_id",
+        k = 8,
+        threshold = 0.4)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
   /** GLOBAL running max (ungrouped `.cummax()`) — q168's two-phase
     * scan with the max monoid instead of sum
     * ([[graft.ops.Windows.prefixScanScalable]] is monoid-generic:
@@ -3911,7 +3952,9 @@ object SparkEntry {
     "q170_audio_decode" -> (q170 _),
     "q171_rolling_table" -> (q171 _),
     "q172_global_cummax" -> (q172 _),
-    "q173_minhash_ingest" -> (q173 _)
+    "q173_minhash_ingest" -> (q173 _),
+    "q174_semantic_dedup" -> (q174 _),
+    "q175_semantic_dedup_blocked" -> (q175 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5701,6 +5744,26 @@ object SparkEntry {
              OVER (ORDER BY o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS run_max_cents
-         FROM orders"""
+         FROM orders""",
+    "q174_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) >= 0.4
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs
+         ), reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         ), dropped AS (
+           SELECT id FROM reach GROUP BY id HAVING min(r) <> id
+         )
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT id FROM dropped)
+         ORDER BY vec_id"""
   )
 }

@@ -1029,6 +1029,74 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** EXACT embedding cosine near-dup pairs — every (id_a < id_b) pair
+    * with cosine ≥ threshold, via a broadcast nested-loop self-join.
+    * O(n²) by definition: this is the oracle-fidelity baseline of the
+    * semantic-dedup family (the q17 brute-force-scores precedent
+    * applied to pairs), kept for exact answers and as the recall
+    * denominator of the approximate forms. At corpus scale use
+    * [[semanticDedup]] (cluster-blocked) or [[embeddingNearDup]]
+    * (hyperplane LSH), which bound the comparison set and trade recall
+    * for the quadratic scan.
+    */
+  def embeddingNearDupExact(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        VectorExpressions.cosineFast(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** SemDeDup-style semantic dedup survivors (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space ([[Similarity.kmeansAssign]] — deterministic hash-seeded
+    * Lloyd, per-round driver state = k centroids), generate candidate
+    * pairs only WITHIN a cluster (the [[pairsFromBuckets]] cap guards
+    * a degenerate mega-cluster), verify candidates with exact cosine,
+    * resolve transitive chains to connected components, keep one doc
+    * per component (min id). Cluster blocking bounds the pairwise work
+    * to Σ cluster_size² instead of n² — the published method's scale
+    * argument; recall vs [[embeddingNearDupExact]] is the price, paid
+    * mostly by threshold-straddling pairs split across a cluster
+    * boundary (near-exact dups co-assign to the same nearest centroid
+    * by construction).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      threshold: Double,
+      iters: Int = 3,
+      maxClusterSize: Int = 4096): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val assigned = Similarity
+      .kmeansAssign(df, vecCol, idCol, k, iters)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster"))
+      .transform(graft.ops.Stage.materializeOnce)
+    val cand = pairsFromBuckets(
+      assigned.select(col("id"), col("cluster").as("bucket")),
+      maxClusterSize)
+    val pairs = cand
+      .join(assigned.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(assigned.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        VectorExpressions.cosineFast(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+    dedupByComponents(df, idCol, resolveComponents(pairs))
+  }
+
   /** Gopher-style duplicated-n-gram fraction per document: the share of
     * each doc's DISTINCT word n-grams that also occur in at least one
     * OTHER document (Rae et al., "Scaling Language Models: ... Gopher",

@@ -444,6 +444,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("semantic dedup: clustered equals exact on planted dup groups") {
+    // exact-duplicate groups: identical vectors assign to the same
+    // nearest centroid whatever the (deterministic) seeding does, so
+    // cluster blocking provably loses no within-group pair here —
+    // clustered MUST equal exact: one survivor (min id) per group
+    val a = Array.tabulate(16)(i => math.sin(i + 1.0).toFloat * 5f)
+    val b = Array.tabulate(16)(i => math.cos(3.0 * i + 2).toFloat * 5f)
+    val c = Array.tabulate(16)(i => if (i % 2 == 0) 4f else -4f)
+    val rows = Seq((1L, a), (2L, a), (3L, a), (10L, b), (11L, b), (20L, c))
+      .toDF("vec_id", "embedding")
+    val exact = Dedup
+      .dedupByComponents(
+        rows.select("vec_id"),
+        "vec_id",
+        Dedup.resolveComponents(
+          Dedup.embeddingNearDupExact(rows, "embedding", "vec_id", 0.999)))
+      .as[Long].collect().toSet
+    assert(exact === Set(1L, 10L, 20L))
+    val clustered = Dedup
+      .semanticDedup(rows, "embedding", "vec_id", k = 3, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(clustered === exact)
+  }
+
+  test("semantic dedup: cluster blocking only ever ADDS survivors") {
+    // on the real corpus (transitive chains at 0.4, components to size
+    // 8) blocking can miss boundary-straddling pairs but never invent
+    // one: clustered drop-set ⊆ exact drop-set ⇔ survivors superset
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val exact = Dedup
+      .dedupByComponents(
+        emb.select("vec_id"),
+        "vec_id",
+        Dedup.resolveComponents(
+          Dedup.embeddingNearDupExact(emb, "embedding", "vec_id", 0.4)))
+      .as[Long].collect().toSet
+    val clustered = Dedup
+      .semanticDedup(emb, "embedding", "vec_id", k = 8, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.subsetOf(clustered))
+    assert(exact.size < emb.count()) // the corpus really has dropped docs
+  }
+
   test("shingles edge cases: short/empty text") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
     val sh = df.select(TextFunctions.shingles(col("text"), 3)).collect()

@@ -24,6 +24,14 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q129/q134/q144 — global quantile/bin boundary rows onto values.
     *  - q147/q158 — global count n (1 row) onto ranked frames.
     *  - q164 — global max-event-id midpoint (1 row) onto the stream.
+    * NOT listed, by design: q174's exact pairwise cosine IS a
+    * deliberate O(n²) BNL (the oracle-fidelity baseline of semantic
+    * dedup; q175's cluster blocking is the 100× path), but it runs
+    * INSIDE resolveComponents' eager materialization, so the declared
+    * query's final plan — all this audit can see — only scans the
+    * checkpointed components. Its quadratic shape is documented at
+    * the operator ([[graft.operators.Dedup.embeddingNearDupExact]])
+    * and in the README scale-twins table instead.
     */
   private val allowNestedLoop: Set[String] = Set(
     "q105_cross_merge",
