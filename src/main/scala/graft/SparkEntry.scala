@@ -3730,6 +3730,40 @@ object SparkEntry {
             transform(col("energy_profile"), x => format_number(x, 4))))
           .as("profile_hash"))
 
+  /** REAL video decode + frame sampling — the pure-JDK RIFF/AVI parser
+    * ([[graft.multimodal.Multimodal.decodeVideo]]) over per-id
+    * synthesized uncompressed AVIs, every 2nd frame. Solid-color
+    * frames make the decoded per-frame channel means and luminance
+    * bin arithmetically predictable, so the WHOLE
+    * write-container → parse-container → scan-pixels round trip is
+    * hash-checked against a plain-SQL oracle (a stride / BGR-order /
+    * bottom-up bug would shift every mean). Means accumulate in
+    * double; no rounding on either side — both emit bit-identical
+    * doubles and the driver's canonical 6-decimal pass does the rest.
+    */
+  private def q176(sess: SparkSession, d: String): DataFrame =
+    Multimodal
+      .decodeVideo(
+        Multimodal.videoAssetsFromIds(
+          Tables.documents(sess, d).select("doc_id"),
+          "doc_id"),
+        histBins = 16,
+        everyN = 2)
+      .toDF()
+      .select(
+        col("id"),
+        col("frame_idx"),
+        col("width"),
+        col("height"),
+        col("n_frames"),
+        col("mean_r"),
+        col("mean_g"),
+        col("mean_b"),
+        // a solid frame's luminance histogram is a single 1.0 bin —
+        // its index is the frame's (integer) luminance bucket
+        (array_position(col("feature"), 1.0f) - 1).as("lum_bin"))
+      .orderBy("id", "frame_idx")
+
   /** pandas `rolling(10, method="table").apply(f)` — the multi-column
     * black-box window UDF ([[graft.ops.Windows.rollingTableApply]]):
     * the user function sees the whole w×k frame matrix. Exercised with
@@ -3954,7 +3988,8 @@ object SparkEntry {
     "q172_global_cummax" -> (q172 _),
     "q173_minhash_ingest" -> (q173 _),
     "q174_semantic_dedup" -> (q174 _),
-    "q175_semantic_dedup_blocked" -> (q175 _)
+    "q175_semantic_dedup_blocked" -> (q175 _),
+    "q176_video_decode" -> (q176 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5764,6 +5799,24 @@ object SparkEntry {
          )
          SELECT vec_id, label FROM embeddings
          WHERE vec_id NOT IN (SELECT id FROM dropped)
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    "q176_video_decode" ->
+      """WITH f AS (SELECT unnest([0, 2, 4]) AS frame_idx),
+         c AS (
+           SELECT d.doc_id AS id, f.frame_idx,
+                  (37 * d.doc_id + 11 * f.frame_idx) % 256 AS r,
+                  (73 * d.doc_id + 17 * f.frame_idx) % 256 AS g,
+                  (101 * d.doc_id + 29 * f.frame_idx) % 256 AS b
+           FROM documents d CROSS JOIN f
+         )
+         SELECT id, frame_idx,
+                16 AS width, 12 AS height, 6 AS n_frames,
+                r / 255.0 AS mean_r,
+                g / 255.0 AS mean_g,
+                b / 255.0 AS mean_b,
+                ((r * 299 + g * 587 + b * 114) // 1000 * 16) // 256
+                  AS lum_bin
+         FROM c
+         ORDER BY id, frame_idx"""
   )
 }

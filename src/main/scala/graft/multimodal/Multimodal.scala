@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
   * [[resizeImages]], no external codecs required). The AUDIO modality
   * is decoded FOR REAL via the JDK's built-in `javax.sound.sampled`
   * (WAV/AIFF/AU PCM — [[decodeAudio]], same no-external-codec
-  * argument). VIDEO decode remains STUBBED with a deterministic fake
-  * (the JDK genuinely ships no video codec and this container has
-  * none — see the build brief); the Spark-side plumbing is identical
-  * either way and is what actually matters at scale:
+  * argument). VIDEO is decoded FOR REAL for uncompressed RIFF/AVI
+  * ('00db' BI_RGB frames — [[decodeVideo]], a pure-JDK container
+  * parser; raw DIB frames need no codec at all). The only remaining
+  * stub is COMPRESSED video bitstreams (H.264/VP9 — the JDK genuinely
+  * ships no video codec): those assets quarantine as undecodable, and
+  * [[fakeDecode]]/[[frameSample]] stay as the documented plumbing
+  * shape for an external-codec integration. The Spark-side plumbing
+  * is identical either way and is what actually matters at scale:
   *   - schema: (id, modality, data binary, meta struct)
   *   - per-partition batched processing via `mapPartitions` — one
   *     decoder/model instantiation per task, amortized over the
@@ -433,5 +437,259 @@ object Multimodal {
         lit(44L + nSamples * 2L).as("n_bytes"),
         lit(0).as("width"),
         lit(0).as("height")).as("meta"))
+  }
+
+  // ------------------------------------------------------------------
+  // VIDEO — real CONTAINER decode via a pure-JDK RIFF/AVI parser:
+  // uncompressed DIB frames ('00db', BI_RGB 24-bit) are raw pixels, so
+  // parsing the container IS the whole decode — the same
+  // the-JDK-can-do-this argument that un-stubbed WAV audio (RIFF's
+  // sibling format). The honest codec boundary moves to COMPRESSED
+  // bitstreams ('00dc' / non-zero biCompression): the JDK ships no
+  // H.264/VP9 decoder, so those assets return None (quarantine), and
+  // that is now the ONLY stubbed spot in the multimodal family.
+  // ------------------------------------------------------------------
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** One decoded uncompressed AVI: true dimensions + the raw DIB
+    * payload of every frame in stream order.
+    */
+  private final case class AviVideo(
+      width: Int,
+      height: Int,
+      frames: IndexedSeq[Array[Byte]])
+
+  /** Parse a RIFF/AVI byte payload. Returns None — never throws — for
+    * anything this pure-JDK path cannot fully decode: truncated or
+    * non-AVI bytes, compressed streams (biCompression != 0 or any
+    * '..dc' chunk), non-24-bit DIBs, or frames shorter than one
+    * w×h×24bpp bitmap. Walks the chunk tree once: 'strf'
+    * (BITMAPINFOHEADER) gives geometry, '..db' chunks inside 'movi'
+    * give frames; 'idx1' is ignored (sequential scan needs no index).
+    */
+  private def parseAvi(data: Array[Byte]): Option[AviVideo] = {
+    if (data.length < 12 || fourcc(data, 0) != "RIFF" ||
+      fourcc(data, 8) != "AVI ") return None
+    var w = 0
+    var h = 0
+    var bits = 0
+    var comp = 0
+    var sawStrf = false
+    var compressedChunk = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    try {
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = fourcc(data, p)
+          val sz = le32(data, p + 4)
+          if (sz < 0) return // corrupt size — stop, bounds guard below
+          val body = p + 8
+          val end = math.min(to, body + sz)
+          if (id == "LIST" && sz >= 4) walk(body + 4, end)
+          else if (id == "strf" && sz >= 40 && !sawStrf) {
+            sawStrf = true
+            w = le32(data, body + 4)
+            h = le32(data, body + 8)
+            bits = (le32(data, body + 12) >>> 16) & 0xffff
+            comp = le32(data, body + 16)
+          } else if (id.endsWith("db"))
+            frames += java.util.Arrays.copyOfRange(data, body, end)
+          else if (id.endsWith("dc")) compressedChunk = true
+          p = body + sz + (sz & 1) // chunks pad to even length
+        }
+      }
+      walk(12, math.min(data.length, 8 + le32(data, 4)))
+    } catch { case _: IndexOutOfBoundsException => return None }
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (!sawStrf || compressedChunk || comp != 0 || bits != 24 ||
+      w <= 0 || h <= 0 || frames.isEmpty ||
+      frames.exists(_.length < stride * h)) None
+    else Some(AviVideo(w, h, frames.toIndexedSeq))
+  }
+
+  case class VideoFrameFeatures(
+      id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      feature: Array[Float])
+
+  /** Per-frame pixel statistics of one DIB payload: channel means in
+    * [0,1] (accumulated in DOUBLE — the means are differential-tested
+    * against an arithmetic oracle at 6 decimals, where float32
+    * accumulation visibly drifts) plus the same `histBins` luminance
+    * histogram the image path emits. Row order (DIBs store bottom-up)
+    * is irrelevant to order-free statistics, so the scan follows
+    * storage order.
+    */
+  private def frameStats(
+      payload: Array[Byte],
+      w: Int,
+      h: Int,
+      histBins: Int): (Double, Double, Double, Array[Float]) = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val hist = new Array[Float](histBins)
+    var sr = 0.0
+    var sg = 0.0
+    var sb = 0.0
+    var y = 0
+    while (y < h) {
+      val row = y * stride
+      var x = 0
+      while (x < w) {
+        val off = row + x * 3 // DIB pixel order is B,G,R
+        val b = payload(off) & 0xff
+        val g = payload(off + 1) & 0xff
+        val r = payload(off + 2) & 0xff
+        sr += r; sg += g; sb += b
+        hist((r * 299 + g * 587 + b * 114) / 1000 * histBins / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    var i = 0
+    while (i < histBins) { hist(i) /= n.toFloat; i += 1 }
+    (sr / (n * 255.0), sg / (n * 255.0), sb / (n * 255.0), hist)
+  }
+
+  /** Batched REAL video decode + frame sampling over an asset table:
+    * every `everyN`-th frame of each decodable AVI becomes one row of
+    * pixel statistics. Undecodable/compressed assets are dropped
+    * (quarantine — the [[decodeImages]]/[[decodeAudio]] contract).
+    * Same mapPartitions batching shape; the container parse is one
+    * linear walk per asset, each sampled frame one linear pixel scan.
+    */
+  def decodeVideo(
+      assets: DataFrame,
+      histBins: Int = 16,
+      everyN: Int = 1): Dataset[VideoFrameFeatures] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    implicit val enc: ExpressionEncoder[VideoFrameFeatures] =
+      ExpressionEncoder[VideoFrameFeatures]()
+    assets.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val id = r.getLong(r.fieldIndex("id"))
+        parseAvi(r.getAs[Array[Byte]]("data")).iterator.flatMap { v =>
+          (0 until v.frames.length by everyN).iterator.map { f =>
+            val (mr, mg, mb, hist) =
+              frameStats(v.frames(f), v.width, v.height, histBins)
+            VideoFrameFeatures(
+              id, f, v.width, v.height, v.frames.length, mr, mg, mb, hist)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic in-JVM AVI synthesis (the [[synthWavBytes]] analog
+    * for the video modality): a spec-complete uncompressed AVI —
+    * RIFF('AVI ') → LIST hdrl [avih, LIST strl [strh 'vids'/'DIB ',
+    * strf BITMAPINFOHEADER]] → LIST movi ['00db' frames] → idx1 —
+    * with one solid-color BI_RGB frame per entry of `frameColors`.
+    * Every byte is written by this method, so the decode query
+    * exercises the real container parse end-to-end on well-formed
+    * input, and the specs can corrupt specific offsets.
+    */
+  def synthAviBytes(
+      w: Int,
+      h: Int,
+      frameColors: Seq[(Int, Int, Int)],
+      fps: Int = 10): Array[Byte] = {
+    require(w > 0 && h > 0 && frameColors.nonEmpty)
+    val n = frameColors.length
+    val stride = ((w * 3 + 3) / 4) * 4
+    val fs = stride * h
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def i32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val moviSz = 4 + n * (8 + fs)
+    val idxSz = 16 * n
+    cc("RIFF"); i32(4 + (8 + 192) + (8 + moviSz) + (8 + idxSz)); cc("AVI ")
+    cc("LIST"); i32(192); cc("hdrl")
+    cc("avih"); i32(56)
+    i32(1000000 / fps); i32(0); i32(0); i32(0x10 /* AVIF_HASINDEX */)
+    i32(n); i32(0); i32(1); i32(fs); i32(w); i32(h)
+    i32(0); i32(0); i32(0); i32(0) // dwReserved[4]
+    cc("LIST"); i32(116); cc("strl")
+    cc("strh"); i32(56)
+    cc("vids"); cc("DIB "); i32(0); i32(0); i32(0)
+    i32(1 /* scale */); i32(fps /* rate */); i32(0); i32(n)
+    i32(fs); i32(-1 /* quality: default */); i32(0)
+    i32(0); i32(0) // rcFrame
+    cc("strf"); i32(40)
+    i32(40); i32(w); i32(h); i32(1 | (24 << 16)) // planes=1, bpp=24
+    i32(0 /* BI_RGB */); i32(fs); i32(0); i32(0); i32(0); i32(0)
+    cc("LIST"); i32(moviSz); cc("movi")
+    frameColors.foreach { case (r, g, b) =>
+      cc("00db"); i32(fs)
+      val row = new Array[Byte](stride)
+      var x = 0
+      while (x < w) {
+        row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte
+        row(x * 3 + 2) = r.toByte
+        x += 1
+      }
+      var y = 0
+      while (y < h) { bos.write(row); y += 1 }
+    }
+    cc("idx1"); i32(idxSz)
+    var f = 0
+    while (f < n) {
+      cc("00db"); i32(0x10 /* AVIIF_KEYFRAME */)
+      i32(4 + f * (8 + fs)); i32(fs)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Video asset table synthesized per id: `nFrames` solid-color frames
+    * whose channels are pure functions of (id, frame_idx) —
+    * r = (37·id + 11·f) mod 256, g = (73·id + 17·f) mod 256,
+    * b = (101·id + 29·f) mod 256 — so the decoded per-frame means are
+    * arithmetically predictable by a SQL oracle: the whole
+    * write-container → parse-container → scan-pixels round trip is
+    * differentially checked, and any stride/BGR/bottom-up bug shows as
+    * a mean mismatch.
+    */
+  def videoAssetsFromIds(
+      df: DataFrame,
+      idCol: String,
+      w: Int = 16,
+      h: Int = 12,
+      nFrames: Int = 6): DataFrame = {
+    val synth = udf { (id: Long) =>
+      synthAviBytes(
+        w,
+        h,
+        (0 until nFrames).map(f =>
+          (
+            ((37 * id + 11 * f) % 256).toInt,
+            ((73 * id + 17 * f) % 256).toInt,
+            ((101 * id + 29 * f) % 256).toInt)))
+    }
+    df.select(
+      col(idCol).cast("long").as("id"),
+      synth(col(idCol).cast("long")).as("data"),
+      struct(
+        lit("video").as("modality"),
+        lit(0L).as("n_bytes"),
+        lit(w).as("width"),
+        lit(h).as("height")).as("meta"))
   }
 }

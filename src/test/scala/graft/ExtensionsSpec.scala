@@ -168,6 +168,53 @@ class ExtensionsSpec extends AnyFunSuite {
       math.abs(feats(6L) - 2.0 * 220 * math.pow(2, 0.5) / 8000) < 0.01)
   }
 
+  test("video: AVI roundtrip decodes known frames; compressed/corrupt quarantined") {
+    // 4 solid-color frames at 16×12 — means and luminance bins are
+    // known exactly; frame 0 is pure red, 3 a dim gray-ish mix
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30))
+    val avi = Multimodal.synthAviBytes(16, 12, colors)
+    val assets = Seq((7L, avi)).toDF("id", "data")
+    val all = Multimodal.decodeVideo(assets, histBins = 16)
+      .collect().sortBy(_.frame_idx)
+    assert(all.length === 4)
+    assert(all.forall(f =>
+      f.width == 16 && f.height == 12 && f.n_frames == 4 && f.id == 7L))
+    all.zip(colors).foreach { case (f, (r, g, b)) =>
+      assert(f.mean_r === r / 255.0)
+      assert(f.mean_g === g / 255.0)
+      assert(f.mean_b === b / 255.0)
+      // solid frame: the histogram is a single 1.0 at the lum bucket
+      val lum = (r * 299 + g * 587 + b * 114) / 1000 * 16 / 256
+      assert(f.feature(lum) === 1.0f)
+      assert(f.feature.sum === 1.0f)
+    }
+    // frame sampling: every 2nd frame
+    val sampled = Multimodal.decodeVideo(assets, 16, everyN = 2)
+      .collect().map(_.frame_idx).sorted
+    assert(sampled === Array(0, 2))
+
+    def patched(at: Int, b: Byte): Array[Byte] = {
+      val c = avi.clone(); c(at) = b; c
+    }
+    def find(marker: String, from: Int = 0): Int = {
+      val m = marker.getBytes("US-ASCII")
+      avi.indexOfSlice(m, from)
+    }
+    // not RIFF / truncated → quarantine, not crash
+    val vid = (d: Array[Byte]) =>
+      Multimodal.decodeVideo(Seq((1L, d)).toDF("id", "data"), 16).count()
+    assert(vid(patched(3, 'X'.toByte)) === 0L)
+    assert(vid(avi.take(100)) === 0L)
+    assert(vid("nope".getBytes) === 0L)
+    // compressed stream (biCompression != 0) → the honest codec boundary
+    assert(vid(patched(find("strf") + 8 + 16, 1.toByte)) === 0L)
+    // a '00dc' (compressed) frame chunk poisons the asset
+    val movi = find("movi")
+    assert(vid(patched(find("00db", movi) + 3, 'c'.toByte)) === 0L)
+    // sanity: the unpatched original still decodes (offsets were right)
+    assert(vid(avi) === 4L)
+  }
+
   test("minhash index: probe finds corpus near-dups, append extends, tags validate") {
     val base =
       "the quick brown fox jumps over the lazy dog again and again today " +
