@@ -491,7 +491,9 @@ object Multimodal {
           val sz = le32(data, p + 4)
           if (sz < 0) return // corrupt size — stop, bounds guard below
           val body = p + 8
-          val end = math.min(to, body + sz)
+          // long arithmetic: a fuzzed size near Int.MaxValue must clamp,
+          // not overflow into a negative copyOfRange bound
+          val end = math.min(to.toLong, body.toLong + sz).toInt
           if (id == "LIST" && sz >= 4) walk(body + 4, end)
           else if (id == "strf" && sz >= 40 && !sawStrf) {
             sawStrf = true
@@ -502,14 +504,20 @@ object Multimodal {
           } else if (id.endsWith("db"))
             frames += java.util.Arrays.copyOfRange(data, body, end)
           else if (id.endsWith("dc")) compressedChunk = true
-          p = body + sz + (sz & 1) // chunks pad to even length
+          // chunks pad to even length; clamp the same way as `end`
+          val nextP = body.toLong + sz + (sz & 1)
+          p = if (nextP > to) to else nextP.toInt
         }
       }
       walk(12, math.min(data.length, 8 + le32(data, 4)))
     } catch { case _: IndexOutOfBoundsException => return None }
-    val stride = ((w * 3 + 3) / 4) * 4
+    // LONG arithmetic + dimension caps: a fuzzed strf can claim a
+    // geometry whose stride*h wraps Int and sneaks past a 32-bit
+    // length check while the pixel scan then reads out of bounds
+    // (caught by the fuzz spec). 16383² is far beyond any real frame.
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
     if (!sawStrf || compressedChunk || comp != 0 || bits != 24 ||
-      w <= 0 || h <= 0 || frames.isEmpty ||
+      w <= 0 || h <= 0 || w > 16383 || h > 16383 || frames.isEmpty ||
       frames.exists(_.length < stride * h)) None
     else Some(AviVideo(w, h, frames.toIndexedSeq))
   }

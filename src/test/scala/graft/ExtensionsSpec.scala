@@ -215,6 +215,48 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(vid(avi) === 4L)
   }
 
+  test("video: fuzzed AVI bytes never crash the decoder (quarantine contract)") {
+    // 300 deterministic mutants: 1-4 byte flips at seeded offsets, plus
+    // seeded truncations. Every one must either decode or drop — a
+    // parser that throws on hostile bytes takes the whole task down
+    val avi = Multimodal.synthAviBytes(8, 6, Seq((1, 2, 3), (200, 100, 50)))
+    val rnd = new scala.util.Random(0xA51D)
+    val mutants = (0 until 300).map { i =>
+      val m = avi.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      val cut = if (i % 5 == 0) 1 + rnd.nextInt(m.length) else m.length
+      (i.toLong, m.take(cut))
+    }
+    val out = Multimodal
+      .decodeVideo(mutants.toDF("id", "data"), histBins = 16)
+      .collect() // must not throw
+    // decoded rows that survive mutation still have sane geometry
+    out.foreach { f =>
+      assert(f.width > 0 && f.height > 0 && f.feature.length === 16)
+    }
+  }
+
+  test("exact semantic dedup survivors are partitioning-invariant") {
+    // the EXACT path has no partitioning-sensitive arithmetic: each
+    // pair's cosine is computed within one row, components are a
+    // min-label fixpoint. (semanticDedup is NOT asserted invariant:
+    // Lloyd centroid means sum doubles in partition order, so a
+    // boundary assignment may legitimately flip — the sound cross-
+    // partitioning guarantee there is the survivors-superset test.)
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    def survivors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup
+        .dedupByComponents(
+          df.select("vec_id"),
+          "vec_id",
+          Dedup.resolveComponents(
+            Dedup.embeddingNearDupExact(df, "embedding", "vec_id", 0.4)))
+        .as[Long].collect().toSet
+    assert(survivors(emb.repartition(7)) === survivors(emb))
+  }
+
   test("minhash index: probe finds corpus near-dups, append extends, tags validate") {
     val base =
       "the quick brown fox jumps over the lazy dog again and again today " +
