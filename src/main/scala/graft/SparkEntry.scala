@@ -278,6 +278,7 @@ object SparkEntry {
     pqIndexCache.clear()
     ivfPqIndexCache.clear()
     mhIndexCache.clear()
+    embDupIndexCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -3583,6 +3584,38 @@ object SparkEntry {
   private val mhIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val embDupIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build-once persisted embedding near-dup index over the corpus half
+    * (vec_id ≥ 100), built through the streaming backfill path itself
+    * ([[graft.streaming.EmbedIngest.ingestBatch]] with batchId 0 — the
+    * corpus is intra-deduped on the way in, which IS the ingest
+    * semantics).
+    */
+  private def embDupIndex(s: SparkSession, d: String): String =
+    embDupIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("embdup", d)
+        // ingestBatch is idempotent per (path, batchId) — markers from
+        // a previous build would short-circuit it, so a cache-miss
+        // build (what Bench times after clearIndexCaches) must start
+        // from an empty tree to be a REAL build, not a marker check
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.streaming.EmbedIngest.ingestBatch(
+          Tables.embeddings(s, d).where(col("vec_id") >= 100),
+          path,
+          "embedding",
+          "vec_id",
+          batchId = 0L,
+          nBits = 16,
+          bands = 4,
+          threshold = 0.4,
+          sourceTag = d)
+        path
+      })
+
   private def mhIndex(s: SparkSession, d: String): String =
     mhIndexCache.getOrElseUpdate(
       d, {
@@ -3657,6 +3690,29 @@ object SparkEntry {
         "vec_id",
         k = 8,
         threshold = 0.4)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+
+  /** INCREMENTAL SEMANTIC ingest ([[graft.operators.Dedup
+    * .embDedupIncoming]]) — q173's shape for the embedding modality:
+    * the new batch (vec_id < 100) dedupes against the persisted
+    * banded-hyperplane-LSH index of the existing corpus (vec_id ≥ 100,
+    * built via the streaming backfill path). Batch signed with the
+    * index's own parameters and BROADCAST; the index is only ever
+    * scanned. Rows-only by design (LSH recall < 1 at this threshold is
+    * not SQL-expressible); the StreamingSpec lifecycle and the
+    * ExtensionsSpec probe-vs-exact containment are the differential
+    * checks.
+    */
+  private def q177(sess: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .embDedupIncoming(
+        Tables.embeddings(sess, d).where(col("vec_id") < 100),
+        "embedding",
+        "vec_id",
+        embDupIndex(sess, d),
+        threshold = 0.4,
+        sourceTag = d)
       .select("vec_id", "label")
       .orderBy("vec_id")
 
@@ -3989,7 +4045,8 @@ object SparkEntry {
     "q173_minhash_ingest" -> (q173 _),
     "q174_semantic_dedup" -> (q174 _),
     "q175_semantic_dedup_blocked" -> (q175 _),
-    "q176_video_decode" -> (q176 _)
+    "q176_video_decode" -> (q176 _),
+    "q177_embed_ingest" -> (q177 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -1097,6 +1097,227 @@ object Dedup {
     dedupByComponents(df, idCol, resolveComponents(pairs))
   }
 
+  // ------------------------------------------------------------------
+  // Persisted EMBEDDING near-dup index — the [[minHashWriteIndex]]
+  // family transplanted to BANDED hyperplane-LSH signatures: an
+  // incoming batch of embeddings dedupes against the already-ingested
+  // corpus without ever re-signing or shuffling it (index scanned,
+  // batch broadcast — identical cost shape to the MinHash path).
+  // Banding a single nBits signature into `bands` sub-signatures
+  // raises recall exactly like MinHash banding: a pair collides if ANY
+  // band's bits agree, so P(candidate) = 1-(1-p^rows)^bands with
+  // p = 1 - angle/π per bit (Charikar 2002 SimHash/hyperplane LSH).
+  // ------------------------------------------------------------------
+
+  private def embSignatures(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nBits: Int,
+      seed: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      VectorFunctions
+        .hyperplaneSignature(col(vecCol), nBits, seed)
+        .as("sig"))
+
+  /** (id, bucket) banding of a signature frame: band b's bucket hashes
+    * the band index with the band's bit-slice of the signature (the
+    * [[mhBanded]] construction on bit ranges instead of array slices).
+    */
+  private def embBanded(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          hash(
+            lit(b),
+            shiftrightunsigned(col("sig"), b * rows)
+              .bitwiseAND(lit((1L << rows) - 1))).as(s"b$b")
+        }: _*)).as("bucket"))
+
+  /** Banded-LSH embedding near-dup pairs over ONE frame — the higher-
+    * recall sibling of [[embeddingNearDup]] (any-band collision instead
+    * of the full signature) and the intra-batch step of
+    * [[graft.streaming.EmbedIngest]]. Same capped-bucket pair
+    * expansion and exact-cosine verification.
+    */
+  def embeddingNearDupBanded(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nBits: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.9,
+      maxBucketSize: Int = 1024,
+      seed: Int = 42): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    VectorExpressions.register(df.sparkSession)
+    val sig = embSignatures(df, vecCol, idCol, nBits, seed)
+      .transform(graft.ops.Stage.materializeOnce)
+    val cand =
+      pairsFromBuckets(embBanded(sig, bands, nBits / bands), maxBucketSize)
+    cand
+      .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        VectorExpressions.cosineFast(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  private def embMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      sourceTag: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$indexPath/_meta").collect()(0)
+    require(
+      sourceTag.isEmpty || m.getAs[String]("source") == sourceTag,
+      s"embedding index at $indexPath was built from " +
+        s"'${m.getAs[String]("source")}', not '$sourceTag' — refusing to " +
+        "probe/append a different corpus")
+    (m.getAs[Int]("n_bits"), m.getAs[Int]("bands"), m.getAs[Int]("seed"))
+  }
+
+  /** Validate-or-create the embedding index `_meta` (the
+    * [[minHashEnsureMeta]] contract: first writer fixes the signing
+    * parameters, every later batch must present the same ones).
+    */
+  def embEnsureMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      nBits: Int,
+      bands: Int,
+      seed: Int,
+      sourceTag: String = ""): Unit = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
+    val fs =
+      metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val (nb, b, sd) = embMeta(spark, indexPath, sourceTag)
+      require(
+        nb == nBits && b == bands && sd == seed,
+        s"embedding index at $indexPath was built with (nBits=$nb, " +
+          s"bands=$b, seed=$sd); refusing ($nBits, $bands, $seed) — " +
+          "signatures would be incomparable")
+    } else
+      spark
+        .range(1)
+        .select(
+          lit(nBits).as("n_bits"),
+          lit(bands).as("bands"),
+          lit(seed).as("seed"),
+          lit(sourceTag).as("source"))
+        .write
+        .mode("overwrite")
+        .parquet(metaPath.toString)
+  }
+
+  /** Sign `df` with the index's OWN parameters → (signatures, sized
+    * buckets) segment frames, the per-batch commit unit of
+    * [[graft.streaming.EmbedIngest]]. Signatures keep the vector —
+    * probes need it for the exact-cosine confirm.
+    */
+  def embSegmentFrames(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      sourceTag: String = ""): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val (nBits, bands, seed) = embMeta(spark, indexPath, sourceTag)
+    val sig = embSignatures(df, vecCol, idCol, nBits, seed)
+      .transform(graft.ops.Stage.materializeOnce)
+    val banded = embBanded(sig, bands, nBits / bands)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    (sig, banded.join(sizes, Seq("bucket")))
+  }
+
+  /** Recompute sized buckets from STORED embedding signatures — the
+    * [[minHashRebucket]] analog (banding is a pure function of the
+    * persisted `sig` column), used by segment compaction.
+    */
+  def embRebucket(
+      sig: DataFrame,
+      indexPath: String,
+      sourceTag: String = ""): DataFrame = {
+    val (nBits, bands, _) =
+      embMeta(sig.sparkSession, indexPath, sourceTag)
+    val banded = embBanded(sig, bands, nBits / bands)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    banded.join(sizes, Seq("bucket"))
+  }
+
+  /** Probe a persisted embedding index with a NEW batch: sign the batch
+    * with the index's own parameters, band-join against the persisted
+    * buckets, confirm candidates with exact cosine. The batch side is
+    * BROADCAST into both joins; the index is only ever column-pruned
+    * scanned — (bucket, id, bn) for candidates, (id, v) for the
+    * confirm — and never shuffled.
+    *
+    * @return (probe_id, corpus_id, cos) — one row per verified
+    *         embedding near-dup of a batch row against the corpus
+    */
+  def embProbeIndex(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double = 0.9,
+      maxBucketSize: Int = 1024,
+      sourceTag: String = ""): DataFrame = {
+    val spark = batch.sparkSession
+    VectorExpressions.register(spark)
+    val (nBits, bands, seed) = embMeta(spark, indexPath, sourceTag)
+    val bSig = embSignatures(batch, vecCol, idCol, nBits, seed)
+      .transform(graft.ops.Stage.materializeOnce)
+    val bBanded = embBanded(bSig, bands, nBits / bands)
+      .select(col("bucket"), col("id").as("probe_id"))
+    val cand = spark.read
+      .parquet(s"$indexPath/buckets")
+      .where(col("bn") <= maxBucketSize)
+      .join(broadcast(bBanded), Seq("bucket"))
+      .select(col("probe_id"), col("id").as("corpus_id"))
+      .distinct()
+    val candV = cand.join(
+      bSig.select(col("id").as("probe_id"), col("v").as("v_p")),
+      Seq("probe_id"))
+    spark.read
+      .parquet(s"$indexPath/sig")
+      .select(col("id").as("corpus_id"), col("v").as("v_c"))
+      .join(broadcast(candV), Seq("corpus_id"))
+      .select(
+        col("probe_id"),
+        col("corpus_id"),
+        VectorExpressions.cosineFast(col("v_c"), col("v_p")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** The ingest decision over an embedding probe — keep batch rows with
+    * no verified embedding near-dup in the corpus ([[dedupIncoming]]'s
+    * broadcast LEFT ANTI shape).
+    */
+  def embDedupIncoming(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double = 0.9,
+      maxBucketSize: Int = 1024,
+      sourceTag: String = ""): DataFrame =
+    batch.join(
+      broadcast(
+        embProbeIndex(
+          batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
+          sourceTag)
+          .select(col("probe_id").as(idCol))
+          .distinct()),
+      Seq(idCol),
+      "left_anti")
+
   /** Gopher-style duplicated-n-gram fraction per document: the share of
     * each doc's DISTINCT word n-grams that also occur in at least one
     * OTHER document (Rae et al., "Scaling Language Models: ... Gopher",

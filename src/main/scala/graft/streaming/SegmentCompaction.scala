@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared two-tree segment compaction for the persisted near-dup
+  * indexes ([[NearDupIngest]] MinHash, [[EmbedIngest]] embedding-LSH):
+  * fold every committed `sig/batch=<id>` + `buckets/batch=<id>` pair
+  * into one `batch=c<maxId>` segment per tree, recomputing the buckets
+  * from the folded signatures via the index-specific `rebucket`
+  * function (banding is a pure function of the stored signature
+  * column — no text or vectors are re-signed). Per-batch segments
+  * carry batch-LOCAL bucket sizes, so the probes' `maxBucketSize`
+  * skip-guard undercounts a hot bucket spread across many batches;
+  * after compaction `bn` is exact over the folded span.
+  *
+  * Crash-safe, replayable at any point: signatures publish before
+  * buckets (marker protocol), the fold set is deduplicated by id so a
+  * replay that reads both a committed `c<maxId>` and a not-yet-deleted
+  * folded original counts each doc once, and a crash mid-delete is
+  * repaired on the next call (both targets committed → finish dropping
+  * folded ids ≤ maxId). A probe racing a crashed half-fold may see a
+  * doc's buckets twice — harmless: a duplicate near-dup flag row still
+  * anti-joins to the same decision.
+  */
+private[streaming] object SegmentCompaction {
+
+  def compact(
+      spark: SparkSession,
+      indexPath: String,
+      rebucket: DataFrame => DataFrame): Unit = {
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigRoot = new Path(root, "sig")
+    val bucketsRoot = new Path(root, "buckets")
+    def committedSegs(tree: Path): Array[Path] =
+      if (!fs.exists(tree)) Array.empty
+      else
+        fs.listStatus(tree)
+          .filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+              SnapshotCommit.isCommitted(fs, s.getPath))
+          .map(_.getPath)
+    def segId(p: Path): Option[Long] = {
+      val n = p.getName.stripPrefix("batch=").stripPrefix("c")
+      if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong) else None
+    }
+    val sigSegs = committedSegs(sigRoot)
+    if (sigSegs.length <= 1) return // nothing to consolidate
+    val maxId = sigSegs.flatMap(segId(_)).maxOption.getOrElse(return)
+    val sigTarget = new Path(sigRoot, s"batch=c$maxId")
+    val bucketsTarget = new Path(bucketsRoot, s"batch=c$maxId")
+    def dropFolded(tree: Path): Unit =
+      committedSegs(tree).foreach { p =>
+        if (p.getName != s"batch=c$maxId" && segId(p).exists(_ <= maxId))
+          fs.delete(p, true)
+      }
+    if (SnapshotCommit.isCommitted(fs, sigTarget) &&
+      SnapshotCommit.isCommitted(fs, bucketsTarget)) {
+      // this span is already folded — repair a crash mid-delete
+      dropFolded(sigRoot); dropFolded(bucketsRoot)
+      return
+    }
+    // fold = every committed sig segment WITH data files (marker-only
+    // empty-batch segments carry no rows); dedup by id so a replay
+    // that sees both c<maxId> and a not-yet-deleted original is exact
+    val dataSegs = sigSegs.filter(p =>
+      fs.listStatus(p).exists(f =>
+        f.isFile && !f.getPath.getName.startsWith("_")))
+    if (dataSegs.isEmpty) return
+    val sigStaging = new Path(root, s"_staging/compact-sig-$maxId")
+    val bucketsStaging = new Path(root, s"_staging/compact-buckets-$maxId")
+    fs.delete(sigStaging, true)
+    fs.delete(bucketsStaging, true)
+    spark.read
+      .parquet(dataSegs.map(_.toString).toIndexedSeq: _*)
+      .dropDuplicates("id")
+      .write.mode("overwrite").parquet(sigStaging.toString)
+    rebucket(spark.read.parquet(sigStaging.toString))
+      .write.mode("overwrite").parquet(bucketsStaging.toString)
+    SnapshotCommit.publish(fs, sigStaging, sigTarget)
+    SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+    dropFolded(sigRoot); dropFolded(bucketsRoot)
+  }
+
+  /** True iff the segment tree holds at least one COMMITTED batch
+    * directory WITH data files (a crashed partial publish is not
+    * corpus; an all-survivors-dropped batch commits a marker-only
+    * segment, which is state for idempotence but not readable corpus —
+    * without the data-file condition an all-empty tree would fail
+    * parquet schema inference on the probe's read).
+    */
+  def hasSegments(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs
+      .listStatus(p)
+      .exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          SnapshotCommit.isCommitted(fs, s.getPath) &&
+          fs.listStatus(s.getPath).exists(f =>
+            f.isFile && !f.getPath.getName.startsWith("_")))
+  }
+}

@@ -576,6 +576,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exact.size < emb.count()) // the corpus really has dropped docs
   }
 
+  test("embedding index probe: flags are a subset of exact pairs, verified cosines") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("emb-idx-").toString + "/emb"
+    graft.streaming.EmbedIngest.ingestBatch(
+      emb.where(col("vec_id") >= 100), dir, "embedding", "vec_id",
+      batchId = 0L, threshold = 0.4, sourceTag = "t")
+    val hits = Dedup
+      .embProbeIndex(
+        emb.where(col("vec_id") < 100), "embedding", "vec_id", dir,
+        threshold = 0.4, sourceTag = "t")
+      .collect()
+    assert(hits.nonEmpty) // the corpus has real cross pairs at 0.4
+    // LSH can miss pairs, never invent them: every flag must be a
+    // genuine exact pair at the threshold, with its true cosine
+    val exact = Dedup
+      .embeddingNearDupExact(emb, "embedding", "vec_id", 0.4)
+      .collect()
+      .map(r => Set(r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    hits.foreach { h =>
+      assert(exact.contains(
+        Set(h.getAs[Long]("probe_id"), h.getAs[Long]("corpus_id"))))
+      assert(h.getAs[Double]("cos") >= 0.4)
+    }
+    // wrong-corpus tag refuses
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embProbeIndex(
+        emb.limit(1), "embedding", "vec_id", dir, sourceTag = "other")
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
+
   test("shingles edge cases: short/empty text") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("id", "text")
     val sh = df.select(TextFunctions.shingles(col("text"), 3)).collect()

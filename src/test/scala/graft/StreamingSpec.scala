@@ -339,6 +339,81 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet === before)
   }
 
+  test("streaming embedding ingest: intra + cross-batch semantic dedup, compaction") {
+    import spark.implicits._
+    import graft.streaming.EmbedIngest
+    import org.apache.hadoop.fs.Path
+
+    // three well-separated directions + near-identical variants
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(16)(j => if (j == i) 1f else 0f)
+    def near(i: Int, eps: Float): Array[Float] = {
+      val v = unit(i); v((i + 1) % 16) = eps; v
+    }
+    val idx =
+      Files.createTempDirectory("graft-embed-ingest").toString + "/emb"
+
+    // batch 0: 2 is an intra-batch near-dup of 1; 10 is orthogonal
+    EmbedIngest.ingestBatch(
+      Seq((1L, unit(0)), (2L, near(0, 0.05f)), (10L, unit(5)))
+        .toDF("vec_id", "embedding"),
+      idx, "embedding", "vec_id", batchId = 0L, threshold = 0.9)
+    assert(EmbedIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L))
+    // batch 1: 3 is a CROSS-batch near-dup of 1; 20 is novel
+    EmbedIngest.ingestBatch(
+      Seq((3L, near(0, 0.08f)), (20L, unit(9)))
+        .toDF("vec_id", "embedding"),
+      idx, "embedding", "vec_id", batchId = 1L, threshold = 0.9)
+    assert(EmbedIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L, 20L))
+    // replaying a committed batch id is a no-op
+    EmbedIngest.ingestBatch(
+      Seq((3L, near(0, 0.08f)), (20L, unit(9)))
+        .toDF("vec_id", "embedding"),
+      idx, "embedding", "vec_id", batchId = 1L, threshold = 0.9)
+    assert(EmbedIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L, 20L))
+    // crashed partial publish: buckets twin vanishes → replay rebuilds
+    // both without self-flagging the batch's own rows
+    val fs = new Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(idx, "buckets/batch=1"), true)
+    EmbedIngest.ingestBatch(
+      Seq((3L, near(0, 0.08f)), (20L, unit(9)))
+        .toDF("vec_id", "embedding"),
+      idx, "embedding", "vec_id", batchId = 1L, threshold = 0.9)
+    assert(EmbedIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L, 20L))
+
+    // compaction folds to one segment per tree; the probe stays live
+    EmbedIngest.compact(spark, idx)
+    def segs(tree: String): Set[String] =
+      fs.listStatus(new Path(idx, tree))
+        .filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).toSet
+    assert(segs("sig") === Set("batch=c1"))
+    assert(segs("buckets") === Set("batch=c1"))
+    assert(EmbedIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L, 20L))
+    // post-compaction: a near-dup of a folded doc is still caught,
+    // parameter drift still refuses
+    EmbedIngest.ingestBatch(
+      Seq((4L, near(0, 0.02f)), (30L, unit(13)))
+        .toDF("vec_id", "embedding"),
+      idx, "embedding", "vec_id", batchId = 2L, threshold = 0.9)
+    assert(EmbedIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
+    val drift = intercept[IllegalArgumentException] {
+      EmbedIngest.ingestBatch(
+        Seq((5L, unit(2))).toDF("vec_id", "embedding"),
+        idx, "embedding", "vec_id", batchId = 3L, nBits = 32,
+        threshold = 0.9)
+    }
+    assert(drift.getMessage.contains("incomparable"))
+  }
+
   test("streaming ingestion dedup: state converges to the batch dedup") {
     import spark.implicits._
     import graft.streaming.IngestDedup
