@@ -33,6 +33,45 @@ class EmptyInputSpec extends AnyFunSuite {
         .count() === 0)
   }
 
+  test("semantic dedup family: empty embedding frames in, empty out") {
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(
+      Dedup
+        .embeddingNearDupExact(noVecs, "embedding", "vec_id", 0.5)
+        .count() === 0)
+    assert(
+      Dedup
+        .embeddingNearDupBanded(noVecs, "embedding", "vec_id")
+        .count() === 0)
+    // survivors of an empty corpus = the empty corpus
+    assert(
+      Dedup
+        .semanticDedup(noVecs, "embedding", "vec_id", k = 4, threshold = 0.5)
+        .count() === 0)
+    // an empty micro-batch against a live index: nothing flagged,
+    // nothing crashes (the quiet-period case of EmbedIngest)
+    val dir = java.nio.file.Files
+      .createTempDirectory("emb-empty-").toString + "/emb"
+    graft.streaming.EmbedIngest.ingestBatch(
+      Seq((1L, Array.tabulate(8)(_.toFloat))).toDF("vec_id", "embedding"),
+      dir, "embedding", "vec_id", batchId = 0L)
+    graft.streaming.EmbedIngest.ingestBatch(
+      noVecs, dir, "embedding", "vec_id", batchId = 1L)
+    assert(
+      graft.streaming.EmbedIngest
+        .ingestedIds(spark, dir).get.count() === 1)
+    assert(
+      Dedup
+        .embProbeIndex(noVecs, "embedding", "vec_id", dir)
+        .count() === 0)
+  }
+
+  test("video decode: empty asset frame in, empty out") {
+    import graft.multimodal.Multimodal
+    val noAssets = Seq.empty[(Long, Array[Byte])].toDF("id", "data")
+    assert(Multimodal.decodeVideo(noAssets).count() === 0)
+  }
+
   test("scan/window family: empty input in, empty out, never a crash") {
     import graft.ops.Windows
     // two-phase prefix scans: zero partitions of totals, empty result
