@@ -960,9 +960,10 @@ object Dedup {
         .transform(graft.ops.Stage.materializeOnce)
       // converged when no vertex improved its label this round (min-label
       // is monotone decreasing, so "changed" == "decreased"); a filter
-      // scan of the materialized round, not a join
-      val changed = next.where(col("component") =!= col("__prev")).count()
-      converged = changed == 0
+      // scan of the materialized round, not a join — isEmpty short-
+      // circuits at the FIRST changed row, so non-final rounds pay a
+      // take(1) instead of a full count
+      converged = next.where(col("component") =!= col("__prev")).isEmpty
       labels = next.select("id", "component")
       iter += 1
     }
