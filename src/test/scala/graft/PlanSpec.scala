@@ -281,6 +281,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast joins against the index scans:\n$p")
   }
 
+  test("embed ingest (q177): the index side broadcasts the batch, never sort-merges") {
+    // same 100-TB contract as q173, embedding modality: the persisted
+    // LSH index is only ever scanned; both the candidate band-join and
+    // the exact-cosine confirm build their hash relation from the batch
+    val p = plan(SparkEntry.queries("q177_embed_ingest")(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(
+      !p.contains("SortMergeJoin"),
+      s"index joins must broadcast the batch side, got:\n$p")
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins against the index scans:\n$p")
+  }
+
   test("global cumsum (q168) never plans Exchange SinglePartition") {
     // the ungrouped running sum is the same trap as q09's window —
     // prefixSumScalable's two-phase scan must keep it range-partitioned
