@@ -163,9 +163,12 @@ object Multimodal {
   def decodeImageBytes(
       data: Array[Byte],
       histBins: Int): Option[(Int, Int, Array[Float])] = {
+    // NonFatal, not just IOException: JDK ImageIO readers throw
+    // RuntimeExceptions (AIOOBE, IllegalArgument…) on malformed
+    // LZW/huffman data — any of them must quarantine, not kill the task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth
@@ -224,9 +227,9 @@ object Multimodal {
     assets.mapPartitions { rows: Iterator[Row] =>
       rows.flatMap { r =>
         val data = r.getAs[Array[Byte]]("data")
-        val img =
+        val img = // NonFatal: see decodeImageBytes
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val out = new java.awt.image.BufferedImage(

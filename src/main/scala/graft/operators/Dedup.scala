@@ -1157,8 +1157,20 @@ object Dedup {
     VectorExpressions.register(df.sparkSession)
     val sig = embSignatures(df, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
-    val cand =
-      pairsFromBuckets(embBanded(sig, bands, nBits / bands), maxBucketSize)
+    embPairsSigned(sig, bands, nBits / bands, threshold, maxBucketSize)
+  }
+
+  /** Banded pairs + exact-cosine verify over an ALREADY-SIGNED frame
+    * (id, v, sig) — shared by [[embeddingNearDupBanded]] and the
+    * single-signing ingest path [[embIngestSegmentFrames]].
+    */
+  private def embPairsSigned(
+      sig: DataFrame,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val cand = pairsFromBuckets(embBanded(sig, bands, rows), maxBucketSize)
     cand
       .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
@@ -1275,7 +1287,23 @@ object Dedup {
     val (nBits, bands, seed) = embMeta(spark, indexPath, sourceTag)
     val bSig = embSignatures(batch, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
-    val bBanded = embBanded(bSig, bands, nBits / bands)
+    embProbeSigned(
+      bSig, indexPath, bands, nBits / bands, threshold, maxBucketSize)
+  }
+
+  /** The probe over an ALREADY-SIGNED batch frame (id, v, sig) — the
+    * scan/broadcast shape of [[embProbeIndex]], shared with the
+    * single-signing ingest path.
+    */
+  private def embProbeSigned(
+      bSig: DataFrame,
+      indexPath: String,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val spark = bSig.sparkSession
+    val bBanded = embBanded(bSig, bands, rows)
       .select(col("bucket"), col("id").as("probe_id"))
     val cand = spark.read
       .parquet(s"$indexPath/buckets")
@@ -1295,6 +1323,53 @@ object Dedup {
         col("corpus_id"),
         VectorExpressions.cosineFast(col("v_c"), col("v_p")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** SINGLE-SIGNING micro-batch ingest (the hot path of
+    * [[graft.streaming.EmbedIngest]]): sign the batch once, intra-dedup
+    * on the signed frame (banded pairs → components → min-id
+    * survivors), probe the persisted corpus with the SAME signatures,
+    * and return the survivors' (signatures, sized buckets) segment
+    * frames ready to commit. The naive composition
+    * (embeddingNearDupBanded → embDedupIncoming → embSegmentFrames)
+    * hyperplane-signs the batch three times with three checkpoint
+    * materializations; survivor signatures are a subset of the batch's,
+    * so one signing pass suffices.
+    */
+  def embIngestSegmentFrames(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double,
+      maxBucketSize: Int = 1024,
+      probeCorpus: Boolean = true,
+      sourceTag: String = ""): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    VectorExpressions.register(spark)
+    val (nBits, bands, seed) = embMeta(spark, indexPath, sourceTag)
+    val rows = nBits / bands
+    val sig0 = embSignatures(batch, vecCol, idCol, nBits, seed)
+      .transform(graft.ops.Stage.materializeOnce)
+    val intraDrop = resolveComponents(
+      embPairsSigned(sig0, bands, rows, threshold, maxBucketSize))
+      .where(col("id") =!= col("component"))
+      .select("id")
+    val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
+    val survivors =
+      if (!probeCorpus) intraSig
+      else
+        intraSig.join(
+          broadcast(
+            embProbeSigned(
+              intraSig, indexPath, bands, rows, threshold, maxBucketSize)
+              .select(col("probe_id").as("id"))
+              .distinct()),
+          Seq("id"),
+          "left_anti")
+    val banded = embBanded(survivors, bands, rows)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    (survivors, banded.join(sizes, Seq("bucket")))
   }
 
   /** The ingest decision over an embedding probe — keep batch rows with

@@ -57,25 +57,18 @@ object EmbedIngest {
     fs.delete(sigTarget, true)
     fs.delete(bucketsTarget, true)
 
-    // 1. intra-batch: banded-LSH pairs → components → min-id survivors
-    val intra = Dedup.dedupByComponents(
+    // intra-batch survivors → against-corpus probe → segment frames,
+    // all over ONE signing pass ([[Dedup.embIngestSegmentFrames]])
+    val (sig, buckets) = Dedup.embIngestSegmentFrames(
       batch,
+      vecCol,
       idCol,
-      Dedup.resolveComponents(
-        Dedup.embeddingNearDupBanded(
-          batch, vecCol, idCol, nBits, bands, threshold, maxBucketSize,
-          seed)))
-    // 2. against the already-ingested corpus
-    val survivors =
-      if (SegmentCompaction.hasSegments(spark, s"$indexPath/buckets"))
-        Dedup.embDedupIncoming(
-          intra, vecCol, idCol, indexPath, threshold, maxBucketSize,
-          sourceTag)
-      else intra
-    // 3. commit the survivors' signatures + buckets as this batch's
-    // index segment
-    val (sig, buckets) = Dedup.embSegmentFrames(
-      survivors, vecCol, idCol, indexPath, sourceTag)
+      indexPath,
+      threshold,
+      maxBucketSize,
+      probeCorpus =
+        SegmentCompaction.hasSegments(spark, s"$indexPath/buckets"),
+      sourceTag)
     val sigStaging = new Path(root, s"_staging/sig-$batchId")
     val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
     fs.delete(sigStaging, true)
@@ -115,13 +108,16 @@ object EmbedIngest {
       idCol: String = "vec_id",
       nBits: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.9): StreamingQuery =
+      seed: Int = 42,
+      threshold: Double = 0.9,
+      maxBucketSize: Int = 1024,
+      sourceTag: String = ""): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(
-          batch, indexPath, vecCol, idCol, batchId, nBits, bands,
-          threshold = threshold)
+          batch, indexPath, vecCol, idCol, batchId, nBits, bands, seed,
+          threshold, maxBucketSize, sourceTag)
       }
       .start()
 }

@@ -16,12 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Crash-safe, replayable at any point: signatures publish before
   * buckets (marker protocol), the fold set is deduplicated by id so a
-  * replay that reads both a committed `c<maxId>` and a not-yet-deleted
-  * folded original counts each doc once, and a crash mid-delete is
-  * repaired on the next call (both targets committed → finish dropping
-  * folded ids ≤ maxId). A probe racing a crashed half-fold may see a
-  * doc's buckets twice — harmless: a duplicate near-dup flag row still
-  * anti-joins to the same decision.
+  * replay that reads both a committed `c<maxId>` and a not-yet-emptied
+  * folded original counts each doc once, and a crash mid-fold is
+  * repaired on the next call (both targets committed → finish
+  * tombstoning folded ids ≤ maxId). Folded segments are kept as
+  * marker-only tombstones — the markers are the ingest loops'
+  * replay-idempotence state (see `dropFolded`). A probe racing a
+  * crashed half-fold may see a doc's buckets twice — harmless: a
+  * duplicate near-dup flag row still anti-joins to the same decision.
   */
 private[streaming] object SegmentCompaction {
 
@@ -50,10 +52,21 @@ private[streaming] object SegmentCompaction {
     val maxId = sigSegs.flatMap(segId(_)).maxOption.getOrElse(return)
     val sigTarget = new Path(sigRoot, s"batch=c$maxId")
     val bucketsTarget = new Path(bucketsRoot, s"batch=c$maxId")
+    // folded segments become marker-only TOMBSTONES (data files deleted,
+    // commit marker kept), NOT deleted directories: the per-batch marker
+    // is the ingest loop's replay-idempotence state. Deleting it would
+    // let a crash-replayed batch re-ingest against a corpus that already
+    // holds its own rows — and the near-dup probes' hot-bucket skip
+    // guard (bn > maxBucketSize) means self-flagging is NOT guaranteed
+    // to catch that, so the same id could commit twice. A tombstone is
+    // one empty dir per batch (bounded by batch count); a replayed
+    // folded batch sees its markers and no-ops, exactly as before.
     def dropFolded(tree: Path): Unit =
       committedSegs(tree).foreach { p =>
         if (p.getName != s"batch=c$maxId" && segId(p).exists(_ <= maxId))
-          fs.delete(p, true)
+          fs.listStatus(p)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .foreach(f => fs.delete(f.getPath, false))
       }
     if (SnapshotCommit.isCommitted(fs, sigTarget) &&
       SnapshotCommit.isCommitted(fs, bucketsTarget)) {

@@ -259,12 +259,22 @@ class StreamingSpec extends AnyFunSuite {
     val idx =
       Files.createTempDirectory("graft-neardup-compact").toString + "/mh"
     val fs = new Path(idx).getFileSystem(conf)
+    // segments WITH data files (tombstoned folds are marker-only)
     def segs(tree: String): Set[String] =
       fs.listStatus(new Path(idx, tree))
         .filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("batch="))
+          s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+            fs.listStatus(s.getPath).exists(f =>
+              f.isFile && !f.getPath.getName.startsWith("_")))
         .map(_.getPath.getName)
         .toSet
+    def isTombstone(tree: String, name: String): Boolean = {
+      val p = new Path(idx, s"$tree/$name")
+      fs.exists(p) &&
+      graft.streaming.SnapshotCommit.isCommitted(fs, p) &&
+      !fs.listStatus(p).exists(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+    }
     def bnIsExact(): Unit = {
       // every stored bn must equal the bucket's actual member count
       val bad = spark.read.parquet(s"$idx/buckets")
@@ -296,11 +306,24 @@ class StreamingSpec extends AnyFunSuite {
     NearDupIngest.compact(spark, idx)
     assert(segs("sig") === Set("batch=c2"))
     assert(segs("buckets") === Set("batch=c2"))
+    // folded batches leave marker-only tombstones — the replay-
+    // idempotence state survives the fold
+    for (t <- Seq("sig", "buckets"); b <- Seq("batch=0", "batch=1", "batch=2"))
+      assert(isTombstone(t, b), s"$t/$b should be a marker-only tombstone")
     assert(NearDupIngest.ingestedIds(spark, idx).get
       .as[Long].collect().toSet === before)
     bnIsExact()
-    NearDupIngest.compact(spark, idx) // single segment: no-op
+    NearDupIngest.compact(spark, idx) // tombstones + 1 data segment: no-op
     assert(segs("sig") === Set("batch=c2"))
+    // replaying an already-FOLDED batch id is still a no-op (the
+    // tombstone's markers short-circuit; without them the batch would
+    // re-ingest rows the corpus already holds)
+    NearDupIngest.ingestBatch(
+      Seq((2L, base + " extra"), (20L, otherB)).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 1L)
+    assert(segs("sig") === Set("batch=c2"))
+    assert(NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === before)
 
     // the compacted index is live: a near-dup of a folded doc is caught
     NearDupIngest.ingestBatch(
@@ -316,10 +339,12 @@ class StreamingSpec extends AnyFunSuite {
     fs.delete(new Path(idx, "buckets/batch=c2"), true)
     fs.delete(new Path(idx, "sig/batch=3"), true)
     fs.delete(new Path(idx, "buckets/batch=3"), true)
-    for (t <- Seq("sig", "buckets"); b <- Seq("batch=0", "batch=1", "batch=2"))
+    for (t <- Seq("sig", "buckets"); b <- Seq("batch=0", "batch=1", "batch=2")) {
+      fs.delete(new Path(idx, s"$t/$b"), true) // replace the tombstone
       FileUtil.copy(
         fs, new Path(saved, s"$t/$b"), fs, new Path(idx, s"$t/$b"),
         false, conf)
+    }
     NearDupIngest.compact(spark, idx)
     assert(segs("sig") === Set("batch=c2"))
     assert(segs("buckets") === Set("batch=c2"))
@@ -327,14 +352,18 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet === before)
     bnIsExact() // double-counted docs would inflate bn — exactness proves not
 
-    // crash MID-DELETE: both targets committed, one stale original left
-    for (t <- Seq("sig", "buckets"))
+    // crash MID-FOLD: both targets committed, one stale original left
+    // with data (tombstoning hadn't reached it)
+    for (t <- Seq("sig", "buckets")) {
+      fs.delete(new Path(idx, s"$t/batch=0"), true)
       FileUtil.copy(
         fs, new Path(saved, s"$t/batch=0"), fs,
         new Path(idx, s"$t/batch=0"), false, conf)
-    NearDupIngest.compact(spark, idx) // repair: drops the stale fold
+    }
+    NearDupIngest.compact(spark, idx) // repair: tombstones the stale fold
     assert(segs("sig") === Set("batch=c2"))
     assert(segs("buckets") === Set("batch=c2"))
+    assert(isTombstone("sig", "batch=0") && isTombstone("buckets", "batch=0"))
     assert(NearDupIngest.ingestedIds(spark, idx).get
       .as[Long].collect().toSet === before)
   }
@@ -386,12 +415,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(EmbedIngest.ingestedIds(spark, idx).get
       .as[Long].collect().toSet === Set(1L, 10L, 20L))
 
-    // compaction folds to one segment per tree; the probe stays live
+    // compaction folds to one DATA segment per tree (folded batches
+    // stay as marker-only tombstones); the probe stays live
     EmbedIngest.compact(spark, idx)
     def segs(tree: String): Set[String] =
       fs.listStatus(new Path(idx, tree))
         .filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("batch="))
+          s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+            fs.listStatus(s.getPath).exists(f =>
+              f.isFile && !f.getPath.getName.startsWith("_")))
         .map(_.getPath.getName).toSet
     assert(segs("sig") === Set("batch=c1"))
     assert(segs("buckets") === Set("batch=c1"))
