@@ -3716,6 +3716,45 @@ object SparkEntry {
       .select("vec_id", "label")
       .orderBy("vec_id")
 
+  /** MULTI-distinct aggregation WITHOUT Expand. Catalyst already plans
+    * a SINGLE `count(DISTINCT)` as the scalable two-stage aggregation
+    * (q34's plan has no Expand — verified in PlanSpec), but TWO
+    * distinct aggregates in one `agg` trigger the Expand rewrite: every
+    * input row is replicated once per distinct column through the
+    * exchange — ×3 shuffle volume here, the real 100-TB trap. This
+    * form computes each distinct count as its own two-stage
+    * aggregation (reduce to distinct pairs, then count — no row
+    * replication, no per-group multisets) and joins the k-row results
+    * (AQE broadcasts). PlanSpec pins q178 Expand-free and the verbatim
+    * two-distinct form Expand-ful.
+    */
+  private def q178(sess: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(sess, d)
+      .select(
+        col("event_type"),
+        col("user_id"),
+        expr("ts div 86400000000000").as("__day"))
+    val users = ev
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("event_type")
+      .agg(
+        // count(user_id) skips a null-user pair row, matching
+        // countDistinct's null semantics; null users' EVENTS still
+        // land in n_events via the sum, matching count(*)
+        count(col("user_id")).as("n_users"),
+        sum(col("__n")).as("n_events"))
+    val days = ev
+      .groupBy("event_type", "__day")
+      .agg(count(lit(1)).as("__m"))
+      .groupBy("event_type")
+      .agg(count(col("__day")).as("n_days"))
+    users
+      .join(days, Seq("event_type"))
+      .select("event_type", "n_users", "n_days", "n_events")
+  }
+
   /** GLOBAL running max (ungrouped `.cummax()`) — q168's two-phase
     * scan with the max monoid instead of sum
     * ([[graft.ops.Windows.prefixScanScalable]] is monoid-generic:
@@ -4046,7 +4085,8 @@ object SparkEntry {
     "q174_semantic_dedup" -> (q174 _),
     "q175_semantic_dedup_blocked" -> (q175 _),
     "q176_video_decode" -> (q176 _),
-    "q177_embed_ingest" -> (q177 _)
+    "q177_embed_ingest" -> (q177 _),
+    "q178_distinct_scalable" -> (q178 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5874,6 +5914,11 @@ object SparkEntry {
                 ((r * 299 + g * 587 + b * 114) // 1000 * 16) // 256
                   AS lum_bin
          FROM c
-         ORDER BY id, frame_idx"""
+         ORDER BY id, frame_idx""",
+    "q178_distinct_scalable" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days,
+                count(*) AS n_events
+         FROM events GROUP BY event_type"""
   )
 }

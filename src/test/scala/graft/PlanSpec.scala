@@ -295,6 +295,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast joins against the index scans:\n$p")
   }
 
+  test("multi-distinct (q178): no Expand; the verbatim two-distinct form Expands") {
+    // Catalyst plans a SINGLE count(DISTINCT) as the two-stage agg
+    // already (q34 — no Expand even in its verbatim form), but TWO
+    // distinct aggregates in one agg() replicate every row per
+    // distinct column through the exchange. q178 computes each as its
+    // own two-stage agg + k-row join. Pin all three facts.
+    val p34 = plan(SparkEntry.queries("q34_distinct_agg")(spark, TestSpark.sf))
+    assert(!p34.contains("Expand"), "single-distinct should be Expand-free")
+    val p178 = plan(SparkEntry.queries("q178_distinct_scalable")(spark, TestSpark.sf))
+    assert(!p178.contains("Expand"), s"q178 must not plan Expand:\n$p178")
+    val verbatim = graft.Tables
+      .events(spark, TestSpark.sf)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")),
+        countDistinct(expr("ts div 86400000000000")),
+        count(lit(1)))
+    assert(
+      verbatim.queryExecution.executedPlan.toString.contains("Expand"),
+      "two distinct aggregates should trigger the Expand rewrite")
+  }
+
   test("global cumsum (q168) never plans Exchange SinglePartition") {
     // the ungrouped running sum is the same trap as q09's window —
     // prefixSumScalable's two-phase scan must keep it range-partitioned
