@@ -288,23 +288,6 @@ object Dedup {
   def minHashFromShingles(shinglesAttr: Column, k: Int): Column =
     minHashFromBaseHashes(shingleBaseHashes(shinglesAttr), k)
 
-  /** MinHash + LSH banding near-dup candidate pairs with exact-Jaccard
-    * verification.
-    *
-    * @param numHashes  k minhash functions (signature length)
-    * @param bands      LSH bands; rows-per-band = k/bands. Collision in
-    *                   any band → candidate pair.
-    * @param threshold  exact shingle-Jaccard cutoff for verified pairs
-    * @param maxBucketSize skew guard: buckets larger than this are
-    *                   dropped before pair expansion. A bucket of b docs
-    *                   expands to b² candidate pairs *in one task* (the
-    *                   bucket is one join key) — on boilerplate-heavy
-    *                   corpora a single mega-bucket otherwise dominates
-    *                   the whole job. Dropped buckets = "everything here
-    *                   is near-identical boilerplate"; handle them with
-    *                   [[exact]]-style digest dedup instead of pairwise.
-    * @return (id_a, id_b, jaccard) with id_a < id_b, distinct pairs
-    */
   /** (id, bh, mh) signature pipeline shared by [[minHashNearDup]] and
     * the persisted-index family ([[minHashWriteIndex]] /
     * [[minHashProbeIndex]]) — both sides of any probe must sign with
@@ -332,15 +315,42 @@ object Dedup {
   /** (id, bucket) banding of a signature frame — bucket = hash of the
     * band index and the band's signature slice (the band index inside
     * the hash keeps cross-band collisions apart without a band column).
+    *
+    * Zero-shingle docs (normalized text shorter than shingleLen) are
+    * EXCLUDED from banding: their signature is all-null, `hash()` skips
+    * nulls, so every such doc would land in the same bucket in every
+    * band — one useless mega-bucket whose b² candidate pairs all
+    * NaN-fail verification (their Jaccard is 0/0). They stay in `sig/`
+    * (the ingest registry keeps them as corpus members); they simply
+    * cannot near-dup by shingle definition — dedupe them with [[exact]].
     */
   private def mhBanded(sig: DataFrame, bands: Int, rows: Int): DataFrame =
-    sig.select(
-      col("id"),
-      explode(
-        array((0 until bands).map { b =>
-          hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
-        }: _*)).as("bucket"))
+    sig
+      .where(col("mh").getItem(0).isNotNull)
+      .select(
+        col("id"),
+        explode(
+          array((0 until bands).map { b =>
+            hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
+          }: _*)).as("bucket"))
 
+  /** MinHash + LSH banding near-dup candidate pairs with exact-Jaccard
+    * verification.
+    *
+    * @param numHashes  k minhash functions (signature length)
+    * @param bands      LSH bands; rows-per-band = k/bands. Collision in
+    *                   any band → candidate pair.
+    * @param threshold  exact shingle-Jaccard cutoff for verified pairs
+    * @param maxBucketSize skew guard: buckets larger than this are
+    *                   dropped before pair expansion. A bucket of b docs
+    *                   expands to b² candidate pairs *in one task* (the
+    *                   bucket is one join key) — on boilerplate-heavy
+    *                   corpora a single mega-bucket otherwise dominates
+    *                   the whole job. Dropped buckets = "everything here
+    *                   is near-identical boilerplate"; handle them with
+    *                   [[exact]]-style digest dedup instead of pairwise.
+    * @return (id_a, id_b, jaccard) with id_a < id_b, distinct pairs
+    */
   def minHashNearDup(
       df: DataFrame,
       textCol: String,
@@ -423,6 +433,41 @@ object Dedup {
     *    validated; mismatched signing parameters are an ERROR, never
     *    silently-empty matches.
     */
+  /** Sized-bucket table of a signature frame — the shared band+count
+    * body of the whole index family (write/append/segment/rebucket):
+    * one partial+final agg join, no windowing.
+    */
+  private def mhSizedBuckets(
+      sig: DataFrame,
+      bands: Int,
+      rows: Int): DataFrame = {
+    val banded = mhBanded(sig, bands, rows)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    banded.join(sizes, Seq("bucket"))
+  }
+
+  /** The `_meta` writer shared by [[minHashWriteIndex]] and
+    * [[minHashEnsureMeta]] — one definition, or the layouts silently
+    * diverge.
+    */
+  private def mhWriteMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int,
+      sourceTag: String): Unit =
+    spark
+      .range(1)
+      .select(
+        lit(shingleLen).as("shingle_len"),
+        lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"),
+        lit(sourceTag).as("source"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
+
   def minHashWriteIndex(
       df: DataFrame,
       textCol: String,
@@ -437,23 +482,12 @@ object Dedup {
     val sig = mhSignatures(df, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
     sig.write.mode("overwrite").parquet(s"$path/sig")
-    val banded = mhBanded(sig, bands, numHashes / bands)
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    banded
-      .join(sizes, Seq("bucket")) // partial+final agg join, no windowing
+    mhSizedBuckets(sig, bands, numHashes / bands)
       .write
       .mode("overwrite")
       .parquet(s"$path/buckets")
-    df.sparkSession
-      .range(1)
-      .select(
-        lit(shingleLen).as("shingle_len"),
-        lit(numHashes).as("num_hashes"),
-        lit(bands).as("bands"),
-        lit(sourceTag).as("source"))
-      .write
-      .mode("overwrite")
-      .parquet(s"$path/_meta")
+    mhWriteMeta(
+      df.sparkSession, path, shingleLen, numHashes, bands, sourceTag)
   }
 
   private def mhMeta(
@@ -498,16 +532,7 @@ object Dedup {
           s"($shingleLen, $numHashes, $bands) — signatures would be " +
           "incomparable")
     } else
-      spark
-        .range(1)
-        .select(
-          lit(shingleLen).as("shingle_len"),
-          lit(numHashes).as("num_hashes"),
-          lit(bands).as("bands"),
-          lit(sourceTag).as("source"))
-        .write
-        .mode("overwrite")
-        .parquet(metaPath.toString)
+      mhWriteMeta(spark, indexPath, shingleLen, numHashes, bands, sourceTag)
   }
 
   /** Sign `df` with the index's OWN parameters and return its
@@ -525,9 +550,7 @@ object Dedup {
     val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
     val sig = mhSignatures(df, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
-    val banded = mhBanded(sig, bands, numHashes / bands)
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    (sig, banded.join(sizes, Seq("bucket")))
+    (sig, mhSizedBuckets(sig, bands, numHashes / bands))
   }
 
   /** Recompute sized buckets from STORED signatures (id, mh) — no text
@@ -540,9 +563,7 @@ object Dedup {
       indexPath: String,
       sourceTag: String = ""): DataFrame = {
     val (_, numHashes, bands) = mhMeta(sig.sparkSession, indexPath, sourceTag)
-    val banded = mhBanded(sig, bands, numHashes / bands)
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    banded.join(sizes, Seq("bucket"))
+    mhSizedBuckets(sig, bands, numHashes / bands)
   }
 
   /** Probe a persisted [[minHashWriteIndex]] with a NEW batch: sign the
@@ -608,19 +629,10 @@ object Dedup {
       idCol: String,
       indexPath: String,
       sourceTag: String = ""): Unit = {
-    val spark = batch.sparkSession
-    SignatureExpressions.register(spark)
-    val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
-    val sig = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
-      .transform(graft.ops.Stage.materializeOnce)
+    val (sig, buckets) =
+      minHashSegmentFrames(batch, textCol, idCol, indexPath, sourceTag)
     sig.write.mode("append").parquet(s"$indexPath/sig")
-    val banded = mhBanded(sig, bands, numHashes / bands)
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    banded
-      .join(sizes, Seq("bucket"))
-      .write
-      .mode("append")
-      .parquet(s"$indexPath/buckets")
+    buckets.write.mode("append").parquet(s"$indexPath/buckets")
   }
 
   /** The INGEST DECISION over a probe: keep only batch rows with no
@@ -794,7 +806,11 @@ object Dedup {
       df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
         .select(
           col("id"),
-          SignatureExpressions.simHashFast(col("__th")).as("sig")),
+          SignatureExpressions.simHashFast(col("__th")).as("sig"))
+        // simHashBandPairs consumes the frame three times (banding +
+        // both verify sides) — without this the tokenize→simhash
+        // pipeline re-executes per consumer (minHashNearDup contract)
+        .transform(graft.ops.Stage.materializeOnce),
       maxHamming,
       bands,
       maxBucketSize)
@@ -1011,10 +1027,14 @@ object Dedup {
       nBits: Int = 12,
       threshold: Double = 0.95,
       maxBucketSize: Int = 1024): DataFrame = {
-    val sig = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("v"),
-      VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("sig"))
+    val sig = df
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("sig"))
+      // three consumers (bucketing + both verify sides): materialize or
+      // the upstream pipeline + nBits-projection runs three times
+      .transform(graft.ops.Stage.materializeOnce)
     val cand =
       pairsFromBuckets(sig.select(col("id"), col("sig").as("bucket")), maxBucketSize)
     val va = sig.select(col("id").as("id_a"), col("v").as("v_a"))

@@ -40,7 +40,19 @@ object StreamDistinct {
         (key: String, rows: Iterator[KeyedValue],
          state: GroupState[Array[Byte]]) =>
           val sketch = state.getOption
-            .map(b => HllSketch.heapify(Memory.wrap(b)))
+            .map { b =>
+              val s = HllSketch.heapify(Memory.wrap(b))
+              // parameter drift is an ERROR, never silent (the
+              // minHashEnsureMeta contract): restarting the stream
+              // with a different lgK would mix sketch precisions per
+              // key and quietly break the error-bound guarantee
+              require(
+                s.getLgConfigK == lgK,
+                s"stream-distinct state for key '$key' was built with " +
+                  s"lgK=${s.getLgConfigK}; refusing lgK=$lgK — restart " +
+                  "with the original precision or a fresh checkpoint")
+              s
+            }
             .getOrElse(
               // HLL_8, not the library default HLL_4: the batch twin
               // (Spark's hll_sketch_agg) builds HLL_8 sketches, and the
