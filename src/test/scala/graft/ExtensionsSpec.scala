@@ -168,6 +168,40 @@ class ExtensionsSpec extends AnyFunSuite {
       math.abs(feats(6L) - 2.0 * 220 * math.pow(2, 0.5) / 8000) < 0.01)
   }
 
+  test("zero-shingle docs never band: no mega-bucket, no pairs, registry intact") {
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today " +
+        "while the river runs quietly past the old stone mill"
+    // 40 docs too short to shingle (all-null signatures) + one real
+    // near-dup pair. The short docs must produce NO pairs — among
+    // themselves or with anyone — and must not blow a bucket cap
+    val docs = ((1L, base) +: (2L, base + " extra") +:
+      (100L until 140L).map(i => (i, "ab"))).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minHashNearDup(docs, "text", "doc_id", shingleLen = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSet === Set((1L, 2L)))
+    // ingest: short docs are corpus members (registry keeps them) even
+    // though they can never near-dup
+    val idx = java.nio.file.Files
+      .createTempDirectory("mh-zero-shingle-").toString + "/mh"
+    graft.streaming.NearDupIngest.ingestBatch(
+      docs, idx, "text", "doc_id", batchId = 0L, shingleLen = 4)
+    val ingested = graft.streaming.NearDupIngest
+      .ingestedIds(spark, idx).get.as[Long].collect().toSet
+    assert((100L until 140L).forall(ingested.contains))
+    assert(ingested.contains(1L) && !ingested.contains(2L))
+    // and the persisted buckets carry no null-signature entries
+    val nullBuckets = spark.read.parquet(s"$idx/buckets")
+      .join(
+        spark.read.parquet(s"$idx/sig")
+          .where(col("mh").getItem(0).isNull).select("id"),
+        Seq("id"))
+      .count()
+    assert(nullBuckets === 0L)
+  }
+
   test("video: AVI roundtrip decodes known frames; compressed/corrupt quarantined") {
     // 4 solid-color frames at 16×12 — means and luminance bins are
     // known exactly; frame 0 is pure red, 3 a dim gray-ish mix
