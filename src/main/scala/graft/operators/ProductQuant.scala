@@ -242,23 +242,28 @@ object ProductQuant {
     * the exact cosine against the original vectors. Returns (id, cos)
     * descending, deterministic id tie-break.
     */
-  def pqTopK(
-      codes: DataFrame,
-      vectors: DataFrame,
-      vecCol: String,
-      idCol: String,
+  /** Validate a probe query against the codebooks, normalize it, and
+    * build the ADC score UDF — the (m × ksub) exact query⋅centroid
+    * table ("asymmetric" in ADC) plus the per-code table-lookup sum.
+    * Shared by [[pqTopK]] and [[ivfPqProbe]]; one definition or a
+    * scoring/validation fix silently leaves the other probe stale.
+    * The corpus encode path enforces dim%m==0 and non-zero norm in
+    * subsUdf; a query that skipped those checks would throw (short),
+    * silently mis-stride (long), or NaN every score (zero norm).
+    */
+  private def adcScorer(
       cb: Codebooks,
-      query: Seq[Double],
-      k: Int,
-      refine: Int): DataFrame = {
-    require(refine >= k, s"refine ($refine) must be >= k ($k)")
-    val qn = {
-      val nrm = math.sqrt(query.map(x => x * x).sum)
-      query.map(_ / nrm)
-    }
+      query: Seq[Double]): (Seq[Double], org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val m = cb.length
+    val dim = m * cb(0)(0).length
+    require(
+      query.length == dim,
+      s"query dim ${query.length} != codebook dim $dim (m=$m × " +
+        s"sub=${cb(0)(0).length})")
+    val nrm = math.sqrt(query.map(x => x * x).sum)
+    require(nrm > 0, "zero-norm query has no direction to search")
+    val qn = query.map(_ / nrm)
     val sub = qn.length / m
-    // (m × ksub) exact query⋅centroid table — the "asymmetric" in ADC
     val table: Array[Array[Double]] = Array.tabulate(m) { j =>
       cb(j).map { ct =>
         var d = 0.0
@@ -273,6 +278,20 @@ object ProductQuant {
       while (j < m) { s += table(j)(code(j) & 0xff); j += 1 }
       s
     }
+    (qn, score)
+  }
+
+  def pqTopK(
+      codes: DataFrame,
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cb: Codebooks,
+      query: Seq[Double],
+      k: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val (qn, score) = adcScorer(cb, query)
     val cand = codes
       .select(col("id"), score(col("code")).as("adc"))
       .orderBy(col("adc").desc, col("id"))
@@ -399,25 +418,7 @@ object ProductQuant {
     val cb = readCodebooks(spark, path, m, ksub)
     val probed = Similarity
       .ivfRankClusters(spark.read.parquet(s"$path/centroids"), query, nprobe)
-    val qn = {
-      val nrm = math.sqrt(query.map(x => x * x).sum)
-      query.map(_ / nrm)
-    }
-    val sub = qn.length / m
-    val table: Array[Array[Double]] = Array.tabulate(m) { j =>
-      cb(j).map { ct =>
-        var d = 0.0
-        var i = 0
-        while (i < ct.length) { d += ct(i) * qn(j * sub + i); i += 1 }
-        d
-      }
-    }
-    val score = udf { (code: Array[Byte]) =>
-      var s = 0.0
-      var j = 0
-      while (j < m) { s += table(j)(code(j) & 0xff); j += 1 }
-      s
-    }
+    val (qn, score) = adcScorer(cb, query)
     val corpus = spark.read.parquet(s"$path/corpus")
     val pruned = corpus.where(col("cluster").isin(probed: _*))
     val candIds = pruned

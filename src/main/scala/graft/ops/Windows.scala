@@ -356,11 +356,24 @@ object Windows {
     require(cols.nonEmpty, "rollingTableApply needs at least one column")
     val frame = rollingFrame(orderBy, partitionBy, window, center, closed)
     val fUdf = udf(f)
-    val arrs = cols.map(c => collect_list(c.cast("double")).over(frame))
+    // ONE collect_list of the row STRUCT, not one list per column:
+    // collect_list drops null elements, so per-column lists silently
+    // row-misalign whenever any cell in the frame is null (a struct
+    // with a null field is itself non-null and survives). Null cells
+    // reach the UDF as NaN with alignment intact — pandas
+    // method="table" hands the matrix over NaNs the same way. Still
+    // one WindowExec: the single aggregate is referenced k times.
+    val rowStruct = struct(
+      cols.zipWithIndex.map { case (c, j) => c.cast("double").as(s"_c$j") }: _*)
+    val frameRows = collect_list(rowStruct).over(frame)
+    val colArrays = cols.indices.map(j =>
+      transform(
+        frameRows,
+        r => coalesce(r.getField(s"_c$j"), lit(Double.NaN))))
     val mp = minPeriods.getOrElse(window)
     df.withColumn(
       outName,
-      when(size(arrs.head) >= mp, fUdf(array(arrs: _*))))
+      when(size(frameRows) >= mp, fUdf(array(colArrays: _*))))
   }
 
   /** pandas `win_type` weighted-window weights (scipy.signal.windows
@@ -682,10 +695,14 @@ object Windows {
       (n * m4) / (sVar * sVar) -
       lit(3) * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
     // constant window (m2 == 0) → NULL like pandas' NaN — also keeps
-    // ANSI mode from throwing DIVIDE_BY_ZERO on the m2^1.5 / sv² bases
-    val gate = count(x).over(frame) >= mp && m2 > 0
-    df.withColumn(outName + "_skew", when(gate, skew))
-      .withColumn(outName + "_kurt", when(gate, kurt))
+    // ANSI mode from throwing DIVIDE_BY_ZERO on the m2^1.5 / sv² bases.
+    // The moment formulas additionally need n ≥ 3 (skew, n−2 factor)
+    // and n ≥ 4 (kurt, n−3 factor) — below that pandas emits NaN, while
+    // the raw expression would emit ±Infinity from the zero denominator
+    val nObs = count(x).over(frame)
+    val gate = nObs >= mp && m2 > 0
+    df.withColumn(outName + "_skew", when(gate && nObs >= 3, skew))
+      .withColumn(outName + "_kurt", when(gate && nObs >= 4, kurt))
   }
 
   /** pandas `rank()` with all five tie methods per group, over the sort
@@ -707,19 +724,26 @@ object Windows {
       valueCol: Column,
       tiebreak: Seq[Column],
       partitionBy: Seq[Column]): DataFrame = {
+    // pandas rank() with na_option='keep': null values get NULL in
+    // every method and do NOT shift other rows' ranks. Nulls sort LAST
+    // (so non-null ranks are unaffected by their presence) and every
+    // output is gated on non-null — Spark's default ascending ordering
+    // would instead rank nulls FIRST and off-by-count everything.
+    val ordered = valueCol.asc_nulls_last
     val byValue =
-      if (partitionBy.isEmpty) Window.orderBy(valueCol)
-      else Window.partitionBy(partitionBy: _*).orderBy(valueCol)
+      if (partitionBy.isEmpty) Window.orderBy(ordered)
+      else Window.partitionBy(partitionBy: _*).orderBy(ordered)
     val byValueTb =
-      if (partitionBy.isEmpty) Window.orderBy(valueCol +: tiebreak: _*)
+      if (partitionBy.isEmpty) Window.orderBy(ordered +: tiebreak: _*)
       else
-        Window.partitionBy(partitionBy: _*).orderBy(valueCol +: tiebreak: _*)
+        Window.partitionBy(partitionBy: _*).orderBy(ordered +: tiebreak: _*)
     val ties = Window.partitionBy(partitionBy :+ valueCol: _*)
-    df.withColumn("r_first", row_number().over(byValueTb))
-      .withColumn("r_min", rank().over(byValue))
+    val keep = valueCol.isNotNull
+    df.withColumn("r_first", when(keep, row_number().over(byValueTb)))
+      .withColumn("r_min", when(keep, rank().over(byValue)))
       .withColumn("__ties", count(lit(1)).over(ties))
       .withColumn("r_max", col("r_min") + col("__ties") - 1)
-      .withColumn("r_dense", dense_rank().over(byValue))
+      .withColumn("r_dense", when(keep, dense_rank().over(byValue)))
       .withColumn("r_avg", col("r_min") + (col("__ties") - 1) / 2.0)
       .drop("__ties")
   }
