@@ -561,6 +561,84 @@ class FacadeSpec extends AnyFunSuite {
     assert(out(4L) === ((4, 4, 4L, 3, 4.0))) // dense collapses the tie
   }
 
+  test("rank methods: nulls get NULL ranks and do not shift the others") {
+    import graft.ops.Windows
+    // pandas rank(na_option='keep'): NaN rows unranked, everyone
+    // else's rank as if the NaN rows weren't there
+    val df = Seq(
+      ("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(7.0)),
+      ("a", 4L, None))
+      .toDF("k", "i", "x")
+    val out = Windows
+      .rankMethods(df, col("x"), Seq(col("i")), Seq(col("k")))
+      .collect()
+      .map(r => r.getAs[Long]("i") ->
+        ((Option(r.get(r.fieldIndex("r_first"))),
+          Option(r.get(r.fieldIndex("r_min"))),
+          Option(r.get(r.fieldIndex("r_avg"))))))
+      .toMap
+    assert(out(1L)._1 === Some(1) && out(1L)._2 === Some(1))
+    assert(out(3L)._1 === Some(2) && out(3L)._2 === Some(2))
+    assert(out(2L) === ((None, None, None)))
+    assert(out(4L) === ((None, None, None)))
+  }
+
+  test("rolling table apply: null cells stay row-aligned (as NaN)") {
+    import graft.ops.Windows
+    // window of 3 rows with one null y-cell: the UDF must see matching
+    // x/y columns (misaligned per-column collect_lists would pair
+    // y=40 with x=2). f picks the y where x is largest.
+    val df = Seq(
+      ("a", 1L, 1.0, Some(10.0)), ("a", 2L, 2.0, None),
+      ("a", 3L, 3.0, Some(30.0)))
+      .toDF("k", "i", "x", "y")
+    val out = Windows
+      .rollingTableApply(
+        df, Seq(col("x"), col("y")), Seq(col("i")), Seq(col("k")),
+        window = 3, outName = "v") { m =>
+        val xs = m.head
+        val ys = m(1)
+        assert(xs.length == ys.length) // alignment contract
+        val iMax = xs.indices.maxBy(xs)
+        Some(ys(iMax))
+      }
+      .where(col("i") === 3)
+      .select("v").as[Option[Double]].head()
+    assert(out === Some(30.0))
+    // and the null cell itself arrives as NaN in its own slot
+    val sawNaN = Windows
+      .rollingTableApply(
+        df, Seq(col("y")), Seq(col("i")), Seq(col("k")),
+        window = 3, outName = "v") { m =>
+        Some(if (m.head.exists(_.isNaN)) 1.0 else 0.0)
+      }
+      .where(col("i") === 3)
+      .select("v").as[Option[Double]].head()
+    assert(sawNaN === Some(1.0))
+  }
+
+  test("rolling skew/kurt below the moment minimum emit null, not Infinity") {
+    import graft.ops.Windows
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 5.0))
+      .toDF("k", "i", "x")
+    // window=3: n=3 is enough for skew but kurt's (n-3) factor is 0 —
+    // pandas rolling(3).kurt() is NaN where a raw division gives ±Inf
+    val row = Windows
+      .rollingSkewKurt(df, col("x"), Seq(col("i")), Seq(col("k")), 3, "v")
+      .where(col("i") === 3)
+      .select("v_skew", "v_kurt")
+      .as[(Option[Double], Option[Double])].head()
+    assert(row._1.isDefined && !row._1.get.isInfinite)
+    assert(row._2.isEmpty)
+    // window=2: skew's (n-2) factor is 0 too
+    val row2 = Windows
+      .rollingSkewKurt(
+        df, col("x"), Seq(col("i")), Seq(col("k")), 2, "v")
+      .where(col("i") === 2)
+      .select("v_skew").as[Option[Double]].head()
+    assert(row2.isEmpty)
+  }
+
   test("describe: eight summary stats match a hand computation") {
     import graft.ops.ColApply
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0))
