@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[CosineSimilarityExpr].getCanonicalName,
           VectorExpressions.CosineName),
-        exprs => CosineSimilarityExpr(exprs(0), exprs(1))))
+        VectorExpressions.cosineBuilder))
     e.injectFunction(
       (
         FunctionIdentifier(SignatureExpressions.MinHashName),
@@ -64,6 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[LangIdNgramExpr].getCanonicalName,
           LangIdExpressions.Name),
-        exprs => LangIdNgramExpr(exprs.head)))
+        LangIdExpressions.langIdBuilder))
   }
 }

@@ -126,12 +126,12 @@ object LangProfiles {
     val m = scala.collection.mutable.LongMap.empty[Int]
     val t = normalize(text)
     var i = 0
+    // every trigram counts: normalize collapses non-letter runs to ONE
+    // space, so an all-space trigram cannot occur — space-boundary
+    // trigrams (" ab", "ab ") are kept, they carry affix signal
     while (i + 2 < t.length) {
-      // skip the all-space trigram between words
-      if (!(t.charAt(i) == ' ' && t.charAt(i + 1) == ' ')) {
-        val k = pack(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
-        m(k) = m.getOrElse(k, 0) + 1
-      }
+      val k = pack(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
+      m(k) = m.getOrElse(k, 0) + 1
       i += 1
     }
     m
@@ -167,16 +167,17 @@ object LangProfiles {
     val scores = new Array[Double](Langs.length)
     var n = 0
     var i = 0
+    // no double-space skip needed: see trigramCounts (normalize
+    // guarantees single spaces; the scorer must walk the SAME trigram
+    // set the profiles were counted from)
     while (i + 2 < t.length) {
-      if (!(t.charAt(i) == ' ' && t.charAt(i + 1) == ' ')) {
-        val k = pack(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
-        var l = 0
-        while (l < Langs.length) {
-          scores(l) += profiles(l).getOrElse(k, floors(l))
-          l += 1
-        }
-        n += 1
+      val k = pack(t.charAt(i), t.charAt(i + 1), t.charAt(i + 2))
+      var l = 0
+      while (l < Langs.length) {
+        scores(l) += profiles(l).getOrElse(k, floors(l))
+        l += 1
       }
+      n += 1
       i += 1
     }
     if (n == 0) "und"
@@ -225,11 +226,15 @@ case class LangIdNgramExpr(child: Expression)
 object LangIdExpressions {
   val Name = "graft_lang_id_ngram"
 
+  /** Shared with GraftExtensions' SQL-extension injection — one
+    * builder, two registration paths that cannot diverge.
+    */
+  val langIdBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => LangIdNgramExpr(exprs.head)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name,
-      exprs => LangIdNgramExpr(exprs.head),
-      "built-in")
+      Name, langIdBuilder, "built-in")
 
   def langIdNgram(c: Column): Column = call_function(Name, c)
 }

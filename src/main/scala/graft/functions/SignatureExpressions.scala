@@ -39,7 +39,11 @@ object SignatureExpressions {
     */
   private def intArg(name: String, e: Expression): Int = {
     require(e.foldable, s"$name expects a literal integer argument")
-    val v = e.eval().asInstanceOf[Number].intValue()
+    val folded = e.eval()
+    require( // a foldable NULL would otherwise NPE with no context
+      folded != null,
+      s"$name argument must be a non-null literal integer")
+    val v = folded.asInstanceOf[Number].intValue()
     // reject at analysis time — k=0 minhash / n=0 shingles would otherwise
     // build an expression that only fails (or degenerates) at eval
     require(v >= 1, s"$name argument must be >= 1, got $v")
@@ -122,26 +126,28 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val nBytes = s.numBytes
-    // char-start byte offsets, one linear walk
-    val starts = new Array[Int](nBytes + 1)
-    var m = 0
+    // ONE walk over the code points with a RING of the last n+1 char
+    // start offsets — window k spans chars [k, k+n), so when char c's
+    // start byte is found, window c−n ends exactly there. A flat
+    // offsets array would allocate nBytes+1 ints per row (~4× the
+    // document, pure per-row garbage on the dedup hot path).
+    val ring = new Array[Int](n + 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var c = 0 // chars seen
     var i = 0
     while (i < nBytes) {
-      starts(m) = i
-      m += 1
+      ring(c % (n + 1)) = i
+      if (c >= n) {
+        val b0 = ring((c - n) % (n + 1))
+        seen.add(XXH64.hashUnsafeBytes(base, off + b0, i - b0, 42L))
+      }
+      c += 1
       i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
         org.apache.spark.unsafe.Platform.getByte(base, off + i))
     }
-    starts(m) = nBytes
-    if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]((m - n + 1) * 2)
-    var k = 0
-    while (k <= m - n) {
-      val b0 = starts(k)
-      val b1 = starts(k + n)
-      seen.add(XXH64.hashUnsafeBytes(base, off + b0, b1 - b0, 42L))
-      k += 1
-    }
+    if (c < n) return new GenericArrayData(Array.emptyLongArray)
+    val last0 = ring((c - n) % (n + 1)) // final window ends at nBytes
+    seen.add(XXH64.hashUnsafeBytes(base, off + last0, nBytes - last0, 42L))
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0
@@ -185,17 +191,27 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < numHashes) {
-        val v = XXH64.hashLong(h, seeds(j))
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // null elements are SKIPPED (ignore-null, the count(col)
+      // convention) — our shingle/token pipelines never produce them
+      // (containsNull=false at the source; parquet round-trips only
+      // widen the schema), so this only shapes direct SQL calls, where
+      // reading the null slot as 0 and hashing it would be silent
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = XXH64.hashLong(h, seeds(j))
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!any) return new GenericArrayData(new Array[Any](numHashes))
     new GenericArrayData(mins)
   }
 
@@ -231,11 +247,15 @@ case class SimHash64Expr(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      // null tokens are skipped, not read as 0 (MinHashSignatureExpr's
+      // ignore-null convention — a 0-hash would cast 64 phantom votes)
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

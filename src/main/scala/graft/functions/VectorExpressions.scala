@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics match [[VectorFunctions.cosine]] bit-for-bit: elements
   * widened to double, left-to-right summation, dot/(sqrt(na)*sqrt(nb)).
-  * Null if either side is null; NaN propagates like plain double math.
+  * Null if either side is null, if the lengths differ (the composable
+  * `zip_with` pads with null, nulling the sum — a silent truncation to
+  * the shorter side would return a plausible WRONG similarity for a
+  * mis-dimensioned query), or if any element is null. NaN propagates
+  * like plain double math.
   *
   * Implements [[doGenCode]] (brief: "a native Catalyst Expression (with
   * doGenCode)"): the generated Java is the same fused loop, spliced
@@ -51,10 +55,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val af = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
     var dot = 0.0
@@ -62,6 +69,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = elem(a, i, af)
       val y = elem(b, i, bf)
       dot += x * y
@@ -91,18 +99,25 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
         val getA = if (af) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
         val getB = if (bf) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
-           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0;
-           |double $na = 0.0;
-           |double $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  final double $x = $getA;
-           |  final double $y = $getB;
-           |  $dot += $x * $y;
-           |  $na += $x * $x;
-           |  $nb += $y * $y;
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  final int $n = $a.numElements();
+           |  double $dot = 0.0;
+           |  double $na = 0.0;
+           |  double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    final double $x = $getA;
+           |    final double $y = $getB;
+           |    $dot += $x * $y;
+           |    $na += $x * $x;
+           |    $nb += $y * $y;
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |  }
            |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 
@@ -117,12 +132,17 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 object VectorExpressions {
   val CosineName = "graft_cosine_sim"
 
+  /** Single source of truth for the builder — shared with
+    * GraftExtensions' SQL-extension injection so the two registration
+    * paths cannot diverge (the [[SignatureExpressions]] convention).
+    */
+  val cosineBuilder: Seq[Expression] => Expression =
+    exprs => CosineSimilarityExpr(exprs(0), exprs(1))
+
   /** Idempotent per-session registration (temp function registry). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName,
-      exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
-      "built-in")
+      CosineName, cosineBuilder, "built-in")
 
   /** Native cosine — requires [[register]] on the session first. */
   def cosineFast(a: Column, b: Column): Column =
