@@ -136,7 +136,11 @@ object HeavyHitters {
       .collect()(0)
     val cands = row.getSeq[String](0)
     val n = row.getLong(1)
-    df.where(key.isInCollection(cands))
+    // the NULL group rides the recount unconditionally: MG cannot
+    // track null (insert skips it), but `GROUP BY key HAVING` returns
+    // a null group when it clears support — recounting null directly
+    // needs no MG superset guarantee, the count is exact by itself
+    df.where(key.isInCollection(cands) || col(keyCol).isNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .where(col("n") * supportDen >= lit(n) * supportNum)

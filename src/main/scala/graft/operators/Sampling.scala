@@ -41,27 +41,43 @@ object Sampling {
       approx: Boolean = false,
       accuracy: Int = 10000): DataFrame = {
     require(0 <= lo && lo <= hi && hi <= 1, s"need 0<=lo<=hi<=1, got $lo/$hi")
+    val q = s"`$valueCol`" // backtick: names with spaces/dots must parse
     val (loAgg, hiAgg) =
       if (approx)
-        (expr(s"approx_percentile($valueCol, $lo, $accuracy)"),
-          expr(s"approx_percentile($valueCol, $hi, $accuracy)"))
+        (expr(s"approx_percentile($q, $lo, $accuracy)"),
+          expr(s"approx_percentile($q, $hi, $accuracy)"))
       else
-        (expr(s"percentile($valueCol, $lo)"),
-          expr(s"percentile($valueCol, $hi)"))
+        (expr(s"percentile($q, $lo)"), expr(s"percentile($q, $hi)"))
     val bounds = df
       .groupBy(keys.map(col): _*)
       .agg(loAgg.as("__lo"), hiAgg.as("__hi"))
-    df.join(bounds, keys)
+    // null-SAFE key equality: groupBy emits a bounds row for the
+    // null-key group, and a plain USING join would silently DROP every
+    // null-key input row — a row-preserving transform losing data
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(bounds))
+      else
+        keys.foldLeft(
+          df.join(
+            bounds,
+            keys.map(k => df(k) <=> bounds(k)).reduce(_ && _)))(
+          (d, k) => d.drop(bounds(k)))
+    joined
       .withColumn(
         valueCol + "_wins",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
 
-  /** keep iff first-byte bucket of md5(c) < rate*256 (rate in [0,1]). */
+  /** keep iff 16-bit bucket of md5(c) < rate·65536 (rate in [0,1]) —
+    * 16 bits, not 8: a 1/256 grid rounds rate 0.001 to ZERO kept rows
+    * and distorts small rates by up to 2× ([[weightedKeepExpr]] used
+    * 16 bits for the same reason from the start; rates that are
+    * multiples of 1/256 keep the IDENTICAL row set either way).
+    */
   def keepExpr(c: Column, rate: Double): Column = {
-    val threshold = math.round(rate * 256).toInt
-    conv(substring(md5(c), 1, 2), 16, 10).cast("int") < threshold
+    val threshold = math.round(rate * 65536).toInt
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int") < threshold
   }
 
   /** Uniform deterministic sample by content hash. */
@@ -172,10 +188,15 @@ object Sampling {
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(
-      col(idCol).as("doc_id"),
-      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
-        .as("term"))
+    val toks = df
+      .select(
+        col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("term"))
+      // three consumers with DIFFERENT exchange subtrees (probe side,
+      // term counts, global total) — ReuseExchange cannot dedupe them,
+      // so without this the corpus re-tokenizes three times
+      .transform(graft.ops.Stage.materializeOnce)
     val counts = toks.groupBy("term").agg(count(lit(1)).as("__c"))
     val total = toks.agg(count(lit(1)).cast("double").as("__n"))
     toks

@@ -102,9 +102,13 @@ object Similarity {
             (x, l) => x - l),
           zip_with(col("hi"), col("lo"), (h, l) => h - l),
           (num, range) =>
-            when(range === 0d, lit(0))
-              .otherwise(round(num * 255d / range))
-              .cast("int")))
+            // stored as a REAL signed byte (the "int8" the name
+            // promises): 0..255 shifted by −128 into byte range. An
+            // array<int> element is 4 bytes — half the advertised 4×
+            // win on a float corpus, silently
+            (when(range === 0d, lit(0))
+              .otherwise(round(num * 255d / range)) - 128)
+              .cast("tinyint")))
       .drop("lo", "hi")
     (quantized, bounds)
   }
@@ -123,8 +127,9 @@ object Similarity {
         zip_with(
           zip_with(col(q8Col), col("lo"), (q, l) => struct(q.as("q"), l.as("l"))),
           zip_with(col("hi"), col("lo"), (h, l) => h - l),
-          (ql, range) =>
-            ql.getField("l") + ql.getField("q") * range / 255d))
+          (ql, range) => // +128 undoes the signed-byte shift
+            ql.getField("l") +
+              (ql.getField("q").cast("int") + 128) * range / 255d))
       .drop("lo", "hi")
 
   /** LSH-bucketed approximate top-k: score only vectors sharing at least
@@ -144,32 +149,33 @@ object Similarity {
     val bands = nBits / bandBits
     val mask = (1L << bandBits) - 1
 
-    def bandArray(sig: Column): Column =
-      array((0 until bands).map { b =>
-        shiftright(sig, b * bandBits).bitwiseAND(lit(mask))
-          .bitwiseOR(lit(b.toLong << bandBits)) // tag with band index
-      }: _*)
-
     // query signature computed once (tiny driver-side job — must use the
     // same Murmur3-based expression as the corpus side), then baked in as
-    // literal band keys
+    // literal band keys in the SAME (band, bk) struct encoding as
+    // [[bandKeys]] — one band-key layout for transient and persisted
+    // paths alike, so a layout change cannot silently diverge
     val qSigVal: Long = df.sparkSession
       .range(1)
       .select(VectorFunctions.hyperplaneSignature(vecLit(query), nBits))
       .head()
       .getLong(0)
     val qBands = array((0 until bands).map { b =>
-      lit(((qSigVal >> (b * bandBits)) & mask) | (b.toLong << bandBits))
+      struct(
+        lit(b).as("band"),
+        lit(((qSigVal >> (b * bandBits)) & mask).toInt).as("bk"))
     }: _*)
 
-    // signature staged to a real column: bandArray references it `bands`
+    // signature staged to a real column: bandKeys references it `bands`
     // times, and an inlined signature expression would re-run the full
     // hyperplane projection per band (see TextFunctions.shinglesOf note)
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),
         VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("__sig"))
-      .select(col("id"), col("v"), bandArray(col("__sig")).as("vb"))
+      .select(
+        col("id"),
+        col("v"),
+        bandKeys(col("__sig"), nBits, bandBits).as("vb"))
       .where(size(array_intersect(col("vb"), qBands)) > 0)
       .select(
         col("id"),
@@ -735,12 +741,17 @@ object Similarity {
       qIdCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // rename the query side BEFORE joining (the lshProbeIndexMany
+    // pattern): idCol == qIdCol (both "id", the natural call) would
+    // otherwise be AMBIGUOUS_REFERENCE after the join
+    val q = queries.select(
+      col(qIdCol).as("__query_id"), col(qVecCol).as("__qv"))
     val scored = corpus
-      .join(broadcast(queries))
+      .join(broadcast(q))
       .select(
-        col(qIdCol).as("query_id"),
+        col("__query_id").as("query_id"),
         col(idCol).as("id"),
-        cos(corpus)(col(vecCol), col(qVecCol)).as("sim"))
+        cos(corpus)(col(vecCol), col("__qv")).as("sim"))
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id").asc)
