@@ -119,6 +119,21 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got === Map("edge" -> 10L))
   }
 
+  test("exactHeavyHitters returns the NULL group when it clears support") {
+    // 60% null keys at support 1/2: GROUP BY key HAVING returns the
+    // (null, 12) group; MG can't track null, so the recount must carry
+    // it unconditionally
+    val df = (Seq.fill(12)(None: Option[String]) ++
+      Seq.fill(5)(Some("a")) ++ (0 until 3).map(i => Some(s"c$i")))
+      .toDF("token")
+    val got = HeavyHitters
+      .exactHeavyHitters(df.repartition(3), "token", 1, 2, k = 64)
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
+      .toMap
+    assert(got === Map((None: Option[String]) -> 12L))
+  }
+
   test("exactHeavyHitters rejects a capacity that voids the MG guarantee") {
     intercept[IllegalArgumentException] {
       HeavyHitters.exactHeavyHitters(planted, "token", 1, 100, k = 64)

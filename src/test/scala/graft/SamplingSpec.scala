@@ -53,6 +53,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(approxOut._2 >= 90.0 && approxOut._2 <= 100.0)
   }
 
+  test("winsorize keeps and clips null-key rows (row-preserving)") {
+    // a null group key must not silently drop rows: the null group
+    // gets its own bounds and its rows come back clipped
+    val df = (Seq((Some("a"), 1L, 1.0), (Some("a"), 2L, 100.0)) ++
+      (1 to 10).map(i => (None: Option[String], 100L + i, i.toDouble)))
+      .toDF("k", "id", "x")
+    val out = Sampling.winsorize(df, "x", Seq("k"), lo = 0.0, hi = 0.5)
+    assert(out.count() === 12L) // every input row survives
+    val nullRows = out.where(col("k").isNull)
+      .select("id", "x_wins")
+      .as[(Long, Double)].collect().toMap
+    assert(nullRows.size === 10)
+    assert(nullRows(110L) === 5.5) // p50 of 1..10 clips the top
+    assert(nullRows(101L) === 1.0)
+  }
+
   test("vocabulary counts match a hand computation on a tiny corpus") {
     val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
     val v = Sampling.vocabulary(df, "doc_id", "text")
