@@ -54,7 +54,14 @@ object GroupApply {
       .agg(agg.as("__agg"))
       .where(pred(col("__agg")))
       .select(keys.map(col): _*)
-    df.join(keep, keys, "leftsemi")
+    // null-SAFE semi join: groupBy retains the null-key group and the
+    // predicate just ran on it, but a usingColumns semi join would
+    // still drop its member rows (null = null is never true) — pandas
+    // groupby(dropna=False).filter keeps them
+    df.join(
+      keep,
+      keys.map(k => df(k) <=> keep(k)).reduce(_ && _),
+      "leftsemi")
   }
 
   /** Black-box group UDF, one output row per group. Counter ticks once

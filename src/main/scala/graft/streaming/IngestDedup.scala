@@ -21,16 +21,21 @@ import graft.functions.TextFunctions
   * written to a hidden staging directory (`_staging/batch-<id>` —
   * underscore-prefixed paths are invisible to Spark's file listing,
   * so a half-written attempt can never be read as state), then
-  * published with ONE directory rename to `batch=<id>` — atomic on
-  * HDFS and POSIX filesystems. Replay of an already-committed batch id
-  * finds the target directory and is a no-op; a crash before the
-  * rename leaves only staging garbage, which the retry deletes first.
-  * Net: any interleaving of crash + replay yields each batch's rows in
-  * the state exactly once. (On object stores where directory rename is
-  * copy-based, front this with a transactional table format — the loop
-  * shape is unchanged.) The `batch=<id>` layout doubles as hive-style
+  * published via [[SnapshotCommit]]: rename + zero-byte commit marker.
+  * A batch is committed IFF its marker exists — a bare "target dir
+  * exists" check would make a crashed partial object-store rename
+  * (copy+delete, not atomic) look committed and silently lose the
+  * batch's fingerprints forever. Replay of a committed id is a no-op;
+  * an unmarked target is a crashed attempt, deleted and rebuilt. Net:
+  * any interleaving of crash + replay yields each batch's rows in the
+  * state exactly once. The `batch=<id>` layout doubles as hive-style
   * partitioning, so time-travel ("state as of batch N") is a partition
   * filter.
+  *
+  * Null-text rows fingerprint as EMPTY text (the [[graft.operators
+  * .Dedup.exact]] convention): a null `fp` would never equal itself in
+  * the anti-join, so null-text docs would re-ingest as "new" in every
+  * batch and the state would grow one null row per batch forever.
   */
 object IngestDedup {
 
@@ -49,13 +54,19 @@ object IngestDedup {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(root, s"batch=$batchId")
-    if (fs.exists(target)) return // committed on a previous attempt
+    if (SnapshotCommit.isCommitted(fs, target)) return
+    // an unmarked target is a crashed partial publish — delete it
+    // BEFORE the probe (it would otherwise be read as state and flag
+    // this batch's own rows as already seen)
+    fs.delete(target, true)
     val staging = new Path(root, s"_staging/batch-$batchId")
     fs.delete(staging, true) // clear a crashed partial attempt
     val intra = batch
       .select(
         col(idCol).as("id"),
-        TextFunctions.normFingerprint(col(textCol)).as("fp"))
+        TextFunctions
+          .normFingerprint(coalesce(col(textCol), lit("")))
+          .as("fp"))
       .groupBy("fp")
       .agg(min(col("id")).as("id"))
     val fresh = seenFingerprints(spark, statePath) match {
@@ -63,77 +74,93 @@ object IngestDedup {
       case None       => intra
     }
     fresh.select("fp", "id").write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(
-        s"failed to commit ingest batch $batchId: rename $staging -> $target")
+    SnapshotCommit.publish(fs, staging, target)
   }
 
   /** COMPACT the state table: rewrite every committed batch directory
     * into one consolidated directory (min id per fingerprint — the same
-    * batching-invariant rule as ingestion) and delete the originals.
+    * batching-invariant rule as ingestion) and TOMBSTONE the originals
+    * (data files deleted, commit markers kept: the markers are
+    * [[ingestBatch]]'s replay-idempotence state — the
+    * [[SegmentCompaction]] argument, though exact dedup would also
+    * self-heal since a replayed batch's fingerprints all match state).
     * Run periodically: the ingestion loop adds one directory per
     * micro-batch, and a year of minutely batches is half a million
     * directories — listing cost grows without bound unless compacted.
     *
-    * Safety: the consolidated directory commits with the same staged
-    * write + rename as [[ingestBatch]], under `batch=c<maxId>` — a
-    * namespace that can never collide with a FUTURE numeric stream
-    * batch id (a compacted dir named `batch=<n>` would make the
-    * stream's eventual batch n look already-committed and silently
-    * drop it). Readers racing the post-commit deletes may briefly see
-    * a fingerprint twice (once compacted, once in a not-yet-deleted
-    * original) — harmless, the anti-join only asks membership; a crash
-    * mid-delete is repaired by the next compact.
+    * Safety: the consolidated directory commits marker-published under
+    * `batch=c<maxId>` — a namespace that can never collide with a
+    * FUTURE numeric stream batch id (a compacted dir named `batch=<n>`
+    * would make the stream's eventual batch n look already-committed
+    * and silently drop it). SINGLE-WRITER, like the ingest loop itself:
+    * run compaction from the same process between batches (or with the
+    * stream stopped). A reader whose plan listed the original files
+    * before the fold deletes them would die on FileNotFoundException —
+    * the "membership answer is unchanged" argument holds at the logical
+    * layer only, not at Spark's file-listing layer.
     */
   def compact(spark: SparkSession, statePath: String): Unit = {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDirs = fs
+    def committedDirs: Array[Path] = fs
       .listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+          SnapshotCommit.isCommitted(fs, s.getPath))
       .map(_.getPath)
+    val batchDirs = committedDirs
     if (batchDirs.length <= 1) return // nothing to consolidate
     val maxId = batchDirs
-      .map(_.getName.stripPrefix("batch="))
+      .map(_.getName.stripPrefix("batch=").stripPrefix("c"))
       .collect { case s if s.forall(_.isDigit) && s.nonEmpty => s.toLong }
       .maxOption
       .getOrElse(0L)
     val target = new Path(root, s"batch=c$maxId")
-    if (fs.exists(target)) {
-      // this span is already compacted — repair a crash mid-delete by
-      // removing dirs whose ids were folded into the committed c<maxId>
-      // (ids > maxId arrived after the compaction and are untouched)
-      batchDirs.filter(_.getName != target.getName).foreach { p =>
+    def tombstoneFolded(): Unit =
+      committedDirs.foreach { p =>
         val n = p.getName.stripPrefix("batch=").stripPrefix("c")
-        if (n.nonEmpty && n.forall(_.isDigit) && n.toLong <= maxId)
-          fs.delete(p, true)
+        if (p.getName != target.getName && n.nonEmpty &&
+          n.forall(_.isDigit) && n.toLong <= maxId)
+          fs.listStatus(p)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .foreach(f => fs.delete(f.getPath, false))
       }
+    if (SnapshotCommit.isCommitted(fs, target)) {
+      tombstoneFolded() // repair a crash mid-fold
       return
     }
+    // fold only dirs WITH data files (tombstones are marker-only)
+    val dataDirs = batchDirs.filter(p =>
+      fs.listStatus(p).exists(f =>
+        f.isFile && !f.getPath.getName.startsWith("_")))
+    if (dataDirs.isEmpty) return
     val staging = new Path(root, s"_staging/compact-$maxId")
     fs.delete(staging, true)
     spark.read
-      .parquet(batchDirs.toIndexedSeq.map(_.toString): _*)
+      .parquet(dataDirs.toIndexedSeq.map(_.toString): _*)
       .groupBy("fp")
       .agg(min(col("id")).as("id"))
       .select("fp", "id")
       .write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(
-        s"failed to commit compaction: rename $staging -> $target")
-    batchDirs.foreach(p => fs.delete(p, true))
+    SnapshotCommit.publish(fs, staging, target)
+    tombstoneFolded()
   }
 
-  /** The persisted fingerprint set, or None before the first commit. */
+  /** The persisted fingerprint set, or None before the first commit.
+    * Detection is EXPLICIT (committed batch dirs with data files) —
+    * swallowing every AnalysisException as "no state yet" would turn a
+    * real read failure into silently-disabled dedup that admits the
+    * whole stream as fresh.
+    */
   def seenFingerprints(
       spark: SparkSession,
       statePath: String): Option[DataFrame] =
-    try Some(spark.read.parquet(statePath))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (!SegmentCompaction.hasSegments(spark, statePath)) None
+    else Some(spark.read.parquet(statePath))
 
   /** Run the ingestion loop over a document stream. The streaming
     * checkpoint makes batch ids stable across restarts, and
-    * [[ingestBatch]]'s rename commit makes each id's state append
+    * [[ingestBatch]]'s marker commit makes each id's state append
     * atomic — together: exactly-once state under replay.
     */
   def start(

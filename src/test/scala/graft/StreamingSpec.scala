@@ -595,12 +595,26 @@ class StreamingSpec extends AnyFunSuite {
       .select("fp", "id").as[(String, Long)].collect().toSet
 
     IngestDedup.compact(spark, statePath)
-    val dirs = new java.io.File(statePath).listFiles()
-      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
-    assert(dirs.toSeq === Seq("batch=c2")) // one consolidated span
+    // one consolidated DATA span; folded batches remain as marker-only
+    // tombstones (the replay-idempotence state survives the fold)
+    def dataDirs: Seq[String] = new java.io.File(statePath).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch=") &&
+        d.listFiles().exists(f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      .map(_.getName).toSeq
+    assert(dataDirs === Seq("batch=c2"))
+    for (b <- Seq("batch=0", "batch=1", "batch=2"))
+      assert(
+        new java.io.File(s"$statePath/$b/_GRAFT_COMMITTED").exists(),
+        s"$b should keep its commit marker as a tombstone")
     val after = spark.read.parquet(statePath)
       .select("fp", "id").as[(String, Long)].collect().toSet
     assert(after === before) // same fingerprint set, min ids kept
+    // replaying a FOLDED batch id is still a no-op (its marker survived)
+    IngestDedup.ingestBatch(Seq((9L, "zzz")).toDF("doc_id", "text"),
+      statePath, "text", "doc_id", 1L)
+    assert(spark.read.parquet(statePath)
+      .select("fp", "id").as[(String, Long)].collect().toSet === before)
 
     // compaction is idempotent, and the numeric id sequence keeps working
     // (the c-namespace cannot shadow a future stream batch id)
