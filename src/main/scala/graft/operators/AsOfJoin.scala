@@ -60,8 +60,13 @@ object AsOfJoin {
       s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
 
-    // deduplicate right to one row per (key, t): greatest tie-break wins
+    // deduplicate right to one row per (key, t): greatest tie-break wins.
+    // Null right times are dropped FIRST — a (key, null) group would
+    // sort before every left row in the backward window and get picked
+    // by last(ignoreNulls) as a spurious "earlier" match when no real
+    // right row precedes (pandas merge_asof drops NaT right keys too)
     val r1 = right
+      .where(rightTime.isNotNull)
       .groupBy(col(key), rightTime.as("__t"))
       .agg(max(struct((tieBreak +: payload.filterNot(_ == tieBreak))
         .map(col): _*)).as("__p"))

@@ -40,13 +40,20 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // materialize the build side's KEYS once: three consumers follow
+    // (emptiness check, bloom aggregation, the exact semi-join), and
+    // without this an expensive computed `small` plan executes three
+    // full times per call
+    val keys = small
+      .select(col(smallKey).as(bigKey))
+      .transform(graft.ops.Stage.materializeOnce)
     // stat.bloomFilter NPEs on a zero-row build side (the sketch
     // aggregate returns null bytes); an empty key set means an empty
     // filter — the quiet-period batch must not crash the join
     val bf =
-      if (small.isEmpty)
+      if (keys.isEmpty)
         org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-      else small.stat.bloomFilter(smallKey, expectedItems, fpp)
+      else keys.stat.bloomFilter(bigKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     // the UDF is only a PRUNE (cheap, stage-local, no exchange); rows it
     // keeps still pass through the exact semi-join below, so a udf here
@@ -56,9 +63,6 @@ object BloomJoin {
       k != null && bc.value.mightContainLong(k))
     big
       .where(might(col(bigKey)))
-      .join(
-        small.select(col(smallKey).as(bigKey)),
-        Seq(bigKey),
-        "leftsemi")
+      .join(keys, Seq(bigKey), "leftsemi")
   }
 }

@@ -36,12 +36,18 @@ object RangeJoin {
     val pb = points.withColumn(
       "__b",
       floor(col(xCol) / bucketWidth).cast("long"))
-    val ib = intervals.withColumn(
-      "__b",
-      explode(
-        sequence(
-          floor(col(loCol) / bucketWidth).cast("long"),
-          floor(col(hiCol) / bucketWidth).cast("long"))))
+    val ib = intervals
+      // an inverted interval (lo > hi) matches nothing under the range
+      // predicate anyway, but Spark's sequence() would run BACKWARD
+      // (default step −1) and explode one corrupt row into a gigantic
+      // descending bucket list — drop them before the explode
+      .where(col(loCol) <= col(hiCol))
+      .withColumn(
+        "__b",
+        explode(
+          sequence(
+            floor(col(loCol) / bucketWidth).cast("long"),
+            floor(col(hiCol) / bucketWidth).cast("long"))))
     pb.join(ib, Seq("__b"))
       .where(col(xCol) >= col(loCol) && col(xCol) < col(hiCol))
       .drop("__b")

@@ -30,6 +30,17 @@ object SkewJoin {
       saltSource: Column,
       salts: Int,
       joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be > 0, got $salts") // 0 → empty join
+    // the RIGHT side is replicated per salt, so join types that emit
+    // unmatched right rows would emit each one `salts` times — refuse
+    // rather than silently duplicate
+    val rightPreserving = Set("right", "rightouter", "right_outer",
+      "full", "outer", "fullouter", "full_outer")
+    require(
+      !rightPreserving(joinType.toLowerCase.replace(" ", "")),
+      s"salted join cannot do '$joinType': the replicated right side " +
+        "would emit every unmatched right row once per salt — salt the " +
+        "other side, or use a non-right-preserving join type")
     val l = left.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
     val r = right.withColumn(
       "__salt",

@@ -58,6 +58,12 @@ object Upsert {
     snapshot
       .join(changedKeys, keys, "leftanti")
       .unionByName(
-        latest.where(!col(deleteCol)).select(outCols.map(col): _*))
+        // a NULL delete flag is an upsert, not a delete: the key was
+        // already anti-joined out of the snapshot above, and a bare
+        // !null filter would silently drop the re-insert too — the row
+        // would vanish instead of being upserted
+        latest
+          .where(!coalesce(col(deleteCol), lit(false)))
+          .select(outCols.map(col): _*))
   }
 }
