@@ -76,10 +76,15 @@ object Pandarallel {
         agg: Column,
         aggs: Column*): DataFrame = {
       val step = Windows.offsetNanos(every)
-      // integral divide (`div`), NOT `/`: the double detour loses
-      // exactness on 1e18-scale nano timestamps
+      // exact integer FLOOR division: `/` loses exactness on 1e18-scale
+      // nano timestamps through the double detour, and `div` truncates
+      // toward zero — a pre-epoch timestamp would land in bucket 0
+      // together with post-epoch rows (pandas resample floors: −1 ns is
+      // bin −1, and bin 0 must not be twice as wide as every other)
+      val q = call_function("div", tsNanos, lit(step)).cast("long")
       val bucket =
-        call_function("div", tsNanos, lit(step)).cast("long").as("bucket")
+        (q - when(tsNanos % lit(step) < 0, lit(1)).otherwise(lit(0)))
+          .as("bucket")
       // (agg, aggs*) mirrors Dataset.agg: zero aggregates is a compile
       // error, not a runtime NoSuchElementException
       df.groupBy((bucket +: extraKeys): _*).agg(agg, aggs: _*)
@@ -281,12 +286,16 @@ object Pandarallel {
     def idxExtrema(valueCol: Column, idCol: Column): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
-      df.withColumn("__vmax", max(valueCol).over(w))
-        .withColumn("__vmin", min(valueCol).over(w))
+      // NaN is excluded like pandas idxmax/idxmin skipna: Spark's
+      // max() ranks NaN above every number (and NaN === NaN is true),
+      // so without the guard a single NaN row would claim idx_max
+      val v = when(!valueCol.isNaN, valueCol)
+      df.withColumn("__vmax", max(v).over(w))
+        .withColumn("__vmin", min(v).over(w))
         .groupBy(keys.map(col): _*)
         .agg(
-          min(when(valueCol === col("__vmax"), idCol)).as("idx_max"),
-          min(when(valueCol === col("__vmin"), idCol)).as("idx_min"))
+          min(when(v === col("__vmax"), idCol)).as("idx_max"),
+          min(when(v === col("__vmin"), idCol)).as("idx_min"))
     }
 
     /** pandas `gb.first()/last()/nth(n)` — n is 0-based like pandas
@@ -294,6 +303,10 @@ object Pandarallel {
       * row_number window for nth).
       */
     def nth(valueCol: Column, orderBy: Column, n: Int): DataFrame = {
+      require(
+        n >= 0,
+        s"nth: n must be >= 0 (pandas' negative-n form is not supported " +
+          s"here — use last_val), got $n")
       val wo = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
         .orderBy(orderBy)
@@ -302,7 +315,13 @@ object Pandarallel {
         .agg(
           min_by(valueCol, orderBy).as("first_val"),
           max_by(valueCol, orderBy).as("last_val"),
-          max(when(col("__rn") === n + 1, valueCol)).as("nth_val"))
+          max(when(col("__rn") === n + 1, valueCol)).as("nth_val"),
+          max(col("__rn")).as("__size"))
+        // pandas gb.nth(n) DROPS groups with fewer than n+1 rows — a
+        // null nth_val row would make group-too-small and
+        // genuine-null-at-position-n indistinguishable
+        .where(col("__size") >= n + 1)
+        .drop("__size")
     }
 
     /** pandas `Series.autocorr(lag)` per group — lag window + Pearson

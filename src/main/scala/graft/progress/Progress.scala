@@ -206,7 +206,13 @@ object Progress {
       r
     } finally {
       done = true
-      t.join(intervalMs * 2)
+      // unbounded join: the poller exits within one interval + one
+      // update() call. A timeout here let close() run CONCURRENTLY with
+      // a still-executing update() when the renderer callback was slow
+      // (> 2×interval) — reentering a single-threaded user callback
+      // from two threads; if the callback hangs forever, hanging here
+      // is the honest behavior
+      t.join()
       renderer.close(counter.value, total)
     }
   }
@@ -237,9 +243,19 @@ object Progress {
     }
   }
 
+  /** Listener registration is session-wide: pair every install with
+    * [[uninstallListener]] when the tracked query finishes, or a
+    * notebook session accumulates one live listener per query — each
+    * still invoked for every task event application-wide.
+    */
   def installListener(spark: SparkSession): TaskProgressListener = {
     val l = new TaskProgressListener
     spark.sparkContext.addSparkListener(l)
     l
   }
+
+  def uninstallListener(
+      spark: SparkSession,
+      l: TaskProgressListener): Unit =
+    spark.sparkContext.removeSparkListener(l)
 }
