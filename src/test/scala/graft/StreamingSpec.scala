@@ -444,6 +444,25 @@ class StreamingSpec extends AnyFunSuite {
         threshold = 0.9)
     }
     assert(drift.getMessage.contains("incomparable"))
+
+    // the streaming entry point wires every signing parameter through
+    // to ingestBatch (a fresh index with non-default nBits/bands: a
+    // dropped parameter would either meta-refuse or mis-sign)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx2 =
+      Files.createTempDirectory("graft-embed-start").toString + "/emb"
+    val ckpt = Files.createTempDirectory("graft-embed-ckpt").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EmbedIngest.start(
+      input.toDS().toDF("vec_id", "embedding"), idx2, ckpt,
+      nBits = 8, bands = 2, threshold = 0.9)
+    try {
+      input.addData((1L, unit(0)), (2L, near(0, 0.05f)), (10L, unit(5)))
+      q.processAllAvailable()
+      assert(EmbedIngest.ingestedIds(spark, idx2).get
+        .as[Long].collect().toSet === Set(1L, 10L))
+    } finally q.stop()
   }
 
   test("streaming distinct: HLL state never double-counts across batches") {
