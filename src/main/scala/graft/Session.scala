@@ -37,6 +37,11 @@ object Session {
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark 4 has no
       // nanos timestamp type — read as long (nanos since epoch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Stage.materializeOnce takes the reliable-checkpoint path on a
+      // cluster with a checkpoint dir; those files are never deleted
+      // unless the cleaner tracks them — without this the checkpoint
+      // store grows by every staged frame for the app's lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the engine session. */

@@ -86,7 +86,11 @@ object TextFunctions {
     val de = stopwordRatio(c, StopwordsDe)
     val es = stopwordRatio(c, StopwordsEs)
     val m = greatest(en, fr, de, es)
-    when(m === 0.0, lit("und"))
+    // null text first: every ratio is null, so every `when` condition
+    // below evaluates to null (not true) and the otherwise() branch
+    // would silently classify null documents as Spanish
+    when(c.isNull, lit(null).cast("string"))
+      .when(m === 0.0, lit("und"))
       .when(en === m, lit("en"))
       .when(fr === m, lit("fr"))
       .when(de === m, lit("de"))
@@ -110,7 +114,8 @@ object TextFunctions {
     val de = hitsIn(StopwordsDe)
     val es = hitsIn(StopwordsEs)
     val m = greatest(en, fr, de, es)
-    when(m === 0, lit("und"))
+    when(tk.isNull, lit(null).cast("string")) // see langId's null guard
+      .when(m === 0, lit("und"))
       .when(en === m, lit("en"))
       .when(fr === m, lit("fr"))
       .when(de === m, lit("de"))
@@ -129,11 +134,12 @@ object TextFunctions {
     round(lenScore * 0.5 + cleanliness * 0.5, 6)
   }
 
-  /** Normalization fingerprint: md5 of lowercased, whitespace-collapsed
-    * text — exact-dup detection robust to spacing/case.
+  /** Normalization fingerprint: md5 of [[normalized]] text — exact-dup
+    * detection robust to spacing/case. Built ON normalized(), not a
+    * re-inlined copy: the exact-dup fingerprint and the shingling
+    * near-dup path must derive from ONE normalization definition.
     */
-  def normFingerprint(c: Column): Column =
-    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+  def normFingerprint(c: Column): Column = md5(normalized(c))
 
   /** Case/whitespace normalization for fingerprinting and shingling. */
   def normalized(c: Column): Column =

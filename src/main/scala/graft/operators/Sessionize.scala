@@ -68,7 +68,14 @@ object Sessionize {
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.t - s.last <= gap =>
-                cur = Some(SessionState(s.start, e.t, s.n + 1, s.sum + e.value))
+                // min/max, not overwrite: a CROSS-batch late event
+                // (t < s.last, still above the watermark) must not move
+                // `last` backward — that would falsely split the
+                // session on the next in-order event and emit inverted
+                // start/end bounds
+                cur = Some(SessionState(
+                  math.min(s.start, e.t), math.max(s.last, e.t),
+                  s.n + 1, s.sum + e.value))
               case Some(s) =>
                 closed += SessionOut(user, s.start, s.last, s.n, s.sum)
                 cur = Some(SessionState(e.t, e.t, 1L, e.value))
@@ -120,7 +127,11 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                  // min/max: see streamingSessions — late events must
+                  // not move the session bounds backward
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += SessionOut(user, s.start, s.last, s.n, s.sum)
                   cur = Some(SessionState(t, t, 1L, e.value))

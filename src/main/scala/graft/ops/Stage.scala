@@ -28,6 +28,12 @@ object Stage {
   def materializeOnce(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined && !sc.isLocal) {
+      // NOTE: reliable checkpoints are NOT auto-deleted by default —
+      // without `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+      // (a context-CREATION-time setting; Session.builder sets it)
+      // every materializeOnce call leaves a full frame copy in the
+      // checkpoint store for the application's lifetime. Sessions built
+      // elsewhere must set that flag themselves or own the cleanup.
       // persist BEFORE the eager checkpoint: Dataset.checkpoint runs a
       // count job and then the ReliableCheckpointRDD write job — without
       // a cache the upstream pipeline (the global sort / signature prep

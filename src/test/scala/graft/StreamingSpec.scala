@@ -756,4 +756,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(totalSessions > closedExpected)
     } finally q.stop()
   }
+
+  test("late cross-batch event cannot move session bounds backward") {
+    import spark.implicits._
+    import graft.operators.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // gap 50k. Batch 1: t=100k. Batch 2: LATE t=60k (in-gap). Batch 3:
+    // t=120k. Correct state keeps last=100k, so 120k (gap 20k) extends
+    // the SAME session; a last-overwrite bug would record last=60k,
+    // falsely split, and emit an inverted (start=100k, end=60k) session
+    val in = MemoryStream[Sessionize.SessionEvent]
+    val q = Sessionize.streamingSessions(in.toDS(), gap = 50000L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("late_sessions")
+      .start()
+    try {
+      in.addData(Sessionize.SessionEvent(1L, 100000L, 1.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.SessionEvent(1L, 60000L, 1.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.SessionEvent(1L, 120000L, 1.0))
+      q.processAllAvailable()
+      // nothing closed: all three events are one session (60k..120k)
+      assert(spark.table("late_sessions").count() === 0L)
+      // force a close to inspect the bounds
+      in.addData(Sessionize.SessionEvent(1L, 500000L, 1.0))
+      q.processAllAvailable()
+      val s = spark.table("late_sessions")
+        .select("session_start", "session_end", "n_events")
+        .as[(Long, Long, Long)].collect()
+      assert(s.toSeq === Seq((60000L, 120000L, 3L)))
+    } finally q.stop()
+  }
 }
