@@ -39,13 +39,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // ≥2 timed reps per query, report the MINIMUM: the min is the run
-    // least disturbed by machine contention (GC, other tenants), which
-    // is what made round-over-round driver deltas untrustworthy —
-    // phantom 3-7x "regressions" on character-identical queries. Any
-    // failed rep fails the query.
-    val reps = math.max(
-      2, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // Timed reps per query (default 2), report the MINIMUM: the min is
+    // the run least disturbed by machine contention (GC, other
+    // tenants), which is what made round-over-round driver deltas
+    // untrustworthy — phantom 3-7x "regressions" on character-identical
+    // queries. Any failed rep fails the query. REPS=1 is honored (a
+    // quick smoke run); an unparseable value is a loud error, not a
+    // NumberFormatException stack before any output.
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2")
+    val reps = repsRaw.toIntOption match {
+      case Some(n) if n >= 1 => n
+      case _ =>
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_REPS='$repsRaw' is not a positive " +
+            "integer; using 2")
+        2
+    }
     def materializeMin(name: String): Double = {
       val ts = (1 to reps).map(_ => materialize(name))
       if (ts.exists(_ < 0)) -1.0 else ts.min
@@ -104,8 +113,20 @@ object Bench {
     // reps) go at the END of the line — the big per-query maps go first
     // and are what truncation eats. JSON parsers are order-blind, so the
     // intact line still satisfies the {"metric":...} contract.
-    println(
-      s"""{"queries":$qs,"index_build":$ib,"sf":"$sfDir","reps":$reps,"failed":$failedJson,"metric":"total","value":$total,"unit":"sec"}""")
+    val line =
+      s"""{"queries":$qs,"index_build":$ib,"sf":"$sfDir","reps":$reps,"failed":$failedJson,"metric":"total","value":$total,"unit":"sec"}"""
+    println(line)
+    // the driver keeps only a truncated stdout tail, which eats the
+    // per-query map — persist the FULL record so cross-round per-query
+    // comparison never needs a judge re-run (overwritten each run)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

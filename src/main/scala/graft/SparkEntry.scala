@@ -3729,12 +3729,19 @@ object SparkEntry {
     * two-distinct form Expand-ful.
     */
   private def q178(sess: SparkSession, d: String): DataFrame = {
+    // exact integer FLOOR division into day buckets — `div` alone
+    // truncates toward zero while the DuckDB oracle's `//` floors, so a
+    // pre-epoch timestamp would land one bucket high and change n_days
+    // (the Pandarallel.parallelResample floor form, same rationale)
+    val step = 86400000000000L
     val ev = Tables
       .events(sess, d)
       .select(
         col("event_type"),
         col("user_id"),
-        expr("ts div 86400000000000").as("__day"))
+        (expr(s"ts div ${step}L") -
+          when(col("ts") % lit(step) < 0, lit(1L)).otherwise(lit(0L)))
+          .as("__day"))
     val users = ev
       .groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("__n"))

@@ -382,7 +382,19 @@ object Dedup {
     SignatureExpressions.register(df.sparkSession)
     val sig = mhSignatures(df, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
+    mhPairsSigned(sig, bands, rows, threshold, maxBucketSize)
+  }
 
+  /** Banded pairs + exact-Jaccard verify over an ALREADY-SIGNED frame
+    * (id, bh, mh) — shared by [[minHashNearDup]] and the single-signing
+    * ingest path [[mhIngestSegmentFrames]].
+    */
+  private def mhPairsSigned(
+      sig: DataFrame,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     // band key = hash of the band's slice of the signature. The band join
     // carries ONLY (bucket, id) — shingle arrays would multiply the
     // shuffle by numHashes/bands; they are joined back just for the
@@ -592,7 +604,23 @@ object Dedup {
     val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
     val bSig = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
-    val bBanded = mhBanded(bSig, bands, numHashes / bands)
+    mhProbeSigned(
+      bSig, indexPath, bands, numHashes / bands, threshold, maxBucketSize)
+  }
+
+  /** The probe over an ALREADY-SIGNED batch frame (id, bh, mh) — the
+    * scan/broadcast shape of [[minHashProbeIndex]], shared with the
+    * single-signing ingest path.
+    */
+  private def mhProbeSigned(
+      bSig: DataFrame,
+      indexPath: String,
+      bands: Int,
+      rows: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    val spark = bSig.sparkSession
+    val bBanded = mhBanded(bSig, bands, rows)
       .select(col("bucket"), col("id").as("probe_id"))
     val cand = spark.read
       .parquet(s"$indexPath/buckets")
@@ -616,6 +644,51 @@ object Dedup {
         col("corpus_id"),
         (inter / (nP + nC - inter)).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** SINGLE-SIGNING micro-batch ingest — [[embIngestSegmentFrames]]'s
+    * shape for the MinHash path, the hot loop of
+    * [[graft.streaming.NearDupIngest]]: sign the batch once, intra-dedup
+    * on the signed frame (banded pairs → components → min-id survivors),
+    * probe the persisted corpus with the SAME signatures, and return the
+    * survivors' (signatures, sized buckets) segment frames ready to
+    * commit. The naive composition (minHashNearDup → dedupIncoming →
+    * minHashSegmentFrames) normalizes/shingles/signs the batch three
+    * times with three checkpoint materializations; survivor signatures
+    * are a subset of the batch's, so one signing pass suffices.
+    */
+  def mhIngestSegmentFrames(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double,
+      maxBucketSize: Int = 256,
+      probeCorpus: Boolean = true,
+      sourceTag: String = ""): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    SignatureExpressions.register(spark)
+    val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
+    val rows = numHashes / bands
+    val sig0 = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
+      .transform(graft.ops.Stage.materializeOnce)
+    val intraDrop = resolveComponents(
+      mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize))
+      .where(col("id") =!= col("component"))
+      .select("id")
+    val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
+    val survivors =
+      if (!probeCorpus) intraSig
+      else
+        intraSig.join(
+          broadcast(
+            mhProbeSigned(
+              intraSig, indexPath, bands, rows, threshold, maxBucketSize)
+              .select(col("probe_id").as("id"))
+              .distinct()),
+          Seq("id"),
+          "left_anti")
+    (survivors, mhSizedBuckets(survivors, bands, rows))
   }
 
   /** Extend a persisted index with an (already deduped) batch — sign
@@ -1174,6 +1247,10 @@ object Dedup {
       maxBucketSize: Int = 1024,
       seed: Int = 42): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    require(
+      nBits / bands < 64,
+      "rows-per-band must be < 64: the band mask (1L << rows) - 1 wraps " +
+        "at 64 and every signature would hash into one mega-bucket")
     VectorExpressions.register(df.sparkSession)
     val sig = embSignatures(df, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
@@ -1226,6 +1303,10 @@ object Dedup {
       seed: Int,
       sourceTag: String = ""): Unit = {
     require(nBits % bands == 0, "bands must divide nBits")
+    require(
+      nBits / bands < 64,
+      "rows-per-band must be < 64: the band mask (1L << rows) - 1 wraps " +
+        "at 64 and every signature would hash into one mega-bucket")
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
     val fs =
       metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

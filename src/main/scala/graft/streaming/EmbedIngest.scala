@@ -51,6 +51,15 @@ object EmbedIngest {
     val bucketsTarget = new Path(root, s"buckets/batch=$batchId")
     if (SnapshotCommit.isCommitted(fs, sigTarget) &&
       SnapshotCommit.isCommitted(fs, bucketsTarget)) return
+    // crash between the two publishes + compact() before the replay:
+    // the committed sig was folded and tombstoned — treat as already
+    // ingested (see NearDupIngest.ingestBatch; deleting the tombstone
+    // marker would let hot-bucket rows commit twice)
+    if (SnapshotCommit.isCommitted(fs, sigTarget) &&
+      SegmentCompaction.foldedCovering(fs, root, batchId)) {
+      fs.delete(bucketsTarget, true)
+      return
+    }
     // a partial publish is a crashed attempt — delete BEFORE the probe
     // (the NearDupIngest self-flag hazard: a half-committed segment of
     // THIS batch would make the retry drop the batch's own rows)

@@ -60,6 +60,18 @@ object NearDupIngest {
     val bucketsTarget = new Path(root, s"buckets/batch=$batchId")
     if (SnapshotCommit.isCommitted(fs, sigTarget) &&
       SnapshotCommit.isCommitted(fs, bucketsTarget)) return
+    // crash between the two publishes, then compact() before the
+    // replay: the committed sig segment was folded into batch=c<maxId>
+    // and tombstoned. The replay must treat that as "already ingested" —
+    // deleting the tombstone would erase the marker that encodes
+    // 'folded', and re-ingesting could commit hot-bucket rows
+    // (bn > maxBucketSize escapes the self-flag probe) a second time.
+    // Drop only the stale uncommitted buckets leftover and no-op.
+    if (SnapshotCommit.isCommitted(fs, sigTarget) &&
+      SegmentCompaction.foldedCovering(fs, root, batchId)) {
+      fs.delete(bucketsTarget, true)
+      return
+    }
     // a partial publish (one target, or unmarked targets) is a crashed
     // attempt. Delete it BEFORE step 2's probe, not just before the
     // re-publish: the probe reads the segment tree by path, and a
@@ -68,27 +80,19 @@ object NearDupIngest {
     fs.delete(sigTarget, true)
     fs.delete(bucketsTarget, true)
 
-    // 1. intra-batch: pairs → components → one survivor per component
-    val intra = Dedup.dedupByComponents(
+    // intra-batch survivors → against-corpus probe → segment frames,
+    // all over ONE signing pass ([[Dedup.mhIngestSegmentFrames]] — the
+    // naive minHashNearDup → dedupIncoming → minHashSegmentFrames
+    // composition shingles and signs the batch three times)
+    val (sig, buckets) = Dedup.mhIngestSegmentFrames(
       batch,
+      textCol,
       idCol,
-      Dedup.resolveComponents(
-        Dedup.minHashNearDup(
-          batch, textCol, idCol, shingleLen, numHashes, bands, threshold,
-          maxBucketSize)))
-    // 2. against the already-ingested corpus (no segments yet → all
-    // survive; the read throws on a segment-less tree, same contract
-    // as IngestDedup.seenFingerprints)
-    val survivors =
-      if (hasSegments(spark, s"$indexPath/buckets"))
-        Dedup.dedupIncoming(
-          intra, textCol, idCol, indexPath, threshold, maxBucketSize,
-          sourceTag)
-      else intra
-    // 3. commit the survivors' signatures + buckets as this batch's
-    // index segment
-    val (sig, buckets) = Dedup.minHashSegmentFrames(
-      survivors, textCol, idCol, indexPath, sourceTag)
+      indexPath,
+      threshold,
+      maxBucketSize,
+      probeCorpus = hasSegments(spark, s"$indexPath/buckets"),
+      sourceTag = sourceTag)
     val sigStaging = new Path(root, s"_staging/sig-$batchId")
     val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
     fs.delete(sigStaging, true)

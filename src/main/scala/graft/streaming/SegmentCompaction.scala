@@ -96,6 +96,32 @@ private[streaming] object SegmentCompaction {
     dropFolded(sigRoot); dropFolded(bucketsRoot)
   }
 
+  /** True iff a committed COMPACTED sig segment `batch=c<id>` with
+    * id >= batchId exists under `indexRoot/sig` — proof that any
+    * `sig/batch=<batchId>` committed before that fold was folded into
+    * it ([[compact]] folds every committed sig segment with id <= maxId
+    * and tombstones it; batch ids are monotone, so a later fold always
+    * covers an earlier commit). A replaying batch that sees its own sig
+    * marker plus a covering fold must NOT delete-and-re-ingest: its
+    * rows already live in the compacted segment, and hot-bucket rows
+    * (bn > maxBucketSize) escape the self-flag probe, so a re-ingest
+    * could commit them a second time.
+    */
+  def foldedCovering(
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: Path,
+      batchId: Long): Boolean = {
+    val sigRoot = new Path(indexRoot, "sig")
+    fs.exists(sigRoot) && fs.listStatus(sigRoot).exists { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.startsWith("batch=c") && {
+        val id = n.stripPrefix("batch=c")
+        id.nonEmpty && id.forall(_.isDigit) && id.toLong >= batchId &&
+          SnapshotCommit.isCommitted(fs, s.getPath)
+      }
+    }
+  }
+
   /** True iff the segment tree holds at least one COMMITTED batch
     * directory WITH data files (a crashed partial publish is not
     * corpus; an all-survivors-dropped batch commits a marker-only

@@ -567,6 +567,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("banded embedding LSH refuses rows-per-band >= 64 (mask wrap)") {
+    // nBits=64, bands=1 passes the divisibility check but (1L << 64)
+    // wraps to 1L, masking every band slice to 0 — one silent
+    // mega-bucket. Must be a loud error at both entry points.
+    val rows = Seq((1L, Array.tabulate(8)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupBanded(
+        rows, "embedding", "vec_id", nBits = 64, bands = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embEnsureMeta(
+        spark, java.nio.file.Files.createTempDirectory("graft-embmeta")
+          .toString + "/idx", nBits = 64, bands = 1, seed = 1)
+    }
+  }
+
   test("semantic dedup: clustered equals exact on planted dup groups") {
     // exact-duplicate groups: identical vectors assign to the same
     // nearest centroid whatever the (deterministic) seeding does, so

@@ -368,6 +368,78 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet === before)
   }
 
+  test("compact between a crash and the replay: folded batch is not re-ingested") {
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    import org.apache.hadoop.fs.Path
+
+    // the ADVICE r6 interleaving: batch N crashes BETWEEN its sig and
+    // buckets publishes; compact() runs BEFORE the stream replays N.
+    // The committed sig segment is folded into batch=c<N> and
+    // tombstoned — the replay must recognize the covering fold and
+    // no-op. Without the guard it would delete the tombstone (losing
+    // the 'already folded' marker) and re-ingest; rows in buckets
+    // larger than maxBucketSize escape the self-flag probe and would
+    // commit a SECOND time.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today " +
+        "while the river runs quietly past the old stone mill"
+    val otherA =
+      "completely different text about distributed query engines and " +
+        "shuffle partitioning strategies for large scale analytics"
+    val otherB =
+      "a wholly novel document mentioning nothing else at all in common"
+    val idx =
+      Files.createTempDirectory("graft-neardup-foldrace").toString + "/mh"
+    val fs = new Path(idx).getFileSystem(conf)
+
+    NearDupIngest.ingestBatch(
+      Seq((1L, base), (10L, otherA)).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 0L)
+    NearDupIngest.ingestBatch(
+      Seq((20L, otherB)).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 1L)
+    // batch 2 "crashes" after the sig publish: buckets twin vanishes
+    val b2 = Seq(
+      (30L, "yet another unrelated piece of text entirely its own"))
+      .toDF("doc_id", "text")
+    NearDupIngest.ingestBatch(b2, idx, "text", "doc_id", batchId = 2L)
+    fs.delete(new Path(idx, "buckets/batch=2"), true)
+
+    // compaction runs first (e.g. at restart, before the replay): the
+    // committed sig of batch 2 is folded into c2 and tombstoned
+    NearDupIngest.compact(spark, idx)
+    assert(graft.streaming.SnapshotCommit
+      .isCommitted(fs, new Path(idx, "sig/batch=2")))
+    assert(!fs.listStatus(new Path(idx, "sig/batch=2")).exists(f =>
+      f.isFile && !f.getPath.getName.startsWith("_")))
+
+    // the replay must no-op: tombstone marker kept, no new data files,
+    // no duplicate ids in the registry
+    NearDupIngest.ingestBatch(b2, idx, "text", "doc_id", batchId = 2L)
+    assert(graft.streaming.SnapshotCommit
+      .isCommitted(fs, new Path(idx, "sig/batch=2")),
+      "replay deleted the tombstone marker")
+    assert(!fs.listStatus(new Path(idx, "sig/batch=2")).exists(f =>
+      f.isFile && !f.getPath.getName.startsWith("_")),
+      "replay re-ingested a folded batch")
+    val ids = spark.read.parquet(s"$idx/sig").select("id")
+    assert(ids.count() === ids.distinct().count(),
+      "duplicate ids in the registry after a folded replay")
+    assert(NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
+
+    // the corpus is live after the no-op: a near-dup of the folded
+    // batch's doc is still caught by the compacted buckets
+    NearDupIngest.ingestBatch(
+      Seq((31L, "yet another unrelated piece of text entirely its own " +
+        "too")).toDF("doc_id", "text"),
+      idx, "text", "doc_id", batchId = 3L)
+    assert(NearDupIngest.ingestedIds(spark, idx).get
+      .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
+  }
+
   test("streaming embedding ingest: intra + cross-batch semantic dedup, compaction") {
     import spark.implicits._
     import graft.streaming.EmbedIngest
