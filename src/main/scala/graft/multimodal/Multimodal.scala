@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * parser; raw DIB frames need no codec at all). The only remaining
   * stub is COMPRESSED video bitstreams (H.264/VP9 — the JDK genuinely
   * ships no video codec): those assets quarantine as undecodable, and
-  * [[fakeDecode]]/[[frameSample]] stay as the documented plumbing
-  * shape for an external-codec integration. The Spark-side plumbing
+  * integrating an external codec is passing a [[VideoDecoder]] to
+  * [[decodeVideo]] — an injection point, not a fork
+  * ([[fakeDecode]]/[[frameSample]] stay as the documented plumbing
+  * shape). The Spark-side plumbing
   * is identical either way and is what actually matters at scale:
   *   - schema: (id, modality, data binary, meta struct)
   *   - per-partition batched processing via `mapPartitions` — one
@@ -460,13 +462,31 @@ object Multimodal {
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** One decoded uncompressed AVI: true dimensions + the raw DIB
-    * payload of every frame in stream order.
+  /** One decoded video: true dimensions + the pixel payload of every
+    * frame in stream order. The pixel exchange contract (what
+    * [[decodeVideo]]'s frame scan assumes, and what any plugged-in
+    * codec must emit): each frame is a BI_RGB 24-bit DIB payload —
+    * B,G,R byte order, rows padded to a 4-byte stride, length >=
+    * stride*height. This is the raw-AVI frame layout, so the default
+    * decoder passes payloads through untouched and an external codec
+    * (H.264/VP9) only has to convert its output pixels once.
     */
-  private final case class AviVideo(
+  final case class DecodedVideo(
       width: Int,
       height: Int,
       frames: IndexedSeq[Array[Byte]])
+
+  /** The codec seam: bytes → decoded frames, None = undecodable
+    * (quarantine). [[decodeVideo]] takes one of these and defaults to
+    * [[aviDecoder]]; integrating an external compressed-bitstream codec
+    * is supplying a different function — no plumbing changes.
+    */
+  type VideoDecoder = Array[Byte] => Option[DecodedVideo]
+
+  /** The default pure-JDK decoder: uncompressed RIFF/AVI ([[parseAvi]]).
+    * Compressed bitstreams return None — the JDK ships no video codec.
+    */
+  val aviDecoder: VideoDecoder = (bytes: Array[Byte]) => parseAvi(bytes)
 
   /** Parse a RIFF/AVI byte payload. Returns None — never throws — for
     * anything this pure-JDK path cannot fully decode: truncated or
@@ -476,7 +496,7 @@ object Multimodal {
     * (BITMAPINFOHEADER) gives geometry, '..db' chunks inside 'movi'
     * give frames; 'idx1' is ignored (sequential scan needs no index).
     */
-  private def parseAvi(data: Array[Byte]): Option[AviVideo] = {
+  private def parseAvi(data: Array[Byte]): Option[DecodedVideo] = {
     if (data.length < 12 || fourcc(data, 0) != "RIFF" ||
       fourcc(data, 8) != "AVI ") return None
     var w = 0
@@ -522,7 +542,7 @@ object Multimodal {
     if (!sawStrf || compressedChunk || comp != 0 || bits != 24 ||
       w <= 0 || h <= 0 || w > 16383 || h > 16383 || frames.isEmpty ||
       frames.exists(_.length < stride * h)) None
-    else Some(AviVideo(w, h, frames.toIndexedSeq))
+    else Some(DecodedVideo(w, h, frames.toIndexedSeq))
   }
 
   case class VideoFrameFeatures(
@@ -576,23 +596,30 @@ object Multimodal {
   }
 
   /** Batched REAL video decode + frame sampling over an asset table:
-    * every `everyN`-th frame of each decodable AVI becomes one row of
+    * every `everyN`-th frame of each decodable asset becomes one row of
     * pixel statistics. Undecodable/compressed assets are dropped
     * (quarantine — the [[decodeImages]]/[[decodeAudio]] contract).
     * Same mapPartitions batching shape; the container parse is one
     * linear walk per asset, each sampled frame one linear pixel scan.
+    *
+    * `decoder` is the codec seam ([[VideoDecoder]]): the default
+    * [[aviDecoder]] handles uncompressed RIFF/AVI pure-JDK; plugging an
+    * external H.264/VP9 codec is passing a different function emitting
+    * [[DecodedVideo]]'s DIB frame contract — schema, batching,
+    * quarantine, and every downstream query are unchanged.
     */
   def decodeVideo(
       assets: DataFrame,
       histBins: Int = 16,
-      everyN: Int = 1): Dataset[VideoFrameFeatures] = {
+      everyN: Int = 1,
+      decoder: VideoDecoder = aviDecoder): Dataset[VideoFrameFeatures] = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     implicit val enc: ExpressionEncoder[VideoFrameFeatures] =
       ExpressionEncoder[VideoFrameFeatures]()
     assets.mapPartitions { rows: Iterator[Row] =>
       rows.flatMap { r =>
         val id = r.getLong(r.fieldIndex("id"))
-        parseAvi(r.getAs[Array[Byte]]("data")).iterator.flatMap { v =>
+        decoder(r.getAs[Array[Byte]]("data")).iterator.flatMap { v =>
           (0 until v.frames.length by everyN).iterator.map { f =>
             val (mr, mg, mb, hist) =
               frameStats(v.frames(f), v.width, v.height, histBins)

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.CdcUpsert
@@ -86,5 +87,152 @@ class CdcUpsertSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$snapPath/snap=0")))
     assert(snapshot(snapPath) === Set((1L, "a", 11.0), (2L, "b", 20.0)))
+  }
+
+  // ---- log-structured twin (CdcLog) ----
+
+  private def logState(path: String): Set[(Long, String, Double)] =
+    graft.streaming.CdcLog
+      .read(spark, path, keys = Seq("k"))
+      .get
+      .as[(Long, String, Double)]
+      .collect()
+      .toSet
+
+  private def changes(rows: (Long, String, Double, Long, Boolean)*) =
+    rows.toDF("k", "tag", "v", "version", "deleted")
+
+  test("log-structured CDC equals snapshot mode on the same batch sequence") {
+    import graft.streaming.CdcLog
+    val snapPath = Files.createTempDirectory("graft-cdc-s").toString + "/snap"
+    val logPath = Files.createTempDirectory("graft-cdc-l").toString + "/log"
+
+    // batch 0: inserts, one key updated twice in-batch (version wins);
+    // batch 1: delete + a LOWER-version change to k=1 — sequential
+    // merge semantics say the later BATCH wins regardless of version;
+    // batch 2: re-insert of the deleted key
+    val batches = Seq(
+      changes((1L, "a", 10.0, 9L, false), (1L, "a", 10.5, 8L, false),
+        (2L, "b", 20.0, 1L, false), (3L, "c", 30.0, 1L, false)),
+      changes((1L, "a", 11.0, 2L, false), (2L, "b", 0.0, 2L, true)),
+      changes((2L, "b", 22.0, 1L, false)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CdcUpsert.applyBatch(
+        b, snapPath, Seq("k"), "version", "deleted", i.toLong)
+      CdcLog.appendBatch(
+        b, logPath, Seq("k"), "version", "deleted", i.toLong)
+    }
+    val expected = snapshot(snapPath)
+    assert(expected ===
+      Set((1L, "a", 11.0), (2L, "b", 22.0), (3L, "c", 30.0)))
+    assert(logState(logPath) === expected)
+
+    // write amplification is O(batch), not O(table): batch 2's segment
+    // holds exactly its 1 change row, while snapshot mode's snap=2 is
+    // the whole 3-row table
+    assert(
+      spark.read.parquet(s"$logPath/delta/batch=2").count() === 1L)
+    assert(spark.read.parquet(s"$snapPath/snap=2").count() === 3L)
+  }
+
+  test("log CDC: replay no-op, crashed staging invisible, compaction folds") {
+    import graft.streaming.CdcLog
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val logPath = Files.createTempDirectory("graft-cdc-l2").toString + "/log"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(logPath).getFileSystem(conf)
+
+    CdcLog.appendBatch(
+      changes((1L, "a", 10.0, 1L, false), (2L, "b", 20.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 0L)
+    // crashed staging garbage must be invisible to readers
+    Seq((99L, "junk", 0.0)).toDF("k", "tag", "v")
+      .write.parquet(logPath + "/_staging/delta-1")
+    assert(logState(logPath) === Set((1L, "a", 10.0), (2L, "b", 20.0)))
+    CdcLog.appendBatch(
+      changes((1L, "a", 11.0, 2L, false), (2L, "b", 0.0, 2L, true)),
+      logPath, Seq("k"), "version", "deleted", batchId = 1L)
+    assert(logState(logPath) === Set((1L, "a", 11.0)))
+    // replaying a committed id with different (stale) data: no-op
+    CdcLog.appendBatch(
+      changes((1L, "a", 99.0, 9L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 1L)
+    assert(logState(logPath) === Set((1L, "a", 11.0)))
+
+    // keep pre-compaction segments to fake a crash below
+    val saved = Files.createTempDirectory("graft-cdc-saved").toString
+    FileUtil.copy(
+      fs, new Path(logPath, "delta"), fs, new Path(saved, "delta"),
+      false, conf)
+
+    def dataSegs(): Set[String] =
+      fs.listStatus(new Path(logPath, "delta"))
+        .filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+            fs.listStatus(s.getPath).exists(f =>
+              f.isFile && !f.getPath.getName.startsWith("_")))
+        .map(_.getPath.getName)
+        .toSet
+
+    CdcLog.compact(spark, logPath, Seq("k"))
+    assert(dataSegs() === Set("batch=c1"))
+    // folded originals are marker-only tombstones: replay still no-ops
+    for (b <- Seq("batch=0", "batch=1"))
+      assert(graft.streaming.SnapshotCommit.isCommitted(
+        fs, new Path(logPath, s"delta/$b")))
+    CdcLog.appendBatch(
+      changes((1L, "a", 99.0, 9L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 1L)
+    assert(dataSegs() === Set("batch=c1"))
+    assert(logState(logPath) === Set((1L, "a", 11.0)))
+    // the compacted segment RETAINS k=2's delete tombstone row
+    assert(
+      spark.read.parquet(s"$logPath/delta/batch=c1")
+        .where(col("k") === 2L && col("deleted")).count() === 1L)
+
+    // crash mid-tombstoning: a folded original reappears next to c1 —
+    // the fold must not resurrect the deleted key, and the repair
+    // (next compact) re-tombstones it
+    fs.delete(new Path(logPath, "delta/batch=0"), true)
+    FileUtil.copy(
+      fs, new Path(saved, "delta/batch=0"), fs,
+      new Path(logPath, "delta/batch=0"), false, conf)
+    assert(logState(logPath) === Set((1L, "a", 11.0)))
+    CdcLog.compact(spark, logPath, Seq("k"))
+    assert(dataSegs() === Set("batch=c1"))
+    assert(logState(logPath) === Set((1L, "a", 11.0)))
+
+    // appends continue after compaction; a later batch beats the fold
+    CdcLog.appendBatch(
+      changes((2L, "b", 22.0, 1L, false), (3L, "c", 30.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 2L)
+    assert(logState(logPath) ===
+      Set((1L, "a", 11.0), (2L, "b", 22.0), (3L, "c", 30.0)))
+    CdcLog.compact(spark, logPath, Seq("k"))
+    assert(dataSegs() === Set("batch=c2"))
+    assert(logState(logPath) ===
+      Set((1L, "a", 11.0), (2L, "b", 22.0), (3L, "c", 30.0)))
+  }
+
+  test("log CDC streamed: state equals the batch fold (memory stream)") {
+    import graft.streaming.CdcLog
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val logPath = Files.createTempDirectory("graft-cdc-l3").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft-cdc-l3-ckpt").toString
+
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = CdcLog.start(
+      input.toDS().toDF("k", "tag", "v", "version", "deleted"),
+      logPath, ckpt, keys = Seq("k"))
+    try {
+      input.addData((1L, "a", 10.0, 1L, false), (2L, "b", 20.0, 1L, false))
+      q.processAllAvailable()
+      assert(logState(logPath) === Set((1L, "a", 10.0), (2L, "b", 20.0)))
+      input.addData((1L, "a", 12.0, 3L, false), (2L, "b", 0.0, 2L, true),
+        (9L, "z", 90.0, 2L, false))
+      q.processAllAvailable()
+      assert(logState(logPath) === Set((1L, "a", 12.0), (9L, "z", 90.0)))
+    } finally q.stop()
   }
 }

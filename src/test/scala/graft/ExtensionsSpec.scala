@@ -249,6 +249,45 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(vid(avi) === 4L)
   }
 
+  test("video codec seam: a third-party decoder drops in with no plumbing change") {
+    // toy "codec": payload = 'T','O','Y' then 1×1 DIB frames of 4 bytes
+    // each (B,G,R,pad) — a format the AVI parser knows nothing about.
+    // Proves decodeVideo's decoder parameter is a genuine injection
+    // point: same schema, quarantine semantics, and frame sampling.
+    val toy: Multimodal.VideoDecoder = bytes =>
+      if (bytes.length < 3 || bytes(0) != 'T' || bytes(1) != 'O' ||
+        bytes(2) != 'Y') None
+      else {
+        val body = bytes.drop(3)
+        if (body.isEmpty || body.length % 4 != 0) None
+        else Some(Multimodal.DecodedVideo(1, 1, body.grouped(4).toIndexedSeq))
+      }
+    // frame 0 pure blue (B=255), frame 1 pure red (R=255)
+    val good = "TOY".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0) ++ Array[Byte](0, 0, 255.toByte, 0)
+    val avi = Multimodal.synthAviBytes(4, 2, Seq((10, 20, 30)))
+    val assets = Seq(
+      (1L, good), (2L, "nope".getBytes("US-ASCII")), (3L, avi))
+      .toDF("id", "data")
+    val out = Multimodal
+      .decodeVideo(assets, histBins = 4, everyN = 1, decoder = toy)
+      .collect()
+    // the toy codec decodes asset 1 only; AVI bytes quarantine under it
+    assert(out.map(_.id).toSet === Set(1L))
+    val f0 = out.find(_.frame_idx == 0).get
+    assert(f0.n_frames === 2 && f0.width === 1 && f0.height === 1)
+    assert(f0.mean_b === 1.0 && f0.mean_r === 0.0)
+    val f1 = out.find(_.frame_idx == 1).get
+    assert(f1.mean_r === 1.0 && f1.mean_b === 0.0)
+    // frame sampling composes with a plugged decoder
+    assert(Multimodal.decodeVideo(assets, 4, everyN = 2, decoder = toy)
+      .collect().map(_.frame_idx).toSeq === Seq(0))
+    // the default decoder still handles the AVI through the SAME entry,
+    // and quarantines the toy bytes it cannot parse
+    assert(Multimodal.decodeVideo(assets, histBins = 4)
+      .collect().map(_.id).toSet === Set(3L))
+  }
+
   test("video: fuzzed AVI bytes never crash the decoder (quarantine contract)") {
     // 300 deterministic mutants: 1-4 byte flips at seeded offsets, plus
     // seeded truncations. Every one must either decode or drop — a
