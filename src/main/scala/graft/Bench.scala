@@ -94,6 +94,22 @@ object Bench {
     val indexBuild = annProbes.map(n => n -> materialize(n))
 
     val results = names.map(n => n -> materializeMin(n))
+    // streaming components: rows/sec per micro-batch loop (StreamBench).
+    // A failure is loud (joins the failed list) but must not take the
+    // batch numbers down with it.
+    val (streaming, streamFailed) =
+      if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0"))
+        (Seq.empty[(String, Double)], Seq.empty[String])
+      else
+        try (StreamBench.run(spark, sfDir), Seq.empty[String])
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] streaming bench failed: $e")
+            (Seq.empty[(String, Double)], Seq("\"streaming\""))
+        }
+    val sj = streaming
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -106,7 +122,7 @@ object Bench {
     // failures gate the exit code the same way.
     val failed = (results ++ indexBuild.map { case (k, v) =>
       (s"index_build:$k", v)
-    }).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    }).collect { case (k, v) if v < 0 => "\"" + k + "\"" } ++ streamFailed
     val failedJson = failed.mkString("[", ",", "]")
     // field order matters for humans, not parsers: the driver keeps a
     // TRUNCATED TAIL of stdout, so the headline fields (total, failed,
@@ -114,7 +130,7 @@ object Bench {
     // and are what truncation eats. JSON parsers are order-blind, so the
     // intact line still satisfies the {"metric":...} contract.
     val line =
-      s"""{"queries":$qs,"index_build":$ib,"sf":"$sfDir","reps":$reps,"failed":$failedJson,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"queries":$qs,"index_build":$ib,"streaming_rows_per_sec":$sj,"sf":"$sfDir","reps":$reps,"failed":$failedJson,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // the driver keeps only a truncated stdout tail, which eats the
     // per-query map — persist the FULL record so cross-round per-query
