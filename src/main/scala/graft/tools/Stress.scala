@@ -1,0 +1,305 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Stress harness: prove the scale-twin protocols behave at 10× the
+  * benchmarked corpus (the biggest jump local disk affords) instead of
+  * extrapolating from sf0.1. Three phases, one main:
+  *
+  *   gen  <srcDir> <outDir> [factor] — explode the five big tables by
+  *        `factor` with DISTINCT content per replica (small dims are
+  *        copied). Replication is designed to scale each operator's
+  *        true workload linearly, not to build degenerate inputs:
+  *        documents get a per-replica character substitution (so
+  *        cross-replica shingles differ — naive text copies would turn
+  *        every doc into a factor-sized near-dup cluster and square the
+  *        MinHash pair graph); embeddings get a per-replica orthogonal
+  *        sign-flip pattern (intra-replica cosine structure is
+  *        preserved EXACTLY — orthogonal transforms keep pairwise
+  *        cosines — while cross-replica pairs scatter below any dedup
+  *        threshold); key columns re-key as key*factor+replica.
+  *   run  <dir1x> <dir10x> [reps] — time the scale-twin queries at
+  *        both scales (min over reps), report the wall-time ratio.
+  *        Linear-ish ratios (≈factor, modulo fixed overhead and
+  *        n log n sorts) are the pass; a superlinear cliff is the bug.
+  *   skew <dir10x> — the worst planted-skew shapes at stress scale:
+  *        a 40,000-spoke component star through salted vs unsalted
+  *        pointer-jump (equality + time), and a 100×-hot-key join
+  *        through SkewJoin.salted vs the plain join (row-count
+  *        equality + time).
+  *   invariance <dir10x> — partition-shape invariance at stress scale:
+  *        exact twins re-run under different shuffle-partition counts
+  *        and scan-split sizes must produce bit-identical result sets
+  *        (order-free fingerprint).
+  *
+  * Results print as one JSON line per phase; STRESS.md records them.
+  */
+object Stress {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  // ---- gen ----
+
+  private def replicated(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn(
+      "__r",
+      explode(array((0 until factor).map(r => lit(r.toLong)): _*)))
+
+  private def rekey(c: String, factor: Int): Column =
+    col(c) * factor + col("__r")
+
+  /** Per-replica reversible character substitution: rotate a 10-letter
+    * alphabet by the replica index. Text statistics (length, word
+    * shape) survive; shingle hashes across replicas do not collide.
+    */
+  private def mutateText(textCol: Column, factor: Int): Column = {
+    val alph = "aeiounrstl"
+    (1 until factor).foldLeft(when(col("__r") === 0, textCol)) { (acc, r) =>
+      val k = r % alph.length
+      acc.when(
+        col("__r") === r,
+        translate(textCol, alph, alph.drop(k) + alph.take(k)))
+    }.otherwise(textCol)
+  }
+
+  def gen(srcDir: String, outDir: String, factor: Int): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(spark.read.parquet(s"$srcDir/$t.parquet"), t, 4)
+
+    val li = replicated(spark.read.parquet(s"$srcDir/lineitem.parquet"), factor)
+    write(
+      li.withColumn("l_orderkey", rekey("l_orderkey", factor)).drop("__r"),
+      "lineitem", 32)
+
+    val ord = replicated(spark.read.parquet(s"$srcDir/orders.parquet"), factor)
+    write(
+      ord.withColumn("o_orderkey", rekey("o_orderkey", factor)).drop("__r"),
+      "orders", 32)
+
+    // events: same users accumulate factor× events (grouped operators
+    // see factor× group sizes — the dimension that stresses windows);
+    // ids stay unique, timestamps jitter by replica so no exact ties
+    val ev = replicated(spark.read.parquet(s"$srcDir/events.parquet"), factor)
+    write(
+      ev.withColumn("event_id", rekey("event_id", factor))
+        .withColumn("ts", col("ts") + col("__r"))
+        .drop("__r"),
+      "events", 32)
+
+    val docs = replicated(spark.read.parquet(s"$srcDir/documents.parquet"), factor)
+    write(
+      docs.withColumn("doc_id", rekey("doc_id", factor))
+        .withColumn("text", mutateText(col("text"), factor))
+        .drop("__r"),
+      "documents", 32)
+
+    // per-replica sign pattern chosen by HASHING (dim, replica) — a
+    // structured pattern (e.g. flip dims i%10<r) lets a cross-replica
+    // pair's negative-contribution dims flip sign and EXCEED the
+    // original cosine, planting near-dups that don't exist at 1×
+    // (observed: q175 survivors dropped instead of scaling). A hashed
+    // half-flip keeps each replica an exact orthogonal transform
+    // (intra-replica cosines preserved bit-for-bit) while cross-replica
+    // cosines collapse to ~N(0, 1/sqrt(d)) — far below any threshold.
+    val emb = replicated(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor)
+    write(
+      emb.withColumn("vec_id", rekey("vec_id", factor))
+        .withColumn(
+          "embedding",
+          transform(
+            col("embedding"),
+            (x, i) =>
+              when(pmod(hash(i, col("__r")), lit(2)) === 0, x).otherwise(-x)))
+        .drop("__r"),
+      "embeddings", 32)
+    println(s"""{"stress_gen":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+
+  // ---- run ----
+
+  val Twins: Seq[String] = Seq(
+    "q30_rolling_scalable",
+    "q43_approx_percentiles",
+    "q61_bloom_decontamination",
+    "q68_hll_distinct",
+    "q106_approx_topk",
+    "q150_exact_heavy_hitters",
+    "q166_minhash_survivors",
+    "q168_global_cumsum",
+    "q172_global_cummax",
+    "q175_semantic_dedup_blocked",
+    "q178_distinct_scalable")
+
+  private def time1(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def run(
+      dir1x: String,
+      dir10x: String,
+      reps: Int,
+      only: Seq[String] = Nil): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    val twins = if (only.isEmpty) Twins else Twins.filter(only.contains)
+    // codegen/JIT warm-up at the smallest scale (plan-dependent, not
+    // data-dependent — the Bench argument)
+    twins.foreach(n => time1(spark, n, "/root/testdata/sf0.001"))
+    val rows = twins.map { n =>
+      val t1 = (1 to reps).map(_ => time1(spark, n, dir1x)).min
+      val t10 = (1 to reps).map(_ => time1(spark, n, dir10x)).min
+      val r1 = SparkEntry.queries(n)(spark, dir1x).count()
+      val r10 = SparkEntry.queries(n)(spark, dir10x).count()
+      println(f"""[stress] $n%-28s 1x=$t1%7.2fs 10x=$t10%7.2fs ratio=${t10 / t1}%5.2f rows $r1%7d -> $r10%8d""")
+      s""""$n":{"t1":$t1,"t10":$t10,"ratio":${t10 / t1},"rows1":$r1,"rows10":$r10}"""
+    }
+    println(rows.mkString("""{"stress_run":{""", ",", "}}"))
+    spark.stop()
+  }
+
+  // ---- skew ----
+
+  def skew(dir10x: String): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 100× the spec's component star: hub 7 with 40,000 spokes (the
+    // min-label of the whole component is a single hot join key in
+    // every pointer-jump round) + disjoint small components
+    val star = spark.range(40000)
+      .select(lit(7L).as("id_a"), (col("id") + 1000000L).as("id_b"))
+    val small = Seq((5000000L, 5000001L), (6000001L, 6000000L))
+      .toDF("id_a", "id_b")
+    val pairs = star.unionByName(small)
+    def components(saltBuckets: Int): (Double, Map[Long, Long]) = {
+      val t0 = System.nanoTime()
+      val m = graft.operators.Dedup
+        .resolveComponents(pairs, saltBuckets = saltBuckets)
+        .as[(Long, Long)].collect().toMap
+      ((System.nanoTime() - t0) / 1e9, m)
+    }
+    val (tSalted, salted) = components(8)
+    val (tUnsalted, unsalted) = components(1)
+    require(salted == unsalted, "salted != unsalted on the 40k star")
+    require(
+      salted.values.count(_ == 7L) == 40001 && salted(5000001L) == 5000000L,
+      "star membership wrong")
+
+    // planted 100×-hot join key over a stress-sized fact side: key 0
+    // holds ~100× a uniform key's rows
+    val n = 6000000L
+    val uniqKeys = 50000
+    val fact = spark.range(n).select(
+      col("id"),
+      when(col("id") % 100 === 0, 0L)
+        .otherwise(pmod(col("id"), lit(uniqKeys.toLong))).as("key"))
+    val dim = spark.range(uniqKeys.toLong)
+      .select(col("id").as("key"), (col("id") * 3).as("payload"))
+      // a dim this size would broadcast, hiding the skew entirely —
+      // force the shuffle path the salt exists for
+      .hint("shuffle_hash")
+    def joined(doSalt: Boolean): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val j =
+        if (doSalt)
+          graft.operators.SkewJoin
+            .salted(fact, dim, "key", col("id"), salts = 32)
+        else fact.join(dim, Seq("key"))
+      val c = j.count()
+      ((System.nanoTime() - t0) / 1e9, c)
+    }
+    val (tPlain, cPlain) = joined(false)
+    val (tSalt, cSalt) = joined(true)
+    require(cPlain == cSalt && cPlain == n, s"salted join wrong: $cSalt != $cPlain")
+    println(
+      s"""{"stress_skew":{"star40k_salted_sec":$tSalted,"star40k_unsalted_sec":$tUnsalted,""" +
+        s""""hotjoin_plain_sec":$tPlain,"hotjoin_salted_sec":$tSalt,"hotjoin_rows":$cPlain}}""")
+    spark.stop()
+  }
+
+  // ---- invariance ----
+
+  /** Order-free exact fingerprint of a result set (hash sum carried in
+    * decimal(38) — a long sum of 64-bit hashes overflows under ANSI).
+    */
+  private def fingerprint(df: DataFrame): (Long, Any) = {
+    val h = df.select(
+      xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+        .cast("decimal(38,0)")
+        .as("h"))
+    (df.count(), h.agg(sum("h")).collect()(0)(0))
+  }
+
+  def invariance(dir10x: String): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    val exactTwins =
+      Seq("q150_exact_heavy_hitters", "q166_minhash_survivors",
+        "q168_global_cumsum", "q178_distinct_scalable")
+    val shapes = Seq(
+      (13, 8L * 1024 * 1024),   // prime partition count, small splits
+      (32, 128L * 1024 * 1024)) // the default shape
+    val ok = exactTwins.map { n =>
+      val fps = shapes.map { case (parts, split) =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        fingerprint(SparkEntry.queries(n)(spark, dir10x))
+      }
+      require(
+        fps.distinct.size == 1,
+        s"$n result varies with partition shape: $fps")
+      s""""$n":true"""
+    }
+    println(ok.mkString("""{"stress_invariance":{""", ",", "}}"))
+    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") =>
+      gen(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft-stress10x"),
+        args.lift(3).map(_.toInt).getOrElse(10))
+    case Some("run") =>
+      run(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft-stress10x"),
+        args.lift(3).map(_.toInt).getOrElse(2),
+        args.drop(4).toSeq)
+    case Some("skew") =>
+      skew(args.lift(1).getOrElse("/tmp/graft-stress10x"))
+    case Some("invariance") =>
+      invariance(args.lift(1).getOrElse("/tmp/graft-stress10x"))
+    case _ =>
+      System.err.println("usage: Stress gen|run|skew|invariance [args]")
+      sys.exit(2)
+  }
+}
