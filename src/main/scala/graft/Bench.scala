@@ -68,7 +68,8 @@ object Bench {
       "q154_pq_topk",
       "q155_ivfpq_topk",
       "q173_minhash_ingest",
-      "q177_embed_ingest")
+      "q177_embed_ingest",
+      "q179_cdc_log_fold")
     // Warm-up pass over EVERY query, untimed: each distinct query pays
     // one-time whole-stage-codegen + JIT compilation of its operator
     // pipeline on first execution (profiled: q14 cold 16 s vs 3 s

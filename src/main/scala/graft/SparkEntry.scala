@@ -279,6 +279,7 @@ object SparkEntry {
     ivfPqIndexCache.clear()
     mhIndexCache.clear()
     embDupIndexCache.clear()
+    cdcLogCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -3762,6 +3763,63 @@ object SparkEntry {
       .select("event_type", "n_users", "n_days", "n_events")
   }
 
+  /** Build-once log-structured CDC state (per JVM, per sf dir): a
+    * deterministic 3-batch change feed derived from orders — key =
+    * o_orderkey % 5000 (collisions give every key multiple versions
+    * across batches), version = o_orderkey, every 97th order a delete —
+    * appended through [[graft.streaming.CdcLog.appendBatch]]. The state
+    * dir is wiped before the first build in this JVM so a stale layout
+    * from an older code version can never satisfy the idempotence
+    * markers and poison the fold.
+    */
+  private val cdcLogCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def cdcChanges(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        (col("o_orderkey") % 5000).as("k"),
+        col("o_custkey"),
+        col("o_totalprice"),
+        col("o_orderkey").as("version"),
+        (col("o_orderkey") % 97 === 0).as("deleted"),
+        (col("o_orderkey") % 3).as("__b"))
+
+  private def cdcLogState(s: SparkSession, d: String): String =
+    cdcLogCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("cdclog", d)
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val ch = cdcChanges(s, d)
+        (0 until 3).foreach { b =>
+          graft.streaming.CdcLog.appendBatch(
+            ch.where(col("__b") === b).drop("__b"),
+            path,
+            Seq("k"),
+            "version",
+            "deleted",
+            b.toLong)
+        }
+        path
+      })
+
+  /** LOG-STRUCTURED CDC fold ([[graft.streaming.CdcLog]], q179): three
+    * marker-committed O(batch) delta segments folded latest-writer-wins
+    * — winner per key by (batch, version), batch FIRST because a later
+    * batch's change beats an earlier batch's higher version (sequential
+    * MERGE semantics), deletes applied. Hash-checkable: the oracle
+    * replays the identical fold as one SQL window over the same
+    * synthetic change feed. The write path this verifies is the
+    * fact-table CDC shape (append O(batch), never rewrite the table).
+    */
+  private def q179(s: SparkSession, d: String): DataFrame =
+    graft.streaming.CdcLog
+      .read(s, cdcLogState(s, d), Seq("k"))
+      .get
+      .orderBy("k")
+
   /** GLOBAL running max (ungrouped `.cummax()`) — q168's two-phase
     * scan with the max monoid instead of sum
     * ([[graft.ops.Windows.prefixScanScalable]] is monoid-generic:
@@ -4093,7 +4151,8 @@ object SparkEntry {
     "q175_semantic_dedup_blocked" -> (q175 _),
     "q176_video_decode" -> (q176 _),
     "q177_embed_ingest" -> (q177 _),
-    "q178_distinct_scalable" -> (q178 _)
+    "q178_distinct_scalable" -> (q178 _),
+    "q179_cdc_log_fold" -> (q179 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5926,6 +5985,23 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
                 count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days,
                 count(*) AS n_events
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+    "q179_cdc_log_fold" ->
+      """WITH ch AS (
+           SELECT o_orderkey % 5000 AS k,
+                  o_custkey, o_totalprice,
+                  o_orderkey AS version,
+                  (o_orderkey % 97 = 0) AS deleted,
+                  o_orderkey % 3 AS b
+           FROM orders
+         ), w AS (
+           SELECT k, o_custkey, o_totalprice, deleted,
+                  row_number() OVER (
+                    PARTITION BY k ORDER BY b DESC, version DESC) AS rn
+           FROM ch
+         )
+         SELECT k, o_custkey, o_totalprice
+         FROM w WHERE rn = 1 AND NOT deleted
+         ORDER BY k"""
   )
 }

@@ -138,13 +138,15 @@ object NearDupIngest {
       shingleLen: Int = 4,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.4): StreamingQuery =
+      threshold: Double = 0.4,
+      maxBucketSize: Int = 256,
+      sourceTag: String = ""): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(
           batch, indexPath, textCol, idCol, batchId, shingleLen,
-          numHashes, bands, threshold)
+          numHashes, bands, threshold, maxBucketSize, sourceTag)
       }
       .start()
 }
