@@ -108,8 +108,12 @@ object Bench {
             System.err.println(s"[bench] streaming bench failed: $e")
             (Seq.empty[(String, Double)], Seq("\"streaming\""))
         }
+    // Locale.ROOT: a comma-decimal default locale would corrupt the
+    // one-line JSON contract (f"%.1f" is locale-dependent)
     val sj = streaming
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      }
       .mkString("{", ",", "}")
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }

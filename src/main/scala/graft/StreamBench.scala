@@ -27,11 +27,31 @@ import graft.streaming._
   */
 object StreamBench {
 
-  /** (component -> rows/sec), deterministic component order. */
+  /** (component -> rows/sec), deterministic component order. Cleanup is
+    * unconditional: Bench catches a component failure and keeps going,
+    * so without the finally a failed run would leak the cached inputs
+    * and the temp index state on every bench invocation.
+    */
   def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val work = Files.createTempDirectory("graft-streambench").toString
+    val cached =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    try runBody(spark, sfDir, work, cached)
+    finally {
+      cached.foreach(_.unpersist())
+      val p = new org.apache.hadoop.fs.Path(work)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  private def runBody(
+      spark: SparkSession,
+      sfDir: String,
+      work: String,
+      cached: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame])
+      : Seq[(String, Double)] = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val work = Files.createTempDirectory("graft-streambench").toString
     val nBatches = 4
 
     def timed(name: String, rows: Long)(body: => Unit): Unit = {
@@ -45,6 +65,7 @@ object StreamBench {
       .documents(spark, sfDir)
       .select("doc_id", "text")
       .cache()
+    cached += docs
     val nDocs = docs.count() // also materializes the cache
     def docBatch(i: Int) = docs.where(col("doc_id") % nBatches === i)
 
@@ -65,6 +86,7 @@ object StreamBench {
       .embeddings(spark, sfDir)
       .select("vec_id", "embedding")
       .cache()
+    cached += embs
     val nEmbs = embs.count()
     timed("embed_ingest", nEmbs) {
       (0 until nBatches).foreach { i =>
@@ -89,6 +111,7 @@ object StreamBench {
           lit(false).as("deleted"))
         .cache()
     }
+    cached ++= changes
     changes.foreach(_.count())
     timed("cdc_upsert_snapshot", cdcRows.toLong) {
       changes.zipWithIndex.foreach { case (c, i) =>
@@ -147,13 +170,6 @@ object StreamBench {
       }
     } finally topkQ.stop()
 
-    docs.unpersist()
-    embs.unpersist()
-    changes.foreach(_.unpersist())
-    // bench state is throwaway — reclaim the temp trees
-    val fs = new org.apache.hadoop.fs.Path(work)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(work), true)
     out.toSeq
   }
 
@@ -175,8 +191,11 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir)
+    // Locale.ROOT: f"%.1f" under a comma-decimal locale breaks the JSON
     println(
-      r.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      r.map { case (k, v) =>
+        "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      }
         .mkString("{\"streaming_rows_per_sec\":{", ",", s"},\"sf\":\"$sfDir\"}"))
     spark.stop()
   }

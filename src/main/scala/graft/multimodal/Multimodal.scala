@@ -488,6 +488,20 @@ object Multimodal {
     */
   val aviDecoder: VideoDecoder = (bytes: Array[Byte]) => parseAvi(bytes)
 
+  /** The seam's contract guard: [[parseAvi]] enforces the
+    * [[DecodedVideo]] rules internally, but a plugged-in external codec
+    * can return any shape — and a frame shorter than stride×height
+    * would crash the pixel scan mid-job instead of quarantining the
+    * asset. Re-checked at the seam so "None = quarantine" holds for
+    * every decoder, not just the default (same dimension caps as
+    * parseAvi; long arithmetic for the same Int-wrap reason).
+    */
+  private def meetsFrameContract(v: DecodedVideo): Boolean = {
+    val stride = ((v.width.toLong * 3 + 3) / 4) * 4
+    v.width > 0 && v.height > 0 && v.width <= 16383 && v.height <= 16383 &&
+    v.frames.forall(_.length >= stride * v.height)
+  }
+
   /** Parse a RIFF/AVI byte payload. Returns None — never throws — for
     * anything this pure-JDK path cannot fully decode: truncated or
     * non-AVI bytes, compressed streams (biCompression != 0 or any
@@ -619,7 +633,9 @@ object Multimodal {
     assets.mapPartitions { rows: Iterator[Row] =>
       rows.flatMap { r =>
         val id = r.getLong(r.fieldIndex("id"))
-        decoder(r.getAs[Array[Byte]]("data")).iterator.flatMap { v =>
+        decoder(r.getAs[Array[Byte]]("data"))
+          .filter(meetsFrameContract)
+          .iterator.flatMap { v =>
           (0 until v.frames.length by everyN).iterator.map { f =>
             val (mr, mg, mb, hist) =
               frameStats(v.frames(f), v.width, v.height, histBins)

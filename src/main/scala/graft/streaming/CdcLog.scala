@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,27 +47,12 @@ object CdcLog {
 
   private def deltaRoot(logPath: String) = new Path(logPath, "delta")
 
-  private def segId(p: Path): Option[Long] = {
-    val n = p.getName.stripPrefix("batch=").stripPrefix("c")
-    if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong) else None
+  // segment-name parsing, committed-segment listing, and the
+  // tombstone/stale-fold reclaim all live in SegmentCompaction — one
+  // implementation of the marker protocol for every log-structured tree
+  import SegmentCompaction.{
+    committedSegs, dropStaleFolds, dropStaleStaging, segId, tombstoneFolded
   }
-
-  /** Committed segment dirs; `withData` keeps only those with data
-    * files (tombstones are marker-only).
-    */
-  private def committedSegs(
-      fs: FileSystem,
-      tree: Path,
-      withData: Boolean): Array[Path] =
-    if (!fs.exists(tree)) Array.empty
-    else
-      fs.listStatus(tree)
-        .filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("batch=") &&
-            SnapshotCommit.isCommitted(fs, s.getPath) &&
-            (!withData || fs.listStatus(s.getPath).exists(f =>
-              f.isFile && !f.getPath.getName.startsWith("_"))))
-        .map(_.getPath)
 
   /** Append one change batch as a committed segment. Idempotent per
     * (logPath, batchId); never reads existing state — the O(batch)
@@ -84,6 +69,10 @@ object CdcLog {
     require(
       (keys :+ versionCol :+ deleteCol).forall(changes.columns.contains),
       s"changes must carry ${keys.mkString(",")} + $versionCol + $deleteCol")
+    require(
+      !changes.columns.contains(Internal),
+      s"$Internal is reserved for the log's fold order — a change feed " +
+        "carrying it would be silently overwritten and then dropped on read")
     val spark = changes.sparkSession
     val root = new Path(logPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,8 +97,7 @@ object CdcLog {
   private def fold(
       all: DataFrame,
       keys: Seq[String],
-      versionCol: String,
-      deleteCol: String): DataFrame = {
+      versionCol: String): DataFrame = {
     val ord = col(Internal).desc +: col(versionCol).desc +:
       all.columns
         .filterNot(c =>
@@ -145,7 +133,7 @@ object CdcLog {
       val outCols = all.columns.toSeq
         .filterNot(c => c == versionCol || c == deleteCol || c == Internal)
       Some(
-        fold(all, keys, versionCol, deleteCol)
+        fold(all, keys, versionCol)
           .where(!coalesce(col(deleteCol), lit(false)))
           .select(outCols.map(col): _*))
     }
@@ -163,37 +151,30 @@ object CdcLog {
       spark: SparkSession,
       logPath: String,
       keys: Seq[String],
-      versionCol: String = "version",
-      deleteCol: String = "deleted"): Unit = {
+      versionCol: String = "version"): Unit = {
     val root = deltaRoot(logPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = committedSegs(fs, root, withData = true)
     if (segs.length <= 1) return
     val maxId = segs.flatMap(segId(_)).maxOption.getOrElse(return)
     val target = new Path(root, s"batch=c$maxId")
-    def dropFolded(): Unit =
-      committedSegs(fs, root, withData = false).foreach { p =>
-        if (p.getName != s"batch=c$maxId" && segId(p).exists(_ <= maxId))
-          fs.listStatus(p)
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-            .foreach(f => fs.delete(f.getPath, false))
-      }
     if (SnapshotCommit.isCommitted(fs, target)) {
-      dropFolded() // repair a crash mid-tombstoning
+      tombstoneFolded(fs, root, maxId) // repair a crash mid-tombstoning
       return
     }
+    dropStaleFolds(fs, root, maxId)
+    dropStaleStaging(
+      fs, new Path(logPath, "_staging"), "compact-", s"compact-$maxId")
     val staging = new Path(logPath, s"_staging/compact-$maxId")
     fs.delete(staging, true)
-    fold(
-      spark.read.parquet(segs.map(_.toString).toIndexedSeq: _*),
+    fold(spark.read.parquet(segs.map(_.toString).toIndexedSeq: _*),
       keys,
-      versionCol,
-      deleteCol)
+      versionCol)
       .write
       .mode("overwrite")
       .parquet(staging.toString)
     SnapshotCommit.publish(fs, staging, target)
-    dropFolded()
+    tombstoneFolded(fs, root, maxId)
   }
 
   /** Run the append loop over a change stream — checkpointed batch ids

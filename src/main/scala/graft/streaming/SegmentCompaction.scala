@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared two-tree segment compaction for the persisted near-dup
@@ -27,6 +27,82 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[streaming] object SegmentCompaction {
 
+  /** Numeric id of a `batch=<id>` / `batch=c<id>` segment dir. Shared
+    * by every log-structured tree ([[NearDupIngest]]/[[EmbedIngest]]
+    * indexes here, [[CdcLog]]'s delta log) so the segment-name protocol
+    * can never diverge between them.
+    */
+  private[streaming] def segId(p: Path): Option[Long] = {
+    val n = p.getName.stripPrefix("batch=").stripPrefix("c")
+    if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong) else None
+  }
+
+  /** Committed segment dirs under `tree`; `withData` keeps only those
+    * with data files (tombstoned segments are marker-only).
+    */
+  private[streaming] def committedSegs(
+      fs: FileSystem,
+      tree: Path,
+      withData: Boolean = false): Array[Path] =
+    if (!fs.exists(tree)) Array.empty
+    else
+      fs.listStatus(tree)
+        .filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+            SnapshotCommit.isCommitted(fs, s.getPath) &&
+            (!withData || fs.listStatus(s.getPath).exists(f =>
+              f.isFile && !f.getPath.getName.startsWith("_"))))
+        .map(_.getPath)
+
+  /** Tombstone every folded original under `tree`: data files deleted,
+    * commit markers KEPT — the per-batch marker is the ingest loops'
+    * replay-idempotence state (see [[compact]]'s tombstone argument).
+    */
+  private[streaming] def tombstoneFolded(
+      fs: FileSystem,
+      tree: Path,
+      maxId: Long): Unit =
+    committedSegs(fs, tree).foreach { p =>
+      if (p.getName != s"batch=c$maxId" && segId(p).exists(_ <= maxId))
+        fs.listStatus(p)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach(f => fs.delete(f.getPath, false))
+    }
+
+  /** Reclaim crashed-fold leftovers no future call would touch: an
+    * UNMARKED `batch=c<old>` with old < maxId is a fold that crashed
+    * before its marker and was then superseded by newer batches —
+    * without this it leaks a full folded copy forever, since
+    * [[tombstoneFolded]] walks only committed segments. Unmarked dirs
+    * are invisible to readers, so the delete is safe at any point.
+    */
+  private[streaming] def dropStaleFolds(
+      fs: FileSystem,
+      tree: Path,
+      maxId: Long): Unit =
+    if (fs.exists(tree))
+      fs.listStatus(tree).foreach { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("batch=c") &&
+          !SnapshotCommit.isCommitted(fs, s.getPath) &&
+          segId(s.getPath).exists(_ < maxId))
+          fs.delete(s.getPath, true)
+      }
+
+  /** Reclaim `_staging/<prefix><id>` dirs for ids other than `keep` —
+    * the staging twin of [[dropStaleFolds]] (a crash between staging
+    * write and publish leaves the whole staged fold on disk).
+    */
+  private[streaming] def dropStaleStaging(
+      fs: FileSystem,
+      stagingRoot: Path,
+      prefix: String,
+      keep: String): Unit =
+    if (fs.exists(stagingRoot))
+      fs.listStatus(stagingRoot).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(prefix) && n != keep) fs.delete(s.getPath, true)
+      }
+
   def compact(
       spark: SparkSession,
       indexPath: String,
@@ -35,19 +111,7 @@ private[streaming] object SegmentCompaction {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sigRoot = new Path(root, "sig")
     val bucketsRoot = new Path(root, "buckets")
-    def committedSegs(tree: Path): Array[Path] =
-      if (!fs.exists(tree)) Array.empty
-      else
-        fs.listStatus(tree)
-          .filter(s =>
-            s.isDirectory && s.getPath.getName.startsWith("batch=") &&
-              SnapshotCommit.isCommitted(fs, s.getPath))
-          .map(_.getPath)
-    def segId(p: Path): Option[Long] = {
-      val n = p.getName.stripPrefix("batch=").stripPrefix("c")
-      if (n.nonEmpty && n.forall(_.isDigit)) Some(n.toLong) else None
-    }
-    val sigSegs = committedSegs(sigRoot)
+    val sigSegs = committedSegs(fs, sigRoot)
     if (sigSegs.length <= 1) return // nothing to consolidate
     val maxId = sigSegs.flatMap(segId(_)).maxOption.getOrElse(return)
     val sigTarget = new Path(sigRoot, s"batch=c$maxId")
@@ -61,19 +125,19 @@ private[streaming] object SegmentCompaction {
     // to catch that, so the same id could commit twice. A tombstone is
     // one empty dir per batch (bounded by batch count); a replayed
     // folded batch sees its markers and no-ops, exactly as before.
-    def dropFolded(tree: Path): Unit =
-      committedSegs(tree).foreach { p =>
-        if (p.getName != s"batch=c$maxId" && segId(p).exists(_ <= maxId))
-          fs.listStatus(p)
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-            .foreach(f => fs.delete(f.getPath, false))
-      }
     if (SnapshotCommit.isCommitted(fs, sigTarget) &&
       SnapshotCommit.isCommitted(fs, bucketsTarget)) {
       // this span is already folded — repair a crash mid-delete
-      dropFolded(sigRoot); dropFolded(bucketsRoot)
+      tombstoneFolded(fs, sigRoot, maxId)
+      tombstoneFolded(fs, bucketsRoot, maxId)
       return
     }
+    dropStaleFolds(fs, sigRoot, maxId)
+    dropStaleFolds(fs, bucketsRoot, maxId)
+    val stagingRoot = new Path(root, "_staging")
+    dropStaleStaging(fs, stagingRoot, "compact-sig-", s"compact-sig-$maxId")
+    dropStaleStaging(
+      fs, stagingRoot, "compact-buckets-", s"compact-buckets-$maxId")
     // fold = every committed sig segment WITH data files (marker-only
     // empty-batch segments carry no rows); dedup by id so a replay
     // that sees both c<maxId> and a not-yet-deleted original is exact
@@ -93,7 +157,8 @@ private[streaming] object SegmentCompaction {
       .write.mode("overwrite").parquet(bucketsStaging.toString)
     SnapshotCommit.publish(fs, sigStaging, sigTarget)
     SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
-    dropFolded(sigRoot); dropFolded(bucketsRoot)
+    tombstoneFolded(fs, sigRoot, maxId)
+    tombstoneFolded(fs, bucketsRoot, maxId)
   }
 
   /** True iff a committed COMPACTED sig segment `batch=c<id>` with

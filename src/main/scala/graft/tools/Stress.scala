@@ -64,21 +64,40 @@ object Stress {
   private def rekey(c: String, factor: Int): Column =
     col(c) * factor + col("__r")
 
-  /** Per-replica reversible character substitution: rotate a 10-letter
-    * alphabet by the replica index. Text statistics (length, word
-    * shape) survive; shingle hashes across replicas do not collide.
+  /** Per-replica reversible character substitution: two DISJOINT
+    * 10-letter alphabets rotated independently by (r mod 10, r div 10)
+    * — 100 distinct bijective substitutions, so no two replicas up to
+    * factor 100 carry identical text (a single rotated alphabet
+    * collides at r and r+10, handing every doc an exact cross-replica
+    * duplicate and silently corrupting the near-dup scaling ratios).
+    * Text statistics (length, word shape) survive; shingle hashes
+    * across replicas do not collide. Factors beyond 100 fail loudly in
+    * [[gen]] rather than degenerate.
     */
+  private[tools] val MaxFactor = 100
+
   private def mutateText(textCol: Column, factor: Int): Column = {
-    val alph = "aeiounrstl"
+    val a1 = "aeiounrstl"
+    val a2 = "bcdfghmpwy"
     (1 until factor).foldLeft(when(col("__r") === 0, textCol)) { (acc, r) =>
-      val k = r % alph.length
+      val k1 = r % a1.length
+      val k2 = (r / a1.length) % a2.length
       acc.when(
         col("__r") === r,
-        translate(textCol, alph, alph.drop(k) + alph.take(k)))
+        translate(
+          textCol,
+          a1 + a2,
+          a1.drop(k1) + a1.take(k1) + a2.drop(k2) + a2.take(k2)))
     }.otherwise(textCol)
   }
 
   def gen(srcDir: String, outDir: String, factor: Int): Unit = {
+    require(
+      factor >= 1 && factor <= MaxFactor,
+      s"factor must be in [1, $MaxFactor] (got $factor): mutateText has " +
+        s"$MaxFactor distinct substitutions, beyond which replicas repeat " +
+        "text verbatim and the near-dup ratios measure planted duplicates, " +
+        "not the engine")
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
     def write(df: DataFrame, name: String, parts: Int): Unit =
@@ -170,8 +189,13 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     val twins = if (only.isEmpty) Twins else Twins.filter(only.contains)
     // codegen/JIT warm-up at the smallest scale (plan-dependent, not
-    // data-dependent — the Bench argument)
-    twins.foreach(n => time1(spark, n, "/root/testdata/sf0.001"))
+    // data-dependent — the Bench argument); fall back to dir1x when the
+    // canonical small dataset isn't on this machine
+    val warmDir = {
+      val w = "/root/testdata/sf0.001"
+      if (new java.io.File(w).isDirectory) w else dir1x
+    }
+    twins.foreach(n => time1(spark, n, warmDir))
     val rows = twins.map { n =>
       val t1 = (1 to reps).map(_ => time1(spark, n, dir1x)).min
       val t10 = (1 to reps).map(_ => time1(spark, n, dir10x)).min

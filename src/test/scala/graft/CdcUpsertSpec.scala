@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.CdcUpsert
@@ -212,6 +212,54 @@ class CdcUpsertSpec extends AnyFunSuite {
     assert(dataSegs() === Set("batch=c2"))
     assert(logState(logPath) ===
       Set((1L, "a", 11.0), (2L, "b", 22.0), (3L, "c", 30.0)))
+  }
+
+  test("log CDC: a change feed carrying the reserved __batch column is rejected") {
+    import graft.streaming.CdcLog
+    val logPath = Files.createTempDirectory("graft-cdc-l4").toString + "/log"
+    val bad = changes((1L, "a", 10.0, 1L, false))
+      .withColumn("__batch", lit(7L))
+    val e = intercept[IllegalArgumentException] {
+      CdcLog.appendBatch(bad, logPath, Seq("k"), "version", "deleted", 0L)
+    }
+    assert(e.getMessage.contains("__batch"))
+  }
+
+  test("log CDC: a superseded crashed fold is reclaimed, not leaked forever") {
+    import graft.streaming.CdcLog
+    import org.apache.hadoop.fs.Path
+    val logPath = Files.createTempDirectory("graft-cdc-l5").toString + "/log"
+    val fs = new Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    CdcLog.appendBatch(
+      changes((1L, "a", 10.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 0L)
+    CdcLog.appendBatch(
+      changes((2L, "b", 20.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 1L)
+    // fake a fold toward maxId=1 that crashed BEFORE its marker: an
+    // unmarked batch=c1 with a full folded copy, plus its staging dir
+    changes((1L, "a", 10.0, 1L, false), (2L, "b", 20.0, 1L, false))
+      .withColumn("__batch", lit(1L))
+      .write.parquet(s"$logPath/delta/batch=c1")
+    changes((1L, "a", 10.0, 1L, false))
+      .write.parquet(s"$logPath/_staging/compact-1")
+    // unmarked → invisible to readers
+    assert(logState(logPath) === Set((1L, "a", 10.0), (2L, "b", 20.0)))
+    // maxId advances past the crash; the next compact targets c2 and
+    // must reclaim the orphaned c1 + its staging, which nothing else
+    // would ever touch again
+    CdcLog.appendBatch(
+      changes((3L, "c", 30.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 2L)
+    CdcLog.compact(spark, logPath, Seq("k"))
+    assert(!fs.exists(new Path(s"$logPath/delta/batch=c1")))
+    assert(!fs.exists(new Path(s"$logPath/_staging/compact-1")))
+    assert(graft.streaming.SnapshotCommit.isCommitted(
+      fs, new Path(s"$logPath/delta/batch=c2")))
+    assert(logState(logPath) ===
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
   test("log CDC streamed: state equals the batch fold (memory stream)") {

@@ -288,6 +288,43 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.id).toSet === Set(3L))
   }
 
+  test("video codec seam: a contract-violating decoder quarantines, not crashes") {
+    // parseAvi enforces the DecodedVideo contract internally; an
+    // external codec can return anything. Each violating shape below
+    // would crash the pixel scan (AIOOBE / NaN rows) without the seam
+    // guard — the asset must quarantine instead, while a conforming
+    // result from the SAME decoder still decodes.
+    val bad: Multimodal.VideoDecoder = bytes =>
+      bytes.headOption.map {
+        case 1 => // frame shorter than stride*height (4-byte vs 8 needed)
+          Multimodal.DecodedVideo(2, 1, IndexedSeq(Array.fill(4)(0: Byte)))
+        case 2 => // non-positive dimensions
+          Multimodal.DecodedVideo(0, 5, IndexedSeq(Array.fill(20)(0: Byte)))
+        case 3 => // dimensions past the parseAvi cap
+          Multimodal.DecodedVideo(1 << 20, 1 << 20, IndexedSeq(Array[Byte]()))
+        case _ => // conforming: one 1×1 pure-green frame (stride 4)
+          Multimodal.DecodedVideo(
+            1, 1, IndexedSeq(Array[Byte](0, 255.toByte, 0, 0)))
+      }
+    val assets = Seq(
+      (1L, Array[Byte](1)), (2L, Array[Byte](2)), (3L, Array[Byte](3)),
+      (4L, Array[Byte](9))).toDF("id", "data")
+    val out =
+      Multimodal.decodeVideo(assets, histBins = 4, decoder = bad).collect()
+    assert(out.map(_.id).toSet === Set(4L))
+    assert(out.head.mean_g === 1.0 && out.head.mean_r === 0.0)
+  }
+
+  test("stress gen: factors beyond the distinct-substitution budget fail loudly") {
+    // mutateText has exactly MaxFactor distinct bijective substitutions;
+    // beyond that replicas repeat text verbatim and the near-dup stress
+    // ratios measure planted duplicates — refuse instead of degrade
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.Stress.gen("/nonexistent", "/nonexistent", 101)
+    }
+    assert(e.getMessage.contains("101"))
+  }
+
   test("video: fuzzed AVI bytes never crash the decoder (quarantine contract)") {
     // 300 deterministic mutants: 1-4 byte flips at seeded offsets, plus
     // seeded truncations. Every one must either decode or drop — a
