@@ -3820,6 +3820,55 @@ object SparkEntry {
       .get
       .orderBy("k")
 
+  /** CDC TIME TRAVEL ([[graft.streaming.CdcLog.readAt]], q180): the
+    * same log as q179 read AS OF batch 1 — the fold restricted to
+    * segments 0..1, i.e. the state the log held before batch 2
+    * committed. The oracle replays the identical windowed fold with
+    * the batch-2 changes filtered out. History reaches back to the
+    * newest compaction only (compacted segments hold winners, not
+    * history) — the vacuum-limits-time-travel contract, spec'd in
+    * CdcUpsertSpec.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame =
+    graft.streaming.CdcLog
+      .readAt(s, cdcLogState(s, d), Seq("k"), asOfBatch = 1L)
+      .get
+      .orderBy("k")
+
+  /** SUBSTRING-level dedup spans ([[graft.operators.Dedup
+    * .duplicateSpans]], q181): maximal token ranges of each document
+    * covered by 5-token windows that also occur in another document —
+    * the windowed distributed form of Lee et al.'s exact substring
+    * dedup (arXiv:2107.06499). Hash-checkable: the oracle rebuilds the
+    * same windows (gram strings where Spark ships 64-bit hashes — the
+    * 2^-64 collision trade q149 already makes), doc-frequency filter,
+    * and gaps-and-islands merge in SQL.
+    */
+  private def q181(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .duplicateSpans(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id",
+        "text")
+      .orderBy("doc_id", "span_start")
+
+  /** SUBSTRING-level dedup removal ([[graft.operators.Dedup
+    * .removeDuplicateSpans]], q182): q181's spans deleted from each
+    * doc's token stream — (doc_id, n_removed, clean_text) for every
+    * doc, clean_text = surviving tokens single-space joined, "" when
+    * the whole doc was duplicated. The Spark side removes via a
+    * codegen'd higher-order filter over the token array (no per-token
+    * explode of the corpus); the oracle reconstructs the identical
+    * text by anti-joining unnested token positions against the spans.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .removeDuplicateSpans(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id",
+        "text")
+      .orderBy("doc_id")
+
   /** GLOBAL running max (ungrouped `.cummax()`) — q168's two-phase
     * scan with the max monoid instead of sum
     * ([[graft.ops.Windows.prefixScanScalable]] is monoid-generic:
@@ -4152,7 +4201,10 @@ object SparkEntry {
     "q176_video_decode" -> (q176 _),
     "q177_embed_ingest" -> (q177 _),
     "q178_distinct_scalable" -> (q178 _),
-    "q179_cdc_log_fold" -> (q179 _)
+    "q179_cdc_log_fold" -> (q179 _),
+    "q180_cdc_time_travel" -> (q180 _),
+    "q181_dup_spans" -> (q181 _),
+    "q182_remove_dup_spans" -> (q182 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -6002,6 +6054,106 @@ object SparkEntry {
          )
          SELECT k, o_custkey, o_totalprice
          FROM w WHERE rn = 1 AND NOT deleted
-         ORDER BY k"""
+         ORDER BY k""",
+    "q180_cdc_time_travel" ->
+      """WITH ch AS (
+           SELECT o_orderkey % 5000 AS k,
+                  o_custkey, o_totalprice,
+                  o_orderkey AS version,
+                  (o_orderkey % 97 = 0) AS deleted,
+                  o_orderkey % 3 AS b
+           FROM orders
+           WHERE o_orderkey % 3 <= 1
+         ), w AS (
+           SELECT k, o_custkey, o_totalprice, deleted,
+                  row_number() OVER (
+                    PARTITION BY k ORDER BY b DESC, version DESC) AS rn
+           FROM ch
+         )
+         SELECT k, o_custkey, o_totalprice
+         FROM w WHERE rn = 1 AND NOT deleted
+         ORDER BY k""",
+    "q181_dup_spans" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest([{'pos': i, 'gram': array_to_string(t[i:i+4], ' ')}
+                     FOR i IN range(1, len(t) - 3)], recursive := true)
+           FROM tk WHERE len(t) >= 5),
+         dg AS (SELECT DISTINCT doc_id, gram FROM w),
+         c AS (SELECT gram, count(*) AS ndocs FROM dg
+               GROUP BY 1 HAVING count(*) >= 2),
+         dp AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (gram)),
+         f AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5,
+                  pos)
+             THEN 1 ELSE 0 END AS brk
+           FROM dp),
+         isl AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM f)
+         SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end
+         FROM isl GROUP BY doc_id, island""",
+    "q182_remove_dup_spans" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest([{'pos': i, 'gram': array_to_string(t[i:i+4], ' ')}
+                     FOR i IN range(1, len(t) - 3)], recursive := true)
+           FROM tk WHERE len(t) >= 5),
+         dg AS (SELECT DISTINCT doc_id, gram FROM w),
+         c AS (SELECT gram, count(*) AS ndocs FROM dg
+               GROUP BY 1 HAVING count(*) >= 2),
+         dp AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (gram)),
+         f AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5,
+                  pos)
+             THEN 1 ELSE 0 END AS brk
+           FROM dp),
+         isl AS (
+           SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM f),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+           FROM isl GROUP BY doc_id, island),
+         agg AS (
+           SELECT doc_id, sum(e - s + 1) AS n_removed
+           FROM spans GROUP BY 1),
+         tokpos AS (
+           SELECT doc_id,
+             unnest([{'pos': i, 'tok': t[i]}
+                     FOR i IN range(1, len(t) + 1)], recursive := true)
+           FROM tk),
+         keep AS (
+           SELECT p.doc_id, p.pos, p.tok FROM tokpos p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM spans s
+             WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
+         kept AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM keep GROUP BY 1)
+         SELECT tk.doc_id,
+           CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(kept.clean_text, '') AS clean_text
+         FROM tk
+         LEFT JOIN agg USING (doc_id)
+         LEFT JOIN kept ON kept.doc_id = tk.doc_id
+         ORDER BY tk.doc_id"""
   )
 }

@@ -1541,4 +1541,126 @@ object Dedup {
       // identical in any engine
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams"))
   }
+
+  /** SUBSTRING-level dedup, phase 1: the duplicated SPANS of each
+    * document — maximal token ranges covered by n-token windows whose
+    * content also appears in at least `minDocFreq` distinct documents
+    * (the windowed, distributed form of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their suffix-array pass finds exact duplicate substrings; a
+    * sliding n-token window catches every duplicate of length >= n
+    * tokens at 1/n the index size and no global suffix sort). Output:
+    * (id, span_start, span_end), 1-based inclusive token indices,
+    * overlapping/adjacent windows merged per doc (so spans are disjoint
+    * and non-adjacent).
+    *
+    * Scale shape: windows reduce to (id, pos, 64-bit xxhash64) in the
+    * scan projection — no window string survives past the map side.
+    * Exchanges: distinct (id, hash) pairs, the per-hash doc-frequency
+    * aggregation (partial+final — a boilerplate window in millions of
+    * docs streams through), the hash-join back, and one per-doc window
+    * pass whose groups are bounded by tokens-per-doc. The gaps-and-
+    * islands merge is two window functions, not a per-doc UDF.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDocFreq: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"window length must be >= 1, got $n")
+    require(
+      minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (got $minDocFreq): below that every " +
+        "window is a duplicated span and the output is the whole corpus")
+    val tk = TextFunctions.tokens(col(textCol))
+    val wins = when(
+      size(tk) >= n,
+      transform(
+        sequence(lit(1L), (size(tk) - (n - 1)).cast("long")),
+        i =>
+          struct(
+            i.as("pos"),
+            xxhash64(concat_ws(" ", slice(tk, i.cast("int"), lit(n))))
+              .as("gh"))))
+      .otherwise(array().cast("array<struct<pos:bigint,gh:bigint>>"))
+    val docWin = docs
+      .select(col(idCol), explode(wins).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.gh").as("gh"))
+    val docFreq = docWin
+      .select(col(idCol), col("gh"))
+      .distinct() // a window repeated WITHIN a doc counts one doc
+      .groupBy("gh")
+      .agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= minDocFreq)
+    val dupPos = docWin.join(docFreq, "gh").select(col(idCol), col("pos"))
+    val before = Window
+      .partitionBy(idCol)
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window
+      .partitionBy(idCol)
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dupPos
+      // island break iff this window starts past the previous furthest
+      // end + 1 (end = pos + n - 1, and max(pos) is max(end) for fixed
+      // n); the coalesce makes the first row compare against itself
+      .withColumn(
+        "__brk",
+        when(col("pos") > coalesce(max(col("pos")).over(before) + n, col("pos")), 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(run))
+      .groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** SUBSTRING-level dedup, phase 2: remove each doc's duplicated spans
+    * ([[duplicateSpans]]) from its text. Output per input doc: id,
+    * n_removed (tokens deleted), clean_text (remaining tokens joined by
+    * single spaces — whitespace is normalized, which is what tokenizing
+    * pipelines consume anyway). Docs that are one big duplicated span
+    * come back with clean_text = "" rather than disappearing: dropping
+    * a row is a corpus-level policy ([[exact]] etc.), not this
+    * operator's.
+    *
+    * Scale shape: spans collapse to one small array per affected doc
+    * (disjoint merged ranges, bounded by tokens/n), joined back on id;
+    * the removal itself is a per-row codegen'd higher-order `filter`
+    * over the token array — no explode of the corpus into one row per
+    * token, no UDF.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDocFreq: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n, minDocFreq)
+      .groupBy(idCol)
+      .agg(
+        collect_list(struct(col("span_start"), col("span_end")))
+          .as("__spans"),
+        sum(col("span_end") - col("span_start") + 1).as("__removed"))
+    docs
+      .join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__removed"), lit(0L)).as("n_removed"),
+        concat_ws(
+          " ",
+          filter(
+            TextFunctions.tokens(col(textCol)),
+            (tok, i) =>
+              not(coalesce(
+                exists(
+                  col("__spans"),
+                  sp =>
+                    (i + 1) >= sp("span_start") && (i + 1) <= sp("span_end")),
+                lit(false))))).as("clean_text"))
+  }
 }

@@ -123,10 +123,40 @@ object CdcLog {
       logPath: String,
       keys: Seq[String],
       versionCol: String = "version",
+      deleteCol: String = "deleted"): Option[DataFrame] =
+    readAt(spark, logPath, keys, Long.MaxValue, versionCol, deleteCol)
+
+  /** Time travel: the folded table AS OF `asOfBatch` — the fold
+    * restricted to committed segments with id <= asOfBatch, i.e.
+    * exactly the state [[read]] returned right after that batch
+    * committed. History reaches back only to the newest compaction:
+    * `batch=c<id>` holds per-key WINNERS as of id, so a state before
+    * id is not reconstructible from it — a committed compacted segment
+    * with id > asOfBatch fails loudly rather than returning the
+    * partial fold of whatever originals happen to survive tombstoning
+    * (the vacuum-limits-time-travel contract). None before the first
+    * eligible segment.
+    */
+  def readAt(
+      spark: SparkSession,
+      logPath: String,
+      keys: Seq[String],
+      asOfBatch: Long,
+      versionCol: String = "version",
       deleteCol: String = "deleted"): Option[DataFrame] = {
-    val fs = new Path(logPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = committedSegs(fs, deltaRoot(logPath), withData = true)
+    val root = deltaRoot(logPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldedPast = committedSegs(fs, root)
+      .filter(_.getName.startsWith("batch=c"))
+      .flatMap(segId(_))
+      .filter(_ > asOfBatch)
+    require(
+      foldedPast.isEmpty,
+      s"state as of batch $asOfBatch is folded into batch=c${foldedPast.max}" +
+        " — compaction keeps only per-key winners, so time travel reaches" +
+        " back only to the newest compacted id")
+    val segs = committedSegs(fs, root, withData = true)
+      .filter(segId(_).exists(_ <= asOfBatch))
     if (segs.isEmpty) None
     else {
       val all = spark.read.parquet(segs.map(_.toString).toIndexedSeq: _*)

@@ -262,6 +262,54 @@ class CdcUpsertSpec extends AnyFunSuite {
       Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
+  test("log CDC time travel: readAt folds only segments up to the asked batch") {
+    import graft.streaming.CdcLog
+    val logPath = Files.createTempDirectory("graft-cdc-l6").toString + "/log"
+    // batch 0: k=1,2; batch 1: delete k=1, update k=2; batch 2: re-insert k=1
+    CdcLog.appendBatch(
+      changes((1L, "a", 10.0, 1L, false), (2L, "b", 20.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 0L)
+    CdcLog.appendBatch(
+      changes((1L, "a", 0.0, 2L, true), (2L, "b2", 21.0, 2L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 1L)
+    CdcLog.appendBatch(
+      changes((1L, "a3", 12.0, 3L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 2L)
+
+    def at(b: Long): Set[(Long, String, Double)] =
+      CdcLog.readAt(spark, logPath, Seq("k"), b)
+        .get.as[(Long, String, Double)].collect().toSet
+
+    assert(CdcLog.readAt(spark, logPath, Seq("k"), -1L).isEmpty)
+    assert(at(0L) === Set((1L, "a", 10.0), (2L, "b", 20.0)))
+    assert(at(1L) === Set((2L, "b2", 21.0))) // k=1 deleted as of batch 1
+    assert(at(2L) === Set((1L, "a3", 12.0), (2L, "b2", 21.0)))
+    // asOf past the head = the current state = read()
+    assert(at(99L) === logState(logPath))
+  }
+
+  test("log CDC time travel: history folded past asOf fails loudly") {
+    import graft.streaming.CdcLog
+    val logPath = Files.createTempDirectory("graft-cdc-l7").toString + "/log"
+    CdcLog.appendBatch(
+      changes((1L, "a", 10.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 0L)
+    CdcLog.appendBatch(
+      changes((2L, "b", 20.0, 1L, false)),
+      logPath, Seq("k"), "version", "deleted", batchId = 1L)
+    CdcLog.compact(spark, logPath, Seq("k"))
+    // compaction folded batches 0-1 into c1: state at 0 is gone — the
+    // partial fold of surviving originals must NOT be returned silently
+    val e = intercept[IllegalArgumentException] {
+      CdcLog.readAt(spark, logPath, Seq("k"), 0L)
+    }
+    assert(e.getMessage.contains("c1"))
+    // at-or-after the compacted id still works, through the c segment
+    assert(CdcLog.readAt(spark, logPath, Seq("k"), 1L).get
+      .as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 10.0), (2L, "b", 20.0)))
+  }
+
   test("log CDC streamed: state equals the batch fold (memory stream)") {
     import graft.streaming.CdcLog
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -288,6 +288,57 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.id).toSet === Set(3L))
   }
 
+  test("duplicate spans: planted shared sentence found with exact boundaries") {
+    // 10-token shared run planted mid-doc in docs 1 and 2; doc 3 clean.
+    // With n=5, duplicated windows start at the 6 positions covering the
+    // run, and the island merge must recover EXACTLY the planted range —
+    // one token wider on either side would mean the merge leaks.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unique one two three $shared tail1 tail2"),
+      (2L, s"other prefix words here now $shared end1 end2 end3"),
+      (3L, "completely unrelated text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val spans = Dedup
+      .duplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // doc 1: shared run occupies tokens 5..14 (1-based); doc 2: 6..15
+    assert(spans === Set((1L, 5L, 14L), (2L, 6L, 15L)))
+  }
+
+  test("duplicate spans: within-doc repetition alone is not a span") {
+    // the same 6-token run twice in ONE doc: df counts distinct docs,
+    // so no window reaches minDocFreq=2 and no span is emitted
+    val rep = "one two three four five six"
+    val docs = Seq(
+      (1L, s"$rep middle words here $rep"),
+      (2L, "nothing shared with the first document at all honestly")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", n = 5).count() === 0L)
+  }
+
+  test("remove duplicate spans: shared text cut, unique text intact, full-dup doc empties") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"unique one two three $shared tail1 tail2"),
+      (2L, s"other prefix words here now $shared end1 end2 end3"),
+      (3L, shared), // the whole doc is the duplicated run
+      (4L, "completely unrelated text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .removeDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out(1L) === ((10L, "unique one two three tail1 tail2")))
+    assert(out(2L) === ((10L, "other prefix words here now end1 end2 end3")))
+    assert(out(3L) === ((10L, ""))) // emptied, not dropped
+    assert(out(4L) === ((0L,
+      "completely unrelated text with no overlap at all whatsoever")))
+  }
+
   test("video codec seam: a contract-violating decoder quarantines, not crashes") {
     // parseAvi enforces the DecodedVideo contract internally; an
     // external codec can return anything. Each violating shape below
