@@ -1574,18 +1574,34 @@ object Dedup {
       minDocFreq >= 2,
       s"minDocFreq must be >= 2 (got $minDocFreq): below that every " +
         "window is a duplicated span and the output is the whole corpus")
-    val tk = TextFunctions.tokens(col(textCol))
+    // Window hashing in two cheap passes. Higher-order functions
+    // evaluate interpreted, so the per-element work must be minimal:
+    // (1) hash every token ONCE (per-token xxhash64 — the tokenizing
+    // split() is evaluated once per row as the transform's input, never
+    // inside the lambda; the naive slice-and-rehash form re-tokenized
+    // the doc per window, O(tokens²) regex work, measured 3-4x slower
+    // on the sf0.1 corpus); (2) per window, one variadic xxhash64 over
+    // the n token hashes (n element_at + one fixed-width hash per
+    // window — no string ever built, and no wrapping arithmetic to
+    // trip ANSI overflow checks). Any deterministic order-sensitive
+    // combination preserves the window-equality classes the oracle
+    // computes on gram STRINGS, modulo the same 2^-64 collision trade
+    // as [[duplicatedNgramFraction]]. The hash array is multiply-
+    // referenced and non-cheap, so CollapseProject keeps its boundary.
+    val toks = docs.select(
+      col(idCol),
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+        .as("__th"))
+    val th = col("__th")
+    def winHash(i: Column): Column =
+      xxhash64((0 until n).map(j => element_at(th, (i + j).cast("int"))): _*)
     val wins = when(
-      size(tk) >= n,
+      size(th) >= n,
       transform(
-        sequence(lit(1L), (size(tk) - (n - 1)).cast("long")),
-        i =>
-          struct(
-            i.as("pos"),
-            xxhash64(concat_ws(" ", slice(tk, i.cast("int"), lit(n))))
-              .as("gh"))))
+        sequence(lit(1L), (size(th) - (n - 1)).cast("long")),
+        i => struct(i.as("pos"), winHash(i).as("gh"))))
       .otherwise(array().cast("array<struct<pos:bigint,gh:bigint>>"))
-    val docWin = docs
+    val docWin = toks
       .select(col(idCol), explode(wins).as("w"))
       .select(col(idCol), col("w.pos").as("pos"), col("w.gh").as("gh"))
     val docFreq = docWin
