@@ -171,7 +171,9 @@ object Stress {
     "q168_global_cumsum",
     "q172_global_cummax",
     "q175_semantic_dedup_blocked",
-    "q178_distinct_scalable")
+    "q178_distinct_scalable",
+    "q181_dup_spans",
+    "q182_remove_dup_spans")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -287,7 +289,8 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     val exactTwins =
       Seq("q150_exact_heavy_hitters", "q166_minhash_survivors",
-        "q168_global_cumsum", "q178_distinct_scalable")
+        "q168_global_cumsum", "q178_distinct_scalable",
+        "q181_dup_spans", "q182_remove_dup_spans")
     val shapes = Seq(
       (13, 8L * 1024 * 1024),   // prime partition count, small splits
       (32, 128L * 1024 * 1024)) // the default shape
