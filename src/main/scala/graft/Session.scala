@@ -18,8 +18,39 @@ import org.apache.spark.sql.SparkSession
   *    cluster set it ~2-3x total executor cores (or rely on AQE).
   */
 object Session {
-  def builder(nbWorkers: Int = Runtime.getRuntime.availableProcessors())
-      : SparkSession.Builder =
+
+  /** Default worker count = PHYSICAL cores, not logical — the
+    * reference's default (`core.py:36`,
+    * `psutil.cpu_count(logical=False)`; rationale in its
+    * docs/docs/troubleshooting.md:28-45: hyperthread oversubscription
+    * slows CPU-bound UDFs). The JVM only exposes logical processors, so
+    * on Linux read the (physical id, core id) pairs from /proc/cpuinfo;
+    * anywhere that fails, fall back to logical count (the pre-r8
+    * behavior, and psutil's own fallback).
+    */
+  def physicalCores(): Int = {
+    val logical = Runtime.getRuntime.availableProcessors()
+    try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try {
+        var phys, core = ""
+        val pairs = scala.collection.mutable.Set.empty[(String, String)]
+        for (line <- src.getLines()) {
+          val kv = line.split(":", 2)
+          if (kv.length == 2) kv(0).trim match {
+            case "physical id" => phys = kv(1).trim
+            case "core id" =>
+              core = kv(1).trim
+              pairs += ((phys, core))
+            case _ => ()
+          }
+        }
+        if (pairs.nonEmpty) math.min(pairs.size, logical) else logical
+      } finally src.close()
+    } catch { case _: Throwable => logical }
+  }
+
+  def builder(nbWorkers: Int = physicalCores()): SparkSession.Builder =
     SparkSession
       .builder()
       .withExtensions(new GraftExtensions)
@@ -34,9 +65,6 @@ object Session {
       // fact-side shuffles (AQE still decides per-join at runtime)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.ts is parquet TIMESTAMP(NANOS); Spark 4 has no
-      // nanos timestamp type — read as long (nanos since epoch).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Stage.materializeOnce takes the reliable-checkpoint path on a
       // cluster with a checkpoint dir; those files are never deleted
       // unless the cleaner tracks them — without this the checkpoint
@@ -45,8 +73,7 @@ object Session {
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the engine session. */
-  def initialize(nbWorkers: Int = Runtime.getRuntime.availableProcessors())
-      : SparkSession = {
+  def initialize(nbWorkers: Int = physicalCores()): SparkSession = {
     val spark = builder(nbWorkers).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

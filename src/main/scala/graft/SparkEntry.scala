@@ -1075,6 +1075,50 @@ object SparkEntry {
       .select("user_id", "event_id", "wsum")
   }
 
+  /** Buffer of [[q183]]'s declared-mergeable weighted prefix sum:
+    * Σ(i+1)·xᵢ is position-dependent, but carrying (wsum, sum, n) makes
+    * it a monoid — merge(A,B) = (wA + wB + nA·sB, sA + sB, nA + nB),
+    * zero = (0,0,0) is the identity. The general recipe: any
+    * position-weighted fold merges once the buffer carries enough
+    * lower-order moments.
+    */
+  case class WeightedSumBuf(wsum: Double, sum: Double, n: Long)
+
+  /** q55's SCALE twin ([[graft.ops.Windows.expandingAggregator]]): the
+    * same position-weighted prefix sum computed as an incremental
+    * Aggregator fold — O(1) state per row instead of expandingCollect's
+    * O(n) frame arrays / O(n²) group work. Same oracle as q55; the
+    * correctness gate proves fold == black-box, and PlanSpec pins that
+    * this path plans no collect_list.
+    */
+  private def q183(sess: SparkSession, d: String): DataFrame = {
+    import graft.api.Pandarallel._
+    val wsumFold =
+      new org.apache.spark.sql.expressions.Aggregator[
+        Double, WeightedSumBuf, Double] {
+        def zero: WeightedSumBuf = WeightedSumBuf(0.0, 0.0, 0L)
+        def reduce(b: WeightedSumBuf, x: Double): WeightedSumBuf =
+          WeightedSumBuf(b.wsum + (b.n + 1) * x, b.sum + x, b.n + 1)
+        def merge(a: WeightedSumBuf, b: WeightedSumBuf): WeightedSumBuf =
+          WeightedSumBuf(
+            a.wsum + b.wsum + a.n * b.sum,
+            a.sum + b.sum,
+            a.n + b.n)
+        def finish(b: WeightedSumBuf): Double = b.wsum / 100.0
+        def bufferEncoder: org.apache.spark.sql.Encoder[WeightedSumBuf] =
+          org.apache.spark.sql.Encoders.product[WeightedSumBuf]
+        def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+          org.apache.spark.sql.Encoders.scalaDouble
+      }
+    Tables
+      .events(sess, d)
+      .withColumn("__cents", centsOf(col("value")).cast("double"))
+      .parallelGroupBy("user_id")
+      .expanding(col("event_id"))
+      .parallelFold(col("__cents"), "wsum", minPeriods = 5)(wsumFold)
+      .select("user_id", "event_id", "wsum")
+  }
+
   /** Near-dup RESOLUTION (operators/Dedup.resolveComponents): q16's
     * verified Jaccard pairs → connected components via min-label
     * propagation → (id, component) with component = min doc_id of the
@@ -1082,9 +1126,11 @@ object SparkEntry {
     * (A~B, B~C, A≁C) collapse to ONE survivor — the step that makes
     * pair-emitting dedup actually deduplicate. Oracle: DuckDB recursive
     * CTE computing reachability-min over the same pairs.
+    * `resolveComponentsAuto`: identical output, driver union-find under
+    * a 200k-edge cap, distributed pointer-jumping beyond it.
     */
   private def q56(sess: SparkSession, d: String): DataFrame =
-    graft.operators.Dedup.resolveComponents(q16(sess, d))
+    graft.operators.Dedup.resolveComponentsAuto(q16(sess, d))
 
   /** Weighted rolling mean with closed="left" (pandas
     * rolling(4, win_type='triang', closed='left').mean()): the weighted
@@ -3521,7 +3567,7 @@ object SparkEntry {
       .dedupByComponents(
         Tables.documents(sess, d).select("doc_id", "source"),
         "doc_id",
-        graft.operators.Dedup.resolveComponents(q16(sess, d)))
+        graft.operators.Dedup.resolveComponentsAuto(q16(sess, d)))
       .orderBy("doc_id")
 
   /** The 100-TB dedup pipeline as ONE composition: MinHash-LSH pairs
@@ -3538,7 +3584,7 @@ object SparkEntry {
       .dedupByComponents(
         Tables.documents(sess, d).select("doc_id", "source"),
         "doc_id",
-        graft.operators.Dedup.resolveComponents(q14(sess, d)))
+        graft.operators.Dedup.resolveComponentsAuto(q14(sess, d)))
       .orderBy("doc_id")
 
   /** The DECONTAMINATED corpus ([[graft.operators.Dedup.decontaminate]])
@@ -3670,7 +3716,7 @@ object SparkEntry {
       .dedupByComponents(
         emb.select("vec_id", "label"),
         "vec_id",
-        graft.operators.Dedup.resolveComponents(
+        graft.operators.Dedup.resolveComponentsAuto(
           graft.operators.Dedup
             .embeddingNearDupExact(emb, "embedding", "vec_id", 0.4)))
       .orderBy("vec_id")
@@ -4204,7 +4250,8 @@ object SparkEntry {
     "q179_cdc_log_fold" -> (q179 _),
     "q180_cdc_time_travel" -> (q180 _),
     "q181_dup_spans" -> (q181 _),
-    "q182_remove_dup_spans" -> (q182 _)
+    "q182_remove_dup_spans" -> (q182 _),
+    "q183_expanding_fold" -> (q183 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4631,6 +4678,18 @@ object SparkEntry {
            END AS v
          FROM events WINDOW wb AS (PARTITION BY user_id ORDER BY event_id)""",
     "q55_expanding_apply" ->
+      """SELECT user_id, event_id,
+         CASE WHEN count(value) OVER w >= 5 THEN
+           sum(rn * CAST(round(value*100) AS BIGINT)) OVER w / 100.0
+         END AS wsum
+         FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // q183 = q55's fold twin: identical semantics, so identical oracle
+    "q183_expanding_fold" ->
       """SELECT user_id, event_id,
          CASE WHEN count(value) OVER w >= 5 THEN
            sum(rn * CAST(round(value*100) AS BIGINT)) OVER w / 100.0

@@ -21,7 +21,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** Events with `ts` normalized to the engine's canonical representation:
+    * epoch NANOSECONDS as a plain LONG. Fixture generations have written
+    * the column as either parquet TIMESTAMP(NANOS) (read as a nanos long
+    * via `nanosAsLong` in old Spark configs) or timestamp[us]
+    * (TIMESTAMP_NTZ); every downstream site does integral arithmetic on
+    * nanos (`ts div 1000`, `ts div 86400000000000`, bucket modulo), so the
+    * source layer owns the physical-type seam. `unix_micros * 1000` is
+    * exact — no double detour, no sub-micro loss (micros fixtures carry
+    * zero sub-micro component by construction).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Rewrite a timestamp-typed `ts` column to epoch-nanos long; a frame
+    * already carrying a long `ts` (old fixtures, synthetic test frames)
+    * passes through untouched. Column order is preserved.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+          Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")

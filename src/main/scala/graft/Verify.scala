@@ -14,17 +14,23 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Queries that raise (analysis error, runtime failure) produce no
+    // parquet and would silently vanish from the driver's CORRECTNESS
+    // report, reading as "untested" when they mean "failed". Track them
+    // and publish the set explicitly (r7 post-mortem: 22 queries broke
+    // this way and the report showed 160/182 rows with no red flag).
+    val unchecked = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        unchecked += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(
+      Paths.get(s"$outDir/unchecked.json"),
+      unchecked.sorted.map(q).mkString("[", ",", "]"))
+    if (unchecked.nonEmpty) {
+      System.err.println(
+        s"[verify] UNCHECKED (${unchecked.size}): ${unchecked.sorted.mkString(", ")}")
+    }
     spark.stop()
   }
 }

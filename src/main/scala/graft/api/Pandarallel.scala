@@ -510,13 +510,28 @@ object Pandarallel {
         agg: Column => Column): DataFrame =
       Windows.expandingAgg(df, valueCol, orderBy, partitionBy, outName, minPeriods)(agg)
 
+    /** Expanding fold for functions DECLARED mergeable — the scale form
+      * of [[parallelApply]]: O(1) state and O(n) work per group via a
+      * Spark `Aggregator` run incrementally by WindowExec (see
+      * [[Windows.expandingAggregator]] for the merge contract).
+      */
+    def parallelFold[B](
+        valueCol: Column,
+        outName: String,
+        minPeriods: Int = 1)(
+        agg: org.apache.spark.sql.expressions.Aggregator[Double, B, Double])
+        : DataFrame =
+      Windows.expandingAggregator(
+        df, valueCol, orderBy, partitionBy, outName, minPeriods)(agg)
+
     /** Black-box expanding UDF — pandas
       * `expanding(min_periods=n).parallel_apply(f)` with an ARBITRARY
       * function (expanding_groupby.py:63-67; the reference test's
       * non-algebraic weighted form, tests/test_pandarallel.py:131-141).
       * The UDF at row i sees the group's first i+1 values in order.
       * O(n)-per-row memory / O(n²)-per-group work — prefer
-      * [[parallelAgg]] whenever the function is algebraic (see
+      * [[parallelAgg]] whenever the function is algebraic, and
+      * [[parallelFold]] whenever the fold can state its merge (see
       * [[Windows.expandingCollect]] for the full trade).
       */
     def parallelApply(

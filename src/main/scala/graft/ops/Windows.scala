@@ -329,6 +329,46 @@ object Windows {
     df.withColumn(outName, when(size(arr) >= minPeriods, fUdf(arr)))
   }
 
+  /** Aggregator-based expanding apply — the SCALE form of
+    * [[expandingCollect]] for folds DECLARED mergeable. The user hands
+    * a Spark `Aggregator[Double, B, Double]` (zero / reduce / merge /
+    * finish); WindowExec's unbounded-preceding frame feeds it
+    * incrementally — one `reduce` per arriving row, one `finish` per
+    * output row — so the per-group cost is O(n) with O(1) state,
+    * versus [[expandingCollect]]'s O(n²) work and O(n)-per-row frame
+    * arrays. This is the shape that survives an unbounded hot key.
+    *
+    * The declaration is a real contract, not a hint: `merge` must be
+    * associative with `zero` as identity (Spark is free to combine
+    * partial buffers), and `reduce` order-sensitive state is fine —
+    * rows arrive in frame order within a group. Anything that can't
+    * state its merge stays on [[expandingCollect]]; that fallback IS
+    * the honest cost of an arbitrary function (see its scaladoc).
+    *
+    * Position-dependent folds are still expressible: carry the extra
+    * moments in the buffer (e.g. Σ(i+1)·xᵢ merges via
+    * (wA + wB + nA·sB) — the q55-twin query's buffer).
+    */
+  def expandingAggregator[B](
+      df: DataFrame,
+      valueCol: Column,
+      orderBy: Seq[Column],
+      partitionBy: Seq[Column],
+      outName: String,
+      minPeriods: Int = 1)(
+      agg: org.apache.spark.sql.expressions.Aggregator[Double, B, Double])
+      : DataFrame = {
+    val frame = expandingFrame(orderBy, partitionBy)
+    val u = udaf(agg)
+    df.withColumn(
+      outName,
+      withMinPeriods(
+        u(valueCol.cast("double")).over(frame),
+        valueCol,
+        frame,
+        minPeriods))
+  }
+
   /** pandas `rolling(w, method="table").apply(f)` — black-box UDF over
     * the WHOLE w×k frame MATRIX (all columns at once, not one series),
     * the multi-column sibling of [[rollingCollect]]. Every column's

@@ -183,6 +183,44 @@ object Progress {
     def update(done: Long, total: Long): Unit = f(done, total)
   }
 
+  /** Notebook-flavor renderer — the analog of the reference's Jupyter
+    * widget bar (progress_bars.py:124-177: IntProgress + "n / max" Label
+    * in an HBox, percent description, bar_style="success" on
+    * completion). A JVM kernel has no ipywidgets; the notebook contract
+    * here is "hand the frontend an HTML fragment per refresh" — Almond /
+    * Toree / Livy frontends pass their `display(html)` function in, and
+    * each update replaces the previous fragment (same cell-output
+    * semantics as a widget update). Markup mirrors the reference's
+    * three visual elements: filled bar, percent, absolute count.
+    */
+  final class NotebookRenderer(display: String => Unit) extends Renderer {
+    private def html(done: Long, total: Long, finished: Boolean): String = {
+      val frac =
+        if (total <= 0) 0.0 else math.min(1.0, done.toDouble / total)
+      val pct = f"${frac * 100}%.2f%%"
+      // green on success, blue in flight — the reference's
+      // bar_style="success" transition (progress_bars.py:166-168)
+      val color = if (finished || (total > 0 && done >= total)) "#4caf50" else "#2196f3"
+      s"""<div style="display:flex;align-items:center;gap:8px;font-family:monospace">
+         |  <div style="width:200px;height:14px;background:#eee;border-radius:3px">
+         |    <div style="width:${(frac * 100).toInt}%;height:100%;background:$color;border-radius:3px"></div>
+         |  </div>
+         |  <span>$pct</span><span>$done / $total</span>
+         |</div>""".stripMargin
+    }
+    @volatile private var last: String = ""
+    /** Last emitted fragment — lets a pull-style frontend poll instead. */
+    def lastHtml: String = last
+    def update(done: Long, total: Long): Unit = {
+      last = html(done, total, finished = false)
+      display(last)
+    }
+    override def close(done: Long, total: Long): Unit = {
+      last = html(done, total, finished = true)
+      display(last)
+    }
+  }
+
   /** Poll `counter` every `intervalMs` while `body` runs, pushing to
     * `renderer`; returns body's result. Mirrors the 0.25 s refresh
     * target of the reference (progress_bars.py:13).

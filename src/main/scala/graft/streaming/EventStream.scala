@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Structured Streaming over the events table (extension set — the
   * reference is batch-only, SURVEY §2.2 "Streaming").
   *
-  * `events.ts` arrives as long nanoseconds (parquet TIMESTAMP(NANOS) via
-  * nanosAsLong); [[withEventTime]] converts to a proper timestamp for
-  * watermarking.
+  * `events.ts` arrives as long nanoseconds — [[graft.Tables.normalizeEventTs]]
+  * owns the parquet physical-type seam (timestamp[us] fixtures are rewritten
+  * to epoch-nanos longs at the source); [[withEventTime]] converts back to a
+  * proper timestamp for watermarking.
   *
   * The same tumbling-window aggregation is exposed twice:
   *  - [[bucketAggBatch]] — batch form, DuckDB-verifiable (10-minute epoch
@@ -147,9 +148,10 @@ object EventStream {
     */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 }

@@ -49,7 +49,6 @@ object Stress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
@@ -121,7 +120,10 @@ object Stress {
     // events: same users accumulate factor× events (grouped operators
     // see factor× group sizes — the dimension that stresses windows);
     // ids stay unique, timestamps jitter by replica so no exact ties
-    val ev = replicated(spark.read.parquet(s"$srcDir/events.parquet"), factor)
+    val ev = replicated(
+      graft.Tables.normalizeEventTs(
+        spark.read.parquet(s"$srcDir/events.parquet")),
+      factor)
     write(
       ev.withColumn("event_id", rekey("event_id", factor))
         .withColumn("ts", col("ts") + col("__r"))

@@ -71,6 +71,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveComponentsAuto: driver fast path == distributed loop") {
+    // random-ish graph with chains, a star, isolated pairs — the auto
+    // path (driver union-find) must match the distributed loop exactly
+    val edges =
+      (0L until 30L).map(i => (i * 3, i * 3 + 3)) ++ // one 31-vertex chain
+        (1L to 50L).map(i => (9000L, 9000L + i)) ++ // star hub 9000
+        Seq((70000L, 70001L), (80001L, 80000L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val auto = Dedup.resolveComponentsAuto(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.resolveComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(auto === dist)
+
+    // over-cap graphs take the distributed path and still agree:
+    // force it with a tiny cap
+    val capped = Dedup.resolveComponentsAuto(pairs, driverCap = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === dist)
+
+    // empty pair graph → empty components, both paths
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.resolveComponentsAuto(empty).isEmpty)
+  }
+
   test("resolveComponents: planted mega-component, salted == unsalted") {
     // one giant star component (hub 7, 400 spokes): its min-label is a
     // hot join key in the pointer jump — the case the salt guards —

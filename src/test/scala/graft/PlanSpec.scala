@@ -317,6 +317,18 @@ class PlanSpec extends AnyFunSuite {
       "two distinct aggregates should trigger the Expand rewrite")
   }
 
+  test("expanding fold (q183) plans no collect_list — O(1) window state") {
+    // q55's black-box twin materializes the frame via collect_list
+    // (O(n) per row, the honest arbitrary-UDF cost); the Aggregator
+    // path must NOT — WindowExec feeds the fold incrementally
+    val p183 = plan(SparkEntry.queries("q183_expanding_fold")(spark, TestSpark.sf))
+    assert(
+      !p183.contains("collect_list"),
+      s"q183 must fold incrementally, found collect_list in:\n$p183")
+    val p55 = plan(SparkEntry.queries("q55_expanding_apply")(spark, TestSpark.sf))
+    assert(p55.contains("collect_list"), "q55 is the collect-based twin")
+  }
+
   test("global cumsum (q168) never plans Exchange SinglePartition") {
     // the ungrouped running sum is the same trap as q09's window —
     // prefixSumScalable's two-phase scan must keep it range-partitioned

@@ -143,4 +143,33 @@ class ProgressSpec extends AnyFunSuite {
     assert(seen.get() >= 2) // polled during the body plus the final close
     assert(closedWith === 5L)
   }
+
+  test("notebook renderer emits bar/percent/count HTML and success style") {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = new Progress.NotebookRenderer(frames += _)
+    r.update(1, 4)
+    assert(frames.last.contains("25.00%"))
+    assert(frames.last.contains("1 / 4"))
+    assert(frames.last.contains("#2196f3")) // in-flight style
+    r.close(4, 4)
+    assert(frames.last.contains("100.00%"))
+    assert(frames.last.contains("4 / 4"))
+    assert(frames.last.contains("#4caf50")) // success style (ref bar_style)
+    assert(r.lastHtml === frames.last) // pull-style frontends can poll
+  }
+
+  test("notebook renderer is total-less safe (indeterminate input)") {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = new Progress.NotebookRenderer(frames += _)
+    r.update(7, 0) // no total known — must not divide by zero
+    assert(frames.last.contains("0.00%"))
+    assert(frames.last.contains("7 / 0"))
+  }
+
+  test("default worker count is physical cores, within logical bound") {
+    val phys = graft.Session.physicalCores()
+    val logical = Runtime.getRuntime.availableProcessors()
+    assert(phys >= 1)
+    assert(phys <= logical)
+  }
 }
