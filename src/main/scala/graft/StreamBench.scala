@@ -69,6 +69,21 @@ object StreamBench {
     val nDocs = docs.count() // also materializes the cache
     def docBatch(i: Int) = docs.where(col("doc_id") % nBatches === i)
 
+    // Untimed warm-up — the batch-Bench methodology (one pass at small
+    // scale before timing): whole-stage codegen for the signature /
+    // vector expressions, broadcast machinery, and the parquet
+    // writer paths all JIT on the first batch; a throwaway mini-batch
+    // into a scratch index pays that once so the timed loop measures
+    // steady state, which is what a long-running ingest actually runs at.
+    locally {
+      val warm = docs.limit(64).cache()
+      warm.count()
+      IngestDedup.ingestBatch(warm, s"$work/warm-exact", "text", "doc_id", 0L)
+      NearDupIngest.ingestBatch(warm, s"$work/warm-mh", "text", "doc_id", 0L)
+      NearDupIngest.ingestBatch(warm, s"$work/warm-mh", "text", "doc_id", 1L)
+      warm.unpersist()
+    }
+
     timed("ingest_dedup_exact", nDocs) {
       (0 until nBatches).foreach { i =>
         IngestDedup.ingestBatch(
@@ -88,6 +103,13 @@ object StreamBench {
       .cache()
     cached += embs
     val nEmbs = embs.count()
+    locally {
+      val warm = embs.limit(64).cache()
+      warm.count()
+      EmbedIngest.ingestBatch(warm, s"$work/warm-emb", "embedding", "vec_id", 0L)
+      EmbedIngest.ingestBatch(warm, s"$work/warm-emb", "embedding", "vec_id", 1L)
+      warm.unpersist()
+    }
     timed("embed_ingest", nEmbs) {
       (0 until nBatches).foreach { i =>
         EmbedIngest.ingestBatch(

@@ -394,14 +394,15 @@ object Dedup {
       bands: Int,
       rows: Int,
       threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      lean: Boolean = false): DataFrame = {
     // band key = hash of the band's slice of the signature. The band join
     // carries ONLY (bucket, id) — shingle arrays would multiply the
     // shuffle by numHashes/bands; they are joined back just for the
     // surviving candidate pairs.
     val banded = mhBanded(sig, bands, rows)
 
-    val cand = pairsFromBuckets(banded, maxBucketSize)
+    val cand = pairsFromBuckets(banded, maxBucketSize, lean)
 
     // verify candidates with exact Jaccard over shingle sets.
     // Two scale guards learned the hard way (skewed-bucket grind):
@@ -453,9 +454,14 @@ object Dedup {
       sig: DataFrame,
       bands: Int,
       rows: Int): DataFrame = {
+    // count-over-window, not agg+join-back: one keyed exchange instead
+    // of two (the bucket cardinality ~= rows×bands, so the join side
+    // would reshuffle nearly the full banded table)
     val banded = mhBanded(sig, bands, rows)
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    banded.join(sizes, Seq("bucket"))
+    banded.withColumn(
+      "bn",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
   }
 
   /** The `_meta` writer shared by [[minHashWriteIndex]] and
@@ -519,7 +525,38 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, String)]()
 
   /** Drop all memoized `_meta` entries (tests / external index rebuilds). */
-  def clearMetaCache(): Unit = metaCache.clear()
+  def clearMetaCache(): Unit = {
+    metaCache.clear()
+    indexSchemaCache.clear()
+  }
+
+  /** Memoized-schema parquet read for the probe hot loop: an index
+    * table's schema is fixed by its layout, but a plain
+    * `spark.read.parquet` re-infers it from footers on EVERY
+    * micro-batch (two index tables per probe). The first read caches
+    * the schema; later reads pass it explicitly and skip inference.
+    * The `batch` partition column is pinned to STRING in the cached
+    * schema — partition values are numeric (`batch=3`) before
+    * compaction but `batch=c3` after, and a cached numeric type would
+    * fail to parse post-compaction segment dirs.
+    */
+  private val indexSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  private def readIndexParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    Option(indexSchemaCache.get(path)) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None =>
+        import org.apache.spark.sql.types.{StringType, StructType}
+        val inferred = spark.read.parquet(path).schema
+        val safe = StructType(inferred.map(f =>
+          if (f.name == "batch") f.copy(dataType = StringType) else f))
+        indexSchemaCache.put(path, safe)
+        spark.read.schema(safe).parquet(path)
+    }
 
   private def mhMeta(
       spark: org.apache.spark.sql.SparkSession,
@@ -655,24 +692,26 @@ object Dedup {
       bands: Int,
       rows: Int,
       threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      lean: Boolean = false): DataFrame = {
     val spark = bSig.sparkSession
     val bBanded = mhBanded(bSig, bands, rows)
       .select(col("bucket"), col("id").as("probe_id"))
-    val cand = spark.read
-      .parquet(s"$indexPath/buckets")
+    // lean (ingest) skips the candidate dedup shuffle: the consumer
+    // reduces to a distinct probe_id set anyway, and double-verifying
+    // the few cross-band collisions is cheaper than an exchange
+    val cand0 = readIndexParquet(spark, s"$indexPath/buckets")
       .where(col("bn") <= maxBucketSize)
       .join(broadcast(bBanded), Seq("bucket"))
       .select(col("probe_id"), col("id").as("corpus_id"))
-      .distinct()
+    val cand = if (lean) cand0 else cand0.distinct()
     val candSh = cand.join(
       bSig.select(col("id").as("probe_id"), col("bh").as("sh_p")),
       Seq("probe_id"))
     val nP = size(col("sh_p")).cast("double")
     val nC = size(col("sh_c")).cast("double")
     val inter = size(array_intersect(col("sh_p"), col("sh_c"))).cast("double")
-    spark.read
-      .parquet(s"$indexPath/sig")
+    readIndexParquet(spark, s"$indexPath/sig")
       .select(col("id").as("corpus_id"), col("bh").as("sh_c"))
       .join(broadcast(candSh), Seq("corpus_id"))
       .where(least(nP, nC) / greatest(nP, nC) >= threshold)
@@ -710,21 +749,27 @@ object Dedup {
     val sig0 = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
     val intraDrop = resolveComponentsAuto(
-      mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize))
+      mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
       .where(col("id") =!= col("component"))
       .select("id")
     val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-    val survivors =
+    val survivors = (
       if (!probeCorpus) intraSig
       else
         intraSig.join(
           broadcast(
             mhProbeSigned(
-              intraSig, indexPath, bands, rows, threshold, maxBucketSize)
+              intraSig, indexPath, bands, rows, threshold, maxBucketSize,
+              lean = true)
               .select(col("probe_id").as("id"))
               .distinct()),
           Seq("id"),
           "left_anti")
+      // materialize: BOTH segment writes (sig + buckets) consume this
+      // frame — without a checkpoint the corpus probe and the intra
+      // anti-join re-execute per write, doubling the per-batch cost
+      // (measured: the single biggest slice of ingest latency)
+    ).transform(graft.ops.Stage.materializeOnce)
     (survivors, mhSizedBuckets(survivors, bands, rows))
   }
 
@@ -786,13 +831,23 @@ object Dedup {
     */
   private def pairsFromBuckets(
       banded: DataFrame,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      lean: Boolean = false): DataFrame = {
     val p = banded.sparkSession.sparkContext.defaultParallelism
-    banded
+    val bucketed = banded
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxBucketSize))
-      .repartition(p)
+    // lean mode (micro-batch ingest): the pin-the-parallelism exchanges
+    // and the cross-band pair dedup are pure overhead on a bounded
+    // batch — three extra shuffle stages per micro-batch for data that
+    // fits one task. Consumers of the lean form must tolerate duplicate
+    // pairs (union-find does; a few double-verified candidates cost
+    // less than a shuffle). The full-corpus path keeps all three (the
+    // explosion/intersection stages are compute-heavy on few bytes, and
+    // the public pair API promises distinct pairs).
+    val spread = if (lean) bucketed else bucketed.repartition(p)
+    val pairs = spread
       .select(
         explode(
           flatten(
@@ -806,8 +861,7 @@ object Dedup {
                     greatest(size(col("ids")) - i - 1, lit(0))),
                   y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-      .repartition(p)
+    if (lean) pairs else pairs.distinct().repartition(p)
   }
 
   /** 64-bit SimHash from an already-materialized token-hash array: bit j
@@ -1371,8 +1425,9 @@ object Dedup {
       bands: Int,
       rows: Int,
       threshold: Double,
-      maxBucketSize: Int): DataFrame = {
-    val cand = pairsFromBuckets(embBanded(sig, bands, rows), maxBucketSize)
+      maxBucketSize: Int,
+      lean: Boolean = false): DataFrame = {
+    val cand = pairsFromBuckets(embBanded(sig, bands, rows), maxBucketSize, lean)
     cand
       .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
@@ -1471,8 +1526,12 @@ object Dedup {
     val sig = embSignatures(df, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
     val banded = embBanded(sig, bands, nBits / bands)
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    (sig, banded.join(sizes, Seq("bucket")))
+    (
+      sig,
+      banded.withColumn(
+        "bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket"))))
   }
 
   /** Recompute sized buckets from STORED embedding signatures — the
@@ -1527,21 +1586,21 @@ object Dedup {
       bands: Int,
       rows: Int,
       threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      lean: Boolean = false): DataFrame = {
     val spark = bSig.sparkSession
     val bBanded = embBanded(bSig, bands, rows)
       .select(col("bucket"), col("id").as("probe_id"))
-    val cand = spark.read
-      .parquet(s"$indexPath/buckets")
+    // lean: see mhProbeSigned — consumer distincts probe_id downstream
+    val cand0 = readIndexParquet(spark, s"$indexPath/buckets")
       .where(col("bn") <= maxBucketSize)
       .join(broadcast(bBanded), Seq("bucket"))
       .select(col("probe_id"), col("id").as("corpus_id"))
-      .distinct()
+    val cand = if (lean) cand0 else cand0.distinct()
     val candV = cand.join(
       bSig.select(col("id").as("probe_id"), col("v").as("v_p")),
       Seq("probe_id"))
-    spark.read
-      .parquet(s"$indexPath/sig")
+    readIndexParquet(spark, s"$indexPath/sig")
       .select(col("id").as("corpus_id"), col("v").as("v_c"))
       .join(broadcast(candV), Seq("corpus_id"))
       .select(
@@ -1578,24 +1637,32 @@ object Dedup {
     val sig0 = embSignatures(batch, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
     val intraDrop = resolveComponentsAuto(
-      embPairsSigned(sig0, bands, rows, threshold, maxBucketSize))
+      embPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
       .where(col("id") =!= col("component"))
       .select("id")
     val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-    val survivors =
+    val survivors = (
       if (!probeCorpus) intraSig
       else
         intraSig.join(
           broadcast(
             embProbeSigned(
-              intraSig, indexPath, bands, rows, threshold, maxBucketSize)
+              intraSig, indexPath, bands, rows, threshold, maxBucketSize,
+              lean = true)
               .select(col("probe_id").as("id"))
               .distinct()),
           Seq("id"),
           "left_anti")
+      // both segment writes consume this — checkpoint or the probe
+      // re-executes per write (see mhIngestSegmentFrames)
+    ).transform(graft.ops.Stage.materializeOnce)
     val banded = embBanded(survivors, bands, rows)
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    (survivors, banded.join(sizes, Seq("bucket")))
+    (
+      survivors,
+      banded.withColumn(
+        "bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket"))))
   }
 
   /** The ingest decision over an embedding probe — keep batch rows with
