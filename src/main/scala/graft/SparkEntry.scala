@@ -1119,6 +1119,41 @@ object SparkEntry {
       .select("user_id", "event_id", "wsum")
   }
 
+  /** Deterministic train/val/test split
+    * ([[graft.operators.Sampling.hashSplit]]): replayable split
+    * membership as a pure function of (content hash, seed) — same
+    * document → same split on any cluster size or rerun, and new
+    * documents never move old ones (the property `rand()` splits
+    * lack). Pure narrow projection; no shuffle at any scale.
+    */
+  private def q184(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .hashSplit(
+        Tables.documents(s, d),
+        "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        seed = "r8")
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  /** Seeded corpus shuffle + sharding
+    * ([[graft.operators.Sampling.seededShuffle]]): the reproducible
+    * data-loading order pass — md5(content, seed) as the order key
+    * (engine-portable, uniform, partitioning-independent), materialized
+    * as (shard, position). One hash exchange on shard + local sorts;
+    * never a global single-partition sort.
+    */
+  private def q185(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .seededShuffle(
+        Tables.documents(s, d),
+        "text",
+        nShards = 8,
+        seed = "r8",
+        tieBreak = Seq(col("doc_id")))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
   /** Near-dup RESOLUTION (operators/Dedup.resolveComponents): q16's
     * verified Jaccard pairs → connected components via min-label
     * propagation → (id, component) with component = min doc_id of the
@@ -4251,7 +4286,9 @@ object SparkEntry {
     "q180_cdc_time_travel" -> (q180 _),
     "q181_dup_spans" -> (q181 _),
     "q182_remove_dup_spans" -> (q182 _),
-    "q183_expanding_fold" -> (q183 _)
+    "q183_expanding_fold" -> (q183 _),
+    "q184_hash_split" -> (q184 _),
+    "q185_seeded_shuffle" -> (q185 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4700,6 +4737,24 @@ object SparkEntry {
                FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // cuts 52429/58982 = round(0.8*65536)/round(0.9*65536), hardcoded in
+    // both engines so no float-rounding drift can split them
+    "q184_hash_split" ->
+      """SELECT doc_id,
+         CASE WHEN b < 52429 THEN 'train'
+              WHEN b < 58982 THEN 'val'
+              ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(text || 'r8'),1,4)) AS INTEGER) AS b
+               FROM documents)""",
+    "q185_seeded_shuffle" ->
+      """SELECT doc_id,
+         CAST(CAST(('0x' || substr(kk,1,8)) AS BIGINT) % 8 AS INTEGER)
+           AS shard,
+         CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(kk,1,8)) AS BIGINT) % 8
+             ORDER BY kk, doc_id) - 1 AS INTEGER) AS pos
+         FROM (SELECT doc_id, md5(text || 'r8') AS kk FROM documents)""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,

@@ -104,6 +104,74 @@ object Sampling {
       rate: Double): DataFrame =
     df.where(weightedKeepExpr(col(contentCol), weight, rate))
 
+  /** Deterministic train/val/test split — the assignment every training
+    * pipeline needs to be REPLAYABLE: split membership is a pure
+    * function of (content hash, seed), so the same document lands in
+    * the same split on any cluster size, any engine, any rerun, and
+    * adding documents never moves existing ones between splits (the
+    * property random() splits lack). 16-bit md5 bucket (the
+    * [[keepExpr]] mechanism) cut at the cumulative weight boundaries.
+    *
+    * @param weights (splitName, weight) in order; weights normalized
+    * @return df + `split` column. Pure narrow projection — no shuffle,
+    *         survives any scale.
+    */
+  def hashSplit(
+      df: DataFrame,
+      contentCol: String,
+      weights: Seq[(String, Double)],
+      seed: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val total = weights.map(_._2).sum
+    val bucket =
+      conv(substring(md5(concat(col(contentCol), lit(seed))), 1, 4), 16, 10)
+        .cast("int")
+    val cuts = weights
+      .scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail
+      .map(f => math.round(f * 65536).toInt)
+    val expr = weights.zip(cuts).reverse.foldLeft(lit(weights.last._1)) {
+      case (acc, ((name, _), cut)) => when(bucket < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Seeded global shuffle + sharding — the data-loading order pass: a
+    * training run wants the corpus in a reproducible pseudo-random
+    * order, materialized as (shard, position) so a 1000-file dataset
+    * lands in uniform shards with a deterministic within-shard order.
+    * Order key = md5(content, seed): engine-portable (the DuckDB oracle
+    * computes the identical key), uniform, and independent of input
+    * partitioning. The rank is a window per shard — one hash exchange
+    * on shard, each shard sorted locally; no global single-partition
+    * sort at any scale.
+    */
+  def seededShuffle(
+      df: DataFrame,
+      contentCol: String,
+      nShards: Int,
+      seed: String = "",
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat(col(contentCol), lit(seed)))
+    val sharded = df
+      .withColumn("__k", key)
+      .withColumn(
+        "shard",
+        pmod(conv(substring(col("__k"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+    // tieBreak makes the order total when contents can repeat (a dedup
+    // INPUT corpus) — equal keys would otherwise make `pos` run-dependent
+    sharded
+      .withColumn(
+        "pos",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("shard")
+            .orderBy(col("__k") +: tieBreak: _*)) - 1)
+      .drop("__k")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. downsample
     * dominant languages, keep all of rare ones). Unlisted strata keep
     * `defaultRate`.

@@ -30,6 +30,53 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count() === nonEn)
   }
 
+  test("hashSplit: covering, stable under corpus growth, partition-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Sampling.hashSplit(docs, "text", w, seed = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row assigned, only declared splits, roughly right proportions
+    assert(full.size === docs.count())
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    val trainFrac = full.values.count(_ == "train").toDouble / full.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    // growth stability: assignments on a subset are a restriction of the
+    // full assignment (rand() splits fail this)
+    val sub = Sampling
+      .hashSplit(docs.where($"doc_id" < 200), "text", w, seed = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, s) => full(id) == s })
+    // partition invariance
+    val rep = Sampling.hashSplit(docs.repartition(13), "text", w, seed = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(rep === full)
+    // a different seed actually moves documents
+    val other = Sampling.hashSplit(docs, "text", w, seed = "s2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(other.exists { case (id, s) => full(id) != s })
+  }
+
+  test("seededShuffle: dense per-shard positions, deterministic, seed-sensitive") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def run(p: Int, seed: String) = Sampling
+      .seededShuffle(docs.repartition(p), "text", nShards = 4, seed = seed,
+        tieBreak = Seq($"doc_id"))
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val a = run(1, "s")
+    assert(a === run(7, "s")) // partitioning-invariant order
+    // positions are dense 0..n-1 within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === rows.indices.toSeq)
+    }
+    // all shards populated, sizes roughly uniform
+    val sizes = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set(0, 1, 2, 3))
+    assert(sizes.values.min > a.size / 8)
+    // the seed changes the order
+    assert(run(1, "s2") !== a)
+  }
+
   test("winsorize clips at per-group bounds; approx twin stays within rank error") {
     // group a: 1..100 → p05 ≈ 5.95, p95 ≈ 95.05 (linear interpolation)
     val df = ((1 to 100).map(i => ("a", i.toLong, i.toDouble)) :+
