@@ -1347,7 +1347,7 @@ object Dedup {
         col("id_b"),
         VectorExpressions.cosineFast(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
-    dedupByComponents(df, idCol, resolveComponents(pairs))
+    dedupByComponents(df, idCol, resolveComponentsAuto(pairs))
   }
 
   // ------------------------------------------------------------------

@@ -175,7 +175,9 @@ object Stress {
     "q175_semantic_dedup_blocked",
     "q178_distinct_scalable",
     "q181_dup_spans",
-    "q182_remove_dup_spans")
+    "q182_remove_dup_spans",
+    "q183_expanding_fold",
+    "q185_seeded_shuffle")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
