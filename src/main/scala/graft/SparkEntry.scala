@@ -1154,6 +1154,23 @@ object SparkEntry {
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
 
+  /** Banded SimHash near-dup pairs
+    * ([[graft.operators.Dedup.simHashNearDupPairs]]): the third dedup
+    * signature family next to MinHash (q14) and exact n-gram Jaccard
+    * (q16) — one 64-bit weighted-bit-vote signature per doc, banded
+    * into 4×16-bit keys so any pair within Hamming distance 3 shares at
+    * least one exact band (pigeonhole: 100% recall at d < bands), then
+    * an exact popcount verify on the candidate pairs. Never all-pairs;
+    * one equi-join shuffle on the band key, bucket-size capped.
+    * Rows-only by design (the signature function is not expressible in
+    * the SQL oracle); ExtensionsSpec pins planted flip-distance recall
+    * and PropertySpec pins partition-shape invariance.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .simHashNearDupPairs(docs(s, d), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+
   /** Near-dup RESOLUTION (operators/Dedup.resolveComponents): q16's
     * verified Jaccard pairs → connected components via min-label
     * propagation → (id, component) with component = min doc_id of the
@@ -4288,7 +4305,8 @@ object SparkEntry {
     "q182_remove_dup_spans" -> (q182 _),
     "q183_expanding_fold" -> (q183 _),
     "q184_hash_split" -> (q184 _),
-    "q185_seeded_shuffle" -> (q185 _)
+    "q185_seeded_shuffle" -> (q185 _),
+    "q186_simhash_neardup" -> (q186 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
