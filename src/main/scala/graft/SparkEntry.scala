@@ -272,6 +272,7 @@ object SparkEntry {
     * pass already ran at the timed scale).
     */
   def clearIndexCaches(): Unit = {
+    zLayoutCache.clear()
     lshIndexCache.clear()
     ivfIndexCache.clear()
     ivfKmIndexCache.clear()
@@ -1170,6 +1171,48 @@ object SparkEntry {
     graft.operators.Dedup
       .simHashNearDupPairs(docs(s, d), "text", "doc_id")
       .orderBy("id_a", "id_b")
+
+  /** Build-once Z-ordered copy of lineitem, clustered on
+    * (l_quantity, l_extendedprice) — the multi-dimension file-skipping
+    * layout ([[graft.sources.ZOrder]]). Written once per data dir like
+    * the ANN indexes; layout changes IO, never results.
+    */
+  private val zLayoutCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def zLayout(s: SparkSession, d: String): String =
+    zLayoutCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("zorder", d)
+        graft.sources.ZOrder.writeZOrdered(
+          Tables.lineitem(s, d)
+            .select(
+              "l_orderkey", "l_linenumber", "l_quantity",
+              "l_extendedprice", "l_returnflag"),
+          path,
+          Seq("l_quantity", "l_extendedprice"),
+          bits = 12,
+          numFiles = 32)
+        path
+      })
+
+  /** 2-D box query over the Z-ordered lineitem layout: the conjunctive
+    * range predicate prunes parquet files via ordinary footer min/max
+    * stats because the Morton clustering makes every file a small
+    * (quantity × price) bounding box — a single-column sort serves one
+    * axis, Z-order serves both. Result is layout-independent (the
+    * oracle runs on the ORIGINAL table); ZOrderSpec counts overlapping
+    * file boxes from the written footers, z-order vs linear sort.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame =
+    s.read
+      .parquet(zLayout(s, d))
+      .where(
+        col("l_quantity").between(10, 15) &&
+          col("l_extendedprice").between(20000, 30000))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(centsOf(col("l_extendedprice"))) / 100.0).as("sum_price"))
+      .orderBy("l_returnflag")
 
   /** Near-dup RESOLUTION (operators/Dedup.resolveComponents): q16's
     * verified Jaccard pairs → connected components via min-label
@@ -4306,7 +4349,8 @@ object SparkEntry {
     "q183_expanding_fold" -> (q183 _),
     "q184_hash_split" -> (q184 _),
     "q185_seeded_shuffle" -> (q185 _),
-    "q186_simhash_neardup" -> (q186 _)
+    "q186_simhash_neardup" -> (q186 _),
+    "q187_zorder_box" -> (q187 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4773,6 +4817,18 @@ object SparkEntry {
              PARTITION BY CAST(('0x' || substr(kk,1,8)) AS BIGINT) % 8
              ORDER BY kk, doc_id) - 1 AS INTEGER) AS pos
          FROM (SELECT doc_id, md5(text || 'r8') AS kk FROM documents)""",
+    // layout changes IO, never results: the oracle runs the same box
+    // query on the ORIGINAL lineitem table (q187 reads the z-ordered
+    // copy; ZOrderSpec owns the file-skipping evidence)
+    "q187_zorder_box" ->
+      """SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_price
+         FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 15
+           AND l_extendedprice BETWEEN 20000 AND 30000
+         GROUP BY 1""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,
