@@ -1202,6 +1202,22 @@ object SparkEntry {
     * oracle runs on the ORIGINAL table); ZOrderSpec counts overlapping
     * file boxes from the written footers, z-order vs linear sort.
     */
+  /** BPE merge-candidate table ([[graft.functions.Bpe]]): weighted
+    * adjacent character-pair counts over the word-frequency vocabulary
+    * — the table every merge round of tokenizer training reads, and
+    * the scale design point: the corpus is scanned ONCE (word counts);
+    * each of the iterative rounds (`Bpe.trainMerges`, BpeSpec) then
+    * aggregates the vocab-sized table only. Top-50 by (count, pair),
+    * hash-green — one round IS SQL-expressible even though the
+    * iterated trainer is not.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame =
+    graft.functions.Bpe
+      .pairCounts(graft.functions.Bpe.vocab(docs(s, d), "text"))
+      .select(concat_ws(" ", col("a"), col("b")).as("pair"), col("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(50)
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4350,7 +4366,8 @@ object SparkEntry {
     "q184_hash_split" -> (q184 _),
     "q185_seeded_shuffle" -> (q185 _),
     "q186_simhash_neardup" -> (q186 _),
-    "q187_zorder_box" -> (q187 _)
+    "q187_zorder_box" -> (q187 _),
+    "q188_bpe_pair_counts" -> (q188 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4829,6 +4846,21 @@ object SparkEntry {
          WHERE l_quantity BETWEEN 10 AND 15
            AND l_extendedprice BETWEEN 20000 AND 30000
          GROUP BY 1""",
+    // one BPE round: word-frequency vocab, then weighted adjacent
+    // char-pair counts (the iterated trainer is sequential by nature;
+    // BpeSpec differentials it against a reference implementation)
+    "q188_bpe_pair_counts" ->
+      """WITH wd AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''),
+         v AS (SELECT w, count(*) AS n FROM wd GROUP BY 1),
+         p AS (
+           SELECT unnest([w[i] || ' ' || w[i+1]
+                          for i in generate_series(1, len(w) - 1)]) AS pair,
+                  n
+           FROM v)
+         SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p
+         GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,
