@@ -3511,14 +3511,15 @@ object SparkEntry {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
       .agg(sum(col("rev")).as("rev"))
-    val n = cust.agg(count(lit(1)).as("__n"))
-    graft.ops.GlobalRank
-      .withGlobalRowNumber(
+    // the rank pass already counts every partition — reuse its total
+    // instead of a second count aggregation + broadcast join
+    val (ranked, total) = graft.ops.GlobalRank
+      .withGlobalRowNumberTotal(
         cust,
         Seq(col("rev").desc, col("o_custkey").asc),
         "rk")
-      .crossJoin(broadcast(n))
-      .withColumn("decile", expr("(rk - 1) * 10 div __n") + 1)
+    ranked
+      .withColumn("decile", expr(s"(rk - 1) * 10 div ${total}L") + 1)
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_cust"),
@@ -4004,7 +4005,9 @@ object SparkEntry {
   private def q181(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup
       .duplicateSpans(
-        Tables.documents(s, d).select("doc_id", "text"),
+        // docs(): the tokenize→hash→window-explode projection is the
+        // CPU cost — spread the single-file corpus across cores (q14)
+        docs(s, d).select("doc_id", "text"),
         "doc_id",
         "text")
       .orderBy("doc_id", "span_start")
@@ -4021,7 +4024,7 @@ object SparkEntry {
   private def q182(s: SparkSession, d: String): DataFrame =
     graft.operators.Dedup
       .removeDuplicateSpans(
-        Tables.documents(s, d).select("doc_id", "text"),
+        docs(s, d).select("doc_id", "text"),
         "doc_id",
         "text")
       .orderBy("doc_id")

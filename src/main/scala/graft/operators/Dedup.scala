@@ -1719,12 +1719,19 @@ object Dedup {
         sequence(lit(1), size(tk) - (n - 1)),
         i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
       .otherwise(array().cast("array<bigint>"))
+    // within-doc dedup ("a gram repeated WITHIN a doc counts once") is
+    // array_distinct IN the projection — no distinct exchange; the
+    // cross-doc frequency is count-over-window on the gram hash — one
+    // keyed exchange instead of the agg + join-back pair (the
+    // mhSizedBuckets rationale: the join side would reshuffle nearly
+    // the whole exploded table anyway)
     val docGram = docs
-      .select(col(idCol), explode(grams).as("gh"))
-      .distinct() // a gram repeated WITHIN a doc counts once
-    val docFreq = docGram.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+      .select(col(idCol), explode(array_distinct(grams)).as("gh"))
     docGram
-      .join(docFreq, "gh")
+      .withColumn(
+        "ndocs",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_grams"),

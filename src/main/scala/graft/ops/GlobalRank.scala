@@ -36,7 +36,18 @@ object GlobalRank {
   def withGlobalRowNumber(
       df: DataFrame,
       sortCols: Seq[Column],
-      outName: String = "rk"): DataFrame = {
+      outName: String = "rk"): DataFrame =
+    withGlobalRowNumberTotal(df, sortCols, outName)._1
+
+  /** [[withGlobalRowNumber]] plus the TOTAL row count — already known
+    * from the offsets pass, so rank-relative consumers (deciles,
+    * percentile cuts: `(rk-1)*k div total`) get it for free instead of
+    * running their own count aggregation + broadcast join.
+    */
+  def withGlobalRowNumberTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outName: String = "rk"): (DataFrame, Long) = {
     val ranged = df
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -59,7 +70,7 @@ object GlobalRank {
     val outSchema = StructType(
       ranged.schema.fields :+ StructField(outName, LongType, nullable = false))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
-    ranged.mapPartitions { it =>
+    val ranked = ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var r = offsets(pid)
       it.map { row =>
@@ -67,5 +78,6 @@ object GlobalRank {
         Row.fromSeq(row.toSeq :+ r)
       }
     }
+    (ranked, offsets(nParts))
   }
 }
