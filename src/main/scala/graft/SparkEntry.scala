@@ -1218,6 +1218,29 @@ object SparkEntry {
       .orderBy(desc("cnt"), col("pair"))
       .limit(50)
 
+  /** Interpolated Kneser–Ney bigram LM trained on the corpus
+    * ([[graft.operators.LangModel.knBigramLm]]) — the head of the LM
+    * table (bigrams seen ≥5 times) with discounted probabilities. All
+    * counting aggregates (partial+final); B is the one driver scalar.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame =
+    graft.operators.LangModel
+      .knBigramLm(docs(s, d), "doc_id", "text")
+      .where(col("c_uw") >= 5)
+      .select(col("u"), col("w"), col("c_uw"), col("p"))
+      .orderBy("u", "w")
+
+  /** Per-document perplexity under the corpus KN bigram LM
+    * ([[graft.operators.LangModel.docPerplexity]]) — model-based
+    * quality scoring: both perplexity tails are what curation inspects.
+    * Association-order double drift (partial sums of ln p) is absorbed
+    * by the driver's 6-decimal canonicalization, q76 precedent.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame =
+    graft.operators.LangModel
+      .docPerplexity(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4370,7 +4393,9 @@ object SparkEntry {
     "q185_seeded_shuffle" -> (q185 _),
     "q186_simhash_neardup" -> (q186 _),
     "q187_zorder_box" -> (q187 _),
-    "q188_bpe_pair_counts" -> (q188 _)
+    "q188_bpe_pair_counts" -> (q188 _),
+    "q189_kn_bigram_lm" -> (q189 _),
+    "q190_doc_perplexity" -> (q190 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4864,6 +4889,55 @@ object SparkEntry {
            FROM v)
          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p
          GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""",
+    // interpolated Kneser-Ney, single discount 0.75:
+    // P(w|u) = max(c_uw - d, 0)/c_u + d*n1u/c_u * n1w/B
+    // (c_u = sum_w c_uw; n1u/n1w = distinct followers/predecessors;
+    // B = #distinct bigrams). Same counting CTEs both engines.
+    "q189_kn_bigram_lm" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''),
+         pairs AS (
+           SELECT doc_id,
+                  unnest([{'u': t[i], 'w': t[i+1]}
+                          for i in generate_series(1, len(t) - 1)]) AS pw
+           FROM tk WHERE len(t) >= 2),
+         bc AS (
+           SELECT pw.u AS u, pw.w AS w, count(*) AS c_uw
+           FROM pairs GROUP BY 1, 2),
+         cu AS (SELECT u, sum(c_uw) AS c_u, count(*) AS n1u FROM bc GROUP BY 1),
+         cw AS (SELECT w, count(*) AS n1w FROM bc GROUP BY 1),
+         bt AS (SELECT count(*) AS b FROM bc)
+         SELECT u, w, CAST(c_uw AS BIGINT) AS c_uw,
+                greatest(c_uw - 0.75, 0) / c_u
+                  + (0.75 * n1u / c_u) * (n1w / b) AS p
+         FROM bc JOIN cu USING (u) JOIN cw USING (w) CROSS JOIN bt
+         WHERE c_uw >= 5""",
+    "q190_doc_perplexity" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''),
+         pairs AS (
+           SELECT doc_id,
+                  unnest([{'u': t[i], 'w': t[i+1]}
+                          for i in generate_series(1, len(t) - 1)]) AS pw
+           FROM tk WHERE len(t) >= 2),
+         bc AS (
+           SELECT pw.u AS u, pw.w AS w, count(*) AS c_uw
+           FROM pairs GROUP BY 1, 2),
+         cu AS (SELECT u, sum(c_uw) AS c_u, count(*) AS n1u FROM bc GROUP BY 1),
+         cw AS (SELECT w, count(*) AS n1w FROM bc GROUP BY 1),
+         bt AS (SELECT count(*) AS b FROM bc),
+         lm AS (
+           SELECT u, w,
+                  greatest(c_uw - 0.75, 0) / c_u
+                    + (0.75 * n1u / c_u) * (n1w / b) AS p
+           FROM bc JOIN cu USING (u) JOIN cw USING (w) CROSS JOIN bt)
+         SELECT pairs.doc_id,
+                CAST(count(*) AS BIGINT) AS n_bigrams,
+                exp(-avg(ln(p))) AS ppl
+         FROM pairs JOIN lm ON pw.u = lm.u AND pw.w = lm.w
+         GROUP BY 1""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,

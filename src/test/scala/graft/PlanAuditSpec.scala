@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q134_psi_drift",
     "q144_quantile_drift",
     "q147_spend_pct_rank",
-    "q158_revenue_deciles",
+    // q158 pruned round 8: withGlobalRowNumberTotal removed its
+    // broadcast-total cross join
     "q164_type_drift")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
