@@ -1241,6 +1241,25 @@ object SparkEntry {
       .docPerplexity(docs(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DSIR importance weights ([[graft.operators.Dsir]], arXiv:
+    * 2302.03169): log-likelihood ratio of each raw doc under hashed
+    * bigram models of the target (doc_id < 50 — q167's bench-set
+    * convention) vs the raw corpus — the data-selection score that
+    * shifts a training mixture toward a target domain. md5 buckets so
+    * the oracle reproduces the features bit-for-bit.
+    */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    graft.operators.Dsir
+      .importanceWeights(
+        all.where(col("doc_id") >= 50),
+        all.where(col("doc_id") < 50),
+        "doc_id",
+        "text",
+        nBuckets = 1024)
+      .orderBy("doc_id")
+  }
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4395,7 +4414,8 @@ object SparkEntry {
     "q187_zorder_box" -> (q187 _),
     "q188_bpe_pair_counts" -> (q188 _),
     "q189_kn_bigram_lm" -> (q189 _),
-    "q190_doc_perplexity" -> (q190 _)
+    "q190_doc_perplexity" -> (q190 _),
+    "q191_dsir_weights" -> (q191 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4938,6 +4958,43 @@ object SparkEntry {
                 exp(-avg(ln(p))) AS ppl
          FROM pairs JOIN lm ON pw.u = lm.u AND pw.w = lm.w
          GROUP BY 1""",
+    // same md5-bucket grammar as q184/q185; Laplace alpha=1 over 1024
+    // buckets; target = doc_id < 50 (q167's bench-set convention)
+    "q191_dsir_weights" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''),
+         pairs AS (
+           SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1]
+                          for i in generate_series(1, len(t) - 1)]) AS pw
+           FROM tk WHERE len(t) >= 2),
+         bk AS (
+           SELECT doc_id,
+                  CAST(CAST(('0x' || substr(md5(pw), 1, 4)) AS BIGINT) % 1024
+                    AS INTEGER) AS bucket
+           FROM pairs),
+         rawc AS (SELECT bucket, count(*) AS c FROM bk
+                  WHERE doc_id >= 50 GROUP BY 1),
+         tgtc AS (SELECT bucket, count(*) AS c FROM bk
+                  WHERE doc_id < 50 GROUP BY 1),
+         rt AS (SELECT COALESCE(sum(c), 0) AS t FROM rawc),
+         tt AS (SELECT COALESCE(sum(c), 0) AS t FROM tgtc),
+         buckets AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(1024)),
+         ratio AS (
+           SELECT b.bucket,
+                  ln((COALESCE(tc.c, 0) + 1.0) / (tt.t + 1024.0))
+                - ln((COALESCE(rc.c, 0) + 1.0) / (rt.t + 1024.0)) AS lr
+           FROM buckets b
+           LEFT JOIN rawc rc USING (bucket)
+           LEFT JOIN tgtc tc USING (bucket)
+           CROSS JOIN rt CROSS JOIN tt),
+         docb AS (
+           SELECT doc_id, bucket, count(*) AS c FROM bk
+           WHERE doc_id >= 50 GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                sum(c * lr) AS log_w
+         FROM docb JOIN ratio USING (bucket) GROUP BY 1""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,
