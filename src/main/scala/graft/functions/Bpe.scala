@@ -73,7 +73,10 @@ object Bpe {
     val noCarry = lit(null).cast(StringType)
     val zero = struct(
       slice(symbols, 1, 0).as("acc"), // empty array<string>
-      element_at(symbols, 1).as("carry"))
+      // get(0), not element_at(symbols, 1): vocab arrays are never
+      // empty, but a user-supplied empty array must fold to itself
+      // (null carry → finish emits acc), not fail the ANSI index check
+      get(symbols, lit(0)).as("carry"))
     val rest = slice(symbols, lit(2), greatest(size(symbols) - 1, lit(0)))
     aggregate(
       rest,

@@ -54,14 +54,17 @@ object ZOrder {
 
   /** Normalize a column to `[0, 2^bits)` by linear min-max scaling.
     * `min`/`max` are plain columns (usually literals from a stats pass).
-    * Nulls and degenerate ranges (min == max) map to 0 — a constant
-    * column carries no ordering information anyway.
+    * Nulls, NaNs, and degenerate ranges (min == max) map to 0 — none
+    * carries ordering information, and under ANSI mode an unguarded
+    * NaN→long cast would fail the job instead of degrading the layout.
     */
   def normalizeToBits(c: Column, min: Column, max: Column, bits: Int): Column = {
     val span = max.cast("double") - min.cast("double")
     val top = (1L << bits) - 1
-    val scaled = ((c.cast("double") - min.cast("double")) / span) * top
-    when(c.isNull || span <= 0d, lit(0L))
+    val scaled = nanvl(
+      ((c.cast("double") - min.cast("double")) / span) * top,
+      lit(0d))
+    when(c.isNull || c.cast("double").isNaN || span <= 0d, lit(0L))
       .otherwise(least(greatest(round(scaled), lit(0d)), lit(top.toDouble)).cast("long"))
   }
 

@@ -177,7 +177,16 @@ object Stress {
     "q181_dup_spans",
     "q182_remove_dup_spans",
     "q183_expanding_fold",
-    "q185_seeded_shuffle")
+    "q185_seeded_shuffle",
+    // round-8 additions over the documents corpus: BPE merge-candidate
+    // counts (vocab-sized aggregation space grows with distinct-per-
+    // replica translation), the KN-LM perplexity pipeline (LM table
+    // ~10x — cross-replica bigrams never collide), DSIR weights (the
+    // doc_id<50 target shrinks relative to the 10x raw side — a wall-
+    // time twin, not an output-shape one)
+    "q188_bpe_pair_counts",
+    "q190_doc_perplexity",
+    "q191_dsir_weights")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -294,7 +303,11 @@ object Stress {
     val exactTwins =
       Seq("q150_exact_heavy_hitters", "q166_minhash_survivors",
         "q168_global_cumsum", "q178_distinct_scalable",
-        "q181_dup_spans", "q182_remove_dup_spans")
+        "q181_dup_spans", "q182_remove_dup_spans",
+        // q188: exact integer counts with a total-order LIMIT — bit-
+        // stable; q190/q191 stay OUT (float partial-sum association
+        // order legitimately varies with partition shape)
+        "q188_bpe_pair_counts")
     val shapes = Seq(
       (13, 8L * 1024 * 1024),   // prime partition count, small splits
       (32, 128L * 1024 * 1024)) // the default shape

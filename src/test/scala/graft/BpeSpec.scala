@@ -108,6 +108,14 @@ class BpeSpec extends AnyFunSuite {
     assert(enc == Bpe.encodeWordReference("lowest", merges))
   }
 
+  test("applyMerge on an empty symbol array is the empty array, not an error") {
+    val got = Seq(Seq.empty[String]).toDF("symbols")
+      .select(Bpe.applyMerge(col("symbols"), "a", "b").as("m"))
+      .as[Seq[String]]
+      .head()
+    assert(got == Seq.empty[String])
+  }
+
   test("trainMerges stops early when no pair reaches minCount") {
     val df = Seq("ab", "cd", "ef").toDF("text") // every pair count = 1
     val (merges, _) = Bpe.trainMerges(df, "text", nMerges = 5, minCount = 2)

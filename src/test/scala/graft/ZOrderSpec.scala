@@ -40,6 +40,10 @@ class ZOrderSpec extends AnyFunSuite {
     val const = Seq(7.0, 7.0).toDF("v")
       .select(ZOrder.normalizeToBits(col("v"), lit(7.0), lit(7.0), 4).as("n"))
     assert(const.as[Long].collect().toSeq == Seq(0L, 0L))
+    // NaN values degrade to bucket 0 instead of failing the ANSI cast
+    val nan = Seq(Double.NaN, 3.0).toDF("v")
+      .select(ZOrder.normalizeToBits(col("v"), lit(0.0), lit(10.0), 4).as("n"))
+    assert(nan.as[Long].collect().toSeq == Seq(0L, 5L))
   }
 
   test("z-ordered layout returns exactly the original rows") {
