@@ -105,6 +105,24 @@ class PropertySpec extends AnyFunSuite {
     assert(nj.distinct.size === 1)
   }
 
+  test("partition count never changes ngram-fraction or BPE pair counts") {
+    import graft.operators.Dedup
+    import graft.functions.Bpe
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val partsList = Seq(1, 7, 32)
+    // q149's count-over-window rewrite and q188's vocab aggregation are
+    // exact integer pipelines — partitioning must never matter
+    val nf = partsList.map(p =>
+      Dedup.duplicatedNgramFraction(docs.repartition(p), "doc_id", "text", 5)
+        .select("doc_id", "n_grams", "n_dup")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq)
+    assert(nf.distinct.size === 1)
+    val bp = partsList.map(p =>
+      Bpe.pairCounts(Bpe.vocab(docs.repartition(p), "text"))
+        .as[(String, String, Long)].collect().sortBy(identity).toSeq)
+    assert(bp.distinct.size === 1)
+  }
+
   test("partition count never changes time-offset rolling or cogroup results") {
     import graft.ops.{GroupApply, Windows}
     val ev = Tables.events(spark, TestSpark.sf)
