@@ -58,21 +58,38 @@ object Dsir {
       idCol: String,
       textCol: String,
       nBuckets: Int,
-      alpha: Double = 1.0): DataFrame = {
+      alpha: Double = 1.0): DataFrame =
+    distributionOfBuckets(
+      hashedBigramBuckets(docs, idCol, textCol, nBuckets),
+      nBuckets,
+      alpha)
+
+  /** [[bucketDistribution]] over an already-bucketed (id, bucket)
+    * frame — lets [[importanceWeights]] stage the raw corpus's bucket
+    * frame ONCE for both its consumers (the distribution and the
+    * per-doc counts) instead of re-running tokenize→md5 per consumer.
+    */
+  private def distributionOfBuckets(
+      bk: DataFrame,
+      nBuckets: Int,
+      alpha: Double): DataFrame = {
     require(alpha > 0, "alpha must be positive")
-    val spark = docs.sparkSession
-    val counts = hashedBigramBuckets(docs, idCol, textCol, nBuckets)
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("c"))
-    val total = counts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val spark = bk.sparkSession
+    val counts = bk.groupBy("bucket").agg(count(lit(1)).as("c"))
+    // the total stays IN the plan as a broadcast 1-row frame (same
+    // bounded-build-side shape as q33's df table): a driver .head()
+    // here would serialize an extra job wave per distribution, and the
+    // single final plan lets Catalyst reuse the counts exchange
+    val total = counts.agg(coalesce(sum("c"), lit(0L)).as("__t"))
     spark
       .range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
       .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(total))
       .select(
         col("bucket"),
         ((coalesce(col("c"), lit(0L)).cast("double") + alpha) /
-          lit(total.toDouble + alpha * nBuckets)).as("p"))
+          (col("__t").cast("double") + alpha * nBuckets)).as("p"))
   }
 
   /** Per-raw-document DSIR log importance weight. Output: (id,
@@ -85,14 +102,18 @@ object Dsir {
       textCol: String,
       nBuckets: Int = 1024,
       alpha: Double = 1.0): DataFrame = {
-    val pRaw = bucketDistribution(raw, idCol, textCol, nBuckets, alpha)
+    // two consumers of the raw bucket frame (distribution + per-doc
+    // counts) — tokenize/md5 the raw corpus once
+    val rawBk = graft.ops.Stage.materializeOnce(
+      hashedBigramBuckets(raw, idCol, textCol, nBuckets))
+    val pRaw = distributionOfBuckets(rawBk, nBuckets, alpha)
       .withColumnRenamed("p", "p_raw")
     val pTgt = bucketDistribution(target, idCol, textCol, nBuckets, alpha)
       .withColumnRenamed("p", "p_tgt")
     val ratio = pTgt
       .join(pRaw, "bucket")
       .select(col("bucket"), (log(col("p_tgt")) - log(col("p_raw"))).as("lr"))
-    hashedBigramBuckets(raw, idCol, textCol, nBuckets)
+    rawBk
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .join(ratio, "bucket")

@@ -44,7 +44,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q147_spend_pct_rank",
     // q158 pruned round 8: withGlobalRowNumberTotal removed its
     // broadcast-total cross join
-    "q164_type_drift")
+    "q164_type_drift",
+    // Dsir keeps the corpus-total scalars in-plan as broadcast 1-row
+    // frames (two of them: raw + target distributions)
+    "q191_dsir_weights")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
@@ -80,7 +83,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q148_adoption_curve",
     "q156_hybrid_rrf",
     "q158_revenue_deciles",
-    "q164_type_drift") // global 1-row max-midpoint aggregate
+    "q164_type_drift", // global 1-row max-midpoint aggregate
+    "q191_dsir_weights") // in-plan 1-row corpus-total aggregates (raw + target)
 
   private def planOf(name: String): String =
     SparkEntry
