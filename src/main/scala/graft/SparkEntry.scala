@@ -1260,6 +1260,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Exact-k weighted sample without replacement
+    * ([[graft.operators.Sampling.weightedSampleK]], Efraimidis–Spirakis):
+    * the DSIR-style resampling step — 100 documents drawn without
+    * replacement with probability pressure ∝ length(text), selection a
+    * pure function of (content, seed) so the DuckDB oracle replays the
+    * identical −ln(u)/w keys. TakeOrderedAndProject: per-partition
+    * top-k heaps, a k-row driver merge, no global sort.
+    */
+  private def q192(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .weightedSampleK(
+        Tables.documents(s, d),
+        "text",
+        length(col("text")).cast("double"),
+        k = 100,
+        seed = "r8s",
+        tieBreak = Seq(col("doc_id")))
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      .orderBy("doc_id")
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4415,7 +4435,8 @@ object SparkEntry {
     "q188_bpe_pair_counts" -> (q188 _),
     "q189_kn_bigram_lm" -> (q189 _),
     "q190_doc_perplexity" -> (q190 _),
-    "q191_dsir_weights" -> (q191 _)
+    "q191_dsir_weights" -> (q191 _),
+    "q192_weighted_sample_k" -> (q192 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -4995,6 +5016,18 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
                 sum(c * lr) AS log_w
          FROM docb JOIN ratio USING (bucket) GROUP BY 1""",
+    // replays the Efraimidis–Spirakis key bit-for-bit: same 52-bit md5
+    // uniform, same -ln(u)/w, same doc_id tiebreak at the k boundary
+    "q192_weighted_sample_k" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS w
+         FROM (
+           SELECT doc_id, text,
+                  -ln((CAST(CAST(('0x' || substr(md5(text || 'r8s'), 1, 13))
+                              AS BIGINT) AS DOUBLE) + 0.5)
+                      / 4503599627370496.0)
+                    / CAST(length(text) AS DOUBLE) AS esk
+           FROM documents WHERE length(text) > 0)
+         ORDER BY esk, doc_id LIMIT 100""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,

@@ -172,6 +172,50 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Exact-k WEIGHTED sample without replacement (Efraimidis–Spirakis,
+    * IPL 2006): each row gets key = −ln(u)/w with u a content-hash
+    * uniform, and the k SMALLEST keys are the sample — distributed
+    * one-pass, provably the sequential weighted-reservoir answer. This
+    * is the resampling step the DSIR recipe (arXiv:2302.03169 §3) runs
+    * after [[graft.operators.Dsir.importanceWeights]]: `weight =
+    * exp(log_weight)` turns importance scores into selection pressure.
+    *
+    * Determinism contract ([[keepExpr]]'s): u = (md5₅₂(content‖seed) +
+    * 0.5) / 2⁵², so the selected SET is a pure function of (content,
+    * seed, weights) — identical on any cluster size, any engine with
+    * md5 (the DuckDB oracle replays the key bit-for-bit), any rerun.
+    * No RNG, no seed-per-partition drift.
+    *
+    * Scale: the key is a narrow codegen'd projection; `orderBy.limit(k)`
+    * plans as TakeOrderedAndProject — per-partition top-k heaps + one
+    * k-row driver merge, never a global sort, never an Exchange
+    * SinglePartition. Supply `tieBreak` (a unique column) when contents
+    * can repeat, else the boundary row is run-dependent.
+    *
+    * @param weight strictly-positive column (rows with w ≤ 0 or null
+    *               are excluded — zero weight means "never sample")
+    */
+  def weightedSampleK(
+      df: DataFrame,
+      contentCol: String,
+      weight: Column,
+      k: Int,
+      seed: String = "",
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 13 hex chars = 52 bits: fits a double's mantissa exactly, so
+    // u is exact in both engines; +0.5 keeps u strictly inside (0,1)
+    val v = conv(
+      substring(md5(concat(col(contentCol), lit(seed))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    df.where(weight > 0)
+      .withColumn("__esk", -log(u) / weight)
+      .orderBy(col("__esk") +: tieBreak: _*)
+      .limit(k)
+      .drop("__esk")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. downsample
     * dominant languages, keep all of rare ones). Unlisted strata keep
     * `defaultRate`.

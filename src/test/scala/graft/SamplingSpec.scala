@@ -116,6 +116,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(nullRows(101L) === 1.0)
   }
 
+  test("weightedSampleK: exact k, partition-invariant, favors heavy weights") {
+    val rows = (1 to 400).map { i =>
+      val hot = i % 4 == 0 // every 4th doc gets 20x the weight
+      (i.toLong, s"doc body $i", if (hot) 200.0 else 10.0)
+    }
+    val df = rows.toDF("doc_id", "text", "w")
+    def ids(parts: Int): Set[Long] = Sampling
+      .weightedSampleK(
+        df.repartition(parts), "text", col("w"), k = 80, seed = "s",
+        tieBreak = Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    val sel = ids(1)
+    assert(sel.size === 80) // exactly k survive
+    assert(sel === ids(7)) // pure function of content, not partitioning
+    // 100 hot docs carry 200·100 of the 200·100+10·300 = 23k total
+    // weight (~87%); under E–S they must dominate the selection. The
+    // corpus is fixed and the draw deterministic, so this is a hard
+    // assertion, not a flaky statistical one.
+    val hotKept = sel.count(_ % 4 == 0)
+    assert(hotKept >= 55, s"only $hotKept/80 heavy docs kept")
+    // k >= n degenerates to "everything with positive weight"
+    val all = Sampling
+      .weightedSampleK(df, "text", col("w"), k = 1000, seed = "s")
+    assert(all.count() === 400L)
+    // w <= 0 / null means "never sample"
+    val guarded = Sampling.weightedSampleK(
+      df.withColumn("w", when(col("doc_id") <= 390, col("w"))),
+      "text", col("w") - 10.0, k = 1000, seed = "s")
+    assert(guarded.count() === 97L) // 100 hot minus nulled 392/396/400
+  }
+
   test("vocabulary counts match a hand computation on a tiny corpus") {
     val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
     val v = Sampling.vocabulary(df, "doc_id", "text")
