@@ -1280,6 +1280,28 @@ object SparkEntry {
       .select(col("doc_id"), length(col("text")).cast("long").as("w"))
       .orderBy("doc_id")
 
+  /** Count-Min point-frequency estimates
+    * ([[graft.operators.Sketches.cmsFrequencies]]): the third sketch
+    * next to HLL distinct (q68) and Misra–Gries top-k (q106) — "how
+    * often does THIS token occur" from an 80 KB matrix whose exchange
+    * cost never grows with the vocabulary; merge is an exact matrix
+    * sum, so partial aggregation is bit-for-bit partitioning-invariant
+    * (CountMinSpec). Rows-only by design (estimates depend on the
+    * sketch's hash family, not SQL-expressible); the spec pins the
+    * est ≥ true and est ≤ true + εN guarantees against exact counts.
+    */
+  private def q193(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketches
+      .cmsFrequencies(
+        docs(s, d).select(
+          explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+            .as("tok")),
+        "tok",
+        probes = Seq(
+          "join", "hash", "scan", "filter", "vector", "merge",
+          "column", "batch", "never-in-the-corpus"))
+      .orderBy("value")
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4436,7 +4458,8 @@ object SparkEntry {
     "q189_kn_bigram_lm" -> (q189 _),
     "q190_doc_perplexity" -> (q190 _),
     "q191_dsir_weights" -> (q191 _),
-    "q192_weighted_sample_k" -> (q192 _)
+    "q192_weighted_sample_k" -> (q192 _),
+    "q193_cms_frequencies" -> (q193 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

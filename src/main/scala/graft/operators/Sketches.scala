@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches — the 100-TB twin of exact
@@ -63,5 +65,135 @@ object Sketches {
     grouped.agg(
       hll_sketch_estimate(hll_union_agg(col(sketchCol)))
         .as("n_distinct_approx"))
+  }
+
+  // --------------------------------------------------------------------
+  // Count-Min sketch — point-FREQUENCY estimates, completing the sketch
+  // family: HLL answers "how many distinct", Misra–Gries answers "which
+  // are the heaviest", Count-Min answers "how often does THIS key occur"
+  // for any key, with state that never grows with the vocabulary.
+  // --------------------------------------------------------------------
+
+  /** Count-Min sketch buffer (Cormode & Muthukrishnan, J.Alg 2005): a
+    * depth×width counter matrix, flattened row-major. `n` is the number
+    * of inserted (non-null) items — the N in the ε·N error bound.
+    *
+    * Guarantees with width w, depth d (ε = e/w, δ = e^−d):
+    *  - NEVER undercounts: est(x) ≥ true(x) always (each row only adds)
+    *  - P[est(x) > true(x) + ε·N] ≤ δ (min over d independent rows)
+    *  - merge = elementwise matrix sum, EXACT: the merge of sketches IS
+    *    the sketch of the concatenated stream, bit-for-bit — so unlike
+    *    MG's lossy table merge, CMS partial aggregation is not just
+    *    bound-preserving but batching/partitioning INVARIANT (the spec
+    *    asserts identical estimates across partition shapes), and
+    *    per-day persisted sketches roll up losslessly.
+    *
+    * Conservative update (only bump cells that equal the current min)
+    * tightens point error but BREAKS the merge-exactness above — partial
+    * aggregation needs sum-mergeability, so this is the classic form.
+    */
+  case class CMSketch(width: Int, depth: Int, n: Long, table: Array[Long])
+
+  /** Row-j cell index of `token`: seeded MurmurHash3 — a pure function
+    * shared by insert and estimate, stable across JVMs and runs.
+    */
+  private[operators] def cmsIdx(token: String, j: Int, width: Int): Int =
+    java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(token, 0x9747b28c + j), width)
+
+  final class CountMinAgg(width: Int, depth: Int)
+      extends Aggregator[String, CMSketch, CMSketch] {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+
+    override def zero: CMSketch =
+      CMSketch(width, depth, 0L, new Array[Long](width * depth))
+
+    override def reduce(b: CMSketch, token: String): CMSketch =
+      if (token == null) b
+      else {
+        var j = 0
+        while (j < depth) {
+          b.table(j * width + cmsIdx(token, j, width)) += 1L
+          j += 1
+        }
+        CMSketch(width, depth, b.n + 1L, b.table)
+      }
+
+    override def merge(a: CMSketch, b: CMSketch): CMSketch = {
+      val t = new Array[Long](width * depth)
+      var i = 0
+      while (i < t.length) { t(i) = a.table(i) + b.table(i); i += 1 }
+      CMSketch(width, depth, a.n + b.n, t)
+    }
+
+    override def finish(r: CMSketch): CMSketch = r
+
+    override def bufferEncoder: Encoder[CMSketch] =
+      ExpressionEncoder[CMSketch]()
+    override def outputEncoder: Encoder[CMSketch] =
+      ExpressionEncoder[CMSketch]()
+  }
+
+  /** Column aggregate: CMS of a string column. The exchange carries one
+    * width·depth·8-byte matrix per partition (80 KB at the 2048×5
+    * default) — independent of vocabulary size.
+    */
+  def cmsSketchAgg(c: Column, width: Int = 2048, depth: Int = 5): Column =
+    udaf(new CountMinAgg(width, depth)).apply(c)
+
+  /** Point estimate from a finished sketch: min over rows. Driver-side
+    * twin of [[cmsEstimateUdf]] for specs.
+    */
+  def cmsPointEstimate(s: CMSketch, token: String): Long = {
+    var best = Long.MaxValue
+    var j = 0
+    while (j < s.depth) {
+      val c = s.table(j * s.width + cmsIdx(token, j, s.width))
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+
+  /** In-plan estimate over the FINISHED sketch row (a UDF is fine here:
+    * it runs on the probe-sized frame — #probes rows — never the data).
+    */
+  private def cmsEstimateUdf(width: Int, depth: Int) =
+    udf { (table: Seq[Long], token: String) =>
+      var best = Long.MaxValue
+      var j = 0
+      while (j < depth) {
+        val c = table(j * width + cmsIdx(token, j, width))
+        if (c < best) best = c
+        j += 1
+      }
+      best
+    }
+
+  /** Estimated frequencies of `probes` (optionally per key group): ONE
+    * partial+final aggregation builds the sketch — the data-sized scan —
+    * then the probe list explodes over the k-row sketch frame. Output:
+    * keys..., `value`, `est` (≥ true count, ≤ true + e/width·N w.h.p.),
+    * `n_total`.
+    */
+  def cmsFrequencies(
+      df: DataFrame,
+      valueCol: String,
+      probes: Seq[String],
+      keys: Seq[String] = Nil,
+      width: Int = 2048,
+      depth: Int = 5): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe key")
+    val grouped =
+      if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    grouped
+      .agg(
+        cmsSketchAgg(col(valueCol).cast("string"), width, depth).as("cms"),
+        count(col(valueCol)).as("n_total"))
+      .select(
+        (keys.map(col) :+ col("n_total") :+ col("cms.table").as("__t") :+
+          explode(array(probes.map(lit): _*)).as("value")): _*)
+      .withColumn("est", cmsEstimateUdf(width, depth)(col("__t"), col("value")))
+      .drop("__t")
   }
 }
