@@ -1302,6 +1302,27 @@ object SparkEntry {
           "column", "batch", "never-in-the-corpus"))
       .orderBy("value")
 
+  /** Model-based quality/domain classifier
+    * ([[graft.operators.LinearModel]]): logistic regression over
+    * md5-hashed bigram features trained IN the engine by full-batch GD
+    * (one nBuckets-bounded gradient aggregation per round, driver holds
+    * only the weight vector — the BPE driver-loop stance), then the
+    * corpus scored with one broadcast join + per-doc agg (the CCNet
+    * fastText-scoring role). Rows-only by design (iterative training
+    * is not SQL-expressible); LinearModelSpec pins an exact driver-side
+    * GD replay and separation on planted classes.
+    */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val ds = Tables.documents(s, d)
+      .withColumn("__is_en", (col("lang") === "en").cast("int"))
+    val model = graft.operators.LinearModel
+      .train(ds, "doc_id", "text", "__is_en", nBuckets = 256, rounds = 8)
+    graft.operators.LinearModel
+      .score(ds, "doc_id", "text", model)
+      .select(col("doc_id"), round(col("p"), 6).as("p"))
+      .orderBy("doc_id")
+  }
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4459,7 +4480,8 @@ object SparkEntry {
     "q190_doc_perplexity" -> (q190 _),
     "q191_dsir_weights" -> (q191 _),
     "q192_weighted_sample_k" -> (q192 _),
-    "q193_cms_frequencies" -> (q193 _)
+    "q193_cms_frequencies" -> (q193 _),
+    "q194_lr_quality_score" -> (q194 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
