@@ -1323,6 +1323,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-source weighted sampling quota
+    * ([[graft.operators.Sampling.weightedSamplePerGroup]]): 5 docs per
+    * source under length-weighted pressure — the "best-k per domain"
+    * curation pass. WindowGroupLimit pre-prunes map-side; the DuckDB
+    * oracle replays the Efraimidis–Spirakis keys and the row_number cut
+    * bit-for-bit.
+    */
+  private def q195(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .weightedSamplePerGroup(
+        Tables.documents(s, d),
+        "text",
+        length(col("text")).cast("double"),
+        groupCols = Seq(col("source")),
+        k = 5,
+        seed = "r8g",
+        tieBreak = Seq(col("doc_id")))
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("w"))
+      .orderBy("source", "doc_id")
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4481,7 +4502,8 @@ object SparkEntry {
     "q191_dsir_weights" -> (q191 _),
     "q192_weighted_sample_k" -> (q192 _),
     "q193_cms_frequencies" -> (q193 _),
-    "q194_lr_quality_score" -> (q194 _)
+    "q194_lr_quality_score" -> (q194 _),
+    "q195_group_weighted_sample" -> (q195 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5073,6 +5095,17 @@ object SparkEntry {
                     / CAST(length(text) AS DOUBLE) AS esk
            FROM documents WHERE length(text) > 0)
          ORDER BY esk, doc_id LIMIT 100""",
+    "q195_group_weighted_sample" ->
+      """SELECT source, doc_id, CAST(length(text) AS BIGINT) AS w
+         FROM (
+           SELECT source, doc_id, text,
+                  row_number() OVER (PARTITION BY source ORDER BY
+                    -ln((CAST(CAST(('0x' || substr(md5(text || 'r8g'), 1, 13))
+                                AS BIGINT) AS DOUBLE) + 0.5)
+                        / 4503599627370496.0)
+                      / CAST(length(text) AS DOUBLE), doc_id) AS rn
+           FROM documents WHERE length(text) > 0)
+         WHERE rn <= 5""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,

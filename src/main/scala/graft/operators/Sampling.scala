@@ -216,6 +216,38 @@ object Sampling {
       .drop("__esk")
   }
 
+  /** Per-GROUP weighted k-sample — the quota form of
+    * [[weightedSampleK]]: k docs per group (e.g. per source domain)
+    * drawn without replacement under weight pressure, deterministic by
+    * the same content-hash contract. Groups with fewer than k positive-
+    * weight rows keep them all.
+    *
+    * Scale: the Efraimidis–Spirakis key is a narrow projection and
+    * `row_number ≤ k` is recognized by WindowGroupLimit — map tasks
+    * pre-prune to their local per-group top-k BEFORE the exchange
+    * ([[capPerGroup]]'s argument), so the shuffle carries O(parts·k)
+    * rows per group, never the group.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      contentCol: String,
+      weight: Column,
+      groupCols: Seq[Column],
+      k: Int,
+      seed: String = "",
+      tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = conv(
+      substring(md5(concat(col(contentCol), lit(seed))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    capPerGroup(
+      df.where(weight > 0).withColumn("__esk", -log(u) / weight),
+      groupCols,
+      col("__esk") +: tieBreak,
+      k).drop("__esk")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. downsample
     * dominant languages, keep all of rare ones). Unlisted strata keep
     * `defaultRate`.

@@ -147,6 +147,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(guarded.count() === 97L) // 100 hot minus nulled 392/396/400
   }
 
+  test("weightedSamplePerGroup: per-group quota, small groups intact") {
+    val df = (1 to 90).map { i =>
+      (i.toLong, s"body $i", s"g${i % 3}", if (i % 9 == 0) 500.0 else 5.0)
+    }.toDF("doc_id", "text", "g", "w")
+    val out = Sampling
+      .weightedSamplePerGroup(
+        df, "text", col("w"), Seq(col("g")), k = 6, seed = "s",
+        tieBreak = Seq(col("doc_id")))
+      .select("g", "doc_id").as[(String, Long)].collect()
+    assert(out.length === 18)
+    assert(out.groupBy(_._1).forall(_._2.length == 6)) // 6 per group
+    // heavy docs (w=500, all in g0: ids 9,18,...,90) dominate g0's quota
+    val g0Heavy = out.filter(_._1 === "g0").count(_._2 % 9 == 0)
+    assert(g0Heavy >= 4, s"only $g0Heavy/6 heavy docs in g0's sample")
+    // a group smaller than k comes back whole
+    val tiny = Seq((1L, "a b", "x", 1.0), (2L, "c d", "x", 1.0))
+      .toDF("doc_id", "text", "g", "w")
+    assert(Sampling.weightedSamplePerGroup(
+      tiny, "text", col("w"), Seq(col("g")), k = 6).count() === 2L)
+  }
+
   test("vocabulary counts match a hand computation on a tiny corpus") {
     val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
     val v = Sampling.vocabulary(df, "doc_id", "text")
