@@ -1344,6 +1344,21 @@ object SparkEntry {
         length(col("text")).cast("long").as("w"))
       .orderBy("source", "doc_id")
 
+  /** Prototype-distance outlier scoring
+    * ([[graft.operators.Similarity.centroidCosine]]): cosine of every
+    * embedding to its label-group mean centroid — the embedding-side
+    * curation signal ("prune far-from-prototype points", SemDeDup's
+    * sibling). One (group, dim)-bounded aggregation + a broadcast of
+    * the #groups-row centroid table; the cosine itself accumulates
+    * in array order in doubles, so the DuckDB oracle reproduces it
+    * bit-for-bit before the 6-decimal round.
+    */
+  private def q196(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity
+      .centroidCosine(Tables.embeddings(s, d), "embedding", "vec_id", "label")
+      .select(col("vec_id"), col("label"), round(col("cos_c"), 6).as("cos_c"))
+      .orderBy("vec_id")
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4503,7 +4518,8 @@ object SparkEntry {
     "q192_weighted_sample_k" -> (q192 _),
     "q193_cms_frequencies" -> (q193 _),
     "q194_lr_quality_score" -> (q194 _),
-    "q195_group_weighted_sample" -> (q195 _)
+    "q195_group_weighted_sample" -> (q195 _),
+    "q196_centroid_outliers" -> (q196 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -5106,6 +5122,23 @@ object SparkEntry {
                       / CAST(length(text) AS DOUBLE), doc_id) AS rn
            FROM documents WHERE length(text) > 0)
          WHERE rn <= 5""",
+    // centroid = per-(label, dim) avg reassembled in dim order; DuckDB's
+    // list_cosine_similarity loops in the same order with double
+    // accumulators, so the values agree bit-for-bit pre-round
+    "q196_centroid_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS emb
+           FROM embeddings),
+         x AS (
+           SELECT label, unnest(emb) AS val,
+                  unnest(generate_series(1, len(emb))) AS ord
+           FROM e),
+         c AS (SELECT label, ord, avg(val) AS m FROM x GROUP BY 1, 2),
+         cent AS (
+           SELECT label, list(m ORDER BY ord) AS cvec FROM c GROUP BY 1)
+         SELECT e.vec_id, e.label,
+                round(list_cosine_similarity(e.emb, cent.cvec), 6) AS cos_c
+         FROM e JOIN cent USING (label)""",
     "q56_neardup_components" ->
       """WITH RECURSIVE norm AS (
            SELECT doc_id, n_chars,

@@ -760,4 +760,40 @@ object Similarity {
       .where(col("rank") <= k)
       .drop("rank")
   }
+
+  /** Cosine of every vector to its GROUP's mean centroid — prototype-
+    * distance scoring, the embedding-side quality/outlier signal of
+    * curation pipelines (SemDeDup's sibling use: prune points far from
+    * their cluster prototype; also "is this doc typical of its
+    * source"). Low cosine = outlier within its own group.
+    *
+    * Shape: [[ivfCentroids]]' posexplode + (group, pos) partial+final
+    * aggregation — the exchange carries groups·dim partial sums, never
+    * vectors — then the #groups-row centroid table (assembled per group
+    * by an `array_sort(collect_list(struct(pos, v)))` fold) broadcasts
+    * back onto the corpus for a narrow native-cosine projection. One
+    * data-sized exchange total; scores need no second pass.
+    *
+    * A zero vector (or zero centroid) has no direction: cosine is null
+    * for it (the native expression's contract), not 0 — matching
+    * DuckDB/NumPy NaN-vs-null conventions is the caller's concern.
+    */
+  def centroidCosine(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      groupCol: String): DataFrame = {
+    val cent = ivfCentroids(df, vecCol, groupCol)
+      .groupBy("cluster")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s("v")).as("__cent"))
+      .withColumnRenamed("cluster", groupCol)
+    df.join(broadcast(cent), Seq(groupCol))
+      .select(
+        col(idCol),
+        col(groupCol),
+        cos(df)(col(vecCol), col("__cent")).as("cos_c"))
+  }
 }

@@ -1036,6 +1036,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d === 0.0)
   }
 
+  test("centroidCosine: hand-computed centroid, outlier ranks lowest") {
+    // group 0: three vectors near +x plus one outlier near +y;
+    // group 1: a lone vector (centroid == itself → cosine 1)
+    // all components exactly representable as floats, so the replayed
+    // centroid arithmetic below is exact
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.5f)),
+      (2L, 0, Seq(1.0f, -0.5f)),
+      (3L, 0, Seq(1.0f, 0.0f)),
+      (4L, 0, Seq(0.0f, 1.0f)), // the outlier
+      (9L, 1, Seq(0.75f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity
+      .centroidCosine(df, "embedding", "vec_id", "label")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.size === 5) // row-preserving
+    // centroid of group 0 = (0.75, 0.25); replay cosines exactly
+    def cosTo(v: Seq[Double]): Double = {
+      val c = Seq(0.75, 0.25)
+      val dot = v.zip(c).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(v.map(x => x * x).sum * c.map(x => x * x).sum)
+    }
+    Seq(
+      1L -> Seq(1.0, 0.5), 2L -> Seq(1.0, -0.5),
+      3L -> Seq(1.0, 0.0), 4L -> Seq(0.0, 1.0)).foreach { case (id, v) =>
+      assert(math.abs(out(id) - cosTo(v)) < 1e-12, s"id $id")
+    }
+    assert(out(4L) === out.filterKeys(_ <= 4L).values.min) // outlier lowest
+    assert(math.abs(out(9L) - 1.0) < 1e-12) // singleton group
+  }
+
   test("int8 quantization: bounded roundtrip error, top-k recall holds") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
