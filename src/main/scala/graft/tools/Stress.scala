@@ -186,7 +186,16 @@ object Stress {
     // time twin, not an output-shape one)
     "q188_bpe_pair_counts",
     "q190_doc_perplexity",
-    "q191_dsir_weights")
+    "q191_dsir_weights",
+    // late-round-8 additions: E-S weighted sample (per-partition top-k
+    // heaps, constant output), CMS (constant sketch state — the twin
+    // whose 10x ratio SHOULD be ~scan-bound), in-engine logistic
+    // regression (fixed rounds over a 10x staged feature frame),
+    // centroid outlier scoring (group-dim-bounded agg + broadcast)
+    "q192_weighted_sample_k",
+    "q193_cms_frequencies",
+    "q194_lr_quality_score",
+    "q196_centroid_outliers")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
