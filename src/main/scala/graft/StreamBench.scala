@@ -192,6 +192,24 @@ object StreamBench {
       }
     } finally topkQ.stop()
 
+    val cmsIn = MemoryStream[(String, String)]
+    val cmsQ = graft.streaming.StreamCms
+      .cmsStream(
+        cmsIn.toDS().map(t => graft.streaming.StreamCms.KeyedValue(t._1, t._2)),
+        probes = Seq("v0", "v17", "v999"))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("graft_streambench_cms")
+      .start()
+    try timed("stream_cms", streamRows.toLong) {
+      (0 until nBatches).foreach { b =>
+        cmsIn.addData((0 until perBatch).map(i =>
+          (s"k${i % 16}", s"v${(b * perBatch + i) % 20000}")): _*)
+        cmsQ.processAllAvailable()
+      }
+    } finally cmsQ.stop()
+
     out.toSeq
   }
 

@@ -97,9 +97,27 @@ object Sketches {
   /** Row-j cell index of `token`: seeded MurmurHash3 — a pure function
     * shared by insert and estimate, stable across JVMs and runs.
     */
-  private[operators] def cmsIdx(token: String, j: Int, width: Int): Int =
+  private[graft] def cmsIdx(token: String, j: Int, width: Int): Int =
     java.lang.Math.floorMod(
       scala.util.hashing.MurmurHash3.stringHash(token, 0x9747b28c + j), width)
+
+  /** One insert — shared by the batch Aggregator's reduce and the
+    * streaming per-key state update ([[graft.streaming.StreamCms]]), so
+    * the two surfaces cannot drift: identical hash family means the
+    * streamed estimates EQUAL the batch estimates on the same rows
+    * (CMS inserts are plain additions — commutative, batch-split
+    * invariant bit-for-bit). Mutates the caller-owned table.
+    */
+  private[graft] def cmsInsert(b: CMSketch, token: String): CMSketch =
+    if (token == null) b
+    else {
+      var j = 0
+      while (j < b.depth) {
+        b.table(j * b.width + cmsIdx(token, j, b.width)) += 1L
+        j += 1
+      }
+      CMSketch(b.width, b.depth, b.n + 1L, b.table)
+    }
 
   final class CountMinAgg(width: Int, depth: Int)
       extends Aggregator[String, CMSketch, CMSketch] {
@@ -109,15 +127,7 @@ object Sketches {
       CMSketch(width, depth, 0L, new Array[Long](width * depth))
 
     override def reduce(b: CMSketch, token: String): CMSketch =
-      if (token == null) b
-      else {
-        var j = 0
-        while (j < depth) {
-          b.table(j * width + cmsIdx(token, j, width)) += 1L
-          j += 1
-        }
-        CMSketch(width, depth, b.n + 1L, b.table)
-      }
+      cmsInsert(b, token)
 
     override def merge(a: CMSketch, b: CMSketch): CMSketch = {
       val t = new Array[Long](width * depth)

@@ -537,6 +537,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS: batch-split invariant and EQUAL to the batch sketch") {
+    import spark.implicits._
+    import graft.streaming.StreamCms
+    import graft.streaming.StreamCms.KeyedValue
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // zipf-ish keyed stream: two state keys, 120 distinct values
+    val rows: Seq[(String, String)] = (0 until 1500).map { i =>
+      (if (i % 3 == 0) "a" else "b", s"v${i % 120}")
+    }
+    val probes = Seq("v0", "v7", "v119", "absent")
+
+    def streamed(name: String, chunks: Int): Map[(String, String), (Long, Long)] = {
+      val in = MemoryStream[(String, String)]
+      val q = StreamCms
+        .cmsStream(
+          in.toDS().map(t => KeyedValue(t._1, t._2)), probes, width = 512)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        rows.grouped(math.max(1, rows.size / chunks)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        spark.table(name)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3))))
+          .groupBy(_._1)
+          .map { case (k, vs) => k -> vs.last._2 } // last emission per (key, probe)
+      } finally q.stop()
+    }
+
+    val s4 = streamed("stream_cms_c4", 4)
+    val s1 = streamed("stream_cms_c1", 1)
+    // CMS inserts are plain additions: ANY batch split ends in the
+    // IDENTICAL state — exact equality, not an error envelope
+    assert(s4 === s1, "batch split changed the CMS state")
+
+    // the streamed estimates EQUAL the batch aggregation's (shared
+    // insert + hash family) — per state key
+    val batch = graft.operators.Sketches
+      .cmsFrequencies(
+        rows.toDF("key", "value"), "value", probes,
+        keys = Seq("key"), width = 512)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(1))))
+      .toMap
+    assert(s4 === batch, "streamed estimates diverge from the batch sketch")
+
+    // ground truth: exact counts for the present probes (width 512 on
+    // 120 values: overcount possible but bounded; spot-check exactness
+    // of 'absent' = 0 only if no collision — assert the bound instead)
+    val exact = rows.groupBy(identity).map { case ((k, v), g) =>
+      (k, v) -> g.size.toLong
+    }
+    probes.filter(_ != "absent").foreach { p =>
+      Seq("a", "b").foreach { k =>
+        val e = s4((k, p))._1
+        val t = exact.getOrElse((k, p), 0L)
+        assert(e >= t, s"($k,$p) undercounted")
+        assert(e <= t + math.ceil(math.E / 512 * s4((k, p))._2).toLong)
+      }
+    }
+  }
+
   test("streaming distinct: HLL state never double-counts across batches") {
     import spark.implicits._
     import graft.streaming.StreamDistinct
