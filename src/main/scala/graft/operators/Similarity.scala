@@ -790,7 +790,9 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("v")))),
           s => s("v")).as("__cent"))
       .withColumnRenamed("cluster", groupCol)
-    df.join(broadcast(cent), Seq(groupCol))
+    // LEFT join: row-preserving — a null group key (or a group that
+    // somehow produced no centroid) scores null, it does not vanish
+    df.join(broadcast(cent), Seq(groupCol), "left")
       .select(
         col(idCol),
         col(groupCol),

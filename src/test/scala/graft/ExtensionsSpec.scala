@@ -1065,6 +1065,19 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(out(4L) === out.filterKeys(_ <= 4L).values.min) // outlier lowest
     assert(math.abs(out(9L) - 1.0) < 1e-12) // singleton group
+    // null group key: row preserved, score null (posexplode also skips
+    // null vectors, so a null-vector row survives with a null score)
+    val withNull = df.unionByName(
+      Seq((7L, 0, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "label", "embedding"))
+      .withColumn("label", when(col("vec_id") === 9L, lit(null)).otherwise(col("label")))
+    val nOut = Similarity
+      .centroidCosine(withNull, "embedding", "vec_id", "label")
+      .select("vec_id", "cos_c").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(nOut.size === 6) // all six rows come back
+    assert(nOut(9L).isEmpty) // null group -> null score
+    assert(nOut(7L).isEmpty) // null vector -> null score
   }
 
   test("int8 quantization: bounded roundtrip error, top-k recall holds") {
