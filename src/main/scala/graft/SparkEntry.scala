@@ -281,6 +281,7 @@ object SparkEntry {
     mhIndexCache.clear()
     embDupIndexCache.clear()
     cdcLogCache.clear()
+    bpeMergesCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -1358,6 +1359,46 @@ object SparkEntry {
       .centroidCosine(Tables.embeddings(s, d), "embedding", "vec_id", "label")
       .select(col("vec_id"), col("label"), round(col("cos_c"), 6).as("cos_c"))
       .orderBy("vec_id")
+
+  /** End-to-end in-engine BPE tokenizer ([[graft.functions.Bpe]]):
+    * the tokenizer (24 merges) trains ONCE per data dir and is cached
+    * like the ANN indexes and the Z-order layout (a tokenizer is a
+    * once-per-corpus artifact — greedy rounds are driver-compile-bound
+    * at ~1.4 s/round, which belongs in build cost, not per-query
+    * steady state), then every document is ENCODED under the learned
+    * merges via
+    * [[graft.functions.Bpe.encodeWords]] — the VOCABULARY is merged
+    * once (staged in depth-bounded chunks) and the corpus joins
+    * against it, so per-occurrence cost is an equi-join, never a
+    * 24-deep fold — and report per-doc whitespace vs BPE token counts
+    * (the "tokens this corpus costs under MY tokenizer" accounting
+    * pass). Rows-only by design (the trained merge list is not
+    * SQL-expressible); BpeSpec pins training and application against a
+    * sequential reference.
+    */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val merges = bpeMergesCache.getOrElseUpdate(
+      d,
+      graft.functions.Bpe.trainMerges(ds, "text", nMerges = 24)._1)
+    val words = ds.select(
+      col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+        .as("w"))
+    val encoded = graft.functions.Bpe
+      .encodeWords(words, "w", merges)
+      .select(col("w"), size(col("symbols")).cast("long").as("n_sym"))
+    words
+      .join(encoded, Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
 
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
@@ -4519,7 +4560,8 @@ object SparkEntry {
     "q193_cms_frequencies" -> (q193 _),
     "q194_lr_quality_score" -> (q194 _),
     "q195_group_weighted_sample" -> (q195 _),
-    "q196_centroid_outliers" -> (q196 _)
+    "q196_centroid_outliers" -> (q196 _),
+    "q197_bpe_encode" -> (q197 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

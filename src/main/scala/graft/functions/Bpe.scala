@@ -36,9 +36,15 @@ object Bpe {
       .agg(count(lit(1)).as("n"))
       .select(splitChars(col("w")).as("symbols"), col("n"))
 
-  /** Character array of a non-empty string (1 char per element). */
+  /** Character array of a string (1 char per element). The empty
+    * guard matters: `sequence(1, 0)` infers step −1 and yields [1, 0],
+    * so an unguarded split turns "" into TWO empty symbols (latent
+    * until [[encodeWords]] met arbitrary input; `vocab`'s tokenizer
+    * never emits empty words).
+    */
   def splitChars(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    when(length(w) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
 
   /** Adjacent symbol pairs of each vocab row, weighted by word count:
     * (a, b, cnt) summed across the vocabulary — the table the next
@@ -107,6 +113,42 @@ object Bpe {
     */
   def applyMerges(symbols: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(symbols) { case (s, (a, b)) => applyMerge(s, a, b) }
+
+  /** Encode a corpus's DISTINCT words under an ordered merge list —
+    * the scale form of [[applyMerges]] for corpus-wide encoding. Two
+    * deliberate choices:
+    *
+    *  1. encode the VOCABULARY, not the token stream: each distinct
+    *     word is merged once and the corpus joins against the result
+    *     (w → symbols) — classic tokenizer-apply factoring, the
+    *     per-occurrence work is an equi-join, not a fold;
+    *  2. on this VOCAB-BOUNDED frame the merge scan is a plain Scala
+    *     UDF ([[encodeWordReference]], the same function the spec
+    *     differentials the fold against) — NOT the codegen'd
+    *     [[applyMerges]] fold: stacking tens of `aggregate`-folds in
+    *     one projection is Janino-compile-bound (measured: ~2 s per
+    *     6-merge chunk, and 24 stacked folds OOM a 4 GB driver), and
+    *     chunked staging still pays seconds of driver compile per
+    *     chunk per plan. A UDF is the documented exception exactly
+    *     here (the cmsEstimateUdf rationale): it runs over distinct
+    *     words — bounded by vocabulary, never by data — while the
+    *     data-sized path stays declarative. [[applyMerges]] remains
+    *     the right form for FEW merges inline over real row streams
+    *     ([[trainMerges]] applies one per round).
+    *
+    * @return (`w`, `symbols`) — one row per distinct word
+    */
+  def encodeWords(
+      words: DataFrame,
+      wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = udf((w: String) =>
+      if (w == null) null else encodeWordReference(w, merges))
+    words
+      .select(col(wordCol).as("w"))
+      .distinct()
+      .withColumn("symbols", enc(col("w")))
+  }
 
   /** Learn `nMerges` merges from the corpus. Returns the ordered merge
     * list and the final symbolized vocabulary (symbols, n). Stops early

@@ -122,6 +122,28 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("encodeWords equals the fold form and the reference, per distinct word") {
+    // deep merge list (the regime encodeWords exists for) over words
+    // with overlap and re-merge cases
+    val words =
+      Seq("banana", "bandana", "ananas", "nab", "b", "", "banana").toDF("w")
+    val merges = Seq(
+      ("a", "n"), ("an", "a"), ("b", "ana"), ("bana", "n"), ("n", "a"),
+      ("d", "an"), ("banan", "a"), ("na", "b"))
+    val got = Bpe.encodeWords(words, "w", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(got.size === 6) // distinct words, duplicate collapsed
+    got.foreach { case (w, syms) =>
+      assert(syms === Bpe.encodeWordReference(w, merges), s"word '$w'")
+      // fold form agrees wherever it is cheap enough to build
+      val fold = words.where(col("w") === w).limit(1)
+        .select(Bpe.applyMerges(Bpe.splitChars(col("w")), merges).as("s"))
+        .as[Seq[String]].head()
+      assert(fold === syms, s"fold diverges on '$w'")
+    }
+    assert(got("") === Seq.empty[String]) // empty word -> empty symbols
+  }
+
   test("pairCounts weights pairs by word frequency") {
     val df = (Seq.fill(3)("ab") ++ Seq.fill(2)("abc")).toDF("text")
     val got = Bpe.pairCounts(Bpe.vocab(df, "text"))
