@@ -1400,6 +1400,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Centrality-weighted canonical selection over the near-dup graph
+    * ([[graft.operators.Graph.canonicalByRank]]): q16's verified
+    * Jaccard pairs → connected components (q56's resolver) PLUS
+    * 10-round damped PageRank over the same symmetrized pair graph;
+    * per component the max-rank doc (tie → min id) is flagged
+    * canonical. Min-id survivor selection (q56/q165) is arbitrary
+    * under transitivity; rank selection keeps the most-connected
+    * version of a duplicated document — the web-corpus curation
+    * policy. Rows-only (float ranks from order-nondeterministic double
+    * sums have no stable hash; GraphSpec pins the ranks against an
+    * in-test power-iteration reference and the sum-to-1 invariant).
+    */
+  private def q198(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph
+      .canonicalByRank(q16(s, d))
+      .select(
+        col("id").as("doc_id"),
+        col("component"),
+        round(col("rank"), 9).as("rank"),
+        col("canonical"))
+      .orderBy("component", "doc_id")
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4561,7 +4583,8 @@ object SparkEntry {
     "q194_lr_quality_score" -> (q194 _),
     "q195_group_weighted_sample" -> (q195 _),
     "q196_centroid_outliers" -> (q196 _),
-    "q197_bpe_encode" -> (q197 _)
+    "q197_bpe_encode" -> (q197 _),
+    "q198_pagerank_canonical" -> (q198 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

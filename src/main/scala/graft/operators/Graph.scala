@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over pair graphs (near-dup pairs, co-occurrence
+  * edges). The reference has no graph surface at all — this extends the
+  * dedup pipeline ([[Dedup.resolveComponents]] gives WHICH docs are
+  * transitively duplicated; PageRank gives WHO should survive): min-id
+  * survivor selection is arbitrary, while rank-weighted selection keeps
+  * the most-connected (most canonical / most-replicated) version of a
+  * duplicated document — the curation policy web-corpus pipelines use
+  * for boilerplate-heavy near-dup clusters.
+  *
+  * Spark-first shape: each power-iteration round is ONE hash join
+  * (edges ⋈ ranks on `src`) plus ONE aggregation (contributions summed
+  * per `dst`) — both shuffle ON THE PAIR GRAPH ONLY, never the corpus,
+  * exactly like the component resolver. The edge frame (with
+  * out-degrees attached) is materialized once and reused by all rounds,
+  * so per-round work is |E| join probes + |E| partial-aggregated
+  * contribution rows. At 100 TB the pair graph is orders of magnitude
+  * smaller than the input; rounds are fixed (default 10), so total cost
+  * is O(iterations · |E|) with flat lineage (periodic checkpoint keeps
+  * the plan from growing with the round count).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an UNDIRECTED graph given as a pair
+    * list (each row one edge, any orientation; duplicates are dropped
+    * after symmetrization). Symmetrizing guarantees every vertex has
+    * out-degree ≥ 1, so there is no dangling-mass term — total rank
+    * stays exactly 1 per round (GraphSpec pins the invariant), which
+    * keeps the update purely declarative: no per-round driver scalar,
+    * the vertex count joins on as a broadcast 1-row aggregate.
+    *
+    * Fixed rounds rather than convergence testing: a convergence check
+    * is a per-round global L1-distance job, and curation ranking only
+    * needs the ORDER of ranks to settle — 10 damped rounds on a
+    * near-dup graph (diameter-bounded components, see
+    * [[Dedup.resolveComponents]]'s cap rationale) is already
+    * order-stable; callers that need tighter residuals pass more
+    * rounds.
+    *
+    * @param pairs      edge list; one row per pair
+    * @param iterations power-iteration rounds (each ~ one shuffle pair)
+    * @param damping    teleport factor d: rank = (1-d)/N + d·Σ in-mass
+    * @param checkpointEvery rounds between lineage truncations
+    * @return (id, rank) — one row per vertex of the pair graph, ranks
+    *         summing to 1
+    */
+  def pageRank(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(
+      damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val a = col(idA).cast("long")
+    val b = col(idB).cast("long")
+    val edges = pairs
+      .select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+    // out-degree rides along on every edge row so each round's
+    // contribution is a pure projection after the join — no second
+    // per-round join against a degree table
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .repartition(col("src"))
+      .transform(graft.ops.Stage.materializeOnce)
+    // vertex count as a 1-row frame: broadcast-crossed onto the update
+    // instead of collected — keeps the whole pipeline one lazy plan per
+    // round (and the audit-visible plans free of driver constants)
+    val nFrame = graft.ops.Stage.materializeOnce(
+      withDeg.select(countDistinct(col("src")).as("n")))
+    var ranks = withDeg
+      .select(col("src").as("id"))
+      .distinct()
+      .crossJoin(broadcast(nFrame))
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+      .transform(graft.ops.Stage.materializeOnce)
+    var round = 0
+    while (round < iterations) {
+      val next = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id")
+        .agg(sum("c").as("in_mass"))
+        .crossJoin(broadcast(nFrame))
+        .select(
+          col("id"),
+          ((lit(1.0) - damping) / col("n") + lit(damping) * col("in_mass"))
+            .as("rank"))
+      round += 1
+      // symmetrized graph ⇒ every vertex has an in-edge ⇒ `next` covers
+      // all vertices; no outer join against the vertex set needed
+      ranks =
+        if (round % checkpointEvery == 0 || round == iterations)
+          graft.ops.Stage.materializeOnce(next)
+        else next
+    }
+    ranks
+  }
+
+  /** Rank-weighted survivor selection: given near-dup PAIRS, resolve
+    * transitive components AND rank vertices, then mark per component
+    * the max-rank member (ties broken on min id — deterministic) as
+    * canonical. Returns every vertex of the pair graph:
+    * (id, component, rank, canonical).
+    *
+    * This replaces [[Dedup.resolveComponents]]' min-id survivor policy
+    * with a centrality policy; the component column is identical, so
+    * [[Dedup.dedupByComponents]]-style corpus filtering composes
+    * unchanged (anti-join the non-canonical ids).
+    */
+  def canonicalByRank(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pairs feed BOTH the component resolver and the rank iteration —
+    // materialize once or the pair-generation pipeline runs twice
+    val staged = graft.ops.Stage.materializeOnce(pairs)
+    val comps = Dedup.resolveComponentsAuto(staged, idA, idB)
+    val ranks = pageRank(staged, idA, idB, iterations, damping)
+    val w = Window
+      .partitionBy("component")
+      .orderBy(col("rank").desc, col("id").asc)
+    comps
+      .join(ranks, Seq("id"))
+      .withColumn("canonical", row_number().over(w) === 1)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank pinned against a sequential power-iteration reference on
+  * planted graphs, plus the structural invariants the operator's
+  * declarative update relies on (mass conservation on symmetrized
+  * graphs, per-component independence, centrality ordering).
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Sequential fixed-iteration PageRank, same scheme as the operator:
+    * symmetrize, init 1/N, rank' = (1-d)/N + d·Σ rank(src)/deg(src).
+    */
+  private def refPageRank(
+      edges: Seq[(Long, Long)],
+      iters: Int,
+      d: Double): Map[Long, Double] = {
+    val sym = (edges ++ edges.map { case (a, b) => (b, a) }).distinct
+    val nodes = sym.map(_._1).distinct
+    val n = nodes.size.toDouble
+    val out = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = sym
+        .groupBy(_._2)
+        .map { case (v, es) =>
+          v -> es.map { case (s, _) => r(s) / out(s) }.sum
+        }
+      r = nodes.map(v => v -> ((1 - d) / n + d * in(v))).toMap
+    }
+    r
+  }
+
+  private def ranksOf(
+      edges: Seq[(Long, Long)],
+      iters: Int = 10,
+      damping: Double = 0.85): Map[Long, Double] =
+    Graph
+      .pageRank(edges.toDF("id_a", "id_b"), iterations = iters,
+        damping = damping)
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+
+  // chain + triangle + an isolated pair: components of distinct shapes
+  private val planted: Seq[(Long, Long)] =
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L))
+
+  test("ranks match the sequential reference on a planted multi-component graph") {
+    val got = ranksOf(planted)
+    val want = refPageRank(planted, 10, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"vertex $v: $r vs ${want(v)}")
+    }
+  }
+
+  test("total rank is conserved at exactly 1 (no dangling mass after symmetrization)") {
+    val got = ranksOf(planted, iters = 7)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("star center outranks every leaf; leaves tie") {
+    val star = (2L to 9L).map(l => (1L, l))
+    val got = ranksOf(star)
+    val leaves = (2L to 9L).map(got)
+    assert(leaves.forall(l => got(1L) > l))
+    assert(leaves.forall(l => math.abs(l - leaves.head) < 1e-12))
+  }
+
+  test("duplicate and reversed input pairs do not change the graph") {
+    val noisy = planted ++ planted.map { case (a, b) => (b, a) } ++ planted
+    val got = ranksOf(noisy)
+    val want = ranksOf(planted)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12) }
+  }
+
+  test("canonicalByRank flags exactly one max-rank survivor per component") {
+    val rows = Graph
+      .canonicalByRank(planted.toDF("id_a", "id_b"))
+      .select("id", "component", "rank", "canonical")
+      .as[(Long, Long, Double, Boolean)]
+      .collect()
+    val byComp = rows.groupBy(_._2)
+    assert(byComp.keySet === Set(1L, 10L, 20L)) // min-id component labels
+    byComp.foreach { case (comp, members) =>
+      val canon = members.filter(_._4)
+      assert(canon.length === 1, s"component $comp")
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(canon.head._1 === best._1, s"component $comp survivor")
+    }
+    // chain 1-2-3-4: middle vertices outrank endpoints, survivor is the
+    // min-id middle vertex (2), NOT min-id overall (1) — the policy
+    // difference vs resolveComponents' survivor
+    assert(byComp(1L).filter(_._4).head._1 === 2L)
+  }
+}
