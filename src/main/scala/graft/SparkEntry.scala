@@ -1403,9 +1403,11 @@ object SparkEntry {
   /** Centrality-weighted canonical selection over the near-dup graph
     * ([[graft.operators.Graph.canonicalByRank]]): q16's verified
     * Jaccard pairs → connected components (q56's resolver) PLUS
-    * 10-round damped PageRank over the same symmetrized pair graph;
-    * per component the max-rank doc (tie → min id) is flagged
-    * canonical. Min-id survivor selection (q56/q165) is arbitrary
+    * 10-round damped PageRank over the same symmetrized pair graph,
+    * Jaccard-WEIGHTED (a 0.95-dup neighbor pulls more canonical mass
+    * than a borderline 0.2 one); per component the max-rank doc (tie →
+    * min id) is flagged canonical. Min-id survivor selection (q56/
+    * q165) is arbitrary
     * under transitivity; rank selection keeps the most-connected
     * version of a duplicated document — the web-corpus curation
     * policy. Rows-only (float ranks from order-nondeterministic double
@@ -1414,7 +1416,7 @@ object SparkEntry {
     */
   private def q198(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph
-      .canonicalByRank(q16(s, d))
+      .canonicalByRank(q16(s, d), weightCol = Some("jaccard"))
       .select(
         col("id").as("doc_id"),
         col("component"),

@@ -45,6 +45,14 @@ object Graph {
     * @param iterations power-iteration rounds (each ~ one shuffle pair)
     * @param damping    teleport factor d: rank = (1-d)/N + d·Σ in-mass
     * @param checkpointEvery rounds between lineage truncations
+    * @param weightCol  optional edge-weight column (e.g. the pair's
+    *                   Jaccard): a vertex splits its rank over
+    *                   neighbors ∝ weight instead of uniformly, so a
+    *                   0.95-dup neighbor pulls more canonical mass
+    *                   than a borderline 0.2 one. Duplicate (src, dst)
+    *                   rows keep the max weight; weights must be > 0
+    *                   (the normalizer is Σ weight per vertex). None =
+    *                   unweighted (all edges weight 1).
     * @return (id, rank) — one row per vertex of the pair graph, ranks
     *         summing to 1
     */
@@ -54,22 +62,26 @@ object Graph {
       idB: String = "id_b",
       iterations: Int = 10,
       damping: Double = 0.85,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(
       damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
     val a = col(idA).cast("long")
     val b = col(idB).cast("long")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val edges = pairs
-      .select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
-      .distinct()
-    // out-degree rides along on every edge row so each round's
+      .select(a.as("src"), b.as("dst"), w.as("w"))
+      .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
+      .groupBy("src", "dst")
+      .agg(max(col("w")).as("w"))
+    // the per-vertex normalizer (Σ outgoing weight; plain degree when
+    // unweighted) rides along on every edge row so each round's
     // contribution is a pure projection after the join — no second
     // per-round join against a degree table
     val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .join(edges.groupBy("src").agg(sum(col("w")).as("deg")), Seq("src"))
       .repartition(col("src"))
       .transform(graft.ops.Stage.materializeOnce)
     // vertex count as a 1-row frame: broadcast-crossed onto the update
@@ -87,7 +99,9 @@ object Graph {
     while (round < iterations) {
       val next = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .select(
+          col("dst").as("id"),
+          (col("rank") * col("w") / col("deg")).as("c"))
         .groupBy("id")
         .agg(sum("c").as("in_mass"))
         .crossJoin(broadcast(nFrame))
@@ -122,13 +136,15 @@ object Graph {
       idA: String = "id_a",
       idB: String = "id_b",
       iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // pairs feed BOTH the component resolver and the rank iteration —
     // materialize once or the pair-generation pipeline runs twice
     val staged = graft.ops.Stage.materializeOnce(pairs)
     val comps = Dedup.resolveComponentsAuto(staged, idA, idB)
-    val ranks = pageRank(staged, idA, idB, iterations, damping)
+    val ranks =
+      pageRank(staged, idA, idB, iterations, damping, weightCol = weightCol)
     val w = Window
       .partitionBy("component")
       .orderBy(col("rank").desc, col("id").asc)

@@ -82,6 +82,56 @@ class GraphSpec extends AnyFunSuite {
     got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12) }
   }
 
+  /** Weighted sequential reference: contribution ∝ edge weight over the
+    * vertex's total outgoing weight.
+    */
+  private def refWeighted(
+      edges: Seq[(Long, Long, Double)],
+      iters: Int,
+      d: Double): Map[Long, Double] = {
+    val sym = (edges ++ edges.map { case (a, b, w) => (b, a, w) })
+      .groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).max) }
+      .toSeq
+    val nodes = sym.map(_._1).distinct
+    val n = nodes.size.toDouble
+    val out = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = sym
+        .groupBy(_._2)
+        .map { case (v, es) =>
+          v -> es.map { case (s, _, w) => r(s) * w / out(s) }.sum
+        }
+      r = nodes.map(v => v -> ((1 - d) / n + d * in(v))).toMap
+    }
+    r
+  }
+
+  test("weighted ranks match the weighted reference and conserve mass") {
+    val weighted: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 0.9), (2L, 3L, 0.2), (3L, 4L, 0.6), (1L, 3L, 0.4),
+        (10L, 11L, 1.0))
+    val got = Graph
+      .pageRank(
+        weighted.toDF("id_a", "id_b", "jaccard"),
+        iterations = 10,
+        weightCol = Some("jaccard"))
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    val want = refWeighted(weighted, 10, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"vertex $v: $r vs ${want(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // weighting matters: vertex 2 (strong 0.9 tie to hub 1) must differ
+    // from its unweighted rank
+    val unweighted = ranksOf(weighted.map(e => (e._1, e._2)))
+    assert(math.abs(got(2L) - unweighted(2L)) > 1e-6)
+  }
+
   test("canonicalByRank flags exactly one max-rank survivor per component") {
     val rows = Graph
       .canonicalByRank(planted.toDF("id_a", "id_b"))
