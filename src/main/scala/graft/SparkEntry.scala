@@ -333,6 +333,27 @@ object SparkEntry {
       bandBits = 4,
       sourceTag = d)
 
+  /** q18's probe at MULTI-PROBE radius 1
+    * ([[graft.operators.Similarity.lshProbeIndex]] `probeRadius`):
+    * each band also reads the buckets one bit-flip away from the
+    * query's key — recall rises on the SAME persisted index (more hash
+    * tables would instead multiply index storage/build — the wrong
+    * trade at 100 TB). Reads bands·(1+bandBits) = 20 pruned bucket
+    * directories instead of 4. Rows-only (approximate by design);
+    * ExtensionsSpec pins the candidate set to the exact Hamming-ball
+    * predicate and its ⊇-monotonicity in radius.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame =
+    Similarity.lshProbeIndex(
+      s,
+      lshIndex(s, d),
+      queryVec(s, d),
+      k = 10,
+      nBits = 16,
+      bandBits = 4,
+      sourceTag = d,
+      probeRadius = 1)
+
   /** Token-count / punctuation / digit stats per document. */
   private def q19(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
@@ -4586,7 +4607,8 @@ object SparkEntry {
     "q195_group_weighted_sample" -> (q195 _),
     "q196_centroid_outliers" -> (q196 _),
     "q197_bpe_encode" -> (q197 _),
-    "q198_pagerank_canonical" -> (q198 _)
+    "q198_pagerank_canonical" -> (q198 _),
+    "q199_lsh_multiprobe" -> (q199 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -1226,6 +1226,53 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH: candidates are EXACTLY the Hamming-ball matches, monotone in radius") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val path = System.getProperty("java.io.tmpdir") + "/graft-lsh-mp-spec"
+    Similarity.lshWriteIndex(emb, "embedding", "vec_id", path)
+    val n = emb.count().toInt
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    // ground truth from the same signature expression: vector v is a
+    // radius-r candidate iff SOME band's 4-bit key is within Hamming r
+    // of the query's key for that band
+    val sigs = emb.select(
+        col("vec_id"),
+        graft.functions.VectorFunctions
+          .hyperplaneSignature(col("embedding"), 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val qSig = sigs(0L)
+    def bandKey(sig: Long, b: Int): Int = ((sig >> (b * 4)) & 15L).toInt
+    def ballMatch(sig: Long, r: Int): Boolean = (0 until 4).exists { b =>
+      Integer.bitCount(bandKey(sig, b) ^ bandKey(qSig, b)) <= r
+    }
+    def candidates(r: Int): Set[Long] = Similarity
+      .lshProbeIndex(spark, path, qv, k = n, probeRadius = r)
+      .select("id").as[Long].collect().toSet
+
+    val c0 = candidates(0)
+    val c1 = candidates(1)
+    assert(c0 === sigs.filter { case (_, s) => ballMatch(s, 0) }.keySet)
+    assert(c1 === sigs.filter { case (_, s) => ballMatch(s, 1) }.keySet)
+    assert(c0.subsetOf(c1), "radius widening must never lose a candidate")
+    // radius = bandBits covers every bucket of every band → whole corpus
+    assert(candidates(4).size === n)
+
+    // batch probe agrees with the single probe at the same radius
+    val queries = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val many = Similarity
+      .lshProbeIndexMany(spark, path, queries, "qv", "qid", k = n,
+        probeRadius = 1)
+      .select("id").as[Long].collect().toSet
+    assert(many === c1)
+
+    intercept[IllegalArgumentException] {
+      Similarity.lshProbeIndex(spark, path, qv, k = 3, probeRadius = 5)
+    }
+  }
+
   test("many-query IVF index probe: each query finds itself first") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val path = System.getProperty("java.io.tmpdir") + "/graft-ivf-many-spec"
