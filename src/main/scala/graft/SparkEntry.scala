@@ -1405,19 +1405,27 @@ object SparkEntry {
     val merges = bpeMergesCache.getOrElseUpdate(
       d,
       graft.functions.Bpe.trainMerges(ds, "text", nMerges = 24)._1)
-    val words = ds.select(
-      col("doc_id"),
-      explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
-        .as("w"))
+    // pre-aggregated (doc, word) counts, staged ONCE: the frame feeds
+    // both the vocab-encode side and the join back — without this the
+    // corpus tokenize+explode pipeline executes twice, and the join
+    // carries one row per OCCURRENCE instead of per distinct (doc, word)
+    val wordCounts = ds
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.ops.Stage.materializeOnce)
     val encoded = graft.functions.Bpe
-      .encodeWords(words, "w", merges)
+      .encodeWords(wordCounts, "w", merges)
       .select(col("w"), size(col("symbols")).cast("long").as("n_sym"))
-    words
+    wordCounts
       .join(encoded, Seq("w"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_words"),
-        sum("n_sym").as("n_bpe_tokens"))
+        sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 

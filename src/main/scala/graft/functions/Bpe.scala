@@ -147,6 +147,12 @@ object Bpe {
     words
       .select(col(wordCol).as("w"))
       .distinct()
+      // EXPLICIT repartition: the distinct vocab frame is tiny in bytes,
+      // so AQE coalesces it to ONE partition — and then the merge-scan
+      // UDF (whose cost AQE cannot see) runs single-threaded (profiled:
+      // a 2.6 s 1-task stage dominating q197). A user-specified count is
+      // exempt from AQE coalescing, so the encode parallelizes.
+      .repartition(words.sparkSession.sparkContext.defaultParallelism)
       .withColumn("symbols", enc(col("w")))
   }
 
