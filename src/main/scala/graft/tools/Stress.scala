@@ -195,7 +195,18 @@ object Stress {
     "q192_weighted_sample_k",
     "q193_cms_frequencies",
     "q194_lr_quality_score",
-    "q196_centroid_outliers")
+    "q196_centroid_outliers",
+    // end-of-round-8 additions: corpus BPE encode (vocab grows ~10x —
+    // distinct-per-replica translation makes every replica's words new
+    // — so BOTH the trained tokenizer and the encode join scale),
+    // PageRank canonical selection (pair graph ~10x: intra-replica
+    // Jaccards preserved, cross-replica shingles never collide — the
+    // iterative join/agg rounds see 10x edges), multi-probe LSH (the
+    // probe reads 20 bucket dirs of a 10x index — should stay
+    // ~constant-ish like the other probe twins)
+    "q197_bpe_encode",
+    "q198_pagerank_canonical",
+    "q199_lsh_multiprobe")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
