@@ -120,6 +120,63 @@ object Graph {
     ranks
   }
 
+  /** [[pageRank]] with a driver short-circuit under `driverCap` edges
+    * (the [[Dedup.resolveComponentsAuto]] stance): 10 distributed
+    * rounds of join+agg each cost ~100 ms of fixed job overhead, which
+    * DOMINATES on an oracle-scale pair graph — a graph whose edge list
+    * fits comfortably on the driver iterates there in microseconds —
+    * same symmetrize / max-weight dedup / damped update, agreeing with
+    * the distributed rounds to float-summation reassociation (~1e-12;
+    * GraphSpec pins both paths to the reference). Over-cap graphs pay
+    * one partial scan (limit cap+1) and take the distributed path —
+    * the 100-TB posture is unchanged.
+    */
+  def pageRankAuto(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      weightCol: Option[String] = None,
+      driverCap: Int = 200000): DataFrame = {
+    val spark = pairs.sparkSession
+    if (driverCap <= 0)
+      return pageRank(pairs, idA, idB, iterations, damping,
+        weightCol = weightCol)
+    val head = pairs
+      .select(
+        col(idA).cast("long"),
+        col(idB).cast("long"),
+        weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)))
+      .limit(driverCap + 1)
+      .collect()
+    if (head.length > driverCap)
+      return pageRank(pairs, idA, idB, iterations, damping,
+        weightCol = weightCol)
+    val sym = head.iterator
+      .flatMap { r =>
+        val (a, b, w) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Iterator((a, b) -> w, (b, a) -> w)
+      }
+      .toSeq
+      .groupBy(_._1)
+      .map { case (e, ws) => (e._1, e._2, ws.map(_._2).max) }
+      .toSeq
+    val nodes = sym.map(_._1).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    val inEdges = sym.groupBy(_._2)
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iterations).foreach { _ =>
+      r = nodes.map { v =>
+        val in = inEdges(v).map { case (s, _, w) => r(s) * w / out(s) }.sum
+        v -> ((1.0 - damping) / n + damping * in)
+      }.toMap
+    }
+    import spark.implicits._
+    nodes.map(v => (v, r(v))).toDF("id", "rank")
+  }
+
   /** Rank-weighted survivor selection: given near-dup PAIRS, resolve
     * transitive components AND rank vertices, then mark per component
     * the max-rank member (ties broken on min id — deterministic) as
@@ -144,7 +201,8 @@ object Graph {
     val staged = graft.ops.Stage.materializeOnce(pairs)
     val comps = Dedup.resolveComponentsAuto(staged, idA, idB)
     val ranks =
-      pageRank(staged, idA, idB, iterations, damping, weightCol = weightCol)
+      pageRankAuto(staged, idA, idB, iterations, damping,
+        weightCol = weightCol)
     val w = Window
       .partitionBy("component")
       .orderBy(col("rank").desc, col("id").asc)

@@ -132,6 +132,28 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - unweighted(2L)) > 1e-6)
   }
 
+  test("pageRankAuto: driver path == distributed path == reference, both sides of the cap") {
+    val weighted: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 0.9), (2L, 3L, 0.2), (3L, 4L, 0.6), (1L, 3L, 0.4),
+        (10L, 11L, 1.0))
+    val df = weighted.toDF("id_a", "id_b", "jaccard")
+    val want = refWeighted(weighted, 10, 0.85)
+    // driverCap large → driver loop; driverCap 0 → distributed always;
+    // driverCap 3 (< 5 edges) → over-cap fallback to distributed
+    Seq(200000, 0, 3).foreach { cap =>
+      val got = Graph
+        .pageRankAuto(df, iterations = 10, weightCol = Some("jaccard"),
+          driverCap = cap)
+        .as[(Long, Double)]
+        .collect()
+        .toMap
+      assert(got.keySet === want.keySet, s"cap=$cap")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-9, s"cap=$cap vertex $v")
+      }
+    }
+  }
+
   test("canonicalByRank flags exactly one max-rank survivor per component") {
     val rows = Graph
       .canonicalByRank(planted.toDF("id_a", "id_b"))
