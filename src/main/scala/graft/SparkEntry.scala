@@ -1453,6 +1453,49 @@ object SparkEntry {
         col("canonical"))
       .orderBy("component", "doc_id")
 
+  /** Temperature-scaled sampling SCHEDULE (the α-mixing standard from
+    * multilingual/pretraining recipes — q96's uniform-target reweight
+    * is one extreme, proportional sampling the other; α between them):
+    * per-source weight ∝ share^α (α = 0.5, so `sqrt` — correctly
+    * rounded IEEE in both engines, unlike libm `pow`), normalized,
+    * then a token budget converts weights into per-source sampled
+    * token masses and EPOCH counts (sampled/own — the "how many times
+    * does low-resource source X repeat under this schedule" number
+    * that decides curation). Same plan shape as q96: one partial+final
+    * agg to #sources rows, windows over that tiny aggregate (source
+    * cardinality bounds the single partition — fine at 100 TB).
+    */
+  private def q200(sess: SparkSession, d: String): DataFrame = {
+    val budget = 10000000L // target tokens drawn under the schedule
+    val wAll = Window.partitionBy()
+    Tables
+      .documents(sess, d)
+      .groupBy(col("source"))
+      .agg(
+        sum(
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll))
+          .as("share"))
+      .withColumn("w_raw", sqrt(col("share")))
+      .withColumn("weight", col("w_raw") / sum(col("w_raw")).over(wAll))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("weight"), 6).as("weight"),
+        round(lit(budget.toDouble) * col("weight"), 2)
+          .as("sampled_tokens"),
+        round(
+          lit(budget.toDouble) * col("weight") /
+            col("n_tokens").cast("double"),
+          6).as("epochs"))
+      .orderBy("source")
+  }
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4616,7 +4659,8 @@ object SparkEntry {
     "q196_centroid_outliers" -> (q196 _),
     "q197_bpe_encode" -> (q197 _),
     "q198_pagerank_canonical" -> (q198 _),
-    "q199_lsh_multiprobe" -> (q199 _)
+    "q199_lsh_multiprobe" -> (q199 _),
+    "q200_mixture_schedule" -> (q200 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -6749,6 +6793,28 @@ object SparkEntry {
          FROM tk
          LEFT JOIN agg USING (doc_id)
          LEFT JOIN kept ON kept.doc_id = tk.doc_id
-         ORDER BY tk.doc_id"""
+         ORDER BY tk.doc_id""",
+    "q200_mixture_schedule" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         s AS (
+           SELECT source, n_tokens,
+             CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+           FROM t),
+         w AS (
+           SELECT source, n_tokens, share,
+             sqrt(share) / sum(sqrt(share)) OVER () AS weight
+           FROM s)
+         SELECT source, n_tokens,
+           round(share, 6) AS share,
+           round(weight, 6) AS weight,
+           round(10000000.0 * weight, 2) AS sampled_tokens,
+           round(10000000.0 * weight / n_tokens, 6) AS epochs
+         FROM w
+         ORDER BY source"""
   )
 }

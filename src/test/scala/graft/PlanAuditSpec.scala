@@ -85,7 +85,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q158_revenue_deciles",
     "q164_type_drift", // global 1-row max-midpoint aggregate
     "q191_dsir_weights", // in-plan 1-row corpus-total aggregates (raw + target)
-    "q193_cms_frequencies") // global CMS agg: partials are 80 KB matrices, final is 1 row
+    "q193_cms_frequencies", // global CMS agg: partials are 80 KB matrices, final is 1 row
+    "q200_mixture_schedule") // q96's shape: windows over the #sources-row aggregate
 
   private def planOf(name: String): String =
     SparkEntry
