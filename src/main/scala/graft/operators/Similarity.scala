@@ -391,9 +391,12 @@ object Similarity {
         col("query_id"),
         col("qv"),
         col("e.band"),
+        // XOR against distinct masks is injective, so the probed
+        // (band, bk) keys are distinct by construction — no dedup
+        // (an aggregate here would put an exchange in front of the
+        // broadcast for nothing)
         explode(array(masks.map(m => col("e.bk").bitwiseXOR(lit(m))): _*))
           .as("bk"))
-      .dropDuplicates("query_id", "band", "bk")
     VectorExpressions.register(spark)
     val scored = spark.read
       .parquet(path)
