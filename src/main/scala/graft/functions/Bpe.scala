@@ -191,7 +191,15 @@ object Bpe {
   def encodeWordReference(
       word: String,
       merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString)
+    // split by CODE POINTS, not UTF-16 code units: [[splitChars]]
+    // (Spark `substr`) counts code points, so a non-BMP char (emoji)
+    // is ONE symbol there — `word.map(_.toString)` would shatter it
+    // into two lone surrogates and diverge from training
+    var syms: Seq[String] = word
+      .codePoints()
+      .toArray
+      .toSeq
+      .map(cp => new String(Character.toChars(cp)))
     merges.foreach { case (a, b) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0

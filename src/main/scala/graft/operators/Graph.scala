@@ -68,14 +68,21 @@ object Graph {
     require(
       damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val a = col(idA).cast("long")
-    val b = col(idB).cast("long")
+    // ids stay their source type (only equi-joins touch them — string
+    // doc ids work exactly as resolveComponents' do; a numeric cast
+    // here would throw under ANSI on non-numeric ids for no benefit)
+    val a = col(idA)
+    val b = col(idB)
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val edges = pairs
-      .select(a.as("src"), b.as("dst"), w.as("w"))
-      .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
-      .groupBy("src", "dst")
-      .agg(max(col("w")).as("w"))
+    // staged BEFORE the degree self-join: edges feeds both sides, and
+    // an un-staged expensive pair pipeline would execute twice (the
+    // resolveComponents edge-staging rationale)
+    val edges = graft.ops.Stage.materializeOnce(
+      pairs
+        .select(a.as("src"), b.as("dst"), w.as("w"))
+        .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
+        .groupBy("src", "dst")
+        .agg(max(col("w")).as("w")))
     // the per-vertex normalizer (Σ outgoing weight; plain degree when
     // unweighted) rides along on every edge row so each round's
     // contribution is a pure projection after the join — no second
@@ -139,8 +146,23 @@ object Graph {
       damping: Double = 0.85,
       weightCol: Option[String] = None,
       driverCap: Int = 200000): DataFrame = {
+    // validate HERE too: the argument contract must not depend on which
+    // side of the size cap a graph lands on
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(
+      damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
-    if (driverCap <= 0)
+    // non-integral ids take the distributed path (its joins are
+    // type-generic); the driver loop's LongMap state is not — the
+    // resolveComponentsAuto guard, same rationale
+    val integral = Seq(idA, idB).forall(c =>
+      pairs.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    if (!integral || driverCap <= 0)
       return pageRank(pairs, idA, idB, iterations, damping,
         weightCol = weightCol)
     val head = pairs

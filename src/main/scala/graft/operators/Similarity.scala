@@ -304,7 +304,18 @@ object Similarity {
   private def hammingMasks(bits: Int, radius: Int): Seq[Int] = {
     require(radius >= 0 && radius <= bits,
       s"probe radius must be in [0, $bits], got $radius")
-    (0 until (1 << bits)).filter(Integer.bitCount(_) <= radius)
+    if (radius == 0) Seq(0)
+    else {
+      // `1 << bits` overflows at 31 and a full-range popcount scan is
+      // 2^bits driver work — enumerate bit-position combinations
+      // instead (Σ C(bits, r) masks, the ball size itself)
+      require(bits <= 30, s"multi-probe supports bandBits <= 30, got $bits")
+      def combs(start: Int, left: Int): Seq[Int] =
+        if (left == 0) Seq(0)
+        else (start until bits).flatMap(p =>
+          combs(p + 1, left - 1).map(_ | (1 << p)))
+      (0 to radius).flatMap(r => combs(0, r)).distinct
+    }
   }
 
   /** Probe a persisted [[lshWriteIndex]] layout: the query signature is

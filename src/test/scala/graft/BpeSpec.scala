@@ -125,14 +125,19 @@ class BpeSpec extends AnyFunSuite {
   test("encodeWords equals the fold form and the reference, per distinct word") {
     // deep merge list (the regime encodeWords exists for) over words
     // with overlap and re-merge cases
+    // the non-BMP word pins code-POINT splitting: the reference scan
+    // must see the emoji as ONE symbol, as splitChars (Spark substr,
+    // code-point indexed) does — UTF-16 .map(_.toString) would shatter
+    // it into two lone surrogates and diverge from the fold form
     val words =
-      Seq("banana", "bandana", "ananas", "nab", "b", "", "banana").toDF("w")
+      Seq("banana", "bandana", "ananas", "nab", "b", "", "banana",
+        "🙂ab").toDF("w")
     val merges = Seq(
       ("a", "n"), ("an", "a"), ("b", "ana"), ("bana", "n"), ("n", "a"),
       ("d", "an"), ("banan", "a"), ("na", "b"))
     val got = Bpe.encodeWords(words, "w", merges)
       .as[(String, Seq[String])].collect().toMap
-    assert(got.size === 6) // distinct words, duplicate collapsed
+    assert(got.size === 7) // distinct words, duplicate collapsed
     got.foreach { case (w, syms) =>
       assert(syms === Bpe.encodeWordReference(w, merges), s"word '$w'")
       // fold form agrees wherever it is cheap enough to build

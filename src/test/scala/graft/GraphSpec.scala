@@ -154,6 +154,20 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("string ids rank identically to their long twins (auto falls back to the distributed path)") {
+    val byName = planted.map { case (a, b) => (s"doc-$a", s"doc-$b") }
+    val got = Graph
+      .pageRankAuto(byName.toDF("id_a", "id_b"), iterations = 10)
+      .as[(String, Double)]
+      .collect()
+      .toMap
+    val want = refPageRank(planted, 10, 0.85)
+    assert(got.keySet === want.keySet.map(v => s"doc-$v"))
+    want.foreach { case (v, r) =>
+      assert(math.abs(got(s"doc-$v") - r) < 1e-9, s"vertex doc-$v")
+    }
+  }
+
   test("canonicalByRank flags exactly one max-rank survivor per component") {
     val rows = Graph
       .canonicalByRank(planted.toDF("id_a", "id_b"))
