@@ -1496,6 +1496,44 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Gopher rule-pack document filter (Rae et al. arXiv:2112.11446
+    * §A1.1 — the rule battery Dolma/RefinedWeb-style pipelines start
+    * from, distinct from q21's composite score: per-RULE diagnostics
+    * plus the conjunctive keep decision, so curation can see WHICH rule
+    * fired): word-count bounds, mean word length ∈ [3, 10],
+    * hash/ellipsis symbol ratio ≤ 0.1, ≤10% bullet-started lines,
+    * ≤30% ellipsis-ended lines, ≥80% words with an alphabetic char,
+    * ≥2 distinct Gopher stopwords. One narrow projection over the
+    * corpus — every rule is a codegen'd higher-order array expression
+    * (no explode, no shuffle, no UDF); substring counts use the
+    * length-minus-replace identity so both engines count identically
+    * (non-overlapping occurrences). On the SYNTHETIC corpus every doc
+    * honestly fails the stopword rule (the generated text carries <2
+    * distinct Gopher stopwords — it is not natural English), so `keep`
+    * is all-0 here and the per-rule diagnostics are the signal;
+    * CurationSpec pins keep=1 on planted natural-text docs and each
+    * rule's individual rejection.
+    */
+  private def q201(sess: SparkSession, d: String): DataFrame = {
+    val st = graft.functions.TextFunctions.gopherStats(col("text"))
+    Tables
+      .documents(sess, d)
+      .select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_words").as("n_words"),
+        round(col("st.mean_word_len"), 6).as("mean_word_len"),
+        round(col("st.symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("st.bullet_ratio"), 6).as("bullet_ratio"),
+        round(col("st.ellipsis_ratio"), 6).as("ellipsis_ratio"),
+        round(col("st.alpha_ratio"), 6).as("alpha_ratio"),
+        col("st.n_stop_hits").as("n_stop_hits"),
+        when(graft.functions.TextFunctions.gopherKeep(col("st")), 1L)
+          .otherwise(0L)
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4660,7 +4698,8 @@ object SparkEntry {
     "q197_bpe_encode" -> (q197 _),
     "q198_pagerank_canonical" -> (q198 _),
     "q199_lsh_multiprobe" -> (q199 _),
-    "q200_mixture_schedule" -> (q200 _)
+    "q200_mixture_schedule" -> (q200 _),
+    "q201_gopher_rules" -> (q201 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -6815,6 +6854,55 @@ object SparkEntry {
            round(10000000.0 * weight, 2) AS sampled_tokens,
            round(10000000.0 * weight / n_tokens, 6) AS epochs
          FROM w
-         ORDER BY source"""
+         ORDER BY source""",
+    "q201_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS tk,
+             string_split(text, chr(10)) AS ln
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tk) AS DOUBLE) AS nw,
+             CASE WHEN len(tk) = 0 THEN NULL
+               ELSE CAST(list_aggregate(list_transform(tk, w -> len(w)),
+                 'sum') AS DOUBLE) / len(tk) END AS mean_word_len,
+             CASE WHEN len(tk) = 0 THEN NULL
+               ELSE (CAST(len(text) - len(replace(text, '#', ''))
+                       AS DOUBLE)
+                 + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                 / len(tk) END AS symbol_ratio,
+             CAST(len(list_filter(ln,
+                 l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+               / len(ln) AS bullet_ratio,
+             CAST(len(list_filter(ln,
+                 l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+               / len(ln) AS ellipsis_ratio,
+             CASE WHEN len(tk) = 0 THEN NULL
+               ELSE CAST(len(list_filter(tk,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                 / len(tk) END AS alpha_ratio,
+             len(list_intersect(
+               list_distinct(list_transform(tk, w -> lower(w))),
+               ['the','be','to','of','and','that','have','with']))
+               AS n_stop_hits
+           FROM t)
+         SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(bullet_ratio, 6) AS bullet_ratio,
+           round(ellipsis_ratio, 6) AS ellipsis_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           CAST(CASE WHEN nw BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3 AND 10
+                  AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.1
+                  AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                  AND n_stop_hits >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM m
+         ORDER BY doc_id"""
   )
 }

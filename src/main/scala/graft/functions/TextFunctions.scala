@@ -212,6 +212,67 @@ object TextFunctions {
     * chunk. `tokensAttr` must be an attribute reference (see
     * [[shinglesOf]] evaluation-cost contract).
     */
+  /** The eight Gopher stopwords of the rule-pack's "stop word" filter
+    * (Rae et al. arXiv:2112.11446 §A1.1).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule-pack statistics per document (Rae et al.
+    * arXiv:2112.11446 §A1.1) as ONE struct-valued expression — every
+    * field a codegen'd higher-order array expression over the token /
+    * line arrays (no explode, no shuffle, no UDF). Ratios are null on
+    * empty documents (0/0 is undefined, not 0). Substring counts use
+    * the length-minus-replace identity (non-overlapping occurrences —
+    * the same scan any engine's `replace` does, so oracles reproduce
+    * the counts bit-for-bit).
+    */
+  def gopherStats(c: Column): Column = {
+    val tk = tokens(c)
+    val lines = split(c, "\n")
+    val nw = size(tk).cast("double")
+    val nl = size(lines).cast("double")
+    val meanLen = when(nw === 0.0, lit(null)).otherwise(
+      aggregate(tk, lit(0L), (acc, w) => acc + length(w)).cast("double") / nw)
+    val nHash = length(c) - length(regexp_replace(c, "#", ""))
+    val nEll = (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+    struct(
+      size(tk).cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      when(nw === 0.0, lit(null))
+        .otherwise((nHash + nEll).cast("double") / nw).as("symbol_ratio"),
+      (size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nl)
+        .as("bullet_ratio"),
+      (size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nl).as("ellipsis_ratio"),
+      when(nw === 0.0, lit(null))
+        .otherwise(size(filter(tk, w => w.rlike("[A-Za-z]")))
+          .cast("double") / nw).as("alpha_ratio"),
+      size(
+        array_intersect(
+          array_distinct(transform(tk, w => lower(w))),
+          array(GopherStopwords.map(lit): _*))).cast("long")
+        .as("n_stop_hits"))
+  }
+
+  /** The conjunctive Gopher keep decision over [[gopherStats]]'s struct
+    * (paper thresholds): 50 ≤ words ≤ 100k, mean word length ∈ [3, 10],
+    * symbol ratio ≤ 0.1, ≤10% bullet lines, ≤30% ellipsis lines, ≥80%
+    * alphabetic words, ≥2 distinct stopwords. Null stats (empty doc)
+    * conjoin to false, never null.
+    */
+  def gopherKeep(st: Column): Column = {
+    val k =
+      st.getField("n_words").between(50L, 100000L) &&
+        st.getField("mean_word_len").between(3.0, 10.0) &&
+        (st.getField("symbol_ratio") <= 0.1) &&
+        (st.getField("bullet_ratio") <= 0.1) &&
+        (st.getField("ellipsis_ratio") <= 0.3) &&
+        (st.getField("alpha_ratio") >= 0.8) &&
+        (st.getField("n_stop_hits") >= 2L)
+    coalesce(k, lit(false))
+  }
+
   def chunksOf(tokensAttr: Column, chunkTokens: Int, overlap: Int): Column = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val step = chunkTokens - overlap

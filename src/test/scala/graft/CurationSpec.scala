@@ -83,4 +83,70 @@ class CurationSpec extends AnyFunSuite {
       .toSeq
     assert(got === Seq("a"))
   }
+
+  /** A 60-word natural-English paragraph that passes every Gopher rule. */
+  private val goodText: String =
+    ("the project began with a simple goal and grew into something larger " +
+      "than anyone expected because every person involved chose to work " +
+      "with care and that choice mattered more than any single plan they " +
+      "could have written down at the start of the effort which is why " +
+      "people still talk about the way it came together over those years")
+
+  private def gopherRows(texts: Seq[(Long, String)]) = {
+    import graft.functions.TextFunctions
+    texts
+      .toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        TextFunctions.gopherStats(col("text")).as("st"))
+      .select(
+        col("doc_id"),
+        col("st.*"),
+        TextFunctions.gopherKeep(col("st")).as("keep"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+  }
+
+  test("gopher rule pack: a natural-text doc passes; each rule rejects individually") {
+    val rows = gopherRows(Seq(
+      1L -> goodText,
+      // word count: under 50 words
+      2L -> "the cat sat with the dog and that was all they did of it",
+      // mean word length > 10 (long pseudo-words), stopwords present
+      3L -> (Seq.fill(60)("pneumonoultramicroscopics").mkString(" ") +
+        " the of and that with have be to"),
+      // symbol ratio: '#' every other word
+      4L -> Seq.fill(60)("the # of # and # that # with # have #")
+        .mkString(" "),
+      // bullet lines dominate
+      5L -> (Seq.fill(20)("- the bullet item of note").mkString("\n") +
+        "\nthe closing line that have with and of to be words here"),
+      // ellipsis-ended lines dominate
+      6L -> (Seq.fill(20)("the thought trails of and that with...")
+        .mkString("\n")),
+      // non-alphabetic words dominate
+      7L -> (("the of and that have " + Seq.fill(60)("12345").mkString(" "))),
+      // empty doc: every ratio null, keep false (not null)
+      8L -> ""))
+    assert(rows(1L).getAs[Boolean]("keep"), "natural text must pass")
+    (2L to 8L).foreach { id =>
+      assert(!rows(id).getAs[Boolean]("keep"), s"doc $id must be rejected")
+    }
+    // each planted doc fails the rule it targets
+    assert(rows(2L).getAs[Long]("n_words") < 50L)
+    assert(rows(3L).getAs[Double]("mean_word_len") > 10.0)
+    assert(rows(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(rows(5L).getAs[Double]("bullet_ratio") > 0.1)
+    assert(rows(6L).getAs[Double]("ellipsis_ratio") > 0.3)
+    assert(rows(7L).getAs[Double]("alpha_ratio") < 0.8)
+    assert(rows(8L).getAs[Long]("n_words") === 0L)
+    assert(rows(8L).isNullAt(rows(8L).fieldIndex("alpha_ratio")))
+    // the stopword rule: distinct hits, not occurrences
+    assert(rows(1L).getAs[Long]("n_stop_hits") >= 2L)
+    val only = gopherRows(Seq(9L ->
+      Seq.fill(60)("lorem ipsum dolor sit amet").mkString(" ")))
+    assert(only(9L).getAs[Long]("n_stop_hits") === 0L)
+    assert(!only(9L).getAs[Boolean]("keep"))
+  }
 }
