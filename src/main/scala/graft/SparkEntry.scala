@@ -1534,6 +1534,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C4-style line-level cleaning (Raffel et al. arXiv:1910.10683 §2.2
+    * — the TRANSFORM side of document filtering, where q201's Gopher
+    * pack only flags): keep lines that end in terminal punctuation,
+    * carry ≥5 words, and don't mention javascript; reassemble the
+    * survivors as `clean_text`; page-level C4 disposition (≥3
+    * sentences in the cleaned text, no "lorem ipsum", no '{'). All
+    * order-preserving higher-order array ops (`filter` keeps element
+    * order, `concat_ws` joins in order) — no explode, no shuffle, one
+    * narrow corpus projection.
+    */
+  private def q202(sess: SparkSession, d: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val keptArr = graft.functions.TextFunctions.c4KeptLines(col("text"))
+    val clean = concat_ws("\n", keptArr)
+    val nSent = length(clean) - length(regexp_replace(clean, "[.!?]", ""))
+    val pageKeep =
+      (nSent >= 3) && !lower(col("text")).contains("lorem ipsum") &&
+        !col("text").contains("{")
+    Tables
+      .documents(sess, d)
+      .select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(keptArr).cast("long").as("n_kept"),
+        nSent.cast("long").as("n_sentences"),
+        when(pageKeep, 1L).otherwise(0L).as("page_keep"),
+        clean.as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4699,7 +4729,8 @@ object SparkEntry {
     "q198_pagerank_canonical" -> (q198 _),
     "q199_lsh_multiprobe" -> (q199 _),
     "q200_mixture_schedule" -> (q200 _),
-    "q201_gopher_rules" -> (q201 _)
+    "q201_gopher_rules" -> (q201 _),
+    "q202_c4_line_filter" -> (q202 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -6903,6 +6934,38 @@ object SparkEntry {
                   AND n_stop_hits >= 2
                 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM m
+         ORDER BY doc_id""",
+    "q202_c4_line_filter" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split(text, chr(10)) AS ln
+           FROM documents),
+         k AS (
+           SELECT doc_id, text, ln,
+             list_filter(ln, l ->
+               regexp_matches(trim(l), '[.!?"'']$')
+               AND len(string_split_regex(trim(l), '\s+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM t),
+         c AS (
+           SELECT doc_id, text, ln, kept,
+             -- array_to_string([]) is NULL in DuckDB where Spark's
+             -- concat_ws gives '' — coalesce to the Spark semantics
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+           FROM k)
+         SELECT doc_id,
+           CAST(len(ln) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(clean_text)
+             - len(regexp_replace(clean_text, '[.!?]', '', 'g'))
+             AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN
+               len(clean_text)
+                 - len(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3
+               AND NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(text, '{')
+             THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
+           clean_text
+         FROM c
          ORDER BY doc_id"""
   )
 }

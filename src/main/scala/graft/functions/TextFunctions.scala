@@ -273,6 +273,20 @@ object TextFunctions {
     coalesce(k, lit(false))
   }
 
+  /** C4's surviving lines (Raffel et al. arXiv:1910.10683 §2.2): a line
+    * is kept iff it ends in terminal punctuation, carries ≥5 words,
+    * and doesn't mention javascript. Order-preserving (`filter` keeps
+    * element order), so `concat_ws("\n", ...)` reassembles the cleaned
+    * page verbatim minus the dropped lines.
+    */
+  def c4KeptLines(c: Column): Column =
+    filter(
+      split(c, "\n"),
+      l =>
+        trim(l).rlike("[.!?\"']$") &&
+          size(tokens(l)) >= 5 &&
+          !lower(l).contains("javascript"))
+
   def chunksOf(tokensAttr: Column, chunkTokens: Int, overlap: Int): Column = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val step = chunkTokens - overlap

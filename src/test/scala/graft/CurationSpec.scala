@@ -149,4 +149,33 @@ class CurationSpec extends AnyFunSuite {
     assert(only(9L).getAs[Long]("n_stop_hits") === 0L)
     assert(!only(9L).getAs[Boolean]("keep"))
   }
+
+  test("c4KeptLines: terminal punctuation, 5-word minimum, javascript drop, order kept") {
+    import graft.functions.TextFunctions
+    val page = Seq(
+      "This sentence survives the filter with ease.",  // kept
+      "short line.",                                   // <5 words
+      "no terminal punctuation on this line here",     // no punct
+      "Enable javascript to view this fancy page.",    // javascript
+      "Does a question also survive the cleaning?",    // kept
+      "\"Quoted endings count as terminal marks too\"" // kept (quote)
+    ).mkString("\n")
+    val got = Seq(page)
+      .toDF("text")
+      .select(TextFunctions.c4KeptLines(col("text")).as("k"))
+      .as[Seq[String]]
+      .head()
+    assert(got === Seq(
+      "This sentence survives the filter with ease.",
+      "Does a question also survive the cleaning?",
+      "\"Quoted endings count as terminal marks too\""))
+    // empty page → empty array, so concat_ws gives '' (the q202
+    // clean_text contract the oracle coalesces to)
+    val empty = Seq("")
+      .toDF("text")
+      .select(TextFunctions.c4KeptLines(col("text")).as("k"))
+      .as[Seq[String]]
+      .head()
+    assert(empty === Seq.empty[String])
+  }
 }
