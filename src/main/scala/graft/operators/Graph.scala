@@ -127,6 +127,78 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank: teleport mass returns only to the `seeds`
+    * instead of uniformly — ranks become "relevance to this seed set"
+    * (random walk with restart), the probe form of graph relevance:
+    * given k example docs, rank the near-dup graph's members by
+    * closeness to them. Same per-round shape as [[pageRank]] (one join
+    * + one aggregation over the pair graph); the teleport vector is a
+    * literal `isin` over the (small, query-like) seed list, so it
+    * rides in the projection — no extra join. Vertices unreachable
+    * from the seeds converge to rank 0, seeds keep at least their
+    * (1−d)/|seeds| restart mass; total rank stays exactly 1 on the
+    * symmetrized (dangling-free) graph.
+    *
+    * @param seeds non-empty seed vertex ids (compared to the id
+    *              columns' values — same type)
+    */
+  def personalizedPageRank(
+      pairs: DataFrame,
+      seeds: Seq[Any],
+      idA: String = "id_a",
+      idB: String = "id_b",
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 4,
+      weightCol: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(
+      damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val a = col(idA)
+    val b = col(idB)
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val edges = graft.ops.Stage.materializeOnce(
+      pairs
+        .select(a.as("src"), b.as("dst"), w.as("w"))
+        .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
+        .groupBy("src", "dst")
+        .agg(max(col("w")).as("w")))
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(sum(col("w")).as("deg")), Seq("src"))
+      .repartition(col("src"))
+      .transform(graft.ops.Stage.materializeOnce)
+    val restart = when(
+      col("id").isin(seeds: _*),
+      lit(1.0 / seeds.length)).otherwise(lit(0.0))
+    var ranks = withDeg
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), restart.as("rank"))
+      .transform(graft.ops.Stage.materializeOnce)
+    var round = 0
+    while (round < iterations) {
+      val next = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(
+          col("dst").as("id"),
+          (col("rank") * col("w") / col("deg")).as("c"))
+        .groupBy("id")
+        .agg(sum("c").as("in_mass"))
+        .select(
+          col("id"),
+          ((lit(1.0) - damping) * restart + lit(damping) * col("in_mass"))
+            .as("rank"))
+      round += 1
+      ranks =
+        if (round % checkpointEvery == 0 || round == iterations)
+          graft.ops.Stage.materializeOnce(next)
+        else next
+    }
+    ranks
+  }
+
   /** [[pageRank]] with a driver short-circuit under `driverCap` edges
     * (the [[Dedup.resolveComponentsAuto]] stance): 10 distributed
     * rounds of join+agg each cost ~100 ms of fixed job overhead, which

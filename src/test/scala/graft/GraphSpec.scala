@@ -168,6 +168,57 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** Sequential personalized reference: restart vector concentrated on
+    * the seed set, otherwise the weighted scheme.
+    */
+  private def refPersonalized(
+      edges: Seq[(Long, Long)],
+      seeds: Set[Long],
+      iters: Int,
+      d: Double): Map[Long, Double] = {
+    val sym = (edges ++ edges.map { case (a, b) => (b, a) }).distinct
+    val nodes = sym.map(_._1).distinct
+    val out = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toDouble }
+    def restart(v: Long) = if (seeds(v)) 1.0 / seeds.size else 0.0
+    var r = nodes.map(v => v -> restart(v)).toMap
+    (1 to iters).foreach { _ =>
+      val in = sym
+        .groupBy(_._2)
+        .map { case (v, es) =>
+          v -> es.map { case (s, _) => r(s) / out(s) }.sum
+        }
+      r = nodes.map(v => v -> ((1 - d) * restart(v) + d * in(v))).toMap
+    }
+    r
+  }
+
+  test("personalized ranks match the reference; mass 1; seed side outranks the far side") {
+    val seeds = Set(1L)
+    val got = Graph
+      .personalizedPageRank(planted.toDF("id_a", "id_b"), Seq(1L),
+        iterations = 10)
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    val want = refPersonalized(planted, seeds, 10, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"vertex $v")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the seed dominates (restart mass) — but relevance is NOT simply
+    // monotone along the chain: the reflecting end bounces mass back so
+    // vertex 3 edges out vertex 2 (the reference agrees); assert the
+    // ordering facts that ARE structural
+    assert(Seq(2L, 3L, 4L).forall(v => got(1L) > got(v)))
+    assert(Seq(2L, 3L, 4L).forall(v => got(v) > 0.0))
+    // components unreachable from the seed get zero relevance
+    assert(got(10L) === 0.0 && got(20L) === 0.0)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(planted.toDF("id_a", "id_b"), Nil)
+    }
+  }
+
   test("canonicalByRank flags exactly one max-rank survivor per component") {
     val rows = Graph
       .canonicalByRank(planted.toDF("id_a", "id_b"))
