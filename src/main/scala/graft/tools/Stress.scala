@@ -206,7 +206,14 @@ object Stress {
     // ~constant-ish like the other probe twins)
     "q197_bpe_encode",
     "q198_pagerank_canonical",
-    "q199_lsh_multiprobe")
+    "q199_lsh_multiprobe",
+    // filtering/mixing additions: the mixture schedule reduces to a
+    // #sources-row aggregate (should be ~scan-bound), the Gopher and
+    // C4 packs are narrow single-pass projections (linear scan cost is
+    // the designed shape — no explode, no shuffle)
+    "q200_mixture_schedule",
+    "q201_gopher_rules",
+    "q202_c4_line_filter")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
