@@ -304,4 +304,24 @@ object Graph {
       .join(ranks, Seq("id"))
       .withColumn("canonical", row_number().over(w) === 1)
   }
+
+  /** Apply the rank-weighted dedup decision: keep every corpus row
+    * whose id is NOT a non-canonical member of a pair-graph component
+    * (rows absent from the pair graph are untouched — exactly
+    * [[Dedup.dedupByComponents]]' contract with the survivor policy
+    * swapped from min-id to max-rank). LEFT ANTI on the drop-list: the
+    * corpus side never shuffles more than its join keys, and the
+    * drop-list (non-canonical near-dup vertices only) is small, so AQE
+    * broadcasts it.
+    */
+  def dedupByCanonical(
+      df: DataFrame,
+      idCol: String,
+      canonical: DataFrame): DataFrame =
+    df.join(
+      canonical
+        .where(!col("canonical"))
+        .select(col("id").as(idCol)),
+      Seq(idCol),
+      "left_anti")
 }

@@ -238,4 +238,25 @@ class GraphSpec extends AnyFunSuite {
     // difference vs resolveComponents' survivor
     assert(byComp(1L).filter(_._4).head._1 === 2L)
   }
+
+  test("dedupByCanonical keeps survivors + rows outside the pair graph") {
+    val canon = Graph.canonicalByRank(planted.toDF("id_a", "id_b"))
+    // corpus: all graph vertices plus untouched stranger 99
+    val corpus = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 99L))
+      .map(id => (id, s"doc $id"))
+      .toDF("doc_id", "text")
+    val kept = Graph
+      .dedupByCanonical(corpus, "doc_id", canon)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    val survivors = canon
+      .where(col("canonical"))
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(kept === survivors + 99L)
+  }
 }
