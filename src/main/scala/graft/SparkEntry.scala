@@ -1564,6 +1564,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster SHAPE diagnostic
+    * ([[graft.operators.Graph.triangleStats]]): per-vertex triangle
+    * count + local clustering coefficient over q16's verified Jaccard
+    * pair graph — coefficient ≈ 1 marks true duplicate cliques,
+    * ≈ 0 marks transitive chains where survivor selection deserves
+    * scrutiny. Exact and SQL-expressible (two equi-joins enumerate
+    * each x<y<z triangle once), so the oracle replays it verbatim.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph
+      .triangleStats(q16(s, d))
+      .select(
+        col("id").as("doc_id"),
+        col("degree"),
+        col("n_triangles"),
+        round(col("clustering"), 6).as("clustering"))
+      .orderBy("doc_id")
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4730,7 +4748,8 @@ object SparkEntry {
     "q199_lsh_multiprobe" -> (q199 _),
     "q200_mixture_schedule" -> (q200 _),
     "q201_gopher_rules" -> (q201 _),
-    "q202_c4_line_filter" -> (q202 _)
+    "q202_c4_line_filter" -> (q202 _),
+    "q203_triangle_stats" -> (q203 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -6966,6 +6985,47 @@ object SparkEntry {
              THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
            clean_text
          FROM c
+         ORDER BY doc_id""",
+    "q203_triangle_stats" ->
+      """WITH norm AS (
+           SELECT doc_id, n_chars,
+                  lower(regexp_replace(trim(text),'\s+',' ','g')) AS t
+           FROM documents
+         ), sz AS (
+           SELECT n_chars AS blk FROM documents
+           GROUP BY 1 HAVING count(*) <= 256
+         ), p AS (
+           SELECT doc_id,
+                  n_chars AS blk,
+                  list_distinct([t[i:i+2] for i in range(1, len(t)-1)]) AS sh
+           FROM norm
+           WHERE n_chars IN (SELECT blk FROM sz)
+         ), e AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) > 0.2
+         ), tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         ), tv AS (
+           SELECT id, count(*) AS n_triangles FROM (
+             SELECT x AS id FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY 1
+         ), deg AS (
+           SELECT id, count(*) AS degree FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+         )
+         SELECT deg.id AS doc_id,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN degree >= 2
+             THEN 2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1))
+             ELSE 0.0 END, 6) AS clustering
+         FROM deg LEFT JOIN tv ON tv.id = deg.id
          ORDER BY doc_id"""
   )
 }

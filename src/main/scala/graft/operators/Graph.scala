@@ -305,6 +305,58 @@ object Graph {
       .withColumn("canonical", row_number().over(w) === 1)
   }
 
+  /** Per-vertex triangle counts + local clustering coefficient over an
+    * undirected pair graph — the cluster-SHAPE diagnostic of near-dup
+    * resolution: a dup component that is a clique (coefficient ≈ 1) is
+    * one true duplicate group; a straggly chain (≈ 0) is transitive
+    * drift where min-id/rank survivor selection deserves scrutiny.
+    *
+    * Classic distributed triangle counting: canonicalize each edge to
+    * (min, max), then two equi-joins enumerate each triangle exactly
+    * once as x < y < z — work is Σ deg(v)² in candidate wedges, ON THE
+    * PAIR GRAPH ONLY, and upstream pair generation's bucket caps bound
+    * vertex degree, which bounds the wedge explosion (the skew story of
+    * the resolver, one step further). Coefficient = 2·tri / deg·(deg−1)
+    * (0 for deg < 2 — no wedge to close).
+    */
+  def triangleStats(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val a = col(idA)
+    val b = col(idB)
+    val e = graft.ops.Stage.materializeOnce(
+      pairs
+        .where(a =!= b)
+        .select(least(a, b).as("a"), greatest(a, b).as("b"))
+        .distinct())
+    val tris = e
+      .select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val triPerVertex = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e
+      .select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("degree"))
+    deg
+      .join(triPerVertex, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(
+          col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0))
+          .as("clustering"))
+  }
+
   /** Apply the rank-weighted dedup decision: keep every corpus row
     * whose id is NOT a non-canonical member of a pair-graph component
     * (rows absent from the pair graph are untouched — exactly

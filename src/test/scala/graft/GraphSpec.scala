@@ -239,6 +239,28 @@ class GraphSpec extends AnyFunSuite {
     assert(byComp(1L).filter(_._4).head._1 === 2L)
   }
 
+  test("triangleStats: planted triangle, coefficients, noise invariance") {
+    // triangle 1-2-3, pendant 3-4, isolated pair 10-11; plus noise:
+    // duplicate edges, reversed orientation, a self-loop
+    val edges: Seq[(Long, Long)] =
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (10L, 11L),
+        (2L, 1L), (1L, 2L), (5L, 5L))
+    val got = Graph
+      .triangleStats(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L)) // self-loop vertex absent
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L)._1 === 3L && got(3L)._2 === 1L)
+    assert(math.abs(got(3L)._3 - 1.0 / 3.0) < 1e-9)
+    assert(got(4L) === ((1L, 0L, 0.0)))
+    assert(got(10L) === ((1L, 0L, 0.0)))
+    assert(got(11L) === ((1L, 0L, 0.0)))
+  }
+
   test("dedupByCanonical keeps survivors + rows outside the pair graph") {
     val canon = Graph.canonicalByRank(planted.toDF("id_a", "id_b"))
     // corpus: all graph vertices plus untouched stranger 99
