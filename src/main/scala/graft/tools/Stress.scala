@@ -213,7 +213,10 @@ object Stress {
     // the designed shape — no explode, no shuffle)
     "q200_mixture_schedule",
     "q201_gopher_rules",
-    "q202_c4_line_filter")
+    "q202_c4_line_filter",
+    // triangle enumeration: Σ deg² wedge work over a ~10x pair graph
+    // (degree-bounded by the pair generator's caps)
+    "q203_triangle_stats")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -334,7 +337,17 @@ object Stress {
         // q188: exact integer counts with a total-order LIMIT — bit-
         // stable; q190/q191 stay OUT (float partial-sum association
         // order legitimately varies with partition shape)
-        "q188_bpe_pair_counts")
+        "q188_bpe_pair_counts",
+        // end-of-round-8 exact additions: q197's merge training is
+        // count-argmax with deterministic tie-break and the encode is
+        // a pure function of the merges; q201/q202 are per-row
+        // projections (ratios of exact ints — IEEE-determined);
+        // q203's coefficients are pure functions of integer counts.
+        // q198/q200 stay OUT (float partial-sum association order).
+        "q197_bpe_encode",
+        "q201_gopher_rules",
+        "q202_c4_line_filter",
+        "q203_triangle_stats")
     val shapes = Seq(
       (13, 8L * 1024 * 1024),   // prime partition count, small splits
       (32, 128L * 1024 * 1024)) // the default shape
