@@ -6908,8 +6908,10 @@ object SparkEntry {
     "q201_gopher_rules" ->
       """WITH t AS (
            SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS tk,
+             list_filter(
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END,
+               w -> len(w) > 0) AS tk,
              string_split(text, chr(10)) AS ln
            FROM documents),
          m AS (
@@ -6962,7 +6964,8 @@ object SparkEntry {
            SELECT doc_id, text, ln,
              list_filter(ln, l ->
                regexp_matches(trim(l), '[.!?"'']$')
-               AND len(string_split_regex(trim(l), '\s+')) >= 5
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                 w -> len(w) > 0)) >= 5
                AND NOT contains(lower(l), 'javascript')) AS kept
            FROM t),
          c AS (

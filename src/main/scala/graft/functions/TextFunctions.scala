@@ -228,7 +228,12 @@ object TextFunctions {
     * the counts bit-for-bit).
     */
   def gopherStats(c: Column): Column = {
-    val tk = tokens(c)
+    // drop phantom empty tokens: `tokens` trims SPACES only, so a doc
+    // starting with "\n"/"\t" (common in scraped text) splits to a
+    // leading "" — which would inflate n_words by one and deflate
+    // mean_word_len/alpha_ratio (a 49-word doc prefixed with "\n"
+    // would pass the ≥50 rule it should fail)
+    val tk = filter(tokens(c), w => length(w) > 0)
     val lines = split(c, "\n")
     val nw = size(tk).cast("double")
     val nl = size(lines).cast("double")
@@ -248,9 +253,11 @@ object TextFunctions {
       when(nw === 0.0, lit(null))
         .otherwise(size(filter(tk, w => w.rlike("[A-Za-z]")))
           .cast("double") / nw).as("alpha_ratio"),
+      // array_intersect already de-duplicates its result — counting it
+      // IS the distinct-stopwords-present number, no extra dedup pass
       size(
         array_intersect(
-          array_distinct(transform(tk, w => lower(w))),
+          transform(tk, w => lower(w)),
           array(GopherStopwords.map(lit): _*))).cast("long")
         .as("n_stop_hits"))
   }
@@ -284,7 +291,9 @@ object TextFunctions {
       split(c, "\n"),
       l =>
         trim(l).rlike("[.!?\"']$") &&
-          size(tokens(l)) >= 5 &&
+          // empty tokens excluded: a tab-indented 4-word line must not
+          // count 5 (the gopherStats phantom-token note)
+          size(filter(tokens(l), w => length(w) > 0)) >= 5 &&
           !lower(l).contains("javascript"))
 
   def chunksOf(tokensAttr: Column, chunkTokens: Int, overlap: Int): Column = {

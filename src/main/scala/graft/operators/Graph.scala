@@ -25,6 +25,40 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Shared edge staging of the rank family: symmetrize (both
+    * orientations), dedup duplicate (src, dst) rows keeping the max
+    * weight, attach each vertex's out-weight normalizer to every edge
+    * row, pre-partition by src, materialize. Ids stay their source
+    * type (only equi-joins touch them — string doc ids work exactly as
+    * the component resolver's; a numeric cast would throw under ANSI
+    * for no benefit). Staged BEFORE the degree self-join: edges feed
+    * both sides, and an un-staged expensive pair pipeline would
+    * execute twice (the resolveComponents edge-staging rationale).
+    */
+  private def stagedEdgesWithDeg(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      weightCol: Option[String]): DataFrame = {
+    val a = col(idA)
+    val b = col(idB)
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val edges = graft.ops.Stage.materializeOnce(
+      pairs
+        .select(a.as("src"), b.as("dst"), w.as("w"))
+        .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
+        .groupBy("src", "dst")
+        .agg(max(col("w")).as("w")))
+    // the per-vertex normalizer (Σ outgoing weight; plain degree when
+    // unweighted) rides along on every edge row so each round's
+    // contribution is a pure projection after the join — no second
+    // per-round join against a degree table
+    edges
+      .join(edges.groupBy("src").agg(sum(col("w")).as("deg")), Seq("src"))
+      .repartition(col("src"))
+      .transform(graft.ops.Stage.materializeOnce)
+  }
+
   /** Fixed-iteration PageRank over an UNDIRECTED graph given as a pair
     * list (each row one edge, any orientation; duplicates are dropped
     * after symmetrization). Symmetrizing guarantees every vertex has
@@ -68,29 +102,10 @@ object Graph {
     require(
       damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    // ids stay their source type (only equi-joins touch them — string
-    // doc ids work exactly as resolveComponents' do; a numeric cast
-    // here would throw under ANSI on non-numeric ids for no benefit)
-    val a = col(idA)
-    val b = col(idB)
-    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    // staged BEFORE the degree self-join: edges feeds both sides, and
-    // an un-staged expensive pair pipeline would execute twice (the
-    // resolveComponents edge-staging rationale)
-    val edges = graft.ops.Stage.materializeOnce(
-      pairs
-        .select(a.as("src"), b.as("dst"), w.as("w"))
-        .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
-        .groupBy("src", "dst")
-        .agg(max(col("w")).as("w")))
-    // the per-vertex normalizer (Σ outgoing weight; plain degree when
-    // unweighted) rides along on every edge row so each round's
-    // contribution is a pure projection after the join — no second
-    // per-round join against a degree table
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(sum(col("w")).as("deg")), Seq("src"))
-      .repartition(col("src"))
-      .transform(graft.ops.Stage.materializeOnce)
+    require(
+      checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val withDeg = stagedEdgesWithDeg(pairs, idA, idB, weightCol)
     // vertex count as a 1-row frame: broadcast-crossed onto the update
     // instead of collected — keeps the whole pipeline one lazy plan per
     // round (and the audit-visible plans free of driver constants)
@@ -140,7 +155,11 @@ object Graph {
     * symmetrized (dangling-free) graph.
     *
     * @param seeds non-empty seed vertex ids (compared to the id
-    *              columns' values — same type)
+    *              columns' values — same type). Duplicates are
+    *              deduplicated and the restart mass splits over the
+    *              seeds PRESENT in the pair graph; a seed set with no
+    *              graph member at all fails loudly (its relevance
+    *              question is unanswerable, not zero).
     */
   def personalizedPageRank(
       pairs: DataFrame,
@@ -156,22 +175,25 @@ object Graph {
     require(
       damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val a = col(idA)
-    val b = col(idB)
-    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val edges = graft.ops.Stage.materializeOnce(
-      pairs
-        .select(a.as("src"), b.as("dst"), w.as("w"))
-        .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
-        .groupBy("src", "dst")
-        .agg(max(col("w")).as("w")))
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(sum(col("w")).as("deg")), Seq("src"))
-      .repartition(col("src"))
-      .transform(graft.ops.Stage.materializeOnce)
+    require(
+      checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val withDeg = stagedEdgesWithDeg(pairs, idA, idB, weightCol)
+    val vertices = withDeg.select(col("src").as("id")).distinct()
+    // restart mass splits over the seeds PRESENT in the pair graph
+    // (deduplicated): a duplicated seed id or one with no edges would
+    // otherwise leak its 1/|seeds| share and total rank would converge
+    // below 1, silently breaking the mass invariant. A fully absent
+    // seed set is a caller error, loudly.
+    val distinctSeeds = seeds.distinct
+    val present =
+      vertices.where(col("id").isin(distinctSeeds: _*)).count()
+    require(
+      present > 0,
+      s"none of the ${distinctSeeds.length} seed ids appear in the pair graph")
     val restart = when(
-      col("id").isin(seeds: _*),
-      lit(1.0 / seeds.length)).otherwise(lit(0.0))
+      col("id").isin(distinctSeeds: _*),
+      lit(1.0 / present)).otherwise(lit(0.0))
     var ranks = withDeg
       .select(col("src").as("id"))
       .distinct()
@@ -228,12 +250,15 @@ object Graph {
     val spark = pairs.sparkSession
     // non-integral ids take the distributed path (its joins are
     // type-generic); the driver loop's LongMap state is not — the
-    // resolveComponentsAuto guard, same rationale
-    val integral = Seq(idA, idB).forall(c =>
-      pairs.schema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType => true
-        case _ => false
-      })
+    // resolveComponentsAuto guard, same rationale. Name lookup is
+    // case-INsensitive, matching how col(idA) resolves downstream
+    // (spark.sql.caseSensitive=false default).
+    val idTypes = Seq(idA, idB).map(c =>
+      pairs.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    val integral = idTypes.forall {
+      case Some(LongType | IntegerType | ShortType | ByteType) => true
+      case _ => false
+    }
     if (!integral || driverCap <= 0)
       return pageRank(pairs, idA, idB, iterations, damping,
         weightCol = weightCol)
@@ -268,7 +293,14 @@ object Graph {
       }.toMap
     }
     import spark.implicits._
-    nodes.map(v => (v, r(v))).toDF("id", "rank")
+    // cast ids back to the SOURCE column type: the result schema must
+    // not depend on which side of the size cap a graph lands on (the
+    // distributed path preserves the input type; IntegerType inputs
+    // would otherwise come back LongType only under the cap)
+    nodes
+      .map(v => (v, r(v)))
+      .toDF("id", "rank")
+      .select(col("id").cast(idTypes.head.get).as("id"), col("rank"))
   }
 
   /** Rank-weighted survivor selection: given near-dup PAIRS, resolve

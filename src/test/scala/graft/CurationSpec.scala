@@ -150,6 +150,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!only(9L).getAs[Boolean]("keep"))
   }
 
+  test("gopher/c4 token counts ignore phantom empty tokens from leading newlines/tabs") {
+    import graft.functions.TextFunctions
+    // "\n" + 49 words: trim strips spaces only, so split would yield a
+    // leading "" — n_words must still be 49, not 50
+    val words49 = Seq.fill(49)("word").mkString(" ")
+    val rows = gopherRows(Seq(1L -> ("\n" + words49), 2L -> words49))
+    assert(rows(1L).getAs[Long]("n_words") === 49L)
+    assert(rows(1L).getAs[Long]("n_words") ===
+      rows(2L).getAs[Long]("n_words"))
+    // tab-indented 4-word line must NOT count 5 tokens and survive C4
+    val kept = Seq("\tonly four words here.")
+      .toDF("text")
+      .select(TextFunctions.c4KeptLines(col("text")).as("k"))
+      .as[Seq[String]]
+      .head()
+    assert(kept === Seq.empty[String])
+  }
+
   test("c4KeptLines: terminal punctuation, 5-word minimum, javascript drop, order kept") {
     import graft.functions.TextFunctions
     val page = Seq(

@@ -219,6 +219,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("personalized seeds: duplicates dedup, absent seeds drop from the denominator, all-absent fails") {
+    val df = planted.toDF("id_a", "id_b")
+    val base = Graph
+      .personalizedPageRank(df, Seq(1L), iterations = 7)
+      .as[(Long, Double)].collect().toMap
+    // a duplicated seed must not halve the restart mass
+    val dup = Graph
+      .personalizedPageRank(df, Seq(1L, 1L), iterations = 7)
+      .as[(Long, Double)].collect().toMap
+    dup.foreach { case (v, r) => assert(math.abs(r - base(v)) < 1e-12) }
+    // an absent seed (999 has no edges) must not leak its share:
+    // mass still sums to exactly 1, ranks equal the single-seed run
+    val absent = Graph
+      .personalizedPageRank(df, Seq(1L, 999L), iterations = 7)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(absent.values.sum - 1.0) < 1e-9)
+    absent.foreach { case (v, r) => assert(math.abs(r - base(v)) < 1e-12) }
+    // a seed set with NO graph member is unanswerable, loudly
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(df, Seq(999L))
+    }
+  }
+
   test("canonicalByRank flags exactly one max-rank survivor per component") {
     val rows = Graph
       .canonicalByRank(planted.toDF("id_a", "id_b"))
