@@ -1388,9 +1388,10 @@ object SparkEntry {
     * at ~1.4 s/round, which belongs in build cost, not per-query
     * steady state), then every document is ENCODED under the learned
     * merges via
-    * [[graft.functions.Bpe.encodeWords]] — the VOCABULARY is merged
-    * once (staged in depth-bounded chunks) and the corpus joins
-    * against it, so per-occurrence cost is an equi-join, never a
+    * [[graft.functions.Bpe.encodeWords]] — the merge fold runs once
+    * per DISTINCT word via a single vocab-bounded UDF scan over the
+    * distinct-words frame, and the corpus joins against that encoded
+    * vocabulary, so per-OCCURRENCE cost is an equi-join, never a
     * 24-deep fold — and report per-doc whitespace vs BPE token counts
     * (the "tokens this corpus costs under MY tokenizer" accounting
     * pass). Rows-only by design (the trained merge list is not

@@ -1720,18 +1720,22 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
       .otherwise(array().cast("array<bigint>"))
     // within-doc dedup ("a gram repeated WITHIN a doc counts once") is
-    // array_distinct IN the projection — no distinct exchange; the
-    // cross-doc frequency is count-over-window on the gram hash — one
-    // keyed exchange instead of the agg + join-back pair (the
-    // mhSizedBuckets rationale: the join side would reshuffle nearly
-    // the whole exploded table anyway)
+    // array_distinct IN the projection — no distinct exchange. The
+    // cross-doc frequency is a partial+final aggregation joined back,
+    // NOT count-over-window: WindowExec buffers a gram's ENTIRE group
+    // in one task, so a boilerplate gram present in millions of docs
+    // would become a single hot, spill-bound partition. The agg's
+    // map-side combine collapses that gram to one row per input
+    // partition before the exchange, and the join back streams the
+    // probe rows against a one-row-per-key build side — skew-safe at
+    // any gram frequency. The two gh-exchanges share one shuffle:
+    // `docGram` is an identical subplan on both sides, so
+    // ReuseExchange dedups it.
     val docGram = docs
       .select(col(idCol), explode(array_distinct(grams)).as("gh"))
+    val gramDf = docGram.groupBy("gh").agg(count(lit(1)).as("ndocs"))
     docGram
-      .withColumn(
-        "ndocs",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .join(gramDf, "gh")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_grams"),

@@ -43,10 +43,20 @@ object Graph {
     val a = col(idA)
     val b = col(idB)
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    // Enforce the documented "weights must be > 0" contract in the
+    // staging scan rather than trusting the caller: a zero/negative/
+    // null weight (or a null endpoint id) would make deg ≤ 0 or null,
+    // and every downstream round would silently leak rank mass as
+    // NaN — the sum-to-1 invariant would break with no error. One
+    // conjunctive filter in the projection costs nothing and makes
+    // both the distributed and the driver-capped paths see the same
+    // edge set.
+    val valid = a.isNotNull && b.isNotNull && w.isNotNull && (w > 0.0)
     val edges = graft.ops.Stage.materializeOnce(
       pairs
+        .where(valid)
         .select(a.as("src"), b.as("dst"), w.as("w"))
-        .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
+        .union(pairs.where(valid).select(b.as("src"), a.as("dst"), w.as("w")))
         .groupBy("src", "dst")
         .agg(max(col("w")).as("w")))
     // the per-vertex normalizer (Σ outgoing weight; plain degree when
@@ -262,11 +272,20 @@ object Graph {
     if (!integral || driverCap <= 0)
       return pageRank(pairs, idA, idB, iterations, damping,
         weightCol = weightCol)
+    // Same validity filter as stagedEdgesWithDeg: null ids / null or
+    // non-positive weights are dropped BEFORE the cap probe, so a
+    // graph sees the identical edge set on both sides of the
+    // driverCap boundary (the distributed path's staging filter drops
+    // them; an unfiltered collect here would instead NPE on
+    // r.getLong(null) — behavior must not depend on which side of
+    // the cap a graph lands on).
+    val wCol =
+      weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val head = pairs
-      .select(
-        col(idA).cast("long"),
-        col(idB).cast("long"),
-        weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)))
+      .where(
+        col(idA).isNotNull && col(idB).isNotNull &&
+          wCol.isNotNull && (wCol > 0.0))
+      .select(col(idA).cast("long"), col(idB).cast("long"), wCol)
       .limit(driverCap + 1)
       .collect()
     if (head.length > driverCap)

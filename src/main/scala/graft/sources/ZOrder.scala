@@ -77,9 +77,15 @@ object ZOrder {
       .zipWithIndex
       .map { case (c, i) => c.as(s"s$i") }
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // An empty table or an all-null z-column yields null min/max;
+    // getDouble would NPE. Fall back to (0, 0) — the degenerate-range
+    // path normalizeToBits already promises (span <= 0 → every row
+    // maps to 0, the column simply carries no ordering information).
+    def statOr0(i: Int): Double =
+      if (stats.isNullAt(i)) 0d else stats.getDouble(i)
     val normalized = zCols.zipWithIndex.map { case (c, i) =>
-      val lo = stats.getDouble(2 * i)
-      val hi = stats.getDouble(2 * i + 1)
+      val lo = statOr0(2 * i)
+      val hi = statOr0(2 * i + 1)
       normalizeToBits(col(c), lit(lo), lit(hi), bits)
     }
     interleaveBits(normalized, bits)

@@ -304,4 +304,42 @@ class GraphSpec extends AnyFunSuite {
       .toSet
     assert(kept === survivors + 99L)
   }
+
+  test(
+    "invalid edges (null ids, null/zero/negative weights) drop " +
+      "identically on both sides of the driver cap") {
+    val clean: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 0.9), (2L, 3L, 0.4), (3L, 1L, 0.7), (10L, 11L, 1.0))
+    val noisy = clean.map { case (a, b, w) =>
+      (Option(a), Option(b), Option(w))
+    } ++ Seq(
+      (None, Option(5L), Option(0.5)), // null src
+      (Option(5L), None, Option(0.5)), // null dst
+      (Option(6L), Option(7L), None), // null weight
+      (Option(6L), Option(7L), Option(0.0)), // zero weight
+      (Option(8L), Option(9L), Option(-0.3))) // negative weight
+    val noisyDf = noisy.toDF("id_a", "id_b", "jaccard")
+    val want = Graph
+      .pageRank(clean.toDF("id_a", "id_b", "jaccard"), iterations = 6,
+        weightCol = Some("jaccard"))
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    // distributed path (cap 0) and driver path (cap high): the invalid
+    // rows must vanish before staging on BOTH, never NPE, and the
+    // surviving graph must rank exactly as the clean input does
+    Seq(0, 100000).foreach { cap =>
+      val got = Graph
+        .pageRankAuto(noisyDf, iterations = 6, weightCol = Some("jaccard"),
+          driverCap = cap)
+        .as[(Long, Double)]
+        .collect()
+        .toMap
+      assert(got.keySet === want.keySet, s"cap=$cap")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-9, s"cap=$cap vertex $v")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
 }

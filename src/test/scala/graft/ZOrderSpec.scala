@@ -46,6 +46,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(nan.as[Long].collect().toSeq == Seq(0L, 5L))
   }
 
+  test("null min/max stats (empty table, all-null column) degrade to bucket 0") {
+    // all-null z-column: min/max are null — must take the degenerate-
+    // range path, not NPE in the stats read
+    val allNull = Seq[(Long, Option[Double])]((1L, None), (2L, None))
+      .toDF("k", "v")
+    val z = ZOrder.zValue(allNull, Seq("k", "v"), 4)
+    assert(allNull.select(z.as("z")).as[Long].collect().forall(_ >= 0L))
+    // empty table: stats row is all-null; writeZOrdered must still
+    // produce a readable (empty) layout
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val path = "/tmp/graft-test-zorder-empty"
+    ZOrder.writeZOrdered(empty, path, Seq("k", "v"), 4, 2)
+    assert(spark.read.parquet(path).count() === 0L)
+  }
+
   test("z-ordered layout returns exactly the original rows") {
     val li = Tables.lineitem(spark, TestSpark.sf)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
