@@ -1583,6 +1583,49 @@ object SparkEntry {
         round(col("clustering"), 6).as("clustering"))
       .orderBy("doc_id")
 
+  /** HTML → main-content extraction ([[graft.functions.HtmlExtract]]):
+    * the stage in FRONT of q201/q202 in every real web pipeline (C4
+    * §2.2 starts from text already extracted from pages). The corpus
+    * table carries plain text, so each doc is first wrapped in a
+    * deterministic page skeleton — head with title/style/script, a
+    * link-only nav, the doc's paragraphs as `<p>` blocks, a
+    * link-dominated footer — and extraction must recover exactly the
+    * body paragraphs that clear the length bar: head/script/style/
+    * comment content gone, nav and footer dropped by link density,
+    * entities decoded. The page construction is shared with the
+    * oracle (same concat), so the query is hash-green end to end; one
+    * narrow projection, no UDF, no shuffle before the output sort.
+    */
+  private def q204(sess: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit(
+        "<html><head><title>Synthetic corpus page</title>" +
+          "<style>p{margin:0} nav{display:flex}</style>" +
+          "<script type=\"text/javascript\">var tracker = 1;</script>" +
+          "</head><body>" +
+          "<nav><ul><li><a href=\"/\">Home</a></li>" +
+          "<li><a href=\"/about\">About &amp; Contact</a></li>" +
+          "<li><a href=\"/archive\">Archive</a></li></ul></nav>" +
+          "<!-- chrome ends --><div class=\"content\"><h1>Document "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"),
+      regexp_replace(col("text"), "\n", "</p><p>"),
+      lit(
+        "</p></div><footer><a href=\"/privacy\">Privacy</a> &#183; " +
+          "<a href=\"/terms\">Terms of service</a></footer></body></html>"))
+    val st = graft.functions.HtmlExtract.mainContent(html)
+    Tables
+      .documents(sess, d)
+      .select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_blocks").as("n_blocks"),
+        col("st.n_kept").as("n_kept"),
+        length(col("st.main_text")).cast("long").as("main_len"),
+        col("st.main_text").as("main_text"))
+      .orderBy("doc_id")
+  }
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4750,7 +4793,8 @@ object SparkEntry {
     "q200_mixture_schedule" -> (q200 _),
     "q201_gopher_rules" -> (q201 _),
     "q202_c4_line_filter" -> (q202 _),
-    "q203_triangle_stats" -> (q203 _)
+    "q203_triangle_stats" -> (q203 _),
+    "q204_html_extract" -> (q204 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7030,6 +7074,83 @@ object SparkEntry {
              THEN 2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1))
              ELSE 0.0 END, 6) AS clustering
          FROM deg LEFT JOIN tv ON tv.id = deg.id
+         ORDER BY doc_id""",
+    // q204: the page skeleton concat, the strip/split regexes, and the
+    // clean = strip-tags → decode-entities → collapse-ws pipeline are
+    // byte-identical replays of HtmlExtract (all RE2-safe — no
+    // backreferences). CLEAN appears inlined three times (keep
+    // decision reads text + anchor text; survivors re-clean for the
+    // join) exactly as the Spark filter/transform pair evaluates it.
+    "q204_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>Synthetic corpus page</title>' ||
+             '<style>p{margin:0} nav{display:flex}</style>' ||
+             '<script type="text/javascript">var tracker = 1;</script>' ||
+             '</head><body>' ||
+             '<nav><ul><li><a href="/">Home</a></li>' ||
+             '<li><a href="/about">About &amp; Contact</a></li>' ||
+             '<li><a href="/archive">Archive</a></li></ul></nav>' ||
+             '<!-- chrome ends --><div class="content"><h1>Document ' ||
+             CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+             replace(text, chr(10), '</p><p>') ||
+             '</p></div><footer><a href="/privacy">Privacy</a> &#183; ' ||
+             '<a href="/terms">Terms of service</a></footer></body></html>'
+             AS html
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?is)<head\b[^>]*>.*?</head\s*>', ' ', 'g'),
+               '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS nh
+           FROM h),
+         b AS (
+           SELECT doc_id,
+             string_split_regex(nh,
+               '(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|section|article|header|footer|nav|blockquote|aside|main|figure|figcaption|form|pre)\b[^>]*>')
+               AS blocks
+           FROM s),
+         k AS (
+           SELECT doc_id, len(blocks) AS n_blocks,
+             list_filter(blocks, bl ->
+               len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) >= 25
+               AND
+               len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(coalesce(array_to_string(
+                   regexp_extract_all(bl, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+                   ' '), ''), '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) * 100
+               <=
+               len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) * 30) AS kept
+           FROM b),
+         f AS (
+           SELECT doc_id, n_blocks, len(kept) AS n_kept,
+             coalesce(array_to_string(list_transform(kept, bl ->
+               trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))), chr(10)), '') AS main_text
+           FROM k)
+         SELECT doc_id,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(len(main_text) AS BIGINT) AS main_len,
+           main_text
+         FROM f
          ORDER BY doc_id"""
   )
 }

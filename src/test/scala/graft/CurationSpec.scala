@@ -196,4 +196,90 @@ class CurationSpec extends AnyFunSuite {
       .head()
     assert(empty === Seq.empty[String])
   }
+
+  private def extract(html: String, minLen: Int = 25, maxPct: Int = 30)
+      : (Long, Long, String) = {
+    val r = Seq(html)
+      .toDF("html")
+      .select(
+        graft.functions.HtmlExtract
+          .mainContent(col("html"), minLen, maxPct)
+          .as("st"))
+      .select(col("st.n_blocks"), col("st.n_kept"), col("st.main_text"))
+      .as[(Long, Long, String)]
+      .head()
+    r
+  }
+
+  test("htmlExtract: article body survives; nav/footer/head/script/style/comments drop") {
+    val html =
+      """<html><head><title>Great Title That Is Quite Long Indeed</title>
+        |<style>body { color: red; } .nav{display:none}</style>
+        |<script>var secretTracker = "do-not-leak"; </script></head>
+        |<body>
+        |<nav><ul><li><a href="/">Home</a></li><li><a href="/a">Archive pages</a></li></ul></nav>
+        |<!-- boilerplate chrome above; do-not-leak either -->
+        |<div id="main">
+        |<h1>Short head</h1>
+        |<p>The first paragraph of the article carries plenty of real
+        |sentence text and even an inline <a href="/ref">reference link</a>
+        |without tipping the density bar.</p>
+        |<p>The second paragraph is also long enough to clear the minimum
+        |length heuristic comfortably.</p>
+        |</div>
+        |<footer><a href="/privacy">Privacy policy</a> — <a href="/tos">All the terms of service</a></footer>
+        |</body></html>""".stripMargin
+    val (_, nKept, text) = extract(html)
+    assert(nKept === 2L)
+    val blocks = text.split("\n").toSeq
+    assert(blocks.size === 2)
+    assert(blocks.head.startsWith("The first paragraph"))
+    // inline anchor TEXT stays (it is content); tags are gone
+    assert(blocks.head.contains("reference link"))
+    assert(!text.contains("<"))
+    // non-content text never leaks: title, css, js, comments, nav, footer
+    Seq("Great Title", "color: red", "do-not-leak", "Home",
+      "Archive pages", "Privacy policy", "terms of service", "Short head")
+      .foreach(s => assert(!text.contains(s), s"leaked: $s"))
+  }
+
+  test("htmlExtract: link-dense block drops even when long; same text without links survives") {
+    val links = (1 to 8)
+      .map(i => s"""<a href="/p$i">related article number $i</a>""")
+      .mkString(" · ")
+    val plain = (1 to 8).map(i => s"related article number $i").mkString(" · ")
+    val kept = extract(s"<p>$plain</p>")
+    val dropped = extract(s"<p>$links</p>")
+    assert(kept._2 === 1L && kept._3 === plain)
+    assert(dropped._2 === 0L && dropped._3 === "")
+  }
+
+  test("htmlExtract: entities decode once, escaped markup stays text, nbsp collapses") {
+    val html = "<p>Fish &amp; chips &#39;menu&#39; shows &lt;b&gt;bold&lt;/b&gt; " +
+      "markup&nbsp;&nbsp;inline and the literal string &amp;lt; too.</p>"
+    val (_, _, text) = extract(html)
+    assert(text ===
+      "Fish & chips 'menu' shows <b>bold</b> markup inline and the literal string &lt; too.")
+  }
+
+  test("htmlExtract: <header> is not eaten by the <head> strip; composes with c4KeptLines") {
+    val html = "<header>A site banner with some words in it here.</header>" +
+      "<p>This sentence is long enough and ends with terminal punctuation.</p>" +
+      "<p>no terminal punctuation on this long enough line</p>"
+    val (_, nKept, text) = extract(html)
+    // header text survives the head-region strip (boundary check) and
+    // clears both heuristics — it is a block like any other
+    assert(nKept === 3L)
+    assert(text.startsWith("A site banner"))
+    // downstream C4 line filter then drops the unpunctuated lines
+    import graft.functions.TextFunctions
+    val c4 = Seq(text)
+      .toDF("text")
+      .select(TextFunctions.c4KeptLines(col("text")).as("k"))
+      .as[Seq[String]]
+      .head()
+    assert(c4 === Seq(
+      "A site banner with some words in it here.",
+      "This sentence is long enough and ends with terminal punctuation."))
+  }
 }
