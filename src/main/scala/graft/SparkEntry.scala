@@ -1626,6 +1626,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Full-breadth PII audit ([[graft.functions.Pii]]): q86's digit-run
+    * scrub widened to the rule battery a real corpus scrub runs —
+    * email, IBAN-shaped account ids, card numbers, SSNs, phone
+    * formats, IPv4, then the digit-run catch-all — with per-TYPE
+    * replacement counts (each counted at its stage so nothing
+    * double-counts) and an md5 digest + length of the final redacted
+    * text proving the rewrite byte-for-byte without hauling the full
+    * text through the result. The corpus text is deterministic prose,
+    * so a contact block derived from doc_id is planted first (same
+    * concat in the oracle) — every rule fires on every row and the
+    * audit counts are load-bearing. One narrow projection, no UDF, no
+    * shuffle before the output sort.
+    */
+  private def q205(sess: SparkSession, d: String): DataFrame = {
+    val contact = concat(
+      col("text"),
+      lit(" Contact user"),
+      col("doc_id").cast("string"),
+      lit("@example.com or +1 (555) 010-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 192.168."),
+      pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(
+        ".7, IBAN DE44500105175407324931, card 4111 1111 1111 1111, " +
+          "SSN 123-45-6789."))
+    val st = graft.functions.Pii.redactAudit(contact)
+    Tables
+      .documents(sess, d)
+      .select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_email").as("n_email"),
+        col("st.n_iban").as("n_iban"),
+        col("st.n_cc").as("n_cc"),
+        col("st.n_ssn").as("n_ssn"),
+        col("st.n_phone").as("n_phone"),
+        col("st.n_ip").as("n_ip"),
+        col("st.n_num").as("n_num"),
+        length(col("st.redacted")).cast("long").as("redacted_len"),
+        md5(col("st.redacted")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   private def q187(s: SparkSession, d: String): DataFrame =
     s.read
       .parquet(zLayout(s, d))
@@ -4794,7 +4837,8 @@ object SparkEntry {
     "q201_gopher_rules" -> (q201 _),
     "q202_c4_line_filter" -> (q202 _),
     "q203_triangle_stats" -> (q203 _),
-    "q204_html_extract" -> (q204 _)
+    "q204_html_extract" -> (q204 _),
+    "q205_pii_audit" -> (q205 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7151,6 +7195,75 @@ object SparkEntry {
            CAST(len(main_text) AS BIGINT) AS main_len,
            main_text
          FROM f
+         ORDER BY doc_id""",
+    // q205: sequential rule chain — each stage counts on the text AS
+    // THE RULE SEES IT (post all earlier replacements), exactly the
+    // Pii.redactAudit fold. All patterns RE2-safe.
+    "q205_pii_audit" ->
+      """WITH h AS (
+           SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +1 (555) 010-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7, IBAN DE44500105175407324931, card 4111 1111 1111 1111, SSN 123-45-6789.'
+             AS t0
+           FROM documents),
+         s1 AS (SELECT doc_id,
+             len(regexp_extract_all(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+           FROM h),
+         s2 AS (SELECT doc_id, n_email,
+             len(regexp_extract_all(t1,
+               '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\b')) AS n_iban,
+             regexp_replace(t1, '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\b',
+               '<IBAN>', 'g') AS t2
+           FROM s1),
+         s3 AS (SELECT doc_id, n_email, n_iban,
+             len(regexp_extract_all(t2,
+               '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS n_cc,
+             regexp_replace(t2,
+               '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b',
+               '<CC>', 'g') AS t3
+           FROM s2),
+         s4 AS (SELECT doc_id, n_email, n_iban, n_cc,
+             len(regexp_extract_all(t3,
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+             regexp_replace(t3, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+               '<SSN>', 'g') AS t4
+           FROM s3),
+         s5 AS (SELECT doc_id, n_email, n_iban, n_cc, n_ssn,
+             len(regexp_extract_all(t4,
+               '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}')) AS n_phone,
+             regexp_replace(t4,
+               '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+               '<PHONE>', 'g') AS t5
+           FROM s4),
+         s6 AS (SELECT doc_id, n_email, n_iban, n_cc, n_ssn, n_phone,
+             len(regexp_extract_all(t5,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+             regexp_replace(t5,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g') AS t6
+           FROM s5),
+         s7 AS (SELECT doc_id, n_email, n_iban, n_cc, n_ssn, n_phone, n_ip,
+             len(regexp_extract_all(t6, '[0-9]+')) AS n_num,
+             regexp_replace(t6, '[0-9]+', '<NUM>', 'g') AS t7
+           FROM s6)
+         SELECT doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_iban AS BIGINT) AS n_iban,
+           CAST(n_cc AS BIGINT) AS n_cc,
+           CAST(n_ssn AS BIGINT) AS n_ssn,
+           CAST(n_phone AS BIGINT) AS n_phone,
+           CAST(n_ip AS BIGINT) AS n_ip,
+           CAST(n_num AS BIGINT) AS n_num,
+           CAST(len(t7) AS BIGINT) AS redacted_len,
+           md5(t7) AS digest
+         FROM s7
          ORDER BY doc_id"""
   )
 }

@@ -282,4 +282,46 @@ class CurationSpec extends AnyFunSuite {
       "A site banner with some words in it here.",
       "This sentence is long enough and ends with terminal punctuation."))
   }
+
+  private def piiAudit(text: String): (Seq[Long], String) = {
+    val r = Seq(text)
+      .toDF("t")
+      .select(graft.functions.Pii.redactAudit(col("t")).as("st"))
+      .select(
+        col("st.n_email"), col("st.n_iban"), col("st.n_cc"),
+        col("st.n_ssn"), col("st.n_phone"), col("st.n_ip"),
+        col("st.n_num"), col("st.redacted"))
+      .head()
+    (Seq(0, 1, 2, 3, 4, 5, 6).map(r.getLong), r.getString(7))
+  }
+
+  test("pii: every rule fires once on a kitchen-sink row; tokens replace in order") {
+    val (counts, red) = piiAudit(
+      "Mail a.user+tag@sub.example.org, IBAN DE44500105175407324931, " +
+        "card 4111 1111 1111 1111, SSN 123-45-6789, call +1 (555) 010-4242, " +
+        "host 10.0.255.7, and 42 apples.")
+    assert(counts === Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    assert(red ===
+      "Mail <EMAIL>, IBAN <IBAN>, card <CC>, SSN <SSN>, call <PHONE>, " +
+        "host <IP>, and <NUM> apples.")
+  }
+
+  test("pii: per-stage counts never double-count digits inside earlier redactions") {
+    // the email's digits, the card's digits, the SSN's digits must NOT
+    // reappear in n_phone / n_ip / n_num
+    val (counts, red) = piiAudit("u123@x.io 4111 1111 1111 1111 123-45-6789")
+    assert(counts === Seq(1L, 0L, 1L, 1L, 0L, 0L, 0L))
+    assert(red === "<EMAIL> <CC> <SSN>")
+    // an IP alone is not a phone (the phone format needs 3-4 digit
+    // tails the dotted quad never provides)
+    val (ipOnly, redIp) = piiAudit("ping 192.168.0.7 now")
+    assert(ipOnly === Seq(0L, 0L, 0L, 0L, 0L, 1L, 0L))
+    assert(redIp === "ping <IP> now")
+  }
+
+  test("pii: digit-run catch-all picks up what the structured rules skip") {
+    val (counts, red) = piiAudit("order 98765 shipped in 3 days")
+    assert(counts === Seq(0L, 0L, 0L, 0L, 0L, 0L, 2L))
+    assert(red === "order <NUM> shipped in <NUM> days")
+  }
 }
