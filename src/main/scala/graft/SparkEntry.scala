@@ -1454,6 +1454,36 @@ object SparkEntry {
         col("canonical"))
       .orderBy("component", "doc_id")
 
+  /** Seed-relevance ranking over the near-dup graph
+    * ([[graft.operators.Graph.personalizedPageRank]]): given a handful
+    * of trusted "anchor" documents, score every document in the pair
+    * graph by its damped random-walk proximity to the anchors — the
+    * curation move for growing a quality set from a verified nucleus.
+    * Seeds here are the three smallest ids of the verified Jaccard
+    * pair graph (a 3-row bounded collect — meta-sized, deterministic);
+    * vertices unreachable from them converge to relevance 0. Rows-only
+    * (iterative float ranks, same stance as q198); GraphSpec pins both
+    * restart-vector shapes — literal isin and the past-the-cap
+    * broadcast seed frame — against the power-iteration reference.
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.ops.Stage.materializeOnce(q16(s, d))
+    val seeds = pairs
+      .select(col("id_a"))
+      .union(pairs.select(col("id_b")))
+      .distinct()
+      .orderBy(col("id_a"))
+      .limit(3)
+      .as[Long]
+      .collect()
+      .toSeq
+    graft.operators.Graph
+      .personalizedPageRank(pairs, seeds, weightCol = Some("jaccard"))
+      .select(col("id").as("doc_id"), round(col("rank"), 9).as("relevance"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled sampling SCHEDULE (the α-mixing standard from
     * multilingual/pretraining recipes — q96's uniform-target reweight
     * is one extreme, proportional sampling the other; α between them):
@@ -4838,7 +4868,8 @@ object SparkEntry {
     "q202_c4_line_filter" -> (q202 _),
     "q203_triangle_stats" -> (q203 _),
     "q204_html_extract" -> (q204 _),
-    "q205_pii_audit" -> (q205 _)
+    "q205_pii_audit" -> (q205 _),
+    "q206_ppr_relevance" -> (q206 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

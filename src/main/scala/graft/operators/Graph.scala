@@ -158,8 +158,11 @@ object Graph {
     * given k example docs, rank the near-dup graph's members by
     * closeness to them. Same per-round shape as [[pageRank]] (one join
     * + one aggregation over the pair graph); the teleport vector is a
-    * literal `isin` over the (small, query-like) seed list, so it
-    * rides in the projection — no extra join. Vertices unreachable
+    * literal `isin` over the seed list when it is query-like
+    * (≤ `literalSeedCap`, default 1000) so it rides in the projection
+    * with no extra join, and a broadcast one-column seed frame past
+    * the cap (a literal that large would blow up analysis/codegen
+    * with a plan-sized predicate). Vertices unreachable
     * from the seeds converge to rank 0, seeds keep at least their
     * (1−d)/|seeds| restart mass; total rank stays exactly 1 on the
     * symmetrized (dangling-free) graph.
@@ -179,7 +182,8 @@ object Graph {
       iterations: Int = 10,
       damping: Double = 0.85,
       checkpointEvery: Int = 4,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      literalSeedCap: Int = 1000): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(
@@ -196,32 +200,73 @@ object Graph {
     // below 1, silently breaking the mass invariant. A fully absent
     // seed set is a caller error, loudly.
     val distinctSeeds = seeds.distinct
-    val present =
-      vertices.where(col("id").isin(distinctSeeds: _*)).count()
-    require(
-      present > 0,
-      s"none of the ${distinctSeeds.length} seed ids appear in the pair graph")
-    val restart = when(
-      col("id").isin(distinctSeeds: _*),
-      lit(1.0 / present)).otherwise(lit(0.0))
-    var ranks = withDeg
-      .select(col("src").as("id"))
-      .distinct()
-      .select(col("id"), restart.as("rank"))
+    // Two restart-vector shapes by seed count. A query-like seed list
+    // (≤ literalSeedCap) rides the projection as a literal `isin` — no
+    // join at all. Past the cap, an isin literal becomes a plan-sized
+    // predicate (analysis + Janino blowup scales with the seed count),
+    // so the seeds become a broadcast one-column frame instead: the
+    // restart value attaches via a broadcast LEFT join (coalesce to 0
+    // for non-seeds) — one broadcast hash join per round, no shuffle
+    // added, seed-list size bounded only by broadcast capacity.
+    val useSeedFrame = distinctSeeds.length > literalSeedCap
+    val spark = pairs.sparkSession
+    val seedRestart: Option[DataFrame] = if (useSeedFrame) {
+      import scala.jdk.CollectionConverters._
+      val idType = pairs.schema
+        .find(_.name.equalsIgnoreCase(idA))
+        .map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"column $idA not found in pair frame"))
+      val seedDf = spark.createDataFrame(
+        distinctSeeds.map(s => org.apache.spark.sql.Row(s)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType))))
+      val present = vertices.join(broadcast(seedDf), Seq("id")).count()
+      require(
+        present > 0,
+        s"none of the ${distinctSeeds.length} seed ids appear in the pair graph")
+      Some(
+        graft.ops.Stage.materializeOnce(
+          vertices
+            .join(broadcast(seedDf), Seq("id"))
+            .select(col("id"), lit(1.0 / present).as("restart"))))
+    } else None
+    val restartLit: org.apache.spark.sql.Column =
+      if (useSeedFrame) lit(0.0)
+    else {
+      val present =
+        vertices.where(col("id").isin(distinctSeeds: _*)).count()
+      require(
+        present > 0,
+        s"none of the ${distinctSeeds.length} seed ids appear in the pair graph")
+      when(col("id").isin(distinctSeeds: _*), lit(1.0 / present))
+        .otherwise(lit(0.0))
+    }
+    // attach the restart value to a vertex-keyed frame: literal
+    // projection below the cap, broadcast left join above it
+    def withRestart(df: DataFrame): DataFrame = seedRestart match {
+      case Some(sr) =>
+        df.join(broadcast(sr), Seq("id"), "left")
+          .withColumn("restart", coalesce(col("restart"), lit(0.0)))
+      case None => df.withColumn("restart", restartLit)
+    }
+    var ranks = withRestart(vertices)
+      .select(col("id"), col("restart").as("rank"))
       .transform(graft.ops.Stage.materializeOnce)
     var round = 0
     while (round < iterations) {
-      val next = withDeg
+      val inMass = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(
           col("dst").as("id"),
           (col("rank") * col("w") / col("deg")).as("c"))
         .groupBy("id")
         .agg(sum("c").as("in_mass"))
+      val next = withRestart(inMass)
         .select(
           col("id"),
-          ((lit(1.0) - damping) * restart + lit(damping) * col("in_mass"))
-            .as("rank"))
+          ((lit(1.0) - damping) * col("restart") +
+            lit(damping) * col("in_mass")).as("rank"))
       round += 1
       ranks =
         if (round % checkpointEvery == 0 || round == iterations)

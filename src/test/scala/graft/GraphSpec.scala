@@ -242,6 +242,41 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("personalized seed-frame path (past literalSeedCap) equals the literal path") {
+    val df = planted.toDF("id_a", "id_b")
+    // force the broadcast-join restart path with cap 0 — ranks must
+    // match the literal-isin path bit-for-near (same plan arithmetic,
+    // different restart attachment)
+    val literal = Graph
+      .personalizedPageRank(df, Seq(1L, 3L), iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    val joined = Graph
+      .personalizedPageRank(df, Seq(1L, 3L), iterations = 8,
+        literalSeedCap = 0)
+      .as[(Long, Double)].collect().toMap
+    assert(joined.keySet === literal.keySet)
+    joined.foreach { case (v, r) =>
+      assert(math.abs(r - literal(v)) < 1e-12, s"vertex $v")
+    }
+    assert(math.abs(joined.values.sum - 1.0) < 1e-9)
+    // a genuinely large seed list (mostly absent ids) exercises the
+    // default cap's join side without a plan-sized isin: mass 1,
+    // absent seeds drop from the denominator
+    val bigSeeds: Seq[Any] = (1L to 1500L).toSeq
+    val big = Graph
+      .personalizedPageRank(df, bigSeeds, iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(big.values.sum - 1.0) < 1e-9)
+    // present seeds: 1,2,3,4,10,11,12,20,21 → each restart 1/9
+    val present = Graph
+      .personalizedPageRank(df,
+        Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L), iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    big.foreach { case (v, r) =>
+      assert(math.abs(r - present(v)) < 1e-12, s"vertex $v")
+    }
+  }
+
   test("canonicalByRank flags exactly one max-rank survivor per component") {
     val rows = Graph
       .canonicalByRank(planted.toDF("id_a", "id_b"))
