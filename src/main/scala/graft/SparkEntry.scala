@@ -1484,6 +1484,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image near-dup
+    * ([[graft.multimodal.Multimodal.imageNearDup]]): dHash-64 over
+    * REAL decoded pixels (JDK imageio) → the SAME banded-Hamming pair
+    * machinery text SimHash uses → transitive components → min-id
+    * canonical flags. Multimodal corpora dedup on perceptual hashes —
+    * re-encoded/resized/brightness-shifted copies of an image share a
+    * gradient field that byte-level dedup can never see. Assets here
+    * are per-doc synthesized gradient PNGs (25 pattern families with
+    * planted brightness-shifted members, [[Multimodal
+    * .imageAssetsFromIds]]), so family members must cluster. Rows-only
+    * (binary decode pipeline, nothing for SQL to replay); ImageDedupSpec
+    * pins re-encode/resize/brightness invariance and distinct-image
+    * separation on handcrafted fixtures.
+    */
+  private def q207(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .imageNearDup(
+        graft.multimodal.Multimodal.imageAssetsFromIds(
+          Tables.documents(s, d).select("doc_id"),
+          "doc_id"))
+      .select(col("id").as("doc_id"), col("component"), col("canonical"))
+      .orderBy("doc_id")
+
   /** Temperature-scaled sampling SCHEDULE (the α-mixing standard from
     * multilingual/pretraining recipes — q96's uniform-target reweight
     * is one extreme, proportional sampling the other; α between them):
@@ -4869,7 +4892,8 @@ object SparkEntry {
     "q203_triangle_stats" -> (q203 _),
     "q204_html_extract" -> (q204 _),
     "q205_pii_audit" -> (q205 _),
-    "q206_ppr_relevance" -> (q206 _)
+    "q206_ppr_relevance" -> (q206 _),
+    "q207_image_neardup" -> (q207 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -721,6 +721,180 @@ object Multimodal {
     * differentially checked, and any stride/BGR/bottom-up bug shows as
     * a mean mismatch.
     */
+  /** 64-bit perceptual difference hash (dHash) of an encoded image:
+    * decode, area-average down to a 9×8 GRAYSCALE grid, set bit
+    * (y·8+x) iff the right neighbor is brighter than the left — the
+    * classic gradient-sign fingerprint. Invariant to re-encoding (same
+    * pixels → same hash), uniform brightness shifts (differences keep
+    * their sign), and resampling that preserves the luminance gradient
+    * field (the 9×8 area average IS a resample, so a pre-resized copy
+    * lands a few Hamming bits away, not a world away). Integer-exact
+    * pipeline: ITU-R 601 luma in integer arithmetic, area sums in
+    * Long, one float-free compare per bit — bit-identical on any JVM.
+    * Undecodable bytes → None (the [[decodeImages]] quarantine
+    * stance).
+    */
+  def dHashBytes(data: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      // 9 columns × 8 rows of area-averaged luma (×1000, integer)
+      val cell = Array.ofDim[Long](8, 9)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 9) {
+          val x0 = cx * w / 9
+          val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+          val y0 = cy * h / 8
+          val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          var sum = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sum += 299L * r + 587L * g + 114L * b
+              x += 1
+            }
+            y += 1
+          }
+          val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+          cell(cy)(cx) = if (n > 0) sum / n else 0L
+          cx += 1
+        }
+        cy += 1
+      }
+      var sig = 0L
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          if (cell(yy)(xx + 1) > cell(yy)(xx))
+            sig |= 1L << (yy * 8 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      Some(sig)
+    }
+  }
+
+  /** (id, sig) perceptual-hash frame over an asset table — the image
+    * analog of the text SimHash signature projection. Same
+    * mapPartitions batching contract as [[decodeImages]]; corrupt rows
+    * quarantine (dropped).
+    */
+  def dHashImages(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("id").cast("long").as("id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        dHashBytes(data).map(sig => (id, sig))
+      })
+      .toDF("id", "sig")
+  }
+
+  /** Perceptual near-dup candidate pairs over an asset table: dHash
+    * signatures into the EXACT banded-Hamming machinery text SimHash
+    * uses ([[graft.operators.Dedup.simHashBandPairs]] — pigeonhole-
+    * complete banding, bucket-capped pair generation, one equi-join).
+    * A perceptual hash is a SimHash over gradient features; nothing
+    * downstream knows the bits came from pixels. Returns
+    * (id_a, id_b, hamming) with hamming ≤ maxHamming.
+    */
+  def imageNearDupPairs(
+      assets: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 256): DataFrame =
+    graft.operators.Dedup.simHashBandPairs(
+      // banding + both verify sides consume the frame three times —
+      // stage it or the decode pipeline re-executes per consumer
+      graft.ops.Stage.materializeOnce(dHashImages(assets)),
+      maxHamming,
+      bands,
+      maxBucketSize)
+
+  /** Perceptual dedup end-to-end: pairs → transitive components →
+    * (id, component, canonical). Min-id survivor policy (the
+    * [[graft.operators.Dedup.resolveComponents]] convention); every
+    * DECODABLE asset appears, singletons are their own component.
+    */
+  def imageNearDup(
+      assets: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 256): DataFrame = {
+    val sigs = graft.ops.Stage.materializeOnce(dHashImages(assets))
+    val pairs = graft.operators.Dedup.simHashBandPairs(
+      sigs, maxHamming, bands, maxBucketSize)
+    val comps =
+      graft.operators.Dedup.resolveComponentsAuto(pairs, "id_a", "id_b")
+    sigs
+      .select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("canonical", col("id") === col("component"))
+  }
+
+  /** Per-id synthesized PNG assets (the image analog of
+    * [[videoAssetsFromIds]]): a horizontal-gradient pattern keyed by
+    * `id % nPatterns` plus a small uniform brightness shift keyed by
+    * the id's group ordinal — so ids sharing a pattern are PERCEPTUAL
+    * near-dups (same gradient field, shifted brightness: dHash-
+    * identical) while distinct patterns differ in gradient phase and
+    * slope. Deterministic bytes per id on any JVM (PNG encode of
+    * integer-arithmetic pixels).
+    */
+  def imageAssetsFromIds(
+      df: DataFrame,
+      idCol: String,
+      w: Int = 18,
+      h: Int = 16,
+      nPatterns: Int = 25): DataFrame = {
+    val synth = udf { (id: Long) =>
+      val p = (id % nPatterns).toInt
+      val shift = ((id / nPatterns) % 3).toInt * 2
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (23 * p + x * (10 + (p % 7) * 6)) % 240 + shift
+          val g = (91 * p + y * (8 + (p % 5) * 7)) % 240 + shift
+          val b = (53 * p + (x + y) * (6 + (p % 3) * 9)) % 240 + shift
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    df.select(
+      col(idCol).cast("long").as("id"),
+      synth(col(idCol).cast("long")).as("data"),
+      struct(
+        lit("image").as("modality"),
+        lit(0L).as("n_bytes"),
+        lit(w).as("width"),
+        lit(h).as("height")).as("meta"))
+  }
+
   def videoAssetsFromIds(
       df: DataFrame,
       idCol: String,
