@@ -1430,6 +1430,56 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer end-to-end
+    * ([[graft.functions.UnigramLm]]) — the OTHER tokenizer-training
+    * family beside q197's BPE, same once-per-corpus artifact
+    * discipline (per-dir cache, build cost amortized like the ANN
+    * indexes): hard-EM over the word-frequency table (substring
+    * seeding + Viterbi counts, all integer-deterministic), then every
+    * document ENCODED under the learned pieces via the vocab-bounded
+    * Viterbi UDF + equi-join factoring (the encodeWords shape). Per
+    * doc: whitespace words, unigram piece count, distinct pieces
+    * used. Rows-only (a trained probabilistic model is not
+    * SQL-expressible); UnigramLmSpec differentials the trainer against
+    * a sequential driver replay.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val model = unigramModelCache.getOrElseUpdate(
+      d,
+      graft.functions.UnigramLm
+        .train(ds, "text", vocabSize = 400, seedSize = 800, emIters = 2))
+    val wordCounts = ds
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.ops.Stage.materializeOnce)
+    val encoded = graft.functions.UnigramLm
+      .encodeWords(wordCounts, "w", model)
+      .select(
+        col("w"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        array_distinct(col("pieces")).as("dp"))
+    wordCounts
+      .join(encoded, Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_unigram_tokens"),
+        size(array_distinct(flatten(collect_list(col("dp")))))
+          .cast("long")
+          .as("n_distinct_pieces"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramModelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, graft.functions.UnigramLm.Model]
+
   /** Centrality-weighted canonical selection over the near-dup graph
     * ([[graft.operators.Graph.canonicalByRank]]): q16's verified
     * Jaccard pairs → connected components (q56's resolver) PLUS
@@ -4893,7 +4943,8 @@ object SparkEntry {
     "q204_html_extract" -> (q204 _),
     "q205_pii_audit" -> (q205 _),
     "q206_ppr_relevance" -> (q206 _),
-    "q207_image_neardup" -> (q207 _)
+    "q207_image_neardup" -> (q207 _),
+    "q208_unigram_encode" -> (q208 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
