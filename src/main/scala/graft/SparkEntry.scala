@@ -1569,6 +1569,51 @@ object SparkEntry {
     * agg to #sources rows, windows over that tiny aggregate (source
     * cardinality bounds the single partition — fine at 100 TB).
     */
+  /** Tokenizer-aware corpus economics: q200's temperature schedule
+    * recomputed over REAL tokenizer counts — per-source token mass =
+    * Σ of q197's trained-BPE per-doc counts instead of whitespace
+    * counts. The distinction is the whole point of the query: a
+    * source whose text is morphologically expensive under the learned
+    * tokenizer (more BPE pieces per word) costs more of the token
+    * budget than its whitespace share suggests, and the α-schedule
+    * must price that in. Plan shape: q197's vocab-factored encode
+    * (merges cached per dir) → per-source partial+final agg to
+    * #sources rows → window math over that tiny aggregate. Rows-only:
+    * the trained merge list is not SQL-expressible (q197's stance);
+    * MixtureSpec pins the schedule math against a driver replay over
+    * q197's own output.
+    */
+  private def q209(sess: SparkSession, d: String): DataFrame = {
+    val budget = 10000000L
+    val wAll = Window.partitionBy()
+    val perDoc = q197(sess, d) // doc_id, n_words, n_bpe_tokens
+    Tables
+      .documents(sess, d)
+      .select(col("doc_id"), col("source"))
+      .join(perDoc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum("n_bpe_tokens").as("n_tokens"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll))
+          .as("share"))
+      .withColumn("w_raw", sqrt(col("share")))
+      .withColumn("weight", col("w_raw") / sum(col("w_raw")).over(wAll))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("weight"), 6).as("weight"),
+        round(lit(budget.toDouble) * col("weight"), 2)
+          .as("sampled_tokens"),
+        round(
+          lit(budget.toDouble) * col("weight") /
+            col("n_tokens").cast("double"),
+          6).as("epochs"))
+      .orderBy("source")
+  }
+
   private def q200(sess: SparkSession, d: String): DataFrame = {
     val budget = 10000000L // target tokens drawn under the schedule
     val wAll = Window.partitionBy()
@@ -4944,7 +4989,8 @@ object SparkEntry {
     "q205_pii_audit" -> (q205 _),
     "q206_ppr_relevance" -> (q206 _),
     "q207_image_neardup" -> (q207 _),
-    "q208_unigram_encode" -> (q208 _)
+    "q208_unigram_encode" -> (q208 _),
+    "q209_bpe_mixture" -> (q209 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

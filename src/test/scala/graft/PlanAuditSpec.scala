@@ -86,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q164_type_drift", // global 1-row max-midpoint aggregate
     "q191_dsir_weights", // in-plan 1-row corpus-total aggregates (raw + target)
     "q193_cms_frequencies", // global CMS agg: partials are 80 KB matrices, final is 1 row
-    "q200_mixture_schedule") // q96's shape: windows over the #sources-row aggregate
+    "q200_mixture_schedule", // q96's shape: windows over the #sources-row aggregate
+    "q209_bpe_mixture") // same schedule windows over a #sources-row aggregate
 
   private def planOf(name: String): String =
     SparkEntry
