@@ -151,6 +151,24 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
     }
+    // BENCH_FULL.json is overwritten every run, so one contended run
+    // can silently clobber the canonical quiet-machine record. Keep an
+    // APPEND-ONLY history beside it — every run's full line, stamped —
+    // so the record of any run survives later overwrites and a
+    // suspicious number can be traced without a re-measure.
+    try {
+      val stamp = java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.now())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        s"""{"ts":"$stamp",${line.stripPrefix("{")}""".concat("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not append BENCH_HISTORY.jsonl: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -79,8 +79,16 @@ object StreamBench {
       val warm = docs.limit(64).cache()
       warm.count()
       IngestDedup.ingestBatch(warm, s"$work/warm-exact", "text", "doc_id", 0L)
+      // THREE warm batches: the ingest pipeline has three distinct
+      // steady-state plan shapes (no index yet, probe-base-only, probe
+      // base∪delta) and each shape Janino-compiles its stages once per
+      // JVM — the third batch is the shape a long-running ingest
+      // actually spends its life in, so it must warm too (measured: a
+      // cold base∪delta shape costs ~20 compiles ≈ 1 s in the first
+      // timed batch).
       NearDupIngest.ingestBatch(warm, s"$work/warm-mh", "text", "doc_id", 0L)
       NearDupIngest.ingestBatch(warm, s"$work/warm-mh", "text", "doc_id", 1L)
+      NearDupIngest.ingestBatch(warm, s"$work/warm-mh", "text", "doc_id", 2L)
       warm.unpersist()
     }
 
@@ -108,6 +116,7 @@ object StreamBench {
       warm.count()
       EmbedIngest.ingestBatch(warm, s"$work/warm-emb", "embedding", "vec_id", 0L)
       EmbedIngest.ingestBatch(warm, s"$work/warm-emb", "embedding", "vec_id", 1L)
+      EmbedIngest.ingestBatch(warm, s"$work/warm-emb", "embedding", "vec_id", 2L)
       warm.unpersist()
     }
     timed("embed_ingest", nEmbs) {

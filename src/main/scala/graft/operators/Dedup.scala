@@ -411,8 +411,13 @@ object Dedup {
     //     dropped BEFORE any set is built;
     //  2. |A∪B| = |A|+|B|-|A∩B| (arrays are distinct) — one hash set
     //     instead of two per pair.
-    val shA = sig.select(col("id").as("id_a"), col("bh").as("sh_a"))
-    val shB = sig.select(col("id").as("id_b"), col("bh").as("sh_b"))
+    val shA0 = sig.select(col("id").as("id_a"), col("bh").as("sh_a"))
+    val shB0 = sig.select(col("id").as("id_b"), col("bh").as("sh_b"))
+    // lean: the sig frame is batch-bounded — broadcasting both sides
+    // keeps the verify in the SAME stage as the pair explosion (no
+    // id_a/id_b shuffles for AQE to coalesce down to one core)
+    val shA = if (lean) broadcast(shA0) else shA0
+    val shB = if (lean) broadcast(shB0) else shB0
     val nA = size(col("sh_a")).cast("double")
     val nB = size(col("sh_b")).cast("double")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -558,6 +563,108 @@ object Dedup {
         spark.read.schema(safe).parquet(path)
     }
 
+  /** Versioned index-frame cache for the STREAMING probe paths: a
+    * micro-batch ingest probes the whole persisted index every batch,
+    * and re-listing + re-decoding an N-segment parquet tree per batch
+    * makes probe cost O(corpus) each time. Instead: hold a PERSISTED
+    * base frame of the segments seen at rebase time, and serve probes
+    * as base ∪ delta-read of only the segments committed since — the
+    * per-batch scan cost is then O(new segments), and a full re-read
+    * happens only every `MaxDeltaSegments` commits (amortized
+    * O(corpus / MaxDeltaSegments)) or when the tree is REWRITTEN
+    * (compaction folds/tombstones → a base unit disappears →
+    * fingerprint mismatch → rebase; correctness never depends on the
+    * cache being warm).
+    *
+    * Versioning is structural, not hooked: each call fingerprints the
+    * tree's first-level units (hive `batch=` dirs, or loose part-files
+    * for flat trees) by name + file count + total length, so ANY
+    * writer — marker-committed streaming segments, plain `mode
+    * (append)` batch appends, compaction — is caught. Mixed
+    * hive+loose layouts rebase unconditionally (delta reads need one
+    * consistent partition-discovery shape).
+    *
+    * Only the lean (ingest) probes use this: a one-shot batch query
+    * has no second probe to amortize the persist into.
+    */
+  private final case class IndexCacheEntry(
+      units: Map[String, String],
+      base: DataFrame)
+
+  private val indexFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexCacheEntry]()
+
+  private val MaxDeltaSegments = 8
+
+  private def listUnits(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Map[String, String] =
+    fs.listStatus(root)
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .map { s =>
+        val fp =
+          if (!s.isDirectory) s"f:${s.getLen}"
+          else {
+            val kids = fs.listStatus(s.getPath)
+              .filterNot(k => k.getPath.getName.startsWith("_") ||
+                k.getPath.getName.startsWith("."))
+            s"d:${kids.length}:${kids.map(_.getLen).sum}"
+          }
+        s.getPath.getName -> fp
+      }
+      .toMap
+
+  private def readIndexCached(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = synchronized {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val units = listUnits(fs, root)
+    val dirUnits = units.keysIterator.count(_.contains("="))
+    val mixed = dirUnits > 0 && dirUnits < units.size
+    val cur = Option(indexFrameCache.get(path))
+    val reusable = !mixed && cur.exists { e =>
+      e.units.forall { case (u, fp) => units.get(u).contains(fp) } &&
+        (units.size - e.units.size) <= MaxDeltaSegments
+    }
+    if (reusable) {
+      val e = cur.get
+      val delta = units.keySet -- e.units.keySet
+      if (delta.isEmpty) e.base
+      else {
+        val schema = indexSchemaCache.get(path)
+        e.base.unionByName(
+          spark.read
+            .schema(schema)
+            .option("basePath", path)
+            .parquet(delta.toSeq.sorted.map(u => s"$path/$u"): _*))
+      }
+    } else {
+      // localCheckpoint, NOT persist: a persisted parquet-read plan
+      // registers in the shared CacheManager, which then SUBSTITUTES
+      // the stale snapshot into ANY other query over the same path
+      // (compaction's fold, ingestedIds, batch probes) — silent data
+      // loss the moment the tree grows. A localCheckpoint is an
+      // RDD-backed LogicalRDD: invisible to plan matching, an
+      // explicit snapshot only this cache serves. The eager job is
+      // the amortized rebase cost; superseded snapshots are released
+      // by the ContextCleaner once dereferenced (bounded by one
+      // rebase every MaxDeltaSegments commits).
+      // repartition BEFORE snapshotting: a small index tree reads as
+      // 1-2 parquet splits, and every per-batch probe verify inherits
+      // that (non-)parallelism. Paying one exchange per REBASE spreads
+      // the snapshot across the executors once; every probe until the
+      // next rebase then verifies in parallel from block-manager-local
+      // partitions.
+      val base = readIndexParquet(spark, path)
+        .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+        .localCheckpoint(true)
+      indexFrameCache.put(path, IndexCacheEntry(units, base))
+      base
+    }
+  }
+
   private def mhMeta(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -699,21 +806,50 @@ object Dedup {
       .select(col("bucket"), col("id").as("probe_id"))
     // lean (ingest) skips the candidate dedup shuffle: the consumer
     // reduces to a distinct probe_id set anyway, and double-verifying
-    // the few cross-band collisions is cheaper than an exchange
-    val cand0 = readIndexParquet(spark, s"$indexPath/buckets")
+    // the few cross-band collisions is cheaper than an exchange.
+    // lean also reads the index through the versioned frame cache —
+    // a per-micro-batch probe amortizes the persisted base, a one-shot
+    // batch query does not ([[readIndexCached]]).
+    val readIdx: String => DataFrame =
+      if (lean) readIndexCached(spark, _) else readIndexParquet(spark, _)
+    val cand0 = readIdx(s"$indexPath/buckets")
       .where(col("bn") <= maxBucketSize)
       .join(broadcast(bBanded), Seq("bucket"))
       .select(col("probe_id"), col("id").as("corpus_id"))
-    val cand = if (lean) cand0 else cand0.distinct()
-    val candSh = cand.join(
-      bSig.select(col("id").as("probe_id"), col("bh").as("sh_p")),
-      Seq("probe_id"))
+    // candidate dedup is NOT optional at probe scale: a pair colliding
+    // in k of the bands is otherwise verified k times, and the verify
+    // (array_intersect over shingle sets) is the probe's CPU budget
+    // (measured: ~20 task-seconds per micro-batch without the dedup).
+    // lean pins the dedup's exchange explicitly — repartition on the
+    // pair key at a small user-specified count, then an in-partition
+    // dropDuplicates that REUSES that partitioning (one shuffle of
+    // bare key pairs total, AQE-coalescing-exempt, verify inherits
+    // the parallelism).
+    val pLean =
+      math.min(spark.sparkContext.defaultParallelism, 16)
+    val cand =
+      if (lean)
+        cand0
+          .repartition(pLean, col("probe_id"), col("corpus_id"))
+          .dropDuplicates("probe_id", "corpus_id")
+      else cand0.distinct()
+    // broadcast shape matters more than row count here: joining the
+    // probe SIGNATURES onto the candidates BEFORE the broadcast would
+    // duplicate each probe doc's shingle array per candidate — a
+    // multi-MB broadcast whose per-task hash build was the probe's
+    // real cost (measured ~0.7 s/task across every core). Broadcast
+    // the bare id-pair list and the batch-sized signature frame
+    // SEPARATELY; each is small, and the corpus scan joins both
+    // map-side.
     val nP = size(col("sh_p")).cast("double")
     val nC = size(col("sh_c")).cast("double")
     val inter = size(array_intersect(col("sh_p"), col("sh_c"))).cast("double")
-    readIndexParquet(spark, s"$indexPath/sig")
+    readIdx(s"$indexPath/sig")
       .select(col("id").as("corpus_id"), col("bh").as("sh_c"))
-      .join(broadcast(candSh), Seq("corpus_id"))
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(
+        broadcast(bSig.select(col("id").as("probe_id"), col("bh").as("sh_p"))),
+        Seq("probe_id"))
       .where(least(nP, nC) / greatest(nP, nC) >= threshold)
       .select(
         col("probe_id"),
@@ -746,7 +882,18 @@ object Dedup {
     SignatureExpressions.register(spark)
     val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
     val rows = numHashes / bands
-    val sig0 = mhSignatures(batch, textCol, idCol, shingleLen, numHashes)
+    // cut the INCOMING batch's lineage before anything else: the
+    // caller's plan typically embeds per-batch literals (an offset
+    // range, a modulo filter, a timestamp bound), and any codegen
+    // stage fused with a changing literal produces a NEW generated
+    // source every batch — measured ~20 Janino compiles (≈0.5 s each,
+    // serialized behind the compile KeyLock) per steady-state
+    // micro-batch. Re-rooting at a LogicalRDD makes every downstream
+    // stage's source identical batch over batch, so the codegen cache
+    // actually caches.
+    val stableBatch = graft.ops.Stage.materializeOnce(
+      batch.select(col(idCol), col(textCol)))
+    val sig0 = mhSignatures(stableBatch, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeOnce)
     val intraDrop = resolveComponentsAuto(
       mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
@@ -834,20 +981,31 @@ object Dedup {
       maxBucketSize: Int,
       lean: Boolean = false): DataFrame = {
     val p = banded.sparkSession.sparkContext.defaultParallelism
-    val bucketed = banded
+    // lean mode (micro-batch ingest): the EXTRA pin-the-parallelism
+    // exchanges and the cross-band pair dedup are pure overhead on a
+    // bounded batch. But parallelism still needs A pin — AQE coalesces
+    // the bucket agg's tiny output to ONE partition and the pair
+    // explosion + verify (compute-heavy on few bytes) serialize on a
+    // single core (measured: the 1-task 1.1 s stage dominating ingest
+    // latency). The trick that costs nothing: pin the agg's OWN
+    // exchange by pre-partitioning on the group key — the groupBy
+    // reuses the user-specified HashPartitioning (no second shuffle),
+    // and user repartitions are AQE-coalescing-exempt, so everything
+    // downstream inherits real parallelism. Small count: a batch's
+    // bucket table is KBs, 8 tasks amortize scheduling.
+    // Consumers of the lean form must tolerate duplicate pairs
+    // (union-find does; a few double-verified candidates cost less
+    // than a shuffle). The full-corpus path keeps the explicit
+    // repartitions and the distinct (the public pair API promises
+    // distinct pairs).
+    val pre =
+      if (lean) banded.repartition(math.min(p, 8), col("bucket")) else banded
+    val bucketed = pre
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxBucketSize))
-    // lean mode (micro-batch ingest): the pin-the-parallelism exchanges
-    // and the cross-band pair dedup are pure overhead on a bounded
-    // batch — three extra shuffle stages per micro-batch for data that
-    // fits one task. Consumers of the lean form must tolerate duplicate
-    // pairs (union-find does; a few double-verified candidates cost
-    // less than a shuffle). The full-corpus path keeps all three (the
-    // explosion/intersection stages are compute-heavy on few bytes, and
-    // the public pair API promises distinct pairs).
     val spread = if (lean) bucketed else bucketed.repartition(p)
-    val pairs = spread
+    val pairs0 = spread
       .select(
         explode(
           flatten(
@@ -861,7 +1019,15 @@ object Dedup {
                     greatest(size(col("ids")) - i - 1, lit(0))),
                   y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-    if (lean) pairs else pairs.distinct().repartition(p)
+    // lean still dedups — a k-band duplicate pair would be verified k
+    // times downstream (the probe-path rationale) — but with ONE
+    // pinned exchange (repartition on the pair key + in-partition
+    // dropDuplicates) instead of distinct + repartition.
+    if (lean)
+      pairs0
+        .repartition(math.min(p, 8), col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    else pairs0.distinct().repartition(p)
   }
 
   /** 64-bit SimHash from an already-materialized token-hash array: bit j
@@ -1428,9 +1594,14 @@ object Dedup {
       maxBucketSize: Int,
       lean: Boolean = false): DataFrame = {
     val cand = pairsFromBuckets(embBanded(sig, bands, rows), maxBucketSize, lean)
+    val vA0 = sig.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vB0 = sig.select(col("id").as("id_b"), col("v").as("v_b"))
+    // lean: batch-bounded sides broadcast (the mhPairsSigned rationale)
+    val vA = if (lean) broadcast(vA0) else vA0
+    val vB = if (lean) broadcast(vB0) else vB0
     cand
-      .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(vA, Seq("id_a"))
+      .join(vB, Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
@@ -1591,18 +1762,32 @@ object Dedup {
     val spark = bSig.sparkSession
     val bBanded = embBanded(bSig, bands, rows)
       .select(col("bucket"), col("id").as("probe_id"))
-    // lean: see mhProbeSigned — consumer distincts probe_id downstream
-    val cand0 = readIndexParquet(spark, s"$indexPath/buckets")
+    // lean: see mhProbeSigned — consumer distincts probe_id downstream,
+    // and the index reads go through the versioned frame cache
+    val readIdx: String => DataFrame =
+      if (lean) readIndexCached(spark, _) else readIndexParquet(spark, _)
+    val cand0 = readIdx(s"$indexPath/buckets")
       .where(col("bn") <= maxBucketSize)
       .join(broadcast(bBanded), Seq("bucket"))
       .select(col("probe_id"), col("id").as("corpus_id"))
-    val cand = if (lean) cand0 else cand0.distinct()
-    val candV = cand.join(
-      bSig.select(col("id").as("probe_id"), col("v").as("v_p")),
-      Seq("probe_id"))
-    readIndexParquet(spark, s"$indexPath/sig")
+    // pinned candidate dedup — see mhProbeSigned: a k-band collision
+    // must not cost k cosine verifications
+    val pLean =
+      math.min(spark.sparkContext.defaultParallelism, 16)
+    val cand =
+      if (lean)
+        cand0
+          .repartition(pLean, col("probe_id"), col("corpus_id"))
+          .dropDuplicates("probe_id", "corpus_id")
+      else cand0.distinct()
+    // two small broadcasts (bare pairs + batch vectors), never the
+    // fat pairs×vectors product — the mhProbeSigned rationale
+    readIdx(s"$indexPath/sig")
       .select(col("id").as("corpus_id"), col("v").as("v_c"))
-      .join(broadcast(candV), Seq("corpus_id"))
+      .join(broadcast(cand), Seq("corpus_id"))
+      .join(
+        broadcast(bSig.select(col("id").as("probe_id"), col("v").as("v_p"))),
+        Seq("probe_id"))
       .select(
         col("probe_id"),
         col("corpus_id"),
@@ -1634,7 +1819,11 @@ object Dedup {
     VectorExpressions.register(spark)
     val (nBits, bands, seed) = embMeta(spark, indexPath, sourceTag)
     val rows = nBits / bands
-    val sig0 = embSignatures(batch, vecCol, idCol, nBits, seed)
+    // re-root the batch at a LogicalRDD first — the codegen-cache
+    // poisoning argument of [[mhIngestSegmentFrames]]
+    val stableBatch = graft.ops.Stage.materializeOnce(
+      batch.select(col(idCol), col(vecCol)))
+    val sig0 = embSignatures(stableBatch, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
     val intraDrop = resolveComponentsAuto(
       embPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))

@@ -67,25 +67,28 @@ object EmbedIngest {
     fs.delete(bucketsTarget, true)
 
     // intra-batch survivors → against-corpus probe → segment frames,
-    // all over ONE signing pass ([[Dedup.embIngestSegmentFrames]])
-    val (sig, buckets) = Dedup.embIngestSegmentFrames(
-      batch,
-      vecCol,
-      idCol,
-      indexPath,
-      threshold,
-      maxBucketSize,
-      probeCorpus =
-        SegmentCompaction.hasSegments(spark, s"$indexPath/buckets"),
-      sourceTag)
-    val sigStaging = new Path(root, s"_staging/sig-$batchId")
-    val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
-    fs.delete(sigStaging, true)
-    fs.delete(bucketsStaging, true)
-    sig.write.mode("overwrite").parquet(sigStaging.toString)
-    buckets.write.mode("overwrite").parquet(bucketsStaging.toString)
-    SnapshotCommit.publish(fs, sigStaging, sigTarget)
-    SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+    // all over ONE signing pass ([[Dedup.embIngestSegmentFrames]]);
+    // AQE off for the batch ([[IngestTuning.withBatchTuning]])
+    IngestTuning.withBatchTuning(spark) {
+      val (sig, buckets) = Dedup.embIngestSegmentFrames(
+        batch,
+        vecCol,
+        idCol,
+        indexPath,
+        threshold,
+        maxBucketSize,
+        probeCorpus =
+          SegmentCompaction.hasSegments(spark, s"$indexPath/buckets"),
+        sourceTag)
+      val sigStaging = new Path(root, s"_staging/sig-$batchId")
+      val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
+      fs.delete(sigStaging, true)
+      fs.delete(bucketsStaging, true)
+      sig.write.mode("overwrite").parquet(sigStaging.toString)
+      buckets.write.mode("overwrite").parquet(bucketsStaging.toString)
+      SnapshotCommit.publish(fs, sigStaging, sigTarget)
+      SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+    }
   }
 
   /** The ingested (surviving) ids, or None before the first commit. */

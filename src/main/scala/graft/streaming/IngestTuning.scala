@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning for the micro-batch ingest hot loops.
+  *
+  * AQE is pure overhead at micro-batch scale: every per-batch job
+  * re-plans stage by stage (a driver round trip per exchange) to make
+  * size-based decisions the ingest pipelines have already made
+  * explicitly — parallelism is pinned by user repartitions (AQE-exempt
+  * anyway), small sides are broadcast by hand, and the frames are
+  * KB-sized so there is nothing for skew/coalesce logic to win.
+  * Measured on the steady-state near-dup batch: ~17% of wall clock.
+  * Batch (non-streaming) queries keep AQE — this wrapper
+  * saves/restores the session value around one batch only, so a
+  * foreachBatch session clone or a shared test session leaves the loop
+  * exactly as it entered it.
+  */
+object IngestTuning {
+  /** (key, batch-scoped value). shuffle.partitions drops to 8: a
+    * micro-batch's shuffles carry KBs, and 32 default partitions mean
+    * 32 scheduled tasks of ~1 ms work each per exchange (measured:
+    * ~35 ms run inside ~155 ms wall — pure scheduling). The pinned
+    * repartitions in the dedup pipelines are unaffected (explicit
+    * counts), and batch-query sessions are restored on exit.
+    */
+  private val Tuned: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.shuffle.partitions" -> "8")
+
+  def withBatchTuning[T](spark: SparkSession)(body: => T): T = {
+    val prev = Tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    Tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

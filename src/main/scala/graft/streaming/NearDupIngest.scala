@@ -83,24 +83,27 @@ object NearDupIngest {
     // intra-batch survivors → against-corpus probe → segment frames,
     // all over ONE signing pass ([[Dedup.mhIngestSegmentFrames]] — the
     // naive minHashNearDup → dedupIncoming → minHashSegmentFrames
-    // composition shingles and signs the batch three times)
-    val (sig, buckets) = Dedup.mhIngestSegmentFrames(
-      batch,
-      textCol,
-      idCol,
-      indexPath,
-      threshold,
-      maxBucketSize,
-      probeCorpus = hasSegments(spark, s"$indexPath/buckets"),
-      sourceTag = sourceTag)
-    val sigStaging = new Path(root, s"_staging/sig-$batchId")
-    val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
-    fs.delete(sigStaging, true)
-    fs.delete(bucketsStaging, true)
-    sig.write.mode("overwrite").parquet(sigStaging.toString)
-    buckets.write.mode("overwrite").parquet(bucketsStaging.toString)
-    SnapshotCommit.publish(fs, sigStaging, sigTarget)
-    SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+    // composition shingles and signs the batch three times); AQE off
+    // for the batch ([[IngestTuning.withBatchTuning]])
+    IngestTuning.withBatchTuning(spark) {
+      val (sig, buckets) = Dedup.mhIngestSegmentFrames(
+        batch,
+        textCol,
+        idCol,
+        indexPath,
+        threshold,
+        maxBucketSize,
+        probeCorpus = hasSegments(spark, s"$indexPath/buckets"),
+        sourceTag = sourceTag)
+      val sigStaging = new Path(root, s"_staging/sig-$batchId")
+      val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
+      fs.delete(sigStaging, true)
+      fs.delete(bucketsStaging, true)
+      sig.write.mode("overwrite").parquet(sigStaging.toString)
+      buckets.write.mode("overwrite").parquet(bucketsStaging.toString)
+      SnapshotCommit.publish(fs, sigStaging, sigTarget)
+      SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+    }
   }
 
   private def hasSegments(
