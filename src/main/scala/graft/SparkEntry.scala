@@ -1744,24 +1744,28 @@ object SparkEntry {
     * oracle (same concat), so the query is hash-green end to end; one
     * narrow projection, no UDF, no shuffle before the output sort.
     */
+  /** The deterministic page skeleton q204/q210 wrap the corpus text
+    * in — byte-identical to the oracle's concat.
+    */
+  private def plantedHtml: Column = concat(
+    lit(
+      "<html><head><title>Synthetic corpus page</title>" +
+        "<style>p{margin:0} nav{display:flex}</style>" +
+        "<script type=\"text/javascript\">var tracker = 1;</script>" +
+        "</head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About &amp; Contact</a></li>" +
+        "<li><a href=\"/archive\">Archive</a></li></ul></nav>" +
+        "<!-- chrome ends --><div class=\"content\"><h1>Document "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>"),
+    regexp_replace(col("text"), "\n", "</p><p>"),
+    lit(
+      "</p></div><footer><a href=\"/privacy\">Privacy</a> &#183; " +
+        "<a href=\"/terms\">Terms of service</a></footer></body></html>"))
+
   private def q204(sess: SparkSession, d: String): DataFrame = {
-    val html = concat(
-      lit(
-        "<html><head><title>Synthetic corpus page</title>" +
-          "<style>p{margin:0} nav{display:flex}</style>" +
-          "<script type=\"text/javascript\">var tracker = 1;</script>" +
-          "</head><body>" +
-          "<nav><ul><li><a href=\"/\">Home</a></li>" +
-          "<li><a href=\"/about\">About &amp; Contact</a></li>" +
-          "<li><a href=\"/archive\">Archive</a></li></ul></nav>" +
-          "<!-- chrome ends --><div class=\"content\"><h1>Document "),
-      col("doc_id").cast("string"),
-      lit("</h1><p>"),
-      regexp_replace(col("text"), "\n", "</p><p>"),
-      lit(
-        "</p></div><footer><a href=\"/privacy\">Privacy</a> &#183; " +
-          "<a href=\"/terms\">Terms of service</a></footer></body></html>"))
-    val st = graft.functions.HtmlExtract.mainContent(html)
+    val st = graft.functions.HtmlExtract.mainContent(plantedHtml)
     Tables
       .documents(sess, d)
       .select(col("doc_id"), st.as("st"))
@@ -1771,6 +1775,37 @@ object SparkEntry {
         col("st.n_kept").as("n_kept"),
         length(col("st.main_text")).cast("long").as("main_len"),
         col("st.main_text").as("main_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The raw-web pipeline END TO END: planted page → main-content
+    * extraction ([[graft.functions.HtmlExtract]], q204's stage) →
+    * C4 line cleaning ([[graft.functions.TextFunctions.c4KeptLines]],
+    * q202's stage) — the exact composition a web corpus runs before
+    * any document-level filter sees text. Extraction emits one block
+    * per line, so the C4 pass reads blocks as its lines; the digest +
+    * length prove the final cleaned text byte-for-byte without
+    * shipping it. Still one narrow projection per doc, no UDF, no
+    * shuffle before the output sort; hash-green (the oracle chains
+    * the q204 and q202 SQL verbatim).
+    */
+  private def q210(sess: SparkSession, d: String): DataFrame = {
+    val st = graft.functions.HtmlExtract.mainContent(plantedHtml)
+    Tables
+      .documents(sess, d)
+      .select(col("doc_id"), st.as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_kept").as("n_blocks_kept"),
+        graft.functions.TextFunctions
+          .c4KeptLines(col("st.main_text"))
+          .as("kept"))
+      .select(
+        col("doc_id"),
+        col("n_blocks_kept"),
+        size(col("kept")).cast("long").as("n_lines_kept"),
+        length(concat_ws("\n", col("kept"))).cast("long").as("clean_len"),
+        md5(concat_ws("\n", col("kept"))).as("digest"))
       .orderBy("doc_id")
   }
 
@@ -4990,7 +5025,8 @@ object SparkEntry {
     "q206_ppr_relevance" -> (q206 _),
     "q207_image_neardup" -> (q207 _),
     "q208_unigram_encode" -> (q208 _),
-    "q209_bpe_mixture" -> (q209 _)
+    "q209_bpe_mixture" -> (q209 _),
+    "q210_web_pipeline" -> (q210 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7416,6 +7452,91 @@ object SparkEntry {
            CAST(len(t7) AS BIGINT) AS redacted_len,
            md5(t7) AS digest
          FROM s7
+         ORDER BY doc_id""",
+    // q210: q204's extraction CTEs chained into q202's C4 line rule —
+    // the oracle replays the whole raw-web pipeline.
+    "q210_web_pipeline" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>Synthetic corpus page</title>' ||
+             '<style>p{margin:0} nav{display:flex}</style>' ||
+             '<script type="text/javascript">var tracker = 1;</script>' ||
+             '</head><body>' ||
+             '<nav><ul><li><a href="/">Home</a></li>' ||
+             '<li><a href="/about">About &amp; Contact</a></li>' ||
+             '<li><a href="/archive">Archive</a></li></ul></nav>' ||
+             '<!-- chrome ends --><div class="content"><h1>Document ' ||
+             CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+             replace(text, chr(10), '</p><p>') ||
+             '</p></div><footer><a href="/privacy">Privacy</a> &#183; ' ||
+             '<a href="/terms">Terms of service</a></footer></body></html>'
+             AS html
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?is)<head\b[^>]*>.*?</head\s*>', ' ', 'g'),
+               '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS nh
+           FROM h),
+         b AS (
+           SELECT doc_id,
+             string_split_regex(nh,
+               '(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|section|article|header|footer|nav|blockquote|aside|main|figure|figcaption|form|pre)\b[^>]*>')
+               AS blocks
+           FROM s),
+         k AS (
+           SELECT doc_id,
+             list_filter(blocks, bl ->
+               len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) >= 25
+               AND
+               len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(coalesce(array_to_string(
+                   regexp_extract_all(bl, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+                   ' '), ''), '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) * 100
+               <=
+               len(trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))) * 30) AS kept
+           FROM b),
+         f AS (
+           SELECT doc_id, len(kept) AS n_blocks_kept,
+             coalesce(array_to_string(list_transform(kept, bl ->
+               trim(regexp_replace(replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g'))), chr(10)), '') AS main_text
+           FROM k),
+         g AS (
+           SELECT doc_id, n_blocks_kept,
+             list_filter(string_split(main_text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"'']$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                 w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS keptl
+           FROM f),
+         c AS (
+           SELECT doc_id, n_blocks_kept, len(keptl) AS n_lines_kept,
+             coalesce(array_to_string(keptl, chr(10)), '') AS clean
+           FROM g)
+         SELECT doc_id,
+           CAST(n_blocks_kept AS BIGINT) AS n_blocks_kept,
+           CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+           CAST(len(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS digest
+         FROM c
          ORDER BY doc_id"""
   )
 }
