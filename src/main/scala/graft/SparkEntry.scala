@@ -1529,7 +1529,7 @@ object SparkEntry {
       .collect()
       .toSeq
     graft.operators.Graph
-      .personalizedPageRank(pairs, seeds, weightCol = Some("jaccard"))
+      .personalizedPageRankAuto(pairs, seeds, weightCol = Some("jaccard"))
       .select(col("id").as("doc_id"), round(col("rank"), 9).as("relevance"))
       .orderBy("doc_id")
   }
@@ -1552,7 +1552,13 @@ object SparkEntry {
     graft.multimodal.Multimodal
       .imageNearDup(
         graft.multimodal.Multimodal.imageAssetsFromIds(
-          Tables.documents(s, d).select("doc_id"),
+          // explicit repartition: the id projection reads as 1-2
+          // parquet splits and the PNG synth + decode UDFs (whose
+          // cost AQE cannot see) would serialize — the Bpe.encodeWords
+          // rationale
+          Tables.documents(s, d)
+            .select("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
           "doc_id"))
       .select(col("id").as("doc_id"), col("component"), col("canonical"))
       .orderBy("doc_id")

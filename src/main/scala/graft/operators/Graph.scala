@@ -276,6 +276,91 @@ object Graph {
     ranks
   }
 
+  /** [[personalizedPageRank]] with the [[pageRankAuto]] driver
+    * short-circuit: 10 sequential distributed rounds cost ~100 ms of
+    * job overhead EACH, which dominates on an oracle-scale pair graph;
+    * under the cap the same symmetrize / max-weight dedup / damped
+    * restart update iterates on the driver in microseconds, agreeing
+    * with the distributed rounds to float reassociation (GraphSpec
+    * pins both paths to the reference). Same integral-id guard and
+    * same seed semantics (dedup, present-only denominator, loud
+    * all-absent failure).
+    */
+  def personalizedPageRankAuto(
+      pairs: DataFrame,
+      seeds: Seq[Any],
+      idA: String = "id_a",
+      idB: String = "id_b",
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      weightCol: Option[String] = None,
+      driverCap: Int = 200000): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(
+      damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    import org.apache.spark.sql.types._
+    val spark = pairs.sparkSession
+    val idTypes = Seq(idA, idB).map(c =>
+      pairs.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    val integral = idTypes.forall {
+      case Some(LongType | IntegerType | ShortType | ByteType) => true
+      case _ => false
+    }
+    val longSeeds = seeds.distinct.collect {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+    if (!integral || driverCap <= 0 || longSeeds.size != seeds.distinct.size)
+      return personalizedPageRank(pairs, seeds, idA, idB, iterations,
+        damping, weightCol = weightCol)
+    val wCol =
+      weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val head = pairs
+      .where(
+        col(idA).isNotNull && col(idB).isNotNull &&
+          wCol.isNotNull && (wCol > 0.0))
+      .select(col(idA).cast("long"), col(idB).cast("long"), wCol)
+      .limit(driverCap + 1)
+      .collect()
+    if (head.length > driverCap)
+      return personalizedPageRank(pairs, seeds, idA, idB, iterations,
+        damping, weightCol = weightCol)
+    val sym = head.iterator
+      .flatMap { r =>
+        val (a, b, w) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Iterator((a, b) -> w, (b, a) -> w)
+      }
+      .toSeq
+      .groupBy(_._1)
+      .map { case (e, ws) => (e._1, e._2, ws.map(_._2).max) }
+      .toSeq
+    val nodes = sym.map(_._1).distinct.sorted
+    val present = longSeeds.toSet.intersect(nodes.toSet)
+    require(
+      present.nonEmpty,
+      s"none of the ${longSeeds.size} seed ids appear in the pair graph")
+    val restart =
+      nodes.map(v => v -> (if (present(v)) 1.0 / present.size else 0.0)).toMap
+    val out = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    val inEdges = sym.groupBy(_._2)
+    var r = restart
+    (1 to iterations).foreach { _ =>
+      r = nodes.map { v =>
+        val in = inEdges(v).map { case (s, _, w) => r(s) * w / out(s) }.sum
+        v -> ((1.0 - damping) * restart(v) + damping * in)
+      }.toMap
+    }
+    import spark.implicits._
+    nodes
+      .map(v => (v, r(v)))
+      .toDF("id", "rank")
+      .select(col("id").cast(idTypes.head.get).as("id"), col("rank"))
+  }
+
   /** [[pageRank]] with a driver short-circuit under `driverCap` edges
     * (the [[Dedup.resolveComponentsAuto]] stance): 10 distributed
     * rounds of join+agg each cost ~100 ms of fixed job overhead, which

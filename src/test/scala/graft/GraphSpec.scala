@@ -340,6 +340,33 @@ class GraphSpec extends AnyFunSuite {
     assert(kept === survivors + 99L)
   }
 
+  test("personalizedPageRankAuto: driver path == distributed path, both cap sides") {
+    val df = planted.toDF("id_a", "id_b")
+    val want = Graph
+      .personalizedPageRank(df, Seq(1L, 10L), iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    Seq(0, 100000).foreach { cap =>
+      val got = Graph
+        .personalizedPageRankAuto(df, Seq(1L, 10L), iterations = 8,
+          driverCap = cap)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet === want.keySet, s"cap=$cap")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-9, s"cap=$cap vertex $v")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"cap=$cap")
+    }
+    // seed semantics carry over: duplicates dedup, absent seeds drop,
+    // all-absent fails loudly on the driver path too
+    val dup = Graph
+      .personalizedPageRankAuto(df, Seq(1L, 1L, 10L, 999L), iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    dup.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12) }
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankAuto(df, Seq(999L))
+    }
+  }
+
   test(
     "invalid edges (null ids, null/zero/negative weights) drop " +
       "identically on both sides of the driver cap") {
