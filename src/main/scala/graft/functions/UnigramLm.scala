@@ -123,6 +123,24 @@ object UnigramLm {
     out.reverse.toSeq
   }
 
+  /** Lexicographic order on UTF-8 bytes — the collation Spark's
+    * orderBy applies to string columns. Used for every driver-side
+    * piece tie-break so distributed and driver sorts agree on non-BMP
+    * text.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Train a unigram-LM tokenizer from the corpus. Returns the model
     * and the final (piece, cnt) frame-shaped counts as a driver Seq
     * (piece-vocab-sized, NOT data-sized).
@@ -200,11 +218,20 @@ object UnigramLm {
     }
     var i = 0
     while (i < emIters) { model = emRound(model, None); i += 1 }
-    // ---- prune to vocabSize on (prob desc, piece asc), chars always in
+    // ---- prune to vocabSize on (prob desc, piece asc), chars always in.
+    // "piece asc" must mean the SAME collation the seed top-k used:
+    // Spark's orderBy on a string column is UTF-8 BYTE order, while
+    // Java's natural String ordering compares UTF-16 units — the two
+    // disagree when a supplementary code point (surrogate pair,
+    // U+10000+) ties on count against a BMP piece in [U+E000, U+FFFF].
+    // Compare UTF-8 bytes here so the trained vocab honors one
+    // documented (count desc, piece asc-by-UTF-8) contract end to end.
     val charPieces = model.logp.keySet
       .filter(p => p.codePointCount(0, p.length) == 1)
     val ranked = model.logp.toSeq
-      .sortBy { case (p, lp) => (-lp, p) }
+      .sortWith { case ((pa, la), (pb, lb)) =>
+        if (la != lb) la > lb else utf8Less(pa, pb)
+      }
       .map(_._1)
     val keep = scala.collection.mutable.LinkedHashSet.empty[String]
     keep ++= charPieces

@@ -742,6 +742,28 @@ object Multimodal {
     else {
       val w = img.getWidth
       val h = img.getHeight
+      // One bulk-row pass precomputes per-pixel luma (×1000, fits Int:
+      // max 255·(299+587+114) = 255000). Per-call img.getRGB(x,y) pays
+      // a color-model conversion PER PIXEL; the row-vector overload
+      // amortizes it across the row — same ARGB ints, same integer
+      // luma, bit-identical signatures, ~an order of magnitude less
+      // per-image cost. Cells below may overlap when w<9 or h<8, so
+      // luma is materialized once rather than folded in-pass.
+      val lum = new Array[Int](w * h)
+      val rowBuf = new Array[Int](w)
+      var py = 0
+      while (py < h) {
+        img.getRGB(0, py, w, 1, rowBuf, 0, w)
+        val off = py * w
+        var px = 0
+        while (px < w) {
+          val rgb = rowBuf(px)
+          lum(off + px) = 299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+          px += 1
+        }
+        py += 1
+      }
       // 9 columns × 8 rows of area-averaged luma (×1000, integer)
       val cell = Array.ofDim[Long](8, 9)
       var cy = 0
@@ -752,21 +774,20 @@ object Multimodal {
           val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
           val y0 = cy * h / 8
           val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+          val xMax = math.min(x1, w)
+          val yMax = math.min(y1, h)
           var sum = 0L
           var y = y0
-          while (y < math.min(y1, h)) {
+          while (y < yMax) {
+            val off = y * w
             var x = x0
-            while (x < math.min(x1, w)) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              sum += 299L * r + 587L * g + 114L * b
+            while (x < xMax) {
+              sum += lum(off + x)
               x += 1
             }
             y += 1
           }
-          val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+          val n = (xMax - x0).toLong * (yMax - y0)
           cell(cy)(cx) = if (n > 0) sum / n else 0L
           cx += 1
         }

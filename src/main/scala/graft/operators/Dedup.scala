@@ -529,10 +529,17 @@ object Dedup {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, String)]()
 
-  /** Drop all memoized `_meta` entries (tests / external index rebuilds). */
+  /** Drop all memoized `_meta` entries (tests / external index rebuilds).
+    * Clears every per-path memo TOGETHER — meta params, schemas, AND
+    * base frames: a schema cache cleared alone would leave the delta
+    * path a surviving frame entry with no schema to read its delta
+    * against, and a rebuilt index whose unit names/sizes happened to
+    * coincide could serve a stale snapshot.
+    */
   def clearMetaCache(): Unit = {
     metaCache.clear()
     indexSchemaCache.clear()
+    indexFrameCache.clear()
   }
 
   /** Memoized-schema parquet read for the probe hot loop: an index
@@ -603,13 +610,23 @@ object Dedup {
       .filterNot(s => s.getPath.getName.startsWith("_") ||
         s.getPath.getName.startsWith("."))
       .map { s =>
+        // Fingerprint = names + lengths + mtimes of every child (and
+        // the unit itself), not just count+total-length: a same-size
+        // in-place rewrite (compaction rewriting a segment, a test
+        // rebuilding an index with equal bytes) must still read as a
+        // different tree and force a rebase.
         val fp =
-          if (!s.isDirectory) s"f:${s.getLen}"
+          if (!s.isDirectory) s"f:${s.getLen}:${s.getModificationTime}"
           else {
             val kids = fs.listStatus(s.getPath)
               .filterNot(k => k.getPath.getName.startsWith("_") ||
                 k.getPath.getName.startsWith("."))
-            s"d:${kids.length}:${kids.map(_.getLen).sum}"
+              .sortBy(_.getPath.getName)
+            val kidFp = kids.iterator
+              .map(k =>
+                s"${k.getPath.getName}:${k.getLen}:${k.getModificationTime}")
+              .mkString(",")
+            s"d:${kids.length}:$kidFp"
           }
         s.getPath.getName -> fp
       }
@@ -624,10 +641,15 @@ object Dedup {
     val dirUnits = units.keysIterator.count(_.contains("="))
     val mixed = dirUnits > 0 && dirUnits < units.size
     val cur = Option(indexFrameCache.get(path))
-    val reusable = !mixed && cur.exists { e =>
-      e.units.forall { case (u, fp) => units.get(u).contains(fp) } &&
-        (units.size - e.units.size) <= MaxDeltaSegments
-    }
+    // A missing schema memo (cleared independently, or a frame entry
+    // that outlived a partial cache clear) means the delta read has
+    // nothing sound to parse against — treat it as a rebase trigger,
+    // never dereference a null schema.
+    val reusable = !mixed && indexSchemaCache.containsKey(path) &&
+      cur.exists { e =>
+        e.units.forall { case (u, fp) => units.get(u).contains(fp) } &&
+          (units.size - e.units.size) <= MaxDeltaSegments
+      }
     if (reusable) {
       val e = cur.get
       val delta = units.keySet -- e.units.keySet
@@ -660,7 +682,16 @@ object Dedup {
       val base = readIndexParquet(spark, path)
         .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
         .localCheckpoint(true)
-      indexFrameCache.put(path, IndexCacheEntry(units, base))
+      // Re-list AFTER the snapshot job: a writer committing a unit
+      // between the pre-listing and the read would leave the snapshot
+      // holding a segment absent from the stored listing, and the next
+      // probe would union that segment TWICE. If the tree moved while
+      // we read, the stored listing (and hence any delta math) is
+      // unsound — don't cache; serve this probe from the snapshot and
+      // let the next call rebase against a quiet tree.
+      val post = listUnits(fs, root)
+      if (post == units) indexFrameCache.put(path, IndexCacheEntry(units, base))
+      else indexFrameCache.remove(path)
       base
     }
   }

@@ -217,10 +217,21 @@ object Graph {
         .map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(
           s"column $idA not found in pair frame"))
+      // Seeds arrive as Seq[Any]; stuffing raw values into rows typed
+      // by the PAIR column's DataType would throw an encoder
+      // ClassCastException the moment a caller passes Int/Short seeds
+      // against a Long id column — a mismatch the literal isin path
+      // below the cap silently absorbs via implicit cast. Mirror that
+      // coercion: build the frame as strings and CAST to the column
+      // type (lossless for the integral/string id shapes this API
+      // takes), so both seed paths accept the same inputs.
       val seedDf = spark.createDataFrame(
-        distinctSeeds.map(s => org.apache.spark.sql.Row(s)).asJava,
+        distinctSeeds.map(s =>
+          org.apache.spark.sql.Row(String.valueOf(s))).asJava,
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType))))
+          org.apache.spark.sql.types.StructField(
+            "id_str", org.apache.spark.sql.types.StringType))))
+        .select(col("id_str").cast(idType).as("id"))
       val present = vertices.join(broadcast(seedDf), Seq("id")).count()
       require(
         present > 0,

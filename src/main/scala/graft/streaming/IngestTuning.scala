@@ -28,13 +28,33 @@ object IngestTuning {
     "spark.sql.adaptive.enabled" -> "false",
     "spark.sql.shuffle.partitions" -> "8")
 
+  /** One monitor per SparkSession: conf set/restore around a batch is
+    * a read-modify-write on SESSION-GLOBAL state, and two tuned bodies
+    * interleaving on one session could re-enable AQE mid-batch or leak
+    * partitions=8 to concurrent batch queries. Real streams never
+    * contend here — Structured Streaming hands foreachBatch a frame
+    * bound to the query's own cloned session (per-query isolated
+    * conf) — so this serializes only direct same-session callers
+    * (tests, benches driving ingestBatch by hand). Weak keys: a
+    * retired session's monitor must not pin the session.
+    */
+  private val locks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Object]())
+
   def withBatchTuning[T](spark: SparkSession)(body: => T): T = {
-    val prev = Tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
-    Tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    val lock = locks.synchronized {
+      var m = locks.get(spark)
+      if (m == null) { m = new Object; locks.put(spark, m) }
+      m
+    }
+    lock.synchronized {
+      val prev = Tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+      Tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 }
