@@ -36,6 +36,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO defaults to a DISK-backed stream cache: every
+    * `ImageIO.read`/`write` call creates (and deletes) a temp file,
+    * which under 32 concurrent decode tasks turns tiny in-memory
+    * PNG round-trips into filesystem contention (measured ~100+ ms per
+    * image in the q207 decode stage vs microseconds of pixel math).
+    * All payloads here are ByteArray streams — force the in-memory
+    * cache once per JVM. Referencing this lazy val from every
+    * encode/decode entry point runs the side effect on each executor
+    * before its first ImageIO call.
+    */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   val MetaType: StructType = StructType(
     Seq(
       StructField("modality", StringType),
@@ -165,6 +178,7 @@ object Multimodal {
   def decodeImageBytes(
       data: Array[Byte],
       histBins: Int): Option[(Int, Int, Array[Float])] = {
+    imageIoInMemory
     // NonFatal, not just IOException: JDK ImageIO readers throw
     // RuntimeExceptions (AIOOBE, IllegalArgument…) on malformed
     // LZW/huffman data — any of them must quarantine, not kill the task
@@ -227,6 +241,7 @@ object Multimodal {
     implicit val enc: ExpressionEncoder[ResizedAsset] =
       ExpressionEncoder[ResizedAsset]()
     assets.mapPartitions { rows: Iterator[Row] =>
+      imageIoInMemory
       rows.flatMap { r =>
         val data = r.getAs[Array[Byte]]("data")
         val img = // NonFatal: see decodeImageBytes
@@ -735,6 +750,7 @@ object Multimodal {
     * stance).
     */
   def dHashBytes(data: Array[Byte]): Option[Long] = {
+    imageIoInMemory
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -886,6 +902,7 @@ object Multimodal {
       h: Int = 16,
       nPatterns: Int = 25): DataFrame = {
     val synth = udf { (id: Long) =>
+      imageIoInMemory
       val p = (id % nPatterns).toInt
       val shift = ((id / nPatterns) % 3).toInt * 2
       val img = new java.awt.image.BufferedImage(

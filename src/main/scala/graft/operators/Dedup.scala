@@ -1132,24 +1132,56 @@ object Dedup {
       "pigeonhole guarantee needs maxHamming < bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // The signature RIDES THE BANDING SHUFFLE as the pair payload
+    // instead of joining back in: the former shape generated bare
+    // (id_a, id_b) candidates and attached sig_a/sig_b via two joins
+    // against the full signature table — broadcasts at toy scale, but
+    // at corpus scale the signature table is not broadcastable and
+    // each verify join is a full shuffle of it. Carrying 8 extra bytes
+    // per banded row deletes both joins at EVERY scale, and lets the
+    // Hamming verify run inline in the pair explosion, so the
+    // dedup shuffle below only carries pairs that already passed.
     val banded = sigDf.select(
-      col("id"),
+      struct(col("id"), col("sig")).as("v"),
       explode(
         array((0 until bands).map { b =>
           hash(
             lit(b),
             shiftright(col("sig"), b * width).bitwiseAND(lit(mask)))
         }: _*)).as("bucket"))
-    val sa = sigDf.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val sb = sigDf.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    pairsFromBuckets(banded, maxBucketSize)
-      .join(sa, Seq("id_a"))
-      .join(sb, Seq("id_b"))
+    val p = sigDf.sparkSession.sparkContext.defaultParallelism
+    val bucketed = banded
+      .groupBy("bucket")
+      // sort_array on struct<id,sig> orders by id (sig is functional
+      // on id) — preserves the i<j no-self-no-swap pair discipline
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .where(size(col("vs")).between(2, maxBucketSize))
+      // spread the pair explosion (compute-heavy on few, fat rows)
+      .repartition(p)
+    bucketed
       .select(
-        col("id_a"),
-        col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        explode(
+          flatten(
+            transform(
+              col("vs"),
+              (x, i) =>
+                transform(
+                  slice(
+                    col("vs"),
+                    i + lit(2),
+                    greatest(size(col("vs")) - i - 1, lit(0))),
+                  y =>
+                    struct(
+                      x.getField("id").as("id_a"),
+                      y.getField("id").as("id_b"),
+                      bit_count(x.getField("sig")
+                        .bitwiseXOR(y.getField("sig"))).as("hamming"))))))
+          .as("pr"))
+      .select(col("pr.id_a"), col("pr.id_b"), col("pr.hamming"))
       .where(col("hamming") <= maxHamming)
+      // cross-band duplicates collapse AFTER the inline verify — the
+      // dedup exchange carries only surviving pairs
+      .distinct()
   }
 
   /** Banded SimHash near-dup pairs from raw text (staged token-hash →
