@@ -594,14 +594,42 @@ object Dedup {
     * Only the lean (ingest) probes use this: a one-shot batch query
     * has no second probe to amortize the persist into.
     */
+  /** @param depth lazy-union fan-in accumulated by [[extendIndexCache]]
+    *              since the base was last flattened (localCheckpointed);
+    *              bounded by [[MaxDeltaSegments]] so neither the plan
+    *              nor the per-probe recompute grows without bound.
+    */
   private final case class IndexCacheEntry(
       units: Map[String, String],
-      base: DataFrame)
+      base: DataFrame,
+      depth: Int = 0)
 
   private val indexFrameCache =
     new java.util.concurrent.ConcurrentHashMap[String, IndexCacheEntry]()
 
   private val MaxDeltaSegments = 8
+
+  /** Fingerprint of ONE first-level unit. Names + lengths + mtimes of
+    * every (non-hidden) child, not just count+total-length: a same-size
+    * in-place rewrite (compaction rewriting a segment, a test
+    * rebuilding an index with equal bytes) must still read as a
+    * different tree and force a rebase.
+    */
+  private def unitFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem,
+      s: org.apache.hadoop.fs.FileStatus): String =
+    if (!s.isDirectory) s"f:${s.getLen}:${s.getModificationTime}"
+    else {
+      val kids = fs.listStatus(s.getPath)
+        .filterNot(k => k.getPath.getName.startsWith("_") ||
+          k.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+      val kidFp = kids.iterator
+        .map(k =>
+          s"${k.getPath.getName}:${k.getLen}:${k.getModificationTime}")
+        .mkString(",")
+      s"d:${kids.length}:$kidFp"
+    }
 
   private def listUnits(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -609,28 +637,72 @@ object Dedup {
     fs.listStatus(root)
       .filterNot(s => s.getPath.getName.startsWith("_") ||
         s.getPath.getName.startsWith("."))
-      .map { s =>
-        // Fingerprint = names + lengths + mtimes of every child (and
-        // the unit itself), not just count+total-length: a same-size
-        // in-place rewrite (compaction rewriting a segment, a test
-        // rebuilding an index with equal bytes) must still read as a
-        // different tree and force a rebase.
-        val fp =
-          if (!s.isDirectory) s"f:${s.getLen}:${s.getModificationTime}"
-          else {
-            val kids = fs.listStatus(s.getPath)
-              .filterNot(k => k.getPath.getName.startsWith("_") ||
-                k.getPath.getName.startsWith("."))
-              .sortBy(_.getPath.getName)
-            val kidFp = kids.iterator
-              .map(k =>
-                s"${k.getPath.getName}:${k.getLen}:${k.getModificationTime}")
-              .mkString(",")
-            s"d:${kids.length}:$kidFp"
-          }
-        s.getPath.getName -> fp
-      }
+      .map(s => s.getPath.getName -> unitFingerprint(fs, s))
       .toMap
+
+  /** Roll the versioned frame cache FORWARD after a caller commits a
+    * new index segment whose rows came from `frame` (an already-RAM-
+    * materialized survivors/buckets frame): the cached base becomes
+    * base ∪ frame with the published unit's on-disk fingerprint, so
+    * the next probe's delta is EMPTY and nothing is re-read from disk.
+    * Without this, every micro-batch re-reads all segments committed
+    * since the last rebase as per-batch parquet delta scans (up to
+    * MaxDeltaSegments single-task FileScan stages per probe — measured
+    * as one of the largest slices of steady-state ingest latency).
+    *
+    * The union is LAZY (no job); every MaxDeltaSegments extensions the
+    * base is re-flattened with one localCheckpoint — the amortized
+    * cost a full-tree disk rebase used to pay, from RAM. No-ops when
+    * no cache entry exists (the next probe rebases from disk) or the
+    * tree layout isn't the hive `batch=` shape. Correctness never
+    * depends on this: a mismatching fingerprint at the next probe
+    * (concurrent writer, compaction) forces a disk rebase as before.
+    */
+  private[graft] def extendIndexCache(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      unitName: String,
+      frame: DataFrame): Unit = synchronized {
+    if (!unitName.contains("=")) return
+    val cur = Option(indexFrameCache.get(path))
+    val schema = indexSchemaCache.get(path)
+    if (cur.isEmpty) return
+    if (schema == null) { indexFrameCache.remove(path); return }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unitPath = new org.apache.hadoop.fs.Path(root, unitName)
+    if (!fs.exists(unitPath)) return
+    val e = cur.get
+    if (e.units.contains(unitName)) { indexFrameCache.remove(path); return }
+    val fp = unitFingerprint(fs, fs.getFileStatus(unitPath))
+    val partValue = unitName.substring(unitName.indexOf('=') + 1)
+    // align to the cached read schema: add the hive partition column
+    // (pinned STRING, matching readIndexParquet), order by name via
+    // unionByName
+    // re-root the extension child at a LogicalRDD: the hive partition
+    // value is a per-batch LITERAL, and a literal-bearing union child
+    // makes every pushed-down pipeline a NEW codegen source each batch
+    // (measured: ~40 Janino compiles per steady-state batch). Behind
+    // the RDD boundary all children are shape-identical leaves — the
+    // codegen cache hits and the union plans as k opaque scans.
+    // coalesce(1): the frame inherits the batch's 32-way partitioning,
+    // and every probe over the union would otherwise schedule 32 near-
+    // empty tasks PER CHILD — a segment frame is a few hundred rows.
+    val aligned = graft.ops.Stage.rerootLazy(
+      frame.withColumn(unitName.takeWhile(_ != '='), lit(partValue))
+        .coalesce(1))
+    val extended = e.base.unionByName(aligned)
+    val units2 = e.units + (unitName -> fp)
+    if (e.depth + 1 >= MaxDeltaSegments) {
+      val flat = extended
+        .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+        .localCheckpoint(true)
+      indexFrameCache.put(path, IndexCacheEntry(units2, flat, 0))
+    } else {
+      indexFrameCache.put(
+        path, IndexCacheEntry(units2, extended, e.depth + 1))
+    }
+  }
 
   private def readIndexCached(
       spark: org.apache.spark.sql.SparkSession,
@@ -889,16 +961,235 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Max rows the fused ingest's single candidate collect may carry
+    * before falling back to the unfused (distributed-components)
+    * shape — verified pairs + probe flags, NOT batch rows; ~3 MB of
+    * id pairs on the driver at the cap.
+    */
+  private val FusedIngestCap = 200000
+
+  /** Spark's ordering for an id value as collected to the driver:
+    * numeric for integral ids, UTF-8 BYTE order for strings (what
+    * `min("component")` computes distributed — Java String ordering
+    * diverges on supplementary code points). Callers gate on
+    * [[fusableIdType]], so no other shapes reach this.
+    */
+  private def idLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      x.longValue < y.longValue
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      xb.length < yb.length
+    case _ =>
+      throw new IllegalStateException(
+        s"fused ingest id ordering on unexpected types: $a / $b")
+  }
+
+  private def fusableIdType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Candidate collection for the fused lean ingest — ONE action
+    * evaluates the batch's banded (id, bucket) rows AND the raw
+    * against-corpus candidate list (corpus bucket index ⨝ broadcast
+    * banded batch), unioned and capped. Bucket grouping, the per-
+    * bucket size cap, i<j pair expansion, and cross-band dedup then
+    * run on the DRIVER — for a micro-batch the banded frame is
+    * hundreds of rows and the distributed groupBy/collect_list/
+    * dropDuplicates machinery was pure fixed cost (measured: 3-4
+    * disk-bound shuffle stages of ~0.2 s each per batch). Probing
+    * with the whole signed batch instead of the intra-survivors is
+    * row-wise equivalent (a probe row depends only on its own
+    * signature): survivors = batch − intraDropped − corpusFlagged
+    * either way.
+    *
+    * @return (intra candidate pairs, probe candidate pairs), or None
+    *         past [[FusedIngestCap]] collected rows — the caller falls
+    *         back to the unfused shape, which is also the 100-TB path.
+    */
+  private def fusedCandidates(
+      banded: DataFrame,
+      probeCand: Option[DataFrame],
+      idType: org.apache.spark.sql.types.DataType,
+      maxBucketSize: Int): Option[(Seq[(Any, Any)], Seq[(Any, Any)])] = {
+    val tagged = banded.select(
+      lit(0).as("t"),
+      col("id").as("x"),
+      col("bucket").cast("long").as("b"),
+      lit(null).cast(idType).as("c"))
+    val unioned = probeCand match {
+      case Some(pc) =>
+        tagged.unionByName(pc.select(
+          lit(1).as("t"),
+          col("probe_id").as("x"),
+          lit(null).cast("long").as("b"),
+          col("corpus_id").as("c")))
+      case None => tagged
+    }
+    // plain collect, NOT limit(cap).collect(): CollectLimit executes
+    // incrementally (1, 4, 16… partitions per wave) — each wave is a
+    // separate job, and the whole point of this path is ONE action.
+    // The cap still guards the driver: an over-cap batch pays one
+    // oversized (but bounded: bands × maxBucketSize per probe row)
+    // collect once, then falls back to the distributed shape.
+    val rows = unioned.collect()
+    if (rows.length > FusedIngestCap) return None
+    val buckets =
+      new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Any]]()
+    val probePairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
+    rows.foreach { r =>
+      if (r.getInt(0) == 0) {
+        val b = r.getLong(2)
+        var arr = buckets.get(b)
+        if (arr == null) {
+          arr = scala.collection.mutable.ArrayBuffer.empty[Any]
+          buckets.put(b, arr)
+        }
+        arr += r.get(1)
+      } else probePairs += ((r.get(1), r.get(3)))
+    }
+    val intraPairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
+    buckets.values.forEach { members =>
+      // the distributed contract: buckets over maxBucketSize are
+      // skew-guard DROPPED, pairs expand i<j over the id-sorted list
+      if (members.length >= 2 && members.length <= maxBucketSize) {
+        val ids = members.distinct.sortWith(idLess)
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) {
+            intraPairs += ((ids(i), ids(j)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    Some((intraPairs.toSeq, probePairs.toSeq))
+  }
+
+  /** Union-find drop resolution over VERIFIED rows collected in one
+    * action: tag 0 rows are intra-batch near-dup edges (min-id
+    * survivor per component — [[resolveComponents]]' contract), tag 1
+    * rows are corpus-flagged probe ids; the drop set is their union.
+    */
+  private def resolveDropFromRows(
+      rows: Array[org.apache.spark.sql.Row]): Seq[Any] = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r =>
+      if (r.getInt(0) == 0) pairs += ((r.get(1), r.get(2)))
+      else flagged += r.get(1)
+    }
+    resolveDrop(pairs, flagged)
+  }
+
+  /** The union-find itself, over in-memory edges + flags (shared with
+    * the sig64 fused path, whose pairs never leave the driver).
+    */
+  private def resolveDrop(
+      pairs: Iterable[(Any, Any)],
+      flagged: Iterable[Any]): Seq[Any] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(v: Any): Any = {
+      var r = v
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = v
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (idLess(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val drop = scala.collection.mutable.LinkedHashSet.empty[Any]
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (find(v) != v) drop += v
+    }
+    drop ++= flagged
+    drop.toSeq
+  }
+
+  /** A driver-built candidate pair list as a small PRE-SLICED frame
+    * (no repartition exchange; `slices` > 1 spreads the verify
+    * compute without a shuffle).
+    */
+  private def pairFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      pairs: Seq[(Any, Any)],
+      idType: org.apache.spark.sql.types.DataType,
+      aName: String,
+      bName: String,
+      slices: Int): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pairs.map { case (a, b) => org.apache.spark.sql.Row(a, b) },
+        math.max(1, math.min(slices, pairs.size))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(aName, idType),
+        org.apache.spark.sql.types.StructField(bName, idType))))
+
+  /** Survivors of a signed batch under a driver-resolved drop list:
+    * identity when nothing drops (sig0 is already materialized), else
+    * one SINGLE-PARTITION broadcast frame anti-joined and re-
+    * materialized (both segment writes and the cache extension consume
+    * the result). A 32-slice `createDataFrame(Seq)` here would cost a
+    * full scheduler wave for a handful of rows — measured ~0.3 s of
+    * pure task-launch latency per batch.
+    */
+  private def fusedSurvivors(
+      sig0: DataFrame,
+      drop: Seq[Any],
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    if (drop.isEmpty) sig0
+    else {
+      val spark = sig0.sparkSession
+      val dropDf = spark.createDataFrame(
+        spark.sparkContext
+          .parallelize(drop.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType))))
+      sig0
+        .join(broadcast(dropDf), Seq("id"), "left_anti")
+        // LAZY persist: the sig segment write is the first consumer,
+        // the buckets write reads the blocks — no dedicated job
+        .transform(graft.ops.Stage.materializeLazy)
+    }
+
   /** SINGLE-SIGNING micro-batch ingest — [[embIngestSegmentFrames]]'s
     * shape for the MinHash path, the hot loop of
-    * [[graft.streaming.NearDupIngest]]: sign the batch once, intra-dedup
-    * on the signed frame (banded pairs → components → min-id survivors),
-    * probe the persisted corpus with the SAME signatures, and return the
-    * survivors' (signatures, sized buckets) segment frames ready to
-    * commit. The naive composition (minHashNearDup → dedupIncoming →
-    * minHashSegmentFrames) normalizes/shingles/signs the batch three
-    * times with three checkpoint materializations; survivor signatures
-    * are a subset of the batch's, so one signing pass suffices.
+    * [[graft.streaming.NearDupIngest]]: sign the batch once (ONE eager
+    * materialization — the raw batch is re-rooted LAZILY,
+    * [[graft.ops.Stage.rerootLazy]], so signing fuses with the batch
+    * read while downstream codegen stays batch-invariant), evaluate
+    * intra-batch pairs and the corpus probe in ONE collect
+    * ([[fusedCandidates]]), verify in a second collect, resolve the drop set on the driver, and
+    * return the survivors' (signatures, sized buckets) segment frames
+    * ready to commit. The prior shape paid ~25 driver actions per
+    * micro-batch (two checkpoints, a components collect, three
+    * broadcast rounds, a probe distinct); this one pays ~8. Non-
+    * integral/non-string id types or an over-cap pair graph fall back
+    * to [[mhIngestSegmentFramesUnfused]] — the distributed shape is
+    * unchanged and remains the 100-TB path.
     */
   def mhIngestSegmentFrames(
       batch: DataFrame,
@@ -909,6 +1200,126 @@ object Dedup {
       maxBucketSize: Int = 256,
       probeCorpus: Boolean = true,
       sourceTag: String = ""): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    SignatureExpressions.register(spark)
+    val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
+    val rows = numHashes / bands
+    val idType = batch.schema
+      .find(_.name.equalsIgnoreCase(idCol))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $idCol not found in batch"))
+    if (!fusableIdType(idType))
+      return mhIngestSegmentFramesUnfused(
+        batch, textCol, idCol, indexPath, threshold, maxBucketSize,
+        probeCorpus, sourceTag)
+    val stable =
+      graft.ops.Stage.rerootLazy(batch.select(col(idCol), col(textCol)))
+    // LAZY persist: the candidate collect is the first consumer and
+    // signs the batch inside its own job — no dedicated checkpoint job
+    val sig0 = mhSignatures(stable, textCol, idCol, shingleLen, numHashes)
+      .transform(graft.ops.Stage.materializeLazy)
+    val banded = mhBanded(sig0, bands, rows)
+    val probeCand =
+      if (!probeCorpus) None
+      else Some(
+        readIndexCached(spark, s"$indexPath/buckets")
+          .where(col("bn") <= maxBucketSize)
+          .join(
+            broadcast(
+              banded.select(col("bucket"), col("id").as("probe_id"))),
+            Seq("bucket"))
+          .select(col("probe_id"), col("id").as("corpus_id")))
+    fusedCandidates(banded, probeCand, idType, maxBucketSize) match {
+      case Some((intraCand, probeVer)) =>
+        val pLean = math.min(spark.sparkContext.defaultParallelism, 8)
+        // ONE payload frame feeds every verify join; its broadcast
+        // children canonicalize identically, so ReuseExchange ships it
+        // ONCE per action no matter how many joins consume it
+        val pay = sig0.select(col("id"), col("bh"))
+        def jaccardVerify(
+            pairs: DataFrame,
+            aCol: String,
+            bCol: String,
+            corpusSide: Option[DataFrame]): DataFrame = {
+          val withA = corpusSide match {
+            case None =>
+              pairs.join(
+                broadcast(pay
+                  .select(col("id").as(aCol), col("bh").as("sh_a"))),
+                Seq(aCol))
+            case Some(corpus) =>
+              // corpus side is the RAM-cached index frame: keep it as
+              // the STREAM side (never broadcast the corpus)
+              corpus
+                .select(col("id").as(bCol), col("bh").as("sh_b"))
+                .join(broadcast(pairs), Seq(bCol))
+          }
+          val joined = corpusSide match {
+            case None =>
+              withA.join(
+                broadcast(pay
+                  .select(col("id").as(bCol), col("bh").as("sh_b"))),
+                Seq(bCol))
+            case Some(_) =>
+              withA.join(
+                broadcast(pay
+                  .select(col("id").as(aCol), col("bh").as("sh_a"))),
+                Seq(aCol))
+          }
+          val nA = size(col("sh_a")).cast("double")
+          val nB = size(col("sh_b")).cast("double")
+          val inter =
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          joined
+            .where(least(nA, nB) / greatest(nA, nB) >= threshold)
+            .where((inter / (nA + nB - inter)) >= threshold)
+            .select(col(aCol), col(bCol))
+        }
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (intraCand.nonEmpty)
+          pieces += jaccardVerify(
+            pairFrame(spark, intraCand, idType, "id_a", "id_b", pLean),
+            "id_a", "id_b", None)
+            .select(
+              lit(0).as("t"), col("id_a").as("x"), col("id_b").as("y"))
+        if (probeVer.nonEmpty)
+          pieces += jaccardVerify(
+            pairFrame(spark, probeVer, idType, "probe_id", "corpus_id", pLean),
+            "probe_id", "corpus_id",
+            Some(readIndexCached(spark, s"$indexPath/sig")))
+            .select(
+              lit(1).as("t"),
+              col("probe_id").as("x"),
+              col("probe_id").as("y"))
+        val verified =
+          if (pieces.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else pieces.reduce(_.unionByName(_)).collect()
+        val survivors =
+          fusedSurvivors(sig0, resolveDropFromRows(verified), idType)
+        (survivors, mhSizedBuckets(survivors, bands, rows))
+      case None =>
+        mhIngestSegmentFramesUnfused(
+          batch, textCol, idCol, indexPath, threshold, maxBucketSize,
+          probeCorpus, sourceTag)
+    }
+  }
+
+  /** The distributed (unfused) ingest shape — [[mhIngestSegmentFrames]]
+    * falls back here for exotic id types or a pair graph past
+    * [[FusedIngestCap]]; every step is exchange-bounded and none
+    * collects data-sized frames, so this is the shape a 1000-executor
+    * ingest of a huge batch runs.
+    */
+  private def mhIngestSegmentFramesUnfused(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double,
+      maxBucketSize: Int,
+      probeCorpus: Boolean,
+      sourceTag: String): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     SignatureExpressions.register(spark)
     val (shingleLen, numHashes, bands) = mhMeta(spark, indexPath, sourceTag)
@@ -1207,6 +1618,298 @@ object Dedup {
       maxHamming,
       bands,
       maxBucketSize)
+  }
+
+  // ------------------------------------------------------------------
+  // 64-BIT SIGNATURE INDEX — the persisted banded-Hamming streaming
+  // index family over ANY 64-bit perceptual signature (image dHash,
+  // audio spectral fingerprint, text SimHash): the [[minHashWriteIndex]]
+  // segment/commit machinery with Hamming verification. A signature is
+  // ONE long, so the buckets tree CARRIES it (8 bytes/row) and every
+  // probe verifies inline in the bucket equi-join — unlike the MinHash
+  // and embedding families there is no separate verification join at
+  // ANY scale. Used by [[graft.streaming.Sig64Ingest]] (and its
+  // [[graft.streaming.ImageIngest]] / audio wrappers).
+  // ------------------------------------------------------------------
+
+  private def sig64Meta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      sourceTag: String): (Int, Int) = {
+    val key = s"s64:$indexPath"
+    val (b, mh, _, src) = Option(metaCache.get(key)).getOrElse {
+      val m = spark.read.parquet(s"$indexPath/_meta").collect()(0)
+      val t = (
+        m.getAs[Int]("bands"),
+        m.getAs[Int]("max_hamming"),
+        0,
+        m.getAs[String]("source"))
+      metaCache.put(key, t)
+      t
+    }
+    require(
+      sourceTag.isEmpty || src == sourceTag,
+      s"sig64 index at $indexPath was built from '$src', not " +
+        s"'$sourceTag' — refusing to probe/append a different corpus")
+    (b, mh)
+  }
+
+  /** Validate-or-create the sig64 index `_meta` (the
+    * [[minHashEnsureMeta]] contract: the first batch fixes the banding
+    * AND the Hamming budget — the budget is part of index semantics,
+    * since which docs survived earlier batches depended on it).
+    */
+  def sig64EnsureMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      bands: Int,
+      maxHamming: Int,
+      sourceTag: String = ""): Unit = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      "pigeonhole guarantee needs maxHamming < bands")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/_meta")
+    val fs =
+      metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      var (b, mh) = sig64Meta(spark, indexPath, sourceTag)
+      if (b != bands || mh != maxHamming) {
+        // stale-memo self-heal, same as [[minHashEnsureMeta]]
+        metaCache.remove(s"s64:$indexPath")
+        val fresh = sig64Meta(spark, indexPath, sourceTag)
+        b = fresh._1; mh = fresh._2
+      }
+      require(
+        b == bands && mh == maxHamming,
+        s"sig64 index at $indexPath was built with (bands=$b, " +
+          s"maxHamming=$mh); refusing ($bands, $maxHamming) — " +
+          "survivor semantics would drift")
+    } else {
+      metaCache.remove(s"s64:$indexPath")
+      spark
+        .range(1)
+        .select(
+          lit(bands).as("bands"),
+          lit(maxHamming).as("max_hamming"),
+          lit(sourceTag).as("source"))
+        .write
+        .mode("overwrite")
+        .parquet(metaPath.toString)
+      metaCache.put(s"s64:$indexPath", (bands, maxHamming, 0, sourceTag))
+    }
+  }
+
+  /** Banded (id, sig, bucket) rows — [[simHashBandPairs]]' band-key
+    * construction (band ordinal salted into the hash so the same bits
+    * in different band positions never collide), sig carried.
+    */
+  private def sig64Banded(sig: DataFrame, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    sig.select(
+      col("id"),
+      col("sig"),
+      explode(
+        array((0 until bands).map { b =>
+          hash(
+            lit(b),
+            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)))
+        }: _*)).as("bucket"))
+  }
+
+  /** Sized buckets from (id, sig) — the [[mhSizedBuckets]] shape (one
+    * keyed exchange, count-over-window).
+    */
+  private def sig64SizedBuckets(sig: DataFrame, bands: Int): DataFrame =
+    sig64Banded(sig, bands).withColumn(
+      "bn",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+
+  /** Recompute sized buckets from STORED signatures (id, sig) — the
+    * [[minHashRebucket]] analog, used by segment compaction. Banding is
+    * a pure function of the persisted long.
+    */
+  def sig64Rebucket(
+      sig: DataFrame,
+      indexPath: String,
+      sourceTag: String = ""): DataFrame = {
+    val (bands, _) = sig64Meta(sig.sparkSession, indexPath, sourceTag)
+    sig64SizedBuckets(sig.select(col("id"), col("sig")), bands)
+  }
+
+  /** Probe a persisted sig64 index with a new signed batch (id, sig):
+    * band-join the broadcast batch against the persisted buckets and
+    * verify the Hamming distance INLINE in the join (the buckets tree
+    * carries the corpus signature). The index is only ever scanned —
+    * never shuffled, never joined twice.
+    *
+    * @return (probe_id, corpus_id, hamming), hamming ≤ the index's
+    *         own budget
+    */
+  def sig64ProbeIndex(
+      batchSig: DataFrame,
+      indexPath: String,
+      maxBucketSize: Int = 256,
+      sourceTag: String = ""): DataFrame = {
+    val spark = batchSig.sparkSession
+    val (bands, maxHamming) = sig64Meta(spark, indexPath, sourceTag)
+    sig64ProbeSigned(
+      batchSig, indexPath, bands, maxHamming, maxBucketSize, lean = false)
+  }
+
+  private def sig64ProbeSigned(
+      batchSig: DataFrame,
+      indexPath: String,
+      bands: Int,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      lean: Boolean): DataFrame = {
+    val spark = batchSig.sparkSession
+    val readIdx: String => DataFrame =
+      if (lean) readIndexCached(spark, _) else readIndexParquet(spark, _)
+    val bBanded = sig64Banded(batchSig, bands)
+      .select(
+        col("bucket"),
+        col("id").as("probe_id"),
+        col("sig").as("probe_sig"))
+    readIdx(s"$indexPath/buckets")
+      .where(col("bn") <= maxBucketSize)
+      .join(broadcast(bBanded), Seq("bucket"))
+      .select(
+        col("probe_id"),
+        col("id").as("corpus_id"),
+        bit_count(col("sig").bitwiseXOR(col("probe_sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // cross-band collisions of the same verified pair
+      .dropDuplicates("probe_id", "corpus_id")
+  }
+
+  /** SINGLE-PASS micro-batch ingest over a signed batch (id, sig) —
+    * the [[mhIngestSegmentFrames]] shape for 64-bit signatures, the
+    * hot loop of [[graft.streaming.Sig64Ingest]]: materialize the
+    * signatures once (the signing pipeline — e.g. an image decode
+    * UDF — fuses into the first consumer's job), then ONE action
+    * collects the banded rows AND the inline-Hamming-verified corpus
+    * flags together; pair expansion, Hamming verification (a single
+    * `Long.bitCount` per candidate — why sig64 needs no verify
+    * round-trip), and union-find drop resolution all run on the
+    * driver. Non-fusable id types or an over-cap banded set fall back
+    * to [[sig64IngestSegmentFramesUnfused]] — the exchange-bounded
+    * distributed shape, which is also the 100-TB path.
+    */
+  def sig64IngestSegmentFrames(
+      batchSig: DataFrame,
+      indexPath: String,
+      maxBucketSize: Int = 256,
+      probeCorpus: Boolean = true,
+      sourceTag: String = ""): (DataFrame, DataFrame) = {
+    val spark = batchSig.sparkSession
+    val (bands, maxHamming) = sig64Meta(spark, indexPath, sourceTag)
+    val idType = batchSig.schema
+      .find(_.name.equalsIgnoreCase("id"))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        "batch signature frame must carry an 'id' column"))
+    val sig0 = batchSig
+      .select(col("id"), col("sig"))
+      .transform(graft.ops.Stage.materializeLazy)
+    if (!fusableIdType(idType))
+      return sig64IngestSegmentFramesUnfused(
+        sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
+    val banded = sig64Banded(sig0, bands)
+    val tagged = banded.select(
+      lit(0).as("t"),
+      col("id").as("x"),
+      col("bucket").cast("long").as("b"),
+      col("sig").as("s"),
+      lit(null).cast(idType).as("c"))
+    val unioned =
+      if (!probeCorpus) tagged
+      else
+        tagged.unionByName(
+          sig64ProbeSigned(
+            sig0, indexPath, bands, maxHamming, maxBucketSize, lean = true)
+            .select(
+              lit(1).as("t"),
+              col("probe_id").as("x"),
+              lit(null).cast("long").as("b"),
+              lit(null).cast("long").as("s"),
+              col("corpus_id").as("c")))
+    // plain collect, not limit(cap).collect() — the fusedCandidates
+    // rationale (CollectLimit's incremental waves are multiple jobs)
+    val rows = unioned.collect()
+    if (rows.length > FusedIngestCap)
+      return sig64IngestSegmentFramesUnfused(
+        sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
+    val buckets = new java.util.HashMap[
+      Long, scala.collection.mutable.ArrayBuffer[(Any, Long)]]()
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r =>
+      if (r.getInt(0) == 0) {
+        val b = r.getLong(2)
+        var arr = buckets.get(b)
+        if (arr == null) {
+          arr = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+          buckets.put(b, arr)
+        }
+        arr += ((r.get(1), r.getLong(3)))
+      } else flagged += r.get(1)
+    }
+    val pairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
+    buckets.values.forEach { members =>
+      // the distributed contract ([[simHashBandPairs]]): over-cap
+      // buckets are skew-guard dropped, pairs expand i<j id-sorted,
+      // Hamming verifies inline
+      if (members.length >= 2 && members.length <= maxBucketSize) {
+        val ms = members.distinct.sortWith((p, q) => idLess(p._1, q._1))
+        var i = 0
+        while (i < ms.length) {
+          var j = i + 1
+          while (j < ms.length) {
+            if (java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2) <= maxHamming)
+              pairs += ((ms(i)._1, ms(j)._1))
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    val survivors =
+      fusedSurvivors(sig0, resolveDrop(pairs, flagged), idType)
+    (survivors, sig64SizedBuckets(survivors, bands))
+  }
+
+  /** The distributed (unfused) sig64 ingest — every step is exchange-
+    * bounded ([[simHashBandPairs]] for intra pairs, the inline-verify
+    * probe for corpus flags, anti-joins for survivors); nothing
+    * collects data-sized frames.
+    */
+  private def sig64IngestSegmentFramesUnfused(
+      sig0: DataFrame,
+      indexPath: String,
+      bands: Int,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      probeCorpus: Boolean): (DataFrame, DataFrame) = {
+    val intraPairs =
+      simHashBandPairs(sig0, maxHamming, bands, maxBucketSize)
+    val dropIntra = resolveComponentsAuto(intraPairs, "id_a", "id_b")
+      .where(col("component") =!= col("id"))
+      .select("id")
+    val dropped =
+      if (!probeCorpus) dropIntra
+      else
+        dropIntra.unionByName(
+          sig64ProbeSigned(
+            sig0, indexPath, bands, maxHamming, maxBucketSize,
+            lean = true)
+            .select(col("probe_id").as("id"))
+            .distinct())
+    val survivors = sig0
+      .join(dropped.distinct(), Seq("id"), "left_anti")
+      .transform(graft.ops.Stage.materializeOnce)
+    (survivors, sig64SizedBuckets(survivors, bands))
   }
 
   /** Exact n-gram Jaccard over candidate pairs produced by equi-joining
@@ -1882,8 +2585,123 @@ object Dedup {
     VectorExpressions.register(spark)
     val (nBits, bands, seed) = embMeta(spark, indexPath, sourceTag)
     val rows = nBits / bands
+    def sizedBuckets(survivors: DataFrame): DataFrame =
+      embBanded(survivors, bands, rows).withColumn(
+        "bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+    val idType = batch.schema
+      .find(_.name.equalsIgnoreCase(idCol))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $idCol not found in batch"))
+    if (!fusableIdType(idType))
+      return embIngestSegmentFramesUnfused(
+        batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
+        probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
+    // the fused shape of [[mhIngestSegmentFrames]]: one signing
+    // materialization (lazy re-root), one candidate collect with
+    // driver-side bucket grouping, one verify collect, driver drop
+    // resolution
+    val stable =
+      graft.ops.Stage.rerootLazy(batch.select(col(idCol), col(vecCol)))
+    // LAZY persist — see mhIngestSegmentFrames
+    val sig0 = embSignatures(stable, vecCol, idCol, nBits, seed)
+      .transform(graft.ops.Stage.materializeLazy)
+    val banded = embBanded(sig0, bands, rows)
+    val probeCand =
+      if (!probeCorpus) None
+      else Some(
+        readIndexCached(spark, s"$indexPath/buckets")
+          .where(col("bn") <= maxBucketSize)
+          .join(
+            broadcast(
+              banded.select(col("bucket"), col("id").as("probe_id"))),
+            Seq("bucket"))
+          .select(col("probe_id"), col("id").as("corpus_id")))
+    fusedCandidates(banded, probeCand, idType, maxBucketSize) match {
+      case Some((intraCand, probeVer)) =>
+        val pLean = math.min(spark.sparkContext.defaultParallelism, 8)
+        val pay = sig0.select(col("id"), col("v"))
+        def cosineVerify(
+            pairs: DataFrame,
+            aCol: String,
+            bCol: String,
+            corpusSide: Option[DataFrame]): DataFrame = {
+          val joined = corpusSide match {
+            case None =>
+              pairs
+                .join(
+                  broadcast(pay
+                    .select(col("id").as(aCol), col("v").as("v_a"))),
+                  Seq(aCol))
+                .join(
+                  broadcast(pay
+                    .select(col("id").as(bCol), col("v").as("v_b"))),
+                  Seq(bCol))
+            case Some(corpus) =>
+              corpus
+                .select(col("id").as(bCol), col("v").as("v_b"))
+                .join(broadcast(pairs), Seq(bCol))
+                .join(
+                  broadcast(pay
+                    .select(col("id").as(aCol), col("v").as("v_a"))),
+                  Seq(aCol))
+          }
+          joined
+            .where(
+              VectorExpressions.cosineFast(col("v_a"), col("v_b"))
+                >= threshold)
+            .select(col(aCol), col(bCol))
+        }
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (intraCand.nonEmpty)
+          pieces += cosineVerify(
+            pairFrame(spark, intraCand, idType, "id_a", "id_b", pLean),
+            "id_a", "id_b", None)
+            .select(
+              lit(0).as("t"), col("id_a").as("x"), col("id_b").as("y"))
+        if (probeVer.nonEmpty)
+          pieces += cosineVerify(
+            pairFrame(spark, probeVer, idType, "probe_id", "corpus_id", pLean),
+            "probe_id", "corpus_id",
+            Some(readIndexCached(spark, s"$indexPath/sig")))
+            .select(
+              lit(1).as("t"),
+              col("probe_id").as("x"),
+              col("probe_id").as("y"))
+        val verified =
+          if (pieces.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else pieces.reduce(_.unionByName(_)).collect()
+        val survivors =
+          fusedSurvivors(sig0, resolveDropFromRows(verified), idType)
+        (survivors, sizedBuckets(survivors))
+      case None =>
+        embIngestSegmentFramesUnfused(
+          batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
+          probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
+    }
+  }
+
+  /** Distributed (unfused) embedding ingest shape — the
+    * [[mhIngestSegmentFramesUnfused]] rationale.
+    */
+  private def embIngestSegmentFramesUnfused(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexPath: String,
+      threshold: Double,
+      maxBucketSize: Int,
+      probeCorpus: Boolean,
+      sourceTag: String,
+      nBits: Int,
+      bands: Int,
+      seed: Int,
+      sizedBuckets: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val rows = nBits / bands
     // re-root the batch at a LogicalRDD first — the codegen-cache
-    // poisoning argument of [[mhIngestSegmentFrames]]
+    // poisoning argument of [[mhIngestSegmentFramesUnfused]]
     val stableBatch = graft.ops.Stage.materializeOnce(
       batch.select(col(idCol), col(vecCol)))
     val sig0 = embSignatures(stableBatch, vecCol, idCol, nBits, seed)
@@ -1906,15 +2724,9 @@ object Dedup {
           Seq("id"),
           "left_anti")
       // both segment writes consume this — checkpoint or the probe
-      // re-executes per write (see mhIngestSegmentFrames)
+      // re-executes per write (see mhIngestSegmentFramesUnfused)
     ).transform(graft.ops.Stage.materializeOnce)
-    val banded = embBanded(survivors, bands, rows)
-    (
-      survivors,
-      banded.withColumn(
-        "bn",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("bucket"))))
+    (survivors, sizedBuckets(survivors))
   }
 
   /** The ingest decision over an embedding probe — keep batch rows with

@@ -25,6 +25,40 @@ import org.apache.spark.sql.DataFrame
   *    fault tolerance for long pipelines.
   */
 object Stage {
+  /** LAZY plan re-rooting — the codegen-stability half of
+    * [[materializeOnce]] without the eager job. The returned frame's
+    * plan starts at a LogicalRDD over the input's Row RDD, so every
+    * DOWNSTREAM stage's generated source is identical no matter what
+    * per-batch literals (offset ranges, modulo filters) the input plan
+    * embeds — the codegen cache actually caches. Unlike
+    * materializeOnce, nothing executes here and nothing is pinned in
+    * the block manager: the input pipeline runs when (and as often as)
+    * the result is consumed. Use it when exactly ONE downstream
+    * materialization will consume the frame — the micro-batch ingest
+    * signing pass — where an eager checkpoint of the raw batch would
+    * just be a second full pass.
+    */
+  def rerootLazy(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** LAZY compute-once: the frame's Row RDD is persisted
+    * (MEMORY_AND_DISK) but nothing executes now — the FIRST consumer
+    * materializes the blocks inside its own job and every later
+    * consumer reads them. Same multiple-consumer economics as
+    * [[materializeOnce]] without the dedicated eager job, which on a
+    * micro-batch is a full scheduler round trip for a few hundred
+    * rows. Blocks are freed by the ContextCleaner once the frame is
+    * unreachable. Prefer [[materializeOnce]] when the first consumer
+    * must not bear the compute (e.g. a time-sensitive first probe) or
+    * on a cluster with a checkpoint dir (reliability trade — see
+    * class doc); this is the micro-batch ingest shape.
+    */
+  def materializeLazy(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
   def materializeOnce(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined && !sc.isLocal) {

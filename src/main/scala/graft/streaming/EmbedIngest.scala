@@ -84,10 +84,19 @@ object EmbedIngest {
       val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
       fs.delete(sigStaging, true)
       fs.delete(bucketsStaging, true)
-      sig.write.mode("overwrite").parquet(sigStaging.toString)
-      buckets.write.mode("overwrite").parquet(bucketsStaging.toString)
+      // concurrent staging writes — see NearDupIngest.ingestBatch
+      IngestTuning.parallelWrites(
+        () => sig.write.mode("overwrite").parquet(sigStaging.toString),
+        () =>
+          buckets.write.mode("overwrite").parquet(bucketsStaging.toString))
       SnapshotCommit.publish(fs, sigStaging, sigTarget)
       SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+      // roll the probe's versioned frame cache forward with the frames
+      // just committed (already RAM-materialized) — the next batch's
+      // probe then reads NO delta segments from disk
+      Dedup.extendIndexCache(spark, s"$indexPath/sig", s"batch=$batchId", sig)
+      Dedup.extendIndexCache(
+        spark, s"$indexPath/buckets", s"batch=$batchId", buckets)
     }
   }
 

@@ -41,6 +41,24 @@ object IngestTuning {
   private val locks = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, Object]())
 
+  /** Run two independent write actions concurrently and wait for both
+    * (micro-batch staging writes: each is ~0.1 s of mostly fixed cost,
+    * and the scheduler interleaves their tiny task sets). Runs on
+    * dedicated threads so a busy common pool can't serialize them;
+    * failures propagate to the caller before any publish happens.
+    */
+  def parallelWrites(a: () => Unit, b: () => Unit): Unit = {
+    val fa = new java.util.concurrent.FutureTask[Unit](() => a())
+    val ta = new Thread(fa, "graft-ingest-stage-a")
+    ta.setDaemon(true)
+    ta.start()
+    b()
+    try fa.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
   def withBatchTuning[T](spark: SparkSession)(body: => T): T = {
     val lock = locks.synchronized {
       var m = locks.get(spark)

@@ -99,10 +99,21 @@ object NearDupIngest {
       val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
       fs.delete(sigStaging, true)
       fs.delete(bucketsStaging, true)
-      sig.write.mode("overwrite").parquet(sigStaging.toString)
-      buckets.write.mode("overwrite").parquet(bucketsStaging.toString)
+      // stage the two independent writes CONCURRENTLY (both consume
+      // the materialized survivors frame); publishes stay ordered
+      // after both land, so the crash protocol is unchanged
+      IngestTuning.parallelWrites(
+        () => sig.write.mode("overwrite").parquet(sigStaging.toString),
+        () =>
+          buckets.write.mode("overwrite").parquet(bucketsStaging.toString))
       SnapshotCommit.publish(fs, sigStaging, sigTarget)
       SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+      // roll the probe's versioned frame cache forward with the frames
+      // just committed (already RAM-materialized) — the next batch's
+      // probe then reads NO delta segments from disk
+      Dedup.extendIndexCache(spark, s"$indexPath/sig", s"batch=$batchId", sig)
+      Dedup.extendIndexCache(
+        spark, s"$indexPath/buckets", s"batch=$batchId", buckets)
     }
   }
 

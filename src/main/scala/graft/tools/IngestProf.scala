@@ -75,11 +75,13 @@ object IngestProf {
         embs.where(F.col("vec_id") % 8 === i), s"$work/emb", "embedding", "vec_id", i.toLong)
     }
     val c0 = compiles()
+    lines.clear()
     val t0 = System.nanoTime()
     graft.streaming.EmbedIngest.ingestBatch(
       embs.where(F.col("vec_id") % 8 === 5), s"$work/emb", "embedding", "vec_id", 5L)
     val total = (System.nanoTime() - t0) / 1e9
-    println(s"COMPILES steady: ${compiles()._1 - c0._1}")
+    val c1 = compiles()
+    println(s"COMPILES steady: ${c1._1 - c0._1} (${c1._2 - c0._2} ms)")
     Thread.sleep(500)
     lines.forEach(l => println(l))
     println(f"BATCH TOTAL $total%.2f s")
