@@ -101,15 +101,23 @@ object Bench {
     // streaming components: rows/sec per micro-batch loop (StreamBench).
     // A failure is loud (joins the failed list) but must not take the
     // batch numbers down with it.
-    val (streaming, streamFailed) =
+    val (streaming, streamSpread, streamFailed) =
       if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0"))
-        (Seq.empty[(String, Double)], Seq.empty[String])
+        (
+          Seq.empty[(String, Double)],
+          Seq.empty[(String, (Double, Double, Int))],
+          Seq.empty[String])
       else
-        try (StreamBench.run(spark, sfDir), Seq.empty[String])
-        catch {
+        try {
+          val (m, sp) = StreamBench.runWithSpread(spark, sfDir)
+          (m, sp, Seq.empty[String])
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] streaming bench failed: $e")
-            (Seq.empty[(String, Double)], Seq("\"streaming\""))
+            (
+              Seq.empty[(String, Double)],
+              Seq.empty[(String, (Double, Double, Int))],
+              Seq("\"streaming\""))
         }
     // Locale.ROOT: a comma-decimal default locale would corrupt the
     // one-line JSON contract (f"%.1f" is locale-dependent)
@@ -138,16 +146,33 @@ object Bench {
     // and are what truncation eats. JSON parsers are order-blind, so the
     // intact line still satisfies the {"metric":...} contract.
     val line =
-      s"""{"queries":$qs,"index_build":$ib,"streaming_rows_per_sec":$sj,"sf":"$sfDir","reps":$reps,"failed":$failedJson,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"queries":$qs,"index_build":$ib,"streaming_rows_per_sec":$sj,""" +
+        s""""streaming_spread":${StreamBench.spreadJson(streamSpread)},""" +
+        s""""sf":"$sfDir","reps":$reps,"failed":$failedJson,""" +
+        s""""metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // the driver keeps only a truncated stdout tail, which eats the
     // per-query map — persist the FULL record so cross-round per-query
     // comparison never needs a judge re-run (overwritten each run)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
+    try {
+      val target = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+      // a ROUND-STAMPED record (BENCH_FULL_rNN.json) is the canonical
+      // quiet-machine measurement for that round — refuse to clobber
+      // it; deltas must always be quoted against the committed record
+      val stamped = target.getFileName.toString.matches(
+        "BENCH_FULL_r\\d+\\.json")
+      val dest =
+        if (stamped && java.nio.file.Files.exists(target)) {
+          System.err.println(
+            s"[bench] refusing to overwrite round-stamped record " +
+              s"$target; writing BENCH_FULL.json instead")
+          java.nio.file.Paths.get("BENCH_FULL.json")
+        } else target
+      java.nio.file.Files.write(
+        dest,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
       case e: Exception =>
         System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
     }

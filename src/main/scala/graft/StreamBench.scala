@@ -27,12 +27,23 @@ import graft.streaming._
   */
 object StreamBench {
 
-  /** (component -> rows/sec), deterministic component order. Cleanup is
-    * unconditional: Bench catches a component failure and keeps going,
-    * so without the finally a failed run would leak the cached inputs
-    * and the temp index state on every bench invocation.
+  /** (component -> MEDIAN rows/sec over [[reps]] repetitions),
+    * deterministic component order. Cleanup is unconditional: Bench
+    * catches a component failure and keeps going, so without the
+    * finally a failed run would leak the cached inputs and the temp
+    * index state on every bench invocation.
     */
-  def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    runWithSpread(spark, sfDir)._1
+
+  /** One spread row per component: (min, max, reps) rows/sec. A single
+    * contended run once produced a misleading cross-round delta; the
+    * median is the reported number and the spread makes a noisy
+    * measurement self-describing instead of silently wrong.
+    */
+  def runWithSpread(
+      spark: SparkSession,
+      sfDir: String): (Seq[(String, Double)], Seq[(String, (Double, Double, Int))]) = {
     val work = Files.createTempDirectory("graft-streambench").toString
     val cached =
       scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
@@ -44,22 +55,40 @@ object StreamBench {
     }
   }
 
+  private def reps: Int =
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt)
+
   private def runBody(
       spark: SparkSession,
       sfDir: String,
       work: String,
       cached: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame])
-      : Seq[(String, Double)] = {
+      : (Seq[(String, Double)], Seq[(String, (Double, Double, Int))]) = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val spreads = scala.collection.mutable
+      .ArrayBuffer.empty[(String, (Double, Double, Int))]
     val nBatches = 4
 
-    def timed(name: String, rows: Long)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      body
-      val sec = (System.nanoTime() - t0) / 1e9
-      out += name -> (if (sec > 0) rows / sec else 0.0)
+    // `body(rep)` must be rep-isolated (fresh index/work dirs per rep —
+    // a reused dir would no-op on already-committed batches and time a
+    // replay, not an ingest) and returns the measured seconds of the
+    // rep's timed section only (stream/query setup excluded).
+    def timedReps(name: String, rows: Long)(body: Int => Double): Unit = {
+      val vals = (0 until reps).map { r =>
+        val sec = body(r)
+        if (sec > 0) rows / sec else 0.0
+      }.sorted
+      out += name -> vals(vals.length / 2)
+      spreads += name -> ((vals.head, vals.last, reps))
     }
+
+    def timing(b: => Unit): Double = {
+      val t0 = System.nanoTime()
+      b
+      (System.nanoTime() - t0) / 1e9
+    }
+
 
     val docs = Tables
       .documents(spark, sfDir)
@@ -92,16 +121,20 @@ object StreamBench {
       warm.unpersist()
     }
 
-    timed("ingest_dedup_exact", nDocs) {
-      (0 until nBatches).foreach { i =>
-        IngestDedup.ingestBatch(
-          docBatch(i), s"$work/exact", "text", "doc_id", i.toLong)
+    timedReps("ingest_dedup_exact", nDocs) { r =>
+      timing {
+        (0 until nBatches).foreach { i =>
+          IngestDedup.ingestBatch(
+            docBatch(i), s"$work/exact-r$r", "text", "doc_id", i.toLong)
+        }
       }
     }
-    timed("neardup_ingest", nDocs) {
-      (0 until nBatches).foreach { i =>
-        NearDupIngest.ingestBatch(
-          docBatch(i), s"$work/mh", "text", "doc_id", i.toLong)
+    timedReps("neardup_ingest", nDocs) { r =>
+      timing {
+        (0 until nBatches).foreach { i =>
+          NearDupIngest.ingestBatch(
+            docBatch(i), s"$work/mh-r$r", "text", "doc_id", i.toLong)
+        }
       }
     }
 
@@ -119,11 +152,13 @@ object StreamBench {
       EmbedIngest.ingestBatch(warm, s"$work/warm-emb", "embedding", "vec_id", 2L)
       warm.unpersist()
     }
-    timed("embed_ingest", nEmbs) {
-      (0 until nBatches).foreach { i =>
-        EmbedIngest.ingestBatch(
-          embs.where(col("vec_id") % nBatches === i),
-          s"$work/emb", "embedding", "vec_id", i.toLong)
+    timedReps("embed_ingest", nEmbs) { r =>
+      timing {
+        (0 until nBatches).foreach { i =>
+          EmbedIngest.ingestBatch(
+            embs.where(col("vec_id") % nBatches === i),
+            s"$work/emb-r$r", "embedding", "vec_id", i.toLong)
+        }
       }
     }
 
@@ -144,16 +179,20 @@ object StreamBench {
     }
     cached ++= changes
     changes.foreach(_.count())
-    timed("cdc_upsert_snapshot", cdcRows.toLong) {
-      changes.zipWithIndex.foreach { case (c, i) =>
-        CdcUpsert.applyBatch(
-          c, s"$work/cdc-snap", Seq("k"), "version", "deleted", i.toLong)
+    timedReps("cdc_upsert_snapshot", cdcRows.toLong) { r =>
+      timing {
+        changes.zipWithIndex.foreach { case (c, i) =>
+          CdcUpsert.applyBatch(
+            c, s"$work/cdc-snap-r$r", Seq("k"), "version", "deleted", i.toLong)
+        }
       }
     }
-    timed("cdc_log_append", cdcRows.toLong) {
-      changes.zipWithIndex.foreach { case (c, i) =>
-        CdcLog.appendBatch(
-          c, s"$work/cdc-log", Seq("k"), "version", "deleted", i.toLong)
+    timedReps("cdc_log_append", cdcRows.toLong) { r =>
+      timing {
+        changes.zipWithIndex.foreach { case (c, i) =>
+          CdcLog.appendBatch(
+            c, s"$work/cdc-log-r$r", Seq("k"), "version", "deleted", i.toLong)
+        }
       }
     }
 
@@ -165,62 +204,79 @@ object StreamBench {
     val streamRows = 60000
     val perBatch = streamRows / nBatches
 
-    val distinctIn = MemoryStream[(String, String)]
-    val distinctQ = StreamDistinct
-      .distinctStream(distinctIn.toDS().map(t =>
-        StreamDistinct.KeyedValue(t._1, t._2)))
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("graft_streambench_distinct")
-      .start()
-    try timed("stream_distinct_hll", streamRows.toLong) {
-      (0 until nBatches).foreach { b =>
-        distinctIn.addData((0 until perBatch).map(i =>
-          (s"k${i % 16}", s"v${(b * perBatch + i) % 20000}")): _*)
-        distinctQ.processAllAvailable()
-      }
-    } finally distinctQ.stop()
+    timedReps("stream_distinct_hll", streamRows.toLong) { r =>
+      val distinctIn = MemoryStream[(String, String)]
+      val distinctQ = StreamDistinct
+        .distinctStream(distinctIn.toDS().map(t =>
+          StreamDistinct.KeyedValue(t._1, t._2)))
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(s"graft_streambench_distinct_r$r")
+        .start()
+      try timing {
+        (0 until nBatches).foreach { b =>
+          distinctIn.addData((0 until perBatch).map(i =>
+            (s"k${i % 16}", s"v${(b * perBatch + i) % 20000}")): _*)
+          distinctQ.processAllAvailable()
+        }
+      } finally distinctQ.stop()
+    }
 
-    val topkIn = MemoryStream[StreamTopK.TokenEvent]
-    val topkQ = StreamTopK
-      .topKStream(topkIn.toDS(), k = 64, topN = 10)
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("graft_streambench_topk")
-      .start()
-    try timed("stream_topk_mg", streamRows.toLong) {
-      (0 until nBatches).foreach { b =>
-        topkIn.addData((0 until perBatch).map { i =>
-          // zipf-ish: low token ids repeat often (heavy hitters exist)
-          val t = (b * perBatch + i) % 977
-          StreamTopK.TokenEvent(s"k${i % 16}", s"t${t * t % 977}")
-        }: _*)
-        topkQ.processAllAvailable()
-      }
-    } finally topkQ.stop()
+    timedReps("stream_topk_mg", streamRows.toLong) { r =>
+      val topkIn = MemoryStream[StreamTopK.TokenEvent]
+      val topkQ = StreamTopK
+        .topKStream(topkIn.toDS(), k = 64, topN = 10)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(s"graft_streambench_topk_r$r")
+        .start()
+      try timing {
+        (0 until nBatches).foreach { b =>
+          topkIn.addData((0 until perBatch).map { i =>
+            // zipf-ish: low token ids repeat often (heavy hitters exist)
+            val t = (b * perBatch + i) % 977
+            StreamTopK.TokenEvent(s"k${i % 16}", s"t${t * t % 977}")
+          }: _*)
+          topkQ.processAllAvailable()
+        }
+      } finally topkQ.stop()
+    }
 
-    val cmsIn = MemoryStream[(String, String)]
-    val cmsQ = graft.streaming.StreamCms
-      .cmsStream(
-        cmsIn.toDS().map(t => graft.streaming.StreamCms.KeyedValue(t._1, t._2)),
-        probes = Seq("v0", "v17", "v999"))
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("graft_streambench_cms")
-      .start()
-    try timed("stream_cms", streamRows.toLong) {
-      (0 until nBatches).foreach { b =>
-        cmsIn.addData((0 until perBatch).map(i =>
-          (s"k${i % 16}", s"v${(b * perBatch + i) % 20000}")): _*)
-        cmsQ.processAllAvailable()
-      }
-    } finally cmsQ.stop()
+    timedReps("stream_cms", streamRows.toLong) { r =>
+      val cmsIn = MemoryStream[(String, String)]
+      val cmsQ = graft.streaming.StreamCms
+        .cmsStream(
+          cmsIn.toDS().map(t => graft.streaming.StreamCms.KeyedValue(t._1, t._2)),
+          probes = Seq("v0", "v17", "v999"))
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(s"graft_streambench_cms_r$r")
+        .start()
+      try timing {
+        (0 until nBatches).foreach { b =>
+          cmsIn.addData((0 until perBatch).map(i =>
+            (s"k${i % 16}", s"v${(b * perBatch + i) % 20000}")): _*)
+          cmsQ.processAllAvailable()
+        }
+      } finally cmsQ.stop()
+    }
 
-    out.toSeq
+    (out.toSeq, spreads.toSeq)
   }
+
+  /** `{"name":{"min":…,"max":…,"n":…},…}` — shared by [[main]] and
+    * [[graft.Bench]].
+    */
+  def spreadJson(sp: Seq[(String, (Double, Double, Int))]): String =
+    sp.map { case (k, (mn, mx, n)) =>
+      "\"" + k + "\":{\"min\":" +
+        "%.1f".formatLocal(java.util.Locale.ROOT, mn) +
+        ",\"max\":" + "%.1f".formatLocal(java.util.Locale.ROOT, mx) +
+        ",\"n\":" + n + "}"
+    }.mkString("{", ",", "}")
 
   /** Standalone dev entry: one JSON line, same shape as the Bench
     * `"streaming"` field.
@@ -238,13 +294,16 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, sfDir)
+    val (r, sp) = runWithSpread(spark, sfDir)
     // Locale.ROOT: f"%.1f" under a comma-decimal locale breaks the JSON
-    println(
-      r.map { case (k, v) =>
+    val med = r
+      .map { case (k, v) =>
         "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
       }
-        .mkString("{\"streaming_rows_per_sec\":{", ",", s"},\"sf\":\"$sfDir\"}"))
+      .mkString("{", ",", "}")
+    println(
+      s"""{"streaming_rows_per_sec":$med,""" +
+        s""""streaming_spread":${spreadJson(sp)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
