@@ -1563,6 +1563,70 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"), col("canonical"))
       .orderBy("doc_id")
 
+  /** Perceptual AUDIO near-dup
+    * ([[graft.multimodal.Multimodal.audioNearDup]]) — completes the
+    * text (q14/q186) / image (q207) / audio dedup triad. Spectral-band
+    * sign fingerprint (9 time frames × 8 Hz-anchored log-spaced bands,
+    * Hann-windowed DFT probe energies, frame-to-frame delta signs =
+    * 64 bits — the dHash idea in the time-frequency plane, the
+    * Haitsma–Kalker ISMIR 2002 construction) over REAL decoded PCM
+    * (javax.sound.sampled), then the SAME banded-Hamming pair
+    * machinery, components, and min-id canonical flags every other
+    * modality uses. Assets are per-doc synthesized melodies (25
+    * pattern families with planted gain-shifted and resampled members,
+    * [[graft.multimodal.Multimodal.melodyAssetsFromIds]]), so family
+    * members must cluster across exactly the transformations the
+    * fingerprint claims invariance to. Rows-only (binary decode
+    * pipeline, nothing for SQL to replay); AudioDedupSpec pins
+    * container/gain/resample/ULAW invariance and distinct-melody
+    * separation on handcrafted fixtures.
+    */
+  private def q211(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .audioNearDup(
+        graft.multimodal.Multimodal.melodyAssetsFromIds(
+          // explicit repartition: the q207 rationale — synth + decode
+          // UDF cost is invisible to AQE and would serialize on the
+          // 1-2 natural parquet splits of the id projection
+          Tables.documents(s, d)
+            .select("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id"))
+      .select(col("id").as("doc_id"), col("component"), col("canonical"))
+      .orderBy("doc_id")
+
+  /** HASH-GREEN twin of q207's decode stage: the REAL PNG
+    * decode → area-averaged-luma dHash pipeline
+    * ([[graft.multimodal.Multimodal.dHashImages]]) against a DuckDB
+    * oracle that replays the synthesized pixels ARITHMETICALLY — the
+    * q176 precedent. The planted gradients
+    * ([[graft.multimodal.Multimodal.imageAssetsFromIds]]) are affine
+    * mod 240 and, at 18×16, every 9×8 dHash cell is exactly a 2×2
+    * pixel block, so each of the 64 gradient-sign bits is a pure
+    * integer formula of doc_id — no decoding needed on the oracle
+    * side, while the Spark side exercises the full ImageIO
+    * encode/decode + bulk-luma path. The signature ships as two
+    * unsigned 32-bit halves (bit 63 would overflow a signed SUM on
+    * the SQL side). Converts the image-decode stage from rows-only to
+    * a hard hash row; the banded pairing/components stay covered by
+    * q207 + ImageDedupSpec.
+    */
+  private def q212(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .dHashImages(
+        graft.multimodal.Multimodal.imageAssetsFromIds(
+          Tables.documents(s, d)
+            .select("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id"))
+      .select(
+        col("id").as("doc_id"),
+        shiftrightunsigned(col("sig"), 32)
+          .bitwiseAND(lit(0xFFFFFFFFL))
+          .as("sig_hi"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
+      .orderBy("doc_id")
+
   /** Temperature-scaled sampling SCHEDULE (the α-mixing standard from
     * multilingual/pretraining recipes — q96's uniform-target reweight
     * is one extreme, proportional sampling the other; α between them):
@@ -1753,22 +1817,110 @@ object SparkEntry {
   /** The deterministic page skeleton q204/q210 wrap the corpus text
     * in — byte-identical to the oracle's concat.
     */
+  /** Per-doc-varied page chrome for the planted web corpus
+    * (`doc_id mod 5` selects the variant, in BOTH the Spark column and
+    * the DuckDB oracle): a link-list nav, a link TABLE, a nested list
+    * with unclosed `<li>`s and entity edge cases, a sidebar with an
+    * UNCLOSED `<div>` and a truncated document, and a comment/br/hr
+    * banner — so the extractor's link-density and length filtering is
+    * exercised against five distinct chrome shapes (including
+    * malformed markup) at corpus scale, not one fixed skeleton.
+    * Variant 2's footer is intentionally prose-heavy enough to PASS
+    * the block filter (realistic extraction noise the q210 C4 line
+    * cleaning then drops); every other chrome block is link-dense or
+    * short and is filtered. `&middot;`/`&#183;` stay literal (outside
+    * the unescape set — a deliberate entity edge case).
+    */
+  private[graft] val htmlChromePre: Seq[String] = Seq(
+    "<html><head><title>Synthetic corpus page</title>" +
+      "<style>p{margin:0} nav{display:flex}</style>" +
+      "<script type=\"text/javascript\">var tracker = 1;</script>" +
+      "</head><body>" +
+      "<nav><ul><li><a href=\"/\">Home</a></li>" +
+      "<li><a href=\"/about\">About &amp; Contact</a></li>" +
+      "<li><a href=\"/archive\">Archive</a></li></ul></nav>" +
+      "<!-- chrome ends -->",
+    "<html><head><title>Index of documents</title>" +
+      "<meta charset=\"utf-8\">" +
+      "<script>if(a<b){track()}</script></head><body>" +
+      "<table class=\"nav\"><tr><td><a href=\"/\">Home</a></td>" +
+      "<td><a href=\"/tags\">Tags</a></td>" +
+      "<td><a href=\"/search\">Search</a></td></tr>" +
+      "<tr><td colspan=\"3\"><a href=\"/login\">Log in</a> &#124; " +
+      "<a href=\"/register\">Register</a></td></tr></table>" +
+      "<div class=\"wrap\"><p class=\"lead\">",
+    "<html><head><title>Docs &amp; Data</title>" +
+      "<style>ul ul{margin-left:1em}</style></head><body>" +
+      "<nav><ul><li><a href=\"/\">Start</a>" +
+      "<ul><li><a href=\"/a\">Alpha &quot;quoted&quot;</a>" +
+      "<li><a href=\"/b\">Beta &#39;solo&#39;</a>" +
+      "<li><a href=\"/c\">&lt;Gamma&gt;</a></ul></ul></nav><main>",
+    "<html><head><title>Mirror</title></head><body>" +
+      "<header><h1 class=\"site\">Corpus mirror</h1></header>" +
+      "<aside><p><a href=\"/top?a=1&amp;b=2\">Top</a> " +
+      "<a href=\"/new\">New</a> <a href=\"/best\">Best</a> " +
+      "<a href=\"/rss\">RSS</a></p></aside>" +
+      "<div class=\"page\"><div class=\"inner\">",
+    "<html><head><title>Archive page</title></head><body>" +
+      "<!-- banner --><div class=\"banner\">" +
+      "<a href=\"/donate\">Donate</a> <br> " +
+      "<a href=\"/mirror\">Mirror</a> <hr></div><!-- content starts -->")
+
+  private[graft] val htmlChromePost: Seq[String] = Seq(
+    "<footer><a href=\"/privacy\">Privacy</a> &#183; " +
+      "<a href=\"/terms\">Terms of service</a></footer></body></html>",
+    // unclosed <p class="lead"> above, no </body></html>: truncated doc
+    "</div><footer><table><tr><td><a href=\"/privacy\">Privacy</a></td>" +
+      "<td><a href=\"/terms\">Terms</a></td></tr></table>",
+    "</main><footer>Generated &nbsp;by the synthetic corpus builder " +
+      "&amp; friends every night of the week &#183; " +
+      "<a href=\"/imprint\">Imprint</a></footer></body></html>",
+    // only ONE of the two open divs closes: unclosed <div class="page">
+    "</div><footer><p><a href=\"/contact\">Contact</a></p></footer>" +
+      "</body></html>",
+    "<!-- content ends --><div class=\"footline\">" +
+      "<a href=\"/a11y\">Accessibility</a> &middot; " +
+      "<a href=\"/sitemap\">Sitemap</a></div></body></html>")
+
+  private def chromeCase(parts: Seq[String]): Column =
+    parts.zipWithIndex.tail
+      .foldLeft(
+        when(pmod(col("doc_id"), lit(parts.length)) === 0, lit(parts.head))) {
+        case (acc, (s, i)) =>
+          acc.when(pmod(col("doc_id"), lit(parts.length)) === i, lit(s))
+      }
+      .otherwise(lit("")) // unreachable: pmod of a non-negative id
+
   private def plantedHtml: Column = concat(
-    lit(
-      "<html><head><title>Synthetic corpus page</title>" +
-        "<style>p{margin:0} nav{display:flex}</style>" +
-        "<script type=\"text/javascript\">var tracker = 1;</script>" +
-        "</head><body>" +
-        "<nav><ul><li><a href=\"/\">Home</a></li>" +
-        "<li><a href=\"/about\">About &amp; Contact</a></li>" +
-        "<li><a href=\"/archive\">Archive</a></li></ul></nav>" +
-        "<!-- chrome ends --><div class=\"content\"><h1>Document "),
+    chromeCase(htmlChromePre),
+    lit("<div class=\"content\"><h1>Document "),
     col("doc_id").cast("string"),
     lit("</h1><p>"),
     regexp_replace(col("text"), "\n", "</p><p>"),
-    lit(
-      "</p></div><footer><a href=\"/privacy\">Privacy</a> &#183; " +
-        "<a href=\"/terms\">Terms of service</a></footer></body></html>"))
+    lit("</p></div>"),
+    chromeCase(htmlChromePost))
+
+  private def sqlQuote(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  private def chromeCaseSql(parts: Seq[String]): String =
+    s"CASE doc_id % ${parts.length} " +
+      parts.zipWithIndex
+        .map { case (s, i) => s"WHEN $i THEN ${sqlQuote(s)}" }
+        .mkString(" ") + " END"
+
+  /** The oracle's `h` CTE — the EXACT page construction of
+    * [[plantedHtml]] in DuckDB SQL, shared by the q204 and q210
+    * oracles so the two can never drift from the Spark column or from
+    * each other.
+    */
+  private lazy val htmlOracleH: String =
+    "SELECT doc_id, " + chromeCaseSql(htmlChromePre) +
+      " || '<div class=\"content\"><h1>Document ' || " +
+      "CAST(doc_id AS VARCHAR) || '</h1><p>' || " +
+      "replace(text, chr(10), '</p><p>') || '</p></div>' || " +
+      chromeCaseSql(htmlChromePost) +
+      " AS html FROM documents"
 
   private def q204(sess: SparkSession, d: String): DataFrame = {
     val st = graft.functions.HtmlExtract.mainContent(plantedHtml)
@@ -5032,7 +5184,9 @@ object SparkEntry {
     "q207_image_neardup" -> (q207 _),
     "q208_unigram_encode" -> (q208 _),
     "q209_bpe_mixture" -> (q209 _),
-    "q210_web_pipeline" -> (q210 _)
+    "q210_web_pipeline" -> (q210 _),
+    "q211_audio_neardup" -> (q211 _),
+    "q212_image_dhash" -> (q212 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7320,22 +7474,7 @@ object SparkEntry {
     // decision reads text + anchor text; survivors re-clean for the
     // join) exactly as the Spark filter/transform pair evaluates it.
     "q204_html_extract" ->
-      """WITH h AS (
-           SELECT doc_id,
-             '<html><head><title>Synthetic corpus page</title>' ||
-             '<style>p{margin:0} nav{display:flex}</style>' ||
-             '<script type="text/javascript">var tracker = 1;</script>' ||
-             '</head><body>' ||
-             '<nav><ul><li><a href="/">Home</a></li>' ||
-             '<li><a href="/about">About &amp; Contact</a></li>' ||
-             '<li><a href="/archive">Archive</a></li></ul></nav>' ||
-             '<!-- chrome ends --><div class="content"><h1>Document ' ||
-             CAST(doc_id AS VARCHAR) || '</h1><p>' ||
-             replace(text, chr(10), '</p><p>') ||
-             '</p></div><footer><a href="/privacy">Privacy</a> &#183; ' ||
-             '<a href="/terms">Terms of service</a></footer></body></html>'
-             AS html
-           FROM documents),
+      ("""WITH h AS (""" + htmlOracleH + """),
          s AS (
            SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -7389,7 +7528,7 @@ object SparkEntry {
            CAST(len(main_text) AS BIGINT) AS main_len,
            main_text
          FROM f
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""),
     // q205: sequential rule chain — each stage counts on the text AS
     // THE RULE SEES IT (post all earlier replacements), exactly the
     // Pii.redactAudit fold. All patterns RE2-safe.
@@ -7462,22 +7601,7 @@ object SparkEntry {
     // q210: q204's extraction CTEs chained into q202's C4 line rule —
     // the oracle replays the whole raw-web pipeline.
     "q210_web_pipeline" ->
-      """WITH h AS (
-           SELECT doc_id,
-             '<html><head><title>Synthetic corpus page</title>' ||
-             '<style>p{margin:0} nav{display:flex}</style>' ||
-             '<script type="text/javascript">var tracker = 1;</script>' ||
-             '</head><body>' ||
-             '<nav><ul><li><a href="/">Home</a></li>' ||
-             '<li><a href="/about">About &amp; Contact</a></li>' ||
-             '<li><a href="/archive">Archive</a></li></ul></nav>' ||
-             '<!-- chrome ends --><div class="content"><h1>Document ' ||
-             CAST(doc_id AS VARCHAR) || '</h1><p>' ||
-             replace(text, chr(10), '</p><p>') ||
-             '</p></div><footer><a href="/privacy">Privacy</a> &#183; ' ||
-             '<a href="/terms">Terms of service</a></footer></body></html>'
-             AS html
-           FROM documents),
+      ("""WITH h AS (""" + htmlOracleH + """),
          s AS (
            SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -7543,6 +7667,48 @@ object SparkEntry {
            CAST(len(clean) AS BIGINT) AS clean_len,
            md5(clean) AS digest
          FROM c
-         ORDER BY doc_id"""
+         ORDER BY doc_id"""),
+    // q212: arithmetic replay of the planted 18x16 gradients — each
+    // 9x8 dHash cell is a 2x2 pixel block; R depends only on x, G only
+    // on y, B on x+y, so the 4-pixel luma sum collapses to
+    // 2*299*(Ra+Rb) + 2*587*(Ga+Gb) + 114*(Ba+2*Bb+Bc). Integer
+    // division by 4 matches the Scala sum/n floor (all terms
+    // non-negative).
+    "q212_image_dhash" ->
+      """WITH px AS (
+           SELECT doc_id,
+             CAST(doc_id % 25 AS BIGINT) AS p,
+             CAST(((doc_id // 25) % 3) * 2 AS BIGINT) AS s
+           FROM documents),
+         terms AS (
+           SELECT doc_id, cy.i AS cy, cx.i AS cx,
+             (23*p + (2*cx.i    )*(10+(p%7)*6)) % 240 + s AS ra,
+             (23*p + (2*cx.i + 1)*(10+(p%7)*6)) % 240 + s AS rb,
+             (91*p + (2*cy.i    )*(8+(p%5)*7)) % 240 + s AS ga,
+             (91*p + (2*cy.i + 1)*(8+(p%5)*7)) % 240 + s AS gb,
+             (53*p + (2*cx.i + 2*cy.i    )*(6+(p%3)*9)) % 240 + s AS ba,
+             (53*p + (2*cx.i + 2*cy.i + 1)*(6+(p%3)*9)) % 240 + s AS bb,
+             (53*p + (2*cx.i + 2*cy.i + 2)*(6+(p%3)*9)) % 240 + s AS bc
+           FROM px, range(8) cy(i), range(9) cx(i)),
+         cells AS (
+           SELECT doc_id, cy, cx,
+             (598*(ra + rb) + 1174*(ga + gb) + 114*(ba + 2*bb + bc)) // 4
+               AS cell
+           FROM terms),
+         bits AS (
+           SELECT a.doc_id, a.cy * 8 + a.cx AS k
+           FROM cells a JOIN cells b
+             ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+           WHERE a.cx < 8 AND b.cell > a.cell)
+         SELECT d.doc_id,
+           CAST(coalesce(SUM(CASE WHEN k >= 32
+             THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END), 0)
+             AS BIGINT) AS sig_hi,
+           CAST(coalesce(SUM(CASE WHEN k < 32
+             THEN CAST(1 AS BIGINT) << k ELSE 0 END), 0)
+             AS BIGINT) AS sig_lo
+         FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+         GROUP BY d.doc_id
+         ORDER BY d.doc_id"""
   )
 }

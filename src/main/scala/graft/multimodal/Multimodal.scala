@@ -305,6 +305,38 @@ object Multimodal {
       zcr: Double,
       energy_profile: Array[Float])
 
+  /** Shared container-parse + PCM-normalize step: any decodable
+    * WAV/AIFF/AU payload → (format, interleaved signed-16-LE frames)
+    * through the JDK conversion chain. Both the feature extractor
+    * ([[decodeAudioBytes]]) and the perceptual fingerprint
+    * ([[audioFingerprintBytes]]) start here, so container/encoding
+    * invariance (AIFF vs WAV, ULAW vs linear) is decided in exactly
+    * one place. Undecodable → None.
+    */
+  private def decodePcm16(
+      data: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val src = in.getFormat
+      val fmt = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate,
+        16,
+        src.getChannels,
+        src.getChannels * 2,
+        src.getSampleRate,
+        false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      Some((fmt, pcm.readAllBytes()))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no conversion path
+    }
+  }
+
   /** REAL audio decode — `javax.sound.sampled.AudioSystem` parses
     * WAV/AIFF/AU containers and converts any PCM encoding (8/16/24-bit,
     * signed/unsigned, either endianness, ULAW/ALAW) to signed 16-bit
@@ -320,28 +352,7 @@ object Multimodal {
   def decodeAudioBytes(
       data: Array[Byte],
       profileBins: Int): Option[AudioFeatures] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
-    val decoded =
-      try {
-        val in = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(data))
-        val src = in.getFormat
-        val fmt = new AudioFormat(
-          AudioFormat.Encoding.PCM_SIGNED,
-          src.getSampleRate,
-          16,
-          src.getChannels,
-          src.getChannels * 2,
-          src.getSampleRate,
-          false)
-        val pcm = AudioSystem.getAudioInputStream(fmt, in)
-        Some((fmt, pcm.readAllBytes()))
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
-        case _: IllegalArgumentException => None // no conversion path
-      }
-    decoded.flatMap { case (fmt, bytes) =>
+    decodePcm16(data).flatMap { case (fmt, bytes) =>
       val nCh = fmt.getChannels
       val n = bytes.length / (2 * nCh)
       if (n == 0) None
@@ -460,6 +471,282 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // AUDIO PERCEPTUAL NEAR-DUP — the dHash idea in the time-frequency
+  // plane: band-energy deltas over time → 64-bit sign hash → the SAME
+  // banded-Hamming pair machinery text SimHash and image dHash use.
+  // ------------------------------------------------------------------
+
+  /** Fingerprint geometry: 9 equal-duration time frames × 8 frequency
+    * bands → 8 frame-to-frame energy deltas × 8 bands = 64 sign bits.
+    */
+  private val FpFrames = 9
+  private val FpNumBands = 8
+  /** Band range in ABSOLUTE Hz (not fractions of the sample rate):
+    * a resampled copy keeps its spectral content at the same Hz, so
+    * binding bands to Hz — and frames to relative position — is what
+    * buys resample invariance. [[FpNumBands]] log-spaced bands over
+    * 200–1600 Hz — the perceptually dominant melody/formant range the
+    * canonical published audio fingerprint also restricts to
+    * (Haitsma & Kalker, ISMIR 2002, uses 300–2000 Hz); narrow bands
+    * here are what separate clips by PITCH content, and the 1.6 kHz
+    * top edge keeps every probe far under the Nyquist of even 8 kHz
+    * telephony-rate audio.
+    */
+  private val FpLoHz = 200.0
+  private val FpHiHz = 1600.0
+  private val FpProbesPerBand = 2
+
+  /** 64-bit perceptual audio fingerprint of an encoded clip: decode to
+    * mono PCM ([[decodePcm16]] — container/encoding-blind), slice into
+    * [[FpFrames]] equal-duration frames, measure per-frame energy in
+    * [[FpNumBands]] log-spaced bands over [[FpLoHz]]–[[FpHiHz]]
+    * (sum of [[FpProbesPerBand]] geometrically spaced HANN-WINDOWED
+    * single-bin DFT probe powers per band, length²-normalized), and
+    * set bit `t·8+b` iff band `b`'s energy RISES from frame `t` to
+    * `t+1` — the gradient-sign idea of [[dHashBytes]] transposed to
+    * the time-frequency plane (the band-energy-delta sign bit is the
+    * published Haitsma–Kalker construction, ISMIR 2002). The Hann
+    * window matters: an unwindowed (rectangular) probe's spectral
+    * leakage depends on the exact sample count and phase of the frame,
+    * which DIFFER across sample rates — measured up to 9/64 leakage-
+    * flipped bits on an ideally resampled copy, vs ≤3 windowed.
+    * Invariances, each by construction: re-encoding/container change
+    * (same samples → same energies, [[decodePcm16]] normalizes first),
+    * uniform gain (every energy scales by g², strict compares keep
+    * their sign), resampling (frames are relative positions, bands are
+    * absolute Hz — the probe reads the same spectral content at any
+    * rate above band Nyquist). Clips shorter than [[FpFrames]] samples
+    * or undecodable payloads → None (quarantine).
+    */
+  def audioFingerprintBytes(data: Array[Byte]): Option[Long] = {
+    decodePcm16(data).flatMap { case (fmt, bytes) =>
+      val nCh = fmt.getChannels
+      val n = bytes.length / (2 * nCh)
+      if (n < FpFrames) None
+      else {
+        val rate = fmt.getSampleRate.toDouble
+        val mono = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < nCh) {
+            val off = (i * nCh + c) * 2
+            acc += ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          mono(i) = acc / nCh
+          i += 1
+        }
+        // Hann-windowed single-bin DFT power at probe frequency f over
+        // [s0, s1): |Σ x·hann·e^{-iωj}|² / len² — an amplitude² scale,
+        // frame-length-independent (rates differ across copies). Both
+        // the probe phasor and the window ride trig-free rotation
+        // recurrences (two complex multiplies per sample).
+        def bandPower(f: Double, s0: Int, s1: Int): Double = {
+          val len = s1 - s0
+          if (f >= rate / 2 || len < 2) 0.0
+          else {
+            val w = 2.0 * math.Pi * f / rate
+            val rc = math.cos(w)
+            val rs = math.sin(w)
+            val hw = 2.0 * math.Pi / len
+            val hc = math.cos(hw)
+            val hs = math.sin(hw)
+            var cr = 1.0; var ci = 0.0 // probe phasor e^{iωj}
+            var hr = 1.0; var hi = 0.0 // window phasor e^{i2πj/len}
+            var sumR = 0.0; var sumI = 0.0
+            var j = s0
+            while (j < s1) {
+              val x = mono(j) * 0.5 * (1.0 - hr)
+              sumR += x * cr
+              sumI -= x * ci
+              val ncr = cr * rc - ci * rs
+              ci = cr * rs + ci * rc
+              cr = ncr
+              val nhr = hr * hc - hi * hs
+              hi = hr * hs + hi * hc
+              hr = nhr
+              j += 1
+            }
+            (sumR * sumR + sumI * sumI) / (len.toDouble * len)
+          }
+        }
+        val energy = Array.ofDim[Double](FpFrames, FpNumBands)
+        var t = 0
+        while (t < FpFrames) {
+          val s0 = (t.toLong * n / FpFrames).toInt
+          val s1 = ((t + 1).toLong * n / FpFrames).toInt
+          var b = 0
+          while (b < FpNumBands) {
+            val f0 = FpLoHz * math.pow(FpHiHz / FpLoHz, b.toDouble / FpNumBands)
+            val f1 =
+              FpLoHz * math.pow(FpHiHz / FpLoHz, (b + 1).toDouble / FpNumBands)
+            var e = 0.0
+            var k = 0
+            while (k < FpProbesPerBand) {
+              // geometric spacing keeps probe density uniform in
+              // octaves — matched to how pitch content spreads
+              val f = f0 * math.pow(f1 / f0, (k + 0.5) / FpProbesPerBand)
+              e += bandPower(f, s0, s1)
+              k += 1
+            }
+            energy(t)(b) = e
+            b += 1
+          }
+          t += 1
+        }
+        var sig = 0L
+        var tt = 0
+        while (tt < FpFrames - 1) {
+          var b = 0
+          while (b < FpNumBands) {
+            if (energy(tt + 1)(b) > energy(tt)(b))
+              sig |= 1L << (tt * FpNumBands + b)
+            b += 1
+          }
+          tt += 1
+        }
+        Some(sig)
+      }
+    }
+  }
+
+  /** (id, sig) perceptual-fingerprint frame over an audio asset table —
+    * the audio analog of [[dHashImages]]. Same mapPartitions batching
+    * contract as [[decodeAudio]]; corrupt/too-short rows quarantine
+    * (dropped).
+    */
+  def audioFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("id").cast("long").as("id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        audioFingerprintBytes(data).map(sig => (id, sig))
+      })
+      .toDF("id", "sig")
+  }
+
+  /** Perceptual near-dup candidate pairs over an audio asset table:
+    * spectral fingerprints into the EXACT banded-Hamming machinery
+    * text SimHash and image dHash use
+    * ([[graft.operators.Dedup.simHashBandPairs]]). Spectral sign bits
+    * are noisier than pixel-gradient bits (residual window leakage,
+    * lossy-codec quantization — measured ≤3 bits resample, ≤4 ULAW),
+    * so the default Hamming budget is wider than the image path's 3 —
+    * 8 bands of width 8 keep the pigeonhole recall guarantee up to
+    * hamming 7. Returns (id_a, id_b, hamming).
+    */
+  def audioNearDupPairs(
+      assets: DataFrame,
+      maxHamming: Int = 5,
+      bands: Int = 8,
+      maxBucketSize: Int = 256): DataFrame =
+    graft.operators.Dedup.simHashBandPairs(
+      graft.ops.Stage.materializeOnce(audioFingerprints(assets)),
+      maxHamming,
+      bands,
+      maxBucketSize)
+
+  /** Perceptual audio dedup end-to-end: pairs → transitive components
+    * → (id, component, canonical) — the [[imageNearDup]] contract with
+    * the audio fingerprint. Min-id survivor policy; every DECODABLE
+    * asset appears, singletons are their own component.
+    */
+  def audioNearDup(
+      assets: DataFrame,
+      maxHamming: Int = 5,
+      bands: Int = 8,
+      maxBucketSize: Int = 256): DataFrame = {
+    val sigs = graft.ops.Stage.materializeOnce(audioFingerprints(assets))
+    val pairs = graft.operators.Dedup.simHashBandPairs(
+      sigs, maxHamming, bands, maxBucketSize)
+    val comps =
+      graft.operators.Dedup.resolveComponentsAuto(pairs, "id_a", "id_b")
+    sigs
+      .select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("canonical", col("id") === col("component"))
+  }
+
+  /** Deterministic melody WAV: `nNotes` sine segments whose pitches
+    * walk an A3-rooted chromatic scale as a pure function of
+    * (pattern, note index); note length is fixed in SECONDS so the
+    * same melody synthesized at a different sample rate is an ideal
+    * resample of itself. Time-varying pitch is what gives the
+    * fingerprint signal — a steady tone has near-constant band
+    * energies and its delta signs are noise.
+    */
+  def synthMelodyWav(
+      pattern: Int,
+      nNotes: Int = 8,
+      noteSec: Double = 0.05,
+      rate: Float = 8000f,
+      amplitude: Double = 0.8): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val perNote = math.max(1, (noteSec * rate).toInt)
+    val pcm = new Array[Byte](nNotes * perNote * 2)
+    var j = 0
+    while (j < nNotes) {
+      // pitch walk: quadratic-in-j step keyed by the pattern, 25
+      // semitones above A3 — spans FpBands 0-2 with band crossings
+      val semi = ((pattern * 5 + j * j * 3 + (pattern % 7) * j) % 25 + 25) % 25
+      val freq = 220.0 * math.pow(2.0, semi / 12.0)
+      var i = 0
+      while (i < perNote) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * amplitude * 32767).toInt
+        val off = (j * perNote + i) * 2
+        pcm(off) = (v & 0xff).toByte
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      j += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (nNotes * perNote).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio asset table for the near-dup query (the
+    * [[imageAssetsFromIds]] analog): melody pattern = `id mod
+    * nPatterns`, and the id's group ordinal picks a PLANTED VARIANT —
+    * 0: original, 1: gain-shifted copy (amplitude halved), 2:
+    * resampled copy (11 025 Hz) — so ids sharing a pattern are
+    * perceptual near-dups across exactly the transformations the
+    * fingerprint claims invariance to, while distinct patterns differ
+    * in pitch walk. Deterministic bytes per id on any JVM.
+    */
+  def melodyAssetsFromIds(
+      df: DataFrame,
+      idCol: String,
+      nPatterns: Int = 25): DataFrame = {
+    val synth = udf { (id: Long) =>
+      val p = (id % nPatterns).toInt
+      ((id / nPatterns) % 3).toInt match {
+        case 0 => synthMelodyWav(p)
+        case 1 => synthMelodyWav(p, amplitude = 0.4)
+        case _ => synthMelodyWav(p, rate = 11025f)
+      }
+    }
+    df.select(
+      col(idCol).cast("long").as("id"),
+      synth(col(idCol).cast("long")).as("data"),
+      struct(
+        lit("audio").as("modality"),
+        lit(0L).as("n_bytes"),
+        lit(0).as("width"),
+        lit(0).as("height")).as("meta"))
+  }
+
+  // ------------------------------------------------------------------
   // VIDEO — real CONTAINER decode via a pure-JDK RIFF/AVI parser:
   // uncompressed DIB frames ('00db', BI_RGB 24-bit) are raw pixels, so
   // parsing the container IS the whole decode — the same
@@ -503,6 +790,63 @@ object Multimodal {
     */
   val aviDecoder: VideoDecoder = (bytes: Array[Byte]) => parseAvi(bytes)
 
+  /** 'MJPG' as a little-endian BITMAPINFOHEADER biCompression value. */
+  private val MjpgFourcc = 0x47504A4D
+
+  /** A REAL compressed-frame decoder through the same seam: Motion
+    * JPEG in AVI (biCompression 'MJPG', one baseline JPEG per `..dc`
+    * chunk — the classic camera/capture format), decoded frame-by-
+    * frame with `javax.imageio` (still pure JDK, still public) and
+    * re-laid out into [[DecodedVideo]]'s BI_RGB DIB contract
+    * (B,G,R order, 4-byte row stride, bottom-up rows). Proves the
+    * seam handles an actual compressed bitstream end-to-end, not just
+    * the toy spec codec: [[decodeVideo]]'s plumbing, schema, and
+    * quarantine semantics are untouched — a corrupt JPEG frame, a
+    * frame whose decoded geometry disagrees with the declared `strf`,
+    * or a non-MJPG payload quarantines the asset (None), and the
+    * DEFAULT [[aviDecoder]] still quarantines MJPEG containers (the
+    * honest codec boundary is per-decoder).
+    */
+  val mjpegDecoder: VideoDecoder = (bytes: Array[Byte]) =>
+    parseRiffAvi(bytes).flatMap { raw =>
+      imageIoInMemory
+      val stride = ((raw.w.toLong * 3 + 3) / 4) * 4
+      if (raw.comp != MjpgFourcc || raw.dc.isEmpty ||
+        raw.w <= 0 || raw.h <= 0 || raw.w > 16383 || raw.h > 16383) None
+      else {
+        val decoded = raw.dc.map { jpeg =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth != raw.w || img.getHeight != raw.h)
+            null
+          else {
+            val dib = new Array[Byte]((stride * raw.h).toInt)
+            val rowBuf = new Array[Int](raw.w)
+            var y = 0
+            while (y < raw.h) {
+              img.getRGB(0, y, raw.w, 1, rowBuf, 0, raw.w)
+              // DIB rows store bottom-up
+              val off = ((raw.h - 1 - y) * stride).toInt
+              var x = 0
+              while (x < raw.w) {
+                val rgb = rowBuf(x)
+                dib(off + x * 3) = (rgb & 0xff).toByte // B
+                dib(off + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte // G
+                dib(off + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R
+                x += 1
+              }
+              y += 1
+            }
+            dib
+          }
+        }
+        if (decoded.exists(_ == null)) None // any bad frame → quarantine
+        else Some(DecodedVideo(raw.w, raw.h, decoded))
+      }
+    }
+
   /** The seam's contract guard: [[parseAvi]] enforces the
     * [[DecodedVideo]] rules internally, but a plugged-in external codec
     * can return any shape — and a frame shorter than stride×height
@@ -526,6 +870,39 @@ object Multimodal {
     * give frames; 'idx1' is ignored (sequential scan needs no index).
     */
   private def parseAvi(data: Array[Byte]): Option[DecodedVideo] = {
+    parseRiffAvi(data) match {
+      case None => None
+      case Some(raw) =>
+        // LONG arithmetic + dimension caps: a fuzzed strf can claim a
+        // geometry whose stride*h wraps Int and sneaks past a 32-bit
+        // length check while the pixel scan then reads out of bounds
+        // (caught by the fuzz spec). 16383² is far beyond any real
+        // frame.
+        val stride = ((raw.w.toLong * 3 + 3) / 4) * 4
+        if (raw.dc.nonEmpty || raw.comp != 0 || raw.bits != 24 ||
+          raw.w <= 0 || raw.h <= 0 || raw.w > 16383 || raw.h > 16383 ||
+          raw.db.isEmpty || raw.db.exists(_.length < stride * raw.h)) None
+        else Some(DecodedVideo(raw.w, raw.h, raw.db))
+    }
+  }
+
+  /** One RIFF/AVI container walk, shared by [[aviDecoder]] and
+    * [[mjpegDecoder]]: geometry from the first 'strf'
+    * (BITMAPINFOHEADER), raw '..db' (uncompressed DIB) and '..dc'
+    * (compressed) chunk payloads kept separately — ACCEPTANCE rules
+    * (which biCompression, which chunk family, geometry caps) belong
+    * to each decoder, not the walk. Returns None — never throws — for
+    * non-RIFF/truncated bytes or a missing 'strf'.
+    */
+  private final case class AviRaw(
+      w: Int,
+      h: Int,
+      bits: Int,
+      comp: Int,
+      db: IndexedSeq[Array[Byte]],
+      dc: IndexedSeq[Array[Byte]])
+
+  private def parseRiffAvi(data: Array[Byte]): Option[AviRaw] = {
     if (data.length < 12 || fourcc(data, 0) != "RIFF" ||
       fourcc(data, 8) != "AVI ") return None
     var w = 0
@@ -533,8 +910,8 @@ object Multimodal {
     var bits = 0
     var comp = 0
     var sawStrf = false
-    var compressedChunk = false
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val db = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val dc = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     try {
       def walk(from: Int, to: Int): Unit = {
         var p = from
@@ -554,8 +931,9 @@ object Multimodal {
             bits = (le32(data, body + 12) >>> 16) & 0xffff
             comp = le32(data, body + 16)
           } else if (id.endsWith("db"))
-            frames += java.util.Arrays.copyOfRange(data, body, end)
-          else if (id.endsWith("dc")) compressedChunk = true
+            db += java.util.Arrays.copyOfRange(data, body, end)
+          else if (id.endsWith("dc"))
+            dc += java.util.Arrays.copyOfRange(data, body, end)
           // chunks pad to even length; clamp the same way as `end`
           val nextP = body.toLong + sz + (sz & 1)
           p = if (nextP > to) to else nextP.toInt
@@ -563,15 +941,8 @@ object Multimodal {
       }
       walk(12, math.min(data.length, 8 + le32(data, 4)))
     } catch { case _: IndexOutOfBoundsException => return None }
-    // LONG arithmetic + dimension caps: a fuzzed strf can claim a
-    // geometry whose stride*h wraps Int and sneaks past a 32-bit
-    // length check while the pixel scan then reads out of bounds
-    // (caught by the fuzz spec). 16383² is far beyond any real frame.
-    val stride = ((w.toLong * 3 + 3) / 4) * 4
-    if (!sawStrf || compressedChunk || comp != 0 || bits != 24 ||
-      w <= 0 || h <= 0 || w > 16383 || h > 16383 || frames.isEmpty ||
-      frames.exists(_.length < stride * h)) None
-    else Some(DecodedVideo(w, h, frames.toIndexedSeq))
+    if (!sawStrf) None
+    else Some(AviRaw(w, h, bits, comp, db.toIndexedSeq, dc.toIndexedSeq))
   }
 
   case class VideoFrameFeatures(
@@ -723,6 +1094,76 @@ object Multimodal {
       cc("00db"); i32(0x10 /* AVIIF_KEYFRAME */)
       i32(4 + f * (8 + fs)); i32(fs)
       f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic MOTION-JPEG AVI: the [[synthAviBytes]] container
+    * with biCompression 'MJPG' and one `javax.imageio`-encoded
+    * baseline JPEG per `00dc` chunk — the real compressed-frame
+    * fixture [[mjpegDecoder]] is specified against. Solid-color
+    * frames keep the lossy roundtrip near-exact (DC-only blocks).
+    */
+  def synthMjpegAviBytes(
+      w: Int,
+      h: Int,
+      frameColors: Seq[(Int, Int, Int)],
+      fps: Int = 10): Array[Byte] = {
+    require(w > 0 && h > 0 && frameColors.nonEmpty)
+    imageIoInMemory
+    val jpegs = frameColors.map { case (r, g, b) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val fbos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", fbos)
+      fbos.toByteArray
+    }
+    val n = jpegs.length
+    def padded(sz: Int): Int = sz + (sz & 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def i32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val moviSz = 4 + jpegs.map(j => 8 + padded(j.length)).sum
+    val idxSz = 16 * n
+    cc("RIFF"); i32(4 + (8 + 192) + (8 + moviSz) + (8 + idxSz)); cc("AVI ")
+    cc("LIST"); i32(192); cc("hdrl")
+    cc("avih"); i32(56)
+    i32(1000000 / fps); i32(0); i32(0); i32(0x10 /* AVIF_HASINDEX */)
+    i32(n); i32(0); i32(1); i32(jpegs.map(_.length).max); i32(w); i32(h)
+    i32(0); i32(0); i32(0); i32(0) // dwReserved[4]
+    cc("LIST"); i32(116); cc("strl")
+    cc("strh"); i32(56)
+    cc("vids"); cc("MJPG"); i32(0); i32(0); i32(0)
+    i32(1 /* scale */); i32(fps /* rate */); i32(0); i32(n)
+    i32(jpegs.map(_.length).max); i32(-1 /* quality: default */); i32(0)
+    i32(0); i32(0) // rcFrame
+    cc("strf"); i32(40)
+    i32(40); i32(w); i32(h); i32(1 | (24 << 16)) // planes=1, bpp=24
+    i32(MjpgFourcc); i32(jpegs.map(_.length).max)
+    i32(0); i32(0); i32(0); i32(0)
+    cc("LIST"); i32(moviSz); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); i32(j.length)
+      bos.write(j)
+      if ((j.length & 1) == 1) bos.write(0) // even-length chunk padding
+    }
+    cc("idx1"); i32(idxSz)
+    var off = 4
+    jpegs.foreach { j =>
+      cc("00dc"); i32(0x10 /* AVIIF_KEYFRAME */)
+      i32(off); i32(j.length)
+      off += 8 + padded(j.length)
     }
     bos.toByteArray
   }
