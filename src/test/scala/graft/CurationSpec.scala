@@ -283,6 +283,53 @@ class CurationSpec extends AnyFunSuite {
       "This sentence is long enough and ends with terminal punctuation."))
   }
 
+  test("htmlExtract: all five q204 chrome shape families strip around the same body") {
+    // the q204/q210 corpus chrome variants (link-list nav, link table,
+    // nested list with unclosed <li>s + entity edge cases, sidebar
+    // with an unclosed <div> + truncated document, comment/br/hr
+    // banner) — the content must survive IDENTICALLY under each, and
+    // chrome link text must never leak
+    val body =
+      "<div class=\"content\"><h1>Document 7</h1>" +
+        "<p>The first paragraph of the planted document carries plenty " +
+        "of real sentence text for the length heuristic.</p>" +
+        "<p>The second paragraph is also long enough to clear the " +
+        "minimum comfortably.</p></div>"
+    val expected =
+      "The first paragraph of the planted document carries plenty of " +
+        "real sentence text for the length heuristic.\n" +
+        "The second paragraph is also long enough to clear the minimum " +
+        "comfortably."
+    val chromeLinkText = Seq(
+      "Home", "Archive", "Tags", "Search", "Log in", "Register",
+      "Alpha", "Beta", "Gamma", "Top", "New", "Best", "RSS", "Donate",
+      "Mirror", "Accessibility", "Sitemap", "Privacy", "Contact")
+    SparkEntry.htmlChromePre.indices.foreach { v =>
+      val page =
+        SparkEntry.htmlChromePre(v) + body + SparkEntry.htmlChromePost(v)
+      val (_, _, text) = extract(page)
+      val content = text.split("\n").filter(_.startsWith("The ")).mkString("\n")
+      assert(content === expected, s"variant $v content")
+      chromeLinkText.foreach(s =>
+        assert(!text.contains(s), s"variant $v leaked chrome: $s"))
+    }
+    // variant 2's prose footer is the DOCUMENTED exception: it passes
+    // the block filter (low link density, long enough) — realistic
+    // extraction noise that q210's C4 line rule then drops
+    val v2 = SparkEntry.htmlChromePre(2) + body + SparkEntry.htmlChromePost(2)
+    val (_, nKept2, text2) = extract(v2)
+    assert(nKept2 === 3L)
+    assert(text2.contains("synthetic corpus builder"))
+    import graft.functions.TextFunctions
+    val c4 = Seq(text2)
+      .toDF("text")
+      .select(TextFunctions.c4KeptLines(col("text")).as("k"))
+      .as[Seq[String]]
+      .head()
+    assert(!c4.exists(_.contains("synthetic corpus builder")))
+    assert(c4.size === 2)
+  }
+
   private def piiAudit(text: String): (Seq[Long], String) = {
     val r = Seq(text)
       .toDF("t")

@@ -313,6 +313,50 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.id).toSet === Set(3L))
   }
 
+  test("video codec seam: MJPEG (real compressed JPEG frames) end-to-end") {
+    // a REAL compressed frame format through the seam: Motion-JPEG in
+    // AVI, one baseline JPEG per 00dc chunk, decoded by javax.imageio
+    // inside mjpegDecoder. Solid-color frames keep the lossy roundtrip
+    // near-exact, so channel means are assertable to tight tolerance.
+    val colors = Seq((255, 0, 0), (0, 255, 0), (16, 32, 64))
+    val mjpeg = Multimodal.synthMjpegAviBytes(16, 12, colors)
+    val assets = Seq((9L, mjpeg)).toDF("id", "data")
+    // honest codec boundary: the DEFAULT decoder quarantines MJPEG
+    assert(Multimodal.decodeVideo(assets, histBins = 16).count() === 0L)
+    val rows = Multimodal
+      .decodeVideo(assets, 16, everyN = 1, decoder = Multimodal.mjpegDecoder)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length === 3)
+    assert(rows.forall(f =>
+      f.width == 16 && f.height == 12 && f.n_frames == 3 && f.id == 9L))
+    rows.zip(colors).foreach { case (f, (r, g, b)) =>
+      assert(math.abs(f.mean_r - r / 255.0) < 0.02, s"r of ($r,$g,$b)")
+      assert(math.abs(f.mean_g - g / 255.0) < 0.02, s"g of ($r,$g,$b)")
+      assert(math.abs(f.mean_b - b / 255.0) < 0.02, s"b of ($r,$g,$b)")
+    }
+    // frame sampling composes: every 2nd frame
+    assert(Multimodal
+      .decodeVideo(assets, 16, everyN = 2, decoder = Multimodal.mjpegDecoder)
+      .collect().map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+    // a corrupt JPEG payload quarantines the WHOLE asset, never crashes:
+    // zero the bytes right after the first frame's JPEG SOI marker
+    val movi = mjpeg.indexOfSlice("movi".getBytes("US-ASCII"))
+    val dc = mjpeg.indexOfSlice("00dc".getBytes("US-ASCII"), movi)
+    val corrupt = mjpeg.clone()
+    (dc + 10 until dc + 30).foreach(i => corrupt(i) = 0)
+    assert(Multimodal
+      .decodeVideo(Seq((1L, corrupt)).toDF("id", "data"), 16,
+        decoder = Multimodal.mjpegDecoder)
+      .count() === 0L)
+    // an UNCOMPRESSED AVI under mjpegDecoder quarantines too (wrong
+    // biCompression) — each decoder owns exactly its format
+    val plain = Multimodal.synthAviBytes(4, 2, Seq((10, 20, 30)))
+    assert(Multimodal
+      .decodeVideo(Seq((2L, plain)).toDF("id", "data"), 16,
+        decoder = Multimodal.mjpegDecoder)
+      .count() === 0L)
+  }
+
   test("duplicate spans: planted shared sentence found with exact boundaries") {
     // 10-token shared run planted mid-doc in docs 1 and 2; doc 3 clean.
     // With n=5, duplicated windows start at the 6 positions covering the
