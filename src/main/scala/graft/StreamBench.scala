@@ -162,6 +162,61 @@ object StreamBench {
       }
     }
 
+    // Perceptual ingest modalities through the signature-agnostic
+    // banded index ([[Sig64Ingest]]): image dHash and audio spectral
+    // fingerprints. The asset bytes are synthesized+cached BEFORE the
+    // timed loop (in production they arrive from the stream source);
+    // the timed section is fingerprint + within-batch dedup + corpus
+    // probe + segment commit — the work the ingest actually owns.
+    val nAssets = 2000L
+    val images = graft.multimodal.Multimodal
+      .imageAssetsFromIds(spark.range(nAssets).toDF("id"), "id")
+      .select("id", "data")
+      .cache()
+    cached += images
+    images.count()
+    locally {
+      val warm = images.limit(64).cache()
+      warm.count()
+      ImageIngest.ingestBatch(warm, s"$work/warm-img", "data", "id", 0L)
+      ImageIngest.ingestBatch(warm, s"$work/warm-img", "data", "id", 1L)
+      ImageIngest.ingestBatch(warm, s"$work/warm-img", "data", "id", 2L)
+      warm.unpersist()
+    }
+    timedReps("image_ingest", nAssets) { r =>
+      timing {
+        (0 until nBatches).foreach { i =>
+          ImageIngest.ingestBatch(
+            images.where(col("id") % nBatches === i),
+            s"$work/img-r$r", "data", "id", i.toLong)
+        }
+      }
+    }
+
+    val audio = graft.multimodal.Multimodal
+      .audioAssetsFromIds(spark.range(nAssets).toDF("id"), "id")
+      .select("id", "data")
+      .cache()
+    cached += audio
+    audio.count()
+    locally {
+      val warm = audio.limit(64).cache()
+      warm.count()
+      AudioIngest.ingestBatch(warm, s"$work/warm-aud", "data", "id", 0L)
+      AudioIngest.ingestBatch(warm, s"$work/warm-aud", "data", "id", 1L)
+      AudioIngest.ingestBatch(warm, s"$work/warm-aud", "data", "id", 2L)
+      warm.unpersist()
+    }
+    timedReps("audio_ingest", nAssets) { r =>
+      timing {
+        (0 until nBatches).foreach { i =>
+          AudioIngest.ingestBatch(
+            audio.where(col("id") % nBatches === i),
+            s"$work/aud-r$r", "data", "id", i.toLong)
+        }
+      }
+    }
+
     // CDC: the same synthetic change feed through both modes — the
     // snapshot mode pays O(table) per batch, the log mode O(batch);
     // the ratio between these two numbers is the design point.

@@ -77,15 +77,21 @@ object Bpe {
   def applyMerge(symbols: Column, a: String, b: String): Column = {
     val merged = a + b
     val noCarry = lit(null).cast(StringType)
+    // The input column is referenced EXACTLY ONCE. An earlier form
+    // seeded the fold with (acc = slice(symbols,1,0), carry =
+    // get(symbols,0)) and folded over slice(symbols, 2, …) — four
+    // references to `symbols` per level, so chaining n merges
+    // ([[applyMerges]]) built a 4^n-node expression tree and a
+    // BpeSpec fold-vs-reference differential spent 17 MINUTES inside
+    // Catalyst transformDown. Folding the whole array from a null
+    // carry is semantically identical (the step's first branch adopts
+    // the first element as the carry) and keeps the chained tree
+    // linear in the merge count.
     val zero = struct(
-      slice(symbols, 1, 0).as("acc"), // empty array<string>
-      // get(0), not element_at(symbols, 1): vocab arrays are never
-      // empty, but a user-supplied empty array must fold to itself
-      // (null carry → finish emits acc), not fail the ANSI index check
-      get(symbols, lit(0)).as("carry"))
-    val rest = slice(symbols, lit(2), greatest(size(symbols) - 1, lit(0)))
+      typedLit(Seq.empty[String]).as("acc"),
+      noCarry.as("carry"))
     aggregate(
-      rest,
+      symbols,
       zero,
       (st, x) => {
         val acc = st.getField("acc")
