@@ -324,15 +324,20 @@ object Dedup {
     * (the ingest registry keeps them as corpus members); they simply
     * cannot near-dup by shingle definition — dedupe them with [[exact]].
     */
+  /** The per-band bucket keys of a `mh` signature as ONE array column —
+    * the un-exploded form [[mhBanded]] explodes, shared with the fused
+    * ingest gather (which collects the array per doc instead of one
+    * row per band).
+    */
+  private def mhBucketArray(bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
+    }: _*)
+
   private def mhBanded(sig: DataFrame, bands: Int, rows: Int): DataFrame =
     sig
       .where(col("mh").getItem(0).isNotNull)
-      .select(
-        col("id"),
-        explode(
-          array((0 until bands).map { b =>
-            hash(lit(b), slice(col("mh"), b * rows + 1, rows)).as(s"b$b")
-          }: _*)).as("bucket"))
+      .select(col("id"), explode(mhBucketArray(bands, rows)).as("bucket"))
 
   /** MinHash + LSH banding near-dup candidate pairs with exact-Jaccard
     * verification.
@@ -685,12 +690,16 @@ object Dedup {
     // (measured: ~40 Janino compiles per steady-state batch). Behind
     // the RDD boundary all children are shape-identical leaves — the
     // codegen cache hits and the union plans as k opaque scans.
-    // coalesce(1): the frame inherits the batch's 32-way partitioning,
+    // coalesce(4): the frame inherits the batch's 32-way partitioning,
     // and every probe over the union would otherwise schedule 32 near-
     // empty tasks PER CHILD — a segment frame is a few hundred rows.
+    // Not 1 either: a single-partition child was the measured probe-
+    // stage STRAGGLER (every other leg's task finishes in a third of
+    // its wall), so a handful of slices keeps both the task count and
+    // the critical path short.
     val aligned = graft.ops.Stage.rerootLazy(
       frame.withColumn(unitName.takeWhile(_ != '='), lit(partValue))
-        .coalesce(1))
+        .coalesce(4))
     val extended = e.base.unionByName(aligned)
     val units2 = e.units + (unitName -> fp)
     if (e.depth + 1 >= MaxDeltaSegments) {
@@ -722,6 +731,23 @@ object Dedup {
         e.units.forall { case (u, fp) => units.get(u).contains(fp) } &&
           (units.size - e.units.size) <= MaxDeltaSegments
       }
+    if (sys.env.contains("GRAFT_CACHE_DEBUG")) {
+      val why =
+        if (reusable) "HIT delta=" + (units.keySet -- cur.get.units.keySet).size
+        else if (mixed) "MISS mixed"
+        else if (!indexSchemaCache.containsKey(path)) "MISS no-schema"
+        else if (cur.isEmpty) "MISS no-entry"
+        else {
+          val e = cur.get
+          val bad = e.units.collect {
+            case (u, fp) if !units.get(u).contains(fp) =>
+              s"$u: cached=$fp now=${units.get(u)}"
+          }
+          if (bad.nonEmpty) s"MISS fp [${bad.mkString("; ")}]"
+          else s"MISS growth ${units.size - e.units.size}"
+        }
+      System.err.println(s"[cache] $path $why")
+    }
     if (reusable) {
       val e = cur.get
       val delta = units.keySet -- e.units.keySet
@@ -968,6 +994,22 @@ object Dedup {
     */
   private val FusedIngestCap = 200000
 
+  /** Dev-only section timer for the fused ingest hot loop (enabled by
+    * GRAFT_CACHE_DEBUG, like the frame-cache trace).
+    */
+  private def ingestDbg[T](name: String)(b: => T): T =
+    if (!sys.env.contains("GRAFT_CACHE_DEBUG")) b
+    else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      sc.setJobDescription(s"graft:$name")
+      val t0 = System.nanoTime()
+      val r = b
+      sc.setJobDescription(null)
+      System.err.println(
+        f"[fused] $name ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+      r
+    }
+
   /** Spark's ordering for an id value as collected to the driver:
     * numeric for integral ids, UTF-8 BYTE order for strings (what
     * `min("component")` computes distributed — Java String ordering
@@ -999,101 +1041,6 @@ object Dedup {
       case LongType | IntegerType | ShortType | ByteType | StringType => true
       case _ => false
     }
-  }
-
-  /** Candidate collection for the fused lean ingest — ONE action
-    * evaluates the batch's banded (id, bucket) rows AND the raw
-    * against-corpus candidate list (corpus bucket index ⨝ broadcast
-    * banded batch), unioned and capped. Bucket grouping, the per-
-    * bucket size cap, i<j pair expansion, and cross-band dedup then
-    * run on the DRIVER — for a micro-batch the banded frame is
-    * hundreds of rows and the distributed groupBy/collect_list/
-    * dropDuplicates machinery was pure fixed cost (measured: 3-4
-    * disk-bound shuffle stages of ~0.2 s each per batch). Probing
-    * with the whole signed batch instead of the intra-survivors is
-    * row-wise equivalent (a probe row depends only on its own
-    * signature): survivors = batch − intraDropped − corpusFlagged
-    * either way.
-    *
-    * @return (intra candidate pairs, probe candidate pairs), or None
-    *         past [[FusedIngestCap]] collected rows — the caller falls
-    *         back to the unfused shape, which is also the 100-TB path.
-    */
-  private def fusedCandidates(
-      banded: DataFrame,
-      probeCand: Option[DataFrame],
-      idType: org.apache.spark.sql.types.DataType,
-      maxBucketSize: Int): Option[(Seq[(Any, Any)], Seq[(Any, Any)])] = {
-    val tagged = banded.select(
-      lit(0).as("t"),
-      col("id").as("x"),
-      col("bucket").cast("long").as("b"),
-      lit(null).cast(idType).as("c"))
-    val unioned = probeCand match {
-      case Some(pc) =>
-        tagged.unionByName(pc.select(
-          lit(1).as("t"),
-          col("probe_id").as("x"),
-          lit(null).cast("long").as("b"),
-          col("corpus_id").as("c")))
-      case None => tagged
-    }
-    // plain collect, NOT limit(cap).collect(): CollectLimit executes
-    // incrementally (1, 4, 16… partitions per wave) — each wave is a
-    // separate job, and the whole point of this path is ONE action.
-    // The cap still guards the driver: an over-cap batch pays one
-    // oversized (but bounded: bands × maxBucketSize per probe row)
-    // collect once, then falls back to the distributed shape.
-    val rows = unioned.collect()
-    if (rows.length > FusedIngestCap) return None
-    val buckets =
-      new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Any]]()
-    val probePairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
-    rows.foreach { r =>
-      if (r.getInt(0) == 0) {
-        val b = r.getLong(2)
-        var arr = buckets.get(b)
-        if (arr == null) {
-          arr = scala.collection.mutable.ArrayBuffer.empty[Any]
-          buckets.put(b, arr)
-        }
-        arr += r.get(1)
-      } else probePairs += ((r.get(1), r.get(3)))
-    }
-    val intraPairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
-    buckets.values.forEach { members =>
-      // the distributed contract: buckets over maxBucketSize are
-      // skew-guard DROPPED, pairs expand i<j over the id-sorted list
-      if (members.length >= 2 && members.length <= maxBucketSize) {
-        val ids = members.distinct.sortWith(idLess)
-        var i = 0
-        while (i < ids.length) {
-          var j = i + 1
-          while (j < ids.length) {
-            intraPairs += ((ids(i), ids(j)))
-            j += 1
-          }
-          i += 1
-        }
-      }
-    }
-    Some((intraPairs.toSeq, probePairs.toSeq))
-  }
-
-  /** Union-find drop resolution over VERIFIED rows collected in one
-    * action: tag 0 rows are intra-batch near-dup edges (min-id
-    * survivor per component — [[resolveComponents]]' contract), tag 1
-    * rows are corpus-flagged probe ids; the drop set is their union.
-    */
-  private def resolveDropFromRows(
-      rows: Array[org.apache.spark.sql.Row]): Seq[Any] = {
-    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
-    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
-    rows.foreach { r =>
-      if (r.getInt(0) == 0) pairs += ((r.get(1), r.get(2)))
-      else flagged += r.get(1)
-    }
-    resolveDrop(pairs, flagged)
   }
 
   /** The union-find itself, over in-memory edges + flags (shared with
@@ -1129,66 +1076,27 @@ object Dedup {
     drop.toSeq
   }
 
-  /** A driver-built candidate pair list as a small PRE-SLICED frame
-    * (no repartition exchange; `slices` > 1 spreads the verify
-    * compute without a shuffle).
-    */
-  private def pairFrame(
-      spark: org.apache.spark.sql.SparkSession,
-      pairs: Seq[(Any, Any)],
-      idType: org.apache.spark.sql.types.DataType,
-      aName: String,
-      bName: String,
-      slices: Int): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        pairs.map { case (a, b) => org.apache.spark.sql.Row(a, b) },
-        math.max(1, math.min(slices, pairs.size))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(aName, idType),
-        org.apache.spark.sql.types.StructField(bName, idType))))
-
-  /** Survivors of a signed batch under a driver-resolved drop list:
-    * identity when nothing drops (sig0 is already materialized), else
-    * one SINGLE-PARTITION broadcast frame anti-joined and re-
-    * materialized (both segment writes and the cache extension consume
-    * the result). A 32-slice `createDataFrame(Seq)` here would cost a
-    * full scheduler wave for a handful of rows — measured ~0.3 s of
-    * pure task-launch latency per batch.
-    */
-  private def fusedSurvivors(
-      sig0: DataFrame,
-      drop: Seq[Any],
-      idType: org.apache.spark.sql.types.DataType): DataFrame =
-    if (drop.isEmpty) sig0
-    else {
-      val spark = sig0.sparkSession
-      val dropDf = spark.createDataFrame(
-        spark.sparkContext
-          .parallelize(drop.map(org.apache.spark.sql.Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType))))
-      sig0
-        .join(broadcast(dropDf), Seq("id"), "left_anti")
-        // LAZY persist: the sig segment write is the first consumer,
-        // the buckets write reads the blocks — no dedicated job
-        .transform(graft.ops.Stage.materializeLazy)
-    }
-
   /** SINGLE-SIGNING micro-batch ingest — [[embIngestSegmentFrames]]'s
     * shape for the MinHash path, the hot loop of
     * [[graft.streaming.NearDupIngest]]: sign the batch once (ONE eager
     * materialization — the raw batch is re-rooted LAZILY,
     * [[graft.ops.Stage.rerootLazy]], so signing fuses with the batch
-    * read while downstream codegen stays batch-invariant), evaluate
-    * intra-batch pairs and the corpus probe in ONE collect
-    * ([[fusedCandidates]]), verify in a second collect, resolve the drop set on the driver, and
+    * read while downstream codegen stays batch-invariant), verify the
+    * corpus probe IN-PLAN and gather banding + the signature payload +
+    * the verified corpus flags in ONE collect, then run the quadratic
+    * intra-batch pair verify and union-find drop resolution entirely
+    * on the DRIVER (the [[sig64IngestSegmentFrames]] template), and
     * return the survivors' (signatures, sized buckets) segment frames
-    * ready to commit. The prior shape paid ~25 driver actions per
+    * ready to commit. The original shape paid ~25 driver actions per
     * micro-batch (two checkpoints, a components collect, three
-    * broadcast rounds, a probe distinct); this one pays ~8. Non-
-    * integral/non-string id types or an over-cap pair graph fall back
-    * to [[mhIngestSegmentFramesUnfused]] — the distributed shape is
+    * broadcast rounds, a probe distinct); a first fusion paid ~8 but
+    * ran a SECOND collect whose intra piece joined every candidate
+    * pair to two batch-sized broadcast payloads — pair count grows
+    * quadratically inside near-dup buckets and a 1.33x batch-size
+    * increase measured a 5x verify-job blowup. This shape pays ~3
+    * (gather + two parallel segment writes). Non-integral/non-string
+    * id types or an over-cap gather fall back to
+    * [[mhIngestSegmentFramesUnfused]] — the distributed shape is
     * unchanged and remains the 100-TB path.
     */
   def mhIngestSegmentFrames(
@@ -1213,96 +1121,223 @@ object Dedup {
       return mhIngestSegmentFramesUnfused(
         batch, textCol, idCol, indexPath, threshold, maxBucketSize,
         probeCorpus, sourceTag)
-    val stable =
-      graft.ops.Stage.rerootLazy(batch.select(col(idCol), col(textCol)))
-    // LAZY persist: the candidate collect is the first consumer and
-    // signs the batch inside its own job — no dedicated checkpoint job
+    // Spread the batch BEFORE signing: a micro-batch often arrives as
+    // 1-2 source splits (one cached table split, a small stream
+    // segment), and signing + the survivor anti-join + both segment
+    // writes all inherit that (non-)parallelism — measured: 0.8 s of a
+    // steady-state batch was ONE task computing every signature, and
+    // another 0.5 s one task parquet-encoding every bh array. One
+    // small exchange of the raw rows parallelizes all of it; skipped
+    // when the source is already spread.
+    val stable = graft.ops.Stage.rerootLazy(
+      spreadLean(batch.select(col(idCol), col(textCol))))
+    // LAZY persist: the gather collect is the first consumer and signs
+    // the batch inside its own job — no dedicated checkpoint job
     val sig0 = mhSignatures(stable, textCol, idCol, shingleLen, numHashes)
       .transform(graft.ops.Stage.materializeLazy)
     val banded = mhBanded(sig0, bands, rows)
-    val probeCand =
+    val pay = sig0.select(col("id"), col("bh"))
+    val bhType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+    // Corpus probe verified IN-PLAN (the sig64 template): candidate
+    // (probe, corpus) hits from the RAM bucket-index join, exact
+    // Jaccard against the corpus signatures from the RAM sig index in
+    // the SAME action — only already-verified probe flags reach the
+    // driver. The intra-batch quadratic pair verify runs on the DRIVER
+    // over the payload rows gathered below: the prior shape ran a
+    // second collect whose intra piece joined every candidate pair to
+    // two batch-sized broadcast payloads, and because pair count grows
+    // quadratically inside near-dup buckets, a 1.33x batch-size
+    // increase measured a 5x verify-job blowup (pairs x two bh arrays
+    // of row width).
+    val probeFlagged =
       if (!probeCorpus) None
-      else Some(
-        readIndexCached(spark, s"$indexPath/buckets")
+      else {
+        // .distinct() on the candidate hits: a (probe, corpus) pair
+        // colliding in k bands would otherwise be Jaccard-verified k
+        // times (up to bands x waste — the exact dup the old driver-
+        // side candidate set removed with a LinkedHashSet). One tiny
+        // aggregation inside the broadcast build pays for itself many
+        // times over in the verify scan.
+        val hits = readIndexCached(spark, s"$indexPath/buckets")
           .where(col("bn") <= maxBucketSize)
           .join(
             broadcast(
               banded.select(col("bucket"), col("id").as("probe_id"))),
             Seq("bucket"))
-          .select(col("probe_id"), col("id").as("corpus_id")))
-    fusedCandidates(banded, probeCand, idType, maxBucketSize) match {
-      case Some((intraCand, probeVer)) =>
-        val pLean = math.min(spark.sparkContext.defaultParallelism, 8)
-        // ONE payload frame feeds every verify join; its broadcast
-        // children canonicalize identically, so ReuseExchange ships it
-        // ONCE per action no matter how many joins consume it
-        val pay = sig0.select(col("id"), col("bh"))
-        def jaccardVerify(
-            pairs: DataFrame,
-            aCol: String,
-            bCol: String,
-            corpusSide: Option[DataFrame]): DataFrame = {
-          val withA = corpusSide match {
-            case None =>
-              pairs.join(
-                broadcast(pay
-                  .select(col("id").as(aCol), col("bh").as("sh_a"))),
-                Seq(aCol))
-            case Some(corpus) =>
-              // corpus side is the RAM-cached index frame: keep it as
-              // the STREAM side (never broadcast the corpus)
-              corpus
-                .select(col("id").as(bCol), col("bh").as("sh_b"))
-                .join(broadcast(pairs), Seq(bCol))
-          }
-          val joined = corpusSide match {
-            case None =>
-              withA.join(
-                broadcast(pay
-                  .select(col("id").as(bCol), col("bh").as("sh_b"))),
-                Seq(bCol))
-            case Some(_) =>
-              withA.join(
-                broadcast(pay
-                  .select(col("id").as(aCol), col("bh").as("sh_a"))),
-                Seq(aCol))
-          }
-          val nA = size(col("sh_a")).cast("double")
-          val nB = size(col("sh_b")).cast("double")
-          val inter =
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          joined
-            .where(least(nA, nB) / greatest(nA, nB) >= threshold)
-            .where((inter / (nA + nB - inter)) >= threshold)
-            .select(col(aCol), col(bCol))
-        }
-        val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        if (intraCand.nonEmpty)
-          pieces += jaccardVerify(
-            pairFrame(spark, intraCand, idType, "id_a", "id_b", pLean),
-            "id_a", "id_b", None)
-            .select(
-              lit(0).as("t"), col("id_a").as("x"), col("id_b").as("y"))
-        if (probeVer.nonEmpty)
-          pieces += jaccardVerify(
-            pairFrame(spark, probeVer, idType, "probe_id", "corpus_id", pLean),
-            "probe_id", "corpus_id",
-            Some(readIndexCached(spark, s"$indexPath/sig")))
-            .select(
-              lit(1).as("t"),
-              col("probe_id").as("x"),
-              col("probe_id").as("y"))
-        val verified =
-          if (pieces.isEmpty) Array.empty[org.apache.spark.sql.Row]
-          else pieces.reduce(_.unionByName(_)).collect()
-        val survivors =
-          fusedSurvivors(sig0, resolveDropFromRows(verified), idType)
-        (survivors, mhSizedBuckets(survivors, bands, rows))
-      case None =>
-        mhIngestSegmentFramesUnfused(
-          batch, textCol, idCol, indexPath, threshold, maxBucketSize,
-          probeCorpus, sourceTag)
+          .select(col("probe_id"), col("id").as("corpus_id"))
+          .distinct()
+        // The verify math sits ABOVE a nondeterministic barrier
+        // projection: written as plain `.where`s on the join output,
+        // PushPredicateThroughJoin folds both into the join CONDITION,
+        // where `array_intersect` appears twice and is evaluated twice
+        // per candidate pair (no subexpression elimination in join
+        // conditions — measured as the dominant per-corpus-row CPU of
+        // the gather stage). The monotonically_increasing_id column is
+        // never read; being nondeterministic it just pins the
+        // projection below the filters, so the intersect is computed
+        // exactly once per pair. Same comparisons, same doubles — only
+        // the evaluation count changes.
+        val paired = readIndexCached(spark, s"$indexPath/sig")
+          .select(col("id").as("corpus_id"), col("bh").as("sh_b"))
+          .join(broadcast(hits), Seq("corpus_id"))
+          .join(
+            broadcast(
+              pay.select(col("id").as("probe_id"), col("bh").as("sh_a"))),
+            Seq("probe_id"))
+          .select(
+            col("probe_id"),
+            size(col("sh_a")).cast("double").as("na"),
+            size(col("sh_b")).cast("double").as("nb"),
+            size(array_intersect(col("sh_a"), col("sh_b")))
+              .cast("double").as("inter"),
+            monotonically_increasing_id().as("__barrier"))
+        Some(
+          paired
+            .where(least(col("na"), col("nb")) /
+              greatest(col("na"), col("nb")) >= threshold)
+            .where(col("inter") /
+              (col("na") + col("nb") - col("inter")) >= threshold)
+            .select(col("probe_id")))
+      }
+    // ONE action gathers ONE row per batch doc (signature payload +
+    // the un-exploded bucket-key array) plus the verified corpus
+    // flags (fusedCandidates rationale: plain collect, not
+    // CollectLimit's incremental waves). An earlier shape exploded the
+    // banding (bands rows/doc) into its own union leg — 9x the
+    // collected rows and a visibly larger per-batch optimizer tree for
+    // data the driver can just unpack from an array.
+    val gathered = {
+      val payLeg = sig0.select(
+        lit(0).as("t"),
+        col("id").as("x"),
+        col("bh").as("p"),
+        col("mh").as("m"),
+        // zero-shingle docs are excluded from banding (all-null mh —
+        // the mhBanded contract): null bucket array, payload row kept
+        when(col("mh").getItem(0).isNotNull, mhBucketArray(bands, rows))
+          .as("bks"))
+      probeFlagged match {
+        case Some(f) =>
+          payLeg.unionByName(f.select(
+            lit(1).as("t"),
+            col("probe_id").as("x"),
+            lit(null).cast(bhType).as("p"),
+            lit(null).cast(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType)).as("m"),
+            lit(null).cast(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType)).as("bks")))
+        case None => payLeg
+      }
     }
+    if (sys.env.contains("GRAFT_EXPLAIN"))
+      System.err.println(gathered.queryExecution.executedPlan.toString.take(8000))
+    val rows0 = ingestDbg("gather")(gathered.collect())
+    if (rows0.length > FusedIngestCap)
+      return mhIngestSegmentFramesUnfused(
+        batch, textCol, idCol, indexPath, threshold, maxBucketSize,
+        probeCorpus, sourceTag)
+    val bucketsMap =
+      new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Any]]()
+    val bhMap = new java.util.HashMap[Any, Array[Long]]()
+    // (id, [id, bh, mh] row values, bucket keys) in collect order — a
+    // LIST, not a map, so duplicate ids write through like the cluster
+    // path (the embIngestSegmentFrames convention)
+    val payload = scala.collection.mutable
+      .ArrayBuffer.empty[(Any, Seq[Any], scala.collection.Seq[Int])]
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows0.foreach { r =>
+      if (r.getInt(0) == 0) {
+        val id = r.get(1)
+        // a null-text row has a null signature: no payload, no banding
+        // — it stays a survivor unless the corpus probe flags it
+        val bhSeq = r.getAs[scala.collection.Seq[Long]](2)
+        if (bhSeq != null) bhMap.put(id, bhSeq.toArray)
+        val bks = r.getAs[scala.collection.Seq[Int]](4)
+        payload += ((id, Seq(id, bhSeq, r.get(3)), bks))
+        if (bks != null) bks.foreach { bk =>
+          val b = bk.toLong
+          var arr = bucketsMap.get(b)
+          if (arr == null) {
+            arr = scala.collection.mutable.ArrayBuffer.empty[Any]
+            bucketsMap.put(b, arr)
+          }
+          arr += id
+        }
+      } else flagged += r.get(1)
+    }
+    // sorted copies make per-pair intersection a linear merge; bh is
+    // DISTINCT by construction (ShingleHashesExpr), so the merge count
+    // is exactly what size(array_intersect(...)) computes
+    val sortedBh = new java.util.HashMap[Any, Array[Long]]()
+    def sorted(id: Any): Array[Long] = {
+      var s = sortedBh.get(id)
+      if (s == null) {
+        s = bhMap.get(id).clone()
+        java.util.Arrays.sort(s)
+        sortedBh.put(id, s)
+      }
+      s
+    }
+    // same double math as the in-plan form: size-ratio prefilter, then
+    // exact Jaccard, both compared with >= against the same threshold
+    def jaccardOk(a: Any, b: Any): Boolean = {
+      val xRaw = bhMap.get(a)
+      val yRaw = bhMap.get(b)
+      if (xRaw == null || yRaw == null) return false
+      val na = xRaw.length.toDouble
+      val nb = yRaw.length.toDouble
+      if (!(math.min(na, nb) / math.max(na, nb) >= threshold)) return false
+      val x = sorted(a)
+      val y = sorted(b)
+      var i = 0
+      var j = 0
+      var common = 0
+      while (i < x.length && j < y.length) {
+        if (x(i) == y(j)) { common += 1; i += 1; j += 1 }
+        else if (x(i) < y(j)) i += 1
+        else j += 1
+      }
+      common.toDouble / (na + nb - common) >= threshold
+    }
+    val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+    bucketsMap.values.forEach { members =>
+      // the distributed contract: buckets over maxBucketSize are
+      // skew-guard DROPPED, pairs expand i<j over the id-sorted list
+      if (members.length >= 2 && members.length <= maxBucketSize) {
+        val ids = members.distinct.sortWith(idLess)
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) {
+            val p = (ids(i), ids(j))
+            if (seen.add(p) && jaccardOk(p._1, p._2)) edges += p
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    val drop = resolveDrop(edges, flagged).toSet
+    driverSegmentFrames(
+      spark,
+      sig0.schema,
+      idType,
+      payload.filterNot(t => drop.contains(t._1)).toSeq)
+  }
+
+  /** Repartition a small frame to the lean parallelism pin unless the
+    * source is already at least that spread — a micro-batch arriving
+    * as 1-2 splits would otherwise run its whole pipeline on 1-2
+    * tasks, while an already-parallel source skips the exchange.
+    */
+  private def spreadLean(df: DataFrame): DataFrame = {
+    val pLean =
+      math.min(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if (df.rdd.getNumPartitions >= pLean) df else df.repartition(pLean)
   }
 
   /** The distributed (unfused) ingest shape — [[mhIngestSegmentFrames]]
@@ -1703,19 +1738,20 @@ object Dedup {
     * construction (band ordinal salted into the hash so the same bits
     * in different band positions never collide), sig carried.
     */
-  private def sig64Banded(sig: DataFrame, bands: Int): DataFrame = {
+  /** Un-exploded per-band bucket keys (the [[mhBucketArray]] analog). */
+  private def sig64BucketArray(bands: Int): Column = {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
+    array((0 until bands).map { b =>
+      hash(lit(b), shiftright(col("sig"), b * width).bitwiseAND(lit(mask)))
+    }: _*)
+  }
+
+  private def sig64Banded(sig: DataFrame, bands: Int): DataFrame =
     sig.select(
       col("id"),
       col("sig"),
-      explode(
-        array((0 until bands).map { b =>
-          hash(
-            lit(b),
-            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)))
-        }: _*)).as("bucket"))
-  }
+      explode(sig64BucketArray(bands)).as("bucket"))
 
   /** Sized buckets from (id, sig) — the [[mhSizedBuckets]] shape (one
     * keyed exchange, count-over-window).
@@ -1817,43 +1853,55 @@ object Dedup {
     if (!fusableIdType(idType))
       return sig64IngestSegmentFramesUnfused(
         sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
-    val banded = sig64Banded(sig0, bands)
-    val tagged = banded.select(
-      lit(0).as("t"),
-      col("id").as("x"),
-      col("bucket").cast("long").as("b"),
-      col("sig").as("s"),
-      lit(null).cast(idType).as("c"))
-    val unioned =
-      if (!probeCorpus) tagged
+    // one row per batch signature (sig + un-exploded bucket keys) plus
+    // verified corpus flags — the mh/emb gather shape; banding,
+    // Hamming verify, drop resolution, and BOTH segment frames run on
+    // the driver
+    val gathered = {
+      val payLeg = sig0.select(
+        lit(0).as("t"),
+        col("id").as("x"),
+        col("sig").as("s"),
+        sig64BucketArray(bands).as("bks"))
+      if (!probeCorpus) payLeg
       else
-        tagged.unionByName(
+        payLeg.unionByName(
           sig64ProbeSigned(
             sig0, indexPath, bands, maxHamming, maxBucketSize, lean = true)
             .select(
               lit(1).as("t"),
               col("probe_id").as("x"),
-              lit(null).cast("long").as("b"),
               lit(null).cast("long").as("s"),
-              col("corpus_id").as("c")))
-    // plain collect, not limit(cap).collect() — the fusedCandidates
-    // rationale (CollectLimit's incremental waves are multiple jobs)
-    val rows = unioned.collect()
+              lit(null).cast(
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.IntegerType)).as("bks")))
+    }
+    // plain collect, not limit(cap).collect() — CollectLimit's
+    // incremental waves are multiple jobs
+    val rows = ingestDbg("gather")(gathered.collect())
     if (rows.length > FusedIngestCap)
       return sig64IngestSegmentFramesUnfused(
         sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
     val buckets = new java.util.HashMap[
       Long, scala.collection.mutable.ArrayBuffer[(Any, Long)]]()
+    val payload = scala.collection.mutable
+      .ArrayBuffer.empty[(Any, Seq[Any], scala.collection.Seq[Int])]
     val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     rows.foreach { r =>
       if (r.getInt(0) == 0) {
-        val b = r.getLong(2)
-        var arr = buckets.get(b)
-        if (arr == null) {
-          arr = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
-          buckets.put(b, arr)
+        val id = r.get(1)
+        val s = r.get(2)
+        val bks = r.getAs[scala.collection.Seq[Int]](3)
+        payload += ((id, Seq(id, s), bks))
+        if (s != null && bks != null) bks.foreach { bk =>
+          val b = bk.toLong
+          var arr = buckets.get(b)
+          if (arr == null) {
+            arr = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+            buckets.put(b, arr)
+          }
+          arr += ((id, s.asInstanceOf[Long]))
         }
-        arr += ((r.get(1), r.getLong(3)))
       } else flagged += r.get(1)
     }
     val pairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
@@ -1875,9 +1923,16 @@ object Dedup {
         }
       }
     }
-    val survivors =
-      fusedSurvivors(sig0, resolveDrop(pairs, flagged), idType)
-    (survivors, sig64SizedBuckets(survivors, bands))
+    val drop = resolveDrop(pairs, flagged).toSet
+    driverSegmentFrames(
+      spark,
+      sig0.schema,
+      idType,
+      payload.filterNot(t => drop.contains(t._1)).toSeq,
+      bucketRowVals = (vals, bk, n) => Seq(vals.head, vals(1), bk, n),
+      bucketsSchemaExtra = Seq(
+        org.apache.spark.sql.types.StructField(
+          "sig", org.apache.spark.sql.types.LongType)))
   }
 
   /** The distributed (unfused) sig64 ingest — every step is exchange-
@@ -2311,16 +2366,19 @@ object Dedup {
     * the band index with the band's bit-slice of the signature (the
     * [[mhBanded]] construction on bit ranges instead of array slices).
     */
+  /** Un-exploded per-band bucket keys (the [[mhBucketArray]] analog). */
+  private def embBucketArray(bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      hash(
+        lit(b),
+        shiftrightunsigned(col("sig"), b * rows)
+          .bitwiseAND(lit((1L << rows) - 1))).as(s"b$b")
+    }: _*)
+
   private def embBanded(sig: DataFrame, bands: Int, rows: Int): DataFrame =
     sig.select(
       col("id"),
-      explode(
-        array((0 until bands).map { b =>
-          hash(
-            lit(b),
-            shiftrightunsigned(col("sig"), b * rows)
-              .bitwiseAND(lit((1L << rows) - 1))).as(s"b$b")
-        }: _*)).as("bucket"))
+      explode(embBucketArray(bands, rows)).as("bucket"))
 
   /** Banded-LSH embedding near-dup pairs over ONE frame — the higher-
     * recall sibling of [[embeddingNearDup]] (any-band collision instead
@@ -2600,87 +2658,222 @@ object Dedup {
         batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
         probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
     // the fused shape of [[mhIngestSegmentFrames]]: one signing
-    // materialization (lazy re-root), one candidate collect with
-    // driver-side bucket grouping, one verify collect, driver drop
-    // resolution
-    val stable =
-      graft.ops.Stage.rerootLazy(batch.select(col(idCol), col(vecCol)))
+    // materialization (lazy re-root, lean-spread batch), raw corpus
+    // hits gathered with the vector payload in one collect, ALL
+    // verification + drop resolution + segment-frame building on the
+    // driver (measured: skipping the spreadLean exchange LOWERED
+    // throughput ~25% — the collect's payload deserialization and the
+    // broadcast build both ride the batch's partitioning)
+    val stable = graft.ops.Stage.rerootLazy(
+      spreadLean(batch.select(col(idCol), col(vecCol))))
     // LAZY persist — see mhIngestSegmentFrames
     val sig0 = embSignatures(stable, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeLazy)
     val banded = embBanded(sig0, bands, rows)
-    val probeCand =
+    val pay = sig0.select(col("id"), col("v"))
+    val vType = sig0.schema("v").dataType
+    val vIsFloat = vType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => false
+      case other =>
+        // cosineFast itself only accepts float/double arrays — surface
+        // the same contract here rather than a driver ClassCastException
+        throw new IllegalArgumentException(
+          s"embedding ingest expects array<float|double>, got $other")
+    }
+    // Corpus probe verified IN-PLAN — embedding LSH geometry is
+    // coarse (bands of a few bits → many candidate collisions per
+    // probe), so raw hits are CANDIDATE-volume rows; fetching their
+    // vectors into the gather once measurably blew past the collect
+    // cap at steady state. Only verified FLAGS reach the driver; the
+    // batch-side vectors ride one small broadcast.
+    val probeHits =
       if (!probeCorpus) None
       else Some(
-        readIndexCached(spark, s"$indexPath/buckets")
-          .where(col("bn") <= maxBucketSize)
+        readIndexCached(spark, s"$indexPath/sig")
+          .select(col("id").as("corpus_id"), col("v").as("v_b"))
           .join(
             broadcast(
-              banded.select(col("bucket"), col("id").as("probe_id"))),
-            Seq("bucket"))
-          .select(col("probe_id"), col("id").as("corpus_id")))
-    fusedCandidates(banded, probeCand, idType, maxBucketSize) match {
-      case Some((intraCand, probeVer)) =>
-        val pLean = math.min(spark.sparkContext.defaultParallelism, 8)
-        val pay = sig0.select(col("id"), col("v"))
-        def cosineVerify(
-            pairs: DataFrame,
-            aCol: String,
-            bCol: String,
-            corpusSide: Option[DataFrame]): DataFrame = {
-          val joined = corpusSide match {
-            case None =>
-              pairs
+              readIndexCached(spark, s"$indexPath/buckets")
+                .where(col("bn") <= maxBucketSize)
                 .join(
-                  broadcast(pay
-                    .select(col("id").as(aCol), col("v").as("v_a"))),
-                  Seq(aCol))
-                .join(
-                  broadcast(pay
-                    .select(col("id").as(bCol), col("v").as("v_b"))),
-                  Seq(bCol))
-            case Some(corpus) =>
-              corpus
-                .select(col("id").as(bCol), col("v").as("v_b"))
-                .join(broadcast(pairs), Seq(bCol))
-                .join(
-                  broadcast(pay
-                    .select(col("id").as(aCol), col("v").as("v_a"))),
-                  Seq(aCol))
-          }
-          joined
-            .where(
-              VectorExpressions.cosineFast(col("v_a"), col("v_b"))
-                >= threshold)
-            .select(col(aCol), col(bCol))
-        }
-        val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        if (intraCand.nonEmpty)
-          pieces += cosineVerify(
-            pairFrame(spark, intraCand, idType, "id_a", "id_b", pLean),
-            "id_a", "id_b", None)
-            .select(
-              lit(0).as("t"), col("id_a").as("x"), col("id_b").as("y"))
-        if (probeVer.nonEmpty)
-          pieces += cosineVerify(
-            pairFrame(spark, probeVer, idType, "probe_id", "corpus_id", pLean),
-            "probe_id", "corpus_id",
-            Some(readIndexCached(spark, s"$indexPath/sig")))
-            .select(
-              lit(1).as("t"),
-              col("probe_id").as("x"),
-              col("probe_id").as("y"))
-        val verified =
-          if (pieces.isEmpty) Array.empty[org.apache.spark.sql.Row]
-          else pieces.reduce(_.unionByName(_)).collect()
-        val survivors =
-          fusedSurvivors(sig0, resolveDropFromRows(verified), idType)
-        (survivors, sizedBuckets(survivors))
-      case None =>
-        embIngestSegmentFramesUnfused(
-          batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
-          probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
+                  broadcast(
+                    banded.select(col("bucket"), col("id").as("probe_id"))),
+                  Seq("bucket"))
+                // NO distinct: k-band duplicate hits cost one redundant
+                // in-plan cosine each, while the dedup aggregate added
+                // an exchange + agg to the broadcast build's critical
+                // path (fixed latency per batch)
+                .select(col("probe_id"), col("id").as("corpus_id"))),
+            Seq("corpus_id"))
+          .join(
+            broadcast(
+              pay.select(col("id").as("probe_id"), col("v").as("v_a"))),
+            Seq("probe_id"))
+          .where(
+            VectorExpressions.cosineFast(col("v_a"), col("v_b")) >= threshold)
+          .select(col("probe_id")))
+    // one row per batch vector (vector + 64-bit signature + un-exploded
+    // bucket keys) plus one row per verified corpus flag — from here on
+    // the batch lives on the DRIVER: intra verification, drop
+    // resolution, and BOTH segment frames (the cluster-side survivor
+    // anti-join and the bn window were two more jobs and a shuffle per
+    // batch for data already sitting in this collect)
+    val gathered = {
+      val payLeg = sig0.select(
+        lit(0).as("t"),
+        col("id").as("x"),
+        col("v").as("p"),
+        col("sig").as("s"),
+        embBucketArray(bands, rows).as("bks"))
+      probeHits match {
+        case Some(h) =>
+          payLeg.unionByName(h.select(
+            lit(1).as("t"),
+            col("probe_id").as("x"),
+            lit(null).cast(vType).as("p"),
+            lit(null).cast("long").as("s"),
+            lit(null).cast(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType)).as("bks")))
+        case None => payLeg
+      }
     }
+    val rows0 = ingestDbg("gather")(gathered.collect())
+    if (rows0.length > FusedIngestCap)
+      return embIngestSegmentFramesUnfused(
+        batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
+        probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
+    // vectors promote to doubles for the verify math — cosineFast
+    // promotes each float element before accumulating and float→double
+    // promotion is exact, so these doubles reproduce its math
+    // bit-for-bit; the RAW collected value is kept for the segment
+    // write so the persisted rows are byte-identical to a cluster-side
+    // write
+    def promote(vSeq: scala.collection.Seq[_]): Array[Double] =
+      if (vIsFloat) vSeq.iterator.map(_.asInstanceOf[Float].toDouble).toArray
+      else vSeq.iterator.map(_.asInstanceOf[Double]).toArray
+    val bucketsMap =
+      new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Any]]()
+    val vMap = new java.util.HashMap[Any, Array[Double]]()
+    // (id, raw v, sig, bucket keys) per batch row, in collect order —
+    // a LIST, not a map, so duplicate ids write through like the
+    // cluster path
+    val payload = scala.collection.mutable
+      .ArrayBuffer.empty[(Any, AnyRef, Any, scala.collection.Seq[Int])]
+    rows0.foreach { r =>
+      if (r.getInt(0) == 0) {
+        val id = r.get(1)
+        val vSeq = r.getAs[scala.collection.Seq[_]](2)
+        if (vSeq != null) vMap.put(id, promote(vSeq))
+        val bks = r.getAs[scala.collection.Seq[Int]](4)
+        payload += ((id, vSeq, r.get(3), bks))
+        if (bks != null) bks.foreach { bk =>
+          val b = bk.toLong
+          var arr = bucketsMap.get(b)
+          if (arr == null) {
+            arr = scala.collection.mutable.ArrayBuffer.empty[Any]
+            bucketsMap.put(b, arr)
+          }
+          arr += id
+        }
+      }
+    }
+    // the EXACT cosineFast recursion ([[VectorExpressions
+    // .CosineSimilarityExpr.nullSafeEval]]): in-order dot/norm
+    // accumulation, dot/(√na·√nb) — bit-identical to the in-plan
+    // verify the unfused path runs
+    def cosineOkArr(x: Array[Double], y: Array[Double]): Boolean = {
+      if (x == null || y == null || x.length != y.length) return false
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < x.length) {
+        val xv = x(i)
+        val yv = y(i)
+        dot += xv * yv
+        na += xv * xv
+        nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb)) >= threshold
+    }
+    // corpus flags arrive already verified (in-plan cosine)
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows0.foreach { r =>
+      if (r.getInt(0) == 1) flagged += r.get(1)
+    }
+    val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+    bucketsMap.values.forEach { members =>
+      if (members.length >= 2 && members.length <= maxBucketSize) {
+        val ids = members.distinct.sortWith(idLess)
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) {
+            val p = (ids(i), ids(j))
+            if (seen.add(p) && cosineOkArr(vMap.get(p._1), vMap.get(p._2)))
+              edges += p
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    val drop = resolveDrop(edges, flagged).toSet
+    val survivors = payload.filterNot(t => drop.contains(t._1))
+    driverSegmentFrames(
+      spark,
+      sig0.schema,
+      idType,
+      survivors.map(t => (t._1, Seq[Any](t._1, t._2, t._3), t._4)).toSeq)
+  }
+
+  /** Build the (sig, buckets) segment frames of a fused micro-batch
+    * DRIVER-SIDE from the already-collected survivor payloads: the
+    * cluster-side alternative re-reads the signed frame for a survivor
+    * anti-join plus a count-over-window shuffle — two more jobs and an
+    * exchange per batch for a few hundred rows this process is already
+    * holding. `bn` is the within-segment bucket count over survivors,
+    * exactly what the windowed form computes.
+    */
+  private def driverSegmentFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      sigSchema: org.apache.spark.sql.types.StructType,
+      idType: org.apache.spark.sql.types.DataType,
+      survivors: Seq[(Any, Seq[Any], scala.collection.Seq[Int])],
+      // bucket-row values from (payload values, bucket, bn) — the
+      // sig64 tree carries the signature beside the bucket key
+      // (inline-Hamming probes), mh/emb trees don't
+      bucketRowVals: (Seq[Any], Int, Long) => Seq[Any] =
+        (vals, bk, n) => Seq(vals.head, bk, n),
+      bucketsSchemaExtra: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val slices = math.max(1, math.min(4, survivors.size))
+    val sigRows = survivors.map(t => org.apache.spark.sql.Row(t._2: _*))
+    val sigFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(sigRows, slices), sigSchema)
+    val bn = scala.collection.mutable.HashMap.empty[Int, Long]
+    survivors.foreach { case (_, _, bks) =>
+      if (bks != null) bks.foreach(bk => bn.update(bk, bn.getOrElse(bk, 0L) + 1))
+    }
+    val bktRows = survivors.flatMap { case (_, vals, bks) =>
+      if (bks == null) Nil
+      else bks.map(bk =>
+        org.apache.spark.sql.Row(bucketRowVals(vals, bk, bn(bk)): _*))
+    }
+    val bktSchema = StructType(
+      Seq(StructField("id", idType)) ++ bucketsSchemaExtra ++ Seq(
+        StructField("bucket", IntegerType),
+        StructField("bn", LongType)))
+    val bucketsFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(bktRows, slices), bktSchema)
+    (sigFrame, bucketsFrame)
   }
 
   /** Distributed (unfused) embedding ingest shape — the

@@ -27,37 +27,45 @@ import org.apache.spark.sql.DataFrame
 object Stage {
   /** LAZY plan re-rooting — the codegen-stability half of
     * [[materializeOnce]] without the eager job. The returned frame's
-    * plan starts at a LogicalRDD over the input's Row RDD, so every
-    * DOWNSTREAM stage's generated source is identical no matter what
-    * per-batch literals (offset ranges, modulo filters) the input plan
-    * embeds — the codegen cache actually caches. Unlike
-    * materializeOnce, nothing executes here and nothing is pinned in
-    * the block manager: the input pipeline runs when (and as often as)
-    * the result is consumed. Use it when exactly ONE downstream
-    * materialization will consume the frame — the micro-batch ingest
-    * signing pass — where an eager checkpoint of the raw batch would
-    * just be a second full pass.
+    * plan starts at a LogicalRDD, so every DOWNSTREAM stage's
+    * generated source is identical no matter what per-batch literals
+    * (offset ranges, modulo filters) the input plan embeds — the
+    * codegen cache actually caches. Nothing executes here; the first
+    * consumer materializes (and, as a lazy local checkpoint, persists)
+    * the input rows inside its own job. Alias of [[materializeLazy]]
+    * kept for call-site intent: use this name when the POINT is the
+    * re-root and the persist is incidental (a micro-batch source read
+    * small enough that pinning it is free).
     */
-  def rerootLazy(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+  def rerootLazy(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
-  /** LAZY compute-once: the frame's Row RDD is persisted
-    * (MEMORY_AND_DISK) but nothing executes now — the FIRST consumer
-    * materializes the blocks inside its own job and every later
-    * consumer reads them. Same multiple-consumer economics as
+  /** LAZY compute-once: the frame is lazily local-checkpointed —
+    * nothing executes now; the FIRST consumer materializes the blocks
+    * (MEMORY_AND_DISK) inside its own job and every later consumer
+    * reads them. Same multiple-consumer economics as
     * [[materializeOnce]] without the dedicated eager job, which on a
     * micro-batch is a full scheduler round trip for a few hundred
     * rows. Blocks are freed by the ContextCleaner once the frame is
-    * unreachable. Prefer [[materializeOnce]] when the first consumer
-    * must not bear the compute (e.g. a time-sensitive first probe) or
-    * on a cluster with a checkpoint dir (reliability trade — see
-    * class doc); this is the micro-batch ingest shape.
+    * unreachable.
+    *
+    * `localCheckpoint(eager = false)`, NOT `createDataFrame(df.rdd,
+    * schema)`: both re-root the plan at a LogicalRDD (so downstream
+    * codegen stays batch-invariant), but `Dataset.rdd` DESERIALIZES
+    * every InternalRow to a Scala Row and the re-wrap converts each
+    * row back, boxing every array element BOTH ways on EVERY read of
+    * the persisted frame — measured ~0.3-0.5 ms of CPU per
+    * signature-bearing row, which dominated the fused micro-batch
+    * ingest (8 tasks x 0.5 s on a 1250-row batch). The lazy local
+    * checkpoint persists the INTERNAL (Unsafe) rows: zero conversion,
+    * zero boxing.
+    *
+    * Prefer [[materializeOnce]] when the first consumer must not bear
+    * the compute (a time-sensitive first probe) or on a cluster with a
+    * checkpoint dir (reliability trade — see class doc); this is the
+    * micro-batch ingest shape.
     */
-  def materializeLazy(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+  def materializeLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
 
   def materializeOnce(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext

@@ -69,8 +69,17 @@ object EmbedIngest {
     // intra-batch survivors → against-corpus probe → segment frames,
     // all over ONE signing pass ([[Dedup.embIngestSegmentFrames]]);
     // AQE off for the batch ([[IngestTuning.withBatchTuning]])
+    def dbg[T](name: String)(b: => T): T =
+      if (!sys.env.contains("GRAFT_CACHE_DEBUG")) b
+      else {
+        val t0 = System.nanoTime()
+        val r = b
+        System.err.println(
+          f"[emb-ingest] $name ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+        r
+      }
     IngestTuning.withBatchTuning(spark) {
-      val (sig, buckets) = Dedup.embIngestSegmentFrames(
+      val (sig, buckets) = dbg("frames")(Dedup.embIngestSegmentFrames(
         batch,
         vecCol,
         idCol,
@@ -79,24 +88,28 @@ object EmbedIngest {
         maxBucketSize,
         probeCorpus =
           SegmentCompaction.hasSegments(spark, s"$indexPath/buckets"),
-        sourceTag)
+        sourceTag))
       val sigStaging = new Path(root, s"_staging/sig-$batchId")
       val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
       fs.delete(sigStaging, true)
       fs.delete(bucketsStaging, true)
       // concurrent staging writes — see NearDupIngest.ingestBatch
-      IngestTuning.parallelWrites(
+      dbg("writes")(IngestTuning.parallelWrites(
         () => sig.write.mode("overwrite").parquet(sigStaging.toString),
         () =>
-          buckets.write.mode("overwrite").parquet(bucketsStaging.toString))
-      SnapshotCommit.publish(fs, sigStaging, sigTarget)
-      SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+          buckets.write.mode("overwrite").parquet(bucketsStaging.toString)))
+      dbg("publish") {
+        SnapshotCommit.publish(fs, sigStaging, sigTarget)
+        SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+      }
       // roll the probe's versioned frame cache forward with the frames
       // just committed (already RAM-materialized) — the next batch's
       // probe then reads NO delta segments from disk
-      Dedup.extendIndexCache(spark, s"$indexPath/sig", s"batch=$batchId", sig)
-      Dedup.extendIndexCache(
-        spark, s"$indexPath/buckets", s"batch=$batchId", buckets)
+      dbg("extend") {
+        Dedup.extendIndexCache(spark, s"$indexPath/sig", s"batch=$batchId", sig)
+        Dedup.extendIndexCache(
+          spark, s"$indexPath/buckets", s"batch=$batchId", buckets)
+      }
     }
   }
 

@@ -26,7 +26,18 @@ object IngestTuning {
     */
   private val Tuned: Seq[(String, String)] = Seq(
     "spark.sql.adaptive.enabled" -> "false",
-    "spark.sql.shuffle.partitions" -> "8")
+    "spark.sql.shuffle.partitions" -> "8",
+    // The probe plans union the cached index base with one re-rooted
+    // leg per recent segment, and each leg's whole-stage-codegen
+    // source embeds its codegenStageId in the GENERATED CLASS NAME —
+    // structurally identical legs therefore produce distinct sources,
+    // every one a fresh ~200-300 ms in-task Janino compile, and the
+    // count grows with the segment list (measured: 12-20 compiles per
+    // steady-state batch ≈ the whole probe-stage CPU). Dropping the id
+    // from the class name (it survives in a comment for debugging)
+    // makes the legs' sources byte-identical, so the codegen cache
+    // actually hits across legs AND across batches.
+    "spark.sql.codegen.useIdInClassName" -> "false")
 
   /** One monitor per SparkSession: conf set/restore around a batch is
     * a read-modify-write on SESSION-GLOBAL state, and two tuned bodies

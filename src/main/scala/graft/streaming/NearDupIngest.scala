@@ -85,8 +85,20 @@ object NearDupIngest {
     // naive minHashNearDup → dedupIncoming → minHashSegmentFrames
     // composition shingles and signs the batch three times); AQE off
     // for the batch ([[IngestTuning.withBatchTuning]])
+    def dbg[T](name: String)(b: => T): T =
+      if (!sys.env.contains("GRAFT_CACHE_DEBUG")) b
+      else {
+        val sc = spark.sparkContext
+        sc.setJobDescription(s"graft:$name")
+        val t0 = System.nanoTime()
+        val r = b
+        sc.setJobDescription(null)
+        System.err.println(
+          f"[ingest] $name ${(System.nanoTime() - t0) / 1e9}%5.2f s")
+        r
+      }
     IngestTuning.withBatchTuning(spark) {
-      val (sig, buckets) = Dedup.mhIngestSegmentFrames(
+      val (sig, buckets) = dbg("frames")(Dedup.mhIngestSegmentFrames(
         batch,
         textCol,
         idCol,
@@ -94,7 +106,7 @@ object NearDupIngest {
         threshold,
         maxBucketSize,
         probeCorpus = hasSegments(spark, s"$indexPath/buckets"),
-        sourceTag = sourceTag)
+        sourceTag = sourceTag))
       val sigStaging = new Path(root, s"_staging/sig-$batchId")
       val bucketsStaging = new Path(root, s"_staging/buckets-$batchId")
       fs.delete(sigStaging, true)
@@ -102,18 +114,22 @@ object NearDupIngest {
       // stage the two independent writes CONCURRENTLY (both consume
       // the materialized survivors frame); publishes stay ordered
       // after both land, so the crash protocol is unchanged
-      IngestTuning.parallelWrites(
+      dbg("writes")(IngestTuning.parallelWrites(
         () => sig.write.mode("overwrite").parquet(sigStaging.toString),
         () =>
-          buckets.write.mode("overwrite").parquet(bucketsStaging.toString))
-      SnapshotCommit.publish(fs, sigStaging, sigTarget)
-      SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+          buckets.write.mode("overwrite").parquet(bucketsStaging.toString)))
+      dbg("publish") {
+        SnapshotCommit.publish(fs, sigStaging, sigTarget)
+        SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
+      }
       // roll the probe's versioned frame cache forward with the frames
       // just committed (already RAM-materialized) — the next batch's
       // probe then reads NO delta segments from disk
-      Dedup.extendIndexCache(spark, s"$indexPath/sig", s"batch=$batchId", sig)
-      Dedup.extendIndexCache(
-        spark, s"$indexPath/buckets", s"batch=$batchId", buckets)
+      dbg("extend") {
+        Dedup.extendIndexCache(spark, s"$indexPath/sig", s"batch=$batchId", sig)
+        Dedup.extendIndexCache(
+          spark, s"$indexPath/buckets", s"batch=$batchId", buckets)
+      }
     }
   }
 
