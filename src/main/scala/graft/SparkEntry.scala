@@ -1627,6 +1627,33 @@ object SparkEntry {
         col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
       .orderBy("doc_id")
 
+  /** SEMANTIC benchmark decontamination, exact form (q213): the
+    * embedding-level twin of q54/q61's shingle decontamination — drop
+    * every training vector with a cosine-≥-0.4 neighbor in the
+    * benchmark split (vec_id % 10 == 0 plays the benchmark; the other
+    * 90% the training corpus), catching eval leakage that survives
+    * paraphrase where no shingle matches. Eval side broadcasts; the
+    * train side is one scan with a short-circuiting LEFT ANTI — the
+    * deliberate O(|train|·|bench|) oracle-fidelity baseline
+    * ([[graft.operators.Dedup.decontaminateSemantic]]);
+    * `decontaminateSemanticBanded` is the LSH-prefiltered 100-TB path,
+    * pinned ⊆/⊇-consistent by ExtensionsSpec. HASH-green: DuckDB
+    * replays the NOT EXISTS with `list_cosine_similarity` over
+    * DOUBLE[] (the q174 precedent).
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Dedup
+      .decontaminateSemantic(
+        emb.where(col("vec_id") % 10 =!= 0),
+        emb.where(col("vec_id") % 10 === 0),
+        "embedding",
+        "vec_id",
+        0.4)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** Temperature-scaled sampling SCHEDULE (the α-mixing standard from
     * multilingual/pretraining recipes — q96's uniform-target reweight
     * is one extreme, proportional sampling the other; α between them):
@@ -5186,7 +5213,8 @@ object SparkEntry {
     "q209_bpe_mixture" -> (q209 _),
     "q210_web_pipeline" -> (q210 _),
     "q211_audio_neardup" -> (q211 _),
-    "q212_image_dhash" -> (q212 _)
+    "q212_image_dhash" -> (q212 _),
+    "q213_semantic_decontam" -> (q213 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7160,6 +7188,15 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS run_max_cents
          FROM orders""",
+    "q213_semantic_decontam" ->
+      """SELECT t.vec_id, t.label FROM embeddings t
+         WHERE t.vec_id % 10 <> 0
+           AND NOT EXISTS (
+             SELECT 1 FROM embeddings e
+             WHERE e.vec_id % 10 = 0
+               AND list_cosine_similarity(t.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]) >= 0.4)
+         ORDER BY vec_id""",
     "q174_semantic_dedup" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -178,6 +178,124 @@ object Dedup {
       Seq(idCol),
       "left_anti")
 
+  /** SEMANTIC benchmark decontamination, exact form — the
+    * embedding-level twin of [[decontaminate]] (which matches verbatim
+    * shingles): a training row is contaminated when its embedding is
+    * cosine-≥-threshold close to ANY benchmark row, catching eval
+    * leakage that survives paraphrase (where no shingle matches).
+    * Benchmark sets are query-sized, so the eval side broadcasts and
+    * the train side is ONE scan with a broadcast nested-loop LEFT SEMI
+    * (each train row short-circuits on its first match) — no shuffle
+    * anywhere, but O(|train|·|bench|) cosines: this is the
+    * oracle-fidelity baseline (the [[embeddingNearDupExact]] stance);
+    * [[semanticContaminationBanded]] is the 100-TB path.
+    */
+  def semanticContamination(
+      train: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    VectorExpressions.register(train.sparkSession)
+    train.join(
+      broadcast(bench.select(col(vecCol).as("__bench_v"))),
+      VectorExpressions.cosineFast(col(vecCol), col("__bench_v"))
+        >= threshold,
+      "left_semi")
+  }
+
+  /** The decontaminated TRAINING corpus under [[semanticContamination]]
+    * — train rows with NO cosine-≥-threshold benchmark neighbor (the
+    * table a run consumes; [[decontaminate]]'s contract at the
+    * embedding level).
+    */
+  def decontaminateSemantic(
+      train: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    VectorExpressions.register(train.sparkSession)
+    train.join(
+      broadcast(bench.select(col(vecCol).as("__bench_v"))),
+      VectorExpressions.cosineFast(col(vecCol), col("__bench_v"))
+        >= threshold,
+      "left_anti")
+  }
+
+  /** Banded-LSH semantic contamination — the scale path: hyperplane-
+    * sign both sides ([[embSignatures]]), candidate (train, bench)
+    * pairs from any shared band bucket (train side explodes only
+    * (id, bucket) keys — the vectors never ride the explode), then an
+    * exact-cosine confirm of the candidate-bounded pair set. The train
+    * table NEVER shuffles: both passes are scans against broadcast
+    * frames (bench buckets, then candidates + bench vectors), the
+    * [[contaminationBloom]] two-pass shape. Recall is the banding
+    * bound 1−(1−p^rows)^bands with p = 1−θ/π (Charikar): at the 60/15
+    * default geometry (hyperplane signatures cap at 63 bits — the
+    * sign bit of the stored long stays clear) and threshold 0.9 a
+    * true contaminant is missed with probability ~1e-5; identical
+    * vectors are ALWAYS caught
+    * (identical signatures collide in every band). Returns the flagged
+    * train ids.
+    */
+  def semanticContaminationBanded(
+      train: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      nBits: Int = 60,
+      bands: Int = 15,
+      seed: Int = 42): DataFrame = {
+    require(nBits % bands == 0, s"bands=$bands must divide nBits=$nBits")
+    val rows = nBits / bands
+    val tSig = embSignatures(train, vecCol, idCol, nBits, seed)
+    val bSig = embSignatures(bench, vecCol, idCol, nBits, seed)
+      .transform(graft.ops.Stage.materializeOnce)
+    val tKeys = tSig.select(
+      col("id"),
+      explode(embBucketArray(bands, rows)).as("bucket"))
+    val bKeys = bSig.select(
+      col("id").as("__bid"),
+      explode(embBucketArray(bands, rows)).as("bucket"))
+    val cand = tKeys
+      .join(broadcast(bKeys), Seq("bucket"))
+      .select(col("id"), col("__bid"))
+      .distinct()
+    tSig
+      .select(col("id"), col("v"))
+      .join(broadcast(cand), Seq("id"))
+      .join(
+        broadcast(bSig.select(col("id").as("__bid"), col("v").as("__bv"))),
+        Seq("__bid"))
+      .where(
+        VectorExpressions.cosineFast(col("v"), col("__bv")) >= threshold)
+      .select(col("id"))
+      .distinct()
+  }
+
+  /** Decontaminated corpus under [[semanticContaminationBanded]]: train
+    * LEFT ANTI the (contamination-bounded, broadcastable) flagged-id
+    * frame. Survivors ⊇ the exact path's survivors by construction
+    * (banding can only MISS contamination, never invent it).
+    */
+  def decontaminateSemanticBanded(
+      train: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      nBits: Int = 60,
+      bands: Int = 15,
+      seed: Int = 42): DataFrame =
+    train.join(
+      semanticContaminationBanded(
+        train, bench, vecCol, idCol, threshold, nBits, bands, seed)
+        .withColumnRenamed("id", idCol),
+      Seq(idCol),
+      "left_anti")
+
   /** SEGMENT-level dedup (the "remove duplicated lines/paragraphs
     * everywhere" pass of web-corpus pipelines — within-document AND
     * cross-document): split each document into fixed non-overlapping

@@ -627,6 +627,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exactOut.exceptAll(bloomOut).isEmpty)
   }
 
+  test("semantic decontamination: exact flags planted leak, banded ⊆ exact") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val bench = emb.where(col("vec_id") % 10 === 0)
+    val train = emb.where(col("vec_id") % 10 =!= 0)
+    val exactFlags = Dedup
+      .semanticContamination(train, bench, "embedding", "vec_id", 0.4)
+      .select("vec_id")
+    val nTrain = train.count()
+    val nFlag = exactFlags.count()
+    assert(nFlag > 0, "non-vacuous: corpus has cross-split cosine structure")
+    assert(nFlag < nTrain)
+    // contamination + decontaminated partition the train set exactly
+    val clean = Dedup
+      .decontaminateSemantic(train, bench, "embedding", "vec_id", 0.4)
+      .select("vec_id")
+    assert(clean.count() + nFlag === nTrain)
+    assert(clean.intersect(exactFlags).isEmpty)
+    // banded flags never invent contamination (⊆ exact), so banded
+    // survivors ⊇ exact survivors
+    val bandedFlags = Dedup
+      .semanticContaminationBanded(
+        train, bench, "embedding", "vec_id", 0.4)
+      .withColumnRenamed("id", "vec_id")
+    assert(bandedFlags.exceptAll(exactFlags.distinct()).isEmpty)
+    // a PLANTED verbatim leak (identical vector on both sides) is
+    // caught by BOTH paths: identical vectors share every band bucket
+    val leakVec = bench.select("embedding").head().getSeq[Float](0)
+    val planted = spark
+      .createDataFrame(Seq(Tuple1(999999L)))
+      .toDF("vec_id")
+      .withColumn("embedding", typedLit(leakVec))
+    val trainPlus = train.select("vec_id", "embedding").unionByName(planted)
+    Seq(
+      Dedup.semanticContamination(
+        trainPlus, bench, "embedding", "vec_id", 0.9).select("vec_id"),
+      Dedup.semanticContaminationBanded(
+        trainPlus, bench, "embedding", "vec_id", 0.9)
+        .withColumnRenamed("id", "vec_id")
+    ).foreach { flags =>
+      assert(flags.where(col("vec_id") === 999999L).count() === 1L)
+    }
+  }
+
   test("segment dedup drops repeated boilerplate, keeps unique text in order") {
     val boiler = "one two three four" // 4-token segment, repeated everywhere
     val df = Seq(

@@ -47,7 +47,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q164_type_drift",
     // Dsir keeps the corpus-total scalars in-plan as broadcast 1-row
     // frames (two of them: raw + target distributions)
-    "q191_dsir_weights")
+    "q191_dsir_weights",
+    // exact semantic decontamination: a DELIBERATE benchmark-bounded
+    // BNL — the broadcast side is the eval set (query-sized by
+    // definition) and each train row short-circuits on its first
+    // match; decontaminateSemanticBanded is the LSH-prefiltered scale
+    // path (ExtensionsSpec pins its ⊆/⊇ relation to this baseline)
+    "q213_semantic_decontam")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
