@@ -458,7 +458,11 @@ object Multimodal {
       idCol: String,
       nSamples: Int = 800): DataFrame = {
     val synth = udf { (id: Long) =>
-      synthWavBytes(220.0 * math.pow(2.0, (id % 12) / 12.0), nSamples)
+      // 12 distinct tones across any id domain — memoized per executor
+      // (the melodyAssetsFromIds rationale)
+      synthMemo(s"tone:$nSamples:${id % 12}") {
+        synthWavBytes(220.0 * math.pow(2.0, (id % 12) / 12.0), nSamples)
+      }
     }
     df.select(
       col(idCol).cast("long").as("id"),
@@ -540,9 +544,31 @@ object Multimodal {
         }
         // Hann-windowed single-bin DFT power at probe frequency f over
         // [s0, s1): |Σ x·hann·e^{-iωj}|² / len² — an amplitude² scale,
-        // frame-length-independent (rates differ across copies). Both
-        // the probe phasor and the window ride trig-free rotation
-        // recurrences (two complex multiplies per sample).
+        // frame-length-independent (rates differ across copies). The
+        // WINDOWED samples x·hann are shared by every probe of the
+        // frame (FpNumBands × FpProbesPerBand of them), so they are
+        // computed ONCE per frame into `xw` via the same trig-free
+        // window-phasor recurrence — each probe then pays one complex
+        // rotation per sample instead of two. The product grouping
+        // (mono·0.5·(1−hr), THEN ·phasor) is unchanged, so every
+        // double — and every signature bit — is identical to the
+        // probe-local form.
+        val xw = new Array[Double](n)
+        def windowFrame(s0: Int, s1: Int): Unit = {
+          val len = s1 - s0
+          val hw = 2.0 * math.Pi / len
+          val hc = math.cos(hw)
+          val hs = math.sin(hw)
+          var hr = 1.0; var hi = 0.0 // window phasor e^{i2πj/len}
+          var j = s0
+          while (j < s1) {
+            xw(j) = mono(j) * 0.5 * (1.0 - hr)
+            val nhr = hr * hc - hi * hs
+            hi = hr * hs + hi * hc
+            hr = nhr
+            j += 1
+          }
+        }
         def bandPower(f: Double, s0: Int, s1: Int): Double = {
           val len = s1 - s0
           if (f >= rate / 2 || len < 2) 0.0
@@ -550,23 +576,16 @@ object Multimodal {
             val w = 2.0 * math.Pi * f / rate
             val rc = math.cos(w)
             val rs = math.sin(w)
-            val hw = 2.0 * math.Pi / len
-            val hc = math.cos(hw)
-            val hs = math.sin(hw)
             var cr = 1.0; var ci = 0.0 // probe phasor e^{iωj}
-            var hr = 1.0; var hi = 0.0 // window phasor e^{i2πj/len}
             var sumR = 0.0; var sumI = 0.0
             var j = s0
             while (j < s1) {
-              val x = mono(j) * 0.5 * (1.0 - hr)
+              val x = xw(j)
               sumR += x * cr
               sumI -= x * ci
               val ncr = cr * rc - ci * rs
               ci = cr * rs + ci * rc
               cr = ncr
-              val nhr = hr * hc - hi * hs
-              hi = hr * hs + hi * hc
-              hr = nhr
               j += 1
             }
             (sumR * sumR + sumI * sumI) / (len.toDouble * len)
@@ -577,6 +596,7 @@ object Multimodal {
         while (t < FpFrames) {
           val s0 = (t.toLong * n / FpFrames).toInt
           val s1 = ((t + 1).toLong * n / FpFrames).toInt
+          if (s1 - s0 >= 2) windowFrame(s0, s1)
           var b = 0
           while (b < FpNumBands) {
             val f0 = FpLoHz * math.pow(FpHiHz / FpLoHz, b.toDouble / FpNumBands)
@@ -682,6 +702,20 @@ object Multimodal {
     * fingerprint signal — a steady tone has near-constant band
     * energies and its delta signs are noise.
     */
+  /** Per-executor memo for the synthetic asset generators: their key
+    * spaces are tiny (pattern x variant — 75 distinct clips/images for
+    * the default geometries) while the asset tables are corpus-sized,
+    * so generating per ROW multiplies identical work by rows/distinct.
+    * Values are deterministic byte arrays, so a cache hit is
+    * bit-identical to a regeneration. Bounded by the key space
+    * (~MBs); never holds per-row data.
+    */
+  private val synthMemoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private def synthMemo(key: String)(gen: => Array[Byte]): Array[Byte] =
+    synthMemoCache.computeIfAbsent(key, _ => gen)
+
   def synthMelodyWav(
       pattern: Int,
       nNotes: Int = 8,
@@ -730,10 +764,18 @@ object Multimodal {
       nPatterns: Int = 25): DataFrame = {
     val synth = udf { (id: Long) =>
       val p = (id % nPatterns).toInt
-      ((id / nPatterns) % 3).toInt match {
-        case 0 => synthMelodyWav(p)
-        case 1 => synthMelodyWav(p, amplitude = 0.4)
-        case _ => synthMelodyWav(p, rate = 11025f)
+      val variant = ((id / nPatterns) % 3).toInt
+      // only nPatterns x 3 DISTINCT clips exist across any id domain —
+      // memoize per executor JVM so the synthesis (per-sample sine +
+      // WAV encode) runs once per distinct clip, not once per row
+      // (identical bytes either way; the decode/fingerprint pipeline
+      // downstream still runs per row, which is the cost under test)
+      synthMemo(s"melody:$nPatterns:$variant:$p") {
+        variant match {
+          case 0 => synthMelodyWav(p)
+          case 1 => synthMelodyWav(p, amplitude = 0.4)
+          case _ => synthMelodyWav(p, rate = 11025f)
+        }
       }
     }
     df.select(
@@ -1346,6 +1388,9 @@ object Multimodal {
       imageIoInMemory
       val p = (id % nPatterns).toInt
       val shift = ((id / nPatterns) % 3).toInt * 2
+      // nPatterns x 3 distinct images across any id domain — memoized
+      // per executor (the melodyAssetsFromIds rationale)
+      synthMemo(s"img:$w:$h:$nPatterns:$p:$shift") {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -1363,6 +1408,7 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+      }
     }
     df.select(
       col(idCol).cast("long").as("id"),
