@@ -1627,6 +1627,22 @@ object SparkEntry {
         col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
       .orderBy("doc_id")
 
+  /** Okapi BM25 ranked retrieval (q214): top-20 documents for a fixed
+    * multi-term query under the Lucene-default scoring function —
+    * completes the retrieval family (tf-idf weights q33, dense ANN
+    * q18/q32/…, hybrid RRF fusion q156) with the probabilistic
+    * sparse-ranking standard. Scores round to 6 decimals BEFORE the
+    * rank and ties break on doc_id, so the top-k cut is engine-
+    * deterministic ([[graft.operators.Sampling.bm25TopK]]).
+    */
+  private def q214(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.bm25TopK(
+      Tables.documents(s, d),
+      "doc_id",
+      "text",
+      Seq("hash", "join", "stream"),
+      k = 20)
+
   /** SEMANTIC benchmark decontamination, exact form (q213): the
     * embedding-level twin of q54/q61's shingle decontamination — drop
     * every training vector with a cosine-≥-0.4 neighbor in the
@@ -5214,7 +5230,8 @@ object SparkEntry {
     "q210_web_pipeline" -> (q210 _),
     "q211_audio_neardup" -> (q211 _),
     "q212_image_dhash" -> (q212 _),
-    "q213_semantic_decontam" -> (q213 _)
+    "q213_semantic_decontam" -> (q213 _),
+    "q214_bm25_topk" -> (q214 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7188,6 +7205,37 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS run_max_cents
          FROM orders""",
+    "q214_bm25_topk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+           FROM documents WHERE trim(text) <> ''
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), dl AS (
+           SELECT doc_id, count(*) AS dl FROM t GROUP BY 1
+         ), stats AS (
+           SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM t)::DOUBLE /
+                    (SELECT count(*) FROM documents) AS avgdl
+         ), q AS (
+           SELECT unnest(['hash', 'join', 'stream']) AS term
+         ), s AS (
+           SELECT tf.doc_id,
+             sum(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+           FROM tf
+           JOIN q USING (term)
+           JOIN dfq USING (term)
+           JOIN dl USING (doc_id), stats
+           GROUP BY 1
+         )
+         SELECT doc_id, round(score, 6) AS bm25 FROM s
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "q213_semantic_decontam" ->
       """SELECT t.vec_id, t.label FROM embeddings t
          WHERE t.vec_id % 10 <> 0

@@ -350,6 +350,64 @@ object Sampling {
       .agg(round(avg(-log(col("__c") / col("__n"))), 5).as("surprisal"))
   }
 
+  /** Okapi BM25 ranked retrieval over the corpus (Robertson et al.,
+    * TREC-3; the Lucene-default scoring function) — the probabilistic
+    * sibling of [[tfIdf]] and the principled replacement for q156's
+    * raw-tf sparse channel: per query term,
+    * idf·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)), summed per document.
+    *
+    * Plan shape (the impact-ordered posting scan, relational form):
+    * ONE corpus tokenize feeds tf (doc,term), dl (doc length), and df
+    * (term doc-frequency, derived from tf rows — no second explode);
+    * the query-term list broadcasts and prunes tf FIRST, so every
+    * downstream join carries only posting rows of the query's terms;
+    * N and avgdl ride as a broadcast 1-row aggregate; top-k plans as
+    * TakeOrderedAndProject (per-partition heaps + a k-row driver
+    * merge), never a global sort.
+    *
+    * Engine-portable determinism: scores round to 6 decimals BEFORE
+    * ranking and ties break on doc_id, so the top-k cut is identical
+    * in any engine whose ln/division agree to ~1e-7 (the q33
+    * precedent); summation-order noise across partial aggregates sits
+    * ~8 digits below the rounding.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = df.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+        .as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(terms.agg(count(lit(1)).cast("double").as("__toks")))
+      .select(col("__n"), (col("__toks") / col("__n")).as("__avgdl"))
+    val qTerms = query.distinct.toDF("term")
+    val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    tf.join(broadcast(qTerms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(idf * tfNorm).as("__s"))
+      .select(col("doc_id"), round(col("__s"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(
       col(idCol).as("doc_id"),

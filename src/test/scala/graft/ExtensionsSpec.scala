@@ -627,6 +627,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exactOut.exceptAll(bloomOut).isEmpty)
   }
 
+  test("bm25: hand-computed scores on a toy corpus, rank + tiebreak") {
+    // corpus: d1 mentions the query term twice in 4 tokens, d2 once in
+    // 2 tokens, d3 not at all; d4 is a doc_id tiebreak twin of d2
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple fig"),
+      (3L, "cherry fig kiwi"),
+      (4L, "apple fig")).toDF("doc_id", "text")
+    val got = graft.operators.Sampling
+      .bm25TopK(docs, "doc_id", "text", Seq("apple"), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // hand replay: N=4, df(apple)=3, idf=ln(1+(4-3+0.5)/(3+0.5));
+    // dl: d1=4, d2=d4=2; avgdl=11/4
+    val idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.75)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // d2/d4 tie exactly (same tf, same dl) → doc_id ascending breaks it;
+    // d1 (tf=2) outranks despite its longer doc
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    assert(got(0)._2 === s(2, 4))
+    assert(got(1)._2 === s(1, 2))
+    assert(got(2)._2 === s(1, 2))
+  }
+
   test("semantic decontamination: exact flags planted leak, banded ⊆ exact") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val bench = emb.where(col("vec_id") % 10 === 0)

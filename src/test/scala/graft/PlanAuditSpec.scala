@@ -53,7 +53,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // definition) and each train row short-circuits on its first
     // match; decontaminateSemanticBanded is the LSH-prefiltered scale
     // path (ExtensionsSpec pins its ⊆/⊇ relation to this baseline)
-    "q213_semantic_decontam")
+    "q213_semantic_decontam",
+    // BM25's (N, avgdl) corpus scalars ride as a broadcast 1-row
+    // aggregate crossed onto the pruned posting rows (the q33/q191
+    // constant-attach shape)
+    "q214_bm25_topk")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
@@ -93,7 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q191_dsir_weights", // in-plan 1-row corpus-total aggregates (raw + target)
     "q193_cms_frequencies", // global CMS agg: partials are 80 KB matrices, final is 1 row
     "q200_mixture_schedule", // q96's shape: windows over the #sources-row aggregate
-    "q209_bpe_mixture") // same schedule windows over a #sources-row aggregate
+    "q209_bpe_mixture", // same schedule windows over a #sources-row aggregate
+    "q214_bm25_topk") // the (N, avgdl) global 1-row aggregates' final combine
 
   private def planOf(name: String): String =
     SparkEntry
