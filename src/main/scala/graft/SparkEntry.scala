@@ -1664,7 +1664,6 @@ object SparkEntry {
         emb.where(col("vec_id") % 10 =!= 0),
         emb.where(col("vec_id") % 10 === 0),
         "embedding",
-        "vec_id",
         0.4)
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")

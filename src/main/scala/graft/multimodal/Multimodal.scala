@@ -694,14 +694,6 @@ object Multimodal {
       .withColumn("canonical", col("id") === col("component"))
   }
 
-  /** Deterministic melody WAV: `nNotes` sine segments whose pitches
-    * walk an A3-rooted chromatic scale as a pure function of
-    * (pattern, note index); note length is fixed in SECONDS so the
-    * same melody synthesized at a different sample rate is an ideal
-    * resample of itself. Time-varying pitch is what gives the
-    * fingerprint signal — a steady tone has near-constant band
-    * energies and its delta signs are noise.
-    */
   /** Per-executor memo for the synthetic asset generators: their key
     * spaces are tiny (pattern x variant — 75 distinct clips/images for
     * the default geometries) while the asset tables are corpus-sized,
@@ -716,6 +708,14 @@ object Multimodal {
   private def synthMemo(key: String)(gen: => Array[Byte]): Array[Byte] =
     synthMemoCache.computeIfAbsent(key, _ => gen)
 
+  /** Deterministic melody WAV: `nNotes` sine segments whose pitches
+    * walk an A3-rooted chromatic scale as a pure function of
+    * (pattern, note index); note length is fixed in SECONDS so the
+    * same melody synthesized at a different sample rate is an ideal
+    * resample of itself. Time-varying pitch is what gives the
+    * fingerprint signal — a steady tone has near-constant band
+    * energies and its delta signs are noise.
+    */
   def synthMelodyWav(
       pattern: Int,
       nNotes: Int = 8,

@@ -194,15 +194,8 @@ object Dedup {
       train: DataFrame,
       bench: DataFrame,
       vecCol: String,
-      idCol: String,
-      threshold: Double): DataFrame = {
-    VectorExpressions.register(train.sparkSession)
-    train.join(
-      broadcast(bench.select(col(vecCol).as("__bench_v"))),
-      VectorExpressions.cosineFast(col(vecCol), col("__bench_v"))
-        >= threshold,
-      "left_semi")
-  }
+      threshold: Double): DataFrame =
+    semanticNeighborJoin(train, bench, vecCol, threshold, "left_semi")
 
   /** The decontaminated TRAINING corpus under [[semanticContamination]]
     * — train rows with NO cosine-≥-threshold benchmark neighbor (the
@@ -213,14 +206,21 @@ object Dedup {
       train: DataFrame,
       bench: DataFrame,
       vecCol: String,
-      idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    semanticNeighborJoin(train, bench, vecCol, threshold, "left_anti")
+
+  private def semanticNeighborJoin(
+      train: DataFrame,
+      bench: DataFrame,
+      vecCol: String,
+      threshold: Double,
+      joinType: String): DataFrame = {
     VectorExpressions.register(train.sparkSession)
     train.join(
       broadcast(bench.select(col(vecCol).as("__bench_v"))),
       VectorExpressions.cosineFast(col(vecCol), col("__bench_v"))
         >= threshold,
-      "left_anti")
+      joinType)
   }
 
   /** Banded-LSH semantic contamination — the scale path: hyperplane-
@@ -1112,20 +1112,29 @@ object Dedup {
     */
   private val FusedIngestCap = 200000
 
-  /** Dev-only section timer for the fused ingest hot loop (enabled by
-    * GRAFT_CACHE_DEBUG, like the frame-cache trace).
-    */
   private def ingestDbg[T](name: String)(b: => T): T =
-    if (!sys.env.contains("GRAFT_CACHE_DEBUG")) b
-    else {
-      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-      sc.setJobDescription(s"graft:$name")
-      val t0 = System.nanoTime()
-      val r = b
-      sc.setJobDescription(null)
-      System.err.println(
-        f"[fused] $name ${(System.nanoTime() - t0) / 1e9}%5.2f s")
-      r
+    graft.streaming.IngestTuning.sectionTimer("fused", name)(b)
+
+  /** One gather collect with a graceful out-of-budget fallback: the
+    * payload rows carry whole signature arrays/vectors, so the ROW cap
+    * alone no longer bounds driver bytes. Rather than pre-counting the
+    * batch (an extra action in the loop this path exists to shrink),
+    * an over-budget collect is caught at Spark's own driver guard
+    * (`spark.driver.maxResultSize`) and surfaces as None — the caller
+    * falls back to the distributed shape, which is also the 100-TB
+    * path. Only the result-size error is swallowed; anything else
+    * (a corrupt input, a codegen bug) rethrows, because the unfused
+    * path would just hit it again.
+    */
+  private def gatherCapped(
+      gathered: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
+    try {
+      val rows = ingestDbg("gather")(gathered.collect())
+      if (rows.length > FusedIngestCap) None else Some(rows)
+    } catch {
+      case e: org.apache.spark.SparkException
+          if Option(e.getMessage).exists(_.contains("maxResultSize")) =>
+        None
     }
 
   /** Spark's ordering for an id value as collected to the driver:
@@ -1352,11 +1361,13 @@ object Dedup {
     }
     if (sys.env.contains("GRAFT_EXPLAIN"))
       System.err.println(gathered.queryExecution.executedPlan.toString.take(8000))
-    val rows0 = ingestDbg("gather")(gathered.collect())
-    if (rows0.length > FusedIngestCap)
-      return mhIngestSegmentFramesUnfused(
-        batch, textCol, idCol, indexPath, threshold, maxBucketSize,
-        probeCorpus, sourceTag)
+    val rows0 = gatherCapped(gathered) match {
+      case Some(rs) => rs
+      case None =>
+        return mhIngestSegmentFramesUnfused(
+          batch, textCol, idCol, indexPath, threshold, maxBucketSize,
+          probeCorpus, sourceTag)
+    }
     val bucketsMap =
       new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Any]]()
     val bhMap = new java.util.HashMap[Any, Array[Long]]()
@@ -1996,10 +2007,12 @@ object Dedup {
     }
     // plain collect, not limit(cap).collect() — CollectLimit's
     // incremental waves are multiple jobs
-    val rows = ingestDbg("gather")(gathered.collect())
-    if (rows.length > FusedIngestCap)
-      return sig64IngestSegmentFramesUnfused(
-        sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
+    val rows = gatherCapped(gathered) match {
+      case Some(rs) => rs
+      case None =>
+        return sig64IngestSegmentFramesUnfused(
+          sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
+    }
     val buckets = new java.util.HashMap[
       Long, scala.collection.mutable.ArrayBuffer[(Any, Long)]]()
     val payload = scala.collection.mutable
@@ -2859,26 +2872,45 @@ object Dedup {
         case None => payLeg
       }
     }
-    val rows0 = ingestDbg("gather")(gathered.collect())
-    if (rows0.length > FusedIngestCap)
-      return embIngestSegmentFramesUnfused(
-        batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
-        probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
+    val rows0 = gatherCapped(gathered) match {
+      case Some(rs) => rs
+      case None =>
+        return embIngestSegmentFramesUnfused(
+          batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
+          probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
+    }
     // vectors promote to doubles for the verify math — cosineFast
     // promotes each float element before accumulating and float→double
     // promotion is exact, so these doubles reproduce its math
     // bit-for-bit; the RAW collected value is kept for the segment
     // write so the persisted rows are byte-identical to a cluster-side
-    // write
-    def promote(vSeq: scala.collection.Seq[_]): Array[Double] =
-      if (vIsFloat) vSeq.iterator.map(_.asInstanceOf[Float].toDouble).toArray
-      else vSeq.iterator.map(_.asInstanceOf[Double]).toArray
+    // write. A vector containing a NULL element promotes to null (NOT
+    // 0.0 — unboxing would silently zero it): cosineFast returns NULL
+    // on null elements, null >= threshold is false, so the pair must
+    // be unverifiable here too or the fused and distributed paths
+    // would diverge on null-bearing arrays.
+    def promote(vSeq: scala.collection.Seq[_]): Array[Double] = {
+      val out = new Array[Double](vSeq.length)
+      var i = 0
+      val it = vSeq.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        if (e == null) return null
+        out(i) = if (vIsFloat) e.asInstanceOf[Float].toDouble
+                 else e.asInstanceOf[Double]
+        i += 1
+      }
+      out
+    }
     val bucketsMap =
       new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Any]]()
     val vMap = new java.util.HashMap[Any, Array[Double]]()
     // (id, raw v, sig, bucket keys) per batch row, in collect order —
     // a LIST, not a map, so duplicate ids write through like the
     // cluster path
+    // corpus flags arrive already verified (in-plan cosine) — one pass
+    // fills payload, bucket membership, AND the flag set
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     val payload = scala.collection.mutable
       .ArrayBuffer.empty[(Any, AnyRef, Any, scala.collection.Seq[Int])]
     rows0.foreach { r =>
@@ -2897,7 +2929,7 @@ object Dedup {
           }
           arr += id
         }
-      }
+      } else flagged += r.get(1)
     }
     // the EXACT cosineFast recursion ([[VectorExpressions
     // .CosineSimilarityExpr.nullSafeEval]]): in-order dot/norm
@@ -2918,11 +2950,6 @@ object Dedup {
         i += 1
       }
       dot / (math.sqrt(na) * math.sqrt(nb)) >= threshold
-    }
-    // corpus flags arrive already verified (in-plan cosine)
-    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
-    rows0.foreach { r =>
-      if (r.getInt(0) == 1) flagged += r.get(1)
     }
     val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
     val edges = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]

@@ -382,23 +382,32 @@ object Sampling {
       b: Double = 0.75): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val terms = df.select(
-      col(idCol).as("doc_id"),
-      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
-        .as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE corpus tokenize, materialized once: tf feeds FOUR consumers
+    // (posting rows, doc lengths, query-term doc frequencies, the
+    // total-token scalar) — without the checkpoint each consumer would
+    // re-explode the corpus; dl and the token total derive from tf
+    // (sum of per-doc tfs IS the doc length), and df is computed on
+    // the query-PRUNED posting rows, never as a full-vocabulary agg
+    val tf = graft.ops.Stage.materializeOnce(
+      df.select(
+          col(idCol).as("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+            .as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val qTerms = query.distinct.toDF("term")
+    val posting = tf.join(broadcast(qTerms), Seq("term"))
+    val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = df
       .agg(count(lit(1)).cast("double").as("__n"))
-      .crossJoin(terms.agg(count(lit(1)).cast("double").as("__toks")))
+      .crossJoin(tf.agg(sum("tf").cast("double").as("__toks")))
       .select(col("__n"), (col("__toks") / col("__n")).as("__avgdl"))
-    val qTerms = query.distinct.toDF("term")
     val idf = log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
-    tf.join(broadcast(qTerms), Seq("term"))
-      .join(dfreq, Seq("term"))
+    posting
+      .join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")

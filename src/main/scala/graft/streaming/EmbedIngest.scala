@@ -70,14 +70,7 @@ object EmbedIngest {
     // all over ONE signing pass ([[Dedup.embIngestSegmentFrames]]);
     // AQE off for the batch ([[IngestTuning.withBatchTuning]])
     def dbg[T](name: String)(b: => T): T =
-      if (!sys.env.contains("GRAFT_CACHE_DEBUG")) b
-      else {
-        val t0 = System.nanoTime()
-        val r = b
-        System.err.println(
-          f"[emb-ingest] $name ${(System.nanoTime() - t0) / 1e9}%5.2f s")
-        r
-      }
+      IngestTuning.sectionTimer("emb-ingest", name)(b)
     IngestTuning.withBatchTuning(spark) {
       val (sig, buckets) = dbg("frames")(Dedup.embIngestSegmentFrames(
         batch,

@@ -86,17 +86,7 @@ object NearDupIngest {
     // composition shingles and signs the batch three times); AQE off
     // for the batch ([[IngestTuning.withBatchTuning]])
     def dbg[T](name: String)(b: => T): T =
-      if (!sys.env.contains("GRAFT_CACHE_DEBUG")) b
-      else {
-        val sc = spark.sparkContext
-        sc.setJobDescription(s"graft:$name")
-        val t0 = System.nanoTime()
-        val r = b
-        sc.setJobDescription(null)
-        System.err.println(
-          f"[ingest] $name ${(System.nanoTime() - t0) / 1e9}%5.2f s")
-        r
-      }
+      IngestTuning.sectionTimer("ingest", name)(b)
     IngestTuning.withBatchTuning(spark) {
       val (sig, buckets) = dbg("frames")(Dedup.mhIngestSegmentFrames(
         batch,

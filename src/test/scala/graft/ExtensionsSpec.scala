@@ -659,7 +659,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val bench = emb.where(col("vec_id") % 10 === 0)
     val train = emb.where(col("vec_id") % 10 =!= 0)
     val exactFlags = Dedup
-      .semanticContamination(train, bench, "embedding", "vec_id", 0.4)
+      .semanticContamination(train, bench, "embedding", 0.4)
       .select("vec_id")
     val nTrain = train.count()
     val nFlag = exactFlags.count()
@@ -667,7 +667,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nFlag < nTrain)
     // contamination + decontaminated partition the train set exactly
     val clean = Dedup
-      .decontaminateSemantic(train, bench, "embedding", "vec_id", 0.4)
+      .decontaminateSemantic(train, bench, "embedding", 0.4)
       .select("vec_id")
     assert(clean.count() + nFlag === nTrain)
     assert(clean.intersect(exactFlags).isEmpty)
@@ -688,7 +688,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val trainPlus = train.select("vec_id", "embedding").unionByName(planted)
     Seq(
       Dedup.semanticContamination(
-        trainPlus, bench, "embedding", "vec_id", 0.9).select("vec_id"),
+        trainPlus, bench, "embedding", 0.9).select("vec_id"),
       Dedup.semanticContaminationBanded(
         trainPlus, bench, "embedding", "vec_id", 0.9)
         .withColumnRenamed("id", "vec_id")
