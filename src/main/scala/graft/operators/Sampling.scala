@@ -195,6 +195,23 @@ object Sampling {
     * @param weight strictly-positive column (rows with w ≤ 0 or null
     *               are excluded — zero weight means "never sample")
     */
+  /** The Efraimidis–Spirakis sampling key −ln(u)/w with u a 52-bit
+    * md5-content uniform: 13 hex chars fit a double's mantissa exactly
+    * (u is exact in any engine), +0.5 keeps u strictly inside (0,1).
+    * One definition shared by [[weightedSampleK]],
+    * [[weightedSamplePerGroup]], and the streaming twin
+    * ([[graft.streaming.StreamSample]]) — the key being a pure
+    * function of (content, seed, weight) is what makes every sampler
+    * built on it replayable and batching-invariant.
+    */
+  def esKey(content: Column, weight: Column, seed: String): Column = {
+    val v = conv(
+      substring(md5(concat(content, lit(seed))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    -log(u) / weight
+  }
+
   def weightedSampleK(
       df: DataFrame,
       contentCol: String,
@@ -203,14 +220,8 @@ object Sampling {
       seed: String = "",
       tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // 13 hex chars = 52 bits: fits a double's mantissa exactly, so
-    // u is exact in both engines; +0.5 keeps u strictly inside (0,1)
-    val v = conv(
-      substring(md5(concat(col(contentCol), lit(seed))), 1, 13), 16, 10)
-      .cast("long")
-    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
     df.where(weight > 0)
-      .withColumn("__esk", -log(u) / weight)
+      .withColumn("__esk", esKey(col(contentCol), weight, seed))
       .orderBy(col("__esk") +: tieBreak: _*)
       .limit(k)
       .drop("__esk")
@@ -237,12 +248,9 @@ object Sampling {
       seed: String = "",
       tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val v = conv(
-      substring(md5(concat(col(contentCol), lit(seed))), 1, 13), 16, 10)
-      .cast("long")
-    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
     capPerGroup(
-      df.where(weight > 0).withColumn("__esk", -log(u) / weight),
+      df.where(weight > 0)
+        .withColumn("__esk", esKey(col(contentCol), weight, seed)),
       groupCols,
       col("__esk") +: tieBreak,
       k).drop("__esk")

@@ -169,6 +169,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming weighted sample equals the batch sampler under any batch split") {
+    import spark.implicits._
+    import graft.streaming.StreamSample
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 3 groups x 40 items with spread weights; duplicates planted so
+    // the duplicate-preserving contract is exercised
+    val items = (0 until 120).map { i =>
+      StreamSample.Item(s"g${i % 3}", s"doc-${i / 3}", 0.5 + (i % 7))
+    } ++ Seq(
+      StreamSample.Item("g0", "doc-1", 0.5 + 3),
+      StreamSample.Item("g0", "doc-1", 0.5 + 3))
+    val k = 8
+    val seed = "s1"
+
+    def streamed(split: Int): Map[String, Seq[String]] = {
+      val input = MemoryStream[StreamSample.Item]
+      val q = StreamSample
+        .sampleStream(input.toDS(), k, seed)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(s"graft_stream_sample_$split")
+        .start()
+      try {
+        items.grouped(math.max(1, items.length / split)).foreach { b =>
+          input.addData(b: _*)
+          q.processAllAvailable()
+        }
+        // update mode: the LAST emission per group is the final state
+        spark
+          .sql(s"SELECT * FROM graft_stream_sample_$split")
+          .as[StreamSample.SampleOut]
+          .collect()
+          .zipWithIndex
+          .groupBy(_._1.group)
+          .map { case (g, rows) => g -> rows.maxBy(_._2)._1.content.toSeq }
+      } finally q.stop()
+    }
+
+    val oneBatch = streamed(1)
+    val fourBatches = streamed(4)
+    // batching invariance is EXACT, not distributional
+    assert(oneBatch === fourBatches)
+
+    // and the final state IS the batch sampler's answer on the union
+    val batch = graft.operators.Sampling
+      .weightedSamplePerGroup(
+        items.toDF("group", "content", "weight"),
+        "content",
+        col("weight"),
+        Seq(col("group")),
+        k,
+        seed,
+        tieBreak = Seq(col("content")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(_._2).sorted.toSeq }
+    val streamedSorted =
+      oneBatch.map { case (g, cs) => g -> cs.sorted }
+    assert(streamedSorted === batch)
+    // every group's state is k-bounded
+    oneBatch.values.foreach(cs => assert(cs.length === k))
+  }
+
   test("streaming near-dup ingest: intra + cross-batch dedup, replay-safe") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
