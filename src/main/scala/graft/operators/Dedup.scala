@@ -1115,6 +1115,40 @@ object Dedup {
   private def ingestDbg[T](name: String)(b: => T): T =
     graft.streaming.IngestTuning.sectionTimer("fused", name)(b)
 
+  /** Driver-byte budget for the fused gather when Spark's own guard is
+    * disabled (`spark.driver.maxResultSize=0`, a common production
+    * setting) — the pre-bound aggregate below enforces it BEFORE the
+    * collect, since with the guard off nothing else bounds a batch of
+    * wide signature arrays / embedding vectors.
+    */
+  private val FusedIngestMaxBytes = 256L * 1024 * 1024
+
+  /** A conservative per-row byte-size expression over a frame's
+    * columns, for the pre-bound aggregate: element-width × length for
+    * the array payloads the gather legs carry, octet length for
+    * strings, a fixed 16 for scalars. Over-estimation is fine — it
+    * only makes the fallback trigger earlier.
+    */
+  private def approxRowBytes(
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    schema.fields
+      .map { f =>
+        f.dataType match {
+          case ArrayType(et, _) =>
+            val w = et match {
+              case LongType | DoubleType => 8
+              case _ => 4
+            }
+            coalesce(size(col(f.name)).cast("long") * w, lit(0L))
+          case StringType => coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+          case _ => lit(16L)
+        }
+      }
+      .reduce(_ + _)
+  }
+
   /** One gather collect with a graceful out-of-budget fallback: the
     * payload rows carry whole signature arrays/vectors, so the ROW cap
     * alone no longer bounds driver bytes. Rather than pre-counting the
@@ -1122,20 +1156,59 @@ object Dedup {
     * an over-budget collect is caught at Spark's own driver guard
     * (`spark.driver.maxResultSize`) and surfaces as None — the caller
     * falls back to the distributed shape, which is also the 100-TB
-    * path. Only the result-size error is swallowed; anything else
-    * (a corrupt input, a codegen bug) rethrows, because the unfused
-    * path would just hit it again.
+    * path. Only the result-size error is swallowed (matched on the
+    * SparkThrowable condition, with the message substring as a
+    * cross-version backstop); anything else (a corrupt input, a
+    * codegen bug) rethrows, because the unfused path would just hit it
+    * again. When the deployment DISABLES the driver guard
+    * (`maxResultSize=0`), there is no backstop to catch, so the gather
+    * is pre-bounded with one cheap aggregate (row count capped at the
+    * fused cap + an [[approxRowBytes]] total against
+    * [[FusedIngestMaxBytes]]) before any collect — one extra action,
+    * paid only under that configuration.
     */
   private def gatherCapped(
-      gathered: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
+      gathered: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val guardBytes = gathered.sparkSession.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    if (guardBytes <= 0L) {
+      val bound = ingestDbg("prebound")(
+        gathered
+          .select(approxRowBytes(gathered.schema).as("__b"))
+          .agg(count(lit(1)).as("__n"), sum(col("__b")).as("__bytes"))
+          .collect()(0))
+      if (bound.getLong(0) > FusedIngestCap ||
+        (!bound.isNullAt(1) && bound.getLong(1) > FusedIngestMaxBytes))
+        return None
+    }
     try {
       val rows = ingestDbg("gather")(gathered.collect())
       if (rows.length > FusedIngestCap) None else Some(rows)
     } catch {
-      case e: org.apache.spark.SparkException
-          if Option(e.getMessage).exists(_.contains("maxResultSize")) =>
-        None
+      case e: org.apache.spark.SparkException if isResultSizeError(e) => None
     }
+  }
+
+  private def isResultSizeError(e: org.apache.spark.SparkException): Boolean =
+    Option(e.getCondition).exists(_.contains("RESULT_SIZE")) ||
+      Option(e.getMessage).exists(_.contains("maxResultSize"))
+
+  /** True iff two payload rows (t == 0) of a fused gather share an id —
+    * the duplicate-id guard of [[mhIngestSegmentFrames]] /
+    * [[embIngestSegmentFrames]], whose driver signature maps are
+    * put-overwrite keyed by id.
+    */
+  private def hasDuplicatePayloadIds(
+      rows: Array[org.apache.spark.sql.Row]): Boolean = {
+    val seen = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.getInt(0) == 0 && !seen.add(r.get(1))) return true
+      i += 1
+    }
+    false
+  }
 
   /** Spark's ordering for an id value as collected to the driver:
     * numeric for integral ids, UTF-8 BYTE order for strings (what
@@ -1300,11 +1373,15 @@ object Dedup {
         // where `array_intersect` appears twice and is evaluated twice
         // per candidate pair (no subexpression elimination in join
         // conditions — measured as the dominant per-corpus-row CPU of
-        // the gather stage). The monotonically_increasing_id column is
-        // never read; being nondeterministic it just pins the
-        // projection below the filters, so the intersect is computed
-        // exactly once per pair. Same comparisons, same doubles — only
-        // the evaluation count changes.
+        // the gather stage). Being nondeterministic, the
+        // monotonically_increasing_id column pins the projection below
+        // the filters, so the intersect is computed exactly once per
+        // pair; the first filter also REFERENCES it (`__barrier >= 0`,
+        // vacuously true for a nonneg id) so column pruning can never
+        // decide the column is unused and drop it — which would make
+        // the projection deterministic again and silently re-enable
+        // the double-eval. Same comparisons, same doubles — only the
+        // evaluation count changes.
         val paired = readIndexCached(spark, s"$indexPath/sig")
           .select(col("id").as("corpus_id"), col("bh").as("sh_b"))
           .join(broadcast(hits), Seq("corpus_id"))
@@ -1321,7 +1398,8 @@ object Dedup {
             monotonically_increasing_id().as("__barrier"))
         Some(
           paired
-            .where(least(col("na"), col("nb")) /
+            .where(col("__barrier") >= 0 &&
+              least(col("na"), col("nb")) /
               greatest(col("na"), col("nb")) >= threshold)
             .where(col("inter") /
               (col("na") + col("nb") - col("inter")) >= threshold)
@@ -1368,6 +1446,18 @@ object Dedup {
           batch, textCol, idCol, indexPath, threshold, maxBucketSize,
           probeCorpus, sourceTag)
     }
+    // duplicate ids within one batch: bhMap below is keyed by id with
+    // put-overwrite, so the fused verify would test every pair against
+    // the LAST duplicate's signature, whereas the distributed path's
+    // broadcast join verifies each duplicate's own signature (an edge
+    // exists if ANY combination passes) — fused and unfused results
+    // could diverge. A well-formed batch has unique ids, so this is a
+    // rare-path guard: detect during the gather scan and take the
+    // distributed shape, which handles duplicates by construction.
+    if (hasDuplicatePayloadIds(rows0))
+      return mhIngestSegmentFramesUnfused(
+        batch, textCol, idCol, indexPath, threshold, maxBucketSize,
+        probeCorpus, sourceTag)
     val bucketsMap =
       new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Any]]()
     val bhMap = new java.util.HashMap[Any, Array[Long]]()
@@ -2879,6 +2969,12 @@ object Dedup {
           batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
           probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
     }
+    // duplicate-id batches diverge under vMap's put-overwrite (the
+    // mhIngestSegmentFrames guard, same rationale) — distributed shape
+    if (hasDuplicatePayloadIds(rows0))
+      return embIngestSegmentFramesUnfused(
+        batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
+        probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
     // vectors promote to doubles for the verify math — cosineFast
     // promotes each float element before accumulating and float→double
     // promotion is exact, so these doubles reproduce its math
@@ -2983,8 +3079,17 @@ object Dedup {
     * cluster-side alternative re-reads the signed frame for a survivor
     * anti-join plus a count-over-window shuffle — two more jobs and an
     * exchange per batch for a few hundred rows this process is already
-    * holding. `bn` is the within-segment bucket count over survivors,
-    * exactly what the windowed form computes.
+    * holding.
+    *
+    * INVARIANT — `bn` is SEGMENT-LOCAL, never corpus-global: it counts
+    * this batch's survivors per bucket, exactly what the unfused
+    * windowed form computes over its own segment frame. Probe readers
+    * filter `bn <= maxBucketSize` per segment row, so the skew guard
+    * composes across segments without a global count; COMPACTION is
+    * the only place a corpus-global `bn` is computed (it re-buckets
+    * the union of stored signatures). Do not "fix" this to a corpus
+    * count — that would double-apply the guard after compaction and
+    * change which buckets probe.
     */
   private def driverSegmentFrames(
       spark: org.apache.spark.sql.SparkSession,

@@ -85,8 +85,13 @@ object IngestTuning {
       val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"graft:$scope:$name")
       val t0 = System.nanoTime()
-      val r = body
-      sc.setJobDescription(prev)
+      // finally: this instruments the ingest hot loop, where fallback
+      // exceptions are EXPECTED (gather over budget) — a success-only
+      // restore would leak "graft:scope:name" onto every subsequent
+      // job of the thread
+      val r =
+        try body
+        finally sc.setJobDescription(prev)
       System.err.println(
         f"[$scope%s] $name%s ${(System.nanoTime() - t0) / 1e9}%5.2f s")
       r

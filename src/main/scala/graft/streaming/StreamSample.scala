@@ -20,9 +20,15 @@ import graft.operators.Sampling
   * answer over the same rows (asserted to equality in StreamingSpec,
   * the StreamCms bit-identity stance, stronger than a distributional
   * bound). New rows never displace a kept row unless their key is
-  * strictly better, and reprocessing a batch cannot change the state
-  * (min-k is idempotent under re-insertion), which is exactly the
-  * foreachBatch replay story.
+  * strictly better. Replay safety comes from the STATE STORE's
+  * per-batch versioning (a reprocessed batch folds into the
+  * pre-batch snapshot, not the post-batch one) — NOT from merge
+  * idempotence: the min-k merge is duplicate-preserving by design
+  * (a true duplicate row is a second sample unit), so re-inserting a
+  * row already in state would add a second (esk, content) entry and
+  * could evict the legitimate k-th item. A foreachBatch port of this
+  * fold would need its own replay story (e.g. a batch-id high-water
+  * mark) before re-merging delivered batches.
   *
   * State is hard-bounded at k (key, content, weight) triples per
   * group — an open stream can run forever; the state store partitions
