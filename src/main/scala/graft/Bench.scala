@@ -97,10 +97,12 @@ object Bench {
     if (warmDir == sfDir) SparkEntry.clearIndexCaches()
     val indexBuild = annProbes.map(n => n -> materialize(n))
 
+    val loadStart = StreamBench.loadAvg()
     val results = names.map(n => n -> materializeMin(n))
     // streaming components: rows/sec per micro-batch loop (StreamBench).
     // A failure is loud (joins the failed list) but must not take the
     // batch numbers down with it.
+    val loadStream = StreamBench.loadAvg()
     val (streaming, streamSpread, streamFailed) =
       if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0"))
         (
@@ -119,6 +121,7 @@ object Bench {
               Seq.empty[(String, (Double, Double, Int))],
               Seq("\"streaming\""))
         }
+    val loadEnd = StreamBench.loadAvg()
     // Locale.ROOT: a comma-decimal default locale would corrupt the
     // one-line JSON contract (f"%.1f" is locale-dependent)
     val sj = streaming
@@ -145,9 +148,16 @@ object Bench {
     // reps) go at the END of the line — the big per-query maps go first
     // and are what truncation eats. JSON parsers are order-blind, so the
     // intact line still satisfies the {"metric":...} contract.
+    // loadavg markers (batch start / streaming start / end): a
+    // contended record is visibly contended — cross-run deltas without
+    // a load stamp were unadjudicable (identical code, 26% apart)
+    def l2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val loadJson = s"""{"start":${l2(loadStart)},""" +
+      s""""stream_start":${l2(loadStream)},"end":${l2(loadEnd)}}"""
     val line =
       s"""{"queries":$qs,"index_build":$ib,"streaming_rows_per_sec":$sj,""" +
         s""""streaming_spread":${StreamBench.spreadJson(streamSpread)},""" +
+        s""""load":$loadJson,""" +
         s""""sf":"$sfDir","reps":$reps,"failed":$failedJson,""" +
         s""""metric":"total","value":$total,"unit":"sec"}"""
     println(line)
@@ -158,16 +168,46 @@ object Bench {
       val target = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
       // a ROUND-STAMPED record (BENCH_FULL_rNN.json) is the canonical
-      // quiet-machine measurement for that round — refuse to clobber
-      // it; deltas must always be quoted against the committed record
+      // quiet-machine measurement for that round — never clobber it
+      // silently; deltas must always be quoted against the committed
+      // record. EXCEPTION: a SUPERSEDING FULLER record (this run
+      // covers strictly more queries than the stamped file — the
+      // stamped one froze a mid-round run before new operators landed)
+      // renames the old record aside and takes the stamp, so the
+      // round's canonical file always carries the full query set.
       val stamped = target.getFileName.toString.matches(
         "BENCH_FULL_r\\d+\\.json")
       val dest =
         if (stamped && java.nio.file.Files.exists(target)) {
-          System.err.println(
-            s"[bench] refusing to overwrite round-stamped record " +
-              s"$target; writing BENCH_FULL.json instead")
-          java.nio.file.Paths.get("BENCH_FULL.json")
+          val oldN = {
+            val old = new String(
+              java.nio.file.Files.readAllBytes(target),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val s = old.indexOf("\"queries\":{")
+            val e = if (s >= 0) old.indexOf("}", s) else -1
+            // query values are plain numbers — the map has no nested
+            // braces, so entries = commas + 1
+            if (s < 0 || e < 0) Int.MaxValue
+            else old.substring(s + "\"queries\":{".length, e).count(_ == ',') + 1
+          }
+          if (results.length > oldN) {
+            val aside = target.resolveSibling(
+              target.getFileName.toString
+                .stripSuffix(".json") + "_superseded.json")
+            java.nio.file.Files.move(
+              target, aside,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            System.err.println(
+              s"[bench] superseding round-stamped record $target " +
+                s"($oldN < ${results.length} queries); prior record " +
+                s"kept at $aside")
+            target
+          } else {
+            System.err.println(
+              s"[bench] refusing to overwrite round-stamped record " +
+                s"$target; writing BENCH_FULL.json instead")
+            java.nio.file.Paths.get("BENCH_FULL.json")
+          }
         } else target
       java.nio.file.Files.write(
         dest,

@@ -1595,6 +1595,40 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"), col("canonical"))
       .orderBy("doc_id")
 
+  /** Perceptual VIDEO near-dup
+    * ([[graft.multimodal.Multimodal.videoNearDup]]) — completes the
+    * text (q14/q186) / image (q207) / audio (q211) / VIDEO dedup
+    * modality quartet. Clip fingerprint = dHash of
+    * relative-position-sampled frames (raw DIB planes through the
+    * pure-JDK codec seam — raw AVI and MJPEG both decode), reduced by
+    * per-bit MAJORITY across the samples, then the SAME banded-Hamming
+    * pair machinery, components, and min-id canonical flags every
+    * other modality uses. Assets are per-doc synthesized gradient
+    * clips (25 pattern families with planted MJPEG-re-encoded and
+    * brightness-shifted members,
+    * [[graft.multimodal.Multimodal.videoDupAssetsFromIds]]), so family
+    * members must cluster across exactly the transformations the
+    * fingerprint claims invariance to — including a COMPRESSED
+    * re-encode of the identical frames. Rows-only (binary decode
+    * pipeline, nothing for SQL to replay); VideoDedupSpec pins
+    * re-encode/resize/brightness invariance, the 1-frame-clip ==
+    * still-image dHash equality, and distinct-pattern separation on
+    * handcrafted fixtures.
+    */
+  private def q215(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .videoNearDup(
+        graft.multimodal.Multimodal.videoDupAssetsFromIds(
+          // explicit repartition: the q207/q211 rationale — synth +
+          // decode UDF cost is invisible to AQE and would serialize on
+          // the 1-2 natural parquet splits of the id projection
+          Tables.documents(s, d)
+            .select("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id"))
+      .select(col("id").as("doc_id"), col("component"), col("canonical"))
+      .orderBy("doc_id")
+
   /** HASH-GREEN twin of q207's decode stage: the REAL PNG
     * decode → area-averaged-luma dHash pipeline
     * ([[graft.multimodal.Multimodal.dHashImages]]) against a DuckDB
@@ -5230,7 +5264,8 @@ object SparkEntry {
     "q211_audio_neardup" -> (q211 _),
     "q212_image_dhash" -> (q212 _),
     "q213_semantic_decontam" -> (q213 _),
-    "q214_bm25_topk" -> (q214 _)
+    "q214_bm25_topk" -> (q214 _),
+    "q215_video_neardup" -> (q215 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

@@ -1167,6 +1167,18 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", fbos)
       fbos.toByteArray
     }
+    mjpegAviFromJpegs(w, h, jpegs, fps)
+  }
+
+  /** The MJPEG-AVI container writer shared by [[synthMjpegAviBytes]]
+    * (solid-color frames) and [[synthMjpegFromDibs]] (arbitrary
+    * frames): one already-encoded baseline JPEG per `00dc` chunk.
+    */
+  private def mjpegAviFromJpegs(
+      w: Int,
+      h: Int,
+      jpegs: Seq[Array[Byte]],
+      fps: Int): Array[Byte] = {
     val n = jpegs.length
     def padded(sz: Int): Int = sz + (sz & 1)
     val bos = new java.io.ByteArrayOutputStream()
@@ -1263,48 +1275,395 @@ object Multimodal {
         }
         py += 1
       }
-      // 9 columns × 8 rows of area-averaged luma (×1000, integer)
-      val cell = Array.ofDim[Long](8, 9)
-      var cy = 0
-      while (cy < 8) {
-        var cx = 0
-        while (cx < 9) {
-          val x0 = cx * w / 9
-          val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
-          val y0 = cy * h / 8
-          val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
-          val xMax = math.min(x1, w)
-          val yMax = math.min(y1, h)
-          var sum = 0L
-          var y = y0
-          while (y < yMax) {
-            val off = y * w
-            var x = x0
-            while (x < xMax) {
-              sum += lum(off + x)
-              x += 1
-            }
-            y += 1
-          }
-          val n = (xMax - x0).toLong * (yMax - y0)
-          cell(cy)(cx) = if (n > 0) sum / n else 0L
-          cx += 1
-        }
-        cy += 1
-      }
-      var sig = 0L
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) {
-          if (cell(yy)(xx + 1) > cell(yy)(xx))
-            sig |= 1L << (yy * 8 + xx)
-          xx += 1
-        }
-        yy += 1
-      }
-      Some(sig)
+      Some(dHashFromLum(lum, w, h))
     }
+  }
+
+  /** The dHash core over a visual-order (top-down, row-major) integer
+    * luma plane — shared by the image path ([[dHashBytes]], luma from
+    * a decoded BufferedImage) and the video path ([[dHashDib]], luma
+    * from a raw DIB frame payload) so a 1-frame video and the same
+    * image produce the SAME 64 bits; VideoDedupSpec pins the equality
+    * differentially.
+    */
+  private def dHashFromLum(lum: Array[Int], w: Int, h: Int): Long = {
+    // 9 columns × 8 rows of area-averaged luma (×1000, integer)
+    val cell = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+        val y0 = cy * h / 8
+        val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+        val xMax = math.min(x1, w)
+        val yMax = math.min(y1, h)
+        var sum = 0L
+        var y = y0
+        while (y < yMax) {
+          val off = y * w
+          var x = x0
+          while (x < xMax) {
+            sum += lum(off + x)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (xMax - x0).toLong * (yMax - y0)
+        cell(cy)(cx) = if (n > 0) sum / n else 0L
+        cx += 1
+      }
+      cy += 1
+    }
+    var sig = 0L
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        if (cell(yy)(xx + 1) > cell(yy)(xx))
+          sig |= 1L << (yy * 8 + xx)
+        xx += 1
+      }
+      yy += 1
+    }
+    sig
+  }
+
+  /** [[dHashBytes]] for one raw DIB frame payload (the [[DecodedVideo]]
+    * pixel contract: B,G,R byte order, 4-byte row stride, bottom-up
+    * rows): luma is read row by row with the vertical flip folded in,
+    * so the plane handed to [[dHashFromLum]] is in VISUAL order and the
+    * signature equals the image path's on identical pixels. Same
+    * integer ITU-R 601 luma, same cells, same compares.
+    */
+  private def dHashDib(payload: Array[Byte], w: Int, h: Int): Long = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val lum = new Array[Int](w * h)
+    var vy = 0
+    while (vy < h) {
+      val srcRow = (h - 1 - vy) * stride // DIB rows store bottom-up
+      val off = vy * w
+      var x = 0
+      while (x < w) {
+        val p = srcRow + x * 3
+        val b = payload(p) & 0xff
+        val g = payload(p + 1) & 0xff
+        val r = payload(p + 2) & 0xff
+        lum(off + x) = 299 * r + 587 * g + 114 * b
+        x += 1
+      }
+      vy += 1
+    }
+    dHashFromLum(lum, w, h)
+  }
+
+  /** Frames sampled for the video fingerprint: enough for a stable
+    * per-bit majority over a typical clip, few enough that a long clip
+    * costs the same as a short one.
+    */
+  private val VfSampleFrames = 9
+
+  /** The decoder the video FINGERPRINT defaults to: raw AVI or MJPEG —
+    * a re-encoded (MJPEG-vs-raw) copy of the same clip must land on
+    * the same signature, so the fingerprint is codec-blind across
+    * everything the pure-JDK seam can decode. [[decodeVideo]]
+    * deliberately keeps [[aviDecoder]] as ITS default (the honest
+    * codec boundary is per-decoder there); an external H.264/VP9
+    * codec plugs in here the same way.
+    */
+  val anyAviDecoder: VideoDecoder = (bytes: Array[Byte]) =>
+    aviDecoder(bytes).orElse(mjpegDecoder(bytes))
+
+  /** 64-bit perceptual VIDEO fingerprint: decode through the codec
+    * seam, sample [[VfSampleFrames]] frames at RELATIVE positions
+    * (t·n/9 — a re-encode at a different frame rate samples nearly the
+    * same content), dHash each sampled frame ([[dHashDib]] — the
+    * image fingerprint on the raw DIB plane), and take the PER-BIT
+    * MAJORITY across the sampled frames (ties → 0, deterministic).
+    * Majority voting inherits every dHash invariance frame-wise
+    * (re-encode, uniform brightness, gradient-preserving resize) and
+    * adds tolerance to frame-level noise: a lossy codec flipping a
+    * bit in a minority of frames leaves the clip signature untouched.
+    * The temporal-delta-sign alternative (the audio construction in
+    * the spatial plane) was rejected for the default because typical
+    * near-dup transformations (re-encode, resize, brightness) preserve
+    * each frame's SPATIAL gradients exactly where frame-to-frame
+    * deltas of a slowly-changing scene are noise-dominated. Clips
+    * with no decodable frames → None (quarantine).
+    */
+  def videoFingerprintBytes(
+      data: Array[Byte],
+      decoder: VideoDecoder = anyAviDecoder): Option[Long] =
+    decoder(data).filter(meetsFrameContract).map { v =>
+      val n = v.frames.length
+      val k = math.min(VfSampleFrames, n)
+      val votes = new Array[Int](64)
+      var t = 0
+      while (t < k) {
+        // relative-position sampling; for n <= k this walks every
+        // frame exactly once (t·n/k is strictly increasing)
+        val f = (t.toLong * n / k).toInt
+        val sig = dHashDib(v.frames(f), v.width, v.height)
+        var b = 0
+        while (b < 64) {
+          if ((sig >>> b & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
+        t += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) * 2 > k) out |= 1L << b
+        b += 1
+      }
+      out
+    }
+
+  /** (id, sig) perceptual-fingerprint frame over a video asset table —
+    * the video analog of [[dHashImages]] / [[audioFingerprints]]. Same
+    * mapPartitions batching contract; undecodable rows quarantine
+    * (dropped).
+    */
+  def videoFingerprints(
+      assets: DataFrame,
+      decoder: VideoDecoder = anyAviDecoder): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("id").cast("long").as("id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        videoFingerprintBytes(data, decoder).map(sig => (id, sig))
+      })
+      .toDF("id", "sig")
+  }
+
+  /** Perceptual near-dup candidate pairs over a video asset table —
+    * the [[imageNearDupPairs]] contract with the clip fingerprint.
+    * Majority-voted dHash bits carry frame-level codec noise on top of
+    * the image path's pixel noise, so the default Hamming budget sits
+    * between image (3) and audio (5); 8 bands of width 8 keep the
+    * pigeonhole recall guarantee up to hamming 7.
+    */
+  def videoNearDupPairs(
+      assets: DataFrame,
+      maxHamming: Int = 4,
+      bands: Int = 8,
+      maxBucketSize: Int = 256,
+      decoder: VideoDecoder = anyAviDecoder): DataFrame =
+    graft.operators.Dedup.simHashBandPairs(
+      graft.ops.Stage.materializeOnce(videoFingerprints(assets, decoder)),
+      maxHamming,
+      bands,
+      maxBucketSize)
+
+  /** Perceptual video dedup end-to-end: pairs → transitive components
+    * → (id, component, canonical) — the [[imageNearDup]] /
+    * [[audioNearDup]] contract with the clip fingerprint. Min-id
+    * survivor policy; every DECODABLE asset appears, singletons are
+    * their own component.
+    */
+  def videoNearDup(
+      assets: DataFrame,
+      maxHamming: Int = 4,
+      bands: Int = 8,
+      maxBucketSize: Int = 256,
+      decoder: VideoDecoder = anyAviDecoder): DataFrame = {
+    val sigs =
+      graft.ops.Stage.materializeOnce(videoFingerprints(assets, decoder))
+    val pairs = graft.operators.Dedup.simHashBandPairs(
+      sigs, maxHamming, bands, maxBucketSize)
+    val comps =
+      graft.operators.Dedup.resolveComponentsAuto(pairs, "id_a", "id_b")
+    sigs
+      .select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("canonical", col("id") === col("component"))
+  }
+
+  /** Synthesize one gradient FRAME SEQUENCE of the planted-near-dup
+    * video corpus as raw DIB payloads: the [[imageAssetsFromIds]]
+    * gradient family per pattern, with a per-frame brightness wobble
+    * (`2·(f % 3)`) so frames differ while sharing the pattern's
+    * gradient FIELD (what dHash reads). Values stay ≤ 239+4+... < 256.
+    */
+  private def gradientDibFrames(
+      pattern: Int,
+      w: Int,
+      h: Int,
+      nFrames: Int,
+      shift: Int): IndexedSeq[Array[Byte]] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    (0 until nFrames).map { f =>
+      val wob = shift + 2 * (f % 3)
+      val dib = new Array[Byte](stride * h)
+      var vy = 0
+      while (vy < h) {
+        val off = (h - 1 - vy) * stride // DIB rows store bottom-up
+        var x = 0
+        while (x < w) {
+          val r = (23 * pattern + x * (10 + (pattern % 7) * 6)) % 240 + wob
+          val g = (91 * pattern + vy * (8 + (pattern % 5) * 7)) % 240 + wob
+          val b =
+            (53 * pattern + (x + vy) * (6 + (pattern % 3) * 9)) % 240 + wob
+          dib(off + x * 3) = b.toByte
+          dib(off + x * 3 + 1) = g.toByte
+          dib(off + x * 3 + 2) = r.toByte
+          x += 1
+        }
+        vy += 1
+      }
+      dib
+    }
+  }
+
+  /** Raw-AVI bytes holding caller-supplied DIB frames — the
+    * [[synthAviBytes]] container with arbitrary (not solid-color)
+    * payloads; shared by the planted video corpus and the specs.
+    */
+  def synthAviFromDibs(
+      w: Int,
+      h: Int,
+      frames: Seq[Array[Byte]],
+      fps: Int = 10): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty)
+    val n = frames.length
+    val stride = ((w * 3 + 3) / 4) * 4
+    val fs = stride * h
+    require(frames.forall(_.length == fs), "frame payloads must be stride*h")
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def i32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val moviSz = 4 + n * (8 + fs)
+    val idxSz = 16 * n
+    cc("RIFF"); i32(4 + (8 + 192) + (8 + moviSz) + (8 + idxSz)); cc("AVI ")
+    cc("LIST"); i32(192); cc("hdrl")
+    cc("avih"); i32(56)
+    i32(1000000 / fps); i32(0); i32(0); i32(0x10 /* AVIF_HASINDEX */)
+    i32(n); i32(0); i32(1); i32(fs); i32(w); i32(h)
+    i32(0); i32(0); i32(0); i32(0) // dwReserved[4]
+    cc("LIST"); i32(116); cc("strl")
+    cc("strh"); i32(56)
+    cc("vids"); cc("DIB "); i32(0); i32(0); i32(0)
+    i32(1 /* scale */); i32(fps /* rate */); i32(0); i32(n)
+    i32(fs); i32(-1 /* quality: default */); i32(0)
+    i32(0); i32(0) // rcFrame
+    cc("strf"); i32(40)
+    i32(40); i32(w); i32(h); i32(1 | (24 << 16)) // planes=1, bpp=24
+    i32(0 /* BI_RGB */); i32(fs); i32(0); i32(0); i32(0); i32(0)
+    cc("LIST"); i32(moviSz); cc("movi")
+    frames.foreach { fr => cc("00db"); i32(fs); bos.write(fr) }
+    cc("idx1"); i32(idxSz)
+    var f = 0
+    while (f < n) {
+      cc("00db"); i32(0x10 /* AVIIF_KEYFRAME */)
+      i32(4 + f * (8 + fs)); i32(fs)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** MJPEG-AVI bytes holding caller-supplied DIB frames: each payload
+    * is converted to a BufferedImage (visual order) and JPEG-encoded
+    * into a `00dc` chunk — the compressed re-encode of the SAME clip
+    * [[synthAviFromDibs]] writes raw. Encoded at explicit quality 0.9:
+    * camera/capture MJPEG is high-bitrate intra-frame coding, and the
+    * plant tests CODEC-SEAM invariance (raw vs compressed container of
+    * identical frames), not worst-case quantization — ImageIO's 0.75
+    * default rings hard enough on steep mod-wrap gradients to flip 5-6
+    * fingerprint bits, past the default Hamming budget.
+    */
+  def synthMjpegFromDibs(
+      w: Int,
+      h: Int,
+      frames: Seq[Array[Byte]],
+      fps: Int = 10): Array[Byte] = {
+    imageIoInMemory
+    val stride = ((w * 3 + 3) / 4) * 4
+    val jpegs = frames.map { dib =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var vy = 0
+      while (vy < h) {
+        val off = (h - 1 - vy) * stride
+        var x = 0
+        while (x < w) {
+          val b = dib(off + x * 3) & 0xff
+          val g = dib(off + x * 3 + 1) & 0xff
+          val r = dib(off + x * 3 + 2) & 0xff
+          img.setRGB(x, vy, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        vy += 1
+      }
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.9f)
+      val fbos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(fbos)
+      try {
+        writer.setOutput(ios)
+        writer.write(
+          null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      fbos.toByteArray
+    }
+    mjpegAviFromJpegs(w, h, jpegs, fps)
+  }
+
+  /** Video asset table for the near-dup query (q215 — the
+    * [[melodyAssetsFromIds]] analog): gradient pattern = `id mod
+    * nPatterns`, and the id's group ordinal picks a PLANTED VARIANT —
+    * 0: raw AVI original; 1: MJPEG RE-ENCODE of the same frames
+    * (compressed bitstream through the codec seam); 2: raw AVI with a
+    * uniform brightness shift — so ids sharing a pattern are
+    * perceptual near-dups across exactly the transformations the
+    * fingerprint claims invariance to, while distinct patterns differ
+    * in gradient phase and slope. Deterministic bytes per id on any
+    * JVM; nPatterns × 3 distinct clips memoized per executor (the
+    * [[melodyAssetsFromIds]] rationale).
+    */
+  def videoDupAssetsFromIds(
+      df: DataFrame,
+      idCol: String,
+      w: Int = 18,
+      h: Int = 16,
+      nFrames: Int = 6,
+      nPatterns: Int = 25): DataFrame = {
+    val synth = udf { (id: Long) =>
+      val p = (id % nPatterns).toInt
+      val variant = ((id / nPatterns) % 3).toInt
+      synthMemo(s"vid:$w:$h:$nFrames:$nPatterns:$p:$variant") {
+        variant match {
+          case 0 => synthAviFromDibs(w, h, gradientDibFrames(p, w, h, nFrames, 0))
+          case 1 => synthMjpegFromDibs(w, h, gradientDibFrames(p, w, h, nFrames, 0))
+          case _ => synthAviFromDibs(w, h, gradientDibFrames(p, w, h, nFrames, 4))
+        }
+      }
+    }
+    df.select(
+      col(idCol).cast("long").as("id"),
+      synth(col(idCol).cast("long")).as("data"),
+      struct(
+        lit("video").as("modality"),
+        lit(0L).as("n_bytes"),
+        lit(w).as("width"),
+        lit(h).as("height")).as("meta"))
   }
 
   /** (id, sig) perceptual-hash frame over an asset table — the image

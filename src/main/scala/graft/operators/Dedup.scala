@@ -1167,8 +1167,18 @@ object Dedup {
     * [[FusedIngestMaxBytes]]) before any collect — one extra action,
     * paid only under that configuration.
     */
+  /** Test/bench hook: when the JVM property is set, every fused gather
+    * reports over-budget, forcing the DISTRIBUTED ingest shape — the
+    * 100-TB path — so the throughput suite can measure it and the
+    * specs can assert fused/unfused equivalence without crafting a
+    * 200k-row batch. Checked before any job runs; production never
+    * sets it.
+    */
+  private[graft] val ForceUnfusedProp = "graft.ingest.forceUnfused"
+
   private def gatherCapped(
       gathered: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    if (sys.props.contains(ForceUnfusedProp)) return None
     val guardBytes = gathered.sparkSession.sparkContext.getConf
       .getSizeAsBytes("spark.driver.maxResultSize", "1g")
     if (guardBytes <= 0L) {

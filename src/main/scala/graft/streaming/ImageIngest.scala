@@ -117,3 +117,70 @@ object AudioIngest {
       indexPath: String): Option[DataFrame] =
     Sig64Ingest.ingestedIds(spark, indexPath)
 }
+
+/** Streaming perceptual VIDEO ingestion — [[ImageIngest]] with the
+  * frame-sampled majority-vote clip fingerprint
+  * ([[Multimodal.videoFingerprints]]: dHash of sampled DIB frames,
+  * per-bit majority — codec-blind across the pure-JDK seam's raw-AVI
+  * and MJPEG decoders) and the video Hamming budget (`q215`:
+  * maxHamming 4, 8 bands of width 8). Completes the streaming dedup
+  * modality QUARTET: text ([[NearDupIngest]]), image ([[ImageIngest]]),
+  * audio ([[AudioIngest]]), video.
+  */
+object VideoIngest {
+
+  /** One micro-batch step over raw video rows (`idCol`, `dataCol`:
+    * encoded clip bytes — raw RIFF/AVI or MJPEG-AVI; an external codec
+    * plugs in via `decoder`). Idempotent per (indexPath, batchId).
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      dataCol: String,
+      idCol: String,
+      batchId: Long,
+      maxHamming: Int = 4,
+      bands: Int = 8,
+      maxBucketSize: Int = 256,
+      sourceTag: String = "",
+      decoder: Multimodal.VideoDecoder = Multimodal.anyAviDecoder): Unit =
+    Sig64Ingest.ingestBatch(
+      Multimodal.videoFingerprints(
+        batch.select(col(idCol).as("id"), col(dataCol).as("data")),
+        decoder),
+      indexPath, "sig", "id", batchId, bands, maxHamming, maxBucketSize,
+      sourceTag)
+
+  /** [[Sig64Ingest.compact]] on the video index. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = Sig64Ingest.compact(spark, indexPath)
+
+  /** The ingested (surviving) clip ids, or None before the first
+    * commit.
+    */
+  def ingestedIds(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] =
+    Sig64Ingest.ingestedIds(spark, indexPath)
+
+  /** Run the ingestion loop over a video stream. */
+  def start(
+      stream: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      dataCol: String = "data",
+      idCol: String = "id",
+      maxHamming: Int = 4,
+      bands: Int = 8,
+      maxBucketSize: Int = 256,
+      sourceTag: String = ""): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(
+          batch, indexPath, dataCol, idCol, batchId, maxHamming, bands,
+          maxBucketSize, sourceTag)
+      }
+      .start()
+}
