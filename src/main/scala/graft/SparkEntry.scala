@@ -282,6 +282,7 @@ object SparkEntry {
     embDupIndexCache.clear()
     cdcLogCache.clear()
     bpeMergesCache.clear()
+    bm25IndexCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -1676,6 +1677,48 @@ object SparkEntry {
       "text",
       Seq("hash", "join", "stream"),
       k = 20)
+
+  /** Build-once BM25 inverted-index cache (per JVM, per sf dir) — the
+    * sparse-retrieval twin of [[lshIndexCache]]: the probe path must
+    * not re-tokenize the corpus per query batch.
+    */
+  private val bm25IndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25Index(s: SparkSession, d: String): String =
+    bm25IndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("bm25", d)
+        graft.operators.Sampling.bm25WriteIndex(
+          Tables.documents(s, d), "doc_id", "text", path, sourceTag = d)
+        path
+      })
+
+  /** BM25 MANY-QUERY batch probe over the persisted inverted index
+    * (q216): top-10 per query for a 3-query batch — the
+    * build-once / probe-many lifecycle ([[graft.operators.Sampling
+    * .bm25WriteIndex]]/[[graft.operators.Sampling.bm25ProbeMany]]) the
+    * ANN family already follows, now for sparse retrieval. The probe
+    * reads only the query terms' postings shards (partition pruning +
+    * a pushed term IN filter over term-sorted row groups); dl rides
+    * denormalized on the posting rows, so no corpus-cardinality join
+    * or exchange exists at probe time. Per query, scores are
+    * term-for-term identical to the inline q214 path (SamplingSpec
+    * asserts equality); HASH-green against a DuckDB replay of the
+    * same three-query batch.
+    */
+  private def q216(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .bm25ProbeMany(
+        s,
+        bm25Index(s, d),
+        Seq(
+          1L -> Seq("hash", "join", "stream"),
+          2L -> Seq("vector", "scan"),
+          3L -> Seq("window", "merge", "slow")),
+        k = 10,
+        sourceTag = d)
+      .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
 
   /** SEMANTIC benchmark decontamination, exact form (q213): the
     * embedding-level twin of q54/q61's shingle decontamination — drop
@@ -5265,7 +5308,8 @@ object SparkEntry {
     "q212_image_dhash" -> (q212 _),
     "q213_semantic_decontam" -> (q213 _),
     "q214_bm25_topk" -> (q214 _),
-    "q215_video_neardup" -> (q215 _)
+    "q215_video_neardup" -> (q215 _),
+    "q216_bm25_probe_many" -> (q216 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7270,6 +7314,49 @@ object SparkEntry {
          )
          SELECT doc_id, round(score, 6) AS bm25 FROM s
          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q216_bm25_probe_many" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+           FROM documents WHERE trim(text) <> ''
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+         ), q AS (
+           SELECT CAST(1 AS BIGINT) AS query_id,
+                  unnest(['hash', 'join', 'stream']) AS term
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), unnest(['vector', 'scan'])
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), unnest(['window', 'merge', 'slow'])
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1
+         ), dl AS (
+           SELECT doc_id, count(*) AS dl FROM t GROUP BY 1
+         ), stats AS (
+           SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM t)::DOUBLE /
+                    (SELECT count(*) FROM documents) AS avgdl
+         ), s AS (
+           SELECT q.query_id, tf.doc_id,
+             round(sum(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))),
+               6) AS bm25
+           FROM tf
+           JOIN q ON q.term = tf.term
+           JOIN dfq ON dfq.term = tf.term
+           JOIN dl USING (doc_id), stats
+           GROUP BY 1, 2
+         ), r AS (
+           SELECT query_id, doc_id, bm25,
+                  row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id) AS rk
+           FROM s
+         )
+         SELECT query_id, doc_id, bm25 FROM r WHERE rk <= 10
+         ORDER BY query_id, bm25 DESC, doc_id""",
     "q213_semantic_decontam" ->
       """SELECT t.vec_id, t.label FROM embeddings t
          WHERE t.vec_id % 10 <> 0

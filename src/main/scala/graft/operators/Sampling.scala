@@ -403,9 +403,20 @@ object Sampling {
             .as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val qTerms = query.distinct.toDF("term")
     val posting = tf.join(broadcast(qTerms), Seq("term"))
+    // dl only for docs that MATCH a query term: the corpus-wide dl
+    // frame joined against the pruned postings was one avoidable
+    // corpus-cardinality exchange. The match-doc list is bounded by
+    // the pruned postings (the smallness assumption this inline path
+    // is built on; [[bm25ProbeMany]] denormalizes dl onto the
+    // persisted postings instead, so the index path never computes dl
+    // at probe time at all), so broadcast it into the tf scan and
+    // aggregate doc length over matched rows only.
+    val dl = tf
+      .join(broadcast(posting.select("doc_id").distinct()), Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("dl"))
     val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = df
       .agg(count(lit(1)).cast("double").as("__n"))
@@ -416,13 +427,162 @@ object Sampling {
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
     posting
       .join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
+      .join(broadcast(dl), Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(sum(idf * tfNorm).as("__s"))
       .select(col("doc_id"), round(col("__s"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Persist the build-once BM25 inverted index — the sparse-retrieval
+    * counterpart of the ANN family's build-once / probe-many
+    * discipline ([[graft.operators.Similarity.lshWriteIndex]],
+    * [[Dedup.minHashWriteIndex]]): [[bm25TopK]] re-tokenizes the
+    * corpus per query; this pays the tokenize ONCE and every probe
+    * reads only its own terms' postings.
+    *
+    * Layout (`$path/postings`, partitioned by `shard`):
+    * (term, doc_id, tf, dl) with `shard = pmod(hash(term), nShards)` —
+    * a bounded directory count (a vocabulary-sized partitionBy(term)
+    * would explode the filesystem), pruned at probe time to the query
+    * terms' shards; within each shard the rows are SORTED BY TERM so
+    * the probe's pushed `term IN (...)` filter also skips row groups
+    * on parquet min/max stats. `dl` is DENORMALIZED onto every posting
+    * row (the Lucene norms-in-postings trick): the probe path scores
+    * from pruned posting rows plus two broadcast scalars alone — no
+    * corpus-cardinality join or exchange anywhere at probe time.
+    * Per-term df is NOT stored: postings are complete per term, so the
+    * probe's count over its own pruned rows IS the exact global df.
+    *
+    * `_meta` records (N, avgdl, nShards, source) and is validated by
+    * the probe — wrong nShards or a cross-wired source is an error,
+    * not silently wrong ranks.
+    */
+  def bm25WriteIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nShards: Int = 64,
+      sourceTag: String = ""): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = df.sparkSession
+    val tf = graft.ops.Stage.materializeOnce(
+      df.select(
+          col(idCol).as("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+            .as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")))
+    // dl rides a window over the doc partition rather than a self-join:
+    // one exchange, and the build is the right place to pay the
+    // corpus-wide doc-length pass (amortized over every later probe)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tf.withColumn("dl", sum("tf").over(win))
+      .withColumn("shard", pmod(hash(col("term")), lit(nShards)))
+      .repartition(col("shard"))
+      .sortWithinPartitions("term")
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(s"$path/postings")
+    val statsRow = df
+      .agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(tf.agg(
+        coalesce(sum("tf"), lit(0L)).cast("double").as("toks")))
+      .head()
+    val n = statsRow.getDouble(0)
+    val avgdl = if (n > 0) statsRow.getDouble(1) / n else 0.0
+    spark
+      .range(1)
+      .select(
+        lit(n).as("n"),
+        lit(avgdl).as("avgdl"),
+        lit(nShards).as("nShards"),
+        lit(sourceTag).as("source"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
+  }
+
+  /** Batch BM25 retrieval over a persisted index: top-k documents for
+    * EVERY query of a broadcast query batch in one plan — per query
+    * term-for-term identical scores to the inline [[bm25TopK]]
+    * (asserted by SamplingSpec), with none of its per-query corpus
+    * work.
+    *
+    * Plan shape: the query batch's distinct terms prune the postings
+    * scan twice — a PARTITION filter on the terms' shards (driver-
+    * computed from the same hash the build used) plus a pushed
+    * `term IN (...)` literal filter that skips row groups inside the
+    * surviving shards (the build sorts by term). df per term is one
+    * tiny aggregate over the pruned rows (exact — postings are
+    * complete per term); query_id attachment and df both join
+    * BROADCAST; scoring groups by (query_id, doc_id); ranking is a
+    * per-query window over the scored rows (hash-partitioned by
+    * query_id — never a global sort or single partition). Scores round
+    * to 6 decimals BEFORE ranking, ties break on doc_id — the
+    * [[bm25TopK]] determinism contract.
+    */
+  def bm25ProbeMany(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: Seq[(Long, Seq[String])],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      sourceTag: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexPath/_meta").head()
+    val n = meta.getAs[Double]("n")
+    val avgdl = meta.getAs[Double]("avgdl")
+    val nShards = meta.getAs[Int]("nShards")
+    val built = meta.getAs[String]("source")
+    require(
+      sourceTag.isEmpty || built == null || built.isEmpty ||
+        built == sourceTag,
+      s"BM25 index at $indexPath was built from source '$built'; probe " +
+        s"expected source '$sourceTag' — refusing to cross-wire indexes")
+    val qx = queries
+      .flatMap { case (qid, terms) => terms.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    // the shard list comes from the SAME hash expression the build
+    // used, evaluated over the term batch (driver-bounded by the
+    // query batch, never the corpus)
+    val shards = allTerms
+      .toDF("term")
+      .select(pmod(hash(col("term")), lit(nShards)).as("shard"))
+      .distinct()
+      .as[Int]
+      .collect()
+    val pruned = spark.read
+      .parquet(s"$indexPath/postings")
+      .where(col("shard").isin(shards.map(Integer.valueOf): _*))
+      .where(col("term").isin(allTerms: _*))
+    val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf =
+      log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    pruned
+      .join(broadcast(qx), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(idf * tfNorm).as("__s"))
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        round(col("__s"), 6).as("bm25"))
+      .withColumn("__rk", row_number().over(rankWin))
+      .where(col("__rk") <= k)
+      .drop("__rk")
   }
 
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {

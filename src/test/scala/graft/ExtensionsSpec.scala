@@ -654,6 +654,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(2)._2 === s(1, 2))
   }
 
+  test("bm25 probe-many over the persisted index equals the inline path per query") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val idx =
+      java.nio.file.Files.createTempDirectory("graft-bm25").toString + "/bm25"
+    graft.operators.Sampling
+      .bm25WriteIndex(docs, "doc_id", "text", idx, sourceTag = "spec")
+    val batch = Seq(
+      1L -> Seq("hash", "join", "stream"),
+      2L -> Seq("vector", "scan"),
+      // duplicate terms in a query must not double-count, and an
+      // out-of-vocabulary term must contribute nothing
+      3L -> Seq("window", "window", "zzz_not_a_term"))
+    val probe = graft.operators.Sampling
+      .bm25ProbeMany(spark, idx, batch, k = 10, sourceTag = "spec")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).sortBy(p => (-p._2, p._1)).toSeq)
+      .toMap
+    batch.foreach { case (qid, terms) =>
+      val inline = graft.operators.Sampling
+        .bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq
+      assert(
+        probe(qid) === inline,
+        s"probe and inline disagree for query $qid ($terms)")
+    }
+    // cross-wired source refuses loudly, not silently wrong ranks
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling
+        .bm25ProbeMany(spark, idx, batch, k = 5, sourceTag = "other-dir")
+        .collect()
+    }
+    assert(e.getMessage.contains("cross-wire"))
+  }
+
   test("semantic decontamination: exact flags planted leak, banded ⊆ exact") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val bench = emb.where(col("vec_id") % 10 === 0)

@@ -222,6 +222,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.isDefined, s"no band partition filter in probe scan:\n$p")
   }
 
+  test("q216 BM25 probe reads pruned postings, never re-tokenizes the corpus") {
+    val p = plan(SparkEntry.queries("q216_bm25_probe_many")(spark, TestSpark.sf))
+    // partition pruning: the scan touches only the query terms' shards
+    val pf = p.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("shard"))
+    assert(pf.isDefined, s"no shard partition filter in postings scan:\n$p")
+    // the term IN (...) literal filter reaches parquet (row-group
+    // skipping inside surviving shards — the build sorts by term)
+    val pushed = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("term"))
+    assert(pushed.isDefined, s"term filter not pushed to postings scan:\n$p")
+    // build-once contract: the PROBE plan must not tokenize the corpus —
+    // no documents scan, no split-on-whitespace projection
+    assert(
+      !p.contains("documents.parquet"),
+      s"probe plan re-reads the corpus:\n$p")
+    assert(!p.contains("split("), s"probe plan re-tokenizes:\n$p")
+  }
+
   test("tfIdf never forces a broadcast of the document-frequency table") {
     // at web scale the vocabulary is not broadcastable: with the
     // broadcast threshold off, the term join must degrade to a shuffle
