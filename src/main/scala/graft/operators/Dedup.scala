@@ -1820,21 +1820,54 @@ object Dedup {
       struct(col("id"), col("sig")).as("v"),
       explode(
         array((0 until bands).map { b =>
-          hash(
-            lit(b),
-            shiftright(col("sig"), b * width).bitwiseAND(lit(mask)))
-        }: _*)).as("bucket"))
+          struct(
+            lit(b).as("band"),
+            hash(
+              lit(b),
+              shiftright(col("sig"), b * width).bitwiseAND(lit(mask)))
+              .as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("v"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val p = sigDf.sparkSession.sparkContext.defaultParallelism
+    // grouped by (band, bucket) — same groups as the bucket hash alone
+    // (the hash folds the band in), but the band ordinal survives to
+    // the pair stage for the exactly-once emission rule below
     val bucketed = banded
-      .groupBy("bucket")
+      .groupBy("band", "bucket")
       // sort_array on struct<id,sig> orders by id (sig is functional
       // on id) — preserves the i<j no-self-no-swap pair discipline
       .agg(sort_array(collect_list(col("v"))).as("vs"))
       .where(size(col("vs")).between(2, maxBucketSize))
       // spread the pair explosion (compute-heavy on few, fat rows)
       .repartition(p)
+    // EXACTLY-ONCE pair emission, no dedup exchange: a near-identical
+    // pair collides in MOST of its bands (a hamming-d pair matches in
+    // >= bands-d of them), so the former emit-everywhere-then-
+    // .distinct() shape shuffled each surviving pair up to `bands`
+    // times — measured as the largest slice of the perceptual-dedup
+    // pair stage (~8x the surviving-pair rows through the exchange on
+    // the planted corpora). Instead each pair is emitted only in its
+    // FIRST slice-matching band, a condition both members can check
+    // inline from the signatures they already carry: slices at band j
+    // are pure bit-slices of the two longs, so "first matching band ==
+    // this band" costs `bands` shift-compares per candidate and makes
+    // emission globally unique by construction. Pigeonhole guarantees
+    // every verified pair HAS a first matching band (d <= maxHamming <
+    // bands leaves >= 1 band untouched). Semantics vs the old shape
+    // differ only under the skew guard: a pair whose first matching
+    // band sits in an over-cap (dropped) bucket is now dropped even if
+    // a LATER band's bucket survived — the skew drop was already a
+    // declared recall boundary, and this makes it deterministic per
+    // pair instead of dependent on which duplicates survived.
+    val sliceEq = (b: Int, sa: Column, sb: Column) =>
+      shiftright(sa, b * width).bitwiseAND(lit(mask)) ===
+        shiftright(sb, b * width).bitwiseAND(lit(mask))
+    val firstMatchBand = (sa: Column, sb: Column) =>
+      (0 until bands).foldRight(lit(bands): Column)((b, acc) =>
+        when(sliceEq(b, sa, sb), lit(b)).otherwise(acc))
     bucketed
       .select(
+        col("band"),
         explode(
           flatten(
             transform(
@@ -1850,13 +1883,12 @@ object Dedup {
                       x.getField("id").as("id_a"),
                       y.getField("id").as("id_b"),
                       bit_count(x.getField("sig")
-                        .bitwiseXOR(y.getField("sig"))).as("hamming"))))))
+                        .bitwiseXOR(y.getField("sig"))).as("hamming"),
+                      firstMatchBand(x.getField("sig"), y.getField("sig"))
+                        .as("fm"))))))
           .as("pr"))
+      .where(col("pr.hamming") <= maxHamming && col("pr.fm") === col("band"))
       .select(col("pr.id_a"), col("pr.id_b"), col("pr.hamming"))
-      .where(col("hamming") <= maxHamming)
-      // cross-band duplicates collapse AFTER the inline verify — the
-      // dedup exchange carries only surviving pairs
-      .distinct()
   }
 
   /** Banded SimHash near-dup pairs from raw text (staged token-hash →
@@ -2381,11 +2413,18 @@ object Dedup {
     * materialization, and a convergence scan, times O(log diameter)
     * rounds — dominates ingest latency (measured: the single largest
     * slice of the ~1 s/batch streaming-ingest overhead). Up to
-    * `driverCap` edges (two longs each; 200k edges ≈ 3 MB on the
-    * driver) are collected and resolved with union-find in
-    * microseconds; a graph over the cap, or with non-integral id
+    * `driverCap` edges are collected and resolved with union-find in
+    * milliseconds; a graph over the cap, or with non-integral id
     * types, falls back to the distributed pointer-jumping loop
     * unchanged — the 100-TB path is exactly [[resolveComponents]].
+    * The default cap is 1M edges (~16 MB of longs, ~90 MB transient as
+    * collected rows — a bounded one-shot, not a per-batch cost): a
+    * planted-dup corpus of 200-member families produces ~500k verified
+    * pairs at only 5k docs, and the former 200k cap silently pushed
+    * exactly the perceptual-dedup queries it was built for onto the
+    * iterative loop, whose fixed per-round cost (5 stages × O(log
+    * diameter) rounds, plus a second evaluation of the pair pipeline)
+    * was the single largest slice of q207/q211 wall time.
     *
     * Contract identical to [[resolveComponents]] (one row per vertex,
     * component = min id of the component) with one exception: the
@@ -2400,7 +2439,7 @@ object Dedup {
       idB: String = "id_b",
       maxIters: Int = 25,
       saltBuckets: Int = 8,
-      driverCap: Int = 200000): DataFrame = {
+      driverCap: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
     val integral = Seq(idA, idB).forall(c =>
@@ -2411,11 +2450,31 @@ object Dedup {
     if (!integral || driverCap <= 0)
       return resolveComponents(pairs, idA, idB, maxIters, saltBuckets)
     // limit() short-circuits pair generation once cap+1 rows exist, so
-    // an over-cap graph pays one partial scan before falling back
-    val head = pairs
-      .select(col(idA).cast("long"), col(idB).cast("long"))
-      .limit(driverCap + 1)
-      .collect()
+    // an over-cap graph pays one partial scan before falling back.
+    // ONE WAVE, not CollectLimit's incremental ones: the default
+    // initialNumPartitions=1 makes the limit probe 1 partition, then
+    // 4x more, then 4x more — and each wave RE-RUNS the post-shuffle
+    // pair-explosion + verify result stage (the pipeline's
+    // compute-heavy part; only the map-side shuffle files are reused).
+    // Measured on q211's 5k-doc pair graph: the waves made the
+    // components phase ~3x the cost of the pair scan itself. Scoping
+    // the conf to this collect makes the first wave scan every
+    // partition in parallel — identical rows, identical cap semantics,
+    // one job. (Session-conf set/restore, the IngestTuning pattern;
+    // the ingest hot loop already serializes same-session callers.)
+    val limitKey = "spark.sql.limit.initialNumPartitions"
+    val prevInit = spark.conf.getOption(limitKey)
+    val head =
+      try {
+        spark.conf.set(limitKey, "4096")
+        pairs
+          .select(col(idA).cast("long"), col(idB).cast("long"))
+          .limit(driverCap + 1)
+          .collect()
+      } finally prevInit match {
+        case Some(v) => spark.conf.set(limitKey, v)
+        case None => spark.conf.unset(limitKey)
+      }
     if (head.length > driverCap)
       return resolveComponents(pairs, idA, idB, maxIters, saltBuckets)
     // union-find, merging by smaller root: the root of a component is
