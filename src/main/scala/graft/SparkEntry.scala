@@ -1678,6 +1678,39 @@ object SparkEntry {
       Seq("hash", "join", "stream"),
       k = 20)
 
+  /** HASH-GREEN twin of q211's fingerprint stage (the q212 precedent
+    * on the audio modality): Spark runs the REAL pipeline — WAV
+    * synthesis, `javax.sound.sampled` container decode, Hann-windowed
+    * DFT band energies, delta-sign packing
+    * ([[graft.multimodal.Multimodal.audioFingerprints]]) — while the
+    * DuckDB oracle replays the planted melodies ARITHMETICALLY: the
+    * clips are quantized sinusoids that are pure functions of
+    * (doc_id mod 25, group ordinal), so every per-sample PCM value,
+    * Hann weight, probe phasor, and band energy is reproducible in
+    * SQL, and the 64 sign bits compare with a measured worst relative
+    * energy margin of 5.9e-4 across all 75 distinct clips — eleven
+    * orders of magnitude above cross-engine libm noise, so the strict
+    * compares agree bit-for-bit. Ships as two unsigned 32-bit halves
+    * (the q212 packing). Converts the audio-decode/DSP stage from
+    * rows-only to a hard hash row; banding/components stay covered by
+    * q211 + AudioDedupSpec.
+    */
+  private def q217(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .audioFingerprints(
+        graft.multimodal.Multimodal.melodyAssetsFromIds(
+          Tables.documents(s, d)
+            .select("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id"))
+      .select(
+        col("id").as("doc_id"),
+        shiftrightunsigned(col("sig"), 32)
+          .bitwiseAND(lit(0xFFFFFFFFL))
+          .as("sig_hi"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
+      .orderBy("doc_id")
+
   /** Build-once BM25 inverted-index cache (per JVM, per sf dir) — the
     * sparse-retrieval twin of [[lshIndexCache]]: the probe path must
     * not re-tokenize the corpus per query batch.
@@ -5309,7 +5342,8 @@ object SparkEntry {
     "q213_semantic_decontam" -> (q213 _),
     "q214_bm25_topk" -> (q214 _),
     "q215_video_neardup" -> (q215 _),
-    "q216_bm25_probe_many" -> (q216 _)
+    "q216_bm25_probe_many" -> (q216 _),
+    "q217_audio_fingerprint" -> (q217 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -7874,6 +7908,82 @@ object SparkEntry {
            md5(clean) AS digest
          FROM c
          ORDER BY doc_id"""),
+    // q217: arithmetic replay of the planted melodies — quantized
+    // sinusoid samples, Hann weights, and the 16 probe DFTs are each a
+    // closed-form double chain in (p, v); sign margins measured 5.9e-4
+    // worst-case across all 75 distinct clips, so an independent libm
+    // agrees on every bit. Frame index from sample index: t = (9i+8)//n
+    // (proved equivalent to i in [floor(tn/9), floor((t+1)n/9))).
+    "q217_audio_fingerprint" ->
+      """WITH px AS (
+           SELECT doc_id,
+                  CAST(doc_id % 25 AS BIGINT) AS p,
+                  CAST((doc_id // 25) % 3 AS BIGINT) AS v
+           FROM documents
+         ), clip AS (
+           SELECT DISTINCT p, v,
+                  CASE WHEN v = 2 THEN 11025.0 ELSE 8000.0 END AS rate,
+                  CASE WHEN v = 1 THEN 0.4 ELSE 0.8 END AS amp,
+                  CASE WHEN v = 2 THEN 551 ELSE 400 END AS per
+           FROM px
+         ), note AS (
+           SELECT p, v, rate, amp, per, j.i AS nj,
+                  220.0 * pow(2.0,
+                    (((p*5 + j.i*j.i*3 + (p % 7)*j.i) % 25 + 25) % 25)
+                      / 12.0) AS freq
+           FROM clip, range(8) j(i)
+         ), samp AS (
+           SELECT p, v, rate, n.nj * per + s.i AS i,
+                  trunc(sin(2*pi()*n.freq*s.i/n.rate) * n.amp * 32767)
+                    / 32768.0 AS x,
+                  8 * per AS n
+           FROM note n, range(551) s(i) WHERE s.i < n.per
+         ), frg AS (
+           SELECT p, v, rate, n, i, x, (9*i + 8) // n AS t
+           FROM samp
+         ), xw AS (
+           SELECT p, v, rate, t,
+                  ((t+1)*n) // 9 - (t*n) // 9 AS len,
+                  i - (t*n) // 9 AS j,
+                  x * 0.5 * (1 - cos(2*pi()*(i - (t*n) // 9)
+                    / (((t+1)*n) // 9 - (t*n) // 9))) AS xw
+           FROM frg
+         ), probe AS (
+           SELECT b.i AS b, k.i AS k,
+                  (200.0 * pow(8.0, b.i/8.0)) *
+                    pow((200.0 * pow(8.0, (b.i+1)/8.0))
+                          / (200.0 * pow(8.0, b.i/8.0)),
+                        (k.i + 0.5)/2.0) AS f
+           FROM range(8) b(i), range(2) k(i)
+         ), dft AS (
+           SELECT x.p, x.v, x.t, pr.b, pr.k,
+                  sum(x.xw * cos(2*pi()*pr.f/x.rate * x.j)) AS sr,
+                  -sum(x.xw * sin(2*pi()*pr.f/x.rate * x.j)) AS si,
+                  any_value(x.len) AS len
+           FROM xw x, probe pr
+           GROUP BY x.p, x.v, x.t, pr.b, pr.k
+         ), band AS (
+           SELECT p, v, t, b,
+                  sum((sr*sr + si*si)/(CAST(len AS DOUBLE)*len)) AS e
+           FROM dft GROUP BY 1, 2, 3, 4
+         ), bits AS (
+           SELECT a.p, a.v, a.t*8 + a.b AS bit
+           FROM band a JOIN band c
+             ON c.p = a.p AND c.v = a.v AND c.b = a.b AND c.t = a.t + 1
+           WHERE a.t < 8 AND c.e > a.e
+         ), sig AS (
+           SELECT p, v,
+             coalesce(sum(CASE WHEN bit >= 32
+               THEN CAST(1 AS BIGINT) << (bit - 32) END), 0) AS sig_hi,
+             coalesce(sum(CASE WHEN bit < 32
+               THEN CAST(1 AS BIGINT) << bit END), 0) AS sig_lo
+           FROM bits GROUP BY 1, 2
+         )
+         SELECT px.doc_id,
+                CAST(coalesce(s.sig_hi, 0) AS BIGINT) AS sig_hi,
+                CAST(coalesce(s.sig_lo, 0) AS BIGINT) AS sig_lo
+         FROM px LEFT JOIN sig s ON s.p = px.p AND s.v = px.v
+         ORDER BY doc_id""",
     // q212: arithmetic replay of the planted 18x16 gradients — each
     // 9x8 dHash cell is a 2x2 pixel block; R depends only on x, G only
     // on y, B on x+y, so the 4-pixel luma sum collapses to
