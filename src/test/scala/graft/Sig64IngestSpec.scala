@@ -108,6 +108,31 @@ class Sig64IngestSpec extends AnyFunSuite {
     assert(ingested(idx) === Set(1L, 10L, 20L, 32L))
   }
 
+  test("forced gatherCapped fallback (the bench hook) agrees with the fused path") {
+    // the same batches through the fused shape and through the
+    // distributed shape forced by the graft.ingest.forceUnfused
+    // JVM-prop hook (what StreamBench's neardup_ingest_fallback rep
+    // sets) must ingest identical survivor sets — the fallback-
+    // equivalence contract, asserted via the exact hook the bench uses
+    def runTo(idx: String, force: Boolean): Set[Long] = {
+      def batch(rows: Seq[(Long, Long)], id: Long): Unit = {
+        if (force) sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+        try Sig64Ingest.ingestBatch(
+          rows.toDF("id", "sig"), idx, "sig", "id", batchId = id)
+        finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+      }
+      batch(Seq((1L, 0L), (2L, 0x13L), (10L, 0x123456789ABCDEFL)), 0L)
+      batch(Seq((3L, 0x11L), (20L, 0x7700770077007700L)), 1L)
+      ingested(idx)
+    }
+    val fused = runTo(
+      Files.createTempDirectory("graft-s64f").toString + "/s64", force = false)
+    val forced = runTo(
+      Files.createTempDirectory("graft-s64ff").toString + "/s64", force = true)
+    assert(fused === forced)
+    assert(fused === Set(1L, 10L, 20L))
+  }
+
   test("sig64 unfused path (non-fusable id type) agrees on survivors") {
     // decimal ids force the distributed (unfused) shape end-to-end
     val idx = Files.createTempDirectory("graft-s64u").toString + "/s64"
