@@ -1711,6 +1711,40 @@ object SparkEntry {
         col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
       .orderBy("doc_id")
 
+  /** HASH-GREEN twin of q215's fingerprint stage (the q212/q217
+    * precedent on the video modality): Spark runs the REAL pipeline —
+    * AVI container synthesis, RIFF parse, bottom-up DIB frame decode,
+    * per-frame dHash, relative-position frame sampling, per-bit
+    * majority vote ([[graft.multimodal.Multimodal.videoFingerprints]])
+    * — while the DuckDB oracle replays the planted clips
+    * ARITHMETICALLY. The assets
+    * ([[graft.multimodal.Multimodal.videoVoteAssetsFromIds]]) plant
+    * minority OUTLIER frames of a different pattern that the majority
+    * vote provably suppresses (5-vs-1 in the 6-frame variants) and, in
+    * the 11-frame variant, park them on the two frame indices the
+    * t·n/9 sampler never visits — so the clip signature collapses to
+    * the integer-exact dHash of the base gradient pattern (the q212
+    * cell formula, brightness terms cancelling in every cell compare).
+    * Ships as two unsigned 32-bit halves (the q212 packing). Converts
+    * the video decode/sample/vote stage from rows-only to a hard hash
+    * row; banding/components stay covered by q215 + VideoDedupSpec.
+    */
+  private def q218(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .videoFingerprints(
+        graft.multimodal.Multimodal.videoVoteAssetsFromIds(
+          Tables.documents(s, d)
+            .select("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id"))
+      .select(
+        col("id").as("doc_id"),
+        shiftrightunsigned(col("sig"), 32)
+          .bitwiseAND(lit(0xFFFFFFFFL))
+          .as("sig_hi"),
+        col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
+      .orderBy("doc_id")
+
   /** Build-once BM25 inverted-index cache (per JVM, per sf dir) — the
     * sparse-retrieval twin of [[lshIndexCache]]: the probe path must
     * not re-tokenize the corpus per query batch.
@@ -5343,7 +5377,8 @@ object SparkEntry {
     "q214_bm25_topk" -> (q214 _),
     "q215_video_neardup" -> (q215 _),
     "q216_bm25_probe_many" -> (q216 _),
-    "q217_audio_fingerprint" -> (q217 _)
+    "q217_audio_fingerprint" -> (q217 _),
+    "q218_video_fingerprint" -> (q218 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8025,6 +8060,49 @@ object SparkEntry {
              AS BIGINT) AS sig_lo
          FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
          GROUP BY d.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    // q218: arithmetic replay of the planted clip fingerprints — the
+    // majority vote suppresses every outlier frame (5-vs-1) and the
+    // t*n/9 sampler skips the 11-frame variant's outlier indices, so
+    // the clip signature IS the q212 cell formula of the base pattern;
+    // the brightness shift and the per-frame wobble both add exactly
+    // 4000*s to each 2x2 cell's pre-division sum (divisible by 4), so
+    // every cell comparison — and every bit — is shift-free.
+    "q218_video_fingerprint" ->
+      """WITH px AS (
+           SELECT doc_id, CAST(doc_id % 25 AS BIGINT) AS p
+           FROM documents),
+         terms AS (
+           SELECT DISTINCT p, cy.i AS cy, cx.i AS cx,
+             (23*p + (2*cx.i    )*(10+(p%7)*6)) % 240 AS ra,
+             (23*p + (2*cx.i + 1)*(10+(p%7)*6)) % 240 AS rb,
+             (91*p + (2*cy.i    )*(8+(p%5)*7)) % 240 AS ga,
+             (91*p + (2*cy.i + 1)*(8+(p%5)*7)) % 240 AS gb,
+             (53*p + (2*cx.i + 2*cy.i    )*(6+(p%3)*9)) % 240 AS ba,
+             (53*p + (2*cx.i + 2*cy.i + 1)*(6+(p%3)*9)) % 240 AS bb,
+             (53*p + (2*cx.i + 2*cy.i + 2)*(6+(p%3)*9)) % 240 AS bc
+           FROM px, range(8) cy(i), range(9) cx(i)),
+         cells AS (
+           SELECT p, cy, cx,
+             (598*(ra + rb) + 1174*(ga + gb) + 114*(ba + 2*bb + bc)) // 4
+               AS cell
+           FROM terms),
+         bits AS (
+           SELECT a.p, a.cy * 8 + a.cx AS k
+           FROM cells a JOIN cells b
+             ON b.p = a.p AND b.cy = a.cy AND b.cx = a.cx + 1
+           WHERE a.cx < 8 AND b.cell > a.cell),
+         sig AS (
+           SELECT p,
+             coalesce(SUM(CASE WHEN k >= 32
+               THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS sig_hi,
+             coalesce(SUM(CASE WHEN k < 32
+               THEN CAST(1 AS BIGINT) << k END), 0) AS sig_lo
+           FROM bits GROUP BY p)
+         SELECT px.doc_id,
+           CAST(coalesce(s.sig_hi, 0) AS BIGINT) AS sig_hi,
+           CAST(coalesce(s.sig_lo, 0) AS BIGINT) AS sig_lo
+         FROM px LEFT JOIN sig s ON s.p = px.p
+         ORDER BY doc_id"""
   )
 }

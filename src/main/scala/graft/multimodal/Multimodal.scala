@@ -1666,6 +1666,66 @@ object Multimodal {
         lit(h).as("height")).as("meta"))
   }
 
+  /** Video asset table for the HASH-GREEN fingerprint twin (q218 —
+    * the [[imageAssetsFromIds]] / [[melodyAssetsFromIds]] precedent on
+    * the video modality): every clip is a raw AVI of 18×16 gradient
+    * frames sharing pattern `id mod nPatterns`, with PLANTED MINORITY
+    * OUTLIER frames of the NEXT pattern that the per-bit majority vote
+    * must suppress — so the clip fingerprint collapses to the closed
+    * form `dHash(pattern p)` that an arithmetic SQL oracle can replay
+    * (the q212 cell formula), while the engine runs the REAL
+    * AVI-encode → RIFF-parse → DIB-decode → per-frame-dHash →
+    * majority-vote path. The id's group ordinal picks a variant that
+    * varies what the vote and the sampler see without changing the
+    * closed form:
+    *   - 0: 6 frames, outlier at index 5 — every frame is sampled
+    *     (n ≤ 9), so the vote is a real 5-vs-1 suppression;
+    *   - 1: the same with a uniform brightness shift (+4) — shift
+    *     cancels in every dHash cell comparison (the luma shift is
+    *     4000·s per 2×2 cell, exactly divisible by the ÷4);
+    *   - 2: 11 frames with outliers at indices 5 and 10 — the
+    *     relative-position sampler (t·11/9) never lands on either, so
+    *     this variant pins the SAMPLER arithmetic instead.
+    * The per-frame brightness wobble inside [[gradientDibFrames]]
+    * cancels the same way the variant shift does, so all sampled
+    * frames of a clip dHash identically and the majority is exact.
+    * Deterministic bytes per id; nPatterns × 3 distinct clips memoized
+    * per executor.
+    */
+  def videoVoteAssetsFromIds(
+      df: DataFrame,
+      idCol: String,
+      w: Int = 18,
+      h: Int = 16,
+      nPatterns: Int = 25): DataFrame = {
+    val synth = udf { (id: Long) =>
+      val p = (id % nPatterns).toInt
+      val variant = ((id / nPatterns) % 3).toInt
+      synthMemo(s"vvote:$w:$h:$nPatterns:$p:$variant") {
+        val q = (p + 1) % nPatterns
+        val (shift, nFrames, outliers) = variant match {
+          case 0 => (0, 6, Set(5))
+          case 1 => (4, 6, Set(5))
+          case _ => (2, 11, Set(5, 10))
+        }
+        val base = gradientDibFrames(p, w, h, nFrames, shift)
+        val out = gradientDibFrames(q, w, h, nFrames, shift)
+        synthAviFromDibs(
+          w,
+          h,
+          (0 until nFrames).map(f => if (outliers(f)) out(f) else base(f)))
+      }
+    }
+    df.select(
+      col(idCol).cast("long").as("id"),
+      synth(col(idCol).cast("long")).as("data"),
+      struct(
+        lit("video").as("modality"),
+        lit(0L).as("n_bytes"),
+        lit(w).as("width"),
+        lit(h).as("height")).as("meta"))
+  }
+
   /** (id, sig) perceptual-hash frame over an asset table — the image
     * analog of the text SimHash signature projection. Same
     * mapPartitions batching contract as [[decodeImages]]; corrupt rows

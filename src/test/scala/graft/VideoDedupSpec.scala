@@ -143,6 +143,52 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(Multimodal.videoFingerprintBytes(one).get === still)
   }
 
+  test("q218 vote corpus: every variant replays the arithmetic cell formula") {
+    // the q218 oracle's closed form, computed here independently of
+    // both the production generator and the decode path: each 9×8
+    // dHash cell of the 18×16 gradient is a 2×2 pixel block whose luma
+    // sum collapses to integer arithmetic in the pattern alone (shift
+    // and wobble add exactly 4000·s pre-division — divisible by 4 —
+    // so every cell COMPARISON is shift-free)
+    def arithmeticSig(p: Int): Long = {
+      def cell(cy: Int, cx: Int): Long = {
+        val ra = (23 * p + (2 * cx) * (10 + (p % 7) * 6)) % 240
+        val rb = (23 * p + (2 * cx + 1) * (10 + (p % 7) * 6)) % 240
+        val ga = (91 * p + (2 * cy) * (8 + (p % 5) * 7)) % 240
+        val gb = (91 * p + (2 * cy + 1) * (8 + (p % 5) * 7)) % 240
+        val ba = (53 * p + (2 * cx + 2 * cy) * (6 + (p % 3) * 9)) % 240
+        val bb = (53 * p + (2 * cx + 2 * cy + 1) * (6 + (p % 3) * 9)) % 240
+        val bc = (53 * p + (2 * cx + 2 * cy + 2) * (6 + (p % 3) * 9)) % 240
+        (598L * (ra + rb) + 1174L * (ga + gb) + 114L * (ba + 2 * bb + bc)) / 4
+      }
+      var sig = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (cell(cy, cx + 1) > cell(cy, cx)) sig |= 1L << (cy * 8 + cx)
+      sig
+    }
+    // all 25 patterns × 3 variants through the REAL pipeline (AVI
+    // encode → RIFF parse → DIB decode → frame-sampled dHash →
+    // majority vote) must land on the closed form — including the
+    // 6-frame variants whose outlier frame the 5-vs-1 vote suppresses
+    // and the 11-frame variant whose outliers the t·n/9 sampler skips
+    val ids = spark.range(75).toDF("doc_id")
+    val sigs = Multimodal
+      .videoFingerprints(
+        Multimodal.videoVoteAssetsFromIds(ids, "doc_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(sigs.size === 75)
+    for ((id, sig) <- sigs)
+      assert(
+        sig === arithmeticSig((id % 25).toInt),
+        s"id=$id variant=${id / 25}")
+    // the suppression is real: the outlier pattern's own signature
+    // differs from the base's, so an unweighted mean would have moved
+    val p = 3
+    assert(arithmeticSig(p) !== arithmeticSig(p + 1))
+  }
+
   test("videoNearDup clusters planted copies and separates patterns") {
     val framesA = (0 until 6).map(f => gradFrame(1, W, H, 2 * (f % 3)))
     val rows = Seq(
