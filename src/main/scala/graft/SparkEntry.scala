@@ -1745,6 +1745,25 @@ object SparkEntry {
         col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
       .orderBy("doc_id")
 
+  /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
+    * missing cheap point on the quantization spectrum beside PQ/IVF-PQ,
+    * and the FIRST ANN-family query with a hard hash oracle — both the
+    * candidate cut (dequantized-cosine rank) and the final cut (exact
+    * rescore) round scores to 6 decimals before ranking with id
+    * tiebreaks (the q214 discipline), so the full pipeline — per-dim
+    * bounds, affine int8 codes, dequantize, rank, rescore — is a pure
+    * function of the data that DuckDB replays step for step
+    * ([[graft.operators.Similarity.sqTopK]]).
+    */
+  private def q219(s: SparkSession, d: String): DataFrame =
+    Similarity.sqTopK(
+      Tables.embeddings(s, d),
+      "embedding",
+      "vec_id",
+      queryVec(s, d),
+      k = 20,
+      factor = 4)
+
   /** Build-once BM25 inverted-index cache (per JVM, per sf dir) — the
     * sparse-retrieval twin of [[lshIndexCache]]: the probe path must
     * not re-tokenize the corpus per query batch.
@@ -5378,7 +5397,8 @@ object SparkEntry {
     "q215_video_neardup" -> (q215 _),
     "q216_bm25_probe_many" -> (q216 _),
     "q217_audio_fingerprint" -> (q217 _),
-    "q218_video_fingerprint" -> (q218 _)
+    "q218_video_fingerprint" -> (q218 _),
+    "q219_sq_topk" -> (q219 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8103,6 +8123,38 @@ object SparkEntry {
            CAST(coalesce(s.sig_hi, 0) AS BIGINT) AS sig_hi,
            CAST(coalesce(s.sig_lo, 0) AS BIGINT) AS sig_lo
          FROM px LEFT JOIN sig s ON s.p = px.p
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // q219: full replay of the scalar-quantization pipeline — per-dim
+    // min/max bounds, affine int8 codes (multiply-before-divide and
+    // round-half-up match the engine's evaluation order exactly),
+    // dequantize, 6-decimal-rounded candidate rank at factor*k=80,
+    // exact rescore, 6-decimal-rounded final rank at k=20; both cuts
+    // tiebreak on id, so the row set is engine-deterministic.
+    "q219_sq_topk" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id=0),
+         dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
+         elems AS (
+           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
+         bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i),
+         deq AS (
+           SELECT e.vec_id, e.i,
+             b.lo + ((CASE WHEN b.hi = b.lo THEN 0
+                      ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
+                             AS BIGINT)
+                      END) - 128 + 128) * (b.hi - b.lo) / 255 AS xd
+           FROM elems e JOIN bounds b USING (i)),
+         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id),
+         approx AS (
+           SELECT vec_id AS id,
+             round(list_cosine_similarity(dv, (SELECT qv FROM q)), 6) AS sim_q8
+           FROM dvec),
+         cand AS (SELECT id, sim_q8 FROM approx ORDER BY sim_q8 DESC, id ASC LIMIT 80),
+         res AS (
+           SELECT c.id, c.sim_q8,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+               (SELECT qv FROM q)), 6) AS sim
+           FROM cand c JOIN embeddings e ON e.vec_id = c.id)
+         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20"""
   )
 }

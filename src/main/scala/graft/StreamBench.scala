@@ -80,8 +80,16 @@ object StreamBench {
     // median absorbs a contended slice instead of being one.
     val comps = scala.collection.mutable
       .ArrayBuffer.empty[(String, Long, Int => Double)]
+    // dev/adjudication hook: SPARK_GRAFT_STREAM_ONLY=embed_ingest,cdc
+    // registers only matching components (substring, comma-separated) —
+    // warm-ups and source caches still run, so a single-component A/B
+    // measures the same steady state the full suite does
+    val streamOnly = sys.env
+      .get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timedReps(name: String, rows: Long)(body: Int => Double): Unit =
-      comps += ((name, rows, body))
+      if (streamOnly.forall(_.exists(name.contains)))
+        comps += ((name, rows, body))
 
     def timing(b: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -132,6 +132,55 @@ object Similarity {
               (ql.getField("q").cast("int") + 128) * range / 255d))
       .drop("lo", "hi")
 
+  /** Scalar-quantized (int8) top-k with exact rescore — the missing
+    * cheap point on the ANN quantization spectrum beside PQ/IVF-PQ
+    * (ProductQuant): candidates are ranked on the DEQUANTIZED corpus
+    * ([[quantizeInt8]] codes — at 100 TB the quantized scan reads ~4×
+    * fewer bytes than float32 and ~8× fewer than float64, which is the
+    * whole point; compute per element is unchanged), the top
+    * `factor·k` survivors are rescored at FULL precision, and the
+    * final k is cut on the exact score. Both cuts are
+    * engine-deterministic (the q214 discipline): scores round to 6
+    * decimals BEFORE ranking and ties break on id, so the candidate
+    * set — and therefore the answer — is a pure function of the data,
+    * replayable bit-for-bit by a SQL oracle (the first ANN family
+    * member with a hard hash oracle; recall vs the exact answer is the
+    * spec's business, determinism is this function's).
+    *
+    * Plan shape: one bounded aggregation for the per-dim bounds
+    * (broadcast), one corpus scan for the approximate scores feeding
+    * TakeOrderedAndProject (per-partition heaps — never a global
+    * sort), then a BROADCAST semi-join of the ≤ factor·k candidate ids
+    * back to the full-precision rows for the rescore. No all-pairs, no
+    * corpus shuffle.
+    */
+  def sqTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      factor: Int = 4): DataFrame = {
+    require(k > 0 && factor >= 1)
+    val (q8, bounds) = quantizeInt8(df, vecCol)
+    val deq =
+      dequantizeInt8(q8, vecCol + "_q8", bounds, "__deq")
+    val cand = deq
+      .select(
+        col(idCol).as("id"),
+        round(cos(df)(col("__deq"), vecLit(query)), 6).as("sim_q8"))
+      .orderBy(col("sim_q8").desc, col("id").asc)
+      .limit(factor * k)
+    df.select(col(idCol).as("id"), col(vecCol))
+      .join(broadcast(cand), Seq("id"))
+      .select(
+        col("id"),
+        col("sim_q8"),
+        round(cos(df)(col(vecCol), vecLit(query)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: score only vectors sharing at least
     * one signature band with the query.
     *

@@ -1268,6 +1268,36 @@ class ExtensionsSpec extends AnyFunSuite {
       s"recall ${(exact intersect approx).size}/10")
   }
 
+  test("sqTopK: exact rescore, candidate bound, deterministic cuts") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val query = emb.where(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val res = Similarity.sqTopK(emb, "embedding", "vec_id", query, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(res.length === 10)
+    // the final cut orders by the EXACT rescored similarity (6dp, id
+    // tiebreak) — never by the quantized score
+    assert(res.map(r => (-r._3, r._1)).sorted === res.map(r => (-r._3, r._1)).toSeq)
+    // rescored sims are the true cosines (quantization error gone)
+    val exact = Similarity
+      .scoreAll(emb, "embedding", "vec_id", query)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, _, sim) <- res)
+      assert(math.abs(sim - exact(id)) < 5e-7, s"id=$id")
+    // the query vector itself wins with sim 1.0
+    assert(res.head._1 === 1L && math.abs(res.head._3 - 1.0) < 1e-9)
+    // on this corpus the factor-4 candidate pool covers the true top-k
+    // (an empirical recall pin, not an algorithmic guarantee — the
+    // guarantee q219's oracle checks is determinism of both cuts)
+    val trueTop = exact.toSeq.sortBy(e => (-e._2, e._1)).take(10).map(_._1).toSet
+    assert(res.map(_._1).toSet === trueTop)
+    // determinism: a second run returns the identical rows
+    val res2 = Similarity.sqTopK(emb, "embedding", "vec_id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(res.toSeq === res2.toSeq)
+  }
+
   test("kmeans quantizer: deterministic unlabeled IVF build with recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf).drop("label")
     val a1 = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)
