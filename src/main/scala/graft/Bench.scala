@@ -72,7 +72,13 @@ object Bench {
       // not an ANN probe but the same build-once contract: the first
       // run TRAINS the 24-merge BPE tokenizer for the dir (driver-
       // compile-bound greedy rounds); steady state times the encode
-      "q197_bpe_encode")
+      "q197_bpe_encode",
+      // build-once persisted indexes added in rounds 11: BM25 postings
+      // shards and the scalar-quantized codes+vectors parquet — their
+      // first run at the timed scale writes the index, timed here so
+      // the steady-state probe numbers are probe-only
+      "q216_bm25_probe_many",
+      "q220_sq_probe_index")
     // Warm-up pass over EVERY query, untimed: each distinct query pays
     // one-time whole-stage-codegen + JIT compilation of its operator
     // pipeline on first execution (profiled: q14 cold 16 s vs 3 s

@@ -283,6 +283,7 @@ object SparkEntry {
     cdcLogCache.clear()
     bpeMergesCache.clear()
     bm25IndexCache.clear()
+    sqIndexCache.clear()
   }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
@@ -1763,6 +1764,38 @@ object SparkEntry {
       queryVec(s, d),
       k = 20,
       factor = 4)
+
+  /** Build-once SQ index cache (per JVM, per sf dir) — the
+    * [[lshIndexCache]] lifecycle for the scalar-quantized index.
+    */
+  private val sqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def sqIndex(s: SparkSession, d: String): String =
+    sqIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("sq", d)
+        Similarity.sqWriteIndex(
+          Tables.embeddings(s, d), "embedding", "vec_id", path, sourceTag = d)
+        path
+      })
+
+  /** Persisted-SQ-index probe (q220): the q219 pipeline through the
+    * build-once index — candidate stage scans ONLY the int8 codes
+    * column (parquet column pruning: the 4–8× byte win SQ exists for),
+    * rescore reads the candidate row groups under a pushed id-IN
+    * filter. Bit-identical to the inline [[Similarity.sqTopK]] by
+    * construction, so the q219 oracle replays it unchanged
+    * ([[Similarity.sqProbeIndex]]).
+    */
+  private def q220(s: SparkSession, d: String): DataFrame =
+    Similarity.sqProbeIndex(
+      s,
+      sqIndex(s, d),
+      queryVec(s, d),
+      k = 20,
+      factor = 4,
+      sourceTag = d)
 
   /** Build-once BM25 inverted-index cache (per JVM, per sf dir) — the
     * sparse-retrieval twin of [[lshIndexCache]]: the probe path must
@@ -5398,7 +5431,8 @@ object SparkEntry {
     "q216_bm25_probe_many" -> (q216 _),
     "q217_audio_fingerprint" -> (q217 _),
     "q218_video_fingerprint" -> (q218 _),
-    "q219_sq_topk" -> (q219 _)
+    "q219_sq_topk" -> (q219 _),
+    "q220_sq_probe_index" -> (q220 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8131,6 +8165,36 @@ object SparkEntry {
     // exact rescore, 6-decimal-rounded final rank at k=20; both cuts
     // tiebreak on id, so the row set is engine-deterministic.
     "q219_sq_topk" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id=0),
+         dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
+         elems AS (
+           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
+         bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i),
+         deq AS (
+           SELECT e.vec_id, e.i,
+             b.lo + ((CASE WHEN b.hi = b.lo THEN 0
+                      ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
+                             AS BIGINT)
+                      END) - 128 + 128) * (b.hi - b.lo) / 255 AS xd
+           FROM elems e JOIN bounds b USING (i)),
+         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id),
+         approx AS (
+           SELECT vec_id AS id,
+             round(list_cosine_similarity(dv, (SELECT qv FROM q)), 6) AS sim_q8
+           FROM dvec),
+         cand AS (SELECT id, sim_q8 FROM approx ORDER BY sim_q8 DESC, id ASC LIMIT 80),
+         res AS (
+           SELECT c.id, c.sim_q8,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+               (SELECT qv FROM q)), 6) AS sim
+           FROM cand c JOIN embeddings e ON e.vec_id = c.id)
+         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20""",
+    // q220: the persisted-index probe is bit-identical to the inline
+    // q219 pipeline by construction (same bounds, same dequantize
+    // arithmetic, same rounded cuts), so the q219 oracle replays it
+    // unchanged.
+    "q220_sq_probe_index" ->
       """WITH q AS (
            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id=0),
          dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),

@@ -181,6 +181,97 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the build-once scalar-quantized index: (id, int8 codes,
+    * full-precision vector) in one parquet whose COLUMNAR layout is the
+    * index structure — a probe's candidate stage reads only the `q8`
+    * codes column (4–8× fewer bytes than the float vectors, the whole
+    * point of SQ at 100 TB), and the rescore stage touches the `v`
+    * column only for the ≤ factor·k candidate row groups (pushed
+    * id-IN filter → min/max row-group skipping). Quantization bounds
+    * live in `_meta` beside the source tag ([[checkSource]] — a
+    * cross-wired probe is an error, not silently wrong neighbors).
+    */
+  def sqWriteIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      sourceTag: String = ""): Unit = {
+    val (q8, bounds) = quantizeInt8(df, vecCol)
+    q8.select(
+        col(idCol).as("id"),
+        col(vecCol + "_q8").as("q8"),
+        col(vecCol).cast("array<double>").as("v"))
+      .write
+      .mode("overwrite")
+      .parquet(path)
+    bounds
+      .select(col("lo"), col("hi"), lit(sourceTag).as("source"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
+  }
+
+  /** Probe a persisted [[sqWriteIndex]] layout — bit-identical to the
+    * inline [[sqTopK]] (same bounds since they were computed from the
+    * same corpus at build, same dequantize arithmetic, same 6-decimal
+    * round-before-rank cuts with id tiebreaks), but with the
+    * build-once/probe-many cost profile: the candidate scan reads ONLY
+    * (id, q8) — the parquet reader never materializes the float
+    * vectors — and the rescore reads (id, q8, v) under a pushed
+    * `id IN (…)` predicate over the ≤ factor·k collected candidate
+    * ids (bounded by construction — this is the one driver-side list,
+    * and it is the probe's own k-scaled output size, never the corpus).
+    */
+  def sqProbeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Double],
+      k: Int,
+      factor: Int = 4,
+      sourceTag: String = ""): DataFrame = {
+    require(k > 0 && factor >= 1)
+    val m = spark.read.parquet(s"$path/_meta").head()
+    checkSource(
+      "SQ",
+      path,
+      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
+      else "",
+      sourceTag)
+    val lo = m.getSeq[Double](m.fieldIndex("lo"))
+    val hi = m.getSeq[Double](m.fieldIndex("hi"))
+    VectorExpressions.register(spark)
+    def deq(q8: Column): Column =
+      zip_with(
+        zip_with(q8, array(lo.map(lit): _*),
+          (q, l) => struct(q.as("q"), l.as("l"))),
+        array(hi.indices.map(i => lit(hi(i) - lo(i))): _*),
+        (ql, range) =>
+          ql.getField("l") +
+            (ql.getField("q").cast("int") + 128) * range / 255d)
+    val idx = spark.read.parquet(path)
+    val candIds = idx
+      .select(
+        col("id"),
+        round(VectorExpressions.cosineFast(deq(col("q8")), vecLit(query)), 6)
+          .as("sim_q8"))
+      .orderBy(col("sim_q8").desc, col("id").asc)
+      .limit(factor * k)
+      .select("id")
+      .collect()
+      .map(_.get(0))
+    idx
+      .where(col("id").isin(candIds.toIndexedSeq: _*))
+      .select(
+        col("id"),
+        round(VectorExpressions.cosineFast(deq(col("q8")), vecLit(query)), 6)
+          .as("sim_q8"),
+        round(VectorExpressions.cosineFast(col("v"), vecLit(query)), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: score only vectors sharing at least
     * one signature band with the query.
     *

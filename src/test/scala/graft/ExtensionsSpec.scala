@@ -1298,6 +1298,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(res.toSeq === res2.toSeq)
   }
 
+  test("sqProbeIndex == inline sqTopK; pruned scans; cross-wire refused") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val query = emb.where(col("vec_id") === 2)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sqidx").toString + "/sq"
+    Similarity.sqWriteIndex(emb, "embedding", "vec_id", path, sourceTag = "specA")
+    val probe = Similarity
+      .sqProbeIndex(spark, path, query, k = 10, sourceTag = "specA")
+    // bit-identical to the inline pipeline: same bounds, same
+    // dequantize arithmetic, same rounded cuts
+    val inline = Similarity.sqTopK(emb, "embedding", "vec_id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val probed = probe
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(probed.toSeq === inline.toSeq)
+    // the rescore scan carries the pushed candidate-id filter (row-group
+    // skipping at scale — the probe never rescans the corpus vectors)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(id"),
+      s"expected pushed In(id,...) filter in:\n$plan")
+    // a probe tagged with a different source refuses to cross-wire
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sqProbeIndex(spark, path, query, k = 5, sourceTag = "specB")
+    }
+    assert(e.getMessage.contains("cross-wire"))
+  }
+
   test("kmeans quantizer: deterministic unlabeled IVF build with recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf).drop("label")
     val a1 = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)
