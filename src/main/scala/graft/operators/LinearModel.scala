@@ -82,39 +82,55 @@ object LinearModel {
     // (the rows themselves + the distinct-id intercept rows)
     val baseFeats = graft.ops.Stage.materializeOnce(
       features(docs, idCol, textCol, nBuckets))
-    // pre-partitioned by doc id: every round's per-doc aggregation and
-    // err join are then co-partitioned with the staged frame — the only
-    // per-round exchange left is the nBuckets-bounded gradient combine
-    val feats = graft.ops.Stage.materializeOnce(
+    // ONE ROW PER DOC with the sparse features as an array column,
+    // grouped ONCE at staging: the per-doc margin is then a codegen'd
+    // array fold each round — no window (the previous shape re-SORTED
+    // all feature rows inside every round's WindowExec; measured ~60%
+    // of q194's steady-state wall), no join, no per-round exchange
+    // except the (nBuckets+1)-bounded gradient combine.
+    val docFeats = graft.ops.Stage.materializeOnce(
       baseFeats
         .unionByName(
           baseFeats
             .select(col(idCol)).distinct()
             .select(col(idCol), lit(nBuckets).as("bucket"), lit(1.0).as("x")))
         .join(labeled, Seq(idCol))
-        .repartition(col(idCol)))
-    val nDocs =
-      feats.where(col("bucket") === nBuckets).count().toDouble
+        .groupBy(col(idCol))
+        .agg(
+          collect_list(struct(col("bucket"), col("x"))).as("__f"),
+          first(col("__y")).as("__y")))
+    val nDocs = docFeats.count().toDouble
     require(nDocs > 0, "empty training corpus (no doc yields a bigram)")
 
+    val spark = docs.sparkSession
+    import spark.implicits._
     val w = new Array[Double](nBuckets + 1)
     var r = 0
     while (r < rounds) {
-      // weights ride IN the plan as an array literal (nBuckets+1
-      // doubles — model-sized, not data-sized): no broadcast exchange,
-      // no join. The doc margin is an unsorted window over the staged
-      // id-partitioning, so one round = ONE job: window pass + the
-      // (nBuckets+1)-bounded gradient aggregation it feeds — the only
-      // per-round exchange carries (bucket, partial grad) rows.
-      val wArr = array(w.toIndexedSeq.map(lit): _*)
-      val margin = sum(col("x") * element_at(wArr, col("bucket") + 1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)))
-      val grads = feats
+      // weights ride as a ONE-ROW BROADCAST FRAME (nBuckets+1 doubles —
+      // model-sized, not data-sized), NOT as an in-plan array literal:
+      // a literal bakes the round's values into the generated source,
+      // so every round would Janino-compile a fresh stage; as data the
+      // plan source is round-invariant and the codegen cache hits
+      // after round 1. The broadcast is ~2 KB per round — no
+      // corpus-side exchange. One round = ONE job: margin fold + err
+      // per doc row, explode the same array for the gradient
+      // contributions, (nBuckets+1)-bounded combine.
+      val wDf = Seq(Tuple1(w.toIndexedSeq)).toDF("__w")
+      val margin = aggregate(
+        col("__f"),
+        lit(0.0),
+        (acc, f) =>
+          acc + f.getField("x") *
+            element_at(col("__w"), f.getField("bucket") + 1))
+      val grads = docFeats
+        .crossJoin(broadcast(wDf))
         .withColumn(
           "__err",
           lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y"))
-        .groupBy("bucket")
-        .agg(sum(col("x") * col("__err")).as("__g"))
+        .select(explode(col("__f")).as("f"), col("__err"))
+        .groupBy(col("f.bucket").as("bucket"))
+        .agg(sum(col("f.x") * col("__err")).as("__g"))
         .collect()
       val gw = new Array[Double](nBuckets + 1)
       grads.foreach(row => gw(row.getInt(0)) = row.getDouble(1) / nDocs)
