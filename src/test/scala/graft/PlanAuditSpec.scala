@@ -57,7 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // BM25's (N, avgdl) corpus scalars ride as a broadcast 1-row
     // aggregate crossed onto the pruned posting rows (the q33/q191
     // constant-attach shape)
-    "q214_bm25_topk")
+    "q214_bm25_topk",
+    // SQ quantization attaches the per-dim [lo, hi] bounds as a
+    // broadcast 1-ROW frame (dim-bounded arrays, the q191/q214
+    // constant-attach shape); the candidate leg is a broadcast of
+    // <= factor*k rows
+    "q219_sq_topk")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
@@ -98,7 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q193_cms_frequencies", // global CMS agg: partials are 80 KB matrices, final is 1 row
     "q200_mixture_schedule", // q96's shape: windows over the #sources-row aggregate
     "q209_bpe_mixture", // same schedule windows over a #sources-row aggregate
-    "q214_bm25_topk") // the (N, avgdl) global 1-row aggregates' final combine
+    "q214_bm25_topk", // the (N, avgdl) global 1-row aggregates' final combine
+    "q219_sq_topk") // per-dim bounds: <= dim-row partials combine to a 1-row frame
 
   private def planOf(name: String): String =
     SparkEntry
