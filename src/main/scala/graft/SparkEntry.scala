@@ -1797,6 +1797,26 @@ object SparkEntry {
       factor = 4,
       sourceTag = d)
 
+  /** SQ-index batch probe (q221): three query vectors against the
+    * persisted q220 index in ONE codes-column scan + one pushed-filter
+    * rescore — the [[Similarity.sqProbeIndexMany]] build-once/
+    * probe-many shape. Each query's rows equal its single-probe
+    * answer, so the oracle is the q219 replay with a per-query window
+    * rank.
+    */
+  private def q221(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .sqProbeIndexMany(
+        s,
+        sqIndex(s, d),
+        Tables.embeddings(s, d).where(col("vec_id").isin(0, 1, 2)),
+        "embedding",
+        "vec_id",
+        k = 20,
+        factor = 4,
+        sourceTag = d)
+      .orderBy("query_id", "id")
+
   /** Build-once BM25 inverted-index cache (per JVM, per sf dir) — the
     * sparse-retrieval twin of [[lshIndexCache]]: the probe path must
     * not re-tokenize the corpus per query batch.
@@ -5432,7 +5452,8 @@ object SparkEntry {
     "q217_audio_fingerprint" -> (q217 _),
     "q218_video_fingerprint" -> (q218 _),
     "q219_sq_topk" -> (q219 _),
-    "q220_sq_probe_index" -> (q220 _)
+    "q220_sq_probe_index" -> (q220 _),
+    "q221_sq_probe_many" -> (q221 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8219,6 +8240,46 @@ object SparkEntry {
              round(list_cosine_similarity(e.embedding::DOUBLE[],
                (SELECT qv FROM q)), 6) AS sim
            FROM cand c JOIN embeddings e ON e.vec_id = c.id)
-         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20"""
+         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20""",
+    // q221: the q219/q220 replay with a per-query window rank — each
+    // query's rows equal its single-probe answer (same rounded cuts,
+    // same id tiebreaks).
+    "q221_sq_probe_many" ->
+      """WITH qs AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
+         elems AS (
+           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
+         bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i),
+         deq AS (
+           SELECT e.vec_id, e.i,
+             b.lo + ((CASE WHEN b.hi = b.lo THEN 0
+                      ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
+                             AS BIGINT)
+                      END) - 128 + 128) * (b.hi - b.lo) / 255 AS xd
+           FROM elems e JOIN bounds b USING (i)),
+         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id),
+         approx AS (
+           SELECT q.query_id, d.vec_id AS id,
+             round(list_cosine_similarity(d.dv, q.qv), 6) AS sim_q8
+           FROM dvec d, qs q),
+         cand AS (
+           SELECT query_id, id, sim_q8 FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY sim_q8 DESC, id ASC) AS rn
+             FROM approx) WHERE rn <= 80),
+         res AS (
+           SELECT c.query_id, c.id, c.sim_q8,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS sim
+           FROM cand c
+           JOIN qs q USING (query_id)
+           JOIN embeddings e ON e.vec_id = c.id)
+         SELECT query_id, id, sim_q8, sim FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rn
+           FROM res) WHERE rn <= 20
+         ORDER BY query_id, id"""
   )
 }

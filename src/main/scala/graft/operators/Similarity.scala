@@ -272,6 +272,91 @@ object Similarity {
       .limit(k)
   }
 
+  /** Many-queries probe of a persisted [[sqWriteIndex]] layout — the
+    * [[lshProbeIndexMany]] discipline on the SQ index: ONE scan of the
+    * int8 codes column scores every (vector, query) pair against the
+    * BROADCAST query batch (query batches are small by assumption),
+    * per-query candidate rank cuts at factor·k, and the rescore reads
+    * the candidate row groups once under a pushed id-IN predicate over
+    * the union of all queries' candidate ids (≤ nQueries·factor·k —
+    * bounded by the probe's own output size). Per-query cuts use the
+    * same 6-decimal round-before-rank + id tiebreak as [[sqTopK]], so
+    * each query's rows equal its single-probe answer and the SQL
+    * oracle replays the batch bit-for-bit.
+    */
+  def sqProbeIndexMany(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      factor: Int = 4,
+      sourceTag: String = ""): DataFrame = {
+    require(k > 0 && factor >= 1)
+    val m = spark.read.parquet(s"$path/_meta").head()
+    checkSource(
+      "SQ",
+      path,
+      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
+      else "",
+      sourceTag)
+    val lo = m.getSeq[Double](m.fieldIndex("lo"))
+    val hi = m.getSeq[Double](m.fieldIndex("hi"))
+    VectorExpressions.register(spark)
+    def deq(q8: Column): Column =
+      zip_with(
+        zip_with(q8, array(lo.map(lit): _*),
+          (q, l) => struct(q.as("q"), l.as("l"))),
+        array(hi.indices.map(i => lit(hi(i) - lo(i))): _*),
+        (ql, range) =>
+          ql.getField("l") +
+            (ql.getField("q").cast("int") + 128) * range / 255d)
+    val qs = queries.select(
+      col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("__qv"))
+    val idx = spark.read.parquet(path)
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val candIds = idx
+      .select(col("id"), col("q8"))
+      .join(broadcast(qs))
+      .select(
+        col("query_id"),
+        col("id"),
+        round(VectorExpressions.cosineFast(deq(col("q8")), col("__qv")), 6)
+          .as("sim_q8"))
+      .withColumn(
+        "__rn",
+        row_number().over(
+          byQuery.orderBy(col("sim_q8").desc, col("id").asc)))
+      .where(col("__rn") <= factor * k)
+      .select("id")
+      .distinct()
+      .collect()
+      .map(_.get(0))
+    idx
+      .where(col("id").isin(candIds.toIndexedSeq: _*))
+      .join(broadcast(qs))
+      .select(
+        col("query_id"),
+        col("id"),
+        round(VectorExpressions.cosineFast(deq(col("q8")), col("__qv")), 6)
+          .as("sim_q8"),
+        round(VectorExpressions.cosineFast(col("v"), col("__qv")), 6)
+          .as("sim"))
+      .withColumn(
+        "__rnq",
+        row_number().over(
+          byQuery.orderBy(col("sim_q8").desc, col("id").asc)))
+      .where(col("__rnq") <= factor * k)
+      .withColumn(
+        "__rn",
+        row_number().over(byQuery.orderBy(col("sim").desc, col("id").asc)))
+      .where(col("__rn") <= k)
+      .select("query_id", "id", "sim_q8", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: score only vectors sharing at least
     * one signature band with the query.
     *

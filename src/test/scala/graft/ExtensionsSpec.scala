@@ -1324,6 +1324,26 @@ class ExtensionsSpec extends AnyFunSuite {
       Similarity.sqProbeIndex(spark, path, query, k = 5, sourceTag = "specB")
     }
     assert(e.getMessage.contains("cross-wire"))
+    // batch probe: each query's rows equal its single-probe answer —
+    // the union-of-candidates rescore set cannot leak another query's
+    // candidates past the per-query re-cut
+    val many = Similarity
+      .sqProbeIndexMany(
+        spark, path,
+        emb.where(col("vec_id").isin(1, 2)), "embedding", "vec_id",
+        k = 10, sourceTag = "specA")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    for (qid <- Seq(1L, 2L)) {
+      val qv = emb.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val single = Similarity
+        .sqProbeIndex(spark, path, qv, k = 10, sourceTag = "specA")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(many(qid) === single, s"query $qid")
+    }
   }
 
   test("kmeans quantizer: deterministic unlabeled IVF build with recall") {

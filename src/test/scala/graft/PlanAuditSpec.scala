@@ -62,7 +62,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast 1-ROW frame (dim-bounded arrays, the q191/q214
     // constant-attach shape); the candidate leg is a broadcast of
     // <= factor*k rows
-    "q219_sq_topk")
+    "q219_sq_topk",
+    // the batch probe cross-applies the BROADCAST QUERY BATCH (3 rows
+    // here; small by the lshProbeIndexMany assumption) onto the codes
+    // scan — every (vector, query) pair is scored by design
+    "q221_sq_probe_many")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
