@@ -1339,10 +1339,16 @@ object SparkEntry {
   private def q194(s: SparkSession, d: String): DataFrame = {
     val ds = Tables.documents(s, d)
       .withColumn("__is_en", (col("lang") === "en").cast("int"))
+    // one tokenize pass feeds BOTH train and score (the features frame
+    // is deterministic; staging it here halves the corpus passes)
+    val feats = graft.ops.Stage.materializeOnce(
+      graft.operators.LinearModel.features(ds, "doc_id", "text", 256))
     val model = graft.operators.LinearModel
-      .train(ds, "doc_id", "text", "__is_en", nBuckets = 256, rounds = 8)
+      .train(
+        ds, "doc_id", "text", "__is_en",
+        nBuckets = 256, rounds = 8, preFeatures = Some(feats))
     graft.operators.LinearModel
-      .score(ds, "doc_id", "text", model)
+      .score(ds, "doc_id", "text", model, preFeatures = Some(feats))
       .select(col("doc_id"), round(col("p"), 6).as("p"))
       .orderBy("doc_id")
   }

@@ -70,7 +70,8 @@ object LinearModel {
       nBuckets: Int = 256,
       rounds: Int = 8,
       lr: Double = 4.0,
-      l2: Double = 0.0): Model = {
+      l2: Double = 0.0,
+      preFeatures: Option[DataFrame] = None): Model = {
     require(rounds >= 1 && lr > 0 && l2 >= 0, "need rounds>=1, lr>0, l2>=0")
     // INTERCEPT-AS-FEATURE: every doc gets one extra row
     // (bucket = nBuckets, x = 1) so the bias trains as just another
@@ -79,9 +80,13 @@ object LinearModel {
     val labeled = docs
       .select(col(idCol), col(labelCol).cast("double").as("__y"))
     // base features staged first: they appear twice in the plan below
-    // (the rows themselves + the distinct-id intercept rows)
-    val baseFeats = graft.ops.Stage.materializeOnce(
-      features(docs, idCol, textCol, nBuckets))
+    // (the rows themselves + the distinct-id intercept rows).
+    // `preFeatures` lets a train+score caller pay the tokenize pass
+    // once — it must be a STAGED [[features]] frame over the same
+    // (docs, idCol, textCol, nBuckets).
+    val baseFeats = preFeatures.getOrElse(
+      graft.ops.Stage.materializeOnce(
+        features(docs, idCol, textCol, nBuckets)))
     // ONE ROW PER DOC with the sparse features as an array column,
     // grouped ONCE at staging: the per-doc margin is then a codegen'd
     // array fold each round — no window (the previous shape re-SORTED
@@ -155,10 +160,13 @@ object LinearModel {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      model: Model): DataFrame = {
-    // weights as an in-plan array literal (train's rationale)
+      model: Model,
+      preFeatures: Option[DataFrame] = None): DataFrame = {
+    // weights as an in-plan array literal (score runs ONCE — the
+    // per-round recompile trap is train's, not score's)
     val wArr = array(model.weights.toIndexedSeq.map(lit): _*)
-    val margins = features(docs, idCol, textCol, model.nBuckets)
+    val margins = preFeatures
+      .getOrElse(features(docs, idCol, textCol, model.nBuckets))
       .groupBy(col(idCol))
       .agg(sum(col("x") * element_at(wArr, col("bucket") + 1)).as("__m"))
     docs
