@@ -1346,6 +1346,27 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sq family edges: empty corpus, k past corpus size") {
+    val schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val q = Seq(1.0, 0.0, 2.0)
+    // empty corpus: bounds aggregate to an empty-array 1-row frame, no
+    // candidates, empty result — never an error
+    assert(Similarity.sqTopK(empty, "embedding", "vec_id", q, k = 5).count() === 0)
+    // k larger than the corpus returns every row, exact-rescored
+    val tiny = Seq(
+      (1L, Seq(1.0, 0.0, 2.0)),
+      (2L, Seq(0.5, 1.0, 0.0)),
+      (3L, Seq(-1.0, 0.0, -2.0))).toDF("vec_id", "embedding")
+    val all = Similarity.sqTopK(tiny, "embedding", "vec_id", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(all.length === 3)
+    assert(all.head._1 === 1L && math.abs(all.head._2 - 1.0) < 1e-9)
+    assert(all.last._1 === 3L && math.abs(all.last._2 + 1.0) < 1e-9)
+  }
+
   test("kmeans quantizer: deterministic unlabeled IVF build with recall") {
     val emb = Tables.embeddings(spark, TestSpark.sf).drop("label")
     val a1 = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)
