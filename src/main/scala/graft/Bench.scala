@@ -21,6 +21,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // the codegen cache is a JVM-wide 100-entry LRU by default; 221
+      // warmed queries plus the streaming components thrash it, so the
+      // micro-batch ingest loops recompile their probe plans between
+      // interleaved reps (~200-300 ms per Janino compile — measured as
+      // the gap between IngestProf's 0.7 s steady batch and the same
+      // batch inside this session). Any long-running service sizes
+      // this; the cache is created once per JVM, so it must be set on
+      // the session builder, not per batch.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

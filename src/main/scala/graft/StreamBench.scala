@@ -450,6 +450,10 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the Bench rationale: the 100-entry default codegen cache
+      // thrashes across components and recompiles the ingest probe
+      // plans between interleaved reps
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
