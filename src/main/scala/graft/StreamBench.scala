@@ -169,6 +169,22 @@ object StreamBench {
         }
       }
     }
+    // the same corpus in HALF the batches: embed ingest cost is
+    // ~0.5 s FIXED per micro-batch at this scale (profiled: 6 tiny
+    // jobs + driver latency; the row-linear part is small), so rows/s
+    // is largely an artifact of the benchmark's batch size — this row
+    // measures the amortization a production trigger interval buys,
+    // and the pair (embed_ingest vs _bulk) exposes the fixed/linear
+    // split every round
+    timedReps("embed_ingest_bulk", nEmbs) { r =>
+      timing {
+        (0 until 2).foreach { i =>
+          EmbedIngest.ingestBatch(
+            embs.where(col("vec_id") % 2 === i),
+            s"$work/embbulk-r$r", "embedding", "vec_id", i.toLong)
+        }
+      }
+    }
 
     // Perceptual ingest modalities through the signature-agnostic
     // banded index ([[Sig64Ingest]]): image dHash and audio spectral
