@@ -193,7 +193,17 @@ object Bench {
       val stamped = target.getFileName.toString.matches(
         "BENCH_FULL_r\\d+\\.json")
       val dest =
-        if (stamped && java.nio.file.Files.exists(target)) {
+        // a FILTERED streaming run (SPARK_GRAFT_STREAM_ONLY — the
+        // single-component adjudication hook) must never become the
+        // round's canonical record: its streaming map is partial and
+        // nothing inside the JSON marks it as such
+        if (stamped && StreamBench.streamOnlyFilter.isDefined) {
+          System.err.println(
+            "[bench] SPARK_GRAFT_STREAM_ONLY is set — refusing to " +
+              s"stamp $target from a filtered streaming run; writing " +
+              "BENCH_FULL.json instead")
+          java.nio.file.Paths.get("BENCH_FULL.json")
+        } else if (stamped && java.nio.file.Files.exists(target)) {
           val oldN = {
             val old = new String(
               java.nio.file.Files.readAllBytes(target),

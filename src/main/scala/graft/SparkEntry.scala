@@ -8191,81 +8191,20 @@ object SparkEntry {
     // dequantize, 6-decimal-rounded candidate rank at factor*k=80,
     // exact rescore, 6-decimal-rounded final rank at k=20; both cuts
     // tiebreak on id, so the row set is engine-deterministic.
-    "q219_sq_topk" ->
-      """WITH q AS (
-           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id=0),
-         dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
-         elems AS (
-           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
-         bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i),
-         deq AS (
-           SELECT e.vec_id, e.i,
-             b.lo + ((CASE WHEN b.hi = b.lo THEN 0
-                      ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
-                             AS BIGINT)
-                      END) - 128 + 128) * (b.hi - b.lo) / 255 AS xd
-           FROM elems e JOIN bounds b USING (i)),
-         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id),
-         approx AS (
-           SELECT vec_id AS id,
-             round(list_cosine_similarity(dv, (SELECT qv FROM q)), 6) AS sim_q8
-           FROM dvec),
-         cand AS (SELECT id, sim_q8 FROM approx ORDER BY sim_q8 DESC, id ASC LIMIT 80),
-         res AS (
-           SELECT c.id, c.sim_q8,
-             round(list_cosine_similarity(e.embedding::DOUBLE[],
-               (SELECT qv FROM q)), 6) AS sim
-           FROM cand c JOIN embeddings e ON e.vec_id = c.id)
-         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20""",
+    "q219_sq_topk" -> SqOracleSingle,
     // q220: the persisted-index probe is bit-identical to the inline
     // q219 pipeline by construction (same bounds, same dequantize
-    // arithmetic, same rounded cuts), so the q219 oracle replays it
-    // unchanged.
-    "q220_sq_probe_index" ->
-      """WITH q AS (
-           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id=0),
-         dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
-         elems AS (
-           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
-         bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i),
-         deq AS (
-           SELECT e.vec_id, e.i,
-             b.lo + ((CASE WHEN b.hi = b.lo THEN 0
-                      ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
-                             AS BIGINT)
-                      END) - 128 + 128) * (b.hi - b.lo) / 255 AS xd
-           FROM elems e JOIN bounds b USING (i)),
-         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id),
-         approx AS (
-           SELECT vec_id AS id,
-             round(list_cosine_similarity(dv, (SELECT qv FROM q)), 6) AS sim_q8
-           FROM dvec),
-         cand AS (SELECT id, sim_q8 FROM approx ORDER BY sim_q8 DESC, id ASC LIMIT 80),
-         res AS (
-           SELECT c.id, c.sim_q8,
-             round(list_cosine_similarity(e.embedding::DOUBLE[],
-               (SELECT qv FROM q)), 6) AS sim
-           FROM cand c JOIN embeddings e ON e.vec_id = c.id)
-         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20""",
+    // arithmetic, same rounded cuts), so the SAME oracle string (not a
+    // copy) replays it.
+    "q220_sq_probe_index" -> SqOracleSingle,
     // q221: the q219/q220 replay with a per-query window rank — each
     // query's rows equal its single-probe answer (same rounded cuts,
     // same id tiebreaks).
     "q221_sq_probe_many" ->
-      """WITH qs AS (
+      ("""WITH qs AS (
            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2)),
-         dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
-         elems AS (
-           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
-         bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i),
-         deq AS (
-           SELECT e.vec_id, e.i,
-             b.lo + ((CASE WHEN b.hi = b.lo THEN 0
-                      ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
-                             AS BIGINT)
-                      END) - 128 + 128) * (b.hi - b.lo) / 255 AS xd
-           FROM elems e JOIN bounds b USING (i)),
-         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id),
+         """ + SqOracleDeqCtes + """,
          approx AS (
            SELECT q.query_id, d.vec_id AS id,
              round(list_cosine_similarity(d.dv, q.qv), 6) AS sim_q8
@@ -8286,6 +8225,43 @@ object SparkEntry {
            SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rn
            FROM res) WHERE rn <= 20
-         ORDER BY query_id, id"""
+         ORDER BY query_id, id""")
   )
+
+  /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim
+    * bounds + the dequantized corpus — ONE copy of the affine-int8
+    * replay arithmetic, so the three oracles cannot drift apart.
+    */
+  private val SqOracleDeqCtes: String =
+    """dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
+         elems AS (
+           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
+         bounds AS (SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i),
+         deq AS (
+           SELECT e.vec_id, e.i,
+             b.lo + ((CASE WHEN b.hi = b.lo THEN 0
+                      ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
+                             AS BIGINT)
+                      END) - 128 + 128) * (b.hi - b.lo) / 255 AS xd
+           FROM elems e JOIN bounds b USING (i)),
+         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id)"""
+
+  /** The single-query SQ replay — q219's oracle, and q220's verbatim
+    * (the persisted probe is bit-identical to the inline pipeline).
+    */
+  private val SqOracleSingle: String =
+    """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id=0),
+         """ + SqOracleDeqCtes + """,
+         approx AS (
+           SELECT vec_id AS id,
+             round(list_cosine_similarity(dv, (SELECT qv FROM q)), 6) AS sim_q8
+           FROM dvec),
+         cand AS (SELECT id, sim_q8 FROM approx ORDER BY sim_q8 DESC, id ASC LIMIT 80),
+         res AS (
+           SELECT c.id, c.sim_q8,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+               (SELECT qv FROM q)), 6) AS sim
+           FROM cand c JOIN embeddings e ON e.vec_id = c.id)
+         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20"""
 }

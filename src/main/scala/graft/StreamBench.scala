@@ -84,9 +84,7 @@ object StreamBench {
     // registers only matching components (substring, comma-separated) —
     // warm-ups and source caches still run, so a single-component A/B
     // measures the same steady state the full suite does
-    val streamOnly = sys.env
-      .get("SPARK_GRAFT_STREAM_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val streamOnly = StreamBench.streamOnlyFilter
     def timedReps(name: String, rows: Long)(body: Int => Double): Unit =
       if (streamOnly.forall(_.exists(name.contains)))
         comps += ((name, rows, body))
@@ -409,6 +407,10 @@ object StreamBench {
       val sec = body(r)
       vals(ci) += (if (sec > 0) rows / sec else 0.0)
     }
+    if (comps.isEmpty && streamOnly.isDefined)
+      System.err.println(
+        s"[streambench] SPARK_GRAFT_STREAM_ONLY=${streamOnly.get.mkString(",")} " +
+          "matched NO components — the record's streaming map will be empty")
     for (r <- 0 until reps; ci <- comps.indices) runRep(ci, r)
     def spreadRatio(ci: Int): Double = {
       val s = vals(ci).sorted
@@ -432,6 +434,15 @@ object StreamBench {
     * spread exceeds 25% of their median.
     */
   private val ExtraNoisyReps = 2
+
+  /** The dev/adjudication component filter
+    * (`SPARK_GRAFT_STREAM_ONLY=embed,cdc` — substring match,
+    * comma-separated). Exposed so [[graft.Bench]] can refuse to stamp
+    * a canonical round record from a FILTERED streaming run.
+    */
+  def streamOnlyFilter: Option[Set[String]] = sys.env
+    .get("SPARK_GRAFT_STREAM_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   /** 1-minute system load average, or -1 where the JVM can't read it —
     * stamped before/after each bench record so a contended run is

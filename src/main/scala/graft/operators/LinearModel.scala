@@ -106,6 +106,14 @@ object LinearModel {
           first(col("__y")).as("__y")))
     val nDocs = docFeats.count().toDouble
     require(nDocs > 0, "empty training corpus (no doc yields a bigram)")
+    // duplicate doc ids would double feature contributions inside the
+    // grouped array AND make first(__y) pick an arbitrary label —
+    // silently nondeterministic weights. Fail loud instead (one small
+    // job, once per train, not per round); the caller dedupes.
+    require(
+      labeled.groupBy(col(idCol)).count().where(col("count") > 1).isEmpty,
+      s"duplicate values in id column '$idCol' — train requires one row " +
+        "per document (dedupe first)")
 
     val spark = docs.sparkSession
     import spark.implicits._

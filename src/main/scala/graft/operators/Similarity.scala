@@ -212,6 +212,41 @@ object Similarity {
       .parquet(s"$path/_meta")
   }
 
+  /** Validate + load a [[sqWriteIndex]] `_meta`: returns the per-dim
+    * (lo, hi) quantization bounds. Shared by both probes — one copy of
+    * the source-identity check and the bounds extraction.
+    */
+  private def sqReadMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sourceTag: String): (Seq[Double], Seq[Double]) = {
+    val m = spark.read.parquet(s"$path/_meta").head()
+    checkSource(
+      "SQ",
+      path,
+      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
+      else "",
+      sourceTag)
+    (m.getSeq[Double](m.fieldIndex("lo")),
+      m.getSeq[Double](m.fieldIndex("hi")))
+  }
+
+  /** Dequantize an int8-codes column under driver-held bounds — the
+    * ONE probe-side copy of the affine formula. It must stay in IEEE
+    * lockstep with [[dequantizeInt8]] (the in-plan form the inline
+    * [[sqTopK]] uses): same `lo + (q+128)·range/255` association, the
+    * `range` literal computed as the same double subtraction — the
+    * probe==inline hash contracts (q219/q220/q221) ride on this.
+    */
+  private def sqDeq(lo: Seq[Double], hi: Seq[Double])(q8: Column): Column =
+    zip_with(
+      zip_with(q8, array(lo.map(lit): _*),
+        (q, l) => struct(q.as("q"), l.as("l"))),
+      array(hi.indices.map(i => lit(hi(i) - lo(i))): _*),
+      (ql, range) =>
+        ql.getField("l") +
+          (ql.getField("q").cast("int") + 128) * range / 255d)
+
   /** Probe a persisted [[sqWriteIndex]] layout — bit-identical to the
     * inline [[sqTopK]] (same bounds since they were computed from the
     * same corpus at build, same dequantize arithmetic, same 6-decimal
@@ -231,24 +266,9 @@ object Similarity {
       factor: Int = 4,
       sourceTag: String = ""): DataFrame = {
     require(k > 0 && factor >= 1)
-    val m = spark.read.parquet(s"$path/_meta").head()
-    checkSource(
-      "SQ",
-      path,
-      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
-      else "",
-      sourceTag)
-    val lo = m.getSeq[Double](m.fieldIndex("lo"))
-    val hi = m.getSeq[Double](m.fieldIndex("hi"))
+    val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     VectorExpressions.register(spark)
-    def deq(q8: Column): Column =
-      zip_with(
-        zip_with(q8, array(lo.map(lit): _*),
-          (q, l) => struct(q.as("q"), l.as("l"))),
-        array(hi.indices.map(i => lit(hi(i) - lo(i))): _*),
-        (ql, range) =>
-          ql.getField("l") +
-            (ql.getField("q").cast("int") + 128) * range / 255d)
+    val deq = sqDeq(lo, hi) _
     val idx = spark.read.parquet(path)
     val candIds = idx
       .select(
@@ -294,24 +314,9 @@ object Similarity {
       factor: Int = 4,
       sourceTag: String = ""): DataFrame = {
     require(k > 0 && factor >= 1)
-    val m = spark.read.parquet(s"$path/_meta").head()
-    checkSource(
-      "SQ",
-      path,
-      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
-      else "",
-      sourceTag)
-    val lo = m.getSeq[Double](m.fieldIndex("lo"))
-    val hi = m.getSeq[Double](m.fieldIndex("hi"))
+    val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     VectorExpressions.register(spark)
-    def deq(q8: Column): Column =
-      zip_with(
-        zip_with(q8, array(lo.map(lit): _*),
-          (q, l) => struct(q.as("q"), l.as("l"))),
-        array(hi.indices.map(i => lit(hi(i) - lo(i))): _*),
-        (ql, range) =>
-          ql.getField("l") +
-            (ql.getField("q").cast("int") + 128) * range / 255d)
+    val deq = sqDeq(lo, hi) _
     val qs = queries.select(
       col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("__qv"))
