@@ -216,7 +216,19 @@ object Stress {
     "q202_c4_line_filter",
     // triangle enumeration: Σ deg² wedge work over a ~10x pair graph
     // (degree-bounded by the pair generator's caps)
-    "q203_triangle_stats")
+    "q203_triangle_stats",
+    // round-11 additions: inline SQ top-k pays the corpus-linear
+    // quantize + dequantized-rank scan (ratio should be ~linear; the
+    // per-replica orthogonal sign flips keep cosines well-spread so
+    // the rounded cuts stay tie-free), the SQ batch probe reads its
+    // build-once index (build cost amortized into the first rep, the
+    // min-of-reps times the probe — should stay ~scan-bound over the
+    // 10x codes column), semantic decontamination's eval side is FIXED
+    // while the train side grows 10x (the designed asymmetry: train
+    // never shuffles)
+    "q219_sq_topk",
+    "q221_sq_probe_many",
+    "q213_semantic_decontam")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
