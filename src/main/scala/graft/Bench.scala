@@ -204,18 +204,30 @@ object Bench {
               "BENCH_FULL.json instead")
           java.nio.file.Paths.get("BENCH_FULL.json")
         } else if (stamped && java.nio.file.Files.exists(target)) {
-          val oldN = {
+          // supersede only when this run's query NAME SET is a strict
+          // superset of the stamped record's — a count comparison would
+          // let a run covering more but DIFFERENT queries (or a future
+          // record whose map nests braces) silently take the stamp
+          val oldNames: Set[String] = {
             val old = new String(
               java.nio.file.Files.readAllBytes(target),
               java.nio.charset.StandardCharsets.UTF_8)
             val s = old.indexOf("\"queries\":{")
-            val e = if (s >= 0) old.indexOf("}", s) else -1
-            // query values are plain numbers — the map has no nested
-            // braces, so entries = commas + 1
-            if (s < 0 || e < 0) Int.MaxValue
-            else old.substring(s + "\"queries\":{".length, e).count(_ == ',') + 1
+            if (s < 0) null
+            else {
+              val e = old.indexOf("}", s)
+              if (e < 0) null
+              else
+                "\"(q[0-9]+_[A-Za-z0-9_]+)\":".r
+                  .findAllMatchIn(
+                    old.substring(s + "\"queries\":{".length, e))
+                  .map(_.group(1))
+                  .toSet
+            }
           }
-          if (results.length > oldN) {
+          val newNames = results.map(_._1).toSet
+          if (oldNames != null && oldNames.subsetOf(newNames) &&
+            newNames.size > oldNames.size) {
             val aside = target.resolveSibling(
               target.getFileName.toString
                 .stripSuffix(".json") + "_superseded.json")
@@ -224,8 +236,8 @@ object Bench {
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             System.err.println(
               s"[bench] superseding round-stamped record $target " +
-                s"($oldN < ${results.length} queries); prior record " +
-                s"kept at $aside")
+                s"(${oldNames.size} < ${newNames.size} queries, strict " +
+                s"superset); prior record kept at $aside")
             target
           } else {
             System.err.println(

@@ -1125,9 +1125,12 @@ object Dedup {
 
   /** A conservative per-row byte-size expression over a frame's
     * columns, for the pre-bound aggregate: element-width × length for
-    * the array payloads the gather legs carry, octet length for
-    * strings, a fixed 16 for scalars. Over-estimation is fine — it
-    * only makes the fallback trigger earlier.
+    * numeric array payloads, summed octet lengths for string arrays,
+    * JSON octet length for nested arrays/structs/maps, octet length
+    * for strings, a fixed 16 for scalars. Over-estimation is fine — it
+    * only makes the fallback trigger earlier; UNDER-estimation is the
+    * failure mode this guards against (a 256 MB budget admitting a
+    * multi-GB gather when `spark.driver.maxResultSize=0`).
     */
   private def approxRowBytes(
       schema: org.apache.spark.sql.types.StructType)
@@ -1136,6 +1139,23 @@ object Dedup {
     schema.fields
       .map { f =>
         f.dataType match {
+          case ArrayType(StringType, _) =>
+            // element count × 4 would badly UNDER-estimate string
+            // payloads (defeating the budget) — sum the actual octet
+            // lengths plus a small per-element overhead
+            coalesce(
+              aggregate(
+                col(f.name),
+                lit(0L),
+                (acc, s) => acc + coalesce(octet_length(s).cast("long"), lit(0L)) + 16L),
+              lit(0L))
+          case ArrayType(_: ArrayType, _) | ArrayType(_: StructType, _) |
+              ArrayType(_: MapType, _) =>
+            // nested payloads have no cheap exact size — charge the
+            // serialized JSON octet length, which upper-bounds the
+            // numeric content and scales with the real payload (vs the
+            // old flat size·4, which read ONE element per nested array)
+            coalesce(octet_length(to_json(col(f.name))).cast("long"), lit(0L))
           case ArrayType(et, _) =>
             val w = et match {
               case LongType | DoubleType => 8
@@ -2460,20 +2480,26 @@ object Dedup {
     // components phase ~3x the cost of the pair scan itself. Scoping
     // the conf to this collect makes the first wave scan every
     // partition in parallel — identical rows, identical cap semantics,
-    // one job. (Session-conf set/restore, the IngestTuning pattern;
-    // the ingest hot loop already serializes same-session callers.)
+    // one job. Session-conf set/restore is a read-modify-write on
+    // session-global state, so it runs under the SAME per-session
+    // monitor that serializes IngestTuning.withBatchTuning — a
+    // concurrent tuned micro-batch on this session can neither observe
+    // the 4096 setting nor interleave its own set/restore with this
+    // one (either would leak a temporary value past a finally).
     val limitKey = "spark.sql.limit.initialNumPartitions"
-    val prevInit = spark.conf.getOption(limitKey)
     val head =
-      try {
-        spark.conf.set(limitKey, "4096")
-        pairs
-          .select(col(idA).cast("long"), col(idB).cast("long"))
-          .limit(driverCap + 1)
-          .collect()
-      } finally prevInit match {
-        case Some(v) => spark.conf.set(limitKey, v)
-        case None => spark.conf.unset(limitKey)
+      graft.streaming.IngestTuning.sessionLock(spark).synchronized {
+        val prevInit = spark.conf.getOption(limitKey)
+        try {
+          spark.conf.set(limitKey, "4096")
+          pairs
+            .select(col(idA).cast("long"), col(idB).cast("long"))
+            .limit(driverCap + 1)
+            .collect()
+        } finally prevInit match {
+          case Some(v) => spark.conf.set(limitKey, v)
+          case None => spark.conf.unset(limitKey)
+        }
       }
     if (head.length > driverCap)
       return resolveComponents(pairs, idA, idB, maxIters, saltBuckets)

@@ -515,9 +515,12 @@ object Sampling {
     *
     * Plan shape: the query batch's distinct terms prune the postings
     * scan twice — a PARTITION filter on the terms' shards (driver-
-    * computed from the same hash the build used) plus a pushed
-    * `term IN (...)` literal filter that skips row groups inside the
-    * surviving shards (the build sorts by term). df per term is one
+    * computed from the same hash the build used) plus a term
+    * restriction inside the surviving shards that auto-switches on
+    * batch size ([[IndexProbe.restrictByLocalKeys]]): a pushed
+    * `term IN (...)` literal that skips row groups (the build sorts
+    * by term) for ordinary batches, a broadcast semi-join of the term
+    * frame past ~1k distinct terms. df per term is one
     * tiny aggregate over the pruned rows (exact — postings are
     * complete per term); query_id attachment and df both join
     * BROADCAST; scoring groups by (query_id, doc_id); ranking is a
@@ -552,37 +555,46 @@ object Sampling {
     val allTerms = queries.flatMap(_._2).distinct
     // the shard list comes from the SAME hash expression the build
     // used, evaluated over the term batch (driver-bounded by the
-    // query batch, never the corpus)
+    // query batch, never the corpus); it stays a LITERAL partition
+    // filter at any batch size — its cardinality is capped at nShards
+    // (small by construction), and partition pruning needs literals
     val shards = allTerms
       .toDF("term")
       .select(pmod(hash(col("term")), lit(nShards)).as("shard"))
       .distinct()
       .as[Int]
       .collect()
-    val pruned = spark.read
-      .parquet(s"$indexPath/postings")
-      .where(col("shard").isin(shards.map(Integer.valueOf): _*))
-      .where(col("term").isin(allTerms: _*))
+    // the TERM restriction auto-switches (graft.operators.IndexProbe):
+    // a pushed `term IN (…)` literal for ordinary batches (row-group
+    // skipping — the build sorts by term), a broadcast semi-join of
+    // the term frame past ~1k distinct terms (a huge query batch must
+    // not bake a plan-sized In-list; the surviving-shard partition
+    // filter above still prunes the scan either way)
+    val pruned = IndexProbe.restrictByLocalKeys(
+      spark.read
+        .parquet(s"$indexPath/postings")
+        .where(col("shard").isin(shards.toIndexedSeq.map(Integer.valueOf): _*)),
+      "term",
+      allTerms,
+      allTerms.toDF("term"))
     val dfreq = pruned.groupBy("term").agg(count(lit(1)).as("df"))
     val idf =
       log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    val rankWin = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("bm25").desc, col("doc_id"))
-    pruned
-      .join(broadcast(qx), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(idf * tfNorm).as("__s"))
-      .select(
-        col("query_id"),
-        col("doc_id"),
-        round(col("__s"), 6).as("bm25"))
-      .withColumn("__rk", row_number().over(rankWin))
-      .where(col("__rk") <= k)
-      .drop("__rk")
+    IndexProbe.perQueryTopK(
+      pruned
+        .join(broadcast(qx), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(idf * tfNorm).as("__s"))
+        .select(
+          col("query_id"),
+          col("doc_id"),
+          round(col("__s"), 6).as("bm25")),
+      k,
+      col("bm25").desc,
+      col("doc_id").asc)
   }
 
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {

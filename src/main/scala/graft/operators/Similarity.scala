@@ -253,10 +253,12 @@ object Similarity {
     * round-before-rank cuts with id tiebreaks), but with the
     * build-once/probe-many cost profile: the candidate scan reads ONLY
     * (id, q8) — the parquet reader never materializes the float
-    * vectors — and the rescore reads (id, q8, v) under a pushed
-    * `id IN (…)` predicate over the ≤ factor·k collected candidate
-    * ids (bounded by construction — this is the one driver-side list,
-    * and it is the probe's own k-scaled output size, never the corpus).
+    * vectors — and the rescore reads (id, q8, v) restricted to the
+    * ≤ factor·k candidates via [[IndexProbe.restrictByKeys]]: a pushed
+    * `id IN (…)` predicate (row-group skipping) for ordinary k, a
+    * broadcast semi-join of the candidate frame past the literal cap
+    * (bounded by construction either way — the restriction is the
+    * probe's own k-scaled output size, never the corpus).
     */
   def sqProbeIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -270,7 +272,7 @@ object Similarity {
     VectorExpressions.register(spark)
     val deq = sqDeq(lo, hi) _
     val idx = spark.read.parquet(path)
-    val candIds = idx
+    val cand = idx
       .select(
         col("id"),
         round(VectorExpressions.cosineFast(deq(col("q8")), vecLit(query)), 6)
@@ -278,10 +280,8 @@ object Similarity {
       .orderBy(col("sim_q8").desc, col("id").asc)
       .limit(factor * k)
       .select("id")
-      .collect()
-      .map(_.get(0))
-    idx
-      .where(col("id").isin(candIds.toIndexedSeq: _*))
+    IndexProbe
+      .restrictByKeys(idx, "id", cand, factor.toLong * k)
       .select(
         col("id"),
         round(VectorExpressions.cosineFast(deq(col("q8")), vecLit(query)), 6)
@@ -295,11 +295,16 @@ object Similarity {
   /** Many-queries probe of a persisted [[sqWriteIndex]] layout — the
     * [[lshProbeIndexMany]] discipline on the SQ index: ONE scan of the
     * int8 codes column scores every (vector, query) pair against the
-    * BROADCAST query batch (query batches are small by assumption),
-    * per-query candidate rank cuts at factor·k, and the rescore reads
-    * the candidate row groups once under a pushed id-IN predicate over
-    * the union of all queries' candidate ids (≤ nQueries·factor·k —
-    * bounded by the probe's own output size). Per-query cuts use the
+    * BROADCAST query batch (collected once to the driver — bounded by
+    * the batch, and it pins the query count for the restriction-path
+    * choice without an extra job), per-query candidate rank cuts at
+    * factor·k, and the rescore reads the candidate rows once,
+    * restricted via [[IndexProbe.restrictByKeys]] over the union of
+    * all queries' candidate ids (≤ nQueries·factor·k — bounded by the
+    * probe's own output size): a pushed id-IN predicate for small
+    * batches, a broadcast semi-join of the candidate frame past the
+    * literal cap (a 1k-query batch at k=10, factor=4 would otherwise
+    * bake a 40k-literal In-list into the plan). Per-query cuts use the
     * same 6-decimal round-before-rank + id tiebreak as [[sqTopK]], so
     * each query's rows equal its single-probe answer and the SQL
     * oracle replays the batch bit-for-bit.
@@ -317,48 +322,46 @@ object Similarity {
     val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     VectorExpressions.register(spark)
     val deq = sqDeq(lo, hi) _
-    val qs = queries.select(
+    // one collect of the (small) query batch: the local relation
+    // broadcasts into BOTH the candidate and rescore joins without
+    // re-running the caller's query subplan per action, and its length
+    // is the static bound the restriction-path choice needs
+    val qSel = queries.select(
       col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("__qv"))
+    val qRows = qSel.collect()
+    val qs = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSel.schema)
     val idx = spark.read.parquet(path)
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-    val candIds = idx
-      .select(col("id"), col("q8"))
-      .join(broadcast(qs))
-      .select(
-        col("query_id"),
-        col("id"),
-        round(VectorExpressions.cosineFast(deq(col("q8")), col("__qv")), 6)
-          .as("sim_q8"))
-      .withColumn(
-        "__rn",
-        row_number().over(
-          byQuery.orderBy(col("sim_q8").desc, col("id").asc)))
-      .where(col("__rn") <= factor * k)
+    val simQ8 =
+      round(VectorExpressions.cosineFast(deq(col("q8")), col("__qv")), 6)
+    val cand = IndexProbe
+      .perQueryTopK(
+        idx
+          .select(col("id"), col("q8"))
+          .join(broadcast(qs))
+          .select(col("query_id"), col("id"), simQ8.as("sim_q8")),
+        factor * k,
+        col("sim_q8").desc,
+        col("id").asc)
       .select("id")
-      .distinct()
-      .collect()
-      .map(_.get(0))
-    idx
-      .where(col("id").isin(candIds.toIndexedSeq: _*))
+    val restricted = IndexProbe
+      .restrictByKeys(idx, "id", cand, qRows.length.toLong * factor * k)
       .join(broadcast(qs))
       .select(
         col("query_id"),
         col("id"),
-        round(VectorExpressions.cosineFast(deq(col("q8")), col("__qv")), 6)
-          .as("sim_q8"),
+        simQ8.as("sim_q8"),
         round(VectorExpressions.cosineFast(col("v"), col("__qv")), 6)
           .as("sim"))
-      .withColumn(
-        "__rnq",
-        row_number().over(
-          byQuery.orderBy(col("sim_q8").desc, col("id").asc)))
-      .where(col("__rnq") <= factor * k)
-      .withColumn(
-        "__rn",
-        row_number().over(byQuery.orderBy(col("sim").desc, col("id").asc)))
-      .where(col("__rn") <= k)
+    // per-query re-cut at factor·k: the restriction is the UNION of
+    // all queries' candidates, and each query must rescore only its
+    // own (its corpus-wide top factor·k is a subset of the union, so
+    // the re-cut reproduces it exactly)
+    val reCut = IndexProbe.perQueryTopK(
+      restricted, factor * k, col("sim_q8").desc, col("id").asc)
+    IndexProbe
+      .perQueryTopK(reCut, k, col("sim").desc, col("id").asc)
       .select("query_id", "id", "sim_q8", "sim")
   }
 
@@ -647,14 +650,7 @@ object Similarity {
         col("query_id"),
         col("id"),
         VectorExpressions.cosineFast(col("v"), col("qv")).as("sim"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .drop("rank")
+    IndexProbe.perQueryTopK(scored, k, col("sim").desc, col("id").asc)
   }
 
   /** IVF (inverted-file) index build: per-cluster element-wise centroid
@@ -1001,13 +997,7 @@ object Similarity {
         VectorExpressions.cosineFast(col("v"), col("qv2")).as("sim"))
     // no dedup needed: IVF assigns each corpus vector to exactly ONE
     // cluster directory (unlike LSH bands), so (query, id) is unique
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .drop("rank")
+    IndexProbe.perQueryTopK(scored, k, col("sim").desc, col("id").asc)
   }
 
   /** Many-queries exact top-k: broadcast the (small) query set, score
@@ -1022,7 +1012,6 @@ object Similarity {
       qVecCol: String,
       qIdCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // rename the query side BEFORE joining (the lshProbeIndexMany
     // pattern): idCol == qIdCol (both "id", the natural call) would
     // otherwise be AMBIGUOUS_REFERENCE after the join
@@ -1034,13 +1023,7 @@ object Similarity {
         col("__query_id").as("query_id"),
         col(idCol).as("id"),
         cos(corpus)(col(vecCol), col("__qv")).as("sim"))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .drop("rank")
+    IndexProbe.perQueryTopK(scored, k, col("sim").desc, col("id").asc)
   }
 
   /** Cosine of every vector to its GROUP's mean centroid — prototype-

@@ -52,6 +52,19 @@ object IngestTuning {
   private val locks = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, Object]())
 
+  /** The session's conf-mutation monitor — any code that set/restores
+    * session-global SQL conf around an action (this wrapper, Dedup's
+    * scoped limit.initialNumPartitions override) must hold it, or two
+    * scoped overrides on one session can interleave their set/restore
+    * and leak a temporary value past the finally.
+    */
+  private[graft] def sessionLock(spark: SparkSession): Object =
+    locks.synchronized {
+      var m = locks.get(spark)
+      if (m == null) { m = new Object; locks.put(spark, m) }
+      m
+    }
+
   /** Run two independent write actions concurrently and wait for both
     * (micro-batch staging writes: each is ~0.1 s of mostly fixed cost,
     * and the scheduler interleaves their tiny task sets). Runs on
@@ -98,12 +111,7 @@ object IngestTuning {
     }
 
   def withBatchTuning[T](spark: SparkSession)(body: => T): T = {
-    val lock = locks.synchronized {
-      var m = locks.get(spark)
-      if (m == null) { m = new Object; locks.put(spark, m) }
-      m
-    }
-    lock.synchronized {
+    sessionLock(spark).synchronized {
       val prev = Tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
       Tuned.foreach { case (k, v) => spark.conf.set(k, v) }
       try body

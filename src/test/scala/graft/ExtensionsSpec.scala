@@ -690,6 +690,38 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("cross-wire"))
+    // past ~1k distinct terms the term restriction switches from the
+    // pushed In-literal to a broadcast semi-join of the term frame
+    // (IndexProbe.restrictByLocalKeys) — scores must not move: the
+    // filler terms are out-of-vocabulary, so each query's answer still
+    // equals the inline bm25TopK
+    val fillers = (0 until 1100).map(i => s"zzfiller$i")
+    val bigBatch = Seq(
+      1L -> (Seq("hash", "join", "stream") ++ fillers.take(550)),
+      2L -> (Seq("vector", "scan") ++ fillers.drop(550)))
+    val bigDf = graft.operators.Sampling
+      .bm25ProbeMany(spark, idx, bigBatch, k = 10, sourceTag = "spec")
+    val bplan = bigDf.queryExecution.executedPlan.toString
+    assert(
+      bplan.contains("LeftSemi") && bplan.contains("BroadcastHashJoin"),
+      s"big term batch must restrict via broadcast semi-join:\n$bplan")
+    assert(
+      !bplan.contains("In(term"),
+      s"big term batch must not bake a term In-literal into the scan:\n$bplan")
+    val bigGot = bigDf.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).sortBy(p => (-p._2, p._1)).toSeq)
+      .toMap
+    Seq(1L -> Seq("hash", "join", "stream"), 2L -> Seq("vector", "scan"))
+      .foreach { case (qid, terms) =>
+        val inline = graft.operators.Sampling
+          .bm25TopK(docs, "doc_id", "text", terms, k = 10)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+          .toSeq
+        assert(bigGot(qid) === inline, s"big-batch query $qid ($terms)")
+      }
   }
 
   test("semantic decontamination: exact flags planted leak, banded ⊆ exact") {
@@ -1343,6 +1375,59 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
       assert(many(qid) === single, s"query $qid")
+    }
+  }
+
+  test("sq probes past the literal cap: broadcast semi-join path, same answers") {
+    // the restriction auto-switch (IndexProbe.restrictByKeys): past
+    // ~1k candidate ids the rescore must use a broadcast semi-join of
+    // the candidate frame instead of a plan-sized In-literal — and the
+    // answers must be bit-identical to the literal path
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sqidx-big").toString + "/sq"
+    Similarity.sqWriteIndex(emb, "embedding", "vec_id", path, sourceTag = "big")
+    // single probe, k=300 factor=4 → static bound 1200 > 1000: join path
+    val query = emb.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val big = Similarity
+      .sqProbeIndex(spark, path, query, k = 300, sourceTag = "big")
+    val plan = big.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"),
+      s"big-k probe must restrict via broadcast semi-join:\n$plan")
+    assert(
+      !plan.contains("In(id"),
+      s"big-k probe must not bake an id In-literal into the scan:\n$plan")
+    val inline = Similarity
+      .sqTopK(emb, "embedding", "vec_id", query, k = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val probed = big
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(probed.toSeq === inline.toSeq)
+    // batch probe, 16 queries × factor·k=80 → bound 1280 > 1000: join
+    // path; every query's rows still equal its single-probe (literal
+    // path) answer — the two restriction paths cannot drift
+    val manyQ = emb.where(col("vec_id") < 16)
+    val many = Similarity
+      .sqProbeIndexMany(
+        spark, path, manyQ, "embedding", "vec_id", k = 20, sourceTag = "big")
+    val mplan = many.queryExecution.executedPlan.toString
+    assert(
+      mplan.contains("LeftSemi") && mplan.contains("BroadcastHashJoin"),
+      s"big-batch probe must restrict via broadcast semi-join:\n$mplan")
+    val byQ = many.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    assert(byQ.keySet === (0L until 16L).toSet)
+    for (qid <- Seq(0L, 5L, 15L)) {
+      val qv = emb.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val single = Similarity
+        .sqProbeIndex(spark, path, qv, k = 20, sourceTag = "big")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(byQ(qid) === single, s"query $qid")
     }
   }
 

@@ -208,6 +208,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected WindowGroupLimit pushdown in:\n$p")
   }
 
+  test("q221/q216 many-probe rank cuts pre-prune map-side via WindowGroupLimit") {
+    // the per-query row_number cut is what keeps corpus×queries rows
+    // from shuffling in full: WindowGroupLimit keeps each map task's
+    // local top-k per query BEFORE the exchange. q47 pins the pattern
+    // for plain grouped caps; these pin it for the two build-once/
+    // probe-many operators whose scored relation is a cross product —
+    // the scale failure mode a rewrite could silently reintroduce.
+    val p221 = plan(SparkEntry.queries("q221_sq_probe_many")(spark, TestSpark.sf))
+    assert(
+      p221.contains("WindowGroupLimit"),
+      s"q221 per-query cut must push WindowGroupLimit:\n$p221")
+    val p216 = plan(SparkEntry.queries("q216_bm25_probe_many")(spark, TestSpark.sf))
+    assert(
+      p216.contains("WindowGroupLimit"),
+      s"q216 per-query cut must push WindowGroupLimit:\n$p216")
+  }
+
   test("q32 IVF probe prunes corpus partitions instead of scanning") {
     val p = plan(SparkEntry.queries("q32_ivf_topk")(spark, TestSpark.sf))
     val pf = p.linesIterator.find(l =>
