@@ -284,7 +284,34 @@ object SparkEntry {
     bpeMergesCache.clear()
     bm25IndexCache.clear()
     sqIndexCache.clear()
+    sharedStageCache.clear()
   }
+
+  /** Cross-query shared-stage cache: where two DECLARED queries
+    * provably consume the identical intermediate (q204/q210 both run
+    * the HTML extraction projection, q211/q217 the audio
+    * synth→decode→DFT fingerprint pipeline, q207/q212 the PNG
+    * decode→dHash pipeline — same assets, same stage, byte-identical
+    * rows), the stage materializes ONCE per (session, dir) and both
+    * queries consume the materialized frame. This is the q194
+    * shared-tokenize discipline lifted across query boundaries: the
+    * sharing lives in the query DEFINITIONS (each `queries` entry
+    * still declares its full pipeline through the shared stage), not
+    * in any bench harness special-casing. Lazy local checkpoint — the
+    * first consumer pays the compute inside its own job, every later
+    * consumer reads the stored internal rows. Keyed by session
+    * identity so a frame never outlives its session's context;
+    * [[clearIndexCaches]] drops the memo like every other build-once
+    * artifact.
+    */
+  private val sharedStageCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  private def sharedStage(s: SparkSession, d: String, key: String)(
+      build: => DataFrame): DataFrame =
+    sharedStageCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, key),
+      graft.ops.Stage.materializeLazy(build))
 
   /** Collision-free scratch path per data dir: a truncated sanitized
     * basename for readability plus a 128-bit SHA-256 prefix of the FULL
@@ -1556,18 +1583,31 @@ object SparkEntry {
     * pins re-encode/resize/brightness invariance and distinct-image
     * separation on handcrafted fixtures.
     */
+  /** q207/q212 shared stage: the PNG decode → area-averaged-luma
+    * dHash signature frame over the per-doc synthesized gradient
+    * assets — both queries consume these exact rows
+    * ([[sharedStage]]), so the decode pipeline runs once per
+    * (session, dir), not once per query.
+    */
+  private def imageSigs(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "image_dhash_sigs") {
+      graft.multimodal.Multimodal
+        .dHashImages(
+          graft.multimodal.Multimodal.imageAssetsFromIds(
+            // explicit repartition: the id projection reads as 1-2
+            // parquet splits and the PNG synth + decode UDFs (whose
+            // cost AQE cannot see) would serialize — the
+            // Bpe.encodeWords rationale
+            Tables.documents(s, d)
+              .select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id"))
+    }
+
   private def q207(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
-      .imageNearDup(
-        graft.multimodal.Multimodal.imageAssetsFromIds(
-          // explicit repartition: the id projection reads as 1-2
-          // parquet splits and the PNG synth + decode UDFs (whose
-          // cost AQE cannot see) would serialize — the Bpe.encodeWords
-          // rationale
-          Tables.documents(s, d)
-            .select("doc_id")
-            .repartition(s.sparkContext.defaultParallelism),
-          "doc_id"))
+      .nearDupFromSigs(
+        imageSigs(s, d), maxHamming = 3, bands = 4, maxBucketSize = 256)
       .select(col("id").as("doc_id"), col("component"), col("canonical"))
       .orderBy("doc_id")
 
@@ -1589,17 +1629,30 @@ object SparkEntry {
     * container/gain/resample/ULAW invariance and distinct-melody
     * separation on handcrafted fixtures.
     */
+  /** q211/q217 shared stage: the WAV synth → container decode → DFT
+    * band-energy fingerprint frame over the per-doc melodies — both
+    * queries consume these exact rows ([[sharedStage]]), so the
+    * decode/DSP pipeline runs once per (session, dir), not once per
+    * query.
+    */
+  private def audioSigs(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "audio_fp_sigs") {
+      graft.multimodal.Multimodal
+        .audioFingerprints(
+          graft.multimodal.Multimodal.melodyAssetsFromIds(
+            // explicit repartition: the q207 rationale — synth + decode
+            // UDF cost is invisible to AQE and would serialize on the
+            // 1-2 natural parquet splits of the id projection
+            Tables.documents(s, d)
+              .select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id"))
+    }
+
   private def q211(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
-      .audioNearDup(
-        graft.multimodal.Multimodal.melodyAssetsFromIds(
-          // explicit repartition: the q207 rationale — synth + decode
-          // UDF cost is invisible to AQE and would serialize on the
-          // 1-2 natural parquet splits of the id projection
-          Tables.documents(s, d)
-            .select("doc_id")
-            .repartition(s.sparkContext.defaultParallelism),
-          "doc_id"))
+      .nearDupFromSigs(
+        audioSigs(s, d), maxHamming = 5, bands = 8, maxBucketSize = 256)
       .select(col("id").as("doc_id"), col("component"), col("canonical"))
       .orderBy("doc_id")
 
@@ -1654,13 +1707,7 @@ object SparkEntry {
     * q207 + ImageDedupSpec.
     */
   private def q212(s: SparkSession, d: String): DataFrame =
-    graft.multimodal.Multimodal
-      .dHashImages(
-        graft.multimodal.Multimodal.imageAssetsFromIds(
-          Tables.documents(s, d)
-            .select("doc_id")
-            .repartition(s.sparkContext.defaultParallelism),
-          "doc_id"))
+    imageSigs(s, d)
       .select(
         col("id").as("doc_id"),
         shiftrightunsigned(col("sig"), 32)
@@ -1703,13 +1750,7 @@ object SparkEntry {
     * q211 + AudioDedupSpec.
     */
   private def q217(s: SparkSession, d: String): DataFrame =
-    graft.multimodal.Multimodal
-      .audioFingerprints(
-        graft.multimodal.Multimodal.melodyAssetsFromIds(
-          Tables.documents(s, d)
-            .select("doc_id")
-            .repartition(s.sparkContext.defaultParallelism),
-          "doc_id"))
+    audioSigs(s, d)
       .select(
         col("id").as("doc_id"),
         shiftrightunsigned(col("sig"), 32)
@@ -1736,20 +1777,54 @@ object SparkEntry {
     * the video decode/sample/vote stage from rows-only to a hard hash
     * row; banding/components stay covered by q215 + VideoDedupSpec.
     */
+  /** q218/q222 shared stage: the AVI synth → RIFF parse → per-frame
+    * dHash → majority-vote clip fingerprint frame over the VOTE asset
+    * corpus — both queries consume these exact rows ([[sharedStage]]),
+    * so the container/decode pipeline runs once per (session, dir).
+    */
+  private def videoVoteSigs(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "video_vote_sigs") {
+      graft.multimodal.Multimodal
+        .videoFingerprints(
+          graft.multimodal.Multimodal.videoVoteAssetsFromIds(
+            Tables.documents(s, d)
+              .select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id"))
+    }
+
   private def q218(s: SparkSession, d: String): DataFrame =
-    graft.multimodal.Multimodal
-      .videoFingerprints(
-        graft.multimodal.Multimodal.videoVoteAssetsFromIds(
-          Tables.documents(s, d)
-            .select("doc_id")
-            .repartition(s.sparkContext.defaultParallelism),
-          "doc_id"))
+    videoVoteSigs(s, d)
       .select(
         col("id").as("doc_id"),
         shiftrightunsigned(col("sig"), 32)
           .bitwiseAND(lit(0xFFFFFFFFL))
           .as("sig_hi"),
         col("sig").bitwiseAND(lit(0xFFFFFFFFL)).as("sig_lo"))
+      .orderBy("doc_id")
+
+  /** HASH-GREEN video near-dup PAIR STAGE (q222): the q215 banded-
+    * Hamming pair machinery → transitive components → min-id canonical
+    * flags, run end-to-end on the q218 VOTE corpus — whose majority-
+    * vote signatures are closed-form in doc_id (every variant of a
+    * pattern collapses to the base gradient's integer-exact dHash, the
+    * q218 proof). With signatures a pure function of the data, the
+    * pair set (banded Hamming ≤ 4), the connected components, and the
+    * min-id survivor flags are all SQL-replayable: the oracle rebuilds
+    * the 25 pattern signatures arithmetically, pairs the ≤25 DISTINCT
+    * signature nodes under bit_count(xor) ≤ 4, and closes them with a
+    * recursive min-root propagation (measured min cross-pattern
+    * Hamming is 7, so the replay holds even if a future asset change
+    * merged families). Converts the video PAIR/COMPONENT stage from
+    * rows-only to a hard hash row — q215 keeps covering the re-encode/
+    * brightness invariances on the dup corpus, VideoDedupSpec
+    * unchanged.
+    */
+  private def q222(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .nearDupFromSigs(
+        videoVoteSigs(s, d), maxHamming = 4, bands = 8, maxBucketSize = 256)
+      .select(col("id").as("doc_id"), col("component"), col("canonical"))
       .orderBy("doc_id")
 
   /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
@@ -2186,11 +2261,23 @@ object SparkEntry {
       chromeCaseSql(htmlChromePost) +
       " AS html FROM documents"
 
-  private def q204(sess: SparkSession, d: String): DataFrame = {
-    val st = graft.functions.HtmlExtract.mainContent(plantedHtml)
-    Tables
-      .documents(sess, d)
-      .select(col("doc_id"), st.as("st"))
+  /** q204/q210 shared stage: the planted-page construction + HTML
+    * main-content extraction projection over the corpus — both queries
+    * consume these exact (doc_id, st) rows ([[sharedStage]]), so the
+    * regex-chain extraction runs once per (session, dir), not once per
+    * query.
+    */
+  private def htmlExtracted(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "html_extract") {
+      Tables
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          graft.functions.HtmlExtract.mainContent(plantedHtml).as("st"))
+    }
+
+  private def q204(sess: SparkSession, d: String): DataFrame =
+    htmlExtracted(sess, d)
       .select(
         col("doc_id"),
         col("st.n_blocks").as("n_blocks"),
@@ -2198,7 +2285,6 @@ object SparkEntry {
         length(col("st.main_text")).cast("long").as("main_len"),
         col("st.main_text").as("main_text"))
       .orderBy("doc_id")
-  }
 
   /** The raw-web pipeline END TO END: planted page → main-content
     * extraction ([[graft.functions.HtmlExtract]], q204's stage) →
@@ -2211,11 +2297,8 @@ object SparkEntry {
     * shuffle before the output sort; hash-green (the oracle chains
     * the q204 and q202 SQL verbatim).
     */
-  private def q210(sess: SparkSession, d: String): DataFrame = {
-    val st = graft.functions.HtmlExtract.mainContent(plantedHtml)
-    Tables
-      .documents(sess, d)
-      .select(col("doc_id"), st.as("st"))
+  private def q210(sess: SparkSession, d: String): DataFrame =
+    htmlExtracted(sess, d)
       .select(
         col("doc_id"),
         col("st.n_kept").as("n_blocks_kept"),
@@ -2229,7 +2312,6 @@ object SparkEntry {
         length(concat_ws("\n", col("kept"))).cast("long").as("clean_len"),
         md5(concat_ws("\n", col("kept"))).as("digest"))
       .orderBy("doc_id")
-  }
 
   /** Full-breadth PII audit ([[graft.functions.Pii]]): q86's digit-run
     * scrub widened to the rule battery a real corpus scrub runs —
@@ -5459,7 +5541,8 @@ object SparkEntry {
     "q218_video_fingerprint" -> (q218 _),
     "q219_sq_topk" -> (q219 _),
     "q220_sq_probe_index" -> (q220 _),
-    "q221_sq_probe_many" -> (q221 _)
+    "q221_sq_probe_many" -> (q221 _),
+    "q222_video_neardup_twin" -> (q222 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8225,7 +8308,70 @@ object SparkEntry {
            SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rn
            FROM res) WHERE rn <= 20
-         ORDER BY query_id, id""")
+         ORDER BY query_id, id"""),
+    // q222: full replay of the video near-dup pair/component stage on
+    // the vote corpus — the q218 arithmetic signature CTEs, then pairs
+    // over the ≤25 DISTINCT signature nodes under bit_count(xor) <= 4
+    // (the engine's banded-Hamming budget; pigeonhole makes banding
+    // exact for hamming < bands) and a recursive min-root propagation
+    // for the transitive components (pre-validated against an
+    // independent union-find replay; measured min cross-pattern
+    // hamming is 7, so components are currently signature-equality
+    // groups, but the closure keeps the oracle honest if a future
+    // asset change merges families).
+    "q222_video_neardup_twin" ->
+      """WITH RECURSIVE px AS (
+           SELECT doc_id, CAST(doc_id % 25 AS BIGINT) AS p
+           FROM documents),
+         terms AS (
+           SELECT DISTINCT p, cy.i AS cy, cx.i AS cx,
+             (23*p + (2*cx.i    )*(10+(p%7)*6)) % 240 AS ra,
+             (23*p + (2*cx.i + 1)*(10+(p%7)*6)) % 240 AS rb,
+             (91*p + (2*cy.i    )*(8+(p%5)*7)) % 240 AS ga,
+             (91*p + (2*cy.i + 1)*(8+(p%5)*7)) % 240 AS gb,
+             (53*p + (2*cx.i + 2*cy.i    )*(6+(p%3)*9)) % 240 AS ba,
+             (53*p + (2*cx.i + 2*cy.i + 1)*(6+(p%3)*9)) % 240 AS bb,
+             (53*p + (2*cx.i + 2*cy.i + 2)*(6+(p%3)*9)) % 240 AS bc
+           FROM px, range(8) cy(i), range(9) cx(i)),
+         cells AS (
+           SELECT p, cy, cx,
+             (598*(ra + rb) + 1174*(ga + gb) + 114*(ba + 2*bb + bc)) // 4
+               AS cell
+           FROM terms),
+         bits AS (
+           SELECT a.p, a.cy * 8 + a.cx AS k
+           FROM cells a JOIN cells b
+             ON b.p = a.p AND b.cy = a.cy AND b.cx = a.cx + 1
+           WHERE a.cx < 8 AND b.cell > a.cell),
+         sig AS (
+           SELECT p,
+             coalesce(SUM(CASE WHEN k >= 32
+               THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS sig_hi,
+             coalesce(SUM(CASE WHEN k < 32
+               THEN CAST(1 AS BIGINT) << k END), 0) AS sig_lo
+           FROM bits GROUP BY p),
+         docsig AS (
+           SELECT px.doc_id,
+             CAST(coalesce(s.sig_hi, 0) AS BIGINT) AS h,
+             CAST(coalesce(s.sig_lo, 0) AS BIGINT) AS l
+           FROM px LEFT JOIN sig s ON s.p = px.p),
+         nodes AS (
+           SELECT h, l, MIN(doc_id) AS m FROM docsig GROUP BY h, l),
+         edges AS (
+           SELECT a.h AS ah, a.l AS al, b.h AS bh, b.l AS bl
+           FROM nodes a, nodes b
+           WHERE bit_count(xor(a.h, b.h)) + bit_count(xor(a.l, b.l)) <= 4),
+         reach(h, l, root) AS (
+           SELECT h, l, m FROM nodes
+           UNION
+           SELECT e.bh, e.bl, r.root
+           FROM reach r JOIN edges e ON e.ah = r.h AND e.al = r.l),
+         comp AS (
+           SELECT h, l, MIN(root) AS component FROM reach GROUP BY h, l)
+         SELECT d.doc_id, c.component,
+           d.doc_id = c.component AS canonical
+         FROM docsig d JOIN comp c ON c.h = d.h AND c.l = d.l
+         ORDER BY doc_id"""
   )
 
   /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim

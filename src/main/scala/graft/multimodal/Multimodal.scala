@@ -679,8 +679,28 @@ object Multimodal {
       assets: DataFrame,
       maxHamming: Int = 5,
       bands: Int = 8,
-      maxBucketSize: Int = 256): DataFrame = {
-    val sigs = graft.ops.Stage.materializeOnce(audioFingerprints(assets))
+      maxBucketSize: Int = 256): DataFrame =
+    nearDupFromSigs(
+      graft.ops.Stage.materializeOnce(audioFingerprints(assets)),
+      maxHamming,
+      bands,
+      maxBucketSize)
+
+  /** The modality-blind tail every perceptual dedup shares: a 64-bit
+    * signature frame (id, sig) → banded-Hamming pairs → transitive
+    * components → (id, component, canonical) with the min-id survivor
+    * policy. Public so a caller that ALREADY HOLDS the fingerprint
+    * frame (e.g. a query pair where one query publishes the signatures
+    * and another dedups on them — the q211/q217 shared stage) can run
+    * the pair machinery without re-running the decode/DSP pipeline;
+    * `sigs` should be materialized (the frame is consumed by the
+    * banding and both verify sides plus the final id join).
+    */
+  def nearDupFromSigs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      maxBucketSize: Int): DataFrame = {
     val pairs = graft.operators.Dedup.simHashBandPairs(
       sigs, maxHamming, bands, maxBucketSize)
     val comps =
@@ -1470,21 +1490,12 @@ object Multimodal {
       maxHamming: Int = 4,
       bands: Int = 8,
       maxBucketSize: Int = 256,
-      decoder: VideoDecoder = anyAviDecoder): DataFrame = {
-    val sigs =
-      graft.ops.Stage.materializeOnce(videoFingerprints(assets, decoder))
-    val pairs = graft.operators.Dedup.simHashBandPairs(
-      sigs, maxHamming, bands, maxBucketSize)
-    val comps =
-      graft.operators.Dedup.resolveComponentsAuto(pairs, "id_a", "id_b")
-    sigs
-      .select(col("id"))
-      .join(comps, Seq("id"), "left")
-      .select(
-        col("id"),
-        coalesce(col("component"), col("id")).as("component"))
-      .withColumn("canonical", col("id") === col("component"))
-  }
+      decoder: VideoDecoder = anyAviDecoder): DataFrame =
+    nearDupFromSigs(
+      graft.ops.Stage.materializeOnce(videoFingerprints(assets, decoder)),
+      maxHamming,
+      bands,
+      maxBucketSize)
 
   /** Synthesize one gradient FRAME SEQUENCE of the planted-near-dup
     * video corpus as raw DIB payloads: the [[imageAssetsFromIds]]
@@ -1773,20 +1784,12 @@ object Multimodal {
       assets: DataFrame,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 256): DataFrame = {
-    val sigs = graft.ops.Stage.materializeOnce(dHashImages(assets))
-    val pairs = graft.operators.Dedup.simHashBandPairs(
-      sigs, maxHamming, bands, maxBucketSize)
-    val comps =
-      graft.operators.Dedup.resolveComponentsAuto(pairs, "id_a", "id_b")
-    sigs
-      .select(col("id"))
-      .join(comps, Seq("id"), "left")
-      .select(
-        col("id"),
-        coalesce(col("component"), col("id")).as("component"))
-      .withColumn("canonical", col("id") === col("component"))
-  }
+      maxBucketSize: Int = 256): DataFrame =
+    nearDupFromSigs(
+      graft.ops.Stage.materializeOnce(dHashImages(assets)),
+      maxHamming,
+      bands,
+      maxBucketSize)
 
   /** Per-id synthesized PNG assets (the image analog of
     * [[videoAssetsFromIds]]): a horizontal-gradient pattern keyed by

@@ -228,7 +228,16 @@ object Stress {
     // never shuffles)
     "q219_sq_topk",
     "q221_sq_probe_many",
-    "q213_semantic_decontam")
+    "q213_semantic_decontam",
+    // round-12 additions, completing the build-once/probe-many twin
+    // coverage (the r11 verdict's #4): the BM25 batch probe reads only
+    // its query terms' posting shards of a 10x index (min-of-reps
+    // times the probe — the build amortizes into rep 1, measured
+    // separately by the `builds` phase), and the SQ single probe reads
+    // the 10x codes column + a factor·k-bounded rescore — both should
+    // stay ~scan-bound, nowhere near 10x
+    "q216_bm25_probe_many",
+    "q220_sq_probe_index")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
@@ -262,6 +271,49 @@ object Stress {
       s""""$n":{"t1":$t1,"t10":$t10,"ratio":${t10 / t1},"rows1":$r1,"rows10":$r10}"""
     }
     println(rows.mkString("""{"stress_run":{""", ",", "}}"))
+    spark.stop()
+  }
+
+  // ---- index build twins ----
+
+  /** Time the build-once index WRITES at 1x and 10x (the r11 verdict's
+    * missing half of the lifecycle twins: probes are covered by the
+    * `run` twins, builds need their own timer because the query paths
+    * memoize them away after the first call). Corpus-linear ratios
+    * (≈factor, modulo fixed job overhead) are the pass — the BM25
+    * build is one tokenize + one doc-length window + a shard
+    * repartition, the SQ build one bounds aggregation + a narrow
+    * quantize projection; neither has a superlinear stage.
+    */
+  def builds(dir1x: String, dir10x: String, reps: Int): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-stress-builds").toString
+    def timeMin(body: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val rows = Seq(
+      "bm25_write_index" -> ((d: String, out: String) =>
+        graft.operators.Sampling.bm25WriteIndex(
+          graft.Tables.documents(spark, d), "doc_id", "text", out,
+          sourceTag = d)),
+      "sq_write_index" -> ((d: String, out: String) =>
+        graft.operators.Similarity.sqWriteIndex(
+          graft.Tables.embeddings(spark, d), "embedding", "vec_id", out,
+          sourceTag = d))
+    ).map { case (name, build) =>
+      // warm codegen/JIT once (plan-dependent, not data-dependent)
+      build(dir1x, s"$scratch/warm-$name")
+      val t1 = timeMin(build(dir1x, s"$scratch/1x-$name"))
+      val t10 = timeMin(build(dir10x, s"$scratch/10x-$name"))
+      println(f"""[stress] $name%-28s 1x=$t1%7.2fs 10x=$t10%7.2fs ratio=${t10 / t1}%5.2f""")
+      s""""$name":{"t1":$t1,"t10":$t10,"ratio":${t10 / t1}}"""
+    }
+    println(rows.mkString("""{"stress_builds":{""", ",", "}}"))
     spark.stop()
   }
 
@@ -390,6 +442,11 @@ object Stress {
         args.lift(2).getOrElse("/tmp/graft-stress10x"),
         args.lift(3).map(_.toInt).getOrElse(2),
         args.drop(4).toSeq)
+    case Some("builds") =>
+      builds(
+        args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft-stress10x"),
+        args.lift(3).map(_.toInt).getOrElse(2))
     case Some("skew") =>
       skew(args.lift(1).getOrElse("/tmp/graft-stress10x"))
     case Some("invariance") =>
