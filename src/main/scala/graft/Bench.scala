@@ -88,6 +88,9 @@ object Bench {
       // the steady-state probe numbers are probe-only
       "q216_bm25_probe_many",
       "q220_sq_probe_index",
+      // round 12: the first run builds the evens index AND appends the
+      // odds segment — timed here so steady state times the probe
+      "q223_bm25_append_probe",
       // round-12 cross-query SHARED STAGES (SparkEntry.sharedStage):
       // the first consumer of each pair materializes the shared
       // intermediate (HTML extraction, audio/image/video fingerprint

@@ -283,6 +283,7 @@ object SparkEntry {
     cdcLogCache.clear()
     bpeMergesCache.clear()
     bm25IndexCache.clear()
+    bm25AppendIndexCache.clear()
     sqIndexCache.clear()
     sharedStageCache.clear()
   }
@@ -1826,6 +1827,50 @@ object SparkEntry {
         videoVoteSigs(s, d), maxHamming = 4, bands = 8, maxBucketSize = 256)
       .select(col("id").as("doc_id"), col("component"), col("canonical"))
       .orderBy("doc_id")
+
+  /** Build-once cache for the APPENDED BM25 index (q223): half the
+    * corpus at build, the other half via
+    * [[graft.operators.Sampling.bm25AppendIndex]] — the cached
+    * artifact is the evolved index every probe then reads.
+    */
+  private val bm25AppendIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def bm25AppendedIndex(s: SparkSession, d: String): String =
+    bm25AppendIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("bm25app", d)
+        val docs = Tables.documents(s, d)
+        graft.operators.Sampling.bm25WriteIndex(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", path, sourceTag = d)
+        graft.operators.Sampling.bm25AppendIndex(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", path, sourceTag = d)
+        path
+      })
+
+  /** Incremental BM25 index APPEND, probed (q223): the index is built
+    * from the even half of the corpus and EVOLVED with the odd half
+    * ([[graft.operators.Sampling.bm25AppendIndex]] — lifecycle parity
+    * with the ANN family's `ivfAppendIndex` / the minhash segment
+    * appends: inverted lists grow, nothing rebuilds), then probed with
+    * the q214 query at k=20. The append merges (N, token-total) stats
+    * exactly and posting rows are per-doc, so the probe is
+    * BIT-IDENTICAL to a probe of a full one-shot build — which is why
+    * the oracle is the q214 full-corpus replay verbatim: HASH-green
+    * proves build+append+probe ends exactly where a rebuild would.
+    */
+  private def q223(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling
+      .bm25ProbeMany(
+        s,
+        bm25AppendedIndex(s, d),
+        Seq(1L -> Seq("hash", "join", "stream")),
+        k = 20,
+        sourceTag = d)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
 
   /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
     * missing cheap point on the quantization spectrum beside PQ/IVF-PQ,
@@ -5542,7 +5587,8 @@ object SparkEntry {
     "q219_sq_topk" -> (q219 _),
     "q220_sq_probe_index" -> (q220 _),
     "q221_sq_probe_many" -> (q221 _),
-    "q222_video_neardup_twin" -> (q222 _)
+    "q222_video_neardup_twin" -> (q222 _),
+    "q223_bm25_append_probe" -> (q223 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8371,7 +8417,43 @@ object SparkEntry {
          SELECT d.doc_id, c.component,
            d.doc_id = c.component AS canonical
          FROM docsig d JOIN comp c ON c.h = d.h AND c.l = d.l
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // q223: the q214 FULL-CORPUS replay, verbatim — the engine side
+    // went build(evens) → append(odds) → probe, and the append's
+    // probe-equivalence contract (per-doc posting rows, probe-time df,
+    // exact additive stat merge) says the result must equal a one-shot
+    // build over everything, which is exactly what this replays.
+    "q223_bm25_append_probe" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)),'\s+')) AS term
+           FROM documents WHERE trim(text) <> ''
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), dl AS (
+           SELECT doc_id, count(*) AS dl FROM t GROUP BY 1
+         ), stats AS (
+           SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM t)::DOUBLE /
+                    (SELECT count(*) FROM documents) AS avgdl
+         ), q AS (
+           SELECT unnest(['hash', 'join', 'stream']) AS term
+         ), s AS (
+           SELECT tf.doc_id,
+             sum(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+           FROM tf
+           JOIN q USING (term)
+           JOIN dfq USING (term)
+           JOIN dl USING (doc_id), stats
+           GROUP BY 1
+         )
+         SELECT doc_id, round(score, 6) AS bm25 FROM s
+         ORDER BY bm25 DESC, doc_id LIMIT 20"""
   )
 
   /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim

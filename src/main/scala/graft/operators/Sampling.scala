@@ -494,17 +494,111 @@ object Sampling {
         coalesce(sum("tf"), lit(0L)).cast("double").as("toks")))
       .head()
     val n = statsRow.getDouble(0)
-    val avgdl = if (n > 0) statsRow.getDouble(1) / n else 0.0
+    val toks = statsRow.getDouble(1)
+    writeBm25Meta(spark, path, n, toks, nShards, sourceTag)
+  }
+
+  /** `_meta` writer shared by [[bm25WriteIndex]] and
+    * [[bm25AppendIndex]]: (n, avgdl, toks, nShards, source). `toks`
+    * (the exact corpus token total — integer counts carried in a
+    * double, exact far past any local corpus) exists so an APPEND can
+    * merge stats exactly: avgdl' = (toks + batchToks)/(n + batchN) is
+    * the same division a full rebuild computes, whereas reconstructing
+    * toks from n·avgdl would reintroduce the division's rounding and
+    * let probe-vs-rebuild scores drift at the last ulp.
+    */
+  private def writeBm25Meta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      n: Double,
+      toks: Double,
+      nShards: Int,
+      sourceTag: String): Unit =
     spark
       .range(1)
       .select(
         lit(n).as("n"),
-        lit(avgdl).as("avgdl"),
+        lit(if (n > 0) toks / n else 0.0).as("avgdl"),
+        lit(toks).as("toks"),
         lit(nShards).as("nShards"),
         lit(sourceTag).as("source"))
       .write
       .mode("overwrite")
       .parquet(s"$path/_meta")
+
+  /** Incremental BM25 index maintenance — the sparse-retrieval twin of
+    * [[graft.operators.Similarity.ivfAppendIndex]]: tokenize ONLY the
+    * new batch, append its posting rows into the existing shard layout
+    * (same shard hash, same within-file term sort), and merge the
+    * corpus stats exactly (doc counts and token totals are additive).
+    *
+    * Probe-equivalence contract, load-bearing for the q223 oracle: a
+    * probe of the appended index is BIT-IDENTICAL to a probe of a full
+    * rebuild over old ∪ new —
+    *  - posting rows are per-doc (tf and dl never cross documents), so
+    *    the union of old and batch rows IS the rebuild's row set;
+    *  - df is computed from the pruned postings at probe time (never
+    *    stored), so appended docs are counted automatically;
+    *  - avgdl merges as (toks + batchToks)/(n + batchN) — exact
+    *    integer arithmetic in doubles, the identical division the
+    *    rebuild computes.
+    * Pre-`toks` indexes (written before round 12) reconstruct the old
+    * token total as n·avgdl — last-ulp noise ~8 digits below the
+    * 6-decimal score rounding, stated rather than silent.
+    *
+    * Same non-atomic parquet-append boundary as ivfAppendIndex (a
+    * mid-write failure leaves partial files; a table format closes
+    * it). Appending a doc_id that already exists in the index is the
+    * caller's bug — postings would double-count it (the same contract
+    * as every other append path; the streaming ingest dedups first).
+    */
+  def bm25AppendIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      sourceTag: String = ""): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val n = meta.getAs[Double]("n")
+    val nShards = meta.getAs[Int]("nShards")
+    val built = meta.getAs[String]("source")
+    require(
+      sourceTag.isEmpty || built == null || built.isEmpty ||
+        built == sourceTag,
+      s"BM25 index at $path was built from source '$built'; append " +
+        s"expected source '$sourceTag' — refusing to cross-wire indexes")
+    val oldToks =
+      if (meta.schema.fieldNames.contains("toks")) meta.getAs[Double]("toks")
+      else n * meta.getAs[Double]("avgdl")
+    val tf = graft.ops.Stage.materializeOnce(
+      df.select(
+          col(idCol).as("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+            .as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tf.withColumn("dl", sum("tf").over(win))
+      .withColumn("shard", pmod(hash(col("term")), lit(nShards)))
+      .repartition(col("shard"))
+      .sortWithinPartitions("term")
+      .write
+      .mode("append")
+      .partitionBy("shard")
+      .parquet(s"$path/postings")
+    val batchRow = df
+      .agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(tf.agg(
+        coalesce(sum("tf"), lit(0L)).cast("double").as("toks")))
+      .head()
+    writeBm25Meta(
+      spark,
+      path,
+      n + batchRow.getDouble(0),
+      oldToks + batchRow.getDouble(1),
+      nShards,
+      if (built == null) "" else built)
   }
 
   /** Batch BM25 retrieval over a persisted index: top-k documents for

@@ -724,6 +724,45 @@ class ExtensionsSpec extends AnyFunSuite {
       }
   }
 
+  test("bm25 append: evolved index probes bit-identical to a one-shot rebuild") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25-append").toString
+    // build(evens) -> append(odds)
+    val evolved = s"$base/evolved"
+    graft.operators.Sampling.bm25WriteIndex(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", evolved, sourceTag = "spec")
+    graft.operators.Sampling.bm25AppendIndex(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", evolved, sourceTag = "spec")
+    // one-shot rebuild over everything
+    val rebuilt = s"$base/rebuilt"
+    graft.operators.Sampling.bm25WriteIndex(
+      docs, "doc_id", "text", rebuilt, sourceTag = "spec")
+    // merged _meta stats must be EXACTLY the rebuild's (the additive
+    // toks merge — reconstructing from n·avgdl would drift an ulp)
+    val mE = spark.read.parquet(s"$evolved/_meta").head()
+    val mR = spark.read.parquet(s"$rebuilt/_meta").head()
+    for (f <- Seq("n", "avgdl", "toks"))
+      assert(mE.getAs[Double](f) === mR.getAs[Double](f), f)
+    val batch = Seq(
+      1L -> Seq("hash", "join", "stream"),
+      2L -> Seq("vector", "scan"))
+    def probe(idx: String) = graft.operators.Sampling
+      .bm25ProbeMany(spark, idx, batch, k = 15, sourceTag = "spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    assert(probe(evolved).toSeq === probe(rebuilt).toSeq)
+    // appending from the wrong source refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.bm25AppendIndex(
+        docs.limit(1), "doc_id", "text", evolved, sourceTag = "other")
+    }
+    assert(e.getMessage.contains("cross-wire"))
+  }
+
   test("semantic decontamination: exact flags planted leak, banded ⊆ exact") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val bench = emb.where(col("vec_id") % 10 === 0)
