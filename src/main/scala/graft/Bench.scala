@@ -91,6 +91,7 @@ object Bench {
       // round 12: the first run builds the evens index AND appends the
       // odds segment — timed here so steady state times the probe
       "q223_bm25_append_probe",
+      "q224_sq_append_probe",
       // round-12 cross-query SHARED STAGES (SparkEntry.sharedStage):
       // the first consumer of each pair materializes the shared
       // intermediate (HTML extraction, audio/image/video fingerprint

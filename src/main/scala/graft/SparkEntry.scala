@@ -285,6 +285,7 @@ object SparkEntry {
     bm25IndexCache.clear()
     bm25AppendIndexCache.clear()
     sqIndexCache.clear()
+    sqAppendIndexCache.clear()
     sharedStageCache.clear()
   }
 
@@ -1871,6 +1872,51 @@ object SparkEntry {
         sourceTag = d)
       .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+
+  /** Build-once cache for the APPENDED SQ index (q224): the even
+    * vectors at build, the odd vectors appended under the FROZEN even
+    * bounds ([[graft.operators.Similarity.sqAppendIndex]]).
+    */
+  private val sqAppendIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def sqAppendedIndex(s: SparkSession, d: String): String =
+    sqAppendIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("sqapp", d)
+        val emb = Tables.embeddings(s, d)
+        Similarity.sqWriteIndex(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "embedding", "vec_id", path, sourceTag = d)
+        Similarity.sqAppendIndex(
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", "vec_id", path, sourceTag = d)
+        path
+      })
+
+  /** Incremental SQ index APPEND, probed (q224): the index is built
+    * from the even vectors and EVOLVED with the odd half under the
+    * FROZEN even-half quantization bounds
+    * ([[graft.operators.Similarity.sqAppendIndex]] — the
+    * frozen-quantizer evolution, completing the SQ lifecycle beside
+    * q220/q221 the way `ivfAppendIndex` completes IVF's). Out-of-bounds
+    * components CLAMP to the nearest code (123 of 250 odd vectors at
+    * sf0.01 genuinely clip — the path is exercised, not vacuous);
+    * ranks stay deterministic and the rescore stays exact, so the
+    * whole evolved pipeline is SQL-replayable: the oracle is the q219
+    * replay with bounds computed over the EVEN half only and a
+    * LEAST/GREATEST clamp on the codes — hash-green proves the frozen
+    * bounds, the clamp, and the probe agree bit-for-bit across
+    * engines.
+    */
+  private def q224(s: SparkSession, d: String): DataFrame =
+    Similarity.sqProbeIndex(
+      s,
+      sqAppendedIndex(s, d),
+      queryVec(s, d),
+      k = 20,
+      factor = 4,
+      sourceTag = d)
 
   /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
     * missing cheap point on the quantization spectrum beside PQ/IVF-PQ,
@@ -5588,7 +5634,8 @@ object SparkEntry {
     "q220_sq_probe_index" -> (q220 _),
     "q221_sq_probe_many" -> (q221 _),
     "q222_video_neardup_twin" -> (q222 _),
-    "q223_bm25_append_probe" -> (q223 _)
+    "q223_bm25_append_probe" -> (q223 _),
+    "q224_sq_append_probe" -> (q224 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8453,7 +8500,42 @@ object SparkEntry {
            GROUP BY 1
          )
          SELECT doc_id, round(score, 6) AS bm25 FROM s
-         ORDER BY bm25 DESC, doc_id LIMIT 20"""
+         ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // q224: the q219/q220 replay under the APPEND lifecycle — bounds
+    // computed over the EVEN half only (the frozen quantizer) and a
+    // LEAST/GREATEST [0,255] clamp on the codes (appended odd vectors
+    // carry out-of-bounds components; the engine saturates instead of
+    // letting the tinyint cast wrap). Pre-validated against an
+    // independent numpy/decimal replay of the engine arithmetic.
+    "q224_sq_append_probe" ->
+      """WITH q AS (
+           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id=0),
+         dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
+         elems AS (
+           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
+         bounds AS (
+           SELECT i, min(x) AS lo, max(x) AS hi FROM elems
+           WHERE vec_id % 2 = 0 GROUP BY i),
+         deq AS (
+           SELECT e.vec_id, e.i,
+             b.lo + LEAST(255, GREATEST(0,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
+                           AS BIGINT)
+               END)) * (b.hi - b.lo) / 255 AS xd
+           FROM elems e JOIN bounds b USING (i)),
+         dvec AS (SELECT vec_id, list(xd ORDER BY i) AS dv FROM deq GROUP BY vec_id),
+         approx AS (
+           SELECT vec_id AS id,
+             round(list_cosine_similarity(dv, (SELECT qv FROM q)), 6) AS sim_q8
+           FROM dvec),
+         cand AS (SELECT id, sim_q8 FROM approx ORDER BY sim_q8 DESC, id ASC LIMIT 80),
+         res AS (
+           SELECT c.id, c.sim_q8,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+               (SELECT qv FROM q)), 6) AS sim
+           FROM cand c JOIN embeddings e ON e.vec_id = c.id)
+         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20"""
   )
 
   /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim

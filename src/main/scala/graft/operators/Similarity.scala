@@ -212,6 +212,55 @@ object Similarity {
       .parquet(s"$path/_meta")
   }
 
+  /** Incremental SQ index maintenance — frozen-quantizer append, the
+    * scalar-quantization member of the index-evolution family
+    * ([[ivfAppendIndex]] freezes centroids, `bm25AppendIndex` merges
+    * stats, minhash/sig64 append segments): quantize the NEW batch
+    * under the index's EXISTING per-dim bounds (read from `_meta`,
+    * which stays untouched — every probe's dequantize keeps working
+    * unchanged) and append (id, q8, v) rows into the columnar layout.
+    *
+    * Trades, stated (the standard frozen-quantizer evolution):
+    * components outside the frozen bounds CLAMP to the nearest code
+    * ([[sqEnc]]) — their approximate candidate rank degrades
+    * gracefully (recall, not correctness: the rescore always reads
+    * the full-precision `v`, so any candidate's final score is
+    * exact); a corpus that drifts far from the build-time bounds
+    * eventually wants a rebuild, exactly like production SQ systems.
+    * For batches WITHIN the frozen bounds the appended codes are
+    * bit-identical to a same-bounds rebuild (the q224 oracle
+    * contract). Same non-atomic parquet-append boundary as
+    * [[ivfAppendIndex]]; duplicate-id appends are the caller's bug
+    * (the contract of every append path).
+    */
+  def sqAppendIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      sourceTag: String = ""): Unit = {
+    val spark = df.sparkSession
+    val (lo, hi) = sqReadMeta(spark, path, sourceTag)
+    // dimension mismatch would zip_with into silent nulls — one cheap
+    // batch-sized aggregate makes it an error instead
+    val dims = df
+      .agg(
+        min(size(col(vecCol))).as("mn"),
+        max(size(col(vecCol))).as("mx"))
+      .head()
+    require(
+      df.isEmpty || (dims.getInt(0) == lo.length && dims.getInt(1) == lo.length),
+      s"append batch carries vectors of dim ${dims.get(0)}..${dims.get(1)}; " +
+        s"index at $path was built with dim ${lo.length}")
+    df.select(
+        col(idCol).as("id"),
+        sqEnc(lo, hi)(col(vecCol).cast("array<double>")).as("q8"),
+        col(vecCol).cast("array<double>").as("v"))
+      .write
+      .mode("append")
+      .parquet(path)
+  }
+
   /** Validate + load a [[sqWriteIndex]] `_meta`: returns the per-dim
     * (lo, hi) quantization bounds. Shared by both probes — one copy of
     * the source-identity check and the bounds extraction.
@@ -230,6 +279,32 @@ object Similarity {
     (m.getSeq[Double](m.fieldIndex("lo")),
       m.getSeq[Double](m.fieldIndex("hi")))
   }
+
+  /** Quantize a vector column under driver-held bounds — the append-
+    * side twin of [[sqDeq]], in IEEE lockstep with [[quantizeInt8]]'s
+    * in-plan form (same `(x−lo)·255/range` association, same
+    * round-half-up, same −128 shift) PLUS a [0, 255] clamp: the build
+    * path never needs one (its bounds are the corpus min/max by
+    * construction), but an APPENDED batch may carry components outside
+    * the frozen bounds, and an unclamped `cast("tinyint")` would WRAP
+    * (e.g. 300−128 → −84), scrambling the candidate ranking instead of
+    * saturating it. For in-bounds components the clamp is the
+    * identity, so appended codes are bit-identical to what a build
+    * over the union WITH THE SAME BOUNDS would produce — the q224
+    * oracle contract.
+    */
+  private def sqEnc(lo: Seq[Double], hi: Seq[Double])(v: Column): Column =
+    zip_with(
+      zip_with(v, array(lo.map(lit): _*), (x, l) => x - l),
+      array(hi.indices.map(i => lit(hi(i) - lo(i))): _*),
+      (num, range) =>
+        (greatest(
+          lit(0d),
+          least(
+            lit(255d),
+            when(range === 0d, lit(0d))
+              .otherwise(round(num * 255d / range)))) - 128)
+          .cast("tinyint"))
 
   /** Dequantize an int8-codes column under driver-held bounds — the
     * ONE probe-side copy of the affine formula. It must stay in IEEE

@@ -1470,6 +1470,62 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sq append: frozen-bounds evolution, clamped codes, exact rescore") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sq-append").toString
+    // build corpus spans [0,10] per dim; the in-bounds batch sits inside
+    val build = Seq(
+      (0L, Seq(0.0, 0.0, 0.0)),
+      (1L, Seq(10.0, 10.0, 10.0)),
+      (2L, Seq(2.0, 7.0, 4.0)),
+      (3L, Seq(8.0, 1.0, 9.0))).toDF("vec_id", "embedding")
+    val inBounds = Seq(
+      (4L, Seq(5.0, 5.0, 5.0)),
+      (5L, Seq(1.0, 9.0, 3.0))).toDF("vec_id", "embedding")
+    val evolved = s"$base/evolved"
+    Similarity.sqWriteIndex(build, "embedding", "vec_id", evolved, sourceTag = "s")
+    Similarity.sqAppendIndex(inBounds, "embedding", "vec_id", evolved, sourceTag = "s")
+    // an in-bounds append is bit-identical to a SAME-BOUNDS rebuild:
+    // the union's per-dim min/max equal the build corpus's, so a full
+    // rebuild over the union computes the identical quantizer
+    val rebuilt = s"$base/rebuilt"
+    Similarity.sqWriteIndex(
+      build.unionByName(inBounds), "embedding", "vec_id", rebuilt, sourceTag = "s")
+    val q = Seq(4.9, 5.1, 5.0)
+    // the zero vector scores null/NaN (no direction) — canonicalize so
+    // the tuple compare is not defeated by NaN != NaN
+    def nn(d: Double) = if (d.isNaN) -999.0 else d
+    def probe(idx: String) = Similarity
+      .sqProbeIndex(spark, idx, q, k = 6, sourceTag = "s")
+      .collect().map(r => (r.getLong(0), nn(r.getDouble(1)), nn(r.getDouble(2)))).toSeq
+    assert(probe(evolved) === probe(rebuilt))
+    // out-of-bounds components SATURATE (no tinyint wrap): codes pin to
+    // the range ends, and the rescore is still the exact cosine
+    Similarity.sqAppendIndex(
+      Seq((6L, Seq(-50.0, 300.0, 5.0))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", evolved, sourceTag = "s")
+    val q8 = spark.read.parquet(evolved)
+      .where(col("id") === 6L)
+      .select(col("q8")).head().getSeq[Byte](0)
+    assert(q8(0) === (-128: Byte) && q8(1) === (127: Byte))
+    val withOut = Similarity
+      .sqProbeIndex(spark, evolved, q, k = 7, sourceTag = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val exact = BigDecimal(
+      Seq(-50.0, 300.0, 5.0).zip(q).map { case (a, b) => a * b }.sum /
+        (math.sqrt(Seq(-50.0, 300.0, 5.0).map(x => x * x).sum) *
+          math.sqrt(q.map(x => x * x).sum)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(withOut(6L) === exact)
+    // a wrong-dimension batch refuses loudly instead of nulling codes
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sqAppendIndex(
+        Seq((7L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id", evolved, sourceTag = "s")
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("sq family edges: empty corpus, k past corpus size") {
     val schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
     val empty = spark.createDataFrame(
