@@ -237,7 +237,12 @@ object Stress {
     // the 10x codes column + a factor·k-bounded rescore — both should
     // stay ~scan-bound, nowhere near 10x
     "q216_bm25_probe_many",
-    "q220_sq_probe_index")
+    "q220_sq_probe_index",
+    // append-lifecycle probes: first rep builds+appends (amortized),
+    // min-of-reps times the probe of the EVOLVED index — the appended
+    // layout must probe as scan-bound as the one-shot one
+    "q223_bm25_append_probe",
+    "q224_sq_append_probe")
 
   private def time1(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
