@@ -602,6 +602,44 @@ object Similarity {
       .parquet(s"$path/_meta")
   }
 
+  /** Incremental LSH index maintenance — append a new batch into a
+    * persisted [[lshWriteIndex]] layout. The easiest member of the
+    * index-evolution family (IVF freezes centroids, SQ freezes bounds,
+    * BM25 merges stats): hyperplane signatures are DATA-INDEPENDENT
+    * (seeded hashes of the vector alone), so there is nothing to
+    * freeze and nothing to merge — the appended rows are byte-for-byte
+    * the rows a full rebuild would produce for those ids, at any batch
+    * split, forever. `_meta` is validated (same nBits/bandBits/source
+    * as the build — a mismatched append would scatter the batch into
+    * directories no probe reads) and left untouched. Same non-atomic
+    * parquet-append boundary and duplicate-id contract as every other
+    * append path.
+    */
+  def lshAppendIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      nBits: Int = 16,
+      bandBits: Int = 4,
+      sourceTag: String = ""): Unit = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    checkLshMeta(df.sparkSession, path, nBits, bandBits, sourceTag)
+    df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("__sig"))
+      .select(
+        col("id"),
+        col("v"),
+        explode(bandKeys(col("__sig"), nBits, bandBits)).as("e"))
+      .select(col("id"), col("v"), col("e.band"), col("e.bk"))
+      .write
+      .mode("append")
+      .partitionBy("band", "bk")
+      .parquet(path)
+  }
+
   /** XOR flip masks enumerating the Hamming ball of radius `radius`
     * over `bits`-bit keys: `bk ^ mask` for every mask with
     * popcount ≤ radius IS the ball around bk — one mask list serves

@@ -1470,6 +1470,44 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh append: evolved index probes identical to a one-shot rebuild") {
+    // hyperplane signatures are data-independent, so append == rebuild
+    // exactly, at any split — assert it through both probe paths
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-lsh-append").toString
+    val evolved = s"$base/evolved"
+    Similarity.lshWriteIndex(
+      emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "embedding", "vec_id", evolved, sourceTag = "s")
+    Similarity.lshAppendIndex(
+      emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      "embedding", "vec_id", evolved, sourceTag = "s")
+    val rebuilt = s"$base/rebuilt"
+    Similarity.lshWriteIndex(emb, "embedding", "vec_id", rebuilt, sourceTag = "s")
+    val q = emb.where(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def single(idx: String) = Similarity
+      .lshProbeIndex(spark, idx, q, k = 10, sourceTag = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(single(evolved) === single(rebuilt))
+    def many(idx: String) = Similarity
+      .lshProbeIndexMany(
+        spark, idx, emb.where(col("vec_id") < 3), "embedding", "vec_id",
+        k = 10, sourceTag = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(many(evolved) === many(rebuilt))
+    // appending with mismatched band geometry refuses loudly — the
+    // batch would land in directories no probe reads
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshAppendIndex(
+        emb.limit(1), "embedding", "vec_id", evolved,
+        nBits = 16, bandBits = 8, sourceTag = "s")
+    }
+    assert(e.getMessage.contains("bandBits"))
+  }
+
   test("sq append: frozen-bounds evolution, clamped codes, exact rescore") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sq-append").toString
