@@ -1918,6 +1918,29 @@ object SparkEntry {
       factor = 4,
       sourceTag = d)
 
+  /** Quality-scored survivor selection (q225): q174's exact cosine
+    * components through [[graft.operators.Dedup.bestSurvivors]] —
+    * within each near-dup component keep the member with the HIGHEST
+    * label (the stand-in quality score; ties break on vec_id), not the
+    * arbitrary min-id member. The survivor-policy half of dedup that
+    * production curation actually configures ("keep the best copy,
+    * not the first"), hash-green because the q174 component closure is
+    * SQL-replayable and the selection is one deterministic window on
+    * top of it.
+    */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Dedup
+      .bestSurvivors(
+        emb.select("vec_id", "label"),
+        "vec_id",
+        graft.operators.Dedup.resolveComponentsAuto(
+          graft.operators.Dedup
+            .embeddingNearDupExact(emb, "embedding", "vec_id", 0.4)),
+        col("label").desc)
+      .orderBy("vec_id")
+  }
+
   /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
     * missing cheap point on the quantization spectrum beside PQ/IVF-PQ,
     * and the FIRST ANN-family query with a hard hash oracle — both the
@@ -5635,7 +5658,8 @@ object SparkEntry {
     "q221_sq_probe_many" -> (q221 _),
     "q222_video_neardup_twin" -> (q222 _),
     "q223_bm25_append_probe" -> (q223 _),
-    "q224_sq_append_probe" -> (q224 _)
+    "q224_sq_append_probe" -> (q224 _),
+    "q225_best_survivors" -> (q225 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8535,7 +8559,39 @@ object SparkEntry {
              round(list_cosine_similarity(e.embedding::DOUBLE[],
                (SELECT qv FROM q)), 6) AS sim
            FROM cand c JOIN embeddings e ON e.vec_id = c.id)
-         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20"""
+         SELECT id, sim_q8, sim FROM res ORDER BY sim DESC, id ASC LIMIT 20""",
+    // q225: the q174 component closure (exact cosine pairs + recursive
+    // min-root reachability) with the scored-survivor window on top —
+    // keep each component's max-label member, ties to min vec_id;
+    // singletons (ids outside the pair graph) survive themselves.
+    "q225_best_survivors" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) >= 0.4
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs
+         ), reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         ), comp AS (
+           SELECT id, min(r) AS component FROM reach GROUP BY id
+         ), allc AS (
+           SELECT e.vec_id, e.label,
+             coalesce(c.component, e.vec_id) AS component
+           FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+         ), ranked AS (
+           SELECT vec_id, label, component,
+             row_number() OVER (
+               PARTITION BY component ORDER BY label DESC, vec_id) AS rk,
+             count(*) OVER (PARTITION BY component) AS n_members
+           FROM allc)
+         SELECT vec_id, label, component, n_members
+         FROM ranked WHERE rk = 1 ORDER BY vec_id"""
   )
 
   /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim

@@ -2533,6 +2533,41 @@ object Dedup {
     * the corpus side never shuffles more than its join keys, and the
     * drop-list is small (near-dup vertices only), so AQE broadcasts it.
     */
+  /** Quality-scored SURVIVOR SELECTION over a resolved component frame
+    * — the survivor policy production curation actually wants: within
+    * each duplicate component keep the BEST copy (highest quality
+    * score, most trusted source, longest text), not the arbitrary
+    * min-id member [[dedupByComponents]] keeps. `comps` is the
+    * (id, component) frame from [[resolveComponents]] /
+    * [[resolveComponentsAuto]]; rows absent from the pair graph are
+    * singleton survivors of their own component. `preference` orders
+    * each component's members BEST FIRST; id breaks residual ties so
+    * selection is deterministic (the engine-portability discipline).
+    *
+    * Output: the surviving row per component — all of `df`'s columns
+    * plus `component` and `n_members`. Plan shape: one left join to
+    * attach components (the comps side is near-dup vertices only —
+    * small, AQE broadcasts it) and ONE exchange on the component key
+    * shared by the rank and count windows; no all-pairs anything.
+    */
+  def bestSurvivors(
+      df: DataFrame,
+      idCol: String,
+      comps: DataFrame,
+      preference: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byComp = Window.partitionBy(col("component"))
+    val ranked = df
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn(
+        "__rk",
+        row_number().over(
+          byComp.orderBy(preference :+ col(idCol).asc: _*)))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+    ranked.where(col("__rk") === 1).drop("__rk")
+  }
+
   def dedupByComponents(
       df: DataFrame,
       idCol: String,

@@ -1470,6 +1470,25 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bestSurvivors: max-score member wins, ties to min id, singletons survive") {
+    val rows = Seq(
+      (1L, 5.0, "a"), (2L, 9.0, "a"), (3L, 9.0, "a"), // comp 1: 3 members, tie at 9
+      (7L, 1.0, "b"),                                  // singleton (not in comps)
+      (8L, 4.0, "c"), (9L, 2.0, "c")                   // comp 8: 2 members
+    ).toDF("id", "score", "tag")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      .toDF("id", "component")
+    val out = Dedup
+      .bestSurvivors(rows, "id", comps, col("score").desc)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component"),
+        r.getAs[Long]("n_members")))
+      .sortBy(_._1)
+    // comp 1: ids 2 and 3 tie at score 9 — min id 2 survives;
+    // singleton 7 survives itself with n_members 1
+    assert(out.toSeq === Seq((2L, 1L, 3L), (7L, 7L, 1L), (8L, 8L, 2L)))
+  }
+
   test("lsh append: evolved index probes identical to a one-shot rebuild") {
     // hyperplane signatures are data-independent, so append == rebuild
     // exactly, at any split — assert it through both probe paths
