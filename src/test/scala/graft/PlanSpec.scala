@@ -225,6 +225,18 @@ class PlanSpec extends AnyFunSuite {
       s"q216 per-query cut must push WindowGroupLimit:\n$p216")
   }
 
+  test("q225 scored survivors: rank and count windows share one component exchange") {
+    // bestSurvivors' claim: ONE exchange on the component key feeds
+    // both the preference rank and the n_members count — a second
+    // hash exchange would double-shuffle the corpus at scale
+    val p = plan(SparkEntry.queries("q225_best_survivors")(spark, TestSpark.sf))
+    assert(
+      p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(component")) === 1,
+      s"expected exactly one component-key exchange in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q32 IVF probe prunes corpus partitions instead of scanning") {
     val p = plan(SparkEntry.queries("q32_ivf_topk")(spark, TestSpark.sf))
     val pf = p.linesIterator.find(l =>
