@@ -416,7 +416,15 @@ object Stress {
         "q197_bpe_encode",
         "q201_gopher_rules",
         "q202_c4_line_filter",
-        "q203_triangle_stats")
+        "q203_triangle_stats",
+        // round-12 exact additions: q222's vote signatures and
+        // components are integer-exact (closed-form dHash bits +
+        // min-id closure), q225's survivor selection is a
+        // deterministic window over integer labels/components.
+        // q224 stays OUT (6-decimal-rounded float cosine ranks — the
+        // q190/q191 association-order rationale).
+        "q222_video_neardup_twin",
+        "q225_best_survivors")
     val shapes = Seq(
       (13, 8L * 1024 * 1024),   // prime partition count, small splits
       (32, 128L * 1024 * 1024)) // the default shape
