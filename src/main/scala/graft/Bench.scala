@@ -229,12 +229,27 @@ object Bench {
             val s = old.indexOf("\"queries\":{")
             if (s < 0) null
             else {
-              val e = old.indexOf("}", s)
+              // scan to the MATCHING close brace (depth-tracked): the
+              // first '}' would truncate a map whose values ever nest
+              // braces, yielding a partial name set that wrongfully
+              // passes the strict-superset test. Unbalanced → null →
+              // refuse to supersede.
+              val open = s + "\"queries\":".length
+              var i = open
+              var depth = 0
+              var e = -1
+              while (e < 0 && i < old.length) {
+                old.charAt(i) match {
+                  case '{' => depth += 1
+                  case '}' => depth -= 1; if (depth == 0) e = i
+                  case _ =>
+                }
+                i += 1
+              }
               if (e < 0) null
               else
                 "\"(q[0-9]+_[A-Za-z0-9_]+)\":".r
-                  .findAllMatchIn(
-                    old.substring(s + "\"queries\":{".length, e))
+                  .findAllMatchIn(old.substring(open + 1, e))
                   .map(_.group(1))
                   .toSet
             }

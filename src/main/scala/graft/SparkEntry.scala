@@ -301,18 +301,22 @@ object SparkEntry {
     * still declares its full pipeline through the shared stage), not
     * in any bench harness special-casing. Lazy local checkpoint — the
     * first consumer pays the compute inside its own job, every later
-    * consumer reads the stored internal rows. Keyed by session
-    * identity so a frame never outlives its session's context;
+    * consumer reads the stored internal rows. Keyed by the SESSION
+    * OBJECT (reference equality — an identityHashCode key could
+    * collide between two sessions, handing one a frame bound to the
+    * other, possibly stopped, session; the map pins no extra memory
+    * since the cached frame already holds its session);
     * [[clearIndexCaches]] drops the memo like every other build-once
     * artifact.
     */
   private val sharedStageCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
 
   private def sharedStage(s: SparkSession, d: String, key: String)(
       build: => DataFrame): DataFrame =
     sharedStageCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, key),
+      (s, d, key),
       graft.ops.Stage.materializeLazy(build))
 
   /** Collision-free scratch path per data dir: a truncated sanitized

@@ -695,16 +695,48 @@ object Multimodal {
     * the pair machinery without re-running the decode/DSP pipeline;
     * `sigs` should be materialized (the frame is consumed by the
     * banding and both verify sides plus the final id join).
+    *
+    * EXACT-SIGNATURE COLLAPSE before banding: members of an
+    * identical-signature group are Hamming-0 pairs by definition, and
+    * duplicate-heavy corpora (planted families, boilerplate imagery)
+    * concentrate thousands of them into every band bucket — banding
+    * the raw frame costs m² pair work per bucket and, worse, the skew
+    * guard silently DROPS over-cap buckets, collapsing whole
+    * equal-signature families to singletons once a family outgrows
+    * `maxBucketSize` (a scale cliff: correct at 5k docs, all-singleton
+    * at 50k). So each DISTINCT signature collapses to its min-id
+    * representative, only representatives are banded (bucket size =
+    * distinct signatures — immune to duplication), and members
+    * reconnect through rep→member star edges. Connectivity, the
+    * components, and the min-id canonicals are EXACTLY the uncollapsed
+    * semantics at every scale: equal-sig members were connected
+    * (Hamming 0) and now connect via their rep; two groups within
+    * `maxHamming` were connected by any cross pair and now connect
+    * rep-to-rep.
     */
   def nearDupFromSigs(
       sigs: DataFrame,
       maxHamming: Int,
       bands: Int,
       maxBucketSize: Int): DataFrame = {
-    val pairs = graft.operators.Dedup.simHashBandPairs(
-      sigs, maxHamming, bands, maxBucketSize)
-    val comps =
-      graft.operators.Dedup.resolveComponentsAuto(pairs, "id_a", "id_b")
+    // one row per distinct signature, min id as representative; feeds
+    // the banding (twice, via the carried sig) and the star join
+    val reps = graft.ops.Stage.materializeOnce(
+      sigs
+        .select(col("id"), col("sig"))
+        .groupBy("sig")
+        .agg(min(col("id")).as("id")))
+    val pairs = graft.operators.Dedup
+      .simHashBandPairs(reps, maxHamming, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    // rep is the group MIN, so rep < member: the (id_a < id_b) pair
+    // discipline holds on star edges by construction
+    val star = sigs
+      .join(reps.withColumnRenamed("id", "__rep"), Seq("sig"))
+      .where(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    val comps = graft.operators.Dedup
+      .resolveComponentsAuto(pairs.unionByName(star), "id_a", "id_b")
     sigs
       .select(col("id"))
       .join(comps, Seq("id"), "left")

@@ -2485,7 +2485,14 @@ object Dedup {
     // monitor that serializes IngestTuning.withBatchTuning — a
     // concurrent tuned micro-batch on this session can neither observe
     // the 4096 setting nor interleave its own set/restore with this
-    // one (either would leak a temporary value past a finally).
+    // one (either would leak a temporary value past a finally). The
+    // monitor is held ACROSS the collect (the conf is read when
+    // CollectLimitExec executes, so a narrower critical section would
+    // reintroduce the leak): a deliberate serialize-over-share trade
+    // whose blocking surface is direct same-session callers only —
+    // real streams run foreachBatch on per-query CLONED sessions
+    // (their own monitor), and nested calls from a tuned batch body
+    // re-enter the same thread's monitor.
     val limitKey = "spark.sql.limit.initialNumPartitions"
     val head =
       graft.streaming.IngestTuning.sessionLock(spark).synchronized {

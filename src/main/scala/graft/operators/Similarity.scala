@@ -242,14 +242,17 @@ object Similarity {
     val spark = df.sparkSession
     val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     // dimension mismatch would zip_with into silent nulls — one cheap
-    // batch-sized aggregate makes it an error instead
+    // batch-sized aggregate makes it an error instead (a NULL min
+    // already encodes the empty batch; a separate isEmpty would be a
+    // second avoidable action on the append path)
     val dims = df
       .agg(
         min(size(col(vecCol))).as("mn"),
         max(size(col(vecCol))).as("mx"))
       .head()
     require(
-      df.isEmpty || (dims.getInt(0) == lo.length && dims.getInt(1) == lo.length),
+      dims.isNullAt(0) ||
+        (dims.getInt(0) == lo.length && dims.getInt(1) == lo.length),
       s"append batch carries vectors of dim ${dims.get(0)}..${dims.get(1)}; " +
         s"index at $path was built with dim ${lo.length}")
     df.select(
@@ -609,22 +612,29 @@ object Similarity {
     * (seeded hashes of the vector alone), so there is nothing to
     * freeze and nothing to merge — the appended rows are byte-for-byte
     * the rows a full rebuild would produce for those ids, at any batch
-    * split, forever. `_meta` is validated (same nBits/bandBits/source
-    * as the build — a mismatched append would scatter the batch into
-    * directories no probe reads) and left untouched. Same non-atomic
-    * parquet-append boundary and duplicate-id contract as every other
-    * append path.
+    * split, forever. The band geometry (nBits, bandBits) is READ FROM
+    * `_meta`, not taken as parameters — the index already records the
+    * only correct values, and a caller-supplied mismatch could only
+    * ever be a refusal (or, unchecked, a batch scattered into
+    * directories no probe reads); `_meta` itself is left untouched.
+    * Same non-atomic parquet-append boundary and duplicate-id contract
+    * as every other append path.
     */
   def lshAppendIndex(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       path: String,
-      nBits: Int = 16,
-      bandBits: Int = 4,
       sourceTag: String = ""): Unit = {
-    require(nBits % bandBits == 0, "bandBits must divide nBits")
-    checkLshMeta(df.sparkSession, path, nBits, bandBits, sourceTag)
+    val m = df.sparkSession.read.parquet(s"$path/_meta").head()
+    val nBits = m.getAs[Int]("nBits")
+    val bandBits = m.getAs[Int]("bandBits")
+    checkSource(
+      "LSH",
+      path,
+      if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
+      else "",
+      sourceTag)
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),

@@ -432,6 +432,11 @@ object Stress {
       val fps = shapes.map { case (parts, split) =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        // drop every build-once memo BETWEEN shapes: a shared-stage
+        // frame (q222's fingerprints) or cached index materialized
+        // under shape 1 would serve shape 2 from stored rows, making
+        // the invariance check vacuous upstream of the cache
+        SparkEntry.clearIndexCaches()
         fingerprint(SparkEntry.queries(n)(spark, dir10x))
       }
       require(

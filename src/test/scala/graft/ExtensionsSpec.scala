@@ -1517,14 +1517,30 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(t => (t._1, t._2)).toSeq
     assert(many(evolved) === many(rebuilt))
-    // appending with mismatched band geometry refuses loudly — the
-    // batch would land in directories no probe reads
+    // geometry comes from _meta, so a NON-DEFAULT build appends
+    // correctly with the natural call — no parameters to mismatch
+    val wide = s"$base/wide"
+    Similarity.lshWriteIndex(
+      emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "embedding", "vec_id", wide, nBits = 32, bandBits = 8, sourceTag = "s")
+    Similarity.lshAppendIndex(
+      emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      "embedding", "vec_id", wide, sourceTag = "s")
+    val wideRebuilt = s"$base/wide-rebuilt"
+    Similarity.lshWriteIndex(
+      emb, "embedding", "vec_id", wideRebuilt,
+      nBits = 32, bandBits = 8, sourceTag = "s")
+    def singleWide(idx: String) = Similarity
+      .lshProbeIndex(spark, idx, q, k = 10, nBits = 32, bandBits = 8,
+        sourceTag = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(singleWide(wide) === singleWide(wideRebuilt))
+    // wrong-source append still refuses loudly
     val e = intercept[IllegalArgumentException] {
       Similarity.lshAppendIndex(
-        emb.limit(1), "embedding", "vec_id", evolved,
-        nBits = 16, bandBits = 8, sourceTag = "s")
+        emb.limit(1), "embedding", "vec_id", evolved, sourceTag = "other")
     }
-    assert(e.getMessage.contains("bandBits"))
+    assert(e.getMessage.contains("cross-wire"))
   }
 
   test("sq append: frozen-bounds evolution, clamped codes, exact rescore") {
