@@ -495,7 +495,7 @@ object Sampling {
       .head()
     val n = statsRow.getDouble(0)
     val toks = statsRow.getDouble(1)
-    writeBm25Meta(spark, path, n, toks, nShards, sourceTag)
+    writeBm25Meta(spark, s"$path/_meta", n, toks, nShards, sourceTag)
   }
 
   /** `_meta` writer shared by [[bm25WriteIndex]] and
@@ -509,7 +509,7 @@ object Sampling {
     */
   private def writeBm25Meta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String,
+      metaPath: String,
       n: Double,
       toks: Double,
       nShards: Int,
@@ -524,7 +524,22 @@ object Sampling {
         lit(sourceTag).as("source"))
       .write
       .mode("overwrite")
-      .parquet(s"$path/_meta")
+      .parquet(metaPath)
+
+  /** Current corpus stats of a BM25 index: the LATEST committed
+    * append segment's `_meta` if any (each [[bm25AppendIndex]] stages
+    * its merged stats INSIDE the segment it publishes, so postings and
+    * stats commit under one marker — a crash can never publish one
+    * without the other), else the build's `$path/_meta`.
+    */
+  private[graft] def bm25ReadMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.Row = {
+    val metaPath = graft.operators.AtomicAppend
+      .latestSegFile(spark, s"$path/postings", "_meta")
+      .getOrElse(s"$path/_meta")
+    spark.read.parquet(metaPath).head()
+  }
 
   /** Incremental BM25 index maintenance — the sparse-retrieval twin of
     * [[graft.operators.Similarity.ivfAppendIndex]]: tokenize ONLY the
@@ -544,13 +559,18 @@ object Sampling {
     *    rebuild computes.
     * Pre-`toks` indexes (written before round 12) reconstruct the old
     * token total as n·avgdl — last-ulp noise ~8 digits below the
-    * 6-decimal score rounding, stated rather than silent.
+    * 6-decimal score rounding, and LOUD: the degraded-exactness path
+    * warns on stderr with a rebuild hint instead of silently relaxing
+    * the bit-identical probe-vs-rebuild contract.
     *
-    * Same non-atomic parquet-append boundary as ivfAppendIndex (a
-    * mid-write failure leaves partial files; a table format closes
-    * it). Appending a doc_id that already exists in the index is the
-    * caller's bug — postings would double-count it (the same contract
-    * as every other append path; the streaming ingest dedups first).
+    * Crash-atomic ([[graft.operators.AtomicAppend]]): the batch's
+    * postings AND the merged stats are staged into one segment
+    * directory and published by a single rename + marker — a mid-write
+    * failure leaves nothing a probe honors, and stats can never run
+    * ahead of (or behind) the postings they describe. Appending a
+    * doc_id that already exists in the index is the caller's bug —
+    * postings would double-count it (the same contract as every other
+    * append path; the streaming ingest dedups first).
     */
   def bm25AppendIndex(
       df: DataFrame,
@@ -559,7 +579,7 @@ object Sampling {
       path: String,
       sourceTag: String = ""): Unit = {
     val spark = df.sparkSession
-    val meta = spark.read.parquet(s"$path/_meta").head()
+    val meta = bm25ReadMeta(spark, path)
     val n = meta.getAs[Double]("n")
     val nShards = meta.getAs[Int]("nShards")
     val built = meta.getAs[String]("source")
@@ -570,7 +590,15 @@ object Sampling {
         s"expected source '$sourceTag' — refusing to cross-wire indexes")
     val oldToks =
       if (meta.schema.fieldNames.contains("toks")) meta.getAs[Double]("toks")
-      else n * meta.getAs[Double]("avgdl")
+      else {
+        System.err.println(
+          s"[graft] WARN bm25AppendIndex: index at $path predates the " +
+            "exact token-total stat (no 'toks' in _meta); reconstructing " +
+            "it as n*avgdl, which can drift probe-vs-rebuild scores at " +
+            "the last ulp. Rebuild via bm25WriteIndex to restore the " +
+            "bit-identical contract.")
+        n * meta.getAs[Double]("avgdl")
+      }
     val tf = graft.ops.Stage.materializeOnce(
       df.select(
           col(idCol).as("doc_id"),
@@ -579,26 +607,29 @@ object Sampling {
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf")))
     val win = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    tf.withColumn("dl", sum("tf").over(win))
-      .withColumn("shard", pmod(hash(col("term")), lit(nShards)))
-      .repartition(col("shard"))
-      .sortWithinPartitions("term")
-      .write
-      .mode("append")
-      .partitionBy("shard")
-      .parquet(s"$path/postings")
-    val batchRow = df
-      .agg(count(lit(1)).cast("double").as("n"))
-      .crossJoin(tf.agg(
-        coalesce(sum("tf"), lit(0L)).cast("double").as("toks")))
-      .head()
-    writeBm25Meta(
-      spark,
-      path,
-      n + batchRow.getDouble(0),
-      oldToks + batchRow.getDouble(1),
-      nShards,
-      if (built == null) "" else built)
+    graft.operators.AtomicAppend
+      .publish(spark, s"$path/postings", keepIfMetaOnly = true) { staging =>
+      tf.withColumn("dl", sum("tf").over(win))
+        .withColumn("shard", pmod(hash(col("term")), lit(nShards)))
+        .repartition(col("shard"))
+        .sortWithinPartitions("term")
+        .write
+        .mode("overwrite")
+        .partitionBy("shard")
+        .parquet(staging)
+      val batchRow = df
+        .agg(count(lit(1)).cast("double").as("n"))
+        .crossJoin(tf.agg(
+          coalesce(sum("tf"), lit(0L)).cast("double").as("toks")))
+        .head()
+      writeBm25Meta(
+        spark,
+        s"$staging/_meta",
+        n + batchRow.getDouble(0),
+        oldToks + batchRow.getDouble(1),
+        nShards,
+        if (built == null) "" else built)
+    }
   }
 
   /** Batch BM25 retrieval over a persisted index: top-k documents for
@@ -633,7 +664,7 @@ object Sampling {
       sourceTag: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import spark.implicits._
-    val meta = spark.read.parquet(s"$indexPath/_meta").head()
+    val meta = bm25ReadMeta(spark, indexPath)
     val n = meta.getAs[Double]("n")
     val avgdl = meta.getAs[Double]("avgdl")
     val nShards = meta.getAs[Int]("nShards")
@@ -665,8 +696,8 @@ object Sampling {
     // not bake a plan-sized In-list; the surviving-shard partition
     // filter above still prunes the scan either way)
     val pruned = IndexProbe.restrictByLocalKeys(
-      spark.read
-        .parquet(s"$indexPath/postings")
+      graft.operators.AtomicAppend
+        .read(spark, s"$indexPath/postings")
         .where(col("shard").isin(shards.toIndexedSeq.map(Integer.valueOf): _*)),
       "term",
       allTerms,

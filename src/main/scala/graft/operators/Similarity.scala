@@ -229,8 +229,9 @@ object Similarity {
     * eventually wants a rebuild, exactly like production SQ systems.
     * For batches WITHIN the frozen bounds the appended codes are
     * bit-identical to a same-bounds rebuild (the q224 oracle
-    * contract). Same non-atomic parquet-append boundary as
-    * [[ivfAppendIndex]]; duplicate-id appends are the caller's bug
+    * contract). Crash-atomic via [[AtomicAppend.publish]] (staged
+    * segment + marker — a mid-append crash leaves nothing a probe
+    * honors); duplicate-id appends are the caller's bug
     * (the contract of every append path).
     */
   def sqAppendIndex(
@@ -255,13 +256,16 @@ object Similarity {
         (dims.getInt(0) == lo.length && dims.getInt(1) == lo.length),
       s"append batch carries vectors of dim ${dims.get(0)}..${dims.get(1)}; " +
         s"index at $path was built with dim ${lo.length}")
-    df.select(
-        col(idCol).as("id"),
-        sqEnc(lo, hi)(col(vecCol).cast("array<double>")).as("q8"),
-        col(vecCol).cast("array<double>").as("v"))
-      .write
-      .mode("append")
-      .parquet(path)
+    if (dims.isNullAt(0)) return // empty batch: nothing to publish
+    AtomicAppend.publish(spark, path) { staging =>
+      df.select(
+          col(idCol).as("id"),
+          sqEnc(lo, hi)(col(vecCol).cast("array<double>")).as("q8"),
+          col(vecCol).cast("array<double>").as("v"))
+        .write
+        .mode("overwrite")
+        .parquet(staging)
+    }
   }
 
   /** Validate + load a [[sqWriteIndex]] `_meta`: returns the per-dim
@@ -349,7 +353,7 @@ object Similarity {
     val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     VectorExpressions.register(spark)
     val deq = sqDeq(lo, hi) _
-    val idx = spark.read.parquet(path)
+    val idx = AtomicAppend.read(spark, path)
     val cand = idx
       .select(
         col("id"),
@@ -410,7 +414,7 @@ object Similarity {
     val qRows = qSel.collect()
     val qs = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qSel.schema)
-    val idx = spark.read.parquet(path)
+    val idx = AtomicAppend.read(spark, path)
     val simQ8 =
       round(VectorExpressions.cosineFast(deq(col("q8")), col("__qv")), 6)
     val cand = IndexProbe
@@ -617,8 +621,8 @@ object Similarity {
     * only correct values, and a caller-supplied mismatch could only
     * ever be a refusal (or, unchecked, a batch scattered into
     * directories no probe reads); `_meta` itself is left untouched.
-    * Same non-atomic parquet-append boundary and duplicate-id contract
-    * as every other append path.
+    * Crash-atomic via [[AtomicAppend.publish]]; same duplicate-id
+    * contract as every other append path.
     */
   def lshAppendIndex(
       df: DataFrame,
@@ -635,19 +639,21 @@ object Similarity {
       if (m.schema.fieldNames.contains("source")) m.getAs[String]("source")
       else "",
       sourceTag)
-    df.select(
-        col(idCol).as("id"),
-        col(vecCol).as("v"),
-        VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("__sig"))
-      .select(
-        col("id"),
-        col("v"),
-        explode(bandKeys(col("__sig"), nBits, bandBits)).as("e"))
-      .select(col("id"), col("v"), col("e.band"), col("e.bk"))
-      .write
-      .mode("append")
-      .partitionBy("band", "bk")
-      .parquet(path)
+    AtomicAppend.publish(df.sparkSession, path) { staging =>
+      df.select(
+          col(idCol).as("id"),
+          col(vecCol).as("v"),
+          VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as("__sig"))
+        .select(
+          col("id"),
+          col("v"),
+          explode(bandKeys(col("__sig"), nBits, bandBits)).as("e"))
+        .select(col("id"), col("v"), col("e.band"), col("e.bk"))
+        .write
+        .mode("overwrite")
+        .partitionBy("band", "bk")
+        .parquet(staging)
+    }
   }
 
   /** XOR flip masks enumerating the Hamming ball of radius `radius`
@@ -715,7 +721,7 @@ object Similarity {
         col("band") === b && col("bk").isin(masks.map(bk ^ _): _*)
       }
       .reduce(_ || _)
-    val cand = spark.read.parquet(path).where(pred).dropDuplicates("id")
+    val cand = AtomicAppend.read(spark, path).where(pred).dropDuplicates("id")
     bruteForceTopK(cand, "v", "id", query, k)
   }
 
@@ -765,8 +771,8 @@ object Similarity {
         explode(array(masks.map(m => col("e.bk").bitwiseXOR(lit(m))): _*))
           .as("bk"))
     VectorExpressions.register(spark)
-    val scored = spark.read
-      .parquet(path)
+    val scored = AtomicAppend
+      .read(spark, path)
       .join(broadcast(qb), Seq("band", "bk"))
       .dropDuplicates("query_id", "id")
       .select(
@@ -980,10 +986,11 @@ object Similarity {
     * independent); assignment is the same narrow no-shuffle map as the
     * build; the append writes only the batch.
     *
-    * Trades, stated: (1) parquet append is not atomic under mid-write
-    * failure (same boundary as IngestDedup.scala:18-23 — a table format
-    * closes it); (2) a drifted corpus eventually wants re-training the
-    * quantizer (rebuild), exactly like production IVF systems.
+    * Trades, stated: (1) the append is crash-atomic via
+    * [[AtomicAppend.publish]] — staged segment + marker, a mid-write
+    * failure leaves nothing a probe honors; (2) a drifted corpus
+    * eventually wants re-training the quantizer (rebuild), exactly
+    * like production IVF systems.
     */
   def ivfAppendIndex(
       df: DataFrame,
@@ -1012,17 +1019,19 @@ object Similarity {
     val ids = byCluster.keys.toArray.sorted
     val arrs = ids.map(byCluster)
     val idLits = array(ids.toIndexedSeq.map(i => lit(i)): _*)
-    df.select(
-        col(idCol).as("id"),
-        col(vecCol).as("v"),
-        element_at(
-          idLits,
-          nearestCentroid(arrs)(col(vecCol).cast("array<double>")) + 1)
-          .as("cluster"))
-      .write
-      .mode("append")
-      .partitionBy("cluster")
-      .parquet(s"$path/corpus")
+    AtomicAppend.publish(spark, s"$path/corpus") { staging =>
+      df.select(
+          col(idCol).as("id"),
+          col(vecCol).as("v"),
+          element_at(
+            idLits,
+            nearestCentroid(arrs)(col(vecCol).cast("array<double>")) + 1)
+            .as("cluster"))
+        .write
+        .mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(staging)
+    }
   }
 
   /** Probe a persisted [[ivfWriteIndex]] layout. The `cluster` partition
@@ -1041,7 +1050,9 @@ object Similarity {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probed = ivfRankClusters(centroids, query, nprobe)
     bruteForceTopK(
-      spark.read.parquet(s"$path/corpus").where(col("cluster").isin(probed: _*)),
+      AtomicAppend
+        .read(spark, s"$path/corpus")
+        .where(col("cluster").isin(probed: _*)),
       "v",
       "id",
       query,
@@ -1110,8 +1121,8 @@ object Similarity {
       java.util.Arrays.asList(collected: _*),
       assignmentRows.schema)
     VectorExpressions.register(spark)
-    val scored = spark.read
-      .parquet(s"$path/corpus")
+    val scored = AtomicAppend
+      .read(spark, s"$path/corpus")
       .where(col("cluster").isin(clusters: _*)) // partition pruning
       .join(broadcast(assignment), Seq("cluster"))
       .select(

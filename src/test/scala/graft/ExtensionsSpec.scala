@@ -740,10 +740,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val rebuilt = s"$base/rebuilt"
     graft.operators.Sampling.bm25WriteIndex(
       docs, "doc_id", "text", rebuilt, sourceTag = "spec")
-    // merged _meta stats must be EXACTLY the rebuild's (the additive
-    // toks merge — reconstructing from n·avgdl would drift an ulp)
-    val mE = spark.read.parquet(s"$evolved/_meta").head()
-    val mR = spark.read.parquet(s"$rebuilt/_meta").head()
+    // merged stats must be EXACTLY the rebuild's (the additive toks
+    // merge — reconstructing from n·avgdl would drift an ulp). The
+    // merged copy lives INSIDE the published segment (atomic with its
+    // postings), surfaced through the same reader the probes use.
+    val mE = graft.operators.Sampling.bm25ReadMeta(spark, evolved)
+    val mR = graft.operators.Sampling.bm25ReadMeta(spark, rebuilt)
     for (f <- Seq("n", "avgdl", "toks"))
       assert(mE.getAs[Double](f) === mR.getAs[Double](f), f)
     val batch = Seq(
@@ -1577,7 +1579,7 @@ class ExtensionsSpec extends AnyFunSuite {
     Similarity.sqAppendIndex(
       Seq((6L, Seq(-50.0, 300.0, 5.0))).toDF("vec_id", "embedding"),
       "embedding", "vec_id", evolved, sourceTag = "s")
-    val q8 = spark.read.parquet(evolved)
+    val q8 = graft.operators.AtomicAppend.read(spark, evolved)
       .where(col("id") === 6L)
       .select(col("q8")).head().getSeq[Byte](0)
     assert(q8(0) === (-128: Byte) && q8(1) === (127: Byte))
@@ -1656,8 +1658,9 @@ class ExtensionsSpec extends AnyFunSuite {
       seed, "embedding", "vec_id", dir, k = 8, iters = 2, sourceTag = "emb")
     Similarity.ivfAppendIndex(batch, "embedding", "vec_id", dir, sourceTag = "emb")
 
-    // every appended row landed, in a valid existing cluster
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    // every appended row landed, in a valid existing cluster (appends
+    // are marker-published segments — read the committed view)
+    val corpus = graft.operators.AtomicAppend.read(spark, s"$dir/corpus")
     assert(corpus.count() === full.count())
     val clusters = corpus.select("cluster").distinct()
       .as[Int].collect().toSet
