@@ -1945,6 +1945,31 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** IVF-PQ batch probe (q226, rows-only — approximate): the q155
+    * probe shape batched over three query vectors through
+    * [[graft.operators.ProductQuant.ivfPqProbeMany]] — the last ANN
+    * family to join the `ProbeIndexMany` discipline. ONE partition-
+    * pruned, column-pruned code scan ADC-scores the whole batch
+    * (vectors stay unread until the exact re-rank of each query's
+    * `refine` candidates); per query the rows equal the single
+    * [[graft.operators.ProductQuant.ivfPqProbe]] answer bitwise
+    * (ExtensionsSpec asserts it; PlanSpec pins WindowGroupLimit +
+    * the cluster PartitionFilters).
+    */
+  private def q226(s: SparkSession, d: String): DataFrame =
+    graft.operators.ProductQuant
+      .ivfPqProbeMany(
+        s,
+        ivfPqIndex(s, d),
+        Tables.embeddings(s, d).where(col("vec_id").isin(0, 1, 2)),
+        "embedding",
+        "vec_id",
+        k = 10,
+        nprobe = 3,
+        refine = 50,
+        sourceTag = d)
+      .orderBy("query_id", "id")
+
   /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
     * missing cheap point on the quantization spectrum beside PQ/IVF-PQ,
     * and the FIRST ANN-family query with a hard hash oracle — both the
@@ -5663,7 +5688,8 @@ object SparkEntry {
     "q222_video_neardup_twin" -> (q222 _),
     "q223_bm25_append_probe" -> (q223 _),
     "q224_sq_append_probe" -> (q224 _),
-    "q225_best_survivors" -> (q225 _)
+    "q225_best_survivors" -> (q225 _),
+    "q226_ivfpq_probe_many" -> (q226 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

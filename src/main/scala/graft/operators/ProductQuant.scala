@@ -254,6 +254,27 @@ object ProductQuant {
   private def adcScorer(
       cb: Codebooks,
       query: Seq[Double]): (Seq[Double], org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val (qn, table) = adcTable(cb, query)
+    val m = cb.length
+    val score = udf { (code: Array[Byte]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += table(j)(code(j) & 0xff); j += 1 }
+      s
+    }
+    (qn, score)
+  }
+
+  /** The validated/normalized query plus its (m × ksub) exact
+    * query⋅centroid table — [[adcScorer]] minus the UDF, so the batch
+    * probe can build PER-QUERY tables and ship them as a broadcast
+    * column instead of a per-query closure. Same arithmetic, same
+    * order: a flat row-major walk of this table ([[adcFlatUdf]]) sums
+    * the identical doubles the single-probe closure sums.
+    */
+  private def adcTable(
+      cb: Codebooks,
+      query: Seq[Double]): (Seq[Double], Array[Array[Double]]) = {
     val m = cb.length
     val dim = m * cb(0)(0).length
     require(
@@ -272,14 +293,21 @@ object ProductQuant {
         d
       }
     }
-    val score = udf { (code: Array[Byte]) =>
+    (qn, table)
+  }
+
+  /** ADC over a row-carried flat table (j·ksub + code): the batch
+    * probe's scorer — each (corpus row, query) pair reads ITS query's
+    * table from the broadcast-joined `__tbl` column. Same j-ascending
+    * summation as the single-probe closure, so batch == single bitwise.
+    */
+  private def adcFlatUdf(m: Int, ksub: Int) =
+    udf { (code: Array[Byte], tbl: Seq[Double]) =>
       var s = 0.0
       var j = 0
-      while (j < m) { s += table(j)(code(j) & 0xff); j += 1 }
+      while (j < m) { s += tbl(j * ksub + (code(j) & 0xff)); j += 1 }
       s
     }
-    (qn, score)
-  }
 
   def pqTopK(
       codes: DataFrame,
@@ -398,6 +426,22 @@ object ProductQuant {
     * candidates. Returns (id, cos) descending. The candidate id list is
     * the only driver materialization (≤ refine rows, bounded).
     */
+  /** Validate + load an [[ivfPqWriteIndex]] `_meta`: (m, ksub). One
+    * copy of the source-identity check for both probes.
+    */
+  private def readIvfPqMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sourceTag: String): (Int, Int) = {
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val built = meta.getAs[String]("source")
+    require(
+      sourceTag.isEmpty || built == null || built.isEmpty || built == sourceTag,
+      s"ivfpq index at $path was built from source '$built'; " +
+        s"probe expected source '$sourceTag' — refusing to cross-wire indexes")
+    (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
+  }
+
   def ivfPqProbe(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -407,34 +451,167 @@ object ProductQuant {
       refine: Int,
       sourceTag: String = ""): DataFrame = {
     require(refine >= k, s"refine ($refine) must be >= k ($k)")
-    val meta = spark.read.parquet(s"$path/_meta").head()
-    val built = meta.getAs[String]("source")
-    require(
-      sourceTag.isEmpty || built == null || built.isEmpty || built == sourceTag,
-      s"ivfpq index at $path was built from source '$built'; " +
-        s"probe expected source '$sourceTag' — refusing to cross-wire indexes")
-    val m = meta.getAs[Int]("m")
-    val ksub = meta.getAs[Int]("ksub")
+    val (m, ksub) = readIvfPqMeta(spark, path, sourceTag)
     val cb = readCodebooks(spark, path, m, ksub)
-    val probed = Similarity
-      .ivfRankClusters(spark.read.parquet(s"$path/centroids"), query, nprobe)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = Similarity.ivfRankClusters(centroids, query, nprobe)
     val (qn, score) = adcScorer(cb, query)
     val corpus = spark.read.parquet(s"$path/corpus")
-    val pruned = corpus.where(col("cluster").isin(probed: _*))
-    val candIds = pruned
+    // nprobe-bounded → always the pushed-literal partition filter; the
+    // scaffold keeps the path choice uniform with every other family
+    val pruned = IndexProbe.restrictByLocalKeys(
+      corpus,
+      "cluster",
+      probed,
+      // by-name: only built on the (unreachable at nprobe scale)
+      // broadcast-semi-join leg — a local frame of the probed ids,
+      // typed from the centroid table's cluster field
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          probed.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(
+          Seq(centroids.schema("cluster")))))
+    val cand = pruned
       .select(col("id"), score(col("code")).as("adc"))
       .orderBy(col("adc").desc, col("id"))
       .limit(refine)
       .select("id")
-      .collect()
-      .map(_.get(0))
-      .toSeq
     VectorExpressions.register(spark)
     val q = array(qn.map(lit): _*)
-    pruned
-      .where(col("id").isInCollection(candIds))
+    IndexProbe
+      .restrictByKeys(pruned, "id", cand, refine.toLong)
       .select(col("id"), VectorExpressions.cosineFast(col("v"), q).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
+  }
+
+  /** Many-queries probe of a persisted [[ivfPqWriteIndex]] layout —
+    * the last ANN family to join the [[IndexProbe]] batch discipline
+    * (LSH/IVF/SQ/BM25 already have one): ONE corpus scan answers the
+    * whole query batch instead of a per-query re-scan of the code
+    * table.
+    *
+    * Plan shape, mirroring [[Similarity.sqProbeIndexMany]]:
+    *  1. per-query ADC tables (m·ksub doubles each) and normalized
+    *     vectors are built on the driver — bounded by the query batch,
+    *     never the corpus — and attached to the (query, cluster)
+    *     coarse assignment rows;
+    *  2. clusters rank per query against the centroid table (one small
+    *     job; csim desc with cluster-id tiebreak, the
+    *     [[Similarity.ivfProbeIndexMany]] determinism stance);
+    *  3. the corpus is read ONCE with `cluster IN (union of probed)`
+    *     — a pushed PARTITION filter — selecting only (cluster, id,
+    *     code): parquet column pruning keeps the float vectors unread
+    *     through the whole ADC pass (the PQ I/O win, preserved at
+    *     batch shape);
+    *  4. each code row ADC-scores only against the queries that probed
+    *     its cluster (broadcast join on cluster), and candidates cut
+    *     per query at `refine` ([[IndexProbe.perQueryTopK]] — the
+    *     WindowGroupLimit shape);
+    *  5. the exact re-rank reads the candidate rows once, restricted
+    *     via [[IndexProbe.restrictByKeys]] over the union of all
+    *     queries' candidate ids (pushed id-IN below the literal cap, a
+    *     broadcast semi-join past it), re-cuts each query's own
+    *     candidates (its corpus-wide top-refine is a subset of the
+    *     union — the re-cut reproduces it exactly), and ranks the
+    *     exact cosine per query.
+    * Per query the rows equal [[ivfPqProbe]]'s answer bitwise: same
+    * table doubles in the same j-ascending sum, same normalized query
+    * in the same cosine, same rank cuts with the same id tiebreaks.
+    */
+  def ivfPqProbeMany(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int,
+      refine: Int,
+      sourceTag: String = ""): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val (m, ksub) = readIvfPqMeta(spark, path, sourceTag)
+    val cb = readCodebooks(spark, path, m, ksub)
+    // one collect of the (small) query batch: per-query ADC tables and
+    // normalized vectors are driver-built, and the local relation
+    // broadcasts without re-running the caller's subplan per action
+    val qSel = queries.select(
+      col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val qRows = qSel.collect()
+    val perQ: Map[Any, (Seq[Double], Seq[Double])] = qRows.map { r =>
+      val (qn, tbl) = adcTable(cb, r.getSeq[Double](1))
+      r.get(0) -> (qn, tbl.flatten.toSeq) // row-major: j·ksub + code
+    }.toMap
+    val qs = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSel.schema)
+    // coarse ranking: queries × centroids only (never the corpus);
+    // deterministic cluster tiebreak at the nprobe boundary
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val ranked = centroids
+      .crossJoin(broadcast(qs))
+      .groupBy("query_id", "cluster")
+      .agg(
+        sum(col("v") * element_at(col("qv"), col("pos").cast("int") + 1))
+          .as("dot"),
+        sum(col("v") * col("v")).as("nrm"))
+      .select(
+        col("query_id"),
+        col("cluster"),
+        (col("dot") / sqrt(col("nrm"))).as("csim"))
+    val assignRows = IndexProbe
+      .perQueryTopK(ranked, nprobe, col("csim").desc, col("cluster").asc)
+      .select("query_id", "cluster")
+      .collect()
+    val clusters = assignRows.map(_.get(1)).distinct.toSeq
+    val assignSchema = org.apache.spark.sql.types.StructType(Seq(
+      qSel.schema("query_id"),
+      ranked.schema("cluster"),
+      org.apache.spark.sql.types.StructField(
+        "__qn",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField(
+        "__tbl",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val assignment = spark.createDataFrame(
+      java.util.Arrays.asList(assignRows.map { r =>
+        val (qn, tbl) = perQ(r.get(0))
+        org.apache.spark.sql.Row(r.get(0), r.get(1), qn, tbl)
+      }: _*),
+      assignSchema)
+    val scoreU = adcFlatUdf(m, ksub)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    // cluster count is capped at kclusters (small by construction,
+    // like BM25's nShards) — the union stays a literal partition filter
+    val prunedAll = corpus.where(col("cluster").isin(clusters: _*))
+    val cand = IndexProbe
+      .perQueryTopK(
+        prunedAll
+          .select(col("cluster"), col("id"), col("code"))
+          .join(broadcast(assignment), Seq("cluster"))
+          .select(
+            col("query_id"),
+            col("id"),
+            scoreU(col("code"), col("__tbl")).as("adc")),
+        refine,
+        col("adc").desc,
+        col("id").asc)
+      .select("id")
+    VectorExpressions.register(spark)
+    val restricted = IndexProbe
+      .restrictByKeys(prunedAll, "id", cand, qRows.length.toLong * refine)
+      .join(broadcast(assignment), Seq("cluster"))
+      .select(
+        col("query_id"),
+        col("id"),
+        scoreU(col("code"), col("__tbl")).as("adc"),
+        VectorExpressions.cosineFast(col("v"), col("__qn")).as("cos"))
+    val reCut = IndexProbe.perQueryTopK(
+      restricted, refine, col("adc").desc, col("id").asc)
+    IndexProbe
+      .perQueryTopK(reCut, k, col("cos").desc, col("id").asc)
+      .select("query_id", "id", "cos")
   }
 }
