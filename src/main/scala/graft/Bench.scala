@@ -132,22 +132,24 @@ object Bench {
     // A failure is loud (joins the failed list) but must not take the
     // batch numbers down with it.
     val loadStream = StreamBench.loadAvg()
-    val (streaming, streamSpread, streamFailed) =
+    val (streaming, streamSpread, streamFit, streamFailed) =
       if (sys.env.get("SPARK_GRAFT_STREAM_BENCH").contains("0"))
         (
           Seq.empty[(String, Double)],
           Seq.empty[(String, (Double, Double, Int))],
+          Seq.empty[(String, Double)],
           Seq.empty[String])
       else
         try {
-          val (m, sp) = StreamBench.runWithSpread(spark, sfDir)
-          (m, sp, Seq.empty[String])
+          val (m, sp, fit) = StreamBench.runWithSpread(spark, sfDir)
+          (m, sp, fit, Seq.empty[String])
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] streaming bench failed: $e")
             (
               Seq.empty[(String, Double)],
               Seq.empty[(String, (Double, Double, Int))],
+              Seq.empty[(String, Double)],
               Seq("\"streaming\""))
         }
     val loadEnd = StreamBench.loadAvg()
@@ -183,9 +185,17 @@ object Bench {
     def l2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val loadJson = s"""{"start":${l2(loadStart)},""" +
       s""""stream_start":${l2(loadStream)},"end":${l2(loadEnd)}}"""
+    // fitted trigger-interval costs (ms units) live in their OWN
+    // section so every value in streaming_rows_per_sec is rows/s
+    val fj = streamFit
+      .map { case (k, v) =>
+        "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      }
+      .mkString("{", ",", "}")
     val line =
       s"""{"queries":$qs,"index_build":$ib,"streaming_rows_per_sec":$sj,""" +
         s""""streaming_spread":${StreamBench.spreadJson(streamSpread)},""" +
+        s""""streaming_fixed_ms":$fj,""" +
         s""""load":$loadJson,""" +
         s""""sf":"$sfDir","reps":$reps,"failed":$failedJson,""" +
         s""""metric":"total","value":$total,"unit":"sec"}"""
@@ -247,11 +257,42 @@ object Bench {
                 i += 1
               }
               if (e < 0) null
-              else
-                "\"(q[0-9]+_[A-Za-z0-9_]+)\":".r
-                  .findAllMatchIn(old.substring(open + 1, e))
-                  .map(_.group(1))
-                  .toSet
+              else {
+                // generic depth-1 key extraction (not a name-shape
+                // regex): a stamped query whose name ever drifted from
+                // the qNN_* convention would be invisible to a regex,
+                // so a later run MISSING it could still pass the
+                // strict-superset test and silently drop coverage.
+                // Any quoted string at nesting depth 0 of the map body
+                // followed by ':' is a key; strings track escapes so a
+                // quote inside a value cannot desynchronize the scan.
+                val body = old.substring(open + 1, e)
+                val names = scala.collection.mutable.Set.empty[String]
+                var j = 0
+                var d = 0
+                while (j < body.length) {
+                  body.charAt(j) match {
+                    case '{' | '[' => d += 1; j += 1
+                    case '}' | ']' => d -= 1; j += 1
+                    case '"' =>
+                      val sb = new StringBuilder
+                      j += 1
+                      while (j < body.length && body.charAt(j) != '"') {
+                        if (body.charAt(j) == '\\' && j + 1 < body.length) {
+                          sb.append(body.charAt(j + 1)); j += 2
+                        } else { sb.append(body.charAt(j)); j += 1 }
+                      }
+                      j += 1 // closing quote
+                      var k = j
+                      while (k < body.length && body.charAt(k).isWhitespace)
+                        k += 1
+                      if (d == 0 && k < body.length && body.charAt(k) == ':')
+                        names += sb.result()
+                    case _ => j += 1
+                  }
+                }
+                names.toSet
+              }
             }
           }
           val newNames = results.map(_._1).toSet

@@ -304,20 +304,32 @@ object SparkEntry {
     * consumer reads the stored internal rows. Keyed by the SESSION
     * OBJECT (reference equality — an identityHashCode key could
     * collide between two sessions, handing one a frame bound to the
-    * other, possibly stopped, session; the map pins no extra memory
-    * since the cached frame already holds its session);
-    * [[clearIndexCaches]] drops the memo like every other build-once
-    * artifact.
+    * other, possibly stopped, session). The memo DOES pin memory for
+    * a retired session (the cached frame holds the session and its
+    * checkpoint blocks reachable), so every lookup first sweeps
+    * entries whose underlying context has stopped — in classic Spark
+    * `SparkSession.stop()` stops the shared context, so a stopped
+    * session's entries are unreachable through any live path and the
+    * sweep is the eviction `stop()` itself cannot give us (a weak map
+    * alone would not help: the cached frame references its session,
+    * so the value would pin the weak key). [[clearIndexCaches]] drops
+    * the memo like every other build-once artifact.
     */
   private val sharedStageCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
   private def sharedStage(s: SparkSession, d: String, key: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // lazy eviction: entries are a handful (declared shared stages x
+    // live sessions), so the sweep is O(few) pointer checks per call
+    sharedStageCache.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(sharedStageCache.remove)
     sharedStageCache.getOrElseUpdate(
       (s, d, key),
       graft.ops.Stage.materializeLazy(build))
+  }
 
   /** Collision-free scratch path per data dir: a truncated sanitized
     * basename for readability plus a 128-bit SHA-256 prefix of the FULL
@@ -1212,22 +1224,69 @@ object SparkEntry {
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
 
-  /** Banded SimHash near-dup pairs
-    * ([[graft.operators.Dedup.simHashNearDupPairs]]): the third dedup
-    * signature family next to MinHash (q14) and exact n-gram Jaccard
-    * (q16) — one 64-bit weighted-bit-vote signature per doc, banded
-    * into 4×16-bit keys so any pair within Hamming distance 3 shares at
-    * least one exact band (pigeonhole: 100% recall at d < bands), then
-    * an exact popcount verify on the candidate pairs. Never all-pairs;
-    * one equi-join shuffle on the band key, bucket-size capped.
-    * Rows-only by design (the signature function is not expressible in
-    * the SQL oracle); ExtensionsSpec pins planted flip-distance recall
-    * and PropertySpec pins partition-shape invariance.
+  /** Planted SimHash corpus for q186: 25 base 64-bit signatures × 8
+    * flip variants, CLOSED-FORM in doc_id — bit k of base(p) is set
+    * iff (23p + 41k) mod 89 < 44, and variant v flips (v mod 4) bits
+    * at positions (7p + 13v + 29j) mod 64 (distinct mod 64 for
+    * j < 3, so flips never cancel). The 200-entry (p, v) → sig lookup
+    * is driver-computed pure integer arithmetic and broadcast onto
+    * the corpus; the q186 oracle replays the SAME arithmetic in SQL
+    * (the q222 discipline), which is what turns the banded-Hamming
+    * pair machinery from rows-only into a hard hash row. Real-text
+    * SimHash signing (tokenize → xxhash64 → bit votes) stays covered
+    * by q15 and the SignatureExpressions specs.
     */
-  private def q186(s: SparkSession, d: String): DataFrame =
+  private def simHashPlantedSigs(s: SparkSession, d: String): DataFrame = {
+    def base(p: Int): Long =
+      (0 until 64).foldLeft(0L)((acc, k) =>
+        if ((23 * p + 41 * k) % 89 < 44) acc | (1L << k) else acc)
+    def sig(p: Int, v: Int): Long =
+      (0 until v % 4).foldLeft(base(p))((acc, j) =>
+        acc ^ (1L << ((7 * p + 13 * v + 29 * j) % 64)))
+    val lookup =
+      for { p <- 0 until 25; v <- 0 until 8 } yield (p, v, sig(p, v))
+    val lk = s.createDataFrame(lookup).toDF("p", "v", "sig")
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(25)).cast("int").as("p"),
+        pmod(expr("doc_id DIV 25"), lit(8)).cast("int").as("v"))
+      .join(broadcast(lk), Seq("p", "v"))
+      .select(col("doc_id").as("id"), col("sig"))
+  }
+
+  /** HASH-GREEN banded SimHash near-dup pairs (q186): the third dedup
+    * signature family next to MinHash (q14) and exact n-gram Jaccard
+    * (q16) — 64-bit signatures banded into 4×16-bit keys so any pair
+    * within Hamming distance 3 shares at least one exact band
+    * (pigeonhole: 100% recall at d < bands), exact popcount verify,
+    * exactly-once first-matching-band emission. Never all-pairs; one
+    * equi-join shuffle on the band key, bucket-size capped. Run over
+    * the PLANTED closed-form corpus ([[simHashPlantedSigs]]) with
+    * identical signatures collapsed to min-id representatives first
+    * (the q222 scale discipline — a representative node set bounds
+    * both the banding fan-out and the pair output at any corpus
+    * size), which makes the whole pair stage SQL-replayable: the
+    * oracle rebuilds the ≤200 signatures arithmetically as (hi, lo)
+    * 32-bit halves and emits every representative pair with
+    * bit_count(xor) ≤ 3 — banding is exact there by pigeonhole, and
+    * every bucket holds ≤ 8 same-family variants, far under the cap,
+    * so the engine's candidate generation provably loses nothing.
+    * ExtensionsSpec keeps pinning planted flip-distance recall of the
+    * real-text operator; PropertySpec keeps partition-shape
+    * invariance.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val sigs = simHashPlantedSigs(s, d)
+    val reps = sigs
+      .groupBy("sig")
+      .agg(min(col("id")).as("id"))
+      .select("id", "sig")
     graft.operators.Dedup
-      .simHashNearDupPairs(docs(s, d), "text", "doc_id")
+      .simHashBandPairs(reps, maxHamming = 3, bands = 4, maxBucketSize = 256)
       .orderBy("id_a", "id_b")
+  }
 
   /** Build-once Z-ordered copy of lineitem, clustered on
     * (l_quantity, l_extendedprice) — the multi-dimension file-skipping
@@ -1969,6 +2028,39 @@ object SparkEntry {
         refine = 50,
         sourceTag = d)
       .orderBy("query_id", "id")
+
+  /** Scored-survivor selection at the SCALABLE pair-generator shape
+    * (q227, rows-only — MinHash signing over real text is not
+    * SQL-expressible): q225's "keep the best copy, not the first"
+    * policy composed over the production pair generator instead of
+    * the exact O(n²) oracle baseline —
+    * [[graft.operators.Dedup.minHashNearDup]] (banded,
+    * bucket-capped, never all-pairs) →
+    * [[graft.operators.Dedup.resolveComponentsAuto]] →
+    * [[graft.operators.Dedup.bestSurvivors]] ranked by
+    * [[graft.functions.TextFunctions.qualityScore]] (ties to min
+    * doc_id). This is the 100-TB composition a curation pipeline
+    * actually deploys: pair generation stays banded, component
+    * resolution stays pair-bounded, and the survivor window is ONE
+    * component-key exchange (PlanSpec-pinned for q225's identical
+    * window). ExtensionsSpec proves policy equality on a planted
+    * near-dup corpus against the same bestSurvivors policy fed the
+    * exact all-pairs components.
+    */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val comps = graft.operators.Dedup.resolveComponentsAuto(
+      graft.operators.Dedup.minHashNearDup(doc, "text", "doc_id"))
+    graft.operators.Dedup
+      .bestSurvivors(
+        doc.select(
+          col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        "doc_id",
+        comps,
+        col("quality").desc)
+      .orderBy("doc_id")
+  }
 
   /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
     * missing cheap point on the quantization spectrum beside PQ/IVF-PQ,
@@ -5689,7 +5781,8 @@ object SparkEntry {
     "q223_bm25_append_probe" -> (q223 _),
     "q224_sq_append_probe" -> (q224 _),
     "q225_best_survivors" -> (q225 _),
-    "q226_ivfpq_probe_many" -> (q226 _)
+    "q226_ivfpq_probe_many" -> (q226 _),
+    "q227_scored_survivors_scalable" -> (q227 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -6156,6 +6249,51 @@ object SparkEntry {
              PARTITION BY CAST(('0x' || substr(kk,1,8)) AS BIGINT) % 8
              ORDER BY kk, doc_id) - 1 AS INTEGER) AS pos
          FROM (SELECT doc_id, md5(text || 'r8') AS kk FROM documents)""",
+    // q186: full replay of the banded SimHash pair stage over the
+    // planted closed-form corpus (simHashPlantedSigs' arithmetic,
+    // verbatim, as (hi, lo) 32-bit halves — DuckDB BIGINT << overflows
+    // past bit 62, the q222 split). Engine pairs = representative
+    // pairs sharing >= 1 of 4 16-bit bands with popcount <= 3;
+    // pigeonhole (3 < 4 bands) makes banding EXACT and every bucket
+    // holds <= 8 same-family variants (far under the 256 cap), so the
+    // replay is simply every min-id-representative pair at Hamming
+    // distance <= 3.
+    "q186_simhash_neardup" ->
+      """WITH px AS (
+           SELECT doc_id,
+             CAST(doc_id % 25 AS BIGINT) AS p,
+             CAST((doc_id // 25) % 8 AS BIGINT) AS v
+           FROM documents),
+         pv AS (SELECT DISTINCT p, v FROM px),
+         flips AS (
+           SELECT DISTINCT p, v, (7*p + 13*v + 29*j.i) % 64 AS k
+           FROM pv, range(3) j(i)
+           WHERE j.i < v % 4),
+         bitset AS (
+           SELECT pv.p, pv.v, k.i AS k,
+             (((23*pv.p + 41*k.i) % 89) < 44) AS baseb,
+             (f.k IS NOT NULL) AS flipb
+           FROM pv
+           CROSS JOIN range(64) k(i)
+           LEFT JOIN flips f ON f.p = pv.p AND f.v = pv.v AND f.k = k.i),
+         sig AS (
+           SELECT p, v,
+             coalesce(SUM(CASE WHEN k >= 32 AND (baseb <> flipb)
+               THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS h,
+             coalesce(SUM(CASE WHEN k < 32 AND (baseb <> flipb)
+               THEN CAST(1 AS BIGINT) << k END), 0) AS l
+           FROM bitset GROUP BY p, v),
+         docsig AS (
+           SELECT px.doc_id, s.h, s.l
+           FROM px JOIN sig s ON s.p = px.p AND s.v = px.v),
+         nodes AS (
+           SELECT h, l, MIN(doc_id) AS id FROM docsig GROUP BY h, l)
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) + bit_count(xor(a.l, b.l))
+             AS INTEGER) AS hamming
+         FROM nodes a JOIN nodes b ON a.id < b.id
+         WHERE bit_count(xor(a.h, b.h)) + bit_count(xor(a.l, b.l)) <= 3
+         ORDER BY id_a, id_b""",
     // layout changes IO, never results: the oracle runs the same box
     // query on the ORIGINAL lineitem table (q187 reads the z-ordered
     // copy; ZOrderSpec owns the file-skipping evidence)

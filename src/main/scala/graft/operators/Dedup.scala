@@ -2480,34 +2480,20 @@ object Dedup {
     // components phase ~3x the cost of the pair scan itself. Scoping
     // the conf to this collect makes the first wave scan every
     // partition in parallel — identical rows, identical cap semantics,
-    // one job. Session-conf set/restore is a read-modify-write on
-    // session-global state, so it runs under the SAME per-session
-    // monitor that serializes IngestTuning.withBatchTuning — a
-    // concurrent tuned micro-batch on this session can neither observe
-    // the 4096 setting nor interleave its own set/restore with this
-    // one (either would leak a temporary value past a finally). The
-    // monitor is held ACROSS the collect (the conf is read when
-    // CollectLimitExec executes, so a narrower critical section would
-    // reintroduce the leak): a deliberate serialize-over-share trade
-    // whose blocking surface is direct same-session callers only —
-    // real streams run foreachBatch on per-query CLONED sessions
-    // (their own monitor), and nested calls from a tuned batch body
-    // re-enter the same thread's monitor.
-    val limitKey = "spark.sql.limit.initialNumPartitions"
-    val head =
-      graft.streaming.IngestTuning.sessionLock(spark).synchronized {
-        val prevInit = spark.conf.getOption(limitKey)
-        try {
-          spark.conf.set(limitKey, "4096")
-          pairs
-            .select(col(idA).cast("long"), col(idB).cast("long"))
-            .limit(driverCap + 1)
-            .collect()
-        } finally prevInit match {
-          case Some(v) => spark.conf.set(limitKey, v)
-          case None => spark.conf.unset(limitKey)
-        }
-      }
+    // one job. The override lives on a throwaway SESSION CLONE
+    // (SessionBridge — same SparkContext, copied session state), not
+    // on the shared session: a conf is read when CollectLimitExec
+    // executes, so a shared-session set/restore had to hold the
+    // per-session conf monitor across this whole (potentially
+    // driverCap-sized) collect, wedging every concurrent
+    // IngestTuning.withBatchTuning caller for the duration. The clone
+    // makes the override invisible to everyone else by construction —
+    // no shared mutation, no lock, nothing to leak past a finally.
+    val head = org.apache.spark.sql.graftbridge.SessionBridge
+      .withConfScopedClone(
+        pairs.select(col(idA).cast("long"), col(idB).cast("long")),
+        Map("spark.sql.limit.initialNumPartitions" -> "4096"))(
+        _.limit(driverCap + 1).collect())
     if (head.length > driverCap)
       return resolveComponents(pairs, idA, idB, maxIters, saltBuckets)
     // union-find, merging by smaller root: the root of a component is

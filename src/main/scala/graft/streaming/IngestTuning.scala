@@ -53,10 +53,14 @@ object IngestTuning {
     new java.util.WeakHashMap[SparkSession, Object]())
 
   /** The session's conf-mutation monitor — any code that set/restores
-    * session-global SQL conf around an action (this wrapper, Dedup's
-    * scoped limit.initialNumPartitions override) must hold it, or two
-    * scoped overrides on one session can interleave their set/restore
-    * and leak a temporary value past the finally.
+    * session-global SQL conf around an action (this wrapper) must hold
+    * it, or two scoped overrides on one session can interleave their
+    * set/restore and leak a temporary value past the finally. Code
+    * that only needs a conf override VISIBLE TO ONE ACTION should
+    * prefer a session clone (SessionBridge.withConfScopedClone — no
+    * shared mutation, no lock) over joining this monitor; the monitor
+    * remains for the batch-tuning wrapper whose body deliberately runs
+    * many actions on the shared session.
     */
   private[graft] def sessionLock(spark: SparkSession): Object =
     locks.synchronized {

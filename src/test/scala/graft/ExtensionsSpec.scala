@@ -923,6 +923,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(textPairs.length === 1 && textPairs.head.getAs[Int]("hamming") === 0)
   }
 
+  test(
+    "scored-survivor composition (q227 shape): banded MinHash pair " +
+      "generator reaches the exact policy on a planted corpus") {
+    // three planted families of near-identical docs (one-word edits on
+    // a long base — char-shingle Jaccard far above the 0.5 threshold)
+    // plus singletons; quality is deliberately NOT min-id-correlated
+    val baseA = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega one two three four five six seven eight nine ten")
+    val baseB = ("the quick brown fox jumps over the lazy dog while the " +
+      "calm river flows past the quiet village under a bright autumn " +
+      "sky and children play in the golden fields before dusk settles")
+    val rows = Seq(
+      // family A: 11 is longest+cleanest (best quality), 10 truncated,
+      // 12 noise-punctuated — survivor must be 11, not min-id 10
+      (10L, baseA.take(150)),
+      (11L, baseA + " eleven twelve thirteen"),
+      (12L, baseA + " !!! ??? ;;; ,,, ... !!!"),
+      // family B: byte-identical copies — quality ties, min id 20 wins
+      (20L, baseB),
+      (21L, baseB),
+      // singletons survive themselves
+      (30L, "completely unrelated text about spark catalyst planning"),
+      (31L, "another standalone document concerning parquet footers"))
+    val docs = rows.toDF("doc_id", "text")
+    val scored = docs.select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    def survivors(comps: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      Dedup
+        .bestSurvivors(scored, "doc_id", comps, col("quality").desc)
+        .select("doc_id", "component", "n_members")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+        .toSeq
+    // the production composition: banded generator → auto components
+    val got = survivors(
+      Dedup.resolveComponentsAuto(
+        Dedup.minHashNearDup(docs, "text", "doc_id")))
+    // the exact policy on the KNOWN planted components (q225's shape)
+    val known = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("id", "component")
+    val expected = survivors(known)
+    assert(got === expected)
+    assert(got.map(_._1).toSet === Set(11L, 20L, 30L, 31L))
+  }
+
   test("embedding near-dup finds a planted duplicate, caps hot buckets") {
     val base = Array.tabulate(8)(i => (i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.001f
