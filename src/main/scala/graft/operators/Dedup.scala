@@ -3001,20 +3001,25 @@ object Dedup {
       return embIngestSegmentFramesUnfused(
         batch, vecCol, idCol, indexPath, threshold, maxBucketSize,
         probeCorpus, sourceTag, nBits, bands, seed, sizedBuckets)
-    // the fused shape of [[mhIngestSegmentFrames]]: one signing
-    // materialization (lazy re-root, lean-spread batch), raw corpus
-    // hits gathered with the vector payload in one collect, ALL
-    // verification + drop resolution + segment-frame building on the
-    // driver (measured: skipping the spreadLean exchange LOWERED
-    // throughput ~25% — the collect's payload deserialization and the
-    // broadcast build both ride the batch's partitioning)
+    // the fused shape of [[mhIngestSegmentFrames]]: one signing pass
+    // gathered in ONE job (lazy re-root, lean-spread batch), then the
+    // corpus probe as a SECOND job whose batch-side inputs are the
+    // already-collected rows re-wrapped as LOCAL tables — broadcasting
+    // a LocalTableScan builds on the driver with no job, so the fused
+    // batch pays two jobs where the former union-plan shape paid four
+    // (the signing checkpoint materialization + one plan-side
+    // broadcast build per batch leg + the gather). Measured as the
+    // largest slice of the per-trigger fixed cost (the r12 verdict's
+    // trigger-interval lever). ALL verification + drop resolution +
+    // segment-frame building stays on the driver (measured: skipping
+    // the spreadLean exchange LOWERED throughput ~25% — the collect's
+    // payload deserialization rides the batch's partitioning).
     val stable = graft.ops.Stage.rerootLazy(
       spreadLean(batch.select(col(idCol), col(vecCol))))
-    // LAZY persist — see mhIngestSegmentFrames
+    // no checkpoint: the signing pipeline now has exactly ONE consumer
+    // (the gather) — a lazy persist would add a materialization job to
+    // save recomputation that no longer happens
     val sig0 = embSignatures(stable, vecCol, idCol, nBits, seed)
-      .transform(graft.ops.Stage.materializeLazy)
-    val banded = embBanded(sig0, bands, rows)
-    val pay = sig0.select(col("id"), col("v"))
     val vType = sig0.schema("v").dataType
     val vIsFloat = vType match {
       case org.apache.spark.sql.types.ArrayType(
@@ -3027,64 +3032,21 @@ object Dedup {
         throw new IllegalArgumentException(
           s"embedding ingest expects array<float|double>, got $other")
     }
-    // Corpus probe verified IN-PLAN — embedding LSH geometry is
-    // coarse (bands of a few bits → many candidate collisions per
-    // probe), so raw hits are CANDIDATE-volume rows; fetching their
-    // vectors into the gather once measurably blew past the collect
-    // cap at steady state. Only verified FLAGS reach the driver; the
-    // batch-side vectors ride one small broadcast.
-    val probeHits =
-      if (!probeCorpus) None
-      else Some(
-        readIndexCached(spark, s"$indexPath/sig")
-          .select(col("id").as("corpus_id"), col("v").as("v_b"))
-          .join(
-            broadcast(
-              readIndexCached(spark, s"$indexPath/buckets")
-                .where(col("bn") <= maxBucketSize)
-                .join(
-                  broadcast(
-                    banded.select(col("bucket"), col("id").as("probe_id"))),
-                  Seq("bucket"))
-                // NO distinct: k-band duplicate hits cost one redundant
-                // in-plan cosine each, while the dedup aggregate added
-                // an exchange + agg to the broadcast build's critical
-                // path (fixed latency per batch)
-                .select(col("probe_id"), col("id").as("corpus_id"))),
-            Seq("corpus_id"))
-          .join(
-            broadcast(
-              pay.select(col("id").as("probe_id"), col("v").as("v_a"))),
-            Seq("probe_id"))
-          .where(
-            VectorExpressions.cosineFast(col("v_a"), col("v_b")) >= threshold)
-          .select(col("probe_id")))
     // one row per batch vector (vector + 64-bit signature + un-exploded
-    // bucket keys) plus one row per verified corpus flag — from here on
-    // the batch lives on the DRIVER: intra verification, drop
-    // resolution, and BOTH segment frames (the cluster-side survivor
-    // anti-join and the bn window were two more jobs and a shuffle per
-    // batch for data already sitting in this collect)
-    val gathered = {
-      val payLeg = sig0.select(
-        lit(0).as("t"),
-        col("id").as("x"),
-        col("v").as("p"),
-        col("sig").as("s"),
-        embBucketArray(bands, rows).as("bks"))
-      probeHits match {
-        case Some(h) =>
-          payLeg.unionByName(h.select(
-            lit(1).as("t"),
-            col("probe_id").as("x"),
-            lit(null).cast(vType).as("p"),
-            lit(null).cast("long").as("s"),
-            lit(null).cast(
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.IntegerType)).as("bks")))
-        case None => payLeg
-      }
-    }
+    // bucket keys) — from here on the batch lives on the DRIVER: the
+    // corpus probe's batch side, intra verification, drop resolution,
+    // and BOTH segment frames (the cluster-side survivor anti-join and
+    // the bn window were two more jobs and a shuffle per batch for
+    // data already sitting in this collect). The `t` discriminator
+    // column survives the probe-leg removal so the shared gather
+    // helpers (hasDuplicatePayloadIds) keep one row contract across
+    // the mh/emb/sig64 fused paths.
+    val gathered = sig0.select(
+      lit(0).as("t"),
+      col("id").as("x"),
+      col("v").as("p"),
+      col("sig").as("s"),
+      embBucketArray(bands, rows).as("bks"))
     val rows0 = gatherCapped(gathered) match {
       case Some(rs) => rs
       case None =>
@@ -3127,9 +3089,6 @@ object Dedup {
     // (id, raw v, sig, bucket keys) per batch row, in collect order —
     // a LIST, not a map, so duplicate ids write through like the
     // cluster path
-    // corpus flags arrive already verified (in-plan cosine) — one pass
-    // fills payload, bucket membership, AND the flag set
-    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     val payload = scala.collection.mutable
       .ArrayBuffer.empty[(Any, AnyRef, Any, scala.collection.Seq[Int])]
     rows0.foreach { r =>
@@ -3148,7 +3107,70 @@ object Dedup {
           }
           arr += id
         }
-      } else flagged += r.get(1)
+      }
+    }
+    // Corpus probe verified IN-PLAN — embedding LSH geometry is coarse
+    // (bands of a few bits → many candidate collisions per probe), so
+    // raw hits are CANDIDATE-volume rows; fetching their vectors to
+    // the driver once measurably blew past the collect cap at steady
+    // state. Only verified FLAGS reach the driver. The batch side
+    // (bucket keys + vectors) rides in as LOCAL tables built from the
+    // rows already collected — broadcasting a LocalTableScan costs no
+    // job, so the probe is one broadcast-side build over the corpus
+    // buckets plus one verify scan of the corpus signatures. The
+    // cosine is the same CosineSimilarityExpr the former union-plan
+    // shape evaluated, over the same raw values (the local table
+    // round-trips the collected rows unmodified), so the flag set is
+    // bit-identical.
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
+    if (probeCorpus && payload.nonEmpty) {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val payRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      payload.foreach { case (id, vSeq, _, bks) =>
+        payRows.add(org.apache.spark.sql.Row(id, vSeq))
+        if (bks != null)
+          bks.foreach(bk => bandedRows.add(org.apache.spark.sql.Row(bk, id)))
+      }
+      // coalesce(1): BroadcastExchange over a LocalTableScan still
+      // runs the generic executeCollectIterator path — a
+      // defaultParallelism-task parallelize job per broadcast
+      // (measured: 2×32 near-empty tasks per batch); one slice makes
+      // each build a single trivial task
+      val bandedLocal = spark
+        .createDataFrame(
+          bandedRows,
+          StructType(Seq(
+            StructField("bucket", IntegerType),
+            StructField("probe_id", idType))))
+        .coalesce(1)
+      val payLocal = spark
+        .createDataFrame(
+          payRows,
+          StructType(Seq(
+            StructField("probe_id", idType),
+            StructField("v_a", vType))))
+        .coalesce(1)
+      ingestDbg("probe")(
+        readIndexCached(spark, s"$indexPath/sig")
+          .select(col("id").as("corpus_id"), col("v").as("v_b"))
+          .join(
+            broadcast(
+              readIndexCached(spark, s"$indexPath/buckets")
+                .where(col("bn") <= maxBucketSize)
+                .join(broadcast(bandedLocal), Seq("bucket"))
+                // NO distinct: k-band duplicate hits cost one redundant
+                // in-plan cosine each, while the dedup aggregate added
+                // an exchange + agg to the broadcast build's critical
+                // path (fixed latency per batch)
+                .select(col("probe_id"), col("id").as("corpus_id"))),
+            Seq("corpus_id"))
+          .join(broadcast(payLocal), Seq("probe_id"))
+          .where(
+            VectorExpressions.cosineFast(col("v_a"), col("v_b")) >= threshold)
+          .select(col("probe_id"))
+          .collect())
+        .foreach(r => flagged += r.get(0))
     }
     // the EXACT cosineFast recursion ([[VectorExpressions
     // .CosineSimilarityExpr.nullSafeEval]]): in-order dot/norm

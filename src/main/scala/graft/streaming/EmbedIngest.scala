@@ -46,7 +46,8 @@ object EmbedIngest {
     val spark = batch.sparkSession
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Dedup.embEnsureMeta(spark, indexPath, nBits, bands, seed, sourceTag)
+    IngestTuning.sectionTimer("emb-ingest", "meta")(
+      Dedup.embEnsureMeta(spark, indexPath, nBits, bands, seed, sourceTag))
     val sigTarget = new Path(root, s"sig/batch=$batchId")
     val bucketsTarget = new Path(root, s"buckets/batch=$batchId")
     if (SnapshotCommit.isCommitted(fs, sigTarget) &&
