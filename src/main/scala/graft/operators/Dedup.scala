@@ -1361,112 +1361,32 @@ object Dedup {
     // when the source is already spread.
     val stable = graft.ops.Stage.rerootLazy(
       spreadLean(batch.select(col(idCol), col(textCol))))
-    // LAZY persist: the gather collect is the first consumer and signs
-    // the batch inside its own job — no dedicated checkpoint job
+    // no checkpoint: the gather collect is the signing pipeline's ONLY
+    // consumer now — the batch signs inside the gather's own job, and
+    // the corpus probe's batch side is rebuilt from the collected rows
+    // as LOCAL tables (the embIngestSegmentFrames two-job shape)
     val sig0 = mhSignatures(stable, textCol, idCol, shingleLen, numHashes)
-      .transform(graft.ops.Stage.materializeLazy)
-    val banded = mhBanded(sig0, bands, rows)
-    val pay = sig0.select(col("id"), col("bh"))
     val bhType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, containsNull = false)
-    // Corpus probe verified IN-PLAN (the sig64 template): candidate
-    // (probe, corpus) hits from the RAM bucket-index join, exact
-    // Jaccard against the corpus signatures from the RAM sig index in
-    // the SAME action — only already-verified probe flags reach the
-    // driver. The intra-batch quadratic pair verify runs on the DRIVER
-    // over the payload rows gathered below: the prior shape ran a
-    // second collect whose intra piece joined every candidate pair to
-    // two batch-sized broadcast payloads, and because pair count grows
-    // quadratically inside near-dup buckets, a 1.33x batch-size
-    // increase measured a 5x verify-job blowup (pairs x two bh arrays
-    // of row width).
-    val probeFlagged =
-      if (!probeCorpus) None
-      else {
-        // .distinct() on the candidate hits: a (probe, corpus) pair
-        // colliding in k bands would otherwise be Jaccard-verified k
-        // times (up to bands x waste — the exact dup the old driver-
-        // side candidate set removed with a LinkedHashSet). One tiny
-        // aggregation inside the broadcast build pays for itself many
-        // times over in the verify scan.
-        val hits = readIndexCached(spark, s"$indexPath/buckets")
-          .where(col("bn") <= maxBucketSize)
-          .join(
-            broadcast(
-              banded.select(col("bucket"), col("id").as("probe_id"))),
-            Seq("bucket"))
-          .select(col("probe_id"), col("id").as("corpus_id"))
-          .distinct()
-        // The verify math sits ABOVE a nondeterministic barrier
-        // projection: written as plain `.where`s on the join output,
-        // PushPredicateThroughJoin folds both into the join CONDITION,
-        // where `array_intersect` appears twice and is evaluated twice
-        // per candidate pair (no subexpression elimination in join
-        // conditions — measured as the dominant per-corpus-row CPU of
-        // the gather stage). Being nondeterministic, the
-        // monotonically_increasing_id column pins the projection below
-        // the filters, so the intersect is computed exactly once per
-        // pair; the first filter also REFERENCES it (`__barrier >= 0`,
-        // vacuously true for a nonneg id) so column pruning can never
-        // decide the column is unused and drop it — which would make
-        // the projection deterministic again and silently re-enable
-        // the double-eval. Same comparisons, same doubles — only the
-        // evaluation count changes.
-        val paired = readIndexCached(spark, s"$indexPath/sig")
-          .select(col("id").as("corpus_id"), col("bh").as("sh_b"))
-          .join(broadcast(hits), Seq("corpus_id"))
-          .join(
-            broadcast(
-              pay.select(col("id").as("probe_id"), col("bh").as("sh_a"))),
-            Seq("probe_id"))
-          .select(
-            col("probe_id"),
-            size(col("sh_a")).cast("double").as("na"),
-            size(col("sh_b")).cast("double").as("nb"),
-            size(array_intersect(col("sh_a"), col("sh_b")))
-              .cast("double").as("inter"),
-            monotonically_increasing_id().as("__barrier"))
-        Some(
-          paired
-            .where(col("__barrier") >= 0 &&
-              least(col("na"), col("nb")) /
-              greatest(col("na"), col("nb")) >= threshold)
-            .where(col("inter") /
-              (col("na") + col("nb") - col("inter")) >= threshold)
-            .select(col("probe_id")))
-      }
     // ONE action gathers ONE row per batch doc (signature payload +
-    // the un-exploded bucket-key array) plus the verified corpus
-    // flags (fusedCandidates rationale: plain collect, not
-    // CollectLimit's incremental waves). An earlier shape exploded the
-    // banding (bands rows/doc) into its own union leg — 9x the
-    // collected rows and a visibly larger per-batch optimizer tree for
-    // data the driver can just unpack from an array.
-    val gathered = {
-      val payLeg = sig0.select(
-        lit(0).as("t"),
-        col("id").as("x"),
-        col("bh").as("p"),
-        col("mh").as("m"),
-        // zero-shingle docs are excluded from banding (all-null mh —
-        // the mhBanded contract): null bucket array, payload row kept
-        when(col("mh").getItem(0).isNotNull, mhBucketArray(bands, rows))
-          .as("bks"))
-      probeFlagged match {
-        case Some(f) =>
-          payLeg.unionByName(f.select(
-            lit(1).as("t"),
-            col("probe_id").as("x"),
-            lit(null).cast(bhType).as("p"),
-            lit(null).cast(
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.IntegerType)).as("m"),
-            lit(null).cast(
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.IntegerType)).as("bks")))
-        case None => payLeg
-      }
-    }
+    // the un-exploded bucket-key array) — fusedCandidates rationale:
+    // plain collect, not CollectLimit's incremental waves. An earlier
+    // shape exploded the banding (bands rows/doc) into its own union
+    // leg — 9x the collected rows and a visibly larger per-batch
+    // optimizer tree for data the driver can just unpack from an
+    // array; a later one unioned the verified corpus flags in as a
+    // second leg, which made every batch pay a checkpoint
+    // materialization job plus one plan-side broadcast-build job per
+    // batch leg (the per-trigger fixed cost the r12 verdict flagged).
+    val gathered = sig0.select(
+      lit(0).as("t"),
+      col("id").as("x"),
+      col("bh").as("p"),
+      col("mh").as("m"),
+      // zero-shingle docs are excluded from banding (all-null mh —
+      // the mhBanded contract): null bucket array, payload row kept
+      when(col("mh").getItem(0).isNotNull, mhBucketArray(bands, rows))
+        .as("bks"))
     if (sys.env.contains("GRAFT_EXPLAIN"))
       System.err.println(gathered.queryExecution.executedPlan.toString.take(8000))
     val rows0 = gatherCapped(gathered) match {
@@ -1496,7 +1416,6 @@ object Dedup {
     // path (the embIngestSegmentFrames convention)
     val payload = scala.collection.mutable
       .ArrayBuffer.empty[(Any, Seq[Any], scala.collection.Seq[Int])]
-    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     rows0.foreach { r =>
       if (r.getInt(0) == 0) {
         val id = r.get(1)
@@ -1515,7 +1434,94 @@ object Dedup {
           }
           arr += id
         }
-      } else flagged += r.get(1)
+      }
+    }
+    // Corpus probe verified IN-PLAN (the sig64 template): candidate
+    // (probe, corpus) hits from the RAM bucket-index join, exact
+    // Jaccard against the corpus signatures from the RAM sig index in
+    // the SAME action — only already-verified probe flags reach the
+    // driver. The intra-batch quadratic pair verify stays on the
+    // DRIVER (a plan-side pair verify measured a 5x blowup on a 1.33x
+    // batch-size increase — pairs x two bh arrays of row width). The
+    // batch side rides in as LOCAL single-slice tables built from the
+    // rows already collected: broadcasting a LocalTableScan costs one
+    // trivial task instead of a distributed scan job, and the signing
+    // pipeline needs no checkpoint because nothing re-reads it. A row
+    // can only be hit if it was banded, so rows without signatures
+    // stay out of both locals by construction (same result, smaller
+    // broadcast).
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
+    if (probeCorpus && payload.nonEmpty) {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val payRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      payload.foreach { case (id, vals, bks) =>
+        if (vals(1) != null)
+          payRows.add(org.apache.spark.sql.Row(id, vals(1)))
+        if (bks != null)
+          bks.foreach(bk => bandedRows.add(org.apache.spark.sql.Row(bk, id)))
+      }
+      val bandedLocal = spark
+        .createDataFrame(
+          bandedRows,
+          StructType(Seq(
+            StructField("bucket", IntegerType),
+            StructField("probe_id", idType))))
+        .coalesce(1)
+      val payLocal = spark
+        .createDataFrame(
+          payRows,
+          StructType(Seq(
+            StructField("probe_id", idType),
+            StructField("sh_a", bhType))))
+        .coalesce(1)
+      // .distinct() on the candidate hits: a (probe, corpus) pair
+      // colliding in k bands would otherwise be Jaccard-verified k
+      // times (up to bands x waste — the exact dup the old driver-
+      // side candidate set removed with a LinkedHashSet). One tiny
+      // aggregation inside the broadcast build pays for itself many
+      // times over in the verify scan.
+      val hits = readIndexCached(spark, s"$indexPath/buckets")
+        .where(col("bn") <= maxBucketSize)
+        .join(broadcast(bandedLocal), Seq("bucket"))
+        .select(col("probe_id"), col("id").as("corpus_id"))
+        .distinct()
+      // The verify math sits ABOVE a nondeterministic barrier
+      // projection: written as plain `.where`s on the join output,
+      // PushPredicateThroughJoin folds both into the join CONDITION,
+      // where `array_intersect` appears twice and is evaluated twice
+      // per candidate pair (no subexpression elimination in join
+      // conditions — measured as the dominant per-corpus-row CPU of
+      // the gather stage). Being nondeterministic, the
+      // monotonically_increasing_id column pins the projection below
+      // the filters, so the intersect is computed exactly once per
+      // pair; the first filter also REFERENCES it (`__barrier >= 0`,
+      // vacuously true for a nonneg id) so column pruning can never
+      // decide the column is unused and drop it — which would make
+      // the projection deterministic again and silently re-enable
+      // the double-eval. Same comparisons, same doubles — only the
+      // evaluation count changes.
+      val paired = readIndexCached(spark, s"$indexPath/sig")
+        .select(col("id").as("corpus_id"), col("bh").as("sh_b"))
+        .join(broadcast(hits), Seq("corpus_id"))
+        .join(broadcast(payLocal), Seq("probe_id"))
+        .select(
+          col("probe_id"),
+          size(col("sh_a")).cast("double").as("na"),
+          size(col("sh_b")).cast("double").as("nb"),
+          size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double").as("inter"),
+          monotonically_increasing_id().as("__barrier"))
+      ingestDbg("probe")(
+        paired
+          .where(col("__barrier") >= 0 &&
+            least(col("na"), col("nb")) /
+            greatest(col("na"), col("nb")) >= threshold)
+          .where(col("inter") /
+            (col("na") + col("nb") - col("inter")) >= threshold)
+          .select(col("probe_id"))
+          .collect())
+        .foreach(r => flagged += r.get(0))
     }
     // sorted copies make per-pair intersection a linear merge; bh is
     // DISTINCT by construction (ShingleHashesExpr), so the merge count
@@ -2128,48 +2134,35 @@ object Dedup {
       .map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         "batch signature frame must carry an 'id' column"))
-    val sig0 = batchSig
-      .select(col("id"), col("sig"))
-      .transform(graft.ops.Stage.materializeLazy)
-    if (!fusableIdType(idType))
-      return sig64IngestSegmentFramesUnfused(
-        sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
-    // one row per batch signature (sig + un-exploded bucket keys) plus
-    // verified corpus flags — the mh/emb gather shape; banding,
-    // Hamming verify, drop resolution, and BOTH segment frames run on
-    // the driver
-    val gathered = {
-      val payLeg = sig0.select(
-        lit(0).as("t"),
-        col("id").as("x"),
-        col("sig").as("s"),
-        sig64BucketArray(bands).as("bks"))
-      if (!probeCorpus) payLeg
-      else
-        payLeg.unionByName(
-          sig64ProbeSigned(
-            sig0, indexPath, bands, maxHamming, maxBucketSize, lean = true)
-            .select(
-              lit(1).as("t"),
-              col("probe_id").as("x"),
-              lit(null).cast("long").as("s"),
-              lit(null).cast(
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.IntegerType)).as("bks")))
-    }
+    // no checkpoint on the fused path: the gather is the signing
+    // pipeline's ONLY consumer (the decode UDF fuses into its job) and
+    // the probe's batch side is rebuilt from the collected rows as a
+    // LOCAL table (the embIngestSegmentFrames two-job shape). The
+    // unfused fallback DOES re-consume the signed frame several times,
+    // so it gets its own lazy checkpoint at the handoff.
+    val sig0 = batchSig.select(col("id"), col("sig"))
+    def unfused() = sig64IngestSegmentFramesUnfused(
+      graft.ops.Stage.materializeLazy(sig0),
+      indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
+    if (!fusableIdType(idType)) return unfused()
+    // one row per batch signature (sig + un-exploded bucket keys) —
+    // the mh/emb gather shape; banding, Hamming verify, drop
+    // resolution, and BOTH segment frames run on the driver
+    val gathered = sig0.select(
+      lit(0).as("t"),
+      col("id").as("x"),
+      col("sig").as("s"),
+      sig64BucketArray(bands).as("bks"))
     // plain collect, not limit(cap).collect() — CollectLimit's
     // incremental waves are multiple jobs
     val rows = gatherCapped(gathered) match {
       case Some(rs) => rs
-      case None =>
-        return sig64IngestSegmentFramesUnfused(
-          sig0, indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
+      case None => return unfused()
     }
     val buckets = new java.util.HashMap[
       Long, scala.collection.mutable.ArrayBuffer[(Any, Long)]]()
     val payload = scala.collection.mutable
       .ArrayBuffer.empty[(Any, Seq[Any], scala.collection.Seq[Int])]
-    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     rows.foreach { r =>
       if (r.getInt(0) == 0) {
         val id = r.get(1)
@@ -2185,7 +2178,49 @@ object Dedup {
           }
           arr += ((id, s.asInstanceOf[Long]))
         }
-      } else flagged += r.get(1)
+      }
+    }
+    // corpus probe over the RAM bucket index, Hamming verified inline
+    // in the SAME scan (the signature rides the buckets tree — no
+    // separate verify join at any scale); the batch side is a LOCAL
+    // single-slice table of the already-collected (bucket, id, sig)
+    // triples, so the broadcast build is one trivial task. Null
+    // signatures never band on the driver and could never verify
+    // (bit_count(null ^ sig) is null), so leaving them out of the
+    // local is behavior-identical.
+    val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
+    if (probeCorpus && payload.nonEmpty) {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      payload.foreach { case (id, vals, bks) =>
+        val s = vals(1)
+        if (s != null && bks != null)
+          bks.foreach(bk =>
+            bandedRows.add(org.apache.spark.sql.Row(bk, id, s)))
+      }
+      val bandedLocal = spark
+        .createDataFrame(
+          bandedRows,
+          StructType(Seq(
+            StructField("bucket", IntegerType),
+            StructField("probe_id", idType),
+            StructField("probe_sig", LongType))))
+        .coalesce(1)
+      ingestDbg("probe")(
+        readIndexCached(spark, s"$indexPath/buckets")
+          .where(col("bn") <= maxBucketSize)
+          .join(broadcast(bandedLocal), Seq("bucket"))
+          .select(
+            col("probe_id"),
+            col("id").as("corpus_id"),
+            bit_count(col("sig").bitwiseXOR(col("probe_sig")))
+              .as("hamming"))
+          .where(col("hamming") <= maxHamming)
+          // cross-band collisions of the same verified pair
+          .dropDuplicates("probe_id", "corpus_id")
+          .select(col("probe_id"))
+          .collect())
+        .foreach(r => flagged += r.get(0))
     }
     val pairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
     buckets.values.forEach { members =>

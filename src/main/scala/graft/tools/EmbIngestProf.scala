@@ -6,16 +6,18 @@ import org.apache.spark.sql.{functions => F, SparkSession}
 import graft.Tables
 import graft.streaming.EmbedIngest
 
-/** Dev profiler for the EMBED micro-batch ingest fixed cost: runs
+/** Dev profiler for the micro-batch ingest fixed cost: runs
   * `nBatches` batches into a fresh temp index and prints, per batch,
   * the wall plus every Spark job inside it (with its description tag
   * when GRAFT_CACHE_DEBUG is set) — the direct view of where the
-  * per-trigger fixed cost goes as the segment tree grows.
+  * per-trigger fixed cost goes as the segment tree grows. First arg:
+  * batch count; second arg: family (`emb` | `mh`).
   */
 object EmbIngestProf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = args.headOption.map(_.toInt).getOrElse(8)
+    val family = args.drop(1).headOption.getOrElse("emb")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,19 +56,31 @@ object EmbIngestProf {
       }
     })
 
+    val docs =
+      if (family == "mh")
+        graft.Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+      else null
+    if (docs != null) docs.count()
+
+    def ingest(b: org.apache.spark.sql.DataFrame, dir: String, id: Long): Unit =
+      if (family == "mh")
+        graft.streaming.NearDupIngest.ingestBatch(b, dir, "text", "doc_id", id)
+      else EmbedIngest.ingestBatch(b, dir, "embedding", "vec_id", id)
+
     // warm: 3 batches into a scratch index (the three plan shapes)
-    val warm = embs.limit(64).cache(); warm.count()
-    (0 until 3).foreach { i =>
-      EmbedIngest.ingestBatch(
-        warm, s"$work/warm", "embedding", "vec_id", i.toLong)
-    }
+    val warm =
+      (if (family == "mh") docs else embs).limit(64).cache()
+    warm.count()
+    (0 until 3).foreach(i => ingest(warm, s"$work/warm", i.toLong))
     warm.unpersist()
     lines.clear()
 
     (0 until nBatches).foreach { i =>
-      val b = embs.where(F.col("vec_id") % nBatches === i)
+      val b =
+        if (family == "mh") docs.where(F.col("doc_id") % nBatches === i)
+        else embs.where(F.col("vec_id") % nBatches === i)
       val t0 = System.nanoTime()
-      EmbedIngest.ingestBatch(b, s"$work/idx", "embedding", "vec_id", i.toLong)
+      ingest(b, s"$work/idx", i.toLong)
       val wall = (System.nanoTime() - t0) / 1e3 / 1e3
       Thread.sleep(200) // let the listener bus drain
       println(f"batch $i%2d wall $wall%7.1f ms")
