@@ -448,6 +448,109 @@ object Stress {
     spark.stop()
   }
 
+  // ---- survivors (50x scored-survivor dedup twin) ----
+
+  /** Scored-survivor dedup twin at `scale`× the sf0.1 document count
+    * (scale=50 → 250k docs): the q227 composition — minHashNearDup →
+    * resolveComponentsAuto → bestSurvivors — over a corpus whose dup
+    * structure is CLOSED-FORM in doc_id, so the component frame and
+    * the survivor set are verified row-for-row against arithmetic (the
+    * q222 oracle discipline at stress scale, where the 10× harness
+    * only measures wall ratios). The plant: n/10 families of 10
+    * byte-identical members (identical text → identical MinHash
+    * signature → banding recall is GUARANTEED, not probabilistic, so
+    * the oracle is exact); cross-family texts are per-family hash-word
+    * soup with ~zero shingle Jaccard, so the rare bucket hash
+    * collision dies in the exact verify. At 50× the ≥45 verified pairs
+    * per family × 25k families exceed the driver union-find cap,
+    * forcing the DISTRIBUTED component path — the 100-TB shape — while
+    * the 1× twin stays under it, so the ratio row also spans both
+    * resolveComponentsAuto regimes. Oracle: component(id) = id mod
+    * fams, n_members = 10, survivor per family = argmax score(id)
+    * (score = (id·2654435761) mod 1e6, ties to min id).
+    */
+  def survivors(scale: Int, reps: Int): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+    def corpus(nDocs: Long): DataFrame = {
+      val fams = nDocs / 10
+      graft.ops.Stage.materializeOnce(
+        spark.range(nDocs)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(
+            col("id").as("doc_id"),
+            pmod(col("id"), lit(fams)).as("fam"),
+            pmod(col("id") * 2654435761L, lit(1000000L)).as("score"))
+          .withColumn(
+            "text",
+            concat_ws(
+              " ",
+              (0 until 40).map(j =>
+                conv(
+                  hash(col("fam") * 40 + j, lit(j)).cast("string"),
+                  10, 36)): _*)))
+    }
+    def score(id: Long): Long = {
+      val m = (id * 2654435761L) % 1000000L
+      if (m < 0) m + 1000000L else m
+    }
+    def pipeline(docs: DataFrame): Array[(Long, Long, Long)] =
+      Dedup
+        .bestSurvivors(
+          docs.select("doc_id", "score"),
+          "doc_id",
+          Dedup.resolveComponentsAuto(
+            Dedup.minHashNearDup(docs, "text", "doc_id")),
+          col("score").desc)
+        .select("doc_id", "component", "n_members")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // one survivor per family; order by component so verify can
+        // walk families 0..fams-1 positionally
+        .sortBy(_._2)
+    def verify(got: Array[(Long, Long, Long)], nDocs: Long): Unit = {
+      val fams = nDocs / 10
+      require(
+        got.length == fams,
+        s"expected $fams survivors (one per family), got ${got.length}")
+      var f = 0L
+      var i = 0
+      while (f < fams) {
+        val members = (0 until 10).map(v => f + v * fams)
+        val want = members.minBy(id => (-score(id), id))
+        val (id, comp, n) = got(i)
+        require(
+          id == want && comp == f && n == 10L,
+          s"family $f: got (id=$id, comp=$comp, n=$n), want " +
+            s"(id=$want, comp=$f, n=10)")
+        f += 1
+        i += 1
+      }
+    }
+    def timed(nDocs: Long): Double = {
+      val docs = corpus(nDocs)
+      var best = Double.MaxValue
+      (0 until reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        val got = pipeline(docs)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        verify(got, nDocs)
+      }
+      best
+    }
+    timed(500) // warm-up: codegen/JIT for every stage, verified too
+    val base = 5000L
+    val t1 = timed(base)
+    val tN = timed(base * scale)
+    println(
+      f"""{"stress_survivors":{"scale":$scale,"docs_1x":$base,""" +
+        f""""docs_${scale}x":${base * scale},"sec_1x":$t1%.2f,""" +
+        f""""sec_${scale}x":$tN%.2f,"ratio":${tN / t1}%.2f,""" +
+        f""""verified":true}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") =>
       gen(
@@ -469,8 +572,13 @@ object Stress {
       skew(args.lift(1).getOrElse("/tmp/graft-stress10x"))
     case Some("invariance") =>
       invariance(args.lift(1).getOrElse("/tmp/graft-stress10x"))
+    case Some("survivors") =>
+      survivors(
+        args.lift(1).map(_.toInt).getOrElse(50),
+        args.lift(2).map(_.toInt).getOrElse(1))
     case _ =>
-      System.err.println("usage: Stress gen|run|skew|invariance [args]")
+      System.err.println(
+        "usage: Stress gen|run|skew|invariance|survivors [args]")
       sys.exit(2)
   }
 }
