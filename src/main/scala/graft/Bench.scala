@@ -92,6 +92,9 @@ object Bench {
       // odds segment — timed here so steady state times the probe
       "q223_bm25_append_probe",
       "q224_sq_append_probe",
+      // round 13: build(evens) + frozen-quantizer append(odds) for the
+      // IVF-PQ family — timed here so steady state times the probe
+      "q228_ivfpq_append_probe",
       // round-12 cross-query SHARED STAGES (SparkEntry.sharedStage):
       // the first consumer of each pair materializes the shared
       // intermediate (HTML extraction, audio/image/video fingerprint

@@ -278,6 +278,7 @@ object SparkEntry {
     ivfKmIndexCache.clear()
     pqIndexCache.clear()
     ivfPqIndexCache.clear()
+    ivfPqAppendIndexCache.clear()
     mhIndexCache.clear()
     embDupIndexCache.clear()
     cdcLogCache.clear()
@@ -2061,6 +2062,31 @@ object SparkEntry {
         col("quality").desc)
       .orderBy("doc_id")
   }
+
+  /** IVF-PQ batch probe of an APPENDED index (q228, rows-only —
+    * approximate like every PQ query): the q226 probe shape over an
+    * index that grew by [[graft.operators.ProductQuant
+    * .ivfPqAppendIndex]] — even vec_ids trained the coarse quantizer
+    * and codebooks at build, odd vec_ids arrived later as one
+    * crash-atomic frozen-quantizer segment, and the batch probe reads
+    * base ∪ committed segments with partition pruning per leg. The
+    * last index family now evolves like the other four (q223 BM25,
+    * q224 SQ, LSH, IVF); AtomicAppendSpec proves crash invisibility,
+    * repair, and split-shape invariance for this path.
+    */
+  private def q228(s: SparkSession, d: String): DataFrame =
+    graft.operators.ProductQuant
+      .ivfPqProbeMany(
+        s,
+        ivfPqAppendedIndex(s, d),
+        Tables.embeddings(s, d).where(col("vec_id").isin(0, 1, 2)),
+        "embedding",
+        "vec_id",
+        k = 10,
+        nprobe = 3,
+        refine = 50,
+        sourceTag = d)
+      .orderBy("query_id", "id")
 
   /** Scalar-quantized (int8) ANN top-k with exact rescore (q219): the
     * missing cheap point on the quantization spectrum beside PQ/IVF-PQ,
@@ -4746,6 +4772,38 @@ object SparkEntry {
         path
       })
 
+  /** Build-once cache for the APPENDED IVF-PQ index (q228): even
+    * vec_ids at build (they train the coarse quantizer + codebooks),
+    * odd vec_ids via [[graft.operators.ProductQuant.ivfPqAppendIndex]]
+    * — the cached artifact is the evolved index every probe reads.
+    */
+  private val ivfPqAppendIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfPqAppendedIndex(s: SparkSession, d: String): String =
+    ivfPqAppendIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("ivfpqapp", d)
+        val emb = Tables.embeddings(s, d).drop("label")
+        graft.operators.ProductQuant.ivfPqWriteIndex(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "embedding",
+          "vec_id",
+          path,
+          kClusters = 8,
+          m = 8,
+          ksub = 16,
+          iters = 3,
+          sourceTag = d)
+        graft.operators.ProductQuant.ivfPqAppendIndex(
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding",
+          "vec_id",
+          path,
+          sourceTag = d)
+        path
+      })
+
   /** IVF-PQ probe (rows-only — approximate): partition pruning picks
     * nprobe cluster directories, the ADC pass reads only the (id, code)
     * columns (parquet column pruning keeps the vectors unread), and the
@@ -5782,7 +5840,8 @@ object SparkEntry {
     "q224_sq_append_probe" -> (q224 _),
     "q225_best_survivors" -> (q225 _),
     "q226_ivfpq_probe_many" -> (q226 _),
-    "q227_scored_survivors_scalable" -> (q227 _)
+    "q227_scored_survivors_scalable" -> (q227 _),
+    "q228_ivfpq_append_probe" -> (q228 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */

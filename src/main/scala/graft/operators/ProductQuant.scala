@@ -401,6 +401,58 @@ object ProductQuant {
       .parquet(s"$path/_meta")
   }
 
+  /** Incremental IVF-PQ maintenance — the LAST index family to join
+    * the append discipline (SQ/LSH/IVF/BM25 landed in round 12/13):
+    * assign a NEW batch against the index's FROZEN coarse quantizer
+    * ([[Similarity.frozenClusterAssign]] — the exact assignment the
+    * build ran) and encode it with the FROZEN codebooks
+    * ([[readCodebooks]] → [[pqEncode]], the exact encoder), then
+    * publish the batch as one crash-atomic segment of the partitioned
+    * corpus ([[AtomicAppend.publish]] — staged directory + rename +
+    * marker; a mid-append crash leaves nothing any probe honors and
+    * the next append repairs the orphan). Probes read base ∪ committed
+    * segments with partition pruning per leg, so an appended vector is
+    * immediately probe-visible with the identical ADC arithmetic its
+    * cluster-mates got at build time.
+    *
+    * Contract, stated like [[Similarity.sqAppendIndex]]'s frozen
+    * bounds: quantizers do NOT retrain on append — codes for the new
+    * batch are what a build would have produced had these vectors been
+    * present with the SAME centroids/codebooks, so probe(append(b))
+    * equals probe over a corpus where b was encoded at build time
+    * (IvfPqSpec asserts split-shape invariance bitwise), but a
+    * drifted corpus eventually wants a quantizer re-train (rebuild) —
+    * exactly like production IVF-PQ systems.
+    */
+  def ivfPqAppendIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      sourceTag: String = ""): Unit = {
+    val spark = df.sparkSession
+    val (m, ksub) = readIvfPqMeta(spark, path, sourceTag)
+    val cb = readCodebooks(spark, path, m, ksub)
+    val assign = Similarity.frozenClusterAssign(spark, s"$path/centroids")
+    // the base corpus round-trips the build input's vector type (e.g.
+    // array<float> from the embeddings table); the segment must match
+    // it exactly or the base ∪ segments union fails on schema
+    val vT = spark.read.parquet(s"$path/corpus").schema("v").dataType
+    val assigned = df.select(
+      col(idCol),
+      col(vecCol),
+      assign(col(vecCol)).as("cluster"))
+    AtomicAppend.publish(spark, s"$path/corpus") { staging =>
+      pqEncode(assigned, vecCol, idCol, cb, carry = Seq(vecCol, "cluster"))
+        .withColumnRenamed(vecCol, "v")
+        .withColumn("v", col("v").cast(vT))
+        .write
+        .mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(staging)
+    }
+  }
+
   /** Read the persisted codebooks back into the driver-side constant
     * (m·ksub·subdim doubles — bounded).
     */
@@ -456,7 +508,7 @@ object ProductQuant {
     val centroids = spark.read.parquet(s"$path/centroids")
     val probed = Similarity.ivfRankClusters(centroids, query, nprobe)
     val (qn, score) = adcScorer(cb, query)
-    val corpus = spark.read.parquet(s"$path/corpus")
+    val corpus = AtomicAppend.read(spark, s"$path/corpus")
     // nprobe-bounded → always the pushed-literal partition filter; the
     // scaffold keeps the path choice uniform with every other family
     val pruned = IndexProbe.restrictByLocalKeys(
@@ -582,7 +634,7 @@ object ProductQuant {
       }: _*),
       assignSchema)
     val scoreU = adcFlatUdf(m, ksub)
-    val corpus = spark.read.parquet(s"$path/corpus")
+    val corpus = AtomicAppend.read(spark, s"$path/corpus")
     // cluster count is capped at kclusters (small by construction,
     // like BM25's nShards) — the union stays a literal partition filter
     val prunedAll = corpus.where(col("cluster").isin(clusters: _*))

@@ -992,6 +992,38 @@ object Similarity {
     * eventually wants re-training the quantizer (rebuild), exactly
     * like production IVF systems.
     */
+  /** vector column → FROZEN-centroid cluster-id column, from a
+    * persisted `centroids` table ((cluster, pos, v) rows — the layout
+    * [[ivfWriteIndex]] and [[graft.operators.ProductQuant
+    * .ivfPqWriteIndex]] both write). The centroid table is k×dim
+    * driver-side rows (bounded, corpus-size independent); assignment
+    * is the same narrow no-shuffle map as the build. Numeric-width-
+    * agnostic reads: a label-built index round-trips its cluster
+    * column at the label's original type (e.g. BIGINT), and the probe
+    * paths are deliberately type-agnostic — this must be too.
+    * Centroid ids need not be dense (label-built indexes): assignment
+    * returns an array slot, mapped back to the real cluster id.
+    * Shared by every append path that must reproduce its build's
+    * coarse quantizer.
+    */
+  private[operators] def frozenClusterAssign(
+      spark: org.apache.spark.sql.SparkSession,
+      centroidsPath: String): Column => Column = {
+    val byCluster = spark.read
+      .parquet(centroidsPath)
+      .collect()
+      .groupBy(_.getAs[Number]("cluster").intValue)
+      .map { case (c, rows) =>
+        c -> rows
+          .sortBy(_.getAs[Number]("pos").intValue)
+          .map(_.getAs[Number]("v").doubleValue)
+      }
+    val ids = byCluster.keys.toArray.sorted
+    val arrs = ids.map(byCluster)
+    val idLits = array(ids.toIndexedSeq.map(i => lit(i)): _*)
+    vec => element_at(idLits, nearestCentroid(arrs)(vec.cast("array<double>")) + 1)
+  }
+
   def ivfAppendIndex(
       df: DataFrame,
       vecCol: String,
@@ -1001,32 +1033,12 @@ object Similarity {
     val spark = df.sparkSession
     if (sourceTag.nonEmpty)
       checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
-    // numeric-width-agnostic reads: a label-built index round-trips its
-    // cluster column at the label's original type (e.g. BIGINT), and
-    // the probe path (ivfRankClusters) is deliberately type-agnostic —
-    // this must be too
-    val byCluster = spark.read
-      .parquet(s"$path/centroids")
-      .collect()
-      .groupBy(_.getAs[Number]("cluster").intValue)
-      .map { case (c, rows) =>
-        c -> rows
-          .sortBy(_.getAs[Number]("pos").intValue)
-          .map(_.getAs[Number]("v").doubleValue)
-      }
-    // centroid ids need not be dense (label-built indexes): assignment
-    // returns an array slot, mapped back to the real cluster id
-    val ids = byCluster.keys.toArray.sorted
-    val arrs = ids.map(byCluster)
-    val idLits = array(ids.toIndexedSeq.map(i => lit(i)): _*)
+    val assign = frozenClusterAssign(spark, s"$path/centroids")
     AtomicAppend.publish(spark, s"$path/corpus") { staging =>
       df.select(
           col(idCol).as("id"),
           col(vecCol).as("v"),
-          element_at(
-            idLits,
-            nearestCentroid(arrs)(col(vecCol).cast("array<double>")) + 1)
-            .as("cluster"))
+          assign(col(vecCol)).as("cluster"))
         .write
         .mode("overwrite")
         .partitionBy("cluster")

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AtomicAppend, Sampling, Similarity}
+import graft.operators.{AtomicAppend, ProductQuant, Sampling, Similarity}
 import graft.streaming.SnapshotCommit
 
 /** Crash simulations for the monolithic index appends (SQ / LSH / IVF
@@ -118,6 +118,52 @@ class AtomicAppendSpec extends AnyFunSuite {
     val repaired = probe()
     assert(!repaired.contains(999999L), "poisoned batch survived repair")
     assert(repaired === exact)
+  }
+
+  test("IVF-PQ: crashed append invisible, repair searches the real batch, split-shape invariant") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-atomic-ivfpq").toString
+    val idx = s"$base/idx"
+    ProductQuant.ivfPqWriteIndex(
+      evens.drop("label"), "embedding", "vec_id", idx,
+      kClusters = 4, m = 8, ksub = 16, iters = 2, sourceTag = "s")
+    // nprobe = every cell and refine >= corpus: the ADC cut keeps
+    // everything and the exact re-rank IS brute force over whatever
+    // corpus the reader honors — poison visible ⇒ rank 1
+    def probe(p: String) = ProductQuant
+      .ivfPqProbe(spark, p, qVec, k = 10, nprobe = 4, refine = 1000,
+        sourceTag = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe(idx)
+    ProductQuant.ivfPqAppendIndex(poison, "embedding", "vec_id", idx, "s")
+    uncommit(s"$idx/corpus")
+    plantStagingJunk(s"$idx/corpus")
+    assert(probe(idx) === before, "unmarked segment leaked into the probe")
+    ProductQuant.ivfPqAppendIndex(
+      odds.drop("label"), "embedding", "vec_id", idx, "s")
+    val exact = Similarity
+      .bruteForceTopK(emb, "embedding", "vec_id", qVec, 10)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val repaired = probe(idx)
+    assert(!repaired.exists(_._1 == 999999L), "poisoned batch survived repair")
+    assert(repaired.map(_._1) === exact)
+    assert(AtomicAppend.committedSegs(spark, s"$idx/corpus").size === 1)
+    // frozen quantizers make the append SPLIT-SHAPE INVARIANT: the
+    // same odd rows landed as two segments probe bitwise-identically
+    // (k-means/codebook training is deterministic on the even half,
+    // and codes never depend on what else is in the corpus)
+    val idx2 = s"$base/idx2"
+    ProductQuant.ivfPqWriteIndex(
+      evens.drop("label"), "embedding", "vec_id", idx2,
+      kClusters = 4, m = 8, ksub = 16, iters = 2, sourceTag = "s")
+    ProductQuant.ivfPqAppendIndex(
+      odds.drop("label").where(pmod(col("vec_id"), lit(4)) === 1),
+      "embedding", "vec_id", idx2, "s")
+    ProductQuant.ivfPqAppendIndex(
+      odds.drop("label").where(pmod(col("vec_id"), lit(4)) === 3),
+      "embedding", "vec_id", idx2, "s")
+    assert(probe(idx2) === repaired)
+    assert(AtomicAppend.committedSegs(spark, s"$idx2/corpus").size === 2)
   }
 
   test("BM25: crashed append invisible (postings AND stats), repair == rebuild") {
