@@ -104,7 +104,10 @@ object Bench {
       "q204_html_extract",
       "q212_image_dhash",
       "q217_audio_fingerprint",
-      "q218_video_fingerprint")
+      "q218_video_fingerprint",
+      // round 13: q14/q227 share the verified MinHash pair frame —
+      // the first consumer materializes the sign→band→verify pipeline
+      "q14_minhash_neardup")
     // Warm-up pass over EVERY query, untimed: each distinct query pays
     // one-time whole-stage-codegen + JIT compilation of its operator
     // pipeline on first execution (profiled: q14 cold 16 s vs 3 s

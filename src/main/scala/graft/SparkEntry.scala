@@ -204,16 +204,32 @@ object SparkEntry {
   private def q13(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "text", "doc_id")
 
+  /** q14/q227 shared stage: the verified MinHash near-dup PAIR frame
+    * over the documents corpus — q14 declares the pairs themselves and
+    * q227 resolves them into components for the scored-survivor
+    * policy, so the sign→band→verify pipeline (the expensive part)
+    * materializes once per (session, dir) and both queries consume the
+    * identical rows ([[sharedStage]] — the cross-query discipline the
+    * persisted indexes and the perceptual fingerprint frames already
+    * follow). This is also the production shape: one pair pass feeds
+    * every downstream consumer (reporting, component resolution,
+    * survivor selection).
+    */
+  private def mhPairsShared(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "mh_pairs") {
+      Dedup.minHashNearDup(
+        docs(s, d),
+        "text",
+        "doc_id",
+        shingleLen = 4,
+        numHashes = 32,
+        bands = 8,
+        threshold = 0.4)
+    }
+
   /** MinHash+LSH near-dup pairs (non-SQL-expressible → rows-only check). */
   private def q14(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashNearDup(
-      docs(s, d),
-      "text",
-      "doc_id",
-      shingleLen = 4,
-      numHashes = 32,
-      bands = 8,
-      threshold = 0.4)
+    mhPairsShared(s, d)
 
   /** Per-doc 64-bit SimHash + rolling-hash fingerprint (rows-only).
     * Uses the native one-pass SimHash expression (SignatureExpressions).
@@ -2044,19 +2060,26 @@ object SparkEntry {
     * actually deploys: pair generation stays banded, component
     * resolution stays pair-bounded, and the survivor window is ONE
     * component-key exchange (PlanSpec-pinned for q225's identical
-    * window). ExtensionsSpec proves policy equality on a planted
+    * window). The pair frame is the q14 SHARED STAGE
+    * ([[mhPairsShared]]) — the expensive sign→band→verify pipeline
+    * runs once per (session, dir) for both queries, which is also the
+    * production shape (one pair pass feeds every downstream
+    * consumer). ExtensionsSpec proves policy equality on a planted
     * near-dup corpus against the same bestSurvivors policy fed the
-    * exact all-pairs components.
+    * exact all-pairs components; Stress `survivors` verifies the full
+    * composition row-for-row against a closed-form oracle at 50×
+    * (250k docs, the distributed component path).
     */
   private def q227(s: SparkSession, d: String): DataFrame = {
-    val doc = Tables.documents(s, d)
     val comps = graft.operators.Dedup.resolveComponentsAuto(
-      graft.operators.Dedup.minHashNearDup(doc, "text", "doc_id"))
+      mhPairsShared(s, d))
     graft.operators.Dedup
       .bestSurvivors(
-        doc.select(
-          col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality")),
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality")),
         "doc_id",
         comps,
         col("quality").desc)
