@@ -63,9 +63,20 @@ object Bench {
             "integer; using 2")
         2
     }
-    def materializeMin(name: String): Double = {
-      val ts = (1 to reps).map(_ => materialize(name))
-      if (ts.exists(_ < 0)) -1.0 else ts.min
+    // reps are INTERLEAVED across queries (the StreamBench rationale):
+    // back-to-back reps of one query share any transient machine
+    // contention — measured on this box as a single spike window
+    // turning q01/q02's BOTH reps 25-48x slow while the rest of the
+    // run was ~1.15x — whereas full passes separate a query's reps by
+    // the whole pass wall, so the per-query min dodges any spike
+    // shorter than a pass. Failure stays loud: any failed rep marks
+    // the query failed.
+    def minAcrossPasses(names: Seq[String]): Seq[(String, Double)] = {
+      val passes = (1 to reps).map(_ => names.map(n => materialize(n)))
+      names.zipWithIndex.map { case (n, i) =>
+        val ts = passes.map(_(i))
+        n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      }
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -133,7 +144,7 @@ object Bench {
     val indexBuild = annProbes.map(n => n -> materialize(n))
 
     val loadStart = StreamBench.loadAvg()
-    val results = names.map(n => n -> materializeMin(n))
+    val results = minAcrossPasses(names)
     // streaming components: rows/sec per micro-batch loop (StreamBench).
     // A failure is loud (joins the failed list) but must not take the
     // batch numbers down with it.
