@@ -1292,7 +1292,11 @@ object SparkEntry {
     * so the engine's candidate generation provably loses nothing.
     * ExtensionsSpec keeps pinning planted flip-distance recall of the
     * real-text operator; PropertySpec keeps partition-shape
-    * invariance.
+    * invariance. BENCH-HISTORY NOTE: before round 13 this query id
+    * timed real-text signing over the corpus; from round 13 it times
+    * the planted-corpus pair stage, so q186 wall times are NOT
+    * comparable across that boundary (real-text signing stays timed
+    * under q15).
     */
   private def q186(s: SparkSession, d: String): DataFrame = {
     val sigs = simHashPlantedSigs(s, d)

@@ -3163,7 +3163,12 @@ object Dedup {
       val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       val payRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       payload.foreach { case (id, vSeq, _, bks) =>
-        payRows.add(org.apache.spark.sql.Row(id, vSeq))
+        // null-vector rows are never banded so they can never join a
+        // hit — keep them out of the broadcast payload (matches the
+        // mh path's vals(1) != null guard, keeps the "rows without
+        // signatures stay out of both locals" invariant literal)
+        if (vSeq != null)
+          payRows.add(org.apache.spark.sql.Row(id, vSeq))
         if (bks != null)
           bks.foreach(bk => bandedRows.add(org.apache.spark.sql.Row(bk, id)))
       }
