@@ -438,6 +438,21 @@ object StreamBench {
     }
     val noisy = comps.indices.filter(spreadRatio(_) > 0.25)
     for (e <- 0 until ExtraNoisyReps; ci <- noisy) runRep(ci, reps + e)
+    // Second escalation wave (round-14, widening the variance guard):
+    // a component whose max/min ratio across ALL reps so far still
+    // exceeds [[ExtremeSpreadRatio]] (measured this box: ingest_dedup
+    // 690–5,234 = 7.6×, cdc_log 1,163–39,740 = 34×) has a median only
+    // as trustworthy as its n — grant [[ExtraExtremeReps]] more
+    // interleaved reps. The spread row's n self-describes the tier:
+    // base reps = quiet, +2 = noisy, +5 = extreme.
+    def extremeRatio(ci: Int): Double = {
+      val s = vals(ci).sorted
+      if (s.head <= 0) { if (s.last > 0) Double.PositiveInfinity else 0.0 }
+      else s.last / s.head
+    }
+    val extreme = comps.indices.filter(extremeRatio(_) > ExtremeSpreadRatio)
+    for (e <- 0 until ExtraExtremeReps; ci <- extreme)
+      runRep(ci, reps + ExtraNoisyReps + e)
     val out = comps.indices.map { ci =>
       val s = vals(ci).sorted
       comps(ci)._1 -> s(s.length / 2)
@@ -480,6 +495,15 @@ object StreamBench {
     * spread exceeds 25% of their median.
     */
   private val ExtraNoisyReps = 2
+
+  /** max/min ratio past which a component's spread counts as EXTREME
+    * (the noisy-rep wave alone leaves the median too thin) and a
+    * second wave of [[ExtraExtremeReps]] interleaved reps runs.
+    */
+  private val ExtremeSpreadRatio = 5.0
+
+  /** Size of the second (extreme-spread) escalation wave. */
+  private val ExtraExtremeReps = 3
 
   /** The dev/adjudication component filter
     * (`SPARK_GRAFT_STREAM_ONLY=embed,cdc` — substring match,
