@@ -2002,6 +2002,26 @@ object SparkEntry {
       factor = 4,
       sourceTag = d)
 
+  /** Frozen-quantizer DRIFT metric (q229): per-segment quantization
+    * distortion + clip fraction of the q224 evolved SQ index
+    * ([[graft.operators.Similarity.sqDriftMetrics]]) — the number
+    * that triggers the retrain-=-rebuild every frozen-quantizer
+    * append path documents (SQ bounds, IVF centroids, IVF-PQ
+    * codebooks) but nothing measured until now. Hash-green: the
+    * metric is pure arithmetic over stored codes/vectors under the
+    * frozen `_meta` bounds, so the oracle re-aggregates the q224
+    * replay's bounds/clamp/dequantize CTEs (seg 0 = even build half,
+    * seg 1 = odd appended half; 123 of 250 odd vectors clip at
+    * sf0.01, so the drift signal is exercised, not vacuous — seg 1's
+    * clip_frac and avg_abs_err visibly exceed seg 0's irreducible
+    * half-step noise). The occupancy-skew twin for the IVF/IVF-PQ
+    * corpus layouts ([[graft.operators.Similarity
+    * .clusterOccupancyDrift]]) is spec-pinned in DriftSpec (cluster
+    * assignment rides trained centroids — not SQL-replayable).
+    */
+  private def q229(s: SparkSession, d: String): DataFrame =
+    Similarity.sqDriftMetrics(s, sqAppendedIndex(s, d), sourceTag = d)
+
   /** Quality-scored survivor selection (q225): q174's exact cosine
     * components through [[graft.operators.Dedup.bestSurvivors]] —
     * within each near-dup component keep the member with the HIGHEST
@@ -5868,7 +5888,8 @@ object SparkEntry {
     "q225_best_survivors" -> (q225 _),
     "q226_ivfpq_probe_many" -> (q226 _),
     "q227_scored_survivors_scalable" -> (q227 _),
-    "q228_ivfpq_append_probe" -> (q228 _)
+    "q228_ivfpq_append_probe" -> (q228 _),
+    "q229_sq_drift" -> (q229 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -8845,7 +8866,34 @@ object SparkEntry {
              count(*) OVER (PARTITION BY component) AS n_members
            FROM allc)
          SELECT vec_id, label, component, n_members
-         FROM ranked WHERE rk = 1 ORDER BY vec_id"""
+         FROM ranked WHERE rk = 1 ORDER BY vec_id""",
+    // q229: the q224 bounds/clamp/dequantize replay, AGGREGATED — per
+    // segment (0 = even build half, 1 = odd appended half) the mean
+    // per-component |x - dequant(code)| under the FROZEN even-half
+    // bounds plus the fraction of components outside [lo, hi] (exact
+    // integer counts). Summation-order float noise is ~1e-16 of the
+    // rounded 6-decimal value.
+    "q229_sq_drift" ->
+      """WITH dims AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)),
+         elems AS (
+           SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings, dims),
+         bounds AS (
+           SELECT i, min(x) AS lo, max(x) AS hi FROM elems
+           WHERE vec_id % 2 = 0 GROUP BY i),
+         codes AS (
+           SELECT e.vec_id, e.x, b.lo, b.hi,
+             b.lo + LEAST(255, GREATEST(0,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(round((e.x - b.lo) * 255 / (b.hi - b.lo))
+                           AS BIGINT)
+               END)) * (b.hi - b.lo) / 255 AS xd
+           FROM elems e JOIN bounds b USING (i))
+         SELECT CAST(vec_id % 2 AS INT) AS seg,
+           count(DISTINCT vec_id) AS n,
+           round(sum(abs(x - xd)) / count(*), 6) AS avg_abs_err,
+           round(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS clip_frac
+         FROM codes GROUP BY 1 ORDER BY seg"""
   )
 
   /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim

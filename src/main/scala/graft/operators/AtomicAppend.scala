@@ -132,6 +132,28 @@ object AtomicAppend {
         d.unionByName(spark.read.parquet(s.toString)))
   }
 
+  /** [[read]] with provenance: a `__seg` column labels each row 0 for
+    * the base build and the segment id for every committed append —
+    * the per-segment view that drift metrics (quantization distortion,
+    * cluster-occupancy skew) aggregate over to decide when the
+    * documented retrain-=-rebuild is due. Same legs as [[read]], so
+    * partition discovery/pruning per leg is unchanged; the label is a
+    * plan literal per leg, not a computed column.
+    */
+  def readWithSeg(spark: SparkSession, dataRoot: String): DataFrame = {
+    val root = new Path(dataRoot)
+    val fs = fsFor(spark, root)
+    import org.apache.spark.sql.functions.lit
+    committedSegs(spark, dataRoot)
+      .filter(hasData(fs, _))
+      .foldLeft(
+        spark.read.parquet(dataRoot).withColumn("__seg", lit(0L)))((d, s) =>
+        d.unionByName(
+          spark.read
+            .parquet(s.toString)
+            .withColumn("__seg", lit(segId(s).get))))
+  }
+
   /** Path of `name` inside the LATEST committed segment that carries
     * it, else `None` — for per-append metadata that must commit
     * atomically WITH its data (BM25's merged corpus stats ride inside

@@ -447,6 +447,133 @@ object Similarity {
       .select("query_id", "id", "sim_q8", "sim")
   }
 
+  /** Per-segment DRIFT metrics for a frozen-quantizer SQ index — the
+    * number a production deployment triggers the documented
+    * retrain-=-rebuild on (the frozen-bounds evolution of
+    * [[sqAppendIndex]] degrades recall gracefully as the corpus
+    * drifts, but nothing measured the drift until now). One
+    * aggregation over the committed segment view
+    * ([[AtomicAppend.readWithSeg]] — base = seg 0, each append its
+    * segment id), emitting per segment:
+    *
+    *  - `n` — vectors in the segment;
+    *  - `avg_abs_err` — mean per-component absolute quantization
+    *    error |v − dequant(code)| under the index's FROZEN bounds
+    *    (distortion: for the build segment this is the irreducible
+    *    half-step noise; a drifted append's error grows with how far
+    *    its values sit outside the frozen grid);
+    *  - `clip_frac` — fraction of components outside [lo, hi] (the
+    *    components [[sqEnc]] saturated; exact integer counts, so the
+    *    ratio is deterministic across engines).
+    *
+    * Pure arithmetic over STORED codes/vectors + `_meta` bounds —
+    * SQL-replayable (the q224 oracle's bounds/clamp/dequantize CTEs,
+    * aggregated instead of ranked), hence a hash-green declared query
+    * (q229). Scale: one scan of (q8, v), one `__seg` aggregation;
+    * no joins, no driver collect.
+    */
+  def sqDriftMetrics(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sourceTag: String = ""): DataFrame = {
+    val (lo, hi) = sqReadMeta(spark, path, sourceTag)
+    val dims = lo.length.toDouble
+    val errSum = aggregate(
+      zip_with(col("v"), sqDeq(lo, hi)(col("q8")), (x, y) => abs(x - y)),
+      lit(0d),
+      (a, e) => a + e)
+    val clipSum = aggregate(
+      zip_with(
+        zip_with(col("v"), array(lo.map(lit): _*),
+          (x, l) => struct(x.as("x"), l.as("l"))),
+        array(hi.map(lit): _*),
+        (xl, h) =>
+          when(
+            xl.getField("x") < xl.getField("l") || xl.getField("x") > h,
+            lit(1d)).otherwise(lit(0d))),
+      lit(0d),
+      (a, e) => a + e)
+    AtomicAppend
+      .readWithSeg(spark, path)
+      .groupBy(col("__seg"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(errSum).as("__es"),
+        sum(clipSum).as("__cs"))
+      .select(
+        col("__seg").cast("int").as("seg"),
+        col("n"),
+        round(col("__es") / (col("n") * dims), 6).as("avg_abs_err"),
+        round(col("__cs") / (col("n") * dims), 6).as("clip_frac"))
+      .orderBy("seg")
+  }
+
+  /** Per-segment cluster-OCCUPANCY drift for the frozen-coarse-
+    * quantizer index families (IVF and IVF-PQ both lay their corpus
+    * out partitioned by `cluster` under `path/corpus`, and both
+    * freeze centroids on append — lists grow, cells don't move, so
+    * the one signal that the frozen quantizer no longer fits the data
+    * is WHERE the appended vectors land): per committed segment,
+    * the total-variation distance between the segment's cluster-
+    * occupancy distribution and the BASE build's (0 = identically
+    * distributed, 1 = disjoint support), plus the segment's largest
+    * single-cluster share (an in-distribution append spreads like the
+    * base; a drifted one piles into few cells, which is also exactly
+    * what degrades probe cost — nprobe lists stop bounding the scan).
+    *
+    * All counts — exact integer arithmetic, deterministic. The
+    * per-(segment, cluster) count frame is bounded by
+    * segments × nclusters (never corpus-sized); the occupancy grid
+    * completes missing (segment, cluster) cells with an explicit
+    * bounded cross of those two tiny distinct frames. Not SQL-
+    * replayable as a declared query (cluster assignment rides the
+    * k-means-trained centroids), so spec-pinned: a deliberately
+    * shifted append moves the metric, an in-distribution one doesn't
+    * (DriftSpec).
+    */
+  def clusterOccupancyDrift(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val counts = AtomicAppend
+      .readWithSeg(spark, s"$path/corpus")
+      .groupBy(col("__seg"), col("cluster"))
+      .agg(count(lit(1)).as("__c"))
+    // segments × clusters grid: both sides are tiny DISTINCT frames
+    // (bounded by append count and k respectively), so the cross is a
+    // bounded constant-attach, not a corpus cartesian
+    val grid = counts
+      .select("__seg")
+      .distinct()
+      .crossJoin(broadcast(counts.select("cluster").distinct()))
+    val filled = grid
+      .join(counts, Seq("__seg", "cluster"), "left")
+      .na
+      .fill(0L, Seq("__c"))
+    val withShare = filled
+      .withColumn(
+        "__share",
+        col("__c") / sum(col("__c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__seg")))
+    val base = withShare
+      .where(col("__seg") === 0L)
+      .select(col("cluster"), col("__share").as("__base_share"))
+    withShare
+      .join(broadcast(base), Seq("cluster"))
+      .groupBy(col("__seg"))
+      .agg(
+        sum(col("__c")).as("n"),
+        round(
+          sum(abs(col("__share") - col("__base_share"))) / 2d,
+          6).as("tv_vs_base"),
+        round(max(col("__share")), 6).as("max_cluster_share"))
+      .select(
+        col("__seg").cast("int").as("seg"),
+        col("n"),
+        col("tv_vs_base"),
+        col("max_cluster_share"))
+      .orderBy("seg")
+  }
+
   /** LSH-bucketed approximate top-k: score only vectors sharing at least
     * one signature band with the query.
     *
