@@ -1690,6 +1690,16 @@ object SparkEntry {
             "doc_id"))
     }
 
+  /** Perceptual IMAGE near-dup pairs → components → min-id canonical
+    * over the planted gradient corpus. HASH-GREEN since round 14 (was
+    * rows-only): the q212 proof shows the brightness shift cancels in
+    * every dHash cell compare, so the per-doc signature is the
+    * p-keyed q218 formula and the whole pair/component stage replays
+    * in DuckDB exactly like q222 (threshold 3; banding exact by
+    * pigeonhole at 3 < 4 bands). Query body unchanged — only the
+    * oracle was added, so bench history stays like-for-like.
+    * ImageDedupSpec keeps pinning re-encode/brightness invariance.
+    */
   private def q207(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
       .nearDupFromSigs(
@@ -1735,6 +1745,14 @@ object SparkEntry {
             "doc_id"))
     }
 
+  /** Perceptual AUDIO near-dup pairs → components → min-id canonical
+    * over the planted melody corpus. HASH-GREEN since round 14 (was
+    * rows-only): the q217 signature replay (sign margins 5.9e-4,
+    * eleven orders above libm noise) feeds the q222 node/edge/closure
+    * block at hamming budget 5 (banding exact by pigeonhole at
+    * 5 < 8 bands). Query body unchanged — only the oracle was added.
+    * AudioDedupSpec keeps pinning container/gain/resample invariance.
+    */
   private def q211(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
       .nearDupFromSigs(
@@ -8759,6 +8777,169 @@ object SparkEntry {
            SELECT e.bh, e.bl, r.root
            FROM reach r JOIN edges e ON e.ah = r.h AND e.al = r.l),
          comp AS (
+           SELECT h, l, MIN(root) AS component FROM reach GROUP BY h, l)
+         SELECT d.doc_id, c.component,
+           d.doc_id = c.component AS canonical
+         FROM docsig d JOIN comp c ON c.h = d.h AND c.l = d.l
+         ORDER BY doc_id""",
+    // q207 (round 14, was rows-only through r13): the image near-dup
+    // pair/component stage replays EXACTLY like q222 — the planted
+    // 18x16 gradients' dHash bits are the q212 cell formula with the
+    // brightness shift cancelling in every cell compare (each channel
+    // term carries +s, so a cell's pre-division sum shifts by 4000*s,
+    // divisible by 4 — shift-free compares), so the per-doc signature
+    // depends only on p = doc_id % 25, the SAME p-keyed signature the
+    // q218/q222 CTEs rebuild. Banding (4 bands x 16 bits) is exact by
+    // pigeonhole at hamming <= 3 < 4, every bucket holds <= 25
+    // distinct-signature reps (far under the 256 cap), so the
+    // engine's candidate generation provably loses nothing; the
+    // recursive min-root closure is the q222 block. The QUERY is
+    // unchanged (same corpus, same operator) — only the oracle is
+    // new, so bench history stays like-for-like.
+    "q207_image_neardup" ->
+      """WITH RECURSIVE px AS (
+           SELECT doc_id, CAST(doc_id % 25 AS BIGINT) AS p
+           FROM documents),
+         terms AS (
+           SELECT DISTINCT p, cy.i AS cy, cx.i AS cx,
+             (23*p + (2*cx.i    )*(10+(p%7)*6)) % 240 AS ra,
+             (23*p + (2*cx.i + 1)*(10+(p%7)*6)) % 240 AS rb,
+             (91*p + (2*cy.i    )*(8+(p%5)*7)) % 240 AS ga,
+             (91*p + (2*cy.i + 1)*(8+(p%5)*7)) % 240 AS gb,
+             (53*p + (2*cx.i + 2*cy.i    )*(6+(p%3)*9)) % 240 AS ba,
+             (53*p + (2*cx.i + 2*cy.i + 1)*(6+(p%3)*9)) % 240 AS bb,
+             (53*p + (2*cx.i + 2*cy.i + 2)*(6+(p%3)*9)) % 240 AS bc
+           FROM px, range(8) cy(i), range(9) cx(i)),
+         cells AS (
+           SELECT p, cy, cx,
+             (598*(ra + rb) + 1174*(ga + gb) + 114*(ba + 2*bb + bc)) // 4
+               AS cell
+           FROM terms),
+         bits AS (
+           SELECT a.p, a.cy * 8 + a.cx AS k
+           FROM cells a JOIN cells b
+             ON b.p = a.p AND b.cy = a.cy AND b.cx = a.cx + 1
+           WHERE a.cx < 8 AND b.cell > a.cell),
+         sig AS (
+           SELECT p,
+             coalesce(SUM(CASE WHEN k >= 32
+               THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS sig_hi,
+             coalesce(SUM(CASE WHEN k < 32
+               THEN CAST(1 AS BIGINT) << k END), 0) AS sig_lo
+           FROM bits GROUP BY p),
+         docsig AS (
+           SELECT px.doc_id,
+             CAST(coalesce(s.sig_hi, 0) AS BIGINT) AS h,
+             CAST(coalesce(s.sig_lo, 0) AS BIGINT) AS l
+           FROM px LEFT JOIN sig s ON s.p = px.p),
+         nodes AS (
+           SELECT h, l, MIN(doc_id) AS m FROM docsig GROUP BY h, l),
+         edges AS (
+           SELECT a.h AS ah, a.l AS al, b.h AS bh, b.l AS bl
+           FROM nodes a, nodes b
+           WHERE bit_count(xor(a.h, b.h)) + bit_count(xor(a.l, b.l)) <= 3),
+         reach(h, l, root) AS (
+           SELECT h, l, m FROM nodes
+           UNION
+           SELECT e.bh, e.bl, r.root
+           FROM reach r JOIN edges e ON e.ah = r.h AND e.al = r.l),
+         comp AS (
+           SELECT h, l, MIN(root) AS component FROM reach GROUP BY h, l)
+         SELECT d.doc_id, c.component,
+           d.doc_id = c.component AS canonical
+         FROM docsig d JOIN comp c ON c.h = d.h AND c.l = d.l
+         ORDER BY doc_id""",
+    // q211 (round 14, was rows-only through r13): the audio near-dup
+    // pair/component stage on the q217 melody corpus — the q217
+    // signature CTEs (quantized sinusoids, Hann weights, probe DFTs,
+    // band-energy delta signs; worst sign margin 5.9e-4, eleven
+    // orders above cross-engine libm noise, so the 64 bits agree
+    // exactly — proven by q217 hash-green since r12), then the q222
+    // node/edge/closure block at the engine's hamming budget 5
+    // (banding 8 bands x 8 bits is exact by pigeonhole at 5 < 8;
+    // <= 75 distinct (p, v) signatures, buckets far under the cap).
+    // The QUERY is unchanged — only the oracle is new.
+    "q211_audio_neardup" ->
+      """WITH RECURSIVE px AS (
+           SELECT doc_id,
+                  CAST(doc_id % 25 AS BIGINT) AS p,
+                  CAST((doc_id // 25) % 3 AS BIGINT) AS v
+           FROM documents
+         ), clip AS (
+           SELECT DISTINCT p, v,
+                  CASE WHEN v = 2 THEN 11025.0 ELSE 8000.0 END AS rate,
+                  CASE WHEN v = 1 THEN 0.4 ELSE 0.8 END AS amp,
+                  CASE WHEN v = 2 THEN 551 ELSE 400 END AS per
+           FROM px
+         ), note AS (
+           SELECT p, v, rate, amp, per, j.i AS nj,
+                  220.0 * pow(2.0,
+                    (((p*5 + j.i*j.i*3 + (p % 7)*j.i) % 25 + 25) % 25)
+                      / 12.0) AS freq
+           FROM clip, range(8) j(i)
+         ), samp AS (
+           SELECT p, v, rate, n.nj * per + s.i AS i,
+                  trunc(sin(2*pi()*n.freq*s.i/n.rate) * n.amp * 32767)
+                    / 32768.0 AS x,
+                  8 * per AS n
+           FROM note n, range(551) s(i) WHERE s.i < n.per
+         ), frg AS (
+           SELECT p, v, rate, n, i, x, (9*i + 8) // n AS t
+           FROM samp
+         ), xw AS (
+           SELECT p, v, rate, t,
+                  ((t+1)*n) // 9 - (t*n) // 9 AS len,
+                  i - (t*n) // 9 AS j,
+                  x * 0.5 * (1 - cos(2*pi()*(i - (t*n) // 9)
+                    / (((t+1)*n) // 9 - (t*n) // 9))) AS xw
+           FROM frg
+         ), probe AS (
+           SELECT b.i AS b, k.i AS k,
+                  (200.0 * pow(8.0, b.i/8.0)) *
+                    pow((200.0 * pow(8.0, (b.i+1)/8.0))
+                          / (200.0 * pow(8.0, b.i/8.0)),
+                        (k.i + 0.5)/2.0) AS f
+           FROM range(8) b(i), range(2) k(i)
+         ), dft AS (
+           SELECT x.p, x.v, x.t, pr.b, pr.k,
+                  sum(x.xw * cos(2*pi()*pr.f/x.rate * x.j)) AS sr,
+                  -sum(x.xw * sin(2*pi()*pr.f/x.rate * x.j)) AS si,
+                  any_value(x.len) AS len
+           FROM xw x, probe pr
+           GROUP BY x.p, x.v, x.t, pr.b, pr.k
+         ), band AS (
+           SELECT p, v, t, b,
+                  sum((sr*sr + si*si)/(CAST(len AS DOUBLE)*len)) AS e
+           FROM dft GROUP BY 1, 2, 3, 4
+         ), bits AS (
+           SELECT a.p, a.v, a.t*8 + a.b AS bit
+           FROM band a JOIN band c
+             ON c.p = a.p AND c.v = a.v AND c.b = a.b AND c.t = a.t + 1
+           WHERE a.t < 8 AND c.e > a.e
+         ), sig AS (
+           SELECT p, v,
+             coalesce(sum(CASE WHEN bit >= 32
+               THEN CAST(1 AS BIGINT) << (bit - 32) END), 0) AS sig_hi,
+             coalesce(sum(CASE WHEN bit < 32
+               THEN CAST(1 AS BIGINT) << bit END), 0) AS sig_lo
+           FROM bits GROUP BY 1, 2
+         ), docsig AS (
+           SELECT px.doc_id,
+             CAST(coalesce(s.sig_hi, 0) AS BIGINT) AS h,
+             CAST(coalesce(s.sig_lo, 0) AS BIGINT) AS l
+           FROM px LEFT JOIN sig s ON s.p = px.p AND s.v = px.v
+         ), nodes AS (
+           SELECT h, l, MIN(doc_id) AS m FROM docsig GROUP BY h, l
+         ), edges AS (
+           SELECT a.h AS ah, a.l AS al, b.h AS bh, b.l AS bl
+           FROM nodes a, nodes b
+           WHERE bit_count(xor(a.h, b.h)) + bit_count(xor(a.l, b.l)) <= 5
+         ), reach(h, l, root) AS (
+           SELECT h, l, m FROM nodes
+           UNION
+           SELECT e.bh, e.bl, r.root
+           FROM reach r JOIN edges e ON e.ah = r.h AND e.al = r.l
+         ), comp AS (
            SELECT h, l, MIN(root) AS component FROM reach GROUP BY h, l)
          SELECT d.doc_id, c.component,
            d.doc_id = c.component AS canonical
