@@ -169,6 +169,62 @@ object Bench {
               Seq.empty[(String, Double)],
               Seq("\"streaming\""))
         }
+    // round 14: segment-tree compaction benefit — the committed view
+    // of an appendable index unions one scan leg per append, so probe
+    // cost grows with segment count until AtomicAppend.compact folds
+    // the legs back to one. Measured on a SCRATCH SQ index (the
+    // declared queries' build-once caches untouched): probe wall at
+    // 1 + N legs, then after the fold. The auto-threshold is lifted
+    // during the appends so the measurement actually reaches N legs.
+    val compaction: Seq[(String, Double)] =
+      try {
+        import org.apache.spark.sql.functions.{col, lit}
+        import graft.operators.{AtomicAppend, Similarity}
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-bench-compact").toString + "/sq"
+        val emb = Tables.embeddings(spark, sfDir)
+        Similarity.sqWriteIndex(
+          emb, "embedding", "vec_id", idx, sourceTag = sfDir)
+        val qv = emb
+          .where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head()
+          .getSeq[Double](0)
+        val nSegs = 24
+        sys.props("graft.atomicappend.compact.threshold") = "1000000"
+        try {
+          (1 to nSegs).foreach { i =>
+            Similarity.sqAppendIndex(
+              emb
+                .limit(50)
+                .select(
+                  (col("vec_id") + lit(1000000L * i)).as("vec_id"),
+                  col("embedding")),
+              "embedding", "vec_id", idx, sourceTag = sfDir)
+          }
+        } finally sys.props.remove("graft.atomicappend.compact.threshold")
+        def probeSec(): Double = {
+          val t0 = System.nanoTime()
+          Similarity
+            .sqProbeIndex(spark, idx, qv, k = 20, sourceTag = sfDir)
+            .collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeSec() // codegen/plan warm-up at this leg count
+        val before = Seq.fill(3)(probeSec()).sorted.apply(1)
+        AtomicAppend.compact(spark, idx)((d, p) =>
+          d.write.mode("overwrite").parquet(p))
+        probeSec()
+        val after = Seq.fill(3)(probeSec()).sorted.apply(1)
+        Seq(
+          "legs_before" -> (nSegs + 1).toDouble,
+          "probe_ms_before" -> before * 1000.0,
+          "probe_ms_after" -> after * 1000.0)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] compaction bench failed: $e")
+          Seq.empty
+      }
     val loadEnd = StreamBench.loadAvg()
     // Locale.ROOT: a comma-decimal default locale would corrupt the
     // one-line JSON contract (f"%.1f" is locale-dependent)
@@ -209,10 +265,16 @@ object Bench {
         "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
       }
       .mkString("{", ",", "}")
+    val cj = compaction
+      .map { case (k, v) =>
+        "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      }
+      .mkString("{", ",", "}")
     val line =
       s"""{"queries":$qs,"index_build":$ib,"streaming_rows_per_sec":$sj,""" +
         s""""streaming_spread":${StreamBench.spreadJson(streamSpread)},""" +
         s""""streaming_fixed_ms":$fj,""" +
+        s""""compaction":$cj,""" +
         s""""load":$loadJson,""" +
         s""""sf":"$sfDir","reps":$reps,"failed":$failedJson,""" +
         s""""metric":"total","value":$total,"unit":"sec"}"""

@@ -55,6 +55,36 @@ object AtomicAppend {
     else None
   }
 
+  /** Numeric id of a `_seg-c<n>` compacted-fold directory name. */
+  private def foldSegId(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("_seg-c") && n.length > 6 && n.drop(6).forall(_.isDigit))
+      Some(n.drop(6).toLong)
+    else None
+  }
+
+  /** The LARGEST committed compacted fold under `dataRoot`, if any —
+    * the fold that structurally supersedes the base build and every
+    * plain segment with id <= its own ([[compact]]).
+    */
+  private def committedFold(
+      spark: SparkSession,
+      dataRoot: String): Option[(Long, Path)] = {
+    val root = new Path(dataRoot)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) None
+    else
+      fs.listStatus(root)
+        .iterator
+        .filter(s =>
+          s.isDirectory && foldSegId(s.getPath).isDefined &&
+            SnapshotCommit.isCommitted(fs, s.getPath))
+        .map(s => (foldSegId(s.getPath).get, s.getPath))
+        .toSeq
+        .sortBy(_._1)
+        .lastOption
+  }
+
   /** Committed (marker-bearing) segment directories under `dataRoot`,
     * in id order.
     */
@@ -107,8 +137,12 @@ object AtomicAppend {
       keepIfMetaOnly: Boolean = false)(write: String => Unit): Unit = {
     val root = new Path(dataRoot)
     val fs = fsFor(spark, root)
-    val next =
-      committedSegs(spark, dataRoot).flatMap(segId).lastOption.getOrElse(0L) + 1
+    // a compacted fold `_seg-c<m>` covers (and may have deleted) plain
+    // ids <= m, so the next id must clear BOTH the surviving plain
+    // segments and the fold's coverage — otherwise a post-compaction
+    // append could collide with a folded id
+    val next = (committedSegs(spark, dataRoot).flatMap(segId) ++
+      committedFold(spark, dataRoot).map(_._1)).maxOption.getOrElse(0L) + 1
     val staging = new Path(root, s"_staging-$next")
     if (fs.exists(staging)) fs.delete(staging, true) // crashed prior attempt
     write(staging.toString)
@@ -118,41 +152,172 @@ object AtomicAppend {
     else fs.delete(staging, true)
   }
 
+  /** The (base leg, surviving segment legs) of the committed view: a
+    * committed fold `_seg-c<m>` replaces the base AND every plain
+    * segment with id <= m STRUCTURALLY (no dedup — the legs a fold
+    * covers are simply not read, so a crash mid-cleanup can never
+    * double-count), else the base build's own files are the base leg.
+    */
+  private def viewLegs(
+      spark: SparkSession,
+      dataRoot: String): (String, Seq[Path]) = {
+    val root = new Path(dataRoot)
+    val fs = fsFor(spark, root)
+    val segs = committedSegs(spark, dataRoot).filter(hasData(fs, _))
+    committedFold(spark, dataRoot) match {
+      case Some((m, fp)) =>
+        (fp.toString, segs.filter(p => segId(p).exists(_ > m)))
+      case None => (dataRoot, segs)
+    }
+  }
+
   /** The committed view of an appendable index: the base build's files
     * plus every marked segment, one scan root per leg (partition
     * discovery and pruning apply per leg; a filter on the union pushes
-    * into each scan). A never-appended index is exactly the base read.
+    * into each scan). A never-appended index is exactly the base read;
+    * a COMPACTED index reads its latest fold as the base leg plus any
+    * segments appended after the fold ([[compact]]).
     */
   def read(spark: SparkSession, dataRoot: String): DataFrame = {
-    val root = new Path(dataRoot)
-    val fs = fsFor(spark, root)
-    committedSegs(spark, dataRoot)
-      .filter(hasData(fs, _))
-      .foldLeft(spark.read.parquet(dataRoot))((d, s) =>
-        d.unionByName(spark.read.parquet(s.toString)))
+    val (base, segs) = viewLegs(spark, dataRoot)
+    segs.foldLeft(spark.read.parquet(base))((d, s) =>
+      d.unionByName(spark.read.parquet(s.toString)))
   }
 
   /** [[read]] with provenance: a `__seg` column labels each row 0 for
-    * the base build and the segment id for every committed append —
-    * the per-segment view that drift metrics (quantization distortion,
+    * the base leg (the build, or the latest fold once compacted) and
+    * the segment id for every committed append after it — the
+    * per-segment view that drift metrics (quantization distortion,
     * cluster-occupancy skew) aggregate over to decide when the
     * documented retrain-=-rebuild is due. Same legs as [[read]], so
     * partition discovery/pruning per leg is unchanged; the label is a
     * plan literal per leg, not a computed column.
     */
   def readWithSeg(spark: SparkSession, dataRoot: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (base, segs) = viewLegs(spark, dataRoot)
+    segs.foldLeft(
+      spark.read.parquet(base).withColumn("__seg", lit(0L)))((d, s) =>
+      d.unionByName(
+        spark.read
+          .parquet(s.toString)
+          .withColumn("__seg", lit(segId(s).get))))
+  }
+
+  /** Number of scan legs the committed view currently unions — the
+    * quantity that grows by one per append and that [[compact]] folds
+    * back to one (probe planning cost is linear in it).
+    */
+  def viewLegCount(spark: SparkSession, dataRoot: String): Int = {
+    val (_, segs) = viewLegs(spark, dataRoot)
+    1 + segs.size
+  }
+
+  /** Fold the committed view back into ONE base leg — the compaction
+    * the segment protocol documents ("compaction = rebuild") but
+    * nothing triggered until round 14. The fold is itself published
+    * under the marker protocol, so every crash window is closed:
+    *
+    *  1. the current committed view ([[read]]) is rewritten by the
+    *     caller's `write` (which must reproduce the family's layout —
+    *     partitioning included) into hidden `_staging-c<m>`, where
+    *     m = the largest id the fold covers;
+    *  2. per-append metadata that must survive the fold (BM25's merged
+    *     stats `_meta`) is copied from the LATEST covered segment into
+    *     the staging dir, so [[latestSegFile]] keeps resolving after
+    *     the covered segments are deleted;
+    *  3. the staging publishes as `_seg-c<m>` (rename + marker);
+    *     from this instant [[read]] serves fold ∪ segments > m and
+    *     IGNORES the base and covered segments structurally;
+    *  4. cleanup deletes the now-unreachable base data files, covered
+    *     plain segments, and superseded older folds.
+    *
+    * Crash mid-write leaves hidden staging (deleted on retry); crash
+    * between rename and marker leaves an unmarked fold (invisible;
+    * replaced on retry); crash mid-cleanup leaves covered legs on
+    * disk that no reader honors (a repeat [[compact]] call finishes
+    * the delete — the already-folded branch). Single-writer, same
+    * contract as [[publish]]. No-op when the view is already a single
+    * leg.
+    */
+  def compact(
+      spark: SparkSession,
+      dataRoot: String,
+      carryMeta: Seq[String] = Seq("_meta"))(
+      write: (DataFrame, String) => Unit): Unit = {
     val root = new Path(dataRoot)
     val fs = fsFor(spark, root)
-    import org.apache.spark.sql.functions.lit
-    committedSegs(spark, dataRoot)
-      .filter(hasData(fs, _))
-      .foldLeft(
-        spark.read.parquet(dataRoot).withColumn("__seg", lit(0L)))((d, s) =>
-        d.unionByName(
-          spark.read
-            .parquet(s.toString)
-            .withColumn("__seg", lit(segId(s).get))))
+    val plainIds = committedSegs(spark, dataRoot).flatMap(segId)
+    val priorFold = committedFold(spark, dataRoot)
+    val m = (plainIds ++ priorFold.map(_._1)).maxOption.getOrElse(return)
+    if (priorFold.exists(_._1 == m) && plainIds.forall(_ <= m)) {
+      // already folded to m (or a crash died mid-cleanup): finish
+      // deleting the covered legs and stale staging, nothing to fold
+      cleanupCovered(spark, fs, root, m)
+      return
+    }
+    val staging = new Path(root, s"_staging-c$m")
+    if (fs.exists(staging)) fs.delete(staging, true) // crashed attempt
+    write(read(spark, dataRoot), staging.toString)
+    carryMeta.foreach { name =>
+      latestSegFile(spark, dataRoot, name).foreach { src =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(src), fs, new Path(staging, name),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    SnapshotCommit.publish(fs, staging, new Path(root, s"_seg-c$m"))
+    cleanupCovered(spark, fs, root, m)
   }
+
+  /** Delete every leg a committed fold `_seg-c<m>` superseded: base
+    * data files/dirs at the root (non-hidden entries only — `_meta`,
+    * segments, and staging all hide behind the underscore), plain
+    * segments with id <= m, and older folds. Safe at any point after
+    * the fold's marker exists — readers already ignore all of it.
+    */
+  private def cleanupCovered(
+      spark: SparkSession,
+      fs: FileSystem,
+      root: Path,
+      m: Long): Unit = {
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      val covered =
+        if (!n.startsWith("_") && !n.startsWith(".")) true // base data
+        else if (segId(s.getPath).exists(_ <= m)) true // folded segment
+        else if (foldSegId(s.getPath).exists(_ < m)) true // older fold
+        else n == s"_staging-c$m" // stale staging of this fold
+      if (covered) fs.delete(s.getPath, true)
+    }
+  }
+
+  /** [[compact]] when the committed view has grown past `threshold`
+    * scan legs — the auto-trigger every `*AppendIndex` calls after its
+    * publish, bounding probe planning cost at O(threshold) legs
+    * forever instead of one leg per append for the index's lifetime.
+    * The threshold is overridable for tests via the
+    * `graft.atomicappend.compact.threshold` JVM property.
+    */
+  def maybeCompact(
+      spark: SparkSession,
+      dataRoot: String,
+      carryMeta: Seq[String] = Seq("_meta"))(
+      write: (DataFrame, String) => Unit): Unit = {
+    val threshold = sys.props
+      .get("graft.atomicappend.compact.threshold")
+      .flatMap(_.toIntOption)
+      .getOrElse(DefaultCompactThreshold)
+    if (viewLegCount(spark, dataRoot) > threshold)
+      compact(spark, dataRoot, carryMeta)(write)
+  }
+
+  /** Scan legs an appendable index may accumulate before the next
+    * append folds it ([[maybeCompact]]): high enough that steady
+    * appending amortizes the rebuild over many batches, low enough
+    * that probe planning never walks hundreds of legs.
+    */
+  val DefaultCompactThreshold = 16
 
   /** Path of `name` inside the LATEST committed segment that carries
     * it, else `None` — for per-append metadata that must commit
@@ -165,7 +330,12 @@ object AtomicAppend {
       name: String): Option[String] = {
     val root = new Path(dataRoot)
     val fs = fsFor(spark, root)
-    committedSegs(spark, dataRoot).reverseIterator
+    // plain segments newest-first, then the fold — a fold carries the
+    // metadata of the newest segment it covered ([[compact]] step 2),
+    // so any surviving plain segment (id > fold id by construction)
+    // is strictly newer than the fold's copy
+    (committedSegs(spark, dataRoot).reverseIterator ++
+      committedFold(spark, dataRoot).map(_._2).iterator)
       .map(p => new Path(p, name))
       .find(fs.exists)
       .map(_.toString)

@@ -436,8 +436,10 @@ object ProductQuant {
     val assign = Similarity.frozenClusterAssign(spark, s"$path/centroids")
     // the base corpus round-trips the build input's vector type (e.g.
     // array<float> from the embeddings table); the segment must match
-    // it exactly or the base ∪ segments union fails on schema
-    val vT = spark.read.parquet(s"$path/corpus").schema("v").dataType
+    // it exactly or the base ∪ segments union fails on schema. Read
+    // the COMMITTED view's schema, not the raw root — after a
+    // compaction the base leg lives in the fold segment
+    val vT = AtomicAppend.read(spark, s"$path/corpus").schema("v").dataType
     val assigned = df.select(
       col(idCol),
       col(vecCol),
@@ -450,6 +452,12 @@ object ProductQuant {
         .mode("overwrite")
         .partitionBy("cluster")
         .parquet(staging)
+    }
+    // auto-fold: stored (id, code, v, cluster) rows rewrite into the
+    // same cluster-partitioned layout (codes and assignments are
+    // frozen — the fold is a pure relayout)
+    AtomicAppend.maybeCompact(spark, s"$path/corpus") { (d, staging) =>
+      d.write.mode("overwrite").partitionBy("cluster").parquet(staging)
     }
   }
 

@@ -630,6 +630,19 @@ object Sampling {
         nShards,
         if (built == null) "" else built)
     }
+    // auto-fold: posting rows rewrite into the same shard layout with
+    // the within-shard term sort restored (the probe's row-group
+    // skipping rides on it); the carried `_meta` keeps the newest
+    // merged (n, toks, avgdl) resolving after covered segments delete
+    graft.operators.AtomicAppend
+      .maybeCompact(spark, s"$path/postings") { (d, staging) =>
+        d.repartition(col("shard"))
+          .sortWithinPartitions("term")
+          .write
+          .mode("overwrite")
+          .partitionBy("shard")
+          .parquet(staging)
+      }
   }
 
   /** Batch BM25 retrieval over a persisted index: top-k documents for

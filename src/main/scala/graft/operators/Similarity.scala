@@ -266,6 +266,12 @@ object Similarity {
         .mode("overwrite")
         .parquet(staging)
     }
+    // auto-fold once the committed view exceeds the leg threshold —
+    // codes/vectors rewrite as stored (the frozen bounds make the
+    // fold a pure relayout; `_meta` lives at the root, untouched)
+    AtomicAppend.maybeCompact(spark, path) { (d, staging) =>
+      d.write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Validate + load a [[sqWriteIndex]] `_meta`: returns the per-dim
@@ -781,6 +787,11 @@ object Similarity {
         .partitionBy("band", "bk")
         .parquet(staging)
     }
+    // auto-fold: rows rewrite as stored (signatures are data-
+    // independent), same (band, bk) bucket-directory layout
+    AtomicAppend.maybeCompact(df.sparkSession, path) { (d, staging) =>
+      d.write.mode("overwrite").partitionBy("band", "bk").parquet(staging)
+    }
   }
 
   /** XOR flip masks enumerating the Hamming ball of radius `radius`
@@ -1170,6 +1181,11 @@ object Similarity {
         .mode("overwrite")
         .partitionBy("cluster")
         .parquet(staging)
+    }
+    // auto-fold: stored (id, v, cluster) rows rewrite into the same
+    // cluster-partitioned layout (assignments are already frozen)
+    AtomicAppend.maybeCompact(spark, s"$path/corpus") { (d, staging) =>
+      d.write.mode("overwrite").partitionBy("cluster").parquet(staging)
     }
   }
 

@@ -204,6 +204,175 @@ class AtomicAppendSpec extends AnyFunSuite {
       assert(mE.getAs[Double](f) === mR.getAs[Double](f), f)
   }
 
+  // ---- compaction (round 14): fold the committed view back to ONE
+  // base leg; every crash window closed; covered legs structurally
+  // invisible; repair = re-call ----
+
+  private val sqLayout: (org.apache.spark.sql.DataFrame, String) => Unit =
+    (d, p) => d.write.mode("overwrite").parquet(p)
+
+  private def sqProbe(p: String) = Similarity
+    .sqProbeIndex(spark, p, qVec, k = 10, sourceTag = "s")
+    .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toSeq
+
+  test("SQ compaction: fold == un-compacted twin, crash sims, covered-leg repair, append after fold") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-sq").toString
+    val idx = s"$base/idx"
+    val twin = s"$base/twin"
+    for (p <- Seq(idx, twin)) {
+      Similarity.sqWriteIndex(evens, "embedding", "vec_id", p, sourceTag = "s")
+      Similarity.sqAppendIndex(
+        odds.where(pmod(col("vec_id"), lit(4)) === 1),
+        "embedding", "vec_id", p, sourceTag = "s")
+      Similarity.sqAppendIndex(
+        odds.where(pmod(col("vec_id"), lit(4)) === 3),
+        "embedding", "vec_id", p, sourceTag = "s")
+    }
+    assert(AtomicAppend.viewLegCount(spark, idx) === 3)
+    // crash sim 1: a stale staged fold from a died-mid-write attempt
+    plantStagingJunkAt(s"$idx/_staging-c2/part-junk.parquet")
+    // crash sim 2: an UNMARKED fold dir holding poison rows (died
+    // between rename and marker) — invisible to every reader
+    poison.select(col("vec_id").as("id"),
+        col("embedding").as("q8"), col("embedding").as("v"))
+      .write.mode("overwrite").parquet(s"$idx/_seg-c2")
+    assert(sqProbe(idx) === sqProbe(twin), "unmarked fold leaked")
+    AtomicAppend.compact(spark, idx)(sqLayout)
+    assert(sqProbe(idx) === sqProbe(twin), "fold changed the probe")
+    assert(AtomicAppend.viewLegCount(spark, idx) === 1)
+    val fsys = fs
+    assert(SnapshotCommit.isCommitted(fsys, new Path(s"$idx/_seg-c2")))
+    assert(!fsys.exists(new Path(s"$idx/_seg-1")))
+    assert(!fsys.exists(new Path(s"$idx/_seg-2")))
+    assert(!fsys.exists(new Path(s"$idx/_staging-c2")))
+    assert(!fsys.listStatus(new Path(idx)).exists(s =>
+      !s.getPath.getName.startsWith("_")), "base data files survived the fold")
+    // crash sim 3 (mid-cleanup): a covered plain segment still on disk
+    // next to a committed fold — readers must ignore it STRUCTURALLY,
+    // and a repeat compact() call finishes the delete
+    poison.select(col("vec_id").as("id"),
+        col("embedding").as("q8"), col("embedding").as("v"))
+      .write.mode("overwrite").parquet(s"$idx/_seg-1")
+    fsys.create(new Path(s"$idx/_seg-1/${SnapshotCommit.Marker}"), true).close()
+    assert(sqProbe(idx) === sqProbe(twin), "covered leg leaked past the fold")
+    AtomicAppend.compact(spark, idx)(sqLayout)
+    assert(!fsys.exists(new Path(s"$idx/_seg-1")), "repair left the covered leg")
+    assert(sqProbe(idx) === sqProbe(twin))
+    // append AFTER the fold: ids must clear the fold's coverage and
+    // the evolved index must stay probe-identical to the twin
+    val extra = evens.select(
+      (col("vec_id") + 500000L).as("vec_id"), col("embedding"), col("label"))
+    for (p <- Seq(idx, twin))
+      Similarity.sqAppendIndex(extra, "embedding", "vec_id", p, sourceTag = "s")
+    assert(AtomicAppend.committedSegs(spark, idx).map(_.getName) ===
+      Seq("_seg-3"), "post-fold append id collided with folded ids")
+    assert(sqProbe(idx) === sqProbe(twin))
+  }
+
+  test("auto-compaction triggers past the leg threshold and keeps probes identical") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-autocompact").toString
+    val idx = s"$base/idx"
+    val twin = s"$base/twin"
+    sys.props("graft.atomicappend.compact.threshold") = "2"
+    try {
+      Similarity.sqWriteIndex(evens, "embedding", "vec_id", twin, sourceTag = "s")
+      Similarity.sqWriteIndex(evens, "embedding", "vec_id", idx, sourceTag = "s")
+      val parts = Seq(1, 3, 5, 7).map(r =>
+        odds.where(pmod(col("vec_id"), lit(8)) === r))
+      sys.props.remove("graft.atomicappend.compact.threshold")
+      parts.foreach(b =>
+        Similarity.sqAppendIndex(b, "embedding", "vec_id", twin, sourceTag = "s"))
+      sys.props("graft.atomicappend.compact.threshold") = "2"
+      parts.foreach(b =>
+        Similarity.sqAppendIndex(b, "embedding", "vec_id", idx, sourceTag = "s"))
+      assert(AtomicAppend.viewLegCount(spark, idx) <= 2,
+        "auto-compaction never fired")
+      assert(AtomicAppend.viewLegCount(spark, twin) === 5)
+      assert(sqProbe(idx) === sqProbe(twin))
+    } finally sys.props.remove("graft.atomicappend.compact.threshold")
+  }
+
+  test("BM25 compaction: probe and stats == un-compacted twin == one-shot rebuild; append after fold") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-bm25").toString
+    val idx = s"$base/idx"
+    val twin = s"$base/twin"
+    val batch = Seq(1L -> Seq("hash", "join", "stream"))
+    def probe(p: String) = Sampling
+      .bm25ProbeMany(spark, p, batch, k = 15, sourceTag = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val thirds = (0 to 2).map(r => docs.where(pmod(col("doc_id"), lit(3)) === r))
+    for (p <- Seq(idx, twin)) {
+      Sampling.bm25WriteIndex(thirds(0), "doc_id", "text", p, sourceTag = "s")
+      Sampling.bm25AppendIndex(thirds(1), "doc_id", "text", p, sourceTag = "s")
+    }
+    AtomicAppend.compact(spark, s"$idx/postings") { (d, p) =>
+      d.repartition(col("shard")).sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("shard").parquet(p)
+    }
+    assert(AtomicAppend.viewLegCount(spark, s"$idx/postings") === 1)
+    assert(probe(idx) === probe(twin), "fold changed the probe")
+    // the carried _meta keeps the merged stats resolving after the
+    // covered segments (which held them) are deleted
+    for (f <- Seq("n", "avgdl", "toks"))
+      assert(Sampling.bm25ReadMeta(spark, idx).getAs[Double](f) ===
+        Sampling.bm25ReadMeta(spark, twin).getAs[Double](f), f)
+    // evolve PAST the fold: stats merge from the fold's carried meta
+    for (p <- Seq(idx, twin))
+      Sampling.bm25AppendIndex(thirds(2), "doc_id", "text", p, sourceTag = "s")
+    val rebuilt = s"$base/rebuilt"
+    Sampling.bm25WriteIndex(docs, "doc_id", "text", rebuilt, sourceTag = "s")
+    assert(probe(idx) === probe(twin))
+    assert(probe(idx) === probe(rebuilt))
+    for (f <- Seq("n", "avgdl", "toks"))
+      assert(Sampling.bm25ReadMeta(spark, idx).getAs[Double](f) ===
+        Sampling.bm25ReadMeta(spark, rebuilt).getAs[Double](f), f)
+  }
+
+  test("IVF-PQ compaction: fold == twin; append after fold reads the folded schema") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-ivfpq").toString
+    val idx = s"$base/idx"
+    val twin = s"$base/twin"
+    def probe(p: String) = ProductQuant
+      .ivfPqProbe(spark, p, qVec, k = 10, nprobe = 4, refine = 1000,
+        sourceTag = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val quarters = Seq(1, 3).map(r =>
+      odds.drop("label").where(pmod(col("vec_id"), lit(4)) === r))
+    for (p <- Seq(idx, twin)) {
+      ProductQuant.ivfPqWriteIndex(
+        evens.drop("label"), "embedding", "vec_id", p,
+        kClusters = 4, m = 8, ksub = 16, iters = 2, sourceTag = "s")
+      quarters.foreach(b =>
+        ProductQuant.ivfPqAppendIndex(b, "embedding", "vec_id", p, "s"))
+    }
+    AtomicAppend.compact(spark, s"$idx/corpus") { (d, p) =>
+      d.write.mode("overwrite").partitionBy("cluster").parquet(p)
+    }
+    assert(AtomicAppend.viewLegCount(spark, s"$idx/corpus") === 1)
+    assert(probe(idx) === probe(twin))
+    // the append-after-fold path must read the committed view's vector
+    // type (the base leg lives in the fold now), and frozen quantizers
+    // keep the evolved probes bitwise-identical
+    val extra = evens.drop("label")
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    for (p <- Seq(idx, twin))
+      ProductQuant.ivfPqAppendIndex(extra, "embedding", "vec_id", p, "s")
+    assert(probe(idx) === probe(twin))
+  }
+
+  private def plantStagingJunkAt(path: String): Unit = {
+    val junk = new Path(path)
+    fs.mkdirs(junk.getParent)
+    val out = fs.create(junk, true)
+    out.write(Array[Byte](1, 2, 3))
+    out.close()
+  }
+
   test("empty batch is a no-op; segments accumulate in id order") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-atomic-empty").toString
