@@ -1623,32 +1623,78 @@ object Dedup {
     // micro-batch. Re-rooting at a LogicalRDD makes every downstream
     // stage's source identical batch over batch, so the codegen cache
     // actually caches.
-    val stableBatch = graft.ops.Stage.materializeOnce(
-      batch.select(col(idCol), col(textCol)))
-    val sig0 = mhSignatures(stableBatch, textCol, idCol, shingleLen, numHashes)
-      .transform(graft.ops.Stage.materializeOnce)
-    val intraDrop = resolveComponentsAuto(
+    def dbg[T](name: String)(b: => T): T =
+      graft.streaming.IngestTuning.sectionTimer("ingest-fb", name)(b)
+    // spread BEFORE the checkpoint (the fused path's win, round 14):
+    // a micro-batch arrives as 1-2 source splits, and without the
+    // spread the signing, every broadcast-build collect of the sig
+    // frame, the survivor checkpoint, and both segment writes all run
+    // 1-2 tasks wide (measured: the single-task block scans were the
+    // largest fixed cost of the fallback batch). rerootLazy, not an
+    // eager checkpoint: sig0's materialization is the only consumer,
+    // so the spread batch computes inside sig0's own job — one fewer
+    // scheduler round trip per batch.
+    val stableBatch = dbg("stable")(graft.ops.Stage.rerootLazy(
+      spreadLean(batch.select(col(idCol), col(textCol)))))
+    val sig0 = dbg("sign")(
+      mhSignatures(stableBatch, textCol, idCol, shingleLen, numHashes)
+        .transform(graft.ops.Stage.materializeOnce))
+    // corpus probe kicked off CONCURRENTLY with the pairs collect
+    // (round 14): the probe flags depend only on sig0 — flagging a
+    // doc the intra dedup also drops is harmless (survivors subtract
+    // the union), so the probe needs neither the components nor the
+    // intra survivors, and its jobs overlap the pairs collect + the
+    // driver union-find on the other thread. Flags are batch-bounded
+    // ids (≤ one per batch doc after the in-plan distinct) — the same
+    // boundedness class as the batch-sig broadcasts this path already
+    // rides.
+    val flagsFut: Option[java.util.concurrent.FutureTask[Array[Any]]] =
+      if (!probeCorpus) None
+      else {
+        val t = new java.util.concurrent.FutureTask[Array[Any]](() =>
+          mhProbeSigned(
+            sig0, indexPath, bands, rows, threshold, maxBucketSize,
+            lean = true)
+            .select(col("probe_id"))
+            .distinct()
+            .collect()
+            .map(_.get(0)))
+        val th = new Thread(t, "graft-ingest-fb-probe")
+        th.setDaemon(true)
+        th.start()
+        Some(t)
+      }
+    val intraDrop = dbg("intra")(resolveComponentsAuto(
       mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
       .where(col("id") =!= col("component"))
-      .select("id")
-    val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-    val survivors = (
-      if (!probeCorpus) intraSig
-      else
-        intraSig.join(
-          broadcast(
-            mhProbeSigned(
-              intraSig, indexPath, bands, rows, threshold, maxBucketSize,
-              lean = true)
-              .select(col("probe_id").as("id"))
-              .distinct()),
-          Seq("id"),
-          "left_anti")
+      .select("id"))
+    val flagged: Option[DataFrame] = flagsFut.map { t =>
+      val ids = dbg("probe-flags")(
+        try t.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+      val idField = batch.schema
+        .find(_.name.equalsIgnoreCase(idCol))
+        .get // the caller resolved idCol already
+        .copy(name = "id")
+      val schema = org.apache.spark.sql.types.StructType(Seq(idField))
+      val rowsList =
+        new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      ids.foreach(v => rowsList.add(org.apache.spark.sql.Row(v)))
+      // coalesce(1): the BroadcastExchange over a LocalTableScan runs
+      // a defaultParallelism-slice parallelize job per build — one
+      // slice makes it a single trivial task (the fused-path trick)
+      spark.createDataFrame(rowsList, schema).coalesce(1)
+    }
+    val intraSurvivors = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
+    val survivors = dbg("survivors")((flagged match {
+      case None => intraSurvivors
+      case Some(f) => intraSurvivors.join(broadcast(f), Seq("id"), "left_anti")
       // materialize: BOTH segment writes (sig + buckets) consume this
-      // frame — without a checkpoint the corpus probe and the intra
-      // anti-join re-execute per write, doubling the per-batch cost
-      // (measured: the single biggest slice of ingest latency)
-    ).transform(graft.ops.Stage.materializeOnce)
+      // frame — without a checkpoint the intra anti-join re-executes
+      // per write, doubling the per-batch cost
+    }).transform(graft.ops.Stage.materializeOnce))
     (survivors, mhSizedBuckets(survivors, bands, rows))
   }
 
@@ -2524,11 +2570,28 @@ object Dedup {
     // IngestTuning.withBatchTuning caller for the duration. The clone
     // makes the override invisible to everyone else by construction —
     // no shared mutation, no lock, nothing to leak past a finally.
-    val head = org.apache.spark.sql.graftbridge.SessionBridge
-      .withConfScopedClone(
-        pairs.select(col(idA).cast("long"), col(idB).cast("long")),
-        Map("spark.sql.limit.initialNumPartitions" -> "4096"))(
-        _.limit(driverCap + 1).collect())
+    // the clone's re-analysis/re-optimization of the whole pair
+    // pipeline costs ~0.3-0.5 s per call (measured round 14) — when
+    // the BOUND session already carries a one-wave limit conf (the
+    // ingest loops set it via IngestTuning), collect directly and
+    // skip the clone; the clone stays for one-shot batch queries,
+    // where it amortizes
+    val capped = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+    val head = graft.streaming.IngestTuning
+      .sectionTimer("components", "pairs-collect")(
+        if (pairs.sparkSession.conf
+            .getOption("spark.sql.limit.initialNumPartitions")
+            .flatMap(_.toIntOption)
+            .exists(_ >= 4096))
+          capped.limit(driverCap + 1).collect()
+        else
+          org.apache.spark.sql.graftbridge.SessionBridge
+            .withConfScopedClone(
+              capped,
+              Map("spark.sql.limit.initialNumPartitions" -> "4096"))(
+              _.limit(driverCap + 1).collect()))
+    if (sys.env.contains("GRAFT_CACHE_DEBUG"))
+      System.err.println(s"[components] pairs=${head.length}")
     if (head.length > driverCap)
       return resolveComponents(pairs, idA, idB, maxIters, saltBuckets)
     // union-find, merging by smaller root: the root of a component is

@@ -37,7 +37,14 @@ object IngestTuning {
     // from the class name (it survives in a comment for debugging)
     // makes the legs' sources byte-identical, so the codegen cache
     // actually hits across legs AND across batches.
-    "spark.sql.codegen.useIdInClassName" -> "false")
+    "spark.sql.codegen.useIdInClassName" -> "false",
+    // one-wave CollectLimit for the capped components collect
+    // (Dedup.resolveComponentsAuto): with the conf already on the
+    // batch session, the per-batch SESSION CLONE (whose re-analysis of
+    // the pair pipeline cost ~0.3-0.5 s/batch) is skipped. Affects
+    // only limit queries, of which the ingest loop has exactly that
+    // one.
+    "spark.sql.limit.initialNumPartitions" -> "4096")
 
   /** One monitor per SparkSession: conf set/restore around a batch is
     * a read-modify-write on SESSION-GLOBAL state, and two tuned bodies

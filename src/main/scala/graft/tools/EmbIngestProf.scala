@@ -17,7 +17,13 @@ object EmbIngestProf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = args.headOption.map(_.toInt).getOrElse(8)
-    val family = args.drop(1).headOption.getOrElse("emb")
+    val familyArg = args.drop(1).headOption.getOrElse("emb")
+    // `<family>-fb` profiles the forced-DISTRIBUTED (unfused) shape —
+    // the over-cap fallback that IS the 100-TB path (the StreamBench
+    // neardup_ingest_fallback component)
+    val family = familyArg.stripSuffix("-fb")
+    if (familyArg.endsWith("-fb"))
+      sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -551,6 +551,107 @@ object Stress {
     spark.stop()
   }
 
+  // ---- ingest (streaming exactly-once twin, oracle-verified) ----
+
+  /** STREAMING near-dup ingest twin at `scale`× (round 14, the r13
+    * verdict's #6 — the batch survivors twin output-verifies past gate
+    * scale, but the exactly-once ingest machinery was only ever
+    * wall-timed there): the full [[graft.streaming.NearDupIngest]]
+    * micro-batch loop over a corpus whose dup structure is CLOSED-FORM
+    * in doc_id, so the final ingested-id set is verified ROW-FOR-ROW
+    * against arithmetic at both scales.
+    *
+    * The plant (the `survivors` twin's guaranteed-recall trick):
+    * nDocs/10 families of 10 byte-identical members (identical text →
+    * identical signature → banding recall GUARANTEED); member v of
+    * family f is doc_id = f + v·fams. ARRIVAL ORDER makes the oracle
+    * exact for streaming semantics (earlier batches win): batch 0
+    * carries members v ∈ {0, 1} of every family — an intra-batch
+    * near-dup pair whose min-id member (v = 0, id = f) must survive —
+    * and batches 1..8 carry one member each (v = 2..9), every doc a
+    * cross-batch near-dup of the ingested corpus. Oracle: ingested ids
+    * ≡ {0 .. fams−1} exactly, at any scale. After the loop, a
+    * committed batch id REPLAYS as a no-op (the exactly-once
+    * contract, asserted at stress scale). Both shapes run at `scale`×:
+    * the FUSED loop and the forced-DISTRIBUTED fallback (the 100-TB
+    * shape, via the same JVM-prop hook the bench uses) — each
+    * oracle-verified.
+    */
+  def ingest(scale: Int, reps: Int): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.NearDupIngest
+    def corpus(nDocs: Long): DataFrame = {
+      val fams = nDocs / 10
+      graft.ops.Stage.materializeOnce(
+        spark.range(nDocs)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(
+            col("id").as("doc_id"),
+            pmod(col("id"), lit(fams)).as("fam"),
+            (col("id") / lit(fams)).cast("long").as("v"))
+          .withColumn(
+            "text",
+            concat_ws(
+              " ",
+              (0 until 40).map(j =>
+                conv(
+                  hash(col("fam") * 40 + j, lit(j)).cast("string"),
+                  10, 36)): _*)))
+    }
+    def runLoop(nDocs: Long, forced: Boolean): Double = {
+      val docs = corpus(nDocs)
+      val fams = nDocs / 10
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-stress-ingest").toString + "/mh"
+      if (forced) sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+      val t0 = System.nanoTime()
+      try {
+        NearDupIngest.ingestBatch(
+          docs.where(col("v") <= 1).select("doc_id", "text"),
+          idx, "text", "doc_id", batchId = 0L)
+        (2L to 9L).foreach { v =>
+          NearDupIngest.ingestBatch(
+            docs.where(col("v") === v).select("doc_id", "text"),
+            idx, "text", "doc_id", batchId = v - 1L)
+        }
+      } finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val got = NearDupIngest.ingestedIds(spark, idx).get
+        .collect().map(_.getLong(0)).sorted
+      require(
+        got.length == fams &&
+          got.zipWithIndex.forall { case (id, i) => id == i.toLong },
+        s"ingested set != {0..${fams - 1}}: n=${got.length}, " +
+          s"head=${got.take(5).mkString(",")}")
+      // exactly-once at stress scale: replaying a committed batch id
+      // is a no-op (markers short-circuit before any work)
+      NearDupIngest.ingestBatch(
+        docs.where(col("v") === 9).select("doc_id", "text"),
+        idx, "text", "doc_id", batchId = 8L)
+      val again = NearDupIngest.ingestedIds(spark, idx).get.count()
+      require(again == fams, s"replay changed the corpus: $again != $fams")
+      wall
+    }
+    def best(nDocs: Long, forced: Boolean): Double =
+      (0 until reps).map(_ => runLoop(nDocs, forced)).min
+    runLoop(500, forced = false) // warm: codegen for every stage
+    runLoop(500, forced = true)
+    val base = 5000L
+    val t1 = best(base, forced = false)
+    val tN = best(base * scale, forced = false)
+    val t1f = best(base, forced = true)
+    val tNf = best(base * scale, forced = true)
+    println(
+      f"""{"stress_ingest":{"scale":$scale,"docs_1x":$base,""" +
+        f""""docs_${scale}x":${base * scale},""" +
+        f""""fused_sec_1x":$t1%.2f,"fused_sec_${scale}x":$tN%.2f,""" +
+        f""""fused_ratio":${tN / t1}%.2f,""" +
+        f""""fallback_sec_1x":$t1f%.2f,"fallback_sec_${scale}x":$tNf%.2f,""" +
+        f""""fallback_ratio":${tNf / t1f}%.2f,"verified":true}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") =>
       gen(
@@ -576,9 +677,13 @@ object Stress {
       survivors(
         args.lift(1).map(_.toInt).getOrElse(50),
         args.lift(2).map(_.toInt).getOrElse(1))
+    case Some("ingest") =>
+      ingest(
+        args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).map(_.toInt).getOrElse(1))
     case _ =>
       System.err.println(
-        "usage: Stress gen|run|skew|invariance|survivors [args]")
+        "usage: Stress gen|run|skew|invariance|survivors|ingest [args]")
       sys.exit(2)
   }
 }

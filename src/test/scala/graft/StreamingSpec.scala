@@ -307,6 +307,47 @@ class StreamingSpec extends AnyFunSuite {
         .as[Long].collect().toSet === Set(1L, 10L, 20L, 30L))
   }
 
+  test("mh forced-fallback (the bench hook) agrees with the fused path") {
+    // the restructured distributed shape (round 14: spread batch,
+    // concurrent corpus probe over sig0, flag-local anti-join) must
+    // ingest IDENTICAL survivor sets to the fused shape across
+    // batches that exercise intra-batch near-dups, cross-batch
+    // near-dups, and novelty — asserted via the exact JVM-prop hook
+    // StreamBench's neardup_ingest_fallback rep sets
+    import spark.implicits._
+    import graft.streaming.NearDupIngest
+    val base =
+      "the quick brown fox jumps over the lazy dog again and again today " +
+        "while the river runs quietly past the old stone mill"
+    val other =
+      "completely different text about distributed query engines and " +
+        "shuffle partitioning strategies for large scale analytics"
+    def runTo(idx: String, force: Boolean): Set[Long] = {
+      def batch(rows: Seq[(Long, String)], id: Long): Unit = {
+        if (force) sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+        try NearDupIngest.ingestBatch(
+          rows.toDF("doc_id", "text"), idx, "text", "doc_id", batchId = id)
+        finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+      }
+      batch(Seq((1L, base), (2L, base + " extra"), (10L, other)), 0L)
+      batch(
+        Seq(
+          (3L, base + " extra words"), // cross-batch near-dup of 1
+          (4L, other + " slightly"), // cross-batch near-dup of 10
+          (20L, "a wholly novel document mentioning nothing else at all"),
+          (21L, "a wholly novel document mentioning nothing else at all " +
+            "too")), // intra-batch near-dup of 20
+        1L)
+      NearDupIngest.ingestedIds(spark, idx).get.as[Long].collect().toSet
+    }
+    val fused = runTo(
+      Files.createTempDirectory("graft-mhf").toString + "/mh", force = false)
+    val forced = runTo(
+      Files.createTempDirectory("graft-mhff").toString + "/mh", force = true)
+    assert(fused === forced)
+    assert(fused === Set(1L, 10L, 20L))
+  }
+
   test("near-dup index compaction: one segment, exact bn, crash-replayable") {
     import spark.implicits._
     import graft.streaming.NearDupIngest
