@@ -3339,6 +3339,24 @@ object Dedup {
     * count — that would double-apply the guard after compaction and
     * change which buckets probe.
     */
+  /** (rows, schema) of the segment frames [[driverSegmentFrames]]
+    * built from driver-held survivor payloads — identity-keyed so the
+    * ingest wrappers can write the frame WITHOUT a Spark write job
+    * ([[org.apache.spark.sql.graftbridge.DriverParquet]]; a
+    * `df.write.parquet` of a few hundred local rows costs a full
+    * task-launch + committer round per tree per batch). Weak keys: a
+    * retired frame must not pin its rows.
+    */
+  private val localSegmentRowsMap = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      DataFrame,
+      (Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]())
+
+  private[graft] def localSegmentRows(df: DataFrame): Option[
+    (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] =
+    Option(localSegmentRowsMap.get(df))
+
   private def driverSegmentFrames(
       spark: org.apache.spark.sql.SparkSession,
       sigSchema: org.apache.spark.sql.types.StructType,
@@ -3371,6 +3389,8 @@ object Dedup {
         StructField("bn", LongType)))
     val bucketsFrame = spark.createDataFrame(
       spark.sparkContext.parallelize(bktRows, slices), bktSchema)
+    localSegmentRowsMap.put(sigFrame, (sigRows, sigSchema))
+    localSegmentRowsMap.put(bucketsFrame, (bktRows, bktSchema))
     (sigFrame, bucketsFrame)
   }
 

@@ -89,9 +89,9 @@ object EmbedIngest {
       fs.delete(bucketsStaging, true)
       // concurrent staging writes — see NearDupIngest.ingestBatch
       dbg("writes")(IngestTuning.parallelWrites(
-        () => sig.write.mode("overwrite").parquet(sigStaging.toString),
+        () => IngestTuning.writeSegment(sig, sigStaging.toString),
         () =>
-          buckets.write.mode("overwrite").parquet(bucketsStaging.toString)))
+          IngestTuning.writeSegment(buckets, bucketsStaging.toString)))
       dbg("publish") {
         SnapshotCommit.publish(fs, sigStaging, sigTarget)
         SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)

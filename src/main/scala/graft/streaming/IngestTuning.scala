@@ -44,7 +44,12 @@ object IngestTuning {
     // the pair pipeline cost ~0.3-0.5 s/batch) is skipped. Affects
     // only limit queries, of which the ingest loop has exactly that
     // one.
-    "spark.sql.limit.initialNumPartitions" -> "4096")
+    "spark.sql.limit.initialNumPartitions" -> "4096",
+    // constraint propagation walks every operator's constraint set
+    // during optimization — pure driver fixed cost per batch on plans
+    // whose joins are already hand-broadcast and whose filters are
+    // explicit; batch queries keep the default
+    "spark.sql.constraintPropagation.enabled" -> "false")
 
   /** One monitor per SparkSession: conf set/restore around a batch is
     * a read-modify-write on SESSION-GLOBAL state, and two tuned bodies
@@ -74,6 +79,22 @@ object IngestTuning {
       var m = locks.get(spark)
       if (m == null) { m = new Object; locks.put(spark, m) }
       m
+    }
+
+  /** Write a segment frame to `path`: driver-held frames (the fused
+    * ingest's [[graft.operators.Dedup]] driver segment frames) write
+    * as one parquet file on the driver — no Spark job, no committer
+    * (~85–100 ms of pure per-batch fixed cost each) — via
+    * [[org.apache.spark.sql.graftbridge.DriverParquet]]; everything
+    * else (the distributed fallback's frames) takes the normal
+    * `df.write` path unchanged.
+    */
+  def writeSegment(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    graft.operators.Dedup.localSegmentRows(df) match {
+      case Some((rows, schema)) =>
+        org.apache.spark.sql.graftbridge.DriverParquet
+          .write(df.sparkSession, rows, schema, path)
+      case None => df.write.mode("overwrite").parquet(path)
     }
 
   /** Run two independent write actions concurrently and wait for both

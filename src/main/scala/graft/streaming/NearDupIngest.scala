@@ -105,9 +105,9 @@ object NearDupIngest {
       // the materialized survivors frame); publishes stay ordered
       // after both land, so the crash protocol is unchanged
       dbg("writes")(IngestTuning.parallelWrites(
-        () => sig.write.mode("overwrite").parquet(sigStaging.toString),
+        () => IngestTuning.writeSegment(sig, sigStaging.toString),
         () =>
-          buckets.write.mode("overwrite").parquet(bucketsStaging.toString)))
+          IngestTuning.writeSegment(buckets, bucketsStaging.toString)))
       dbg("publish") {
         SnapshotCommit.publish(fs, sigStaging, sigTarget)
         SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)

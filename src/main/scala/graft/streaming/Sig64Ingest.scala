@@ -79,9 +79,9 @@ object Sig64Ingest {
       // concurrent staging writes; ordered publishes — crash protocol
       // unchanged (see NearDupIngest.ingestBatch)
       IngestTuning.parallelWrites(
-        () => sig.write.mode("overwrite").parquet(sigStaging.toString),
+        () => IngestTuning.writeSegment(sig, sigStaging.toString),
         () =>
-          buckets.write.mode("overwrite").parquet(bucketsStaging.toString))
+          IngestTuning.writeSegment(buckets, bucketsStaging.toString))
       SnapshotCommit.publish(fs, sigStaging, sigTarget)
       SnapshotCommit.publish(fs, bucketsStaging, bucketsTarget)
       // roll the probe's versioned frame cache forward — the next
