@@ -1648,47 +1648,20 @@ object Dedup {
     // ids (≤ one per batch doc after the in-plan distinct) — the same
     // boundedness class as the batch-sig broadcasts this path already
     // rides.
-    val flagsFut: Option[java.util.concurrent.FutureTask[Array[Any]]] =
-      if (!probeCorpus) None
-      else {
-        val t = new java.util.concurrent.FutureTask[Array[Any]](() =>
-          mhProbeSigned(
-            sig0, indexPath, bands, rows, threshold, maxBucketSize,
-            lean = true)
-            .select(col("probe_id"))
-            .distinct()
-            .collect()
-            .map(_.get(0)))
-        val th = new Thread(t, "graft-ingest-fb-probe")
-        th.setDaemon(true)
-        th.start()
-        Some(t)
-      }
+    val flagged = asyncFlagLocal(spark, batch.schema, idCol, probeCorpus)(
+      mhProbeSigned(
+        sig0, indexPath, bands, rows, threshold, maxBucketSize,
+        lean = true)
+        .select(col("probe_id"))
+        .distinct()
+        .collect()
+        .map(_.get(0)))
     val intraDrop = dbg("intra")(resolveComponentsAuto(
       mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
       .where(col("id") =!= col("component"))
       .select("id"))
-    val flagged: Option[DataFrame] = flagsFut.map { t =>
-      val ids = dbg("probe-flags")(
-        try t.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        })
-      val idField = batch.schema
-        .find(_.name.equalsIgnoreCase(idCol))
-        .get // the caller resolved idCol already
-        .copy(name = "id")
-      val schema = org.apache.spark.sql.types.StructType(Seq(idField))
-      val rowsList =
-        new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
-      ids.foreach(v => rowsList.add(org.apache.spark.sql.Row(v)))
-      // coalesce(1): the BroadcastExchange over a LocalTableScan runs
-      // a defaultParallelism-slice parallelize job per build — one
-      // slice makes it a single trivial task (the fused-path trick)
-      spark.createDataFrame(rowsList, schema).coalesce(1)
-    }
     val intraSurvivors = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-    val survivors = dbg("survivors")((flagged match {
+    val survivors = dbg("survivors")((dbg("probe-flags")(flagged()) match {
       case None => intraSurvivors
       case Some(f) => intraSurvivors.join(broadcast(f), Seq("id"), "left_anti")
       // materialize: BOTH segment writes (sig + buckets) consume this
@@ -1696,6 +1669,44 @@ object Dedup {
       // per write, doubling the per-batch cost
     }).transform(graft.ops.Stage.materializeOnce))
     (survivors, mhSizedBuckets(survivors, bands, rows))
+  }
+
+  /** Start a corpus-probe FLAG collect on a daemon thread and hand
+    * back a join-ready local frame builder — the shared concurrency
+    * seam of the three unfused ingest shapes (round 14): the flags
+    * depend only on the signed batch, so their jobs overlap the pairs
+    * collect + driver union-find. The returned thunk waits, unwraps
+    * failures, and builds a single-slice local (id) frame (one
+    * trivial task per broadcast build — the fused-path trick); `None`
+    * when there is no corpus to probe.
+    */
+  private def asyncFlagLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      batchSchema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      probeCorpus: Boolean)(
+      flags: => Array[Any]): () => Option[DataFrame] = {
+    if (!probeCorpus) return () => None
+    val t = new java.util.concurrent.FutureTask[Array[Any]](() => flags)
+    val th = new Thread(t, "graft-ingest-fb-probe")
+    th.setDaemon(true)
+    th.start()
+    () => {
+      val ids =
+        try t.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      val idField = batchSchema
+        .find(_.name.equalsIgnoreCase(idCol))
+        .get // the caller resolved idCol already
+        .copy(name = "id")
+      val schema = org.apache.spark.sql.types.StructType(Seq(idField))
+      val rowsList =
+        new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      ids.foreach(v => rowsList.add(org.apache.spark.sql.Row(v)))
+      Some(spark.createDataFrame(rowsList, schema).coalesce(1))
+    }
   }
 
   /** Extend a persisted index with an (already deduped) batch — sign
@@ -2187,8 +2198,12 @@ object Dedup {
     // unfused fallback DOES re-consume the signed frame several times,
     // so it gets its own lazy checkpoint at the handoff.
     val sig0 = batchSig.select(col("id"), col("sig"))
+    // spread before the checkpoint (the round-14 unfused win): the
+    // decode/sign output often arrives 1-2 splits wide, and the
+    // fallback's banding, probe broadcast-builds, anti-joins, and
+    // segment writes would all inherit that (non-)parallelism
     def unfused() = sig64IngestSegmentFramesUnfused(
-      graft.ops.Stage.materializeLazy(sig0),
+      graft.ops.Stage.materializeLazy(spreadLean(sig0)),
       indexPath, bands, maxHamming, maxBucketSize, probeCorpus)
     if (!fusableIdType(idType)) return unfused()
     // one row per batch signature (sig + un-exploded bucket keys) —
@@ -2311,23 +2326,30 @@ object Dedup {
       maxHamming: Int,
       maxBucketSize: Int,
       probeCorpus: Boolean): (DataFrame, DataFrame) = {
+    // concurrent corpus probe + broadcast anti-joins (round 14 — the
+    // mhIngestSegmentFramesUnfused restructure): flags depend only on
+    // sig0, overlap the pairs collect + union-find, and land as a
+    // batch-bounded local; the former dropped.distinct() union +
+    // un-hinted anti-join cost an extra exchange per batch
+    val flagged = asyncFlagLocal(
+      sig0.sparkSession, sig0.schema, "id", probeCorpus)(
+      sig64ProbeSigned(
+        sig0, indexPath, bands, maxHamming, maxBucketSize, lean = true)
+        .select(col("probe_id"))
+        .distinct()
+        .collect()
+        .map(_.get(0)))
     val intraPairs =
       simHashBandPairs(sig0, maxHamming, bands, maxBucketSize)
     val dropIntra = resolveComponentsAuto(intraPairs, "id_a", "id_b")
       .where(col("component") =!= col("id"))
       .select("id")
-    val dropped =
-      if (!probeCorpus) dropIntra
-      else
-        dropIntra.unionByName(
-          sig64ProbeSigned(
-            sig0, indexPath, bands, maxHamming, maxBucketSize,
-            lean = true)
-            .select(col("probe_id").as("id"))
-            .distinct())
-    val survivors = sig0
-      .join(dropped.distinct(), Seq("id"), "left_anti")
-      .transform(graft.ops.Stage.materializeOnce)
+    val intraSurvivors =
+      sig0.join(broadcast(dropIntra), Seq("id"), "left_anti")
+    val survivors = (flagged() match {
+      case None => intraSurvivors
+      case Some(f) => intraSurvivors.join(broadcast(f), Seq("id"), "left_anti")
+    }).transform(graft.ops.Stage.materializeOnce)
     (survivors, sig64SizedBuckets(survivors, bands))
   }
 
@@ -3411,32 +3433,36 @@ object Dedup {
       seed: Int,
       sizedBuckets: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val rows = nBits / bands
-    // re-root the batch at a LogicalRDD first — the codegen-cache
-    // poisoning argument of [[mhIngestSegmentFramesUnfused]]
-    val stableBatch = graft.ops.Stage.materializeOnce(
-      batch.select(col(idCol), col(vecCol)))
+    // spread + LAZY re-root at a LogicalRDD (the round-14 restructure
+    // of [[mhIngestSegmentFramesUnfused]] — codegen-cache stability,
+    // real parallelism for signing/broadcast-collects/writes, one
+    // fewer eager job)
+    val stableBatch = graft.ops.Stage.rerootLazy(
+      spreadLean(batch.select(col(idCol), col(vecCol))))
     val sig0 = embSignatures(stableBatch, vecCol, idCol, nBits, seed)
       .transform(graft.ops.Stage.materializeOnce)
+    // concurrent corpus probe over sig0 (flags of intra-dropped docs
+    // are harmless — survivors subtract the union)
+    val flagged = asyncFlagLocal(
+      batch.sparkSession, batch.schema, idCol, probeCorpus)(
+      embProbeSigned(
+        sig0, indexPath, bands, rows, threshold, maxBucketSize,
+        lean = true)
+        .select(col("probe_id"))
+        .distinct()
+        .collect()
+        .map(_.get(0)))
     val intraDrop = resolveComponentsAuto(
       embPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
       .where(col("id") =!= col("component"))
       .select("id")
     val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-    val survivors = (
-      if (!probeCorpus) intraSig
-      else
-        intraSig.join(
-          broadcast(
-            embProbeSigned(
-              intraSig, indexPath, bands, rows, threshold, maxBucketSize,
-              lean = true)
-              .select(col("probe_id").as("id"))
-              .distinct()),
-          Seq("id"),
-          "left_anti")
+    val survivors = (flagged() match {
+      case None => intraSig
+      case Some(f) => intraSig.join(broadcast(f), Seq("id"), "left_anti")
       // both segment writes consume this — checkpoint or the probe
       // re-executes per write (see mhIngestSegmentFramesUnfused)
-    ).transform(graft.ops.Stage.materializeOnce)
+    }).transform(graft.ops.Stage.materializeOnce)
     (survivors, sizedBuckets(survivors))
   }
 
