@@ -106,6 +106,28 @@ class DriftSpec extends AnyFunSuite {
     assert(sharePile === 1.0) // every pile row in one cell
   }
 
+  test("drift after compaction: the fold is the new base, totals conserved") {
+    import graft.operators.AtomicAppend
+    val idx = s"${tmp("sqc")}/idx"
+    Similarity.sqWriteIndex(evens, "embedding", "vec_id", idx, sourceTag = "s")
+    Similarity.sqAppendIndex(odds, "embedding", "vec_id", idx, sourceTag = "s")
+    val pre = Similarity
+      .sqDriftMetrics(spark, idx, sourceTag = "s")
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    val preN = pre.map(_._1).sum
+    AtomicAppend.compact(spark, idx)((d, p) =>
+      d.write.mode("overwrite").parquet(p))
+    val post = Similarity.sqDriftMetrics(spark, idx, sourceTag = "s").collect()
+    // one provenance bucket left: the fold IS the base (seg 0)
+    assert(post.length === 1 && post.head.getInt(0) === 0)
+    assert(post.head.getLong(1) === preN, "fold lost or duplicated rows")
+    // the frozen bounds are untouched, so the folded clip fraction is
+    // the row-weighted mix of the pre-fold segments'
+    val mixed = pre.map { case (n, cf) => n * cf }.sum / preN
+    assert(math.abs(post.head.getDouble(3) - mixed) < 1e-6)
+  }
+
   test("IVF-PQ occupancy drift: same signal through the PQ corpus layout") {
     val idx = tmp("ivfpq")
     ProductQuant.ivfPqWriteIndex(
