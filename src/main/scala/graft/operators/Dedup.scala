@@ -1213,6 +1213,12 @@ object Dedup {
     }
     try {
       val rows = ingestDbg("gather")(gathered.collect())
+      if (sys.env.contains("GRAFT_CACHE_DEBUG")) {
+        val ph = gathered.queryExecution.tracker.phases
+        System.err.println("[gather-phases] " + ph.map { case (k, v) =>
+          f"$k=${(v.endTimeMs - v.startTimeMs)}%dms"
+        }.mkString(" "))
+      }
       if (rows.length > FusedIngestCap) None else Some(rows)
     } catch {
       case e: org.apache.spark.SparkException if isResultSizeError(e) => None
