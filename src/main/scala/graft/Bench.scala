@@ -169,6 +169,10 @@ object Bench {
               Seq.empty[(String, Double)],
               Seq("\"streaming\""))
         }
+    // loadEnd closes the measured window HERE — the compaction
+    // micro-bench below is a side measurement (scratch index, its own
+    // record section) and must not skew the run's load stamps
+    val loadEnd = StreamBench.loadAvg()
     // round 14: segment-tree compaction benefit — the committed view
     // of an appendable index unions one scan leg per append, so probe
     // cost grows with segment count until AtomicAppend.compact folds
@@ -176,12 +180,13 @@ object Bench {
     // declared queries' build-once caches untouched): probe wall at
     // 1 + N legs, then after the fold. The auto-threshold is lifted
     // during the appends so the measurement actually reaches N legs.
-    val compaction: Seq[(String, Double)] =
+    val compaction: Seq[(String, Double)] = {
+      val tmpRoot = java.nio.file.Files
+        .createTempDirectory("graft-bench-compact")
       try {
         import org.apache.spark.sql.functions.{col, lit}
         import graft.operators.{AtomicAppend, Similarity}
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft-bench-compact").toString + "/sq"
+        val idx = tmpRoot.toString + "/sq"
         val emb = Tables.embeddings(spark, sfDir)
         Similarity.sqWriteIndex(
           emb, "embedding", "vec_id", idx, sourceTag = sfDir)
@@ -196,7 +201,8 @@ object Bench {
           (1 to nSegs).foreach { i =>
             Similarity.sqAppendIndex(
               emb
-                .limit(50)
+                // deterministic append rows (limit's choice is not)
+                .where(col("vec_id") < 50)
                 .select(
                   (col("vec_id") + lit(1000000L * i)).as("vec_id"),
                   col("embedding")),
@@ -224,8 +230,16 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] compaction bench failed: $e")
           Seq.empty
+      } finally {
+        import scala.util.Try
+        Try {
+          java.nio.file.Files
+            .walk(tmpRoot)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
       }
-    val loadEnd = StreamBench.loadAvg()
+    }
     // Locale.ROOT: a comma-decimal default locale would corrupt the
     // one-line JSON contract (f"%.1f" is locale-dependent)
     val sj = streaming

@@ -229,16 +229,31 @@ object AtomicAppend {
     *  3. the staging publishes as `_seg-c<m>` (rename + marker);
     *     from this instant [[read]] serves fold ∪ segments > m and
     *     IGNORES the base and covered segments structurally;
-    *  4. cleanup deletes the now-unreachable base data files, covered
-    *     plain segments, and superseded older folds.
+    *  4. [[vacuum]] deletes the now-unreachable base data files,
+    *     covered plain segments, and superseded older folds — but
+    *     only once the fold's marker is older than a GRACE PERIOD
+    *     (`graft.atomicappend.vacuum.grace.ms`, default
+    *     [[DefaultVacuumGraceMs]]). A reader that planned its scan
+    *     just before the fold (a cached/lazy DataFrame held across an
+    *     append, a probe racing an append on another thread) still
+    *     resolves the covered files it planned against for the whole
+    *     grace window; only a reader that parks a pre-fold plan for
+    *     LONGER than the grace and then executes can observe a
+    *     FileNotFoundException — re-plan (re-call the probe/read
+    *     entrypoint) to pick up the fold. `compact` itself only
+    *     invokes the vacuum (which no-ops inside the grace); every
+    *     `maybeCompact` call-site — i.e. every append — vacuums
+    *     opportunistically, so covered legs disappear on the first
+    *     append after the grace expires, or immediately via
+    *     `vacuum(force = true)`.
     *
     * Crash mid-write leaves hidden staging (deleted on retry); crash
     * between rename and marker leaves an unmarked fold (invisible;
-    * replaced on retry); crash mid-cleanup leaves covered legs on
-    * disk that no reader honors (a repeat [[compact]] call finishes
-    * the delete — the already-folded branch). Single-writer, same
-    * contract as [[publish]]. No-op when the view is already a single
-    * leg.
+    * replaced on retry); crash mid-vacuum leaves covered legs on
+    * disk that no reader honors (any later [[vacuum]] — including the
+    * one every append issues — finishes the delete). Single-writer,
+    * same contract as [[publish]]. No-op when the view is already a
+    * single leg.
     */
   def compact(
       spark: SparkSession,
@@ -251,9 +266,9 @@ object AtomicAppend {
     val priorFold = committedFold(spark, dataRoot)
     val m = (plainIds ++ priorFold.map(_._1)).maxOption.getOrElse(return)
     if (priorFold.exists(_._1 == m) && plainIds.forall(_ <= m)) {
-      // already folded to m (or a crash died mid-cleanup): finish
-      // deleting the covered legs and stale staging, nothing to fold
-      cleanupCovered(spark, fs, root, m)
+      // already folded to m (or a crash died mid-vacuum): nothing to
+      // fold; vacuum the covered legs if their grace has passed
+      vacuum(spark, dataRoot)
       return
     }
     val staging = new Path(root, s"_staging-c$m")
@@ -267,14 +282,51 @@ object AtomicAppend {
       }
     }
     SnapshotCommit.publish(fs, staging, new Path(root, s"_seg-c$m"))
-    cleanupCovered(spark, fs, root, m)
+    vacuum(spark, dataRoot)
   }
+
+  /** Delete the legs the committed fold superseded, IF the fold's
+    * marker is older than the vacuum grace period (or `force`):
+    * committed readers already ignore them structurally, and the
+    * grace keeps the files resolvable for any reader that PLANNED its
+    * scan just before the fold and is still executing (see
+    * [[compact]]'s contract note). Callable explicitly; also issued
+    * by [[compact]] and by every [[maybeCompact]] (i.e. every
+    * append), so deferred deletes land on the first append after the
+    * grace expires. No-op when no committed fold exists.
+    */
+  def vacuum(
+      spark: SparkSession,
+      dataRoot: String,
+      force: Boolean = false): Unit = {
+    val root = new Path(dataRoot)
+    val fs = fsFor(spark, root)
+    committedFold(spark, dataRoot).foreach { case (m, foldPath) =>
+      val grace = sys.props
+        .get("graft.atomicappend.vacuum.grace.ms")
+        .flatMap(_.toLongOption)
+        .getOrElse(DefaultVacuumGraceMs)
+      val markerAge = System.currentTimeMillis() -
+        fs.getFileStatus(new Path(foldPath, SnapshotCommit.Marker))
+          .getModificationTime
+      if (force || markerAge >= grace) cleanupCovered(spark, fs, root, m)
+    }
+  }
+
+  /** How long [[vacuum]] leaves a fold's covered legs on disk after
+    * the fold commits — long enough that any reader still executing a
+    * pre-fold plan (probes race appends; appends were purely additive
+    * before compaction existed) finishes against the files it
+    * planned. Overridable via `graft.atomicappend.vacuum.grace.ms`.
+    */
+  val DefaultVacuumGraceMs = 300000L
 
   /** Delete every leg a committed fold `_seg-c<m>` superseded: base
     * data files/dirs at the root (non-hidden entries only — `_meta`,
     * segments, and staging all hide behind the underscore), plain
-    * segments with id <= m, and older folds. Safe at any point after
-    * the fold's marker exists — readers already ignore all of it.
+    * segments with id <= m, and older folds. Committed readers ignore
+    * all of it structurally; in-flight pre-fold plans are protected
+    * by [[vacuum]]'s grace, which is why this stays private.
     */
   private def cleanupCovered(
       spark: SparkSession,
@@ -310,6 +362,11 @@ object AtomicAppend {
       .getOrElse(DefaultCompactThreshold)
     if (viewLegCount(spark, dataRoot) > threshold)
       compact(spark, dataRoot, carryMeta)(write)
+    else
+      // opportunistic deferred delete: a prior fold's covered legs go
+      // once their vacuum grace has expired (one listStatus when no
+      // fold exists — cheap against a local FS or an object store)
+      vacuum(spark, dataRoot)
   }
 
   /** Scan legs an appendable index may accumulate before the next

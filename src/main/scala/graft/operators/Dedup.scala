@@ -1662,58 +1662,119 @@ object Dedup {
         .distinct()
         .collect()
         .map(_.get(0)))
-    val intraDrop = dbg("intra")(resolveComponentsAuto(
-      mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
-      .where(col("id") =!= col("component"))
-      .select("id"))
-    val intraSurvivors = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-    val survivors = dbg("survivors")((dbg("probe-flags")(flagged()) match {
-      case None => intraSurvivors
-      case Some(f) => intraSurvivors.join(broadcast(f), Seq("id"), "left_anti")
-      // materialize: BOTH segment writes (sig + buckets) consume this
-      // frame — without a checkpoint the intra anti-join re-executes
-      // per write, doubling the per-batch cost
-    }).transform(graft.ops.Stage.materializeOnce))
-    (survivors, mhSizedBuckets(survivors, bands, rows))
+    withFlagsCancelOnFailure(flagged) {
+      val intraDrop = dbg("intra")(resolveComponentsAuto(
+        mhPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
+        .where(col("id") =!= col("component"))
+        .select("id"))
+      val intraSurvivors =
+        sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
+      val survivors = dbg("survivors")((dbg("probe-flags")(flagged()) match {
+        case None => intraSurvivors
+        case Some(f) => intraSurvivors.join(broadcast(f), Seq("id"), "left_anti")
+        // materialize: BOTH segment writes (sig + buckets) consume this
+        // frame — without a checkpoint the intra anti-join re-executes
+        // per write, doubling the per-batch cost
+      }).transform(graft.ops.Stage.materializeOnce))
+      (survivors, mhSizedBuckets(survivors, bands, rows))
+    }
+  }
+
+  /** Handle on a concurrently-running corpus-probe flag collect
+    * ([[asyncFlagLocal]]). `apply()` waits (bounded by
+    * `graft.ingest.probe.timeout.ms`, default 10 min — a hung probe
+    * job must not wedge the batch forever) and builds the local flags
+    * frame; `cancel()` interrupts the probe thread AND cancels its
+    * Spark job group, so a batch that fails before consuming the
+    * flags does not leave an orphaned probe job running to
+    * completion. Both are idempotent and safe after completion.
+    */
+  private sealed trait AsyncFlags {
+    def apply(): Option[DataFrame]
+    def cancel(): Unit
+  }
+
+  private object NoAsyncFlags extends AsyncFlags {
+    def apply(): Option[DataFrame] = None
+    def cancel(): Unit = ()
   }
 
   /** Start a corpus-probe FLAG collect on a daemon thread and hand
     * back a join-ready local frame builder — the shared concurrency
     * seam of the three unfused ingest shapes (round 14): the flags
     * depend only on the signed batch, so their jobs overlap the pairs
-    * collect + driver union-find. The returned thunk waits, unwraps
-    * failures, and builds a single-slice local (id) frame (one
-    * trivial task per broadcast build — the fused-path trick); `None`
-    * when there is no corpus to probe.
+    * collect + driver union-find. The probe's jobs run under their
+    * own job group (interrupt-on-cancel); [[AsyncFlags.apply]] waits
+    * with a generous timeout, unwraps failures, and builds a
+    * single-slice local (id) frame (one trivial task per broadcast
+    * build — the fused-path trick); [[NoAsyncFlags]] when there is no
+    * corpus to probe. Callers wrap the region between start and
+    * consumption in a catch-all that calls `cancel()`, so a batch
+    * failing mid-flight aborts the probe instead of orphaning it.
     */
   private def asyncFlagLocal(
       spark: org.apache.spark.sql.SparkSession,
       batchSchema: org.apache.spark.sql.types.StructType,
       idCol: String,
       probeCorpus: Boolean)(
-      flags: => Array[Any]): () => Option[DataFrame] = {
-    if (!probeCorpus) return () => None
-    val t = new java.util.concurrent.FutureTask[Array[Any]](() => flags)
+      flags: => Array[Any]): AsyncFlags = {
+    if (!probeCorpus) return NoAsyncFlags
+    val sc = spark.sparkContext
+    val groupId = s"graft-ingest-probe-${java.util.UUID.randomUUID()}"
+    val t = new java.util.concurrent.FutureTask[Array[Any]](() => {
+      // job-group set on the PROBE thread: every job the flag collect
+      // submits lands in the group, so cancel() reaches them
+      sc.setJobGroup(groupId, "graft ingest corpus probe",
+        interruptOnCancel = true)
+      try flags
+      finally sc.clearJobGroup()
+    })
     val th = new Thread(t, "graft-ingest-fb-probe")
     th.setDaemon(true)
     th.start()
-    () => {
-      val ids =
-        try t.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        }
-      val idField = batchSchema
-        .find(_.name.equalsIgnoreCase(idCol))
-        .get // the caller resolved idCol already
-        .copy(name = "id")
-      val schema = org.apache.spark.sql.types.StructType(Seq(idField))
-      val rowsList =
-        new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
-      ids.foreach(v => rowsList.add(org.apache.spark.sql.Row(v)))
-      Some(spark.createDataFrame(rowsList, schema).coalesce(1))
+    new AsyncFlags {
+      def cancel(): Unit = {
+        t.cancel(true)
+        sc.cancelJobGroup(groupId)
+      }
+      def apply(): Option[DataFrame] = {
+        val timeoutMs = sys.props
+          .get("graft.ingest.probe.timeout.ms")
+          .flatMap(_.toLongOption)
+          .getOrElse(600000L)
+        val ids =
+          try t.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+            case e: java.util.concurrent.TimeoutException =>
+              cancel()
+              throw new java.util.concurrent.TimeoutException(
+                s"ingest corpus probe exceeded $timeoutMs ms " +
+                  "(graft.ingest.probe.timeout.ms); probe jobs cancelled")
+          }
+        val idField = batchSchema
+          .find(_.name.equalsIgnoreCase(idCol))
+          .get // the caller resolved idCol already
+          .copy(name = "id")
+        val schema = org.apache.spark.sql.types.StructType(Seq(idField))
+        val rowsList =
+          new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+        ids.foreach(v => rowsList.add(org.apache.spark.sql.Row(v)))
+        Some(spark.createDataFrame(rowsList, schema).coalesce(1))
+      }
     }
   }
+
+  /** Run `body` (the region between an [[asyncFlagLocal]] start and
+    * the consumption of its flags) with the probe cancelled on ANY
+    * failure — without this, a batch that throws in the intra-dedup
+    * stage leaves the orphaned probe job running to completion.
+    */
+  private def withFlagsCancelOnFailure[T](flagged: AsyncFlags)(
+      body: => T): T =
+    try body
+    catch { case e: Throwable => flagged.cancel(); throw e }
 
   /** Extend a persisted index with an (already deduped) batch — sign
     * with the index's own parameters and APPEND; the corpus is never
@@ -2345,18 +2406,21 @@ object Dedup {
         .distinct()
         .collect()
         .map(_.get(0)))
-    val intraPairs =
-      simHashBandPairs(sig0, maxHamming, bands, maxBucketSize)
-    val dropIntra = resolveComponentsAuto(intraPairs, "id_a", "id_b")
-      .where(col("component") =!= col("id"))
-      .select("id")
-    val intraSurvivors =
-      sig0.join(broadcast(dropIntra), Seq("id"), "left_anti")
-    val survivors = (flagged() match {
-      case None => intraSurvivors
-      case Some(f) => intraSurvivors.join(broadcast(f), Seq("id"), "left_anti")
-    }).transform(graft.ops.Stage.materializeOnce)
-    (survivors, sig64SizedBuckets(survivors, bands))
+    withFlagsCancelOnFailure(flagged) {
+      val intraPairs =
+        simHashBandPairs(sig0, maxHamming, bands, maxBucketSize)
+      val dropIntra = resolveComponentsAuto(intraPairs, "id_a", "id_b")
+        .where(col("component") =!= col("id"))
+        .select("id")
+      val intraSurvivors =
+        sig0.join(broadcast(dropIntra), Seq("id"), "left_anti")
+      val survivors = (flagged() match {
+        case None => intraSurvivors
+        case Some(f) =>
+          intraSurvivors.join(broadcast(f), Seq("id"), "left_anti")
+      }).transform(graft.ops.Stage.materializeOnce)
+      (survivors, sig64SizedBuckets(survivors, bands))
+    }
   }
 
   /** Exact n-gram Jaccard over candidate pairs produced by equi-joining
@@ -2607,10 +2671,13 @@ object Dedup {
     val capped = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
     val head = graft.streaming.IngestTuning
       .sectionTimer("components", "pairs-collect")(
+        // keyed on the EXPLICIT IngestTuning marker, not on the limit
+        // knob itself: a user session that happens to set
+        // initialNumPartitions for unrelated reasons must not be
+        // silently routed onto the direct-collect path
         if (pairs.sparkSession.conf
-            .getOption("spark.sql.limit.initialNumPartitions")
-            .flatMap(_.toIntOption)
-            .exists(_ >= 4096))
+            .getOption(graft.streaming.IngestTuning.TunedMarker)
+            .contains("true"))
           capped.limit(driverCap + 1).collect()
         else
           org.apache.spark.sql.graftbridge.SessionBridge
@@ -3458,18 +3525,21 @@ object Dedup {
         .distinct()
         .collect()
         .map(_.get(0)))
-    val intraDrop = resolveComponentsAuto(
-      embPairsSigned(sig0, bands, rows, threshold, maxBucketSize, lean = true))
-      .where(col("id") =!= col("component"))
-      .select("id")
-    val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-    val survivors = (flagged() match {
-      case None => intraSig
-      case Some(f) => intraSig.join(broadcast(f), Seq("id"), "left_anti")
-      // both segment writes consume this — checkpoint or the probe
-      // re-executes per write (see mhIngestSegmentFramesUnfused)
-    }).transform(graft.ops.Stage.materializeOnce)
-    (survivors, sizedBuckets(survivors))
+    withFlagsCancelOnFailure(flagged) {
+      val intraDrop = resolveComponentsAuto(
+        embPairsSigned(
+          sig0, bands, rows, threshold, maxBucketSize, lean = true))
+        .where(col("id") =!= col("component"))
+        .select("id")
+      val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
+      val survivors = (flagged() match {
+        case None => intraSig
+        case Some(f) => intraSig.join(broadcast(f), Seq("id"), "left_anti")
+        // both segment writes consume this — checkpoint or the probe
+        // re-executes per write (see mhIngestSegmentFramesUnfused)
+      }).transform(graft.ops.Stage.materializeOnce)
+      (survivors, sizedBuckets(survivors))
+    }
   }
 
   /** The ingest decision over an embedding probe — keep batch rows with

@@ -17,6 +17,13 @@ import org.apache.spark.sql.SparkSession
   * exactly as it entered it.
   */
 object IngestTuning {
+  /** Conf key marking a session as carrying the full [[Tuned]] set —
+    * the contract downstream fast paths check (the session-clone skip
+    * in `Dedup.resolveComponentsAuto`). Only this object sets it;
+    * declared BEFORE [[Tuned]] (object vals initialize in order).
+    */
+  val TunedMarker = "spark.graft.ingest.tuned"
+
   /** (key, batch-scoped value). shuffle.partitions drops to 8: a
     * micro-batch's shuffles carry KBs, and 32 default partitions mean
     * 32 scheduled tasks of ~1 ms work each per exchange (measured:
@@ -49,7 +56,12 @@ object IngestTuning {
     // during optimization — pure driver fixed cost per batch on plans
     // whose joins are already hand-broadcast and whose filters are
     // explicit; batch queries keep the default
-    "spark.sql.constraintPropagation.enabled" -> "false")
+    "spark.sql.constraintPropagation.enabled" -> "false",
+    // explicit "this session is ingest-tuned" marker — downstream
+    // fast paths (Dedup.resolveComponentsAuto's session-clone skip)
+    // key on THIS, not on any general Spark knob a user session might
+    // coincidentally set; restored off with the rest of the set
+    TunedMarker -> "true")
 
   /** One monitor per SparkSession: conf set/restore around a batch is
     * a read-modify-write on SESSION-GLOBAL state, and two tuned bodies

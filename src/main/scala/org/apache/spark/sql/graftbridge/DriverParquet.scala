@@ -8,7 +8,7 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetWriteSupport}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.StructType
 
@@ -36,7 +36,8 @@ object DriverParquet {
     override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] = ws
   }
 
-  /** Write `rows` as `dir/part-00000-<uuid>.snappy.parquet`. The dir
+  /** Write `rows` as `dir/part-00000-<uuid><codec-ext>.parquet`
+    * under the session's parquet compression codec. The dir
     * is created; existing contents are left alone (ingest staging
     * dirs are pre-cleared by their owners).
     */
@@ -76,15 +77,22 @@ object DriverParquet {
     conf.set(
       SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
       sqlc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    // honor the session's codec (spark.sql.parquet.compression.codec)
+    // through the same alias mapping df.write uses — a session that
+    // overrides the codec must get indistinguishable files here too
+    val codec = CompressionCodecName.fromConf(
+      ParquetOptions.getParquetCompressionCodecName(
+        sqlc.parquetCompressionCodec.toLowerCase(java.util.Locale.ROOT)))
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
     val file = new Path(
       d,
-      s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+      s"part-00000-${java.util.UUID.randomUUID()}" +
+        s"${codec.getExtension}.parquet")
     val writer = new RowsBuilder(file, new ParquetWriteSupport)
       .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withCompressionCodec(codec)
       .build()
     try {
       val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)

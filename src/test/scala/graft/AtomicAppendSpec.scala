@@ -216,6 +216,15 @@ class AtomicAppendSpec extends AnyFunSuite {
     .collect().map(r => (r.getLong(0), r.getAs[Double]("sim"))).toSeq
 
   test("SQ compaction: fold == un-compacted twin, crash sims, covered-leg repair, append after fold") {
+    // grace 0: this test pins the DELETE semantics (crash repair,
+    // covered-leg cleanup); the grace-window semantics have their own
+    // test below
+    sys.props("graft.atomicappend.vacuum.grace.ms") = "0"
+    try sqCompactionCrashSims()
+    finally sys.props.remove("graft.atomicappend.vacuum.grace.ms")
+  }
+
+  private def sqCompactionCrashSims(): Unit = {
     val base = java.nio.file.Files
       .createTempDirectory("graft-compact-sq").toString
     val idx = s"$base/idx"
@@ -268,6 +277,64 @@ class AtomicAppendSpec extends AnyFunSuite {
     assert(AtomicAppend.committedSegs(spark, idx).map(_.getName) ===
       Seq("_seg-3"), "post-fold append id collided with folded ids")
     assert(sqProbe(idx) === sqProbe(twin))
+  }
+
+  test("vacuum grace: fold defers deletes, pre-fold plans keep resolving, force + post-grace append vacuum") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vacuum-grace").toString
+    val idx = s"$base/idx"
+    val twin = s"$base/twin"
+    for (p <- Seq(idx, twin)) {
+      Similarity.sqWriteIndex(evens, "embedding", "vec_id", p, sourceTag = "s")
+      Similarity.sqAppendIndex(
+        odds.where(pmod(col("vec_id"), lit(4)) === 1),
+        "embedding", "vec_id", p, sourceTag = "s")
+      Similarity.sqAppendIndex(
+        odds.where(pmod(col("vec_id"), lit(4)) === 3),
+        "embedding", "vec_id", p, sourceTag = "s")
+    }
+    // a reader that PLANS its scan before the fold (the file list is
+    // captured at plan time) and executes after it — the race the
+    // grace window exists for
+    val preFoldPlan = Similarity
+      .sqProbeIndex(spark, idx, qVec, k = 10, sourceTag = "s")
+    val fsys = fs
+    AtomicAppend.compact(spark, idx)(sqLayout) // default grace: no delete
+    assert(AtomicAppend.viewLegCount(spark, idx) === 1, "fold not committed")
+    assert(fsys.exists(new Path(s"$idx/_seg-1")) &&
+      fsys.exists(new Path(s"$idx/_seg-2")),
+      "covered legs deleted inside the grace window")
+    assert(fsys.listStatus(new Path(idx)).exists(s =>
+      !s.getPath.getName.startsWith("_")),
+      "base data deleted inside the grace window")
+    // the pre-fold plan still executes — its planned files exist
+    assert(preFoldPlan.collect().map(r =>
+      (r.getLong(0), r.getAs[Double]("sim"))).toSeq === sqProbe(twin))
+    // repeat compact inside the grace: still no delete (vacuum no-ops)
+    AtomicAppend.compact(spark, idx)(sqLayout)
+    assert(fsys.exists(new Path(s"$idx/_seg-1")))
+    // explicit force vacuums immediately
+    AtomicAppend.vacuum(spark, idx, force = true)
+    assert(!fsys.exists(new Path(s"$idx/_seg-1")) &&
+      !fsys.exists(new Path(s"$idx/_seg-2")), "force vacuum left legs")
+    assert(sqProbe(idx) === sqProbe(twin))
+    // post-grace opportunistic vacuum: plant a covered leg (crash-sim
+    // mid-vacuum), expire the grace, and let an APPEND's maybeCompact
+    // (below threshold) finish the delete
+    poison.select(col("vec_id").as("id"),
+        col("embedding").as("q8"), col("embedding").as("v"))
+      .write.mode("overwrite").parquet(s"$idx/_seg-1")
+    fsys.create(new Path(s"$idx/_seg-1/${SnapshotCommit.Marker}"), true).close()
+    sys.props("graft.atomicappend.vacuum.grace.ms") = "0"
+    try {
+      val extra = evens.select(
+        (col("vec_id") + 500000L).as("vec_id"), col("embedding"), col("label"))
+      for (p <- Seq(idx, twin))
+        Similarity.sqAppendIndex(extra, "embedding", "vec_id", p, sourceTag = "s")
+      assert(!fsys.exists(new Path(s"$idx/_seg-1")),
+        "append's opportunistic vacuum skipped the expired covered leg")
+      assert(sqProbe(idx) === sqProbe(twin))
+    } finally sys.props.remove("graft.atomicappend.vacuum.grace.ms")
   }
 
   test("auto-compaction triggers past the leg threshold and keeps probes identical") {
