@@ -663,6 +663,7 @@ object Dedup {
     metaCache.clear()
     indexSchemaCache.clear()
     indexFrameCache.clear()
+    unitFpMemo.clear()
   }
 
   /** Memoized-schema parquet read for the probe hot loop: an index
@@ -717,20 +718,56 @@ object Dedup {
     * Only the lean (ingest) probes use this: a one-shot batch query
     * has no second probe to amortize the persist into.
     */
-  /** @param depth lazy-union fan-in accumulated by [[extendIndexCache]]
-    *              since the base was last flattened (localCheckpointed);
-    *              bounded by [[MaxDeltaSegments]] so neither the plan
-    *              nor the per-probe recompute grows without bound.
+  /** @param chunks RAM-checkpointed union pieces: the rebase snapshot
+    *               plus one folded chunk per [[MaxDeltaSegments]]
+    *               extensions ([[extendIndexCache]]) — each an
+    *               independent LocalCheckpointRDD, so folding NEW
+    *               rows never re-materializes old ones
+    * @param legs   lazy per-batch extensions since the last fold;
+    *               bounded by [[MaxDeltaSegments]] so neither the
+    *               plan nor the per-probe recompute grows without
+    *               bound
     */
   private final case class IndexCacheEntry(
       units: Map[String, String],
-      base: DataFrame,
-      depth: Int = 0)
+      chunks: Seq[DataFrame],
+      legs: Seq[DataFrame] = Nil) {
+    def base: DataFrame = (chunks ++ legs).reduceLeft(_.unionByName(_))
+  }
 
   private val indexFrameCache =
     new java.util.concurrent.ConcurrentHashMap[String, IndexCacheEntry]()
 
   private val MaxDeltaSegments = 8
+
+  /** Checkpointed chunks a cache entry may accumulate before the
+    * whole entry re-flattens into one snapshot. The two-level fold
+    * keeps steady-state cache maintenance O(batch): every
+    * [[MaxDeltaSegments]] extensions fold ONLY the new legs (a few
+    * thousand rows), and the O(corpus) full re-checkpoint happens
+    * once per MaxDeltaSegments·MaxCacheChunks batches instead of once
+    * per MaxDeltaSegments — at 100 TB the full flatten is the only
+    * corpus-sized job in the cache path, so its frequency is the
+    * scalability constant here.
+    */
+  private val MaxCacheChunks = 8
+
+  /** Deep fingerprints memoized by the unit dir's own mtime: the
+    * per-probe [[listUnits]] walks INTO every unit directory (one
+    * listStatus per unit, so the walk grows with segment count —
+    * measured as a visible slice of steady-state probe setup). Every
+    * supported write path creates/renames/deletes entries inside the
+    * unit dir (staged writes, markers, compaction tombstones), which
+    * bumps the dir's mtime, so an unchanged (path, mtime) pair can
+    * reuse the stored deep fingerprint; whenever mtime moved, the
+    * deep listing stays the authority. Guard: an mtime within the
+    * last few ms is never trusted (same-millisecond double-write
+    * aliasing). Cleared with the other per-path memos
+    * ([[clearMetaCache]]); wholesale-evicted past a size cap (bench
+    * and test suites churn many short-lived index paths).
+    */
+  private val unitFpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   /** Fingerprint of ONE first-level unit. Names + lengths + mtimes of
     * every (non-hidden) child, not just count+total-length: a same-size
@@ -743,15 +780,25 @@ object Dedup {
       s: org.apache.hadoop.fs.FileStatus): String =
     if (!s.isDirectory) s"f:${s.getLen}:${s.getModificationTime}"
     else {
-      val kids = fs.listStatus(s.getPath)
-        .filterNot(k => k.getPath.getName.startsWith("_") ||
-          k.getPath.getName.startsWith("."))
-        .sortBy(_.getPath.getName)
-      val kidFp = kids.iterator
-        .map(k =>
-          s"${k.getPath.getName}:${k.getLen}:${k.getModificationTime}")
-        .mkString(",")
-      s"d:${kids.length}:$kidFp"
+      val key = s.getPath.toString
+      val dirMtime = s.getModificationTime
+      val memo = unitFpMemo.get(key)
+      if (memo != null && memo._1 == dirMtime &&
+        dirMtime < System.currentTimeMillis() - 5) memo._2
+      else {
+        val kids = fs.listStatus(s.getPath)
+          .filterNot(k => k.getPath.getName.startsWith("_") ||
+            k.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+        val kidFp = kids.iterator
+          .map(k =>
+            s"${k.getPath.getName}:${k.getLen}:${k.getModificationTime}")
+          .mkString(",")
+        val fp = s"d:${kids.length}:$kidFp"
+        if (unitFpMemo.size > 8192) unitFpMemo.clear()
+        unitFpMemo.put(key, (dirMtime, fp))
+        fp
+      }
     }
 
   private def listUnits(
@@ -774,8 +821,12 @@ object Dedup {
     * as one of the largest slices of steady-state ingest latency).
     *
     * The union is LAZY (no job); every MaxDeltaSegments extensions the
-    * base is re-flattened with one localCheckpoint — the amortized
-    * cost a full-tree disk rebase used to pay, from RAM. No-ops when
+    * accumulated legs fold into ONE checkpointed chunk (a job over
+    * just the new rows — O(batch), not O(corpus)), and only once per
+    * MaxDeltaSegments·MaxCacheChunks extensions does the whole entry
+    * re-flatten corpus-sized (round 15: the per-8-batches O(corpus)
+    * re-checkpoint was the largest steady-state `extend` spike and
+    * grew with the corpus). No-ops when
     * no cache entry exists (the next probe rebases from disk) or the
     * tree layout isn't the hive `batch=` shape. Correctness never
     * depends on this: a mismatching fingerprint at the next probe
@@ -818,16 +869,31 @@ object Dedup {
     val aligned = graft.ops.Stage.rerootLazy(
       frame.withColumn(unitName.takeWhile(_ != '='), lit(partValue))
         .coalesce(4))
-    val extended = e.base.unionByName(aligned)
     val units2 = e.units + (unitName -> fp)
-    if (e.depth + 1 >= MaxDeltaSegments) {
-      val flat = extended
-        .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+    val legs2 = e.legs :+ aligned
+    if (legs2.size >= MaxDeltaSegments) {
+      // fold ONLY the accumulated legs into one RAM chunk — a job
+      // over the rows appended since the last fold (a few thousand
+      // driver-local rows), NOT over the corpus; the prior chunks
+      // keep their checkpointed RDDs untouched
+      val folded = legs2
+        .reduceLeft(_.unionByName(_))
+        .coalesce(4)
         .localCheckpoint(true)
-      indexFrameCache.put(path, IndexCacheEntry(units2, flat, 0))
+      val chunks2 = e.chunks :+ folded
+      if (chunks2.size > MaxCacheChunks) {
+        // the rare corpus-sized re-flatten: bounds probe-side union
+        // fan-in (and task count) at MaxCacheChunks + MaxDeltaSegments
+        val flat = chunks2
+          .reduceLeft(_.unionByName(_))
+          .repartition(math.min(spark.sparkContext.defaultParallelism, 8))
+          .localCheckpoint(true)
+        indexFrameCache.put(path, IndexCacheEntry(units2, Seq(flat)))
+      } else {
+        indexFrameCache.put(path, IndexCacheEntry(units2, chunks2))
+      }
     } else {
-      indexFrameCache.put(
-        path, IndexCacheEntry(units2, extended, e.depth + 1))
+      indexFrameCache.put(path, IndexCacheEntry(units2, e.chunks, legs2))
     }
   }
 
@@ -906,7 +972,8 @@ object Dedup {
       // unsound — don't cache; serve this probe from the snapshot and
       // let the next call rebase against a quiet tree.
       val post = listUnits(fs, root)
-      if (post == units) indexFrameCache.put(path, IndexCacheEntry(units, base))
+      if (post == units)
+        indexFrameCache.put(path, IndexCacheEntry(units, Seq(base)))
       else indexFrameCache.remove(path)
       base
     }
@@ -1114,6 +1181,23 @@ object Dedup {
 
   private def ingestDbg[T](name: String)(b: => T): T =
     graft.streaming.IngestTuning.sectionTimer("fused", name)(b)
+
+  /** Collect under a section timer and, with GRAFT_CACHE_DEBUG, dump
+    * the query's driver-side phase times (analysis / optimization /
+    * planning) — the fixed-cost profiler's view of how much of a
+    * per-batch section is plan prep vs jobs.
+    */
+  private def collectDbg(
+      name: String)(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val rows = ingestDbg(name)(df.collect())
+    if (sys.env.contains("GRAFT_CACHE_DEBUG")) {
+      val ph = df.queryExecution.tracker.phases
+      System.err.println(s"[$name-phases] " + ph.map { case (k, v) =>
+        f"$k=${(v.endTimeMs - v.startTimeMs)}%dms"
+      }.mkString(" "))
+    }
+    rows
+  }
 
   /** Driver-byte budget for the fused gather when Spark's own guard is
     * disabled (`spark.driver.maxResultSize=0`, a common production
@@ -1518,15 +1602,14 @@ object Dedup {
           size(array_intersect(col("sh_a"), col("sh_b")))
             .cast("double").as("inter"),
           monotonically_increasing_id().as("__barrier"))
-      ingestDbg("probe")(
+      collectDbg("probe")(
         paired
           .where(col("__barrier") >= 0 &&
             least(col("na"), col("nb")) /
             greatest(col("na"), col("nb")) >= threshold)
           .where(col("inter") /
             (col("na") + col("nb") - col("inter")) >= threshold)
-          .select(col("probe_id"))
-          .collect())
+          .select(col("probe_id")))
         .foreach(r => flagged += r.get(0))
     }
     // sorted copies make per-pair intersection a linear merge; bh is
@@ -2334,7 +2417,7 @@ object Dedup {
             StructField("probe_id", idType),
             StructField("probe_sig", LongType))))
         .coalesce(1)
-      ingestDbg("probe")(
+      collectDbg("probe")(
         readIndexCached(spark, s"$indexPath/buckets")
           .where(col("bn") <= maxBucketSize)
           .join(broadcast(bandedLocal), Seq("bucket"))
@@ -2346,8 +2429,7 @@ object Dedup {
           .where(col("hamming") <= maxHamming)
           // cross-band collisions of the same verified pair
           .dropDuplicates("probe_id", "corpus_id")
-          .select(col("probe_id"))
-          .collect())
+          .select(col("probe_id")))
         .foreach(r => flagged += r.get(0))
     }
     val pairs = scala.collection.mutable.LinkedHashSet.empty[(Any, Any)]
@@ -3207,8 +3289,8 @@ object Dedup {
     // segment-frame building stays on the driver (measured: skipping
     // the spreadLean exchange LOWERED throughput ~25% — the collect's
     // payload deserialization rides the batch's partitioning).
-    val stable = graft.ops.Stage.rerootLazy(
-      spreadLean(batch.select(col(idCol), col(vecCol))))
+    val stable = ingestDbg("stable")(graft.ops.Stage.rerootLazy(
+      spreadLean(batch.select(col(idCol), col(vecCol)))))
     // no checkpoint: the signing pipeline now has exactly ONE consumer
     // (the gather) — a lazy persist would add a materialization job to
     // save recomputation that no longer happens
@@ -3284,7 +3366,7 @@ object Dedup {
     // cluster path
     val payload = scala.collection.mutable
       .ArrayBuffer.empty[(Any, AnyRef, Any, scala.collection.Seq[Int])]
-    rows0.foreach { r =>
+    ingestDbg("payload")(rows0.foreach { r =>
       if (r.getInt(0) == 0) {
         val id = r.get(1)
         val vSeq = r.getAs[scala.collection.Seq[_]](2)
@@ -3301,7 +3383,7 @@ object Dedup {
           arr += id
         }
       }
-    }
+    })
     // Corpus probe verified IN-PLAN — embedding LSH geometry is coarse
     // (bands of a few bits → many candidate collisions per probe), so
     // raw hits are CANDIDATE-volume rows; fetching their vectors to
@@ -3320,7 +3402,7 @@ object Dedup {
       import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
       val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       val payRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      payload.foreach { case (id, vSeq, _, bks) =>
+      ingestDbg("locals")(payload.foreach { case (id, vSeq, _, bks) =>
         // null-vector rows are never banded so they can never join a
         // hit — keep them out of the broadcast payload (matches the
         // mh path's vals(1) != null guard, keeps the "rows without
@@ -3329,7 +3411,7 @@ object Dedup {
           payRows.add(org.apache.spark.sql.Row(id, vSeq))
         if (bks != null)
           bks.foreach(bk => bandedRows.add(org.apache.spark.sql.Row(bk, id)))
-      }
+      })
       // coalesce(1): BroadcastExchange over a LocalTableScan still
       // runs the generic executeCollectIterator path — a
       // defaultParallelism-task parallelize job per broadcast
@@ -3342,14 +3424,14 @@ object Dedup {
             StructField("bucket", IntegerType),
             StructField("probe_id", idType))))
         .coalesce(1)
-      val payLocal = spark
+      val payLocal = ingestDbg("paylocal")(spark
         .createDataFrame(
           payRows,
           StructType(Seq(
             StructField("probe_id", idType),
             StructField("v_a", vType))))
-        .coalesce(1)
-      ingestDbg("probe")(
+        .coalesce(1))
+      val probeDf = ingestDbg("probe-build")(
         readIndexCached(spark, s"$indexPath/sig")
           .select(col("id").as("corpus_id"), col("v").as("v_b"))
           .join(
@@ -3366,9 +3448,8 @@ object Dedup {
           .join(broadcast(payLocal), Seq("probe_id"))
           .where(
             VectorExpressions.cosineFast(col("v_a"), col("v_b")) >= threshold)
-          .select(col("probe_id"))
-          .collect())
-        .foreach(r => flagged += r.get(0))
+          .select(col("probe_id")))
+      collectDbg("probe")(probeDf).foreach(r => flagged += r.get(0))
     }
     // the EXACT cosineFast recursion ([[VectorExpressions
     // .CosineSimilarityExpr.nullSafeEval]]): in-order dot/norm
@@ -3392,7 +3473,7 @@ object Dedup {
     }
     val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
     val edges = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
-    bucketsMap.values.forEach { members =>
+    ingestDbg("verify")(bucketsMap.values.forEach { members =>
       if (members.length >= 2 && members.length <= maxBucketSize) {
         val ids = members.distinct.sortWith(idLess)
         var i = 0
@@ -3407,14 +3488,14 @@ object Dedup {
           i += 1
         }
       }
-    }
+    })
     val drop = resolveDrop(edges, flagged).toSet
     val survivors = payload.filterNot(t => drop.contains(t._1))
-    driverSegmentFrames(
+    ingestDbg("segframes")(driverSegmentFrames(
       spark,
       sig0.schema,
       idType,
-      survivors.map(t => (t._1, Seq[Any](t._1, t._2, t._3), t._4)).toSeq)
+      survivors.map(t => (t._1, Seq[Any](t._1, t._2, t._3), t._4)).toSeq))
   }
 
   /** Build the (sig, buckets) segment frames of a fused micro-batch
