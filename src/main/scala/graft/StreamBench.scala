@@ -308,6 +308,52 @@ object StreamBench {
       } finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
     }
 
+    // The embed and sig64 forced-fallback shapes (round 15, the r14
+    // verdict's #2): the r14 restructure was PORTED to both unfused
+    // paths but only the minhash fallback was measured — an unmeasured
+    // 100-TB path can silently regress. Same bar discipline as
+    // neardup_ingest_fallback: >= 0.5x the same-run fused median
+    // (load-robust — both shapes' reps interleave in one run). The
+    // image ingest is the sig64 family's representative (image/audio/
+    // video share Sig64Ingest's machinery; one shape measures it).
+    locally {
+      sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+      try {
+        val warmE = embs.limit(64).cache()
+        warmE.count()
+        EmbedIngest.ingestBatch(
+          warmE, s"$work/warm-emb-fb", "embedding", "vec_id", 0L)
+        EmbedIngest.ingestBatch(
+          warmE, s"$work/warm-emb-fb", "embedding", "vec_id", 1L)
+        warmE.unpersist()
+        val warmI = images.limit(64).cache()
+        warmI.count()
+        ImageIngest.ingestBatch(warmI, s"$work/warm-img-fb", "data", "id", 0L)
+        ImageIngest.ingestBatch(warmI, s"$work/warm-img-fb", "data", "id", 1L)
+        warmI.unpersist()
+      } finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+    }
+    timedReps("embed_ingest_fallback", nEmbs) { r =>
+      sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+      try timing {
+        (0 until nBatches).foreach { i =>
+          EmbedIngest.ingestBatch(
+            embs.where(col("vec_id") % nBatches === i),
+            s"$work/emb-fb-r$r", "embedding", "vec_id", i.toLong)
+        }
+      } finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+    }
+    timedReps("sig64_ingest_fallback", nAssets) { r =>
+      sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+      try timing {
+        (0 until nBatches).foreach { i =>
+          ImageIngest.ingestBatch(
+            images.where(col("id") % nBatches === i),
+            s"$work/img-fb-r$r", "data", "id", i.toLong)
+        }
+      } finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+    }
+
     // CDC: the same synthetic change feed through both modes — the
     // snapshot mode pays O(table) per batch, the log mode O(batch);
     // the ratio between these two numbers is the design point.
