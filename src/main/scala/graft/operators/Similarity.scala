@@ -245,11 +245,16 @@ object Similarity {
     // dimension mismatch would zip_with into silent nulls — one cheap
     // batch-sized aggregate makes it an error instead (a NULL min
     // already encodes the empty batch; a separate isEmpty would be a
-    // second avoidable action on the append path)
+    // second avoidable action on the append path). The same aggregate
+    // carries the batch's clip count (components outside the frozen
+    // bounds) — the retrain trigger costs ZERO extra actions.
     val dims = df
       .agg(
         min(size(col(vecCol))).as("mn"),
-        max(size(col(vecCol))).as("mx"))
+        max(size(col(vecCol))).as("mx"),
+        sum(sqClipSum(lo, hi)(col(vecCol).cast("array<double>")))
+          .as("cs"),
+        count(lit(1)).as("n"))
       .head()
     require(
       dims.isNullAt(0) ||
@@ -266,13 +271,163 @@ object Similarity {
         .mode("overwrite")
         .parquet(staging)
     }
-    // auto-fold once the committed view exceeds the leg threshold —
-    // codes/vectors rewrite as stored (the frozen bounds make the
-    // fold a pure relayout; `_meta` lives at the root, untouched)
-    AtomicAppend.maybeCompact(spark, path) { (d, staging) =>
-      d.write.mode("overwrite").parquet(staging)
+    val clipFrac =
+      if (dims.isNullAt(2)) 0d // only null-vector rows carried values
+      else dims.getDouble(2) / (dims.getLong(3).toDouble * lo.length)
+    if (clipFrac > sqRetrainClipFracThreshold) {
+      // past the drift bar: ONE rebuild with fresh bounds subsumes the
+      // compaction fold (q229's clip_frac metric, acted on — the
+      // retrain the frozen-quantizer contract always promised)
+      sqRetrain(spark, path)
+    } else {
+      // auto-fold once the committed view exceeds the leg threshold —
+      // codes/vectors rewrite as stored (the frozen bounds make the
+      // fold a pure relayout; whichever `_meta` is current carries
+      // forward via compact's carryMeta)
+      AtomicAppend.maybeCompact(spark, path) { (d, staging) =>
+        d.write.mode("overwrite").parquet(staging)
+      }
     }
   }
+
+  /** Per-component clip fraction past which an SQ append triggers an
+    * automatic [[sqRetrain]] — the `maybeCompact` discipline applied
+    * to the q229 drift surface: when more than this share of an
+    * appended batch's components saturate against the frozen bounds,
+    * candidate ranking is degrading for a visible slice of the batch
+    * and the quantizer no longer fits the data. Default 5%: an order
+    * of magnitude above the genuinely-clipping q224 append at sf0.01
+    * (clip_frac 0.0094 — organic tail clipping that graceful
+    * saturation handles), and far below a distribution shift
+    * (DriftSpec's 4×-scaled batch clips >20% and should retrain).
+    * Override via the JVM property `graft.sq.retrain.clipfrac`;
+    * >= 1 disables (specs pinning frozen-bounds saturation semantics
+    * do this deliberately).
+    */
+  val DefaultSqRetrainClipFrac = 0.05
+
+  private def sqRetrainClipFracThreshold: Double = sys.props
+    .get("graft.sq.retrain.clipfrac")
+    .flatMap(_.toDoubleOption)
+    .getOrElse(DefaultSqRetrainClipFrac)
+
+  /** Evaluate the LATEST committed segment's drift ([[sqDriftMetrics]])
+    * against the retrain threshold and rebuild if it trips — the
+    * explicit form of the trigger [[sqAppendIndex]] runs inline per
+    * batch (which costs no extra scan; this one scans the view and is
+    * for deployments that alert on the q229 metrics out-of-band).
+    * Returns whether a retrain ran.
+    */
+  def sqMaybeRetrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sourceTag: String = ""): Boolean = {
+    val segs = sqDriftMetrics(spark, path, sourceTag).collect()
+    if (segs.length <= 1) return false // base only: nothing appended
+    val latest = segs.maxBy(_.getAs[Int]("seg"))
+    if (latest.getAs[Double]("clip_frac") <= sqRetrainClipFracThreshold)
+      return false
+    sqRetrain(spark, path)
+    true
+  }
+
+  /** Rebuild the SQ index from its own committed view with FRESH
+    * per-dim bounds — retrain = the [[AtomicAppend.compact]] fold
+    * with re-trained quantizer state: the new codes AND the new
+    * `_meta` publish inside one `_seg-c<n>` under one marker (see
+    * [[sqMetaPath]] — every crash window leaves either the old
+    * codes+bounds or the new codes+bounds, never a mix), covered legs
+    * vacuum under the usual grace. The full-precision `v` column
+    * makes the retrain exact: re-encoding loses nothing that wasn't
+    * already lost at ingest. `carryMeta = Nil` — a prior retrain
+    * fold's stale `_meta` must not clobber the fresh one.
+    */
+  def sqRetrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val prior = spark.read.parquet(sqMetaPath(spark, path)).head()
+    val src =
+      if (prior.schema.fieldNames.contains("source"))
+        prior.getAs[String]("source")
+      else ""
+    AtomicAppend.compact(spark, path, carryMeta = Nil) { (d, staging) =>
+      val (q8, bounds) = quantizeInt8(d.select(col("id"), col("v")), "v")
+      q8.select(col("id"), col("v_q8").as("q8"), col("v"))
+        .write
+        .mode("overwrite")
+        .parquet(staging)
+      bounds
+        .select(col("lo"), col("hi"), lit(src).as("source"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$staging/_meta")
+    }
+  }
+
+  /** Occupancy-drift retrain DECISION for the frozen-coarse-quantizer
+    * families (IVF / IVF-PQ — [[clusterOccupancyDrift]]'s consumers):
+    * segments whose occupancy distribution diverges from the base
+    * build's past the thresholds (total-variation distance, or a
+    * single cluster absorbing most of the segment — the shape that
+    * breaks nprobe's scan bound). Returns the tripped (seg, tv,
+    * max_share) rows; empty = the frozen centroids still fit. The
+    * REBUILD stays with the caller — re-training k-means wants the
+    * deployment's own build parameters (iters, sample size) — unlike
+    * [[sqRetrain]], whose bounds recompute is parameter-free and
+    * therefore runs automatically. Defaults: tv 0.5 (half the
+    * segment's mass sits in cells the base didn't use at that rate),
+    * max share 0.5 (half the segment in one cell); override via
+    * `graft.ivf.retrain.tv` / `graft.ivf.retrain.maxshare`.
+    */
+  def occupancyRetrainNeeded(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[org.apache.spark.sql.Row] = {
+    val tvBar = sys.props
+      .get("graft.ivf.retrain.tv")
+      .flatMap(_.toDoubleOption)
+      .getOrElse(0.5)
+    val shareBar = sys.props
+      .get("graft.ivf.retrain.maxshare")
+      .flatMap(_.toDoubleOption)
+      .getOrElse(0.5)
+    clusterOccupancyDrift(spark, path)
+      .where(col("seg") > 0 &&
+        (col("tv_vs_base") > tvBar || col("max_cluster_share") > shareBar))
+      .collect()
+  }
+
+  /** Per-row count of vector components outside the frozen [lo, hi]
+    * bounds — exactly the components [[sqEnc]] saturates. Shared by
+    * [[sqDriftMetrics]] (per-segment clip_frac) and the append path's
+    * inline retrain trigger (batch clip_frac, zero extra actions).
+    */
+  private def sqClipSum(lo: Seq[Double], hi: Seq[Double])(v: Column): Column =
+    aggregate(
+      zip_with(
+        zip_with(v, array(lo.map(lit): _*),
+          (x, l) => struct(x.as("x"), l.as("l"))),
+        array(hi.map(lit): _*),
+        (xl, h) =>
+          when(
+            xl.getField("x") < xl.getField("l") || xl.getField("x") > h,
+            lit(1d)).otherwise(lit(0d))),
+      lit(0d),
+      (a, e) => a + e)
+
+  /** Where the CURRENT SQ `_meta` lives: a retrain fold publishes the
+    * re-trained bounds INSIDE its `_seg-c<n>` directory (so codes and
+    * bounds switch under ONE commit marker — a root-`_meta` rewrite
+    * after the fold would leave a crash window where new codes
+    * dequantize under old bounds, silently scrambling every probe's
+    * candidate ranking); a never-retrained index keeps its build-time
+    * root `_meta`. [[AtomicAppend.latestSegFile]] resolves the newest
+    * carried copy, so regular compaction keeps the retrained bounds
+    * flowing forward (the BM25 stats discipline).
+    */
+  private def sqMetaPath(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    AtomicAppend.latestSegFile(spark, path, "_meta").getOrElse(s"$path/_meta")
 
   /** Validate + load a [[sqWriteIndex]] `_meta`: returns the per-dim
     * (lo, hi) quantization bounds. Shared by both probes — one copy of
@@ -282,7 +437,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       sourceTag: String): (Seq[Double], Seq[Double]) = {
-    val m = spark.read.parquet(s"$path/_meta").head()
+    val m = spark.read.parquet(sqMetaPath(spark, path)).head()
     checkSource(
       "SQ",
       path,
@@ -488,17 +643,7 @@ object Similarity {
       zip_with(col("v"), sqDeq(lo, hi)(col("q8")), (x, y) => abs(x - y)),
       lit(0d),
       (a, e) => a + e)
-    val clipSum = aggregate(
-      zip_with(
-        zip_with(col("v"), array(lo.map(lit): _*),
-          (x, l) => struct(x.as("x"), l.as("l"))),
-        array(hi.map(lit): _*),
-        (xl, h) =>
-          when(
-            xl.getField("x") < xl.getField("l") || xl.getField("x") > h,
-            lit(1d)).otherwise(lit(0d))),
-      lit(0d),
-      (a, e) => a + e)
+    val clipSum = sqClipSum(lo, hi)(col("v"))
     AtomicAppend
       .readWithSeg(spark, path)
       .groupBy(col("__seg"))

@@ -57,8 +57,14 @@ class DriftSpec extends AnyFunSuite {
 
     val shIdx = s"${tmp("sq")}/sh"
     Similarity.sqWriteIndex(evens, "embedding", "vec_id", shIdx, sourceTag = "s")
-    Similarity.sqAppendIndex(shiftedOdds, "embedding", "vec_id", shIdx,
+    // this spec OBSERVES drift on the frozen quantizer — the auto
+    // retrain (which would correctly fire on this batch and fold the
+    // segment away) is disabled for the shifted append; RetrainSpec
+    // owns the trigger behavior
+    sys.props("graft.sq.retrain.clipfrac") = "2"
+    try Similarity.sqAppendIndex(shiftedOdds, "embedding", "vec_id", shIdx,
       sourceTag = "s")
+    finally sys.props.remove("graft.sq.retrain.clipfrac")
     val sh = Similarity
       .sqDriftMetrics(spark, shIdx, sourceTag = "s")
       .where(col("seg") === 1)
