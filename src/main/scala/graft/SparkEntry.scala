@@ -303,6 +303,7 @@ object SparkEntry {
     bm25AppendIndexCache.clear()
     sqIndexCache.clear()
     sqAppendIndexCache.clear()
+    ivfOccIndexCache.clear()
     sharedStageCache.clear()
   }
 
@@ -2039,6 +2040,71 @@ object SparkEntry {
     */
   private def q229(s: SparkSession, d: String): DataFrame =
     Similarity.sqDriftMetrics(s, sqAppendedIndex(s, d), sourceTag = d)
+
+  /** Build-once cache for the PLANTED occupancy-drift IVF index
+    * (q230): a corpus whose vectors are closed-form in `vec_id` —
+    * four pattern centers 100 apart on distinct axes plus integer
+    * jitter ≤ 2, so every frozen-centroid assignment is PROVABLY the
+    * planted pattern (own-center distance² ≤ 64 vs ≥ ~9200 to any
+    * other; the q186/q222 planted-corpus discipline applied to the
+    * cluster-assignment stage). Base = even ids labeled by pattern
+    * (the labeled-corpus `ivfWriteIndex` path — centroids become the
+    * per-cluster means); segment 1 = ids ≡ 1 (mod 4), in
+    * distribution; segment 2 = ids ≡ 3 (mod 4) PILED onto pattern 1 —
+    * the single-cell occupancy drift the retrain decision keys on.
+    */
+  private val ivfOccIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfOccDriftIndex(s: SparkSession, d: String): String =
+    ivfOccIndexCache.getOrElseUpdate(
+      d, {
+        val path = indexScratch("ivfocc", d)
+        val ids = Tables.embeddings(s, d).select("vec_id")
+        def jit(a: Int) =
+          (pmod(col("vec_id") * lit(a), lit(5)) - lit(2)).cast("double")
+        val pat = pmod(shiftright(col("vec_id"), 2), lit(4))
+        def centered(p: Column) = array(
+          when(p === 0, lit(100d)).otherwise(lit(0d)) + jit(3),
+          when(p === 1, lit(100d)).otherwise(lit(0d)) + jit(7),
+          when(p === 2, lit(100d)).otherwise(lit(0d)) + jit(11),
+          when(p === 3, lit(100d)).otherwise(lit(0d)) + jit(13))
+        val base = ids
+          .where(pmod(col("vec_id"), lit(2)) === 0)
+          .select(
+            col("vec_id"),
+            centered(pat).as("embedding"),
+            pat.cast("int").as("cluster"))
+        Similarity.ivfWriteIndex(
+          base, "embedding", "vec_id", "cluster", path, sourceTag = d)
+        Similarity.ivfAppendIndex(
+          ids
+            .where(pmod(col("vec_id"), lit(4)) === 1)
+            .select(col("vec_id"), centered(pat).as("embedding")),
+          "embedding", "vec_id", path, sourceTag = d)
+        Similarity.ivfAppendIndex(
+          ids
+            .where(pmod(col("vec_id"), lit(4)) === 3)
+            .select(col("vec_id"), centered(lit(1)).as("embedding")),
+          "embedding", "vec_id", path, sourceTag = d)
+        path
+      })
+
+  /** IVF cluster-occupancy drift, HASH-GREEN (q230 — the occupancy
+    * half of the q229 drift surface, oracled): the REAL pipeline —
+    * labeled `ivfWriteIndex` build, two `ivfAppendIndex` segments
+    * assigned by the FROZEN stored centroids, `AtomicAppend
+    * .readWithSeg` provenance, the grid-completed TV/max-share
+    * aggregation — over the planted corpus of [[ivfOccDriftIndex]],
+    * whose separation guarantee makes every assignment equal the
+    * planted pattern; DuckDB replays the counts as pure `vec_id`
+    * class arithmetic (assignment CASE → counts → zero-filled
+    * seg×cluster grid → shares → TV). All shares are exact small
+    * rationals (denominators = segment row counts), so the 6-decimal
+    * cuts sit nowhere near a rounding boundary.
+    */
+  private def q230(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterOccupancyDrift(s, ivfOccDriftIndex(s, d))
 
   /** Quality-scored survivor selection (q225): q174's exact cosine
     * components through [[graft.operators.Dedup.bestSurvivors]] —
@@ -5907,7 +5973,8 @@ object SparkEntry {
     "q226_ivfpq_probe_many" -> (q226 _),
     "q227_scored_survivors_scalable" -> (q227 _),
     "q228_ivfpq_append_probe" -> (q228 _),
-    "q229_sq_drift" -> (q229 _)
+    "q229_sq_drift" -> (q229 _),
+    "q230_ivf_occupancy_drift" -> (q230 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -9074,7 +9141,38 @@ object SparkEntry {
            round(sum(abs(x - xd)) / count(*), 6) AS avg_abs_err,
            round(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS clip_frac
-         FROM codes GROUP BY 1 ORDER BY seg"""
+         FROM codes GROUP BY 1 ORDER BY seg""",
+    // q230: the engine ran the real IVF build/append/provenance
+    // pipeline over the planted corpus; the separation guarantee
+    // (ivfOccDriftIndex) collapses every frozen-centroid assignment
+    // to pure vec_id class arithmetic, replayed here count-for-count
+    // with the engine's zero-filled seg x cluster grid
+    "q230_ivf_occupancy_drift" ->
+      """WITH assigned AS (
+           SELECT vec_id,
+             CASE WHEN vec_id % 2 = 0 THEN 0
+                  WHEN vec_id % 4 = 1 THEN 1
+                  ELSE 2 END AS seg,
+             CAST(CASE WHEN vec_id % 4 = 3 THEN 1
+                  ELSE (vec_id // 4) % 4 END AS INT) AS cluster
+           FROM embeddings),
+         counts AS (
+           SELECT seg, cluster, count(*) AS c FROM assigned GROUP BY 1, 2),
+         grid AS (
+           SELECT s.seg, cl.cluster, COALESCE(c.c, 0) AS c
+           FROM (SELECT DISTINCT seg FROM counts) s
+           CROSS JOIN (SELECT DISTINCT cluster FROM counts) cl
+           LEFT JOIN counts c ON c.seg = s.seg AND c.cluster = cl.cluster),
+         shares AS (
+           SELECT seg, cluster, c,
+             c * 1.0 / sum(c) OVER (PARTITION BY seg) AS share
+           FROM grid),
+         base AS (SELECT cluster, share AS bshare FROM shares WHERE seg = 0)
+         SELECT s.seg, CAST(sum(s.c) AS BIGINT) AS n,
+           round(sum(abs(s.share - b.bshare)) / 2, 6) AS tv_vs_base,
+           round(max(s.share), 6) AS max_cluster_share
+         FROM shares s JOIN base b USING (cluster)
+         GROUP BY s.seg ORDER BY s.seg"""
   )
 
   /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim
