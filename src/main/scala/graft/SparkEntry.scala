@@ -2106,6 +2106,51 @@ object SparkEntry {
   private def q230(s: SparkSession, d: String): DataFrame =
     Similarity.clusterOccupancyDrift(s, ivfOccDriftIndex(s, d))
 
+  /** Planted MinHash near-dup twin, HASH-GREEN (q231 — the q186/q222
+    * discipline applied to the last unconverted signature family):
+    * ids < 200 carry one of 25 EXACT-duplicate texts (identical
+    * strings → identical MinHash signatures → co-bucketing in EVERY
+    * band, so recall is structural, not probabilistic — the planted-
+    * corpus insight the stress twins already ride); every other id
+    * carries a unique zero-padded periodic text whose character-
+    * shingle overlap with ANY other text is provably far below the
+    * 0.8 threshold (the period-5 duplicate classes contain an
+    * x/y marker in every length-5 window while the unique texts'
+    * windows carry u/v or pure digits; two unique texts share at most
+    * the windows not covering a differing digit — Jaccard ≤ ~0.35),
+    * so the exact-Jaccard verify culls every false-positive bucket
+    * collision. The REAL q14 pipeline runs end to end — normalize,
+    * shingle, sign, band, skew-cap, verify, union-find
+    * ([[graft.operators.Dedup.minHashNearDup]] +
+    * [[graft.operators.Dedup.resolveComponentsAuto]]); the oracle is
+    * pure doc_id class arithmetic. The real-text queries (q14/q166/
+    * q173/q227) stay rows-only as declared — signing real text is not
+    * SQL-expressible; this twin hash-pins the machinery.
+    */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        when(
+          col("doc_id") < 200,
+          repeat(format_string("x%02dy", pmod(col("doc_id"), lit(25))), 12))
+          .otherwise(repeat(format_string("u%08dv", col("doc_id")), 12))
+          .as("text"))
+    graft.operators.Dedup
+      .resolveComponentsAuto(
+        graft.operators.Dedup.minHashNearDup(
+          corpus,
+          "text",
+          "doc_id",
+          shingleLen = 5,
+          numHashes = 32,
+          bands = 8,
+          threshold = 0.8,
+          maxBucketSize = 256))
+      .orderBy("id")
+  }
+
   /** Quality-scored survivor selection (q225): q174's exact cosine
     * components through [[graft.operators.Dedup.bestSurvivors]] —
     * within each near-dup component keep the member with the HIGHEST
@@ -5974,7 +6019,8 @@ object SparkEntry {
     "q227_scored_survivors_scalable" -> (q227 _),
     "q228_ivfpq_append_probe" -> (q228 _),
     "q229_sq_drift" -> (q229 _),
-    "q230_ivf_occupancy_drift" -> (q230 _)
+    "q230_ivf_occupancy_drift" -> (q230 _),
+    "q231_minhash_planted_twin" -> (q231 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -9172,7 +9218,22 @@ object SparkEntry {
            round(sum(abs(s.share - b.bshare)) / 2, 6) AS tv_vs_base,
            round(max(s.share), 6) AS max_cluster_share
          FROM shares s JOIN base b USING (cluster)
-         GROUP BY s.seg ORDER BY s.seg"""
+         GROUP BY s.seg ORDER BY s.seg""",
+    // q231: the planted-duplicate classes make banding recall
+    // structural and the verify threshold culls everything else, so
+    // the engine's full sign/band/verify/union-find collapses to
+    // min-id-per-class arithmetic (classes with one member — possible
+    // at tiny SFs — produce no pairs and stay out of the components)
+    "q231_minhash_planted_twin" ->
+      """WITH dup AS (
+           SELECT doc_id, doc_id % 25 AS cls FROM documents
+           WHERE doc_id < 200),
+         comp AS (
+           SELECT cls, min(doc_id) AS root, count(*) AS m
+           FROM dup GROUP BY cls)
+         SELECT d.doc_id AS id, CAST(c.root AS BIGINT) AS component
+         FROM dup d JOIN comp c ON d.cls = c.cls
+         WHERE c.m >= 2 ORDER BY id"""
   )
 
   /** Shared CTE block of the SQ oracles (q219/q220/q221): per-dim
