@@ -652,6 +652,102 @@ object Stress {
     spark.stop()
   }
 
+  /** STREAMING embedding ingest twin at `scale`× (round 15, the r14
+    * verdict's #5 — the NearDupIngest twin proved the exactly-once
+    * discipline at 10×, but the EMBEDDING ingest path — banded
+    * hyperplane LSH, in-plan cosine verify, different pair machinery —
+    * was never output-verified past gate scale): the full
+    * [[graft.streaming.EmbedIngest]] micro-batch loop over a corpus of
+    * vector FAMILIES closed-form in vec_id, verified ROW-FOR-ROW at
+    * both scales in BOTH shapes (fused and forced-distributed).
+    *
+    * The plant (the `ingest` twin's guaranteed-recall trick, lifted to
+    * vectors): nDocs/10 families of 10 byte-IDENTICAL 64-dim vectors —
+    * identical vectors give identical hyperplane signatures (recall
+    * structural, co-bucketing in every band) and cosine exactly ~1.0,
+    * far above the 0.9 threshold; ACROSS families the components are
+    * independent 64-dim pseudo-random draws, whose pairwise cosine
+    * concentrates near 0 (at dim 64 the P(cos ≥ 0.9) tail is ~1e-22
+    * per pair — no accidental merge at any tested scale), so the
+    * in-plan verify culls every false-positive bucket collision.
+    * Arrival order mirrors the mh twin: batch 0 carries members
+    * v ∈ {0, 1} (an intra-batch pair whose min id must survive),
+    * batches 1..8 one member each — every doc a cross-batch near-dup.
+    * Oracle: ingested ids ≡ {0 .. fams−1} exactly; a committed batch
+    * id then REPLAYS as a no-op at stress scale.
+    */
+  def embedIngest(scale: Int, reps: Int): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.EmbedIngest
+    def corpus(nDocs: Long): DataFrame = {
+      val fams = nDocs / 10
+      graft.ops.Stage.materializeOnce(
+        spark.range(nDocs)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(
+            col("id").as("vec_id"),
+            pmod(col("id"), lit(fams)).as("fam"),
+            (col("id") / lit(fams)).cast("long").as("v"))
+          .withColumn(
+            "embedding",
+            array((0 until 64).map(j =>
+              (pmod(hash(col("fam") * 64 + j, lit(j)).cast("long"),
+                lit(2001)) - 1000).cast("double") / 1000d): _*)))
+    }
+    def runLoop(nDocs: Long, forced: Boolean): Double = {
+      val docs = corpus(nDocs)
+      val fams = nDocs / 10
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-stress-embingest").toString + "/emb"
+      if (forced) sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+      val t0 = System.nanoTime()
+      try {
+        EmbedIngest.ingestBatch(
+          docs.where(col("v") <= 1).select("vec_id", "embedding"),
+          idx, "embedding", "vec_id", batchId = 0L)
+        (2L to 9L).foreach { v =>
+          EmbedIngest.ingestBatch(
+            docs.where(col("v") === v).select("vec_id", "embedding"),
+            idx, "embedding", "vec_id", batchId = v - 1L)
+        }
+      } finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val got = EmbedIngest.ingestedIds(spark, idx).get
+        .collect().map(_.getLong(0)).sorted
+      require(
+        got.length == fams &&
+          got.zipWithIndex.forall { case (id, i) => id == i.toLong },
+        s"ingested set != {0..${fams - 1}}: n=${got.length}, " +
+          s"head=${got.take(5).mkString(",")}")
+      // exactly-once at stress scale: a committed batch id replays as
+      // a no-op (markers short-circuit before any work)
+      EmbedIngest.ingestBatch(
+        docs.where(col("v") === 9).select("vec_id", "embedding"),
+        idx, "embedding", "vec_id", batchId = 8L)
+      val again = EmbedIngest.ingestedIds(spark, idx).get.count()
+      require(again == fams, s"replay changed the corpus: $again != $fams")
+      wall
+    }
+    def best(nDocs: Long, forced: Boolean): Double =
+      (0 until reps).map(_ => runLoop(nDocs, forced)).min
+    runLoop(500, forced = false) // warm: codegen for every stage
+    runLoop(500, forced = true)
+    val base = 5000L
+    val t1 = best(base, forced = false)
+    val tN = best(base * scale, forced = false)
+    val t1f = best(base, forced = true)
+    val tNf = best(base * scale, forced = true)
+    println(
+      f"""{"stress_embed_ingest":{"scale":$scale,"docs_1x":$base,""" +
+        f""""docs_${scale}x":${base * scale},""" +
+        f""""fused_sec_1x":$t1%.2f,"fused_sec_${scale}x":$tN%.2f,""" +
+        f""""fused_ratio":${tN / t1}%.2f,""" +
+        f""""fallback_sec_1x":$t1f%.2f,"fallback_sec_${scale}x":$tNf%.2f,""" +
+        f""""fallback_ratio":${tNf / t1f}%.2f,"verified":true}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") =>
       gen(
@@ -681,9 +777,14 @@ object Stress {
       ingest(
         args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).map(_.toInt).getOrElse(1))
+    case Some("embedIngest") =>
+      embedIngest(
+        args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).map(_.toInt).getOrElse(1))
     case _ =>
       System.err.println(
-        "usage: Stress gen|run|skew|invariance|survivors|ingest [args]")
+        "usage: Stress gen|run|skew|invariance|survivors|ingest|" +
+          "embedIngest [args]")
       sys.exit(2)
   }
 }
