@@ -66,7 +66,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the batch probe cross-applies the BROADCAST QUERY BATCH (3 rows
     // here; small by the lshProbeIndexMany assumption) onto the codes
     // scan — every (vector, query) pair is scored by design
-    "q221_sq_probe_many")
+    "q221_sq_probe_many",
+    // clusterOccupancyDrift completes the seg x cluster grid with an
+    // explicit BOUNDED cross of two tiny DISTINCT frames (segments x
+    // k clusters — append-count x quantizer size, never corpus-sized);
+    // the broadcast side is the k-row cluster list
+    "q230_ivf_occupancy_drift")
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
