@@ -233,10 +233,11 @@ object Bench {
       } finally {
         import scala.util.Try
         Try {
-          java.nio.file.Files
-            .walk(tmpRoot)
+          val walk = java.nio.file.Files.walk(tmpRoot)
+          try walk
             .sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
         }
       }
     }

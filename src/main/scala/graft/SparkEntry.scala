@@ -1991,9 +1991,17 @@ object SparkEntry {
         Similarity.sqWriteIndex(
           emb.where(pmod(col("vec_id"), lit(2)) === 0),
           "embedding", "vec_id", path, sourceTag = d)
-        Similarity.sqAppendIndex(
+        // the q224/q229 oracles replay the FROZEN-bounds append
+        // semantics — pin the auto-retrain off for this build so a
+        // scale factor whose odd half happens to clip past the
+        // default trigger cannot silently fold the index out from
+        // under the declared replays (the DriftSpec/ExtensionsSpec
+        // discipline; RetrainSpec owns the trigger behavior)
+        sys.props("graft.sq.retrain.clipfrac") = "2"
+        try Similarity.sqAppendIndex(
           emb.where(pmod(col("vec_id"), lit(2)) === 1),
           "embedding", "vec_id", path, sourceTag = d)
+        finally sys.props.remove("graft.sq.retrain.clipfrac")
         path
       })
 

@@ -306,9 +306,18 @@ object AtomicAppend {
         .get("graft.atomicappend.vacuum.grace.ms")
         .flatMap(_.toLongOption)
         .getOrElse(DefaultVacuumGraceMs)
-      val markerAge = System.currentTimeMillis() -
-        fs.getFileStatus(new Path(foldPath, SnapshotCommit.Marker))
-          .getModificationTime
+      // marker mtime comes from the STORE's clock; the driver's clock
+      // measures "now". A store clock ahead of the driver yields a
+      // negative age — clamp to 0 (defer, never delete early). The
+      // opposite skew (driver ahead) shortens the effective grace by
+      // the skew amount; the default grace is chosen orders of
+      // magnitude above NTP-class skew, and deployments on
+      // known-skewed stores should raise it.
+      val markerAge = math.max(
+        0L,
+        System.currentTimeMillis() -
+          fs.getFileStatus(new Path(foldPath, SnapshotCommit.Marker))
+            .getModificationTime)
       if (force || markerAge >= grace) cleanupCovered(spark, fs, root, m)
     }
   }

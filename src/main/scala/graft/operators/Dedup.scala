@@ -732,7 +732,10 @@ object Dedup {
       units: Map[String, String],
       chunks: Seq[DataFrame],
       legs: Seq[DataFrame] = Nil) {
-    def base: DataFrame = (chunks ++ legs).reduceLeft(_.unionByName(_))
+    // lazy val, not def: entries are immutable (replaced on update),
+    // and the probe HOT LOOP reads base on every batch — a def would
+    // re-pay the up-to-16-child union construction per probe
+    lazy val base: DataFrame = (chunks ++ legs).reduceLeft(_.unionByName(_))
   }
 
   private val indexFrameCache =
@@ -783,8 +786,16 @@ object Dedup {
       val key = s.getPath.toString
       val dirMtime = s.getModificationTime
       val memo = unitFpMemo.get(key)
+      // memo reuse is gated on a LOCAL filesystem: only there does a
+      // directory's own mtime reliably move on child create/rename/
+      // delete (every graft write path stages + renames new uuid
+      // files, so in-place child overwrites never occur). An object
+      // store's synthetic dir mtime (often constant) would make the
+      // memo permanently "unchanged" and serve stale fingerprints —
+      // there, every call deep-lists as before.
       if (memo != null && memo._1 == dirMtime &&
-        dirMtime < System.currentTimeMillis() - 5) memo._2
+        dirMtime < System.currentTimeMillis() - 5 &&
+        "file".equalsIgnoreCase(s.getPath.toUri.getScheme)) memo._2
       else {
         val kids = fs.listStatus(s.getPath)
           .filterNot(k => k.getPath.getName.startsWith("_") ||

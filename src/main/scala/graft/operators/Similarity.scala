@@ -254,7 +254,10 @@ object Similarity {
         max(size(col(vecCol))).as("mx"),
         sum(sqClipSum(lo, hi)(col(vecCol).cast("array<double>")))
           .as("cs"),
-        count(lit(1)).as("n"))
+        // denominator = NON-NULL vectors, matching what the clip sum
+        // aggregates over — counting null-vector rows would dilute
+        // the retrain trigger below its documented bar
+        count(col(vecCol)).as("n"))
       .head()
     require(
       dims.isNullAt(0) ||
@@ -272,7 +275,8 @@ object Similarity {
         .parquet(staging)
     }
     val clipFrac =
-      if (dims.isNullAt(2)) 0d // only null-vector rows carried values
+      if (dims.isNullAt(2) || dims.getLong(3) == 0L)
+        0d // only null-vector rows carried values
       else dims.getDouble(2) / (dims.getLong(3).toDouble * lo.length)
     if (clipFrac > sqRetrainClipFracThreshold) {
       // past the drift bar: ONE rebuild with fresh bounds subsumes the
