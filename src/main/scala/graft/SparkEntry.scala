@@ -1992,16 +1992,18 @@ object SparkEntry {
           emb.where(pmod(col("vec_id"), lit(2)) === 0),
           "embedding", "vec_id", path, sourceTag = d)
         // the q224/q229 oracles replay the FROZEN-bounds append
-        // semantics — pin the auto-retrain off for this build so a
-        // scale factor whose odd half happens to clip past the
-        // default trigger cannot silently fold the index out from
-        // under the declared replays (the DriftSpec/ExtensionsSpec
-        // discipline; RetrainSpec owns the trigger behavior)
-        sys.props("graft.sq.retrain.clipfrac") = "2"
-        try Similarity.sqAppendIndex(
+        // semantics — pin the auto-retrain off for this build (as an
+        // explicit per-call threshold, never a process-global
+        // sys.prop: a global pin would suppress a due retrain in any
+        // concurrent sqAppendIndex and its removal would clobber an
+        // operator-set override) so a scale factor whose odd half
+        // happens to clip past the default trigger cannot silently
+        // fold the index out from under the declared replays
+        // (RetrainSpec owns the trigger behavior)
+        Similarity.sqAppendIndex(
           emb.where(pmod(col("vec_id"), lit(2)) === 1),
-          "embedding", "vec_id", path, sourceTag = d)
-        finally sys.props.remove("graft.sq.retrain.clipfrac")
+          "embedding", "vec_id", path, sourceTag = d,
+          retrainClipFrac = Some(2d))
         path
       })
 

@@ -351,6 +351,19 @@ object AtomicAppend {
         else n == s"_staging-c$m" // stale staging of this fold
       if (covered) fs.delete(s.getPath, true)
     }
+    // A fold that carries its own `_meta` (a retrain fold's fresh
+    // bounds, or carryMeta's copy of a segment-carried `_meta`) makes
+    // the build-time ROOT `_meta` unreachable via [[latestSegFile]] —
+    // but the stale root copy would otherwise sit on disk forever,
+    // silently mis-informing anything that reads `$root/_meta`
+    // directly instead of through the resolver. Delete it under the
+    // same grace gate as the covered legs. When no committed leg
+    // carries `_meta` (a never-folded-with-meta index), the root copy
+    // IS the authority and stays.
+    val rootMeta = new Path(root, "_meta")
+    if (fs.exists(new Path(new Path(root, s"_seg-c$m"), "_meta")) &&
+      fs.exists(rootMeta))
+      fs.delete(rootMeta, true)
   }
 
   /** [[compact]] when the committed view has grown past `threshold`

@@ -772,6 +772,18 @@ object Dedup {
   private val unitFpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
+  /** A dir mtime younger than this is never trusted for memo purposes —
+    * neither for REUSE nor for STORE. The margin sits well above
+    * worst-case local-filesystem mtime granularity (some local mounts
+    * tick at 1–2 s), so two writes landing inside one timestamp tick
+    * can neither serve nor poison the memo: a fingerprint computed
+    * between two same-tick writes would otherwise be stored with that
+    * mtime and served as "unchanged" at every later probe (the mtime
+    * never moves again). The memo still pays off — its targets are
+    * dirs untouched for many batches.
+    */
+  private val UnitFpFreshnessMs = 2000L
+
   /** Fingerprint of ONE first-level unit. Names + lengths + mtimes of
     * every (non-hidden) child, not just count+total-length: a same-size
     * in-place rewrite (compaction rewriting a segment, a test
@@ -794,7 +806,7 @@ object Dedup {
       // memo permanently "unchanged" and serve stale fingerprints —
       // there, every call deep-lists as before.
       if (memo != null && memo._1 == dirMtime &&
-        dirMtime < System.currentTimeMillis() - 5 &&
+        dirMtime < System.currentTimeMillis() - UnitFpFreshnessMs &&
         "file".equalsIgnoreCase(s.getPath.toUri.getScheme)) memo._2
       else {
         val kids = fs.listStatus(s.getPath)
@@ -807,7 +819,13 @@ object Dedup {
           .mkString(",")
         val fp = s"d:${kids.length}:$kidFp"
         if (unitFpMemo.size > 8192) unitFpMemo.clear()
-        unitFpMemo.put(key, (dirMtime, fp))
+        // STORE is gated like reuse: a fingerprint computed while the
+        // dir mtime is still inside the freshness window may race a
+        // second same-tick write — memoizing it would serve a stale
+        // "unchanged" frame at every later probe (mtime never moves
+        // again). Skip the put; the next quiet-window call memoizes.
+        if (dirMtime < System.currentTimeMillis() - UnitFpFreshnessMs)
+          unitFpMemo.put(key, (dirMtime, fp))
         fp
       }
     }

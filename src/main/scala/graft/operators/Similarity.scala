@@ -239,7 +239,8 @@ object Similarity {
       vecCol: String,
       idCol: String,
       path: String,
-      sourceTag: String = ""): Unit = {
+      sourceTag: String = "",
+      retrainClipFrac: Option[Double] = None): Unit = {
     val spark = df.sparkSession
     val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     // dimension mismatch would zip_with into silent nulls — one cheap
@@ -278,7 +279,7 @@ object Similarity {
       if (dims.isNullAt(2) || dims.getLong(3) == 0L)
         0d // only null-vector rows carried values
       else dims.getDouble(2) / (dims.getLong(3).toDouble * lo.length)
-    if (clipFrac > sqRetrainClipFracThreshold) {
+    if (clipFrac > retrainClipFrac.getOrElse(sqRetrainClipFracThreshold)) {
       // past the drift bar: ONE rebuild with fresh bounds subsumes the
       // compaction fold (q229's clip_frac metric, acted on — the
       // retrain the frozen-quantizer contract always promised)
@@ -304,9 +305,11 @@ object Similarity {
     * (clip_frac 0.0094 — organic tail clipping that graceful
     * saturation handles), and far below a distribution shift
     * (DriftSpec's 4×-scaled batch clips >20% and should retrain).
-    * Override via the JVM property `graft.sq.retrain.clipfrac`;
-    * >= 1 disables (specs pinning frozen-bounds saturation semantics
-    * do this deliberately).
+    * Override per call via the `retrainClipFrac` parameter of
+    * [[sqAppendIndex]]/[[sqMaybeRetrain]] (the race-free form — specs
+    * pinning frozen-bounds saturation semantics pass `Some(2)`), or
+    * process-wide via the JVM property `graft.sq.retrain.clipfrac`;
+    * >= 1 disables.
     */
   val DefaultSqRetrainClipFrac = 0.05
 
@@ -325,11 +328,13 @@ object Similarity {
   def sqMaybeRetrain(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      sourceTag: String = ""): Boolean = {
+      sourceTag: String = "",
+      retrainClipFrac: Option[Double] = None): Boolean = {
     val segs = sqDriftMetrics(spark, path, sourceTag).collect()
     if (segs.length <= 1) return false // base only: nothing appended
     val latest = segs.maxBy(_.getAs[Int]("seg"))
-    if (latest.getAs[Double]("clip_frac") <= sqRetrainClipFracThreshold)
+    if (latest.getAs[Double]("clip_frac") <=
+        retrainClipFrac.getOrElse(sqRetrainClipFracThreshold))
       return false
     sqRetrain(spark, path)
     true

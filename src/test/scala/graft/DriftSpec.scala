@@ -59,12 +59,12 @@ class DriftSpec extends AnyFunSuite {
     Similarity.sqWriteIndex(evens, "embedding", "vec_id", shIdx, sourceTag = "s")
     // this spec OBSERVES drift on the frozen quantizer — the auto
     // retrain (which would correctly fire on this batch and fold the
-    // segment away) is disabled for the shifted append; RetrainSpec
-    // owns the trigger behavior
-    sys.props("graft.sq.retrain.clipfrac") = "2"
-    try Similarity.sqAppendIndex(shiftedOdds, "embedding", "vec_id", shIdx,
-      sourceTag = "s")
-    finally sys.props.remove("graft.sq.retrain.clipfrac")
+    // segment away) is disabled for the shifted append via the
+    // explicit per-call threshold (not a process-global sys.prop,
+    // which would race concurrent appends); RetrainSpec owns the
+    // trigger behavior
+    Similarity.sqAppendIndex(shiftedOdds, "embedding", "vec_id", shIdx,
+      sourceTag = "s", retrainClipFrac = Some(2d))
     val sh = Similarity
       .sqDriftMetrics(spark, shIdx, sourceTag = "s")
       .where(col("seg") === 1)

@@ -1624,15 +1624,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(probe(evolved) === probe(rebuilt))
     // out-of-bounds components SATURATE (no tinyint wrap): codes pin to
     // the range ends, and the rescore is still the exact cosine.
-    // Auto-retrain disabled for this append — the test pins the
-    // FROZEN-bounds saturation semantics, and a 2/3-clipping batch
-    // would (correctly) trigger the rebuild otherwise (RetrainSpec
-    // covers the default-threshold behavior)
-    sys.props("graft.sq.retrain.clipfrac") = "2"
-    try Similarity.sqAppendIndex(
+    // Auto-retrain disabled for this append via the explicit per-call
+    // threshold — the test pins the FROZEN-bounds saturation
+    // semantics, and a 2/3-clipping batch would (correctly) trigger
+    // the rebuild otherwise (RetrainSpec covers the default-threshold
+    // behavior)
+    Similarity.sqAppendIndex(
       Seq((6L, Seq(-50.0, 300.0, 5.0))).toDF("vec_id", "embedding"),
-      "embedding", "vec_id", evolved, sourceTag = "s")
-    finally sys.props.remove("graft.sq.retrain.clipfrac")
+      "embedding", "vec_id", evolved, sourceTag = "s",
+      retrainClipFrac = Some(2d))
     val q8 = graft.operators.AtomicAppend.read(spark, evolved)
       .where(col("id") === 6L)
       .select(col("q8")).head().getSeq[Byte](0)
