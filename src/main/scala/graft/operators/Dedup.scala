@@ -1571,29 +1571,23 @@ object Dedup {
     // broadcast).
     val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     if (probeCorpus && payload.nonEmpty) {
-      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-      val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      val payRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      import org.apache.spark.sql.types.{ArrayType, IntegerType}
+      // batch side as DRIVER-BUILT hash-table lookups
+      // ([[graft.functions.LocalLookup]] — the embIngestSegmentFrames
+      // rationale): each former broadcast LocalTableScan cost one
+      // single-task build job per batch; the lookups keep the hash
+      // join's O(1) probe with no build job, so the probe pays two
+      // jobs (hits broadcast build + verify collect) instead of four.
+      val bandedBuf = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Any]]
+      val payBuf = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
       payload.foreach { case (id, vals, bks) =>
-        if (vals(1) != null)
-          payRows.add(org.apache.spark.sql.Row(id, vals(1)))
-        if (bks != null)
-          bks.foreach(bk => bandedRows.add(org.apache.spark.sql.Row(bk, id)))
+        if (vals(1) != null) payBuf += ((id, vals(1)))
+        if (bks != null) bks.foreach { bk =>
+          bandedBuf.getOrElseUpdate(
+            bk, scala.collection.mutable.ArrayBuffer.empty[Any]) += id
+        }
       }
-      val bandedLocal = spark
-        .createDataFrame(
-          bandedRows,
-          StructType(Seq(
-            StructField("bucket", IntegerType),
-            StructField("probe_id", idType))))
-        .coalesce(1)
-      val payLocal = spark
-        .createDataFrame(
-          payRows,
-          StructType(Seq(
-            StructField("probe_id", idType),
-            StructField("sh_a", bhType))))
-        .coalesce(1)
       // .distinct() on the candidate hits: a (probe, corpus) pair
       // colliding in k bands would otherwise be Jaccard-verified k
       // times (up to bands x waste — the exact dup the old driver-
@@ -1602,8 +1596,13 @@ object Dedup {
       // times over in the verify scan.
       val hits = readIndexCached(spark, s"$indexPath/buckets")
         .where(col("bn") <= maxBucketSize)
-        .join(broadcast(bandedLocal), Seq("bucket"))
-        .select(col("probe_id"), col("id").as("corpus_id"))
+        .select(
+          explode(
+            graft.functions.LocalLookup(
+              col("bucket"), IntegerType, ArrayType(idType),
+              bandedBuf.iterator.map { case (bk, ids) => (bk, ids.toSeq) }))
+            .as("probe_id"),
+          col("id").as("corpus_id"))
         .distinct()
       // The verify math sits ABOVE a nondeterministic barrier
       // projection: written as plain `.where`s on the join output,
@@ -1620,10 +1619,12 @@ object Dedup {
       // the projection deterministic again and silently re-enable
       // the double-eval. Same comparisons, same doubles — only the
       // evaluation count changes.
+      val shA =
+        graft.functions.LocalLookup(col("probe_id"), idType, bhType, payBuf)
       val paired = readIndexCached(spark, s"$indexPath/sig")
         .select(col("id").as("corpus_id"), col("bh").as("sh_b"))
         .join(broadcast(hits), Seq("corpus_id"))
-        .join(broadcast(payLocal), Seq("probe_id"))
+        .withColumn("sh_a", shA)
         .select(
           col("probe_id"),
           size(col("sh_a")).cast("double").as("na"),
@@ -2422,38 +2423,49 @@ object Dedup {
     }
     // corpus probe over the RAM bucket index, Hamming verified inline
     // in the SAME scan (the signature rides the buckets tree — no
-    // separate verify join at any scale); the batch side is a LOCAL
-    // single-slice table of the already-collected (bucket, id, sig)
-    // triples, so the broadcast build is one trivial task. Null
+    // separate verify join at any scale); the batch side rides in as
+    // a DRIVER-BUILT hash-table lookup ([[graft.functions
+    // .LocalLookup]] — the former broadcast LocalTableScan cost one
+    // single-task build job per batch; the lookup keeps the hash
+    // join's O(1) probe with NO job, so this probe is ONE job). The
+    // explode reproduces the inner join's multiplicity exactly. Null
     // signatures never band on the driver and could never verify
     // (bit_count(null ^ sig) is null), so leaving them out of the
-    // local is behavior-identical.
+    // table is behavior-identical.
     val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     if (probeCorpus && payload.nonEmpty) {
-      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-      val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+      val bandedBuf = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]
       payload.foreach { case (id, vals, bks) =>
         val s = vals(1)
         if (s != null && bks != null)
-          bks.foreach(bk =>
-            bandedRows.add(org.apache.spark.sql.Row(bk, id, s)))
+          bks.foreach { bk =>
+            bandedBuf.getOrElseUpdate(
+              bk,
+              scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.Row]) +=
+              org.apache.spark.sql.Row(id, s)
+          }
       }
-      val bandedLocal = spark
-        .createDataFrame(
-          bandedRows,
-          StructType(Seq(
-            StructField("bucket", IntegerType),
-            StructField("probe_id", idType),
-            StructField("probe_sig", LongType))))
-        .coalesce(1)
+      val pairType = StructType(Seq(
+        StructField("probe_id", idType),
+        StructField("probe_sig", LongType)))
       collectDbg("probe")(
         readIndexCached(spark, s"$indexPath/buckets")
           .where(col("bn") <= maxBucketSize)
-          .join(broadcast(bandedLocal), Seq("bucket"))
           .select(
-            col("probe_id"),
             col("id").as("corpus_id"),
-            bit_count(col("sig").bitwiseXOR(col("probe_sig")))
+            col("sig"),
+            explode(
+              graft.functions.LocalLookup(
+                col("bucket"), IntegerType, ArrayType(pairType),
+                bandedBuf.iterator.map { case (bk, rs) => (bk, rs.toSeq) }))
+              .as("p"))
+          .select(
+            col("p.probe_id").as("probe_id"),
+            col("corpus_id"),
+            bit_count(col("sig").bitwiseXOR(col("p.probe_sig")))
               .as("hamming"))
           .where(col("hamming") <= maxHamming)
           // cross-band collisions of the same verified pair
@@ -3418,65 +3430,58 @@ object Dedup {
     // raw hits are CANDIDATE-volume rows; fetching their vectors to
     // the driver once measurably blew past the collect cap at steady
     // state. Only verified FLAGS reach the driver. The batch side
-    // (bucket keys + vectors) rides in as LOCAL tables built from the
-    // rows already collected — broadcasting a LocalTableScan costs no
-    // job, so the probe is one broadcast-side build over the corpus
-    // buckets plus one verify scan of the corpus signatures. The
-    // cosine is the same CosineSimilarityExpr the former union-plan
-    // shape evaluated, over the same raw values (the local table
-    // round-trips the collected rows unmodified), so the flag set is
-    // bit-identical.
+    // (bucket keys + vectors) rides in as DRIVER-BUILT hash-table
+    // lookups ([[graft.functions.LocalLookup]]) — the former broadcast
+    // LocalTableScans each cost one single-task build job per batch
+    // (no executeCollectIterator override in Spark 4.1.2), half the
+    // probe's per-trigger job count; the lookup keeps the hash join's
+    // O(1) asymptotics with NO build job. `explode` of the bucket
+    // lookup reproduces the inner join's multiplicity exactly (missing
+    // bucket → null array → row dropped); the pay lookup feeds
+    // cosineFast, whose null on a missing id fails the threshold the
+    // way the inner pay join dropped the row. The cosine is the same
+    // CosineSimilarityExpr over the same raw values (the lookup table
+    // catalyst-converts the collected rows exactly as the local table
+    // did), so the flag set is bit-identical.
     val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     if (probeCorpus && payload.nonEmpty) {
-      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-      val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      val payRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      import org.apache.spark.sql.types.{ArrayType, IntegerType}
+      val bandedBuf = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Any]]
+      val payBuf = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
       ingestDbg("locals")(payload.foreach { case (id, vSeq, _, bks) =>
         // null-vector rows are never banded so they can never join a
-        // hit — keep them out of the broadcast payload (matches the
-        // mh path's vals(1) != null guard, keeps the "rows without
-        // signatures stay out of both locals" invariant literal)
-        if (vSeq != null)
-          payRows.add(org.apache.spark.sql.Row(id, vSeq))
-        if (bks != null)
-          bks.foreach(bk => bandedRows.add(org.apache.spark.sql.Row(bk, id)))
+        // hit — keep them out of the pay table (matches the mh path's
+        // vals(1) != null guard, keeps the "rows without signatures
+        // stay out of both locals" invariant literal)
+        if (vSeq != null) payBuf += ((id, vSeq))
+        if (bks != null) bks.foreach { bk =>
+          bandedBuf.getOrElseUpdate(
+            bk, scala.collection.mutable.ArrayBuffer.empty[Any]) += id
+        }
       })
-      // coalesce(1): BroadcastExchange over a LocalTableScan still
-      // runs the generic executeCollectIterator path — a
-      // defaultParallelism-task parallelize job per broadcast
-      // (measured: 2×32 near-empty tasks per batch); one slice makes
-      // each build a single trivial task
-      val bandedLocal = spark
-        .createDataFrame(
-          bandedRows,
-          StructType(Seq(
-            StructField("bucket", IntegerType),
-            StructField("probe_id", idType))))
-        .coalesce(1)
-      val payLocal = ingestDbg("paylocal")(spark
-        .createDataFrame(
-          payRows,
-          StructType(Seq(
-            StructField("probe_id", idType),
-            StructField("v_a", vType))))
-        .coalesce(1))
+      // NO distinct on the hits: k-band duplicate hits cost one
+      // redundant in-plan cosine each, while the dedup aggregate added
+      // an exchange + agg to the broadcast build's critical path
+      // (fixed latency per batch)
+      val hits = readIndexCached(spark, s"$indexPath/buckets")
+        .where(col("bn") <= maxBucketSize)
+        .select(
+          explode(
+            graft.functions.LocalLookup(
+              col("bucket"), IntegerType, ArrayType(idType),
+              bandedBuf.iterator.map { case (bk, ids) => (bk, ids.toSeq) }))
+            .as("probe_id"),
+          col("id").as("corpus_id"))
       val probeDf = ingestDbg("probe-build")(
         readIndexCached(spark, s"$indexPath/sig")
           .select(col("id").as("corpus_id"), col("v").as("v_b"))
-          .join(
-            broadcast(
-              readIndexCached(spark, s"$indexPath/buckets")
-                .where(col("bn") <= maxBucketSize)
-                .join(broadcast(bandedLocal), Seq("bucket"))
-                // NO distinct: k-band duplicate hits cost one redundant
-                // in-plan cosine each, while the dedup aggregate added
-                // an exchange + agg to the broadcast build's critical
-                // path (fixed latency per batch)
-                .select(col("probe_id"), col("id").as("corpus_id"))),
-            Seq("corpus_id"))
-          .join(broadcast(payLocal), Seq("probe_id"))
+          .join(broadcast(hits), Seq("corpus_id"))
           .where(
-            VectorExpressions.cosineFast(col("v_a"), col("v_b")) >= threshold)
+            VectorExpressions.cosineFast(
+              graft.functions.LocalLookup(
+                col("probe_id"), idType, vType, payBuf),
+              col("v_b")) >= threshold)
           .select(col("probe_id")))
       collectDbg("probe")(probeDf).foreach(r => flagged += r.get(0))
     }
