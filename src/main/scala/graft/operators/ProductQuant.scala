@@ -395,7 +395,8 @@ object ProductQuant {
         lit(sourceTag).as("source"),
         lit(m).as("m"),
         lit(ksub).as("ksub"),
-        lit(kClusters).as("kclusters"))
+        lit(kClusters).as("kclusters"),
+        lit(iters).as("iters"))
       .write
       .mode("overwrite")
       .parquet(s"$path/_meta")
@@ -433,7 +434,8 @@ object ProductQuant {
     val spark = df.sparkSession
     val (m, ksub) = readIvfPqMeta(spark, path, sourceTag)
     val cb = readCodebooks(spark, path, m, ksub)
-    val assign = Similarity.frozenClusterAssign(spark, s"$path/centroids")
+    val assign = Similarity.frozenClusterAssign(
+      spark, Similarity.ivfCentroidsPath(spark, path))
     // the base corpus round-trips the build input's vector type (e.g.
     // array<float> from the embeddings table); the segment must match
     // it exactly or the base ∪ segments union fails on schema. Read
@@ -455,8 +457,11 @@ object ProductQuant {
     }
     // auto-fold: stored (id, code, v, cluster) rows rewrite into the
     // same cluster-partitioned layout (codes and assignments are
-    // frozen — the fold is a pure relayout)
-    AtomicAppend.maybeCompact(spark, s"$path/corpus") { (d, staging) =>
+    // frozen — the fold is a pure relayout); a retrain fold's carried
+    // quantizer state flows forward so it survives regular compaction
+    AtomicAppend.maybeCompact(
+      spark, s"$path/corpus",
+      carryMeta = Seq("_centroids", "_codebooks")) { (d, staging) =>
       d.write.mode("overwrite").partitionBy("cluster").parquet(staging)
     }
   }
@@ -470,7 +475,7 @@ object ProductQuant {
       m: Int,
       ksub: Int): Codebooks = {
     val rows = spark.read
-      .parquet(s"$path/codebooks")
+      .parquet(ivfPqCodebooksPath(spark, path))
       .collect()
       .groupBy(r => (r.getInt(0), r.getInt(1)))
       .map { case (jc, rs) =>
@@ -502,6 +507,93 @@ object ProductQuant {
     (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"))
   }
 
+  /** Where the CURRENT PQ codebook table lives — the
+    * [[Similarity.ivfCentroidsPath]] discipline for the second half of
+    * the IVF-PQ quantizer state: a retrain fold carries fresh
+    * `_codebooks` inside its corpus segment; a never-retrained index
+    * keeps the build-time root table.
+    */
+  private def ivfPqCodebooksPath(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    AtomicAppend
+      .latestSegFile(spark, s"$path/corpus", "_codebooks")
+      .getOrElse(s"$path/codebooks")
+
+  /** Rebuild the FULL IVF-PQ quantizer state from the index's own
+    * committed corpus view — [[Similarity.ivfRetrain]] extended to the
+    * product quantizer: re-run coarse k-means over the stored
+    * full-precision vectors, re-train the codebooks on the fresh
+    * assignment, re-encode every stored vector, and publish corpus +
+    * `_centroids` + `_codebooks` as ONE [[AtomicAppend.compact]] fold
+    * under one marker — every crash window leaves either the old
+    * (corpus, centroids, codebooks) triple or the new one, never a
+    * mix of layouts and quantizers. Build parameters come from the
+    * index's own `_meta` (m, ksub, kclusters, iters — recorded at
+    * build time); `iters` is overridable per call. No-op before the
+    * first append (nothing to fold; drift needs a segment to measure).
+    */
+  def ivfPqRetrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      iters: Option[Int] = None): Unit = {
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val kc = meta.getAs[Int]("kclusters")
+    val it = iters.getOrElse(
+      if (meta.schema.fieldNames.contains("iters") &&
+        !meta.isNullAt(meta.fieldIndex("iters")))
+        meta.getAs[Number]("iters").intValue
+      else 3)
+    AtomicAppend.compact(spark, s"$path/corpus", carryMeta = Nil) {
+      (d, staging) =>
+        val assigned = graft.ops.Stage.materializeOnce(
+          Similarity.kmeansAssign(
+            d.select(col("id"), col("v")), "v", "id", kc, it))
+        val cb = pqTrain(assigned, "v", "id", m, ksub, it)
+        pqEncode(assigned, "v", "id", cb, carry = Seq("v", "cluster"))
+          .write
+          .mode("overwrite")
+          .partitionBy("cluster")
+          .parquet(staging)
+        Similarity
+          .ivfCentroids(assigned, "v", "cluster")
+          .write
+          .mode("overwrite")
+          .parquet(s"$staging/_centroids")
+        import spark.implicits._
+        (for {
+          j <- cb.indices
+          c <- cb(j).indices
+          p <- cb(j)(c).indices
+        } yield (j, c, p, cb(j)(c)(p)))
+          .toDF("j", "c", "pos", "v")
+          .repartition(1)
+          .write
+          .mode("overwrite")
+          .parquet(s"$staging/_codebooks")
+    }
+  }
+
+  /** Evaluate occupancy drift and rebuild if tripped — the IVF-PQ
+    * twin of [[Similarity.ivfMaybeRetrain]]. Returns whether a
+    * retrain ran.
+    */
+  def ivfPqMaybeRetrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      iters: Option[Int] = None,
+      tvBar: Option[Double] = None,
+      shareBar: Option[Double] = None): Boolean =
+    if (Similarity
+        .occupancyRetrainNeeded(spark, path, tvBar, shareBar)
+        .isEmpty) false
+    else {
+      ivfPqRetrain(spark, path, iters)
+      true
+    }
+
   def ivfPqProbe(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -513,7 +605,8 @@ object ProductQuant {
     require(refine >= k, s"refine ($refine) must be >= k ($k)")
     val (m, ksub) = readIvfPqMeta(spark, path, sourceTag)
     val cb = readCodebooks(spark, path, m, ksub)
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids =
+      spark.read.parquet(Similarity.ivfCentroidsPath(spark, path))
     val probed = Similarity.ivfRankClusters(centroids, query, nprobe)
     val (qn, score) = adcScorer(cb, query)
     val corpus = AtomicAppend.read(spark, s"$path/corpus")
@@ -607,7 +700,8 @@ object ProductQuant {
       java.util.Arrays.asList(qRows: _*), qSel.schema)
     // coarse ranking: queries × centroids only (never the corpus);
     // deterministic cluster tiebreak at the nprobe boundary
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids =
+      spark.read.parquet(Similarity.ivfCentroidsPath(spark, path))
     val ranked = centroids
       .crossJoin(broadcast(qs))
       .groupBy("query_id", "cluster")

@@ -380,30 +380,123 @@ object Similarity {
     * single cluster absorbing most of the segment — the shape that
     * breaks nprobe's scan bound). Returns the tripped (seg, tv,
     * max_share) rows; empty = the frozen centroids still fit. The
-    * REBUILD stays with the caller — re-training k-means wants the
-    * deployment's own build parameters (iters, sample size) — unlike
-    * [[sqRetrain]], whose bounds recompute is parameter-free and
-    * therefore runs automatically. Defaults: tv 0.5 (half the
-    * segment's mass sits in cells the base didn't use at that rate),
-    * max share 0.5 (half the segment in one cell); override via
-    * `graft.ivf.retrain.tv` / `graft.ivf.retrain.maxshare`.
+    * REBUILD is [[ivfRetrain]] (k-means re-run from the committed
+    * view's full-precision vectors, published as ONE compact fold) —
+    * [[ivfMaybeRetrain]] wires this decision to it the way
+    * [[sqMaybeRetrain]] wires clip-frac to [[sqRetrain]]. Defaults:
+    * tv 0.5 (half the segment's mass sits in cells the base didn't
+    * use at that rate), max share 0.5 (half the segment in one cell);
+    * override per call via `tvBar`/`shareBar` (the race-free form) or
+    * process-wide via `graft.ivf.retrain.tv` /
+    * `graft.ivf.retrain.maxshare`.
     */
   def occupancyRetrainNeeded(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[org.apache.spark.sql.Row] = {
-    val tvBar = sys.props
-      .get("graft.ivf.retrain.tv")
-      .flatMap(_.toDoubleOption)
-      .getOrElse(0.5)
-    val shareBar = sys.props
-      .get("graft.ivf.retrain.maxshare")
-      .flatMap(_.toDoubleOption)
-      .getOrElse(0.5)
+      path: String,
+      tvBar: Option[Double] = None,
+      shareBar: Option[Double] = None): Array[org.apache.spark.sql.Row] = {
+    val tv = tvBar.getOrElse(
+      sys.props
+        .get("graft.ivf.retrain.tv")
+        .flatMap(_.toDoubleOption)
+        .getOrElse(0.5))
+    val share = shareBar.getOrElse(
+      sys.props
+        .get("graft.ivf.retrain.maxshare")
+        .flatMap(_.toDoubleOption)
+        .getOrElse(0.5))
     clusterOccupancyDrift(spark, path)
       .where(col("seg") > 0 &&
-        (col("tv_vs_base") > tvBar || col("max_cluster_share") > shareBar))
+        (col("tv_vs_base") > tv || col("max_cluster_share") > share))
       .collect()
   }
+
+  /** Where the CURRENT coarse-centroid table of an IVF / IVF-PQ index
+    * lives: a retrain fold publishes the re-trained centroids INSIDE
+    * its `_seg-c<n>` corpus directory (the [[sqMetaPath]] discipline —
+    * the re-partitioned corpus and the quantizer that produced it
+    * switch under ONE commit marker; a root rewrite would leave a
+    * crash window where probes rank clusters against centroids the
+    * corpus layout no longer matches), and regular compaction carries
+    * the copy forward. A never-retrained index keeps its build-time
+    * root `centroids` table.
+    */
+  private[operators] def ivfCentroidsPath(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    AtomicAppend
+      .latestSegFile(spark, s"$path/corpus", "_centroids")
+      .getOrElse(s"$path/centroids")
+
+  /** Rebuild an IVF index's coarse quantizer from its own committed
+    * corpus view — the occupancy-drift twin of [[sqRetrain]], acting
+    * on the q230 metrics: re-run [[kmeansAssign]] over the stored
+    * full-precision vectors with the build-recorded parameters
+    * (`kmeans_k`/`kmeans_iters` in `_meta`, written by
+    * [[ivfWriteIndexKmeans]] — a retrain that needs a human to
+    * remember k is half a feature; pass `k` explicitly for a
+    * label-built index, which records none), re-partition the corpus
+    * by the NEW assignment, and publish corpus + centroids as ONE
+    * [[AtomicAppend.compact]] fold whose staging carries the fresh
+    * `_centroids` — every crash window leaves either the old corpus +
+    * old centroids or the new pair, never a mix. Probe mechanics are
+    * unchanged (`cluster IN` partition pruning per leg); the stale
+    * root `centroids` table becomes unreachable through
+    * [[ivfCentroidsPath]]. No-op before the first append (compact
+    * has nothing to fold — and occupancy drift needs a segment to
+    * measure, so the trigger can never fire there either).
+    */
+  def ivfRetrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      k: Option[Int] = None,
+      iters: Option[Int] = None): Unit = {
+    val meta = spark.read.parquet(s"$path/_meta").head()
+    def metaInt(n: String): Option[Int] =
+      if (meta.schema.fieldNames.contains(n) &&
+        !meta.isNullAt(meta.fieldIndex(n)))
+        Some(meta.getAs[Number](n).intValue)
+      else None
+    val kk = k
+      .orElse(metaInt("kmeans_k"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"IVF index at $path records no k-means build parameters " +
+          "(label-built, or built before they were recorded) — pass k " +
+          "explicitly"))
+    val it = iters.orElse(metaInt("kmeans_iters")).getOrElse(3)
+    AtomicAppend.compact(spark, s"$path/corpus", carryMeta = Nil) {
+      (d, staging) =>
+        val assigned = graft.ops.Stage.materializeOnce(
+          kmeansAssign(d.select(col("id"), col("v")), "v", "id", kk, it))
+        assigned
+          .select(col("id"), col("v"), col("cluster"))
+          .write
+          .mode("overwrite")
+          .partitionBy("cluster")
+          .parquet(staging)
+        ivfCentroids(assigned, "v", "cluster")
+          .write
+          .mode("overwrite")
+          .parquet(s"$staging/_centroids")
+    }
+  }
+
+  /** Evaluate occupancy drift ([[occupancyRetrainNeeded]]) and rebuild
+    * if tripped — [[sqMaybeRetrain]] for the frozen-coarse-quantizer
+    * family. Returns whether a retrain ran.
+    */
+  def ivfMaybeRetrain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      k: Option[Int] = None,
+      iters: Option[Int] = None,
+      tvBar: Option[Double] = None,
+      shareBar: Option[Double] = None): Boolean =
+    if (occupancyRetrainNeeded(spark, path, tvBar, shareBar).isEmpty) false
+    else {
+      ivfRetrain(spark, path, k, iters)
+      true
+    }
 
   /** Per-row count of vector components outside the frozen [lo, hi]
     * bounds — exactly the components [[sqEnc]] saturates. Shared by
@@ -1181,7 +1274,7 @@ object Similarity {
       path: String,
       k: Int,
       iters: Int = 3,
-      sourceTag: String = ""): Unit =
+      sourceTag: String = ""): Unit = {
     ivfWriteIndex(
       graft.ops.Stage.materializeOnce(kmeansAssign(df, vecCol, idCol, k, iters)),
       vecCol,
@@ -1189,6 +1282,21 @@ object Similarity {
       "cluster",
       path,
       sourceTag)
+    // record the quantizer's own build parameters beside the source
+    // tag, so an occupancy-drift retrain ([[ivfRetrain]]) re-runs the
+    // SAME k-means without the caller remembering k — a label-built
+    // index ([[ivfWriteIndex]] directly) records none and a retrain
+    // there demands explicit parameters
+    df.sparkSession
+      .range(1)
+      .select(
+        lit(sourceTag).as("source"),
+        lit(k).as("kmeans_k"),
+        lit(iters).as("kmeans_iters"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_meta")
+  }
 
   /** Rank IVF clusters by query↔centroid cosine and return the `nprobe`
     * nearest cluster keys. A tiny Spark job over the (cluster, pos, v)
@@ -1325,7 +1433,7 @@ object Similarity {
     val spark = df.sparkSession
     if (sourceTag.nonEmpty)
       checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
-    val assign = frozenClusterAssign(spark, s"$path/centroids")
+    val assign = frozenClusterAssign(spark, ivfCentroidsPath(spark, path))
     AtomicAppend.publish(spark, s"$path/corpus") { staging =>
       df.select(
           col(idCol).as("id"),
@@ -1337,9 +1445,13 @@ object Similarity {
         .parquet(staging)
     }
     // auto-fold: stored (id, v, cluster) rows rewrite into the same
-    // cluster-partitioned layout (assignments are already frozen)
-    AtomicAppend.maybeCompact(spark, s"$path/corpus") { (d, staging) =>
-      d.write.mode("overwrite").partitionBy("cluster").parquet(staging)
+    // cluster-partitioned layout (assignments are already frozen); a
+    // retrain fold's carried `_centroids` flows forward so the post-
+    // retrain quantizer survives regular compaction
+    AtomicAppend.maybeCompact(
+      spark, s"$path/corpus", carryMeta = Seq("_centroids")) {
+      (d, staging) =>
+        d.write.mode("overwrite").partitionBy("cluster").parquet(staging)
     }
   }
 
@@ -1356,7 +1468,7 @@ object Similarity {
       sourceTag: String = ""): DataFrame = {
     if (sourceTag.nonEmpty)
       checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = spark.read.parquet(ivfCentroidsPath(spark, path))
     val probed = ivfRankClusters(centroids, query, nprobe)
     bruteForceTopK(
       AtomicAppend
@@ -1393,7 +1505,7 @@ object Similarity {
     if (sourceTag.nonEmpty)
       checkSource("IVF", path, ivfBuiltSource(spark, path), sourceTag)
     import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = spark.read.parquet(ivfCentroidsPath(spark, path))
     val qb = queries.select(
       col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("qv"))
