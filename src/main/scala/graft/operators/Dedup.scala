@@ -2341,8 +2341,13 @@ object Dedup {
         col("id").as("corpus_id"),
         bit_count(col("sig").bitwiseXOR(col("probe_sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      // cross-band collisions of the same verified pair
-      .dropDuplicates("probe_id", "corpus_id")
+      // cross-band collisions of the same verified pair: deduped on
+      // the QUERY path (pair semantics — q215-style consumers); the
+      // lean (ingest) consumer distincts probe_id downstream anyway,
+      // so the exchange + aggregation here was pure per-batch fixed
+      // cost on the fallback's critical path
+      .transform(d =>
+        if (lean) d else d.dropDuplicates("probe_id", "corpus_id"))
   }
 
   /** SINGLE-PASS micro-batch ingest over a signed batch (id, sig) —
@@ -2800,9 +2805,17 @@ object Dedup {
         // silently routed onto the direct-collect path
         if (pairs.sparkSession.conf
             .getOption(graft.streaming.IngestTuning.TunedMarker)
-            .contains("true"))
-          capped.limit(driverCap + 1).collect()
-        else
+            .contains("true")) {
+          val lim = capped.limit(driverCap + 1)
+          val rows = lim.collect()
+          if (sys.env.contains("GRAFT_CACHE_DEBUG")) {
+            val ph = lim.queryExecution.tracker.phases
+            System.err.println("[pairs-phases] " + ph.map { case (k, v) =>
+              f"$k=${v.endTimeMs - v.startTimeMs}%dms"
+            }.mkString(" "))
+          }
+          rows
+        } else
           org.apache.spark.sql.graftbridge.SessionBridge
             .withConfScopedClone(
               capped,
@@ -3254,16 +3267,17 @@ object Dedup {
       .where(col("bn") <= maxBucketSize)
       .join(broadcast(bBanded), Seq("bucket"))
       .select(col("probe_id"), col("id").as("corpus_id"))
-    // pinned candidate dedup — see mhProbeSigned: a k-band collision
-    // must not cost k cosine verifications
-    val pLean =
-      math.min(spark.sparkContext.defaultParallelism, 16)
-    val cand =
-      if (lean)
-        cand0
-          .repartition(pLean, col("probe_id"), col("corpus_id"))
-          .dropDuplicates("probe_id", "corpus_id")
-      else cand0.distinct()
+    // candidate dedup ONLY on the query path: the cosine verify is one
+    // tight 64-float loop, so a k-band duplicate hit costs one
+    // redundant in-plan cosine — while the dedup cost an exchange + an
+    // aggregation INSIDE the broadcast build's critical path on every
+    // ingest batch (the fused emb probe's stated rationale, now
+    // shared; measured as the probe's largest fixed slice). The lean
+    // consumer distincts probe_id after the verify, so the flag SET is
+    // unchanged. mhProbeSigned keeps its dedup: an array_intersect
+    // over shingle arrays is orders of magnitude dearer than a cosine,
+    // so there k redundant verifies outweigh the exchange.
+    val cand = if (lean) cand0 else cand0.distinct()
     // two small broadcasts (bare pairs + batch vectors), never the
     // fat pairs×vectors product — the mhProbeSigned rationale
     readIdx(s"$indexPath/sig")
@@ -3641,18 +3655,21 @@ object Dedup {
         .collect()
         .map(_.get(0)))
     withFlagsCancelOnFailure(flagged) {
-      val intraDrop = resolveComponentsAuto(
+      def dbg[T](name: String)(b: => T): T =
+        graft.streaming.IngestTuning.sectionTimer("emb-unfused", name)(b)
+      val intraDrop = dbg("pairs")(resolveComponentsAuto(
         embPairsSigned(
-          sig0, bands, rows, threshold, maxBucketSize, lean = true))
+          sig0, bands, rows, threshold, maxBucketSize, lean = true)))
         .where(col("id") =!= col("component"))
         .select("id")
       val intraSig = sig0.join(broadcast(intraDrop), Seq("id"), "left_anti")
-      val survivors = (flagged() match {
+      val flags = dbg("flags-wait")(flagged())
+      val survivors = dbg("survivors-mat")((flags match {
         case None => intraSig
         case Some(f) => intraSig.join(broadcast(f), Seq("id"), "left_anti")
         // both segment writes consume this — checkpoint or the probe
         // re-executes per write (see mhIngestSegmentFramesUnfused)
-      }).transform(graft.ops.Stage.materializeOnce)
+      }).transform(graft.ops.Stage.materializeOnce))
       (survivors, sizedBuckets(survivors))
     }
   }
