@@ -216,16 +216,32 @@ object Bench {
             .collect()
           (System.nanoTime() - t0) / 1e9
         }
+        // median + (min, max, n) of interleaved-rep probes, the
+        // streaming_spread discipline: single-shot readings swung 4x
+        // across same-day runs (562 / 341 / 1251 ms), making the
+        // fold's win unfalsifiable round-over-round — the median of 5
+        // with the spread beside it makes a contended rep visible
+        // instead of silently becoming the record
+        val nReps = 5
+        def stats(xs: Seq[Double]): (Double, Double, Double) = {
+          val s = xs.sorted
+          (s(s.length / 2), s.head, s.last)
+        }
         probeSec() // codegen/plan warm-up at this leg count
-        val before = Seq.fill(3)(probeSec()).sorted.apply(1)
+        val (bMed, bMin, bMax) = stats(Seq.fill(nReps)(probeSec()))
         AtomicAppend.compact(spark, idx)((d, p) =>
           d.write.mode("overwrite").parquet(p))
         probeSec()
-        val after = Seq.fill(3)(probeSec()).sorted.apply(1)
+        val (aMed, aMin, aMax) = stats(Seq.fill(nReps)(probeSec()))
         Seq(
           "legs_before" -> (nSegs + 1).toDouble,
-          "probe_ms_before" -> before * 1000.0,
-          "probe_ms_after" -> after * 1000.0)
+          "probe_ms_before" -> bMed * 1000.0,
+          "probe_ms_before_min" -> bMin * 1000.0,
+          "probe_ms_before_max" -> bMax * 1000.0,
+          "probe_ms_after" -> aMed * 1000.0,
+          "probe_ms_after_min" -> aMin * 1000.0,
+          "probe_ms_after_max" -> aMax * 1000.0,
+          "probe_reps" -> nReps.toDouble)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] compaction bench failed: $e")

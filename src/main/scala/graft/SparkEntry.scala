@@ -2161,6 +2161,51 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Planted hyperplane-LSH embedding near-dup twin, HASH-GREEN (q232
+    * — the q231 discipline applied to the LAST pipeline without a hard
+    * end-to-end oracle, the banded embedding dedup behind q175/q177):
+    * vec_ids < 100 carry one of 25 EXACT-duplicate two-hot vectors
+    * (identical vectors → identical hyperplane signatures → co-
+    * bucketing in EVERY band — recall structural, not probabilistic);
+    * vec_ids 100..219 carry unique two-hot directions. Every planted
+    * direction is e_a + e_b with a = ⌊g/16⌋ ∈ [0,10) drawn from the
+    * LOW index block and b = 48 + (g mod 16) from the HIGH block, so
+    * distinct groups share at most ONE coordinate and their cosine is
+    * exactly 0 or 1/2 — provably below the 0.9 verify threshold, so
+    * the exact-cosine verify culls every false-positive bucket
+    * collision. The REAL banded pipeline runs end to end — hyperplane
+    * sign, band, skew-cap, exact-cosine verify, union-find
+    * ([[graft.operators.Dedup.embeddingNearDupBanded]] +
+    * [[graft.operators.Dedup.resolveComponentsAuto]]); the oracle is
+    * pure vec_id class arithmetic. The real-embedding queries
+    * (q175/q177) stay rows-only as declared — hyperplane-signing real
+    * floats is not SQL-expressible; this twin hash-pins the machinery.
+    */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    val g = when(col("vec_id") < 100, pmod(col("vec_id"), lit(25)))
+      .otherwise(col("vec_id") - lit(75L)) // 25 + (vec_id − 100) ≤ 144
+    val a = floor(g / lit(16)).cast("int")
+    val b = (lit(48) + pmod(g, lit(16))).cast("int")
+    val vec = transform(
+      sequence(lit(0), lit(63)),
+      j => when(j === a || j === b, lit(1.0d)).otherwise(lit(0.0d)))
+    val corpus = Tables
+      .embeddings(s, d)
+      .where(col("vec_id") < 220)
+      .select(col("vec_id"), vec.as("embedding"))
+    graft.operators.Dedup
+      .resolveComponentsAuto(
+        graft.operators.Dedup.embeddingNearDupBanded(
+          corpus,
+          "embedding",
+          "vec_id",
+          nBits = 16,
+          bands = 4,
+          threshold = 0.9,
+          maxBucketSize = 1024))
+      .orderBy("id")
+  }
+
   /** Quality-scored survivor selection (q225): q174's exact cosine
     * components through [[graft.operators.Dedup.bestSurvivors]] —
     * within each near-dup component keep the member with the HIGHEST
@@ -6030,7 +6075,8 @@ object SparkEntry {
     "q228_ivfpq_append_probe" -> (q228 _),
     "q229_sq_drift" -> (q229 _),
     "q230_ivf_occupancy_drift" -> (q230 _),
-    "q231_minhash_planted_twin" -> (q231 _)
+    "q231_minhash_planted_twin" -> (q231 _),
+    "q232_emb_lsh_planted_twin" -> (q232 _)
   )
 
   /** DuckDB oracles — column names must match the Spark results exactly. */
@@ -9242,6 +9288,22 @@ object SparkEntry {
            SELECT cls, min(doc_id) AS root, count(*) AS m
            FROM dup GROUP BY cls)
          SELECT d.doc_id AS id, CAST(c.root AS BIGINT) AS component
+         FROM dup d JOIN comp c ON d.cls = c.cls
+         WHERE c.m >= 2 ORDER BY id""",
+    // q232: identical planted vectors co-bucket in every band and the
+    // exact-cosine verify culls every cross-group collision (distinct
+    // two-hot directions share ≤ 1 coordinate → cosine ≤ 1/2 < 0.9),
+    // so the engine's full sign/band/verify/union-find collapses to
+    // min-id-per-class arithmetic over the 25 planted classes
+    "q232_emb_lsh_planted_twin" ->
+      """WITH dup AS (
+           SELECT vec_id, vec_id % 25 AS cls FROM embeddings
+           WHERE vec_id < 100),
+         comp AS (
+           SELECT cls, min(vec_id) AS root, count(*) AS m
+           FROM dup GROUP BY cls)
+         SELECT CAST(d.vec_id AS BIGINT) AS id,
+           CAST(c.root AS BIGINT) AS component
          FROM dup d JOIN comp c ON d.cls = c.cls
          WHERE c.m >= 2 ORDER BY id"""
   )
