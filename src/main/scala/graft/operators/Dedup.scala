@@ -2473,8 +2473,11 @@ object Dedup {
             bit_count(col("sig").bitwiseXOR(col("p.probe_sig")))
               .as("hamming"))
           .where(col("hamming") <= maxHamming)
-          // cross-band collisions of the same verified pair
-          .dropDuplicates("probe_id", "corpus_id")
+          // NO pair dedup: cross-band collisions of the same verified
+          // pair land as duplicate probe_id rows that the driver SET
+          // below absorbs — the dropDuplicates here cost an exchange +
+          // aggregation inside the probe's one job every batch for a
+          // ≤ bands× bounded duplicate factor
           .select(col("probe_id")))
         .foreach(r => flagged += r.get(0))
     }
