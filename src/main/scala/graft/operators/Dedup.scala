@@ -664,6 +664,7 @@ object Dedup {
     indexSchemaCache.clear()
     indexFrameCache.clear()
     unitFpMemo.clear()
+    overCapCache.clear()
   }
 
   /** Memoized-schema parquet read for the probe hot loop: an index
@@ -839,6 +840,72 @@ object Dedup {
       .map(s => s.getPath.getName -> unitFingerprint(fs, s))
       .toMap
 
+  /** Driver-held skew-guard state of one buckets tree: the set of
+    * bucket keys whose occupancy has exceeded `cap` in ANY written
+    * granule (a segment's own count, or the corpus-global count of a
+    * compacted fold). The lean (ingest) embedding probes filter
+    * against this SET instead of the per-row `bn` column so the probe
+    * can scan the `sig/` frame alone — banding is a pure function of
+    * the persisted `sig` column, so re-deriving bucket keys in-plan
+    * turns the probe's former two-frame join (buckets hits build +
+    * sig verify: two jobs per micro-batch) into ONE scan with zero
+    * build jobs. Granularity note: the per-row `bn` filter dropped an
+    * over-cap bucket's rows only within the granule that exceeded the
+    * cap; the set drops the bucket corpus-wide. The two rules agree
+    * except when a bucket is over-cap in one segment and under in
+    * another — an already-heavily-duplicated region where the guard's
+    * recall sacrifice is deliberate. Both lean shapes (fused and
+    * forced-distributed) use the set rule, so fused == unfused parity
+    * holds structurally; QUERY-path probes (lean=false, one-shot)
+    * keep the per-row `bn` filter and its exact granularity.
+    *
+    * Scale bound: |set| <= total bucket rows / cap by construction
+    * (each member needed > cap rows somewhere), so the driver footprint
+    * stays a vanishing fraction of the corpus at any scale.
+    */
+  private final case class OverCapEntry(
+      cap: Int,
+      units: Map[String, String],
+      set: Set[Int])
+
+  private val overCapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, OverCapEntry]()
+
+  /** The over-cap bucket set of `bucketsPath` at `cap`, served from
+    * [[overCapCache]] when the tree's unit fingerprints are unchanged
+    * (zero jobs — the steady-state ingest loop, where
+    * [[extendIndexCache]] rolls the entry forward at each publish) and
+    * recomputed with ONE column-pruned aggregation over the buckets
+    * tree otherwise (cold start, external writer, compaction, vacuum).
+    */
+  private def leanOverCapSet(
+      spark: org.apache.spark.sql.SparkSession,
+      bucketsPath: String,
+      cap: Int): Set[Int] = synchronized {
+    val root = new org.apache.hadoop.fs.Path(bucketsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      // fresh index: seed an empty entry so the first publish's
+      // extension (not a recompute) carries the state forward
+      overCapCache.put(bucketsPath, OverCapEntry(cap, Map.empty, Set.empty))
+      return Set.empty
+    }
+    val units = listUnits(fs, root)
+    Option(overCapCache.get(bucketsPath)) match {
+      case Some(e) if e.cap == cap && e.units == units => e.set
+      case _ =>
+        val set = readIndexParquet(spark, bucketsPath)
+          .where(col("bn") > cap)
+          .select("bucket")
+          .distinct()
+          .collect()
+          .map(_.getInt(0))
+          .toSet
+        overCapCache.put(bucketsPath, OverCapEntry(cap, units, set))
+        set
+    }
+  }
+
   /** Roll the versioned frame cache FORWARD after a caller commits a
     * new index segment whose rows came from `frame` (an already-RAM-
     * materialized survivors/buckets frame): the cached base becomes
@@ -867,6 +934,7 @@ object Dedup {
       unitName: String,
       frame: DataFrame): Unit = synchronized {
     if (!unitName.contains("=")) return
+    extendOverCap(spark, path, unitName, frame)
     val cur = Option(indexFrameCache.get(path))
     val schema = indexSchemaCache.get(path)
     if (cur.isEmpty) return
@@ -924,6 +992,53 @@ object Dedup {
     } else {
       indexFrameCache.put(path, IndexCacheEntry(units2, e.chunks, legs2))
     }
+  }
+
+  /** Roll an [[overCapCache]] entry forward after a publish on its
+    * buckets tree: fold the new segment's own over-cap buckets into
+    * the set (driver rows when the frame is a fused local segment;
+    * one batch-sized aggregation otherwise) and record the published
+    * unit's fingerprint, so the next probe's [[leanOverCapSet]] is a
+    * pure map hit. No-ops for paths no lean probe has touched; any
+    * anomaly (replayed unit, missing dir) drops the entry and the
+    * next probe recomputes from disk — correctness never depends on
+    * the extension.
+    */
+  private def extendOverCap(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      unitName: String,
+      frame: DataFrame): Unit = {
+    val oce = overCapCache.get(path)
+    if (oce == null) return
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unitPath = new org.apache.hadoop.fs.Path(root, unitName)
+    if (!fs.exists(unitPath) || oce.units.contains(unitName)) {
+      overCapCache.remove(path)
+      return
+    }
+    val fp = unitFingerprint(fs, fs.getFileStatus(unitPath))
+    val extra: Set[Int] = localSegmentRows(frame) match {
+      case Some((rows, schema)) =>
+        val bIdx = schema.fieldIndex("bucket")
+        val nIdx = schema.fieldIndex("bn")
+        rows.iterator
+          .filter(r => !r.isNullAt(nIdx) && r.getLong(nIdx) > oce.cap)
+          .map(_.getInt(bIdx))
+          .toSet
+      case None =>
+        frame
+          .where(col("bn") > oce.cap)
+          .select("bucket")
+          .distinct()
+          .collect()
+          .map(_.getInt(0))
+          .toSet
+    }
+    overCapCache.put(
+      path,
+      OverCapEntry(oce.cap, oce.units + (unitName -> fp), oce.set ++ extra))
   }
 
   private def readIndexCached(
@@ -3262,38 +3377,68 @@ object Dedup {
     val spark = bSig.sparkSession
     val bBanded = embBanded(bSig, bands, rows)
       .select(col("bucket"), col("id").as("probe_id"))
-    // lean: see mhProbeSigned — consumer distincts probe_id downstream,
-    // and the index reads go through the versioned frame cache
-    val readIdx: String => DataFrame =
-      if (lean) readIndexCached(spark, _) else readIndexParquet(spark, _)
-    val cand0 = readIdx(s"$indexPath/buckets")
-      .where(col("bn") <= maxBucketSize)
-      .join(broadcast(bBanded), Seq("bucket"))
-      .select(col("probe_id"), col("id").as("corpus_id"))
-    // candidate dedup ONLY on the query path: the cosine verify is one
-    // tight 64-float loop, so a k-band duplicate hit costs one
-    // redundant in-plan cosine — while the dedup cost an exchange + an
-    // aggregation INSIDE the broadcast build's critical path on every
-    // ingest batch (the fused emb probe's stated rationale, now
-    // shared; measured as the probe's largest fixed slice). The lean
-    // consumer distincts probe_id after the verify, so the flag SET is
-    // unchanged. mhProbeSigned keeps its dedup: an array_intersect
-    // over shingle arrays is orders of magnitude dearer than a cosine,
-    // so there k redundant verifies outweigh the exchange.
-    val cand = if (lean) cand0 else cand0.distinct()
-    // two small broadcasts (bare pairs + batch vectors), never the
-    // fat pairs×vectors product — the mhProbeSigned rationale
-    readIdx(s"$indexPath/sig")
-      .select(col("id").as("corpus_id"), col("v").as("v_c"))
-      .join(broadcast(cand), Seq("corpus_id"))
-      .join(
-        broadcast(bSig.select(col("id").as("probe_id"), col("v").as("v_p"))),
-        Seq("probe_id"))
-      .select(
-        col("probe_id"),
-        col("corpus_id"),
-        VectorExpressions.cosineFast(col("v_c"), col("v_p")).as("cos"))
-      .where(col("cos") >= threshold)
+    // lean (ingest): ONE corpus scan — the sig frame alone, bucket
+    // keys re-derived in-plan from the persisted `sig` column (the
+    // embRebucket identity) and the skew guard as the driver-held
+    // over-cap set ([[leanOverCapSet]], the fused probe's rule — the
+    // two ingest shapes must share one cap granularity or fused ==
+    // unfused parity breaks in the over-cap corner). This replaces a
+    // buckets-tree scan + a candidate-pair broadcast build with zero
+    // extra reads: the vectors the verify needs arrive in the same
+    // scan. Candidate dedup stays dropped on lean (a k-band duplicate
+    // hit costs one redundant cosine; the consumer distincts probe_id
+    // downstream). The index reads go through the versioned frame
+    // cache — a per-micro-batch probe amortizes the persisted base.
+    if (lean) {
+      val overCap = leanOverCapSet(spark, s"$indexPath/buckets", maxBucketSize)
+      val scan0 = readIndexCached(spark, s"$indexPath/sig")
+        .select(
+          col("id").as("corpus_id"),
+          col("v").as("v_c"),
+          explode(embBucketArray(bands, rows)).as("bucket"))
+      val scan =
+        if (overCap.isEmpty) scan0
+        else scan0.where(
+          graft.functions.LocalLookup(
+            col("bucket"),
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.StringType,
+            overCap.iterator.map(b => (b, ""))).isNull)
+      scan
+        .join(broadcast(bBanded), Seq("bucket"))
+        .join(
+          broadcast(
+            bSig.select(col("id").as("probe_id"), col("v").as("v_p"))),
+          Seq("probe_id"))
+        .select(
+          col("probe_id"),
+          col("corpus_id"),
+          VectorExpressions.cosineFast(col("v_c"), col("v_p")).as("cos"))
+        .where(col("cos") >= threshold)
+    } else {
+      // query path: one-shot probes keep the buckets tree's per-row
+      // `bn` filter (exact per-granule skew semantics) and plain
+      // parquet reads — nothing amortizes here
+      val cand = readIndexParquet(spark, s"$indexPath/buckets")
+        .where(col("bn") <= maxBucketSize)
+        .join(broadcast(bBanded), Seq("bucket"))
+        .select(col("probe_id"), col("id").as("corpus_id"))
+        .distinct()
+      // two small broadcasts (bare pairs + batch vectors), never the
+      // fat pairs×vectors product — the mhProbeSigned rationale
+      readIndexParquet(spark, s"$indexPath/sig")
+        .select(col("id").as("corpus_id"), col("v").as("v_c"))
+        .join(broadcast(cand), Seq("corpus_id"))
+        .join(
+          broadcast(
+            bSig.select(col("id").as("probe_id"), col("v").as("v_p"))),
+          Seq("probe_id"))
+        .select(
+          col("probe_id"),
+          col("corpus_id"),
+          VectorExpressions.cosineFast(col("v_c"), col("v_p")).as("cos"))
+        .where(col("cos") >= threshold)
+    }
   }
 
   /** SINGLE-SIGNING micro-batch ingest (the hot path of
@@ -3446,20 +3591,22 @@ object Dedup {
     // (bands of a few bits → many candidate collisions per probe), so
     // raw hits are CANDIDATE-volume rows; fetching their vectors to
     // the driver once measurably blew past the collect cap at steady
-    // state. Only verified FLAGS reach the driver. The batch side
-    // (bucket keys + vectors) rides in as DRIVER-BUILT hash-table
-    // lookups ([[graft.functions.LocalLookup]]) — the former broadcast
-    // LocalTableScans each cost one single-task build job per batch
-    // (no executeCollectIterator override in Spark 4.1.2), half the
-    // probe's per-trigger job count; the lookup keeps the hash join's
-    // O(1) asymptotics with NO build job. `explode` of the bucket
-    // lookup reproduces the inner join's multiplicity exactly (missing
-    // bucket → null array → row dropped); the pay lookup feeds
-    // cosineFast, whose null on a missing id fails the threshold the
-    // way the inner pay join dropped the row. The cosine is the same
-    // CosineSimilarityExpr over the same raw values (the lookup table
-    // catalyst-converts the collected rows exactly as the local table
-    // did), so the flag set is bit-identical.
+    // state. Only verified FLAGS reach the driver, in ONE job: the
+    // corpus side is a single scan of the sig frame (bucket keys
+    // re-derived in-plan from the persisted `sig`, vectors arriving in
+    // the same scan), the batch side rides in as DRIVER-BUILT
+    // hash-table lookups ([[graft.functions.LocalLookup]] — a
+    // broadcast LocalTableScan build costs one single-task job per
+    // batch; no executeCollectIterator override in Spark 4.1.2).
+    // `explode` of the bucket lookup reproduces the former inner
+    // join's multiplicity exactly (missing bucket → null array → row
+    // dropped); the pay lookup feeds cosineFast, whose null on a
+    // missing id fails the threshold the way an inner pay join dropped
+    // the row. The cosine is the same CosineSimilarityExpr over the
+    // same raw values (the lookup table catalyst-converts the
+    // collected rows exactly as a local table did), so the flag set is
+    // bit-identical up to the skew-cap granularity note on
+    // [[leanOverCapSet]].
     val flagged = scala.collection.mutable.LinkedHashSet.empty[Any]
     if (probeCorpus && payload.nonEmpty) {
       import org.apache.spark.sql.types.{ArrayType, IntegerType}
@@ -3479,27 +3626,45 @@ object Dedup {
       })
       // NO distinct on the hits: k-band duplicate hits cost one
       // redundant in-plan cosine each, while the dedup aggregate added
-      // an exchange + agg to the broadcast build's critical path
-      // (fixed latency per batch)
-      val hits = readIndexCached(spark, s"$indexPath/buckets")
-        .where(col("bn") <= maxBucketSize)
+      // an exchange + agg to the critical path (fixed latency per
+      // batch). ONE-JOB probe (round 16): the corpus side scans the
+      // sig frame ALONE — bucket keys re-derive in-plan from the
+      // persisted `sig` column (embBucketArray is exactly what every
+      // write path evaluated to produce the buckets tree, the
+      // embRebucket identity), the batch side rides as driver-built
+      // lookups, and the skew guard filters against the driver-held
+      // over-cap SET ([[leanOverCapSet]] — usually empty: a fused
+      // segment is gather-cap bounded, so no bucket of its own can
+      // exceed the cap) instead of the per-row `bn` column. The former
+      // shape's buckets-scan broadcast build was one more
+      // single-task job every micro-batch.
+      val overCap = ingestDbg("overcap")(
+        leanOverCapSet(spark, s"$indexPath/buckets", maxBucketSize))
+      val scan0 = readIndexCached(spark, s"$indexPath/sig")
+        .select(
+          col("v").as("v_b"),
+          explode(embBucketArray(bands, rows)).as("bucket"))
+      val scan =
+        if (overCap.isEmpty) scan0
+        else scan0.where(
+          graft.functions.LocalLookup(
+            col("bucket"), IntegerType,
+            org.apache.spark.sql.types.StringType,
+            overCap.iterator.map(b => (b, ""))).isNull)
+      val probeDf = scan
         .select(
           explode(
             graft.functions.LocalLookup(
               col("bucket"), IntegerType, ArrayType(idType),
               bandedBuf.iterator.map { case (bk, ids) => (bk, ids.toSeq) }))
             .as("probe_id"),
-          col("id").as("corpus_id"))
-      val probeDf = ingestDbg("probe-build")(
-        readIndexCached(spark, s"$indexPath/sig")
-          .select(col("id").as("corpus_id"), col("v").as("v_b"))
-          .join(broadcast(hits), Seq("corpus_id"))
-          .where(
-            VectorExpressions.cosineFast(
-              graft.functions.LocalLookup(
-                col("probe_id"), idType, vType, payBuf),
-              col("v_b")) >= threshold)
-          .select(col("probe_id")))
+          col("v_b"))
+        .where(
+          VectorExpressions.cosineFast(
+            graft.functions.LocalLookup(
+              col("probe_id"), idType, vType, payBuf),
+            col("v_b")) >= threshold)
+        .select(col("probe_id"))
       collectDbg("probe")(probeDf).foreach(r => flagged += r.get(0))
     }
     // the EXACT cosineFast recursion ([[VectorExpressions
@@ -3558,13 +3723,19 @@ object Dedup {
     *
     * INVARIANT — `bn` is SEGMENT-LOCAL, never corpus-global: it counts
     * this batch's survivors per bucket, exactly what the unfused
-    * windowed form computes over its own segment frame. Probe readers
-    * filter `bn <= maxBucketSize` per segment row, so the skew guard
-    * composes across segments without a global count; COMPACTION is
-    * the only place a corpus-global `bn` is computed (it re-buckets
-    * the union of stored signatures). Do not "fix" this to a corpus
-    * count — that would double-apply the guard after compaction and
-    * change which buckets probe.
+    * windowed form computes over its own segment frame. Per-row probe
+    * readers (the mh/sig64 probes, emb QUERY-path probes) filter
+    * `bn <= maxBucketSize` per segment row, so the skew guard composes
+    * across segments without a global count; COMPACTION is the only
+    * place a corpus-global `bn` is computed (it re-buckets the union
+    * of stored signatures). Do not "fix" this to a corpus count — that
+    * would double-apply the guard after compaction and change which
+    * buckets probe. The emb LEAN probes consume `bn` indirectly, as
+    * the derived over-cap bucket SET ([[leanOverCapSet]] — any granule
+    * whose own `bn` exceeds the cap contributes its bucket), trading
+    * the per-granule drop granularity for a one-scan probe; the
+    * rationale and the corner where the rules differ are documented
+    * there.
     */
   /** (rows, schema) of the segment frames [[driverSegmentFrames]]
     * built from driver-held survivor payloads — identity-keyed so the

@@ -645,6 +645,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("emb ingest: over-cap corpus buckets escape the probe in BOTH shapes") {
+    // The skew guard's deliberate recall sacrifice: rows living in a
+    // bucket whose occupancy exceeded maxBucketSize at write time
+    // cannot flag incoming near-dups. The lean probes consume this as
+    // the driver-held over-cap SET (Dedup.leanOverCapSet) — one rule
+    // shared by the fused and forced-distributed shapes, pinned here
+    // via the exact bench JVM-prop hook. An under-cap control bucket
+    // shows the probe itself stays live.
+    import spark.implicits._
+    import graft.streaming.EmbedIngest
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(16)(j => if (j == i) 1f else 0f)
+    def near(i: Int, eps: Float): Array[Float] = {
+      val v = unit(i); v((i + 1) % 16) = eps; v
+    }
+    def runTo(idx: String, force: Boolean): Set[Long] = {
+      def batch(rows: Seq[(Long, Array[Float])], id: Long): Unit = {
+        if (force) sys.props(graft.operators.Dedup.ForceUnfusedProp) = "1"
+        try EmbedIngest.ingestBatch(
+          rows.toDF("vec_id", "embedding"), idx, "embedding", "vec_id",
+          batchId = id, threshold = 0.9, maxBucketSize = 8)
+        finally sys.props.remove(graft.operators.Dedup.ForceUnfusedProp)
+      }
+      // 12 identical vectors co-bucket in every band (12 > cap=8), so
+      // the intra pair expansion skips the bucket and ALL commit —
+      // the corpus now holds an over-cap bucket. 50L seeds an
+      // under-cap control direction.
+      batch((1L to 12L).map(i => (i, unit(0))) :+ ((50L, unit(5))), 0L)
+      // a near-dup of the over-cap pile ESCAPES the probe (survives);
+      // a near-dup of the control is flagged (dropped)
+      batch(Seq((100L, near(0, 0.05f)), (101L, near(5, 0.05f))), 1L)
+      EmbedIngest.ingestedIds(spark, idx).get.as[Long].collect().toSet
+    }
+    val expected = (1L to 12L).toSet + 50L + 100L
+    val fused = runTo(
+      Files.createTempDirectory("graft-embcap").toString + "/emb",
+      force = false)
+    val forced = runTo(
+      Files.createTempDirectory("graft-embcapf").toString + "/emb",
+      force = true)
+    assert(fused === expected)
+    assert(forced === expected)
+  }
+
   test("streaming CMS: batch-split invariant and EQUAL to the batch sketch") {
     import spark.implicits._
     import graft.streaming.StreamCms
