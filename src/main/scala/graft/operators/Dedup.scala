@@ -878,16 +878,32 @@ object Dedup {
     * recomputed with ONE column-pruned aggregation over the buckets
     * tree otherwise (cold start, external writer, compaction, vacuum).
     */
+  /** Wholesale-evict past a size cap (the [[unitFpMemo]] rationale:
+    * bench and test suites churn many short-lived index paths in one
+    * JVM, and a dead entry's unit-fingerprint map grows with segment
+    * count). Callers hold no lock; the cache is a concurrent map.
+    */
+  private def overCapPut(path: String, e: OverCapEntry): Unit = {
+    if (overCapCache.size > 1024) overCapCache.clear()
+    overCapCache.put(path, e)
+  }
+
   private def leanOverCapSet(
       spark: org.apache.spark.sql.SparkSession,
       bucketsPath: String,
-      cap: Int): Set[Int] = synchronized {
+      cap: Int): Set[Int] = {
+    // deliberately NOT under the Dedup monitor: the recompute below is
+    // a corpus-sized collect, and holding the global lock across it
+    // would stall every other pipeline's readIndexCached/extend in
+    // the JVM (multi-stream ingest serializing on one scan). A racing
+    // writer only makes the stored listing stale, which the next
+    // probe's fingerprint comparison detects — recompute, self-heal.
     val root = new org.apache.hadoop.fs.Path(bucketsPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) {
       // fresh index: seed an empty entry so the first publish's
       // extension (not a recompute) carries the state forward
-      overCapCache.put(bucketsPath, OverCapEntry(cap, Map.empty, Set.empty))
+      overCapPut(bucketsPath, OverCapEntry(cap, Map.empty, Set.empty))
       return Set.empty
     }
     val units = listUnits(fs, root)
@@ -901,7 +917,7 @@ object Dedup {
           .collect()
           .map(_.getInt(0))
           .toSet
-        overCapCache.put(bucketsPath, OverCapEntry(cap, units, set))
+        overCapPut(bucketsPath, OverCapEntry(cap, units, set))
         set
     }
   }
@@ -932,9 +948,21 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       unitName: String,
-      frame: DataFrame): Unit = synchronized {
+      frame: DataFrame): Unit = {
     if (!unitName.contains("=")) return
+    // over-cap extension first and OUTSIDE the monitor: its unfused
+    // branch runs a batch-sized collect, and the cap state has its own
+    // CAS discipline — only the frame-cache mutation below needs the
+    // Dedup lock
     extendOverCap(spark, path, unitName, frame)
+    extendFrameCache(spark, path, unitName, frame)
+  }
+
+  private def extendFrameCache(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      unitName: String,
+      frame: DataFrame): Unit = synchronized {
     val cur = Option(indexFrameCache.get(path))
     val schema = indexSchemaCache.get(path)
     if (cur.isEmpty) return
@@ -1019,6 +1047,11 @@ object Dedup {
       return
     }
     val fp = unitFingerprint(fs, fs.getFileStatus(unitPath))
+    // outside any lock — the distributed branch is a collect (one
+    // batch-sized job per unfused publish: it re-runs the segment's
+    // banding+window aggregation, accepted as amortized against the
+    // fallback's already-distributed pipeline; the fused branch is
+    // pure driver rows)
     val extra: Set[Int] = localSegmentRows(frame) match {
       case Some((rows, schema)) =>
         val bIdx = schema.fieldIndex("bucket")
@@ -1036,9 +1069,15 @@ object Dedup {
           .map(_.getInt(0))
           .toSet
     }
-    overCapCache.put(
-      path,
-      OverCapEntry(oce.cap, oce.units + (unitName -> fp), oce.set ++ extra))
+    // CAS publish-or-drop: if the entry moved while we computed
+    // (another stream's probe recomputed, a concurrent publish
+    // extended), a blind put could resurrect a stale base — drop
+    // instead and let the next probe's fingerprint comparison
+    // recompute
+    val updated =
+      OverCapEntry(oce.cap, oce.units + (unitName -> fp), oce.set ++ extra)
+    if (!overCapCache.replace(path, oce, updated))
+      overCapCache.remove(path)
   }
 
   private def readIndexCached(
@@ -3396,14 +3435,11 @@ object Dedup {
           col("id").as("corpus_id"),
           col("v").as("v_c"),
           explode(embBucketArray(bands, rows)).as("bucket"))
+      // isInCollection → InSet hash-set membership (the fused probe's
+      // rationale); `bucket` is never null so not-in is total
       val scan =
         if (overCap.isEmpty) scan0
-        else scan0.where(
-          graft.functions.LocalLookup(
-            col("bucket"),
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.StringType,
-            overCap.iterator.map(b => (b, ""))).isNull)
+        else scan0.where(!col("bucket").isInCollection(overCap))
       scan
         .join(broadcast(bBanded), Seq("bucket"))
         .join(
@@ -3644,13 +3680,12 @@ object Dedup {
         .select(
           col("v").as("v_b"),
           explode(embBucketArray(bands, rows)).as("bucket"))
+      // membership via isInCollection — past the optimizer's In→InSet
+      // threshold this is a hash-set probe; `bucket` is a hash()
+      // output and never null, so not-in semantics are total
       val scan =
         if (overCap.isEmpty) scan0
-        else scan0.where(
-          graft.functions.LocalLookup(
-            col("bucket"), IntegerType,
-            org.apache.spark.sql.types.StringType,
-            overCap.iterator.map(b => (b, ""))).isNull)
+        else scan0.where(!col("bucket").isInCollection(overCap))
       val probeDf = scan
         .select(
           explode(

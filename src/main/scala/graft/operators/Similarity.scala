@@ -1275,27 +1275,21 @@ object Similarity {
       k: Int,
       iters: Int = 3,
       sourceTag: String = ""): Unit = {
+    // the quantizer's own build parameters ride in the one `_meta`
+    // write beside the source tag, so an occupancy-drift retrain
+    // ([[ivfRetrain]]) re-runs the SAME k-means without the caller
+    // remembering k — a label-built index ([[ivfWriteIndex]] directly)
+    // records none and a retrain there demands explicit parameters
     ivfWriteIndex(
       graft.ops.Stage.materializeOnce(kmeansAssign(df, vecCol, idCol, k, iters)),
       vecCol,
       idCol,
       "cluster",
       path,
-      sourceTag)
-    // record the quantizer's own build parameters beside the source
-    // tag, so an occupancy-drift retrain ([[ivfRetrain]]) re-runs the
-    // SAME k-means without the caller remembering k — a label-built
-    // index ([[ivfWriteIndex]] directly) records none and a retrain
-    // there demands explicit parameters
-    df.sparkSession
-      .range(1)
-      .select(
-        lit(sourceTag).as("source"),
-        lit(k).as("kmeans_k"),
-        lit(iters).as("kmeans_iters"))
-      .write
-      .mode("overwrite")
-      .parquet(s"$path/_meta")
+      sourceTag,
+      metaExtras = Seq(
+        "kmeans_k" -> lit(k),
+        "kmeans_iters" -> lit(iters)))
   }
 
   /** Rank IVF clusters by query↔centroid cosine and return the `nprobe`
@@ -1356,7 +1350,13 @@ object Similarity {
       idCol: String,
       clusterCol: String,
       path: String,
-      sourceTag: String = ""): Unit = {
+      sourceTag: String = "",
+      // extra `_meta` columns written in the SAME job as `source` —
+      // a second overwrite of `_meta` would both double the write
+      // cost and open a crash window where the file holds only the
+      // source tag (an ivfRetrain would then refuse a kmeans-built
+      // index as parameterless)
+      metaExtras: Seq[(String, Column)] = Nil): Unit = {
     df.select(
         col(idCol).as("id"),
         col(vecCol).as("v"),
@@ -1371,7 +1371,9 @@ object Similarity {
       .parquet(s"$path/centroids")
     df.sparkSession
       .range(1)
-      .select(lit(sourceTag).as("source"))
+      .select(
+        (lit(sourceTag).as("source") +:
+          metaExtras.map { case (n, c) => c.as(n) }): _*)
       .write
       .mode("overwrite")
       .parquet(s"$path/_meta")
