@@ -912,18 +912,20 @@ object SparkEntry {
     * decimals, so the 6-decimal rounding is tie-free (see q39 on ties).
     */
   private def q46(sess: SparkSession, d: String): DataFrame = {
-    val tk = Tables
-      .documents(sess, d)
+    // scan → tokenize → explode → partial agg runs in ONE stage whose
+    // parallelism = input splits (at corpus scale, thousands — an
+    // UNCONDITIONAL repartition would shuffle raw text for nothing
+    // there, this branch's long-standing rationale). The adaptive
+    // fan-out keeps that posture (no-op when the scan fans out) and
+    // un-serializes the one-split fixture scan locally; it shuffles
+    // the raw TEXT (pre-tokenize), never the token arrays
+    val tk = graft.ops.Stage
+      .fanOutIfNarrow(Tables.documents(sess, d), col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
     val rep = tk.select(
       col("doc_id"),
       round(TextFunctions.tokenRepetition(col("tk")), 6).as("rep_ratio"))
     val top = tk
-      // scan → tokenize → explode → partial agg pipeline in ONE stage:
-      // parallelism = input splits (at corpus scale, thousands). A
-      // repartition here would shuffle the full token arrays — strictly
-      // worse at scale; locally the one-split documents file serializes
-      // this stage, a bench artifact, not a plan defect.
       .select(col("doc_id"), explode(TextFunctions.bigramsOf(col("tk"))).as("bigram"))
       .groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("c"))
@@ -1451,7 +1453,11 @@ object SparkEntry {
     * GD replay and separation on planted classes.
     */
   private def q194(s: SparkSession, d: String): DataFrame = {
-    val ds = Tables.documents(s, d)
+    // feature hashing (tokenize + bigram md5) is the heavy narrow
+    // stage; adaptive fan-out un-serializes the one-split fixture scan
+    // (no-op at corpus scale) before the staged features frame
+    val ds = graft.ops.Stage
+      .fanOutIfNarrow(Tables.documents(s, d), col("doc_id"))
       .withColumn("__is_en", (col("lang") === "en").cast("int"))
     // one tokenize pass feeds BOTH train and score (the features frame
     // is deterministic; staging it here halves the corpus passes)
@@ -2566,8 +2572,10 @@ object SparkEntry {
     */
   private def q201(sess: SparkSession, d: String): DataFrame = {
     val st = graft.functions.TextFunctions.gopherStats(col("text"))
-    Tables
-      .documents(sess, d)
+    graft.ops.Stage
+      // single-task scan serialized the rule battery (q205's shape);
+      // adaptive fan-out, no-op at corpus scale
+      .fanOutIfNarrow(Tables.documents(sess, d), col("doc_id"))
       .select(col("doc_id"), st.as("st"))
       .select(
         col("doc_id"),
@@ -2831,8 +2839,10 @@ object SparkEntry {
         ".7, IBAN DE44500105175407324931, card 4111 1111 1111 1111, " +
           "SSN 123-45-6789."))
     val st = graft.functions.Pii.redactAudit(contact)
-    Tables
-      .documents(sess, d)
+    // one-row-group fixture → single-task scan → the whole regex
+    // battery on one core; adaptive fan-out (no-op at corpus scale)
+    graft.ops.Stage
+      .fanOutIfNarrow(Tables.documents(sess, d), col("doc_id"))
       .select(col("doc_id"), st.as("st"))
       .select(
         col("doc_id"),
@@ -3720,8 +3730,13 @@ object SparkEntry {
     * Σ|block|² exactly like q16's n-gram blocking — never all-pairs.
     */
   private def q104(sess: SparkSession, d: String): DataFrame = {
-    val base = Tables
-      .documents(sess, d)
+    // the blocked self-join is broadcast (r side is the whole tiny
+    // prefix table), so there is NO exchange anywhere and the
+    // levenshtein DP over every candidate pair ran inside the
+    // single-task scan stage; adaptive fan-out parallelizes the probe
+    // side (no-op at corpus scale, where the scan fans out by itself)
+    val base = graft.ops.Stage
+      .fanOutIfNarrow(Tables.documents(sess, d), col("doc_id"))
       .select(
         col("doc_id"),
         expr("n_chars div 20").as("blk"),
@@ -4304,11 +4319,20 @@ object SparkEntry {
     * from identical inputs).
     */
   private def q128(sess: SparkSession, d: String): DataFrame = {
-    val w = graft.operators.Sampling
-      .tfIdf(Tables.documents(sess, d), "doc_id", "text")
-    val norms = w
-      .groupBy("doc_id")
-      .agg(sum(col("tfidf") * col("tfidf")).as("n2"))
+    // the tf-idf weight table feeds FOUR consumers (probe join, norms,
+    // query-doc weights, query norm) — unstaged, the tokenize→explode→
+    // count→join subtree ran four times (24 parquet scans / 38
+    // exchanges in the plan; 0.83 s at sf0.1). Compute it once; the
+    // corpus pass is the dominant cost and is O(corpus) at any scale
+    val w = graft.ops.Stage.materializeLazy(
+      graft.operators.Sampling
+        .tfIdf(Tables.documents(sess, d), "doc_id", "text"))
+    // norms has two consumers (fill join + query norm) but derives
+    // from the staged w by one cheap re-aggregation; lazy-stage it so
+    // the agg also runs once without an extra eager job
+    val norms = graft.ops.Stage.materializeLazy(
+      w.groupBy("doc_id")
+        .agg(sum(col("tfidf") * col("tfidf")).as("n2")))
     val qw = w
       .where(col("doc_id") === 42)
       .select(col("term"), col("tfidf").as("qtf"))

@@ -45,8 +45,22 @@ object Pii {
     val (finalText, counts) =
       Rules.foldLeft((c, Seq.empty[Column])) {
         case ((text, acc), (name, pat, token)) =>
-          val n = regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
-          (regexp_replace(text, pat, token), acc :+ n)
+          // ONE regex pass per rule: split on the pattern, then count =
+          // segments−1 and rewrite = join-with-token — vs the
+          // count+replace pair, which scanned the text twice per rule
+          // (regexp_count itself lowers to regexp_extract_all, which
+          // also materializes every match). Semantics are identical:
+          // java.util.regex non-overlapping left-to-right matching in
+          // both forms, limit −1 keeps trailing empty segments so a
+          // match at end-of-text still contributes its token, and a
+          // leading match yields an empty first segment. Patterns
+          // cannot match empty (all require ≥1 char), so split cannot
+          // produce the zero-width-match artifacts. The shared `segs`
+          // subtree is deduplicated by codegen subexpression
+          // elimination (count and join both reference it).
+          val segs = split(text, pat, -1)
+          val n = (size(segs) - 1).cast("long").as(s"n_$name")
+          (array_join(segs, token), acc :+ n)
       }
     struct(counts :+ finalText.as("redacted"): _*)
   }

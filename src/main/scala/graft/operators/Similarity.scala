@@ -787,10 +787,18 @@ object Similarity {
   def clusterOccupancyDrift(
       spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val counts = AtomicAppend
-      .readWithSeg(spark, s"$path/corpus")
-      .groupBy(col("__seg"), col("cluster"))
-      .agg(count(lit(1)).as("__c"))
+    // counts is consumed FOUR times below (grid's two distinct sides,
+    // the fill join, the base-share self-join) — unstaged, each
+    // consumer re-reads every committed leg and re-aggregates, so the
+    // plan held 4x the corpus scans and a dozen broadcast-build jobs
+    // (profiled: ~1.1 s steady at sf0.1, almost all scheduler/footer
+    // overhead). Materialize the tiny (segments x nclusters)-bounded
+    // frame once; everything downstream is arithmetic over it
+    val counts = graft.ops.Stage.materializeOnce(
+      AtomicAppend
+        .readWithSeg(spark, s"$path/corpus")
+        .groupBy(col("__seg"), col("cluster"))
+        .agg(count(lit(1)).as("__c")))
     // segments × clusters grid: both sides are tiny DISTINCT frames
     // (bounded by append count and k respectively), so the cross is a
     // bounded constant-attach, not a corpus cartesian
@@ -802,11 +810,16 @@ object Similarity {
       .join(counts, Seq("__seg", "cluster"), "left")
       .na
       .fill(0L, Seq("__c"))
-    val withShare = filled
-      .withColumn(
-        "__share",
-        col("__c") / sum(col("__c")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("__seg")))
+    // two consumers again (the base-share slice and the main side) —
+    // lazy-stage so the grid+fill+window subtree appears once in the
+    // plan instead of twice (still tiny data; this trims plan size and
+    // driver round trips, not bytes)
+    val withShare = graft.ops.Stage.materializeLazy(
+      filled
+        .withColumn(
+          "__share",
+          col("__c") / sum(col("__c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("__seg"))))
     val base = withShare
       .where(col("__seg") === 0L)
       .select(col("cluster"), col("__share").as("__base_share"))

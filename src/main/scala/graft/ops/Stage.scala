@@ -25,6 +25,34 @@ import org.apache.spark.sql.DataFrame
   *    fault tolerance for long pipelines.
   */
 object Stage {
+
+  /** Scale-ADAPTIVE fan-out for a CPU-heavy narrow stage: repartition by
+    * `key` only when the input's scan yields fewer partitions than the
+    * session can run in parallel. A one-row-group parquet fixture gives
+    * the scan a single effective split, so everything up to the first
+    * exchange (regex batteries, edit distances, n-gram explosion)
+    * serializes on one core — the guide's unsplittable-input remedy is
+    * to repartition right after the read (opt guide §2.5). Done
+    * UNCONDITIONALLY that repartition is strictly worse at corpus
+    * scale: a real table carries ≥ parallelism splits and the extra
+    * exchange would shuffle the whole corpus for nothing (q46's
+    * long-standing rationale). The partition-count guard keeps both
+    * postures: no-op whenever the scan already fans out, deterministic
+    * key-hash shuffle (retry-safe, no round-robin pre-sort) over an
+    * explicit partition count (AQE's BYTE-based coalescing would fold
+    * a tiny-bytes / heavy-CPU shuffle back to one partition) when it
+    * does not.
+    *
+    * Never place this before an order/index-assigning op
+    * (`__index__` discipline): repartition changes physical row order.
+    */
+  def fanOutIfNarrow(
+      df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   /** LAZY plan re-rooting — the codegen-stability half of
     * [[materializeOnce]] without the eager job. The returned frame's
     * plan starts at a LogicalRDD, so every DOWNSTREAM stage's

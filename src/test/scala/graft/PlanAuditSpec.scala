@@ -66,12 +66,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // the batch probe cross-applies the BROADCAST QUERY BATCH (3 rows
     // here; small by the lshProbeIndexMany assumption) onto the codes
     // scan — every (vector, query) pair is scored by design
-    "q221_sq_probe_many",
-    // clusterOccupancyDrift completes the seg x cluster grid with an
-    // explicit BOUNDED cross of two tiny DISTINCT frames (segments x
-    // k clusters — append-count x quantizer size, never corpus-sized);
-    // the broadcast side is the k-row cluster list
-    "q230_ivf_occupancy_drift")
+    "q221_sq_probe_many")
+  // q230 (clusterOccupancyDrift) left this list in round 16: the
+  // bounded seg x cluster grid cross still executes, but it now lives
+  // inside the lazily-staged `withShare` frame (Stage.materializeLazy
+  // re-roots the final plan at a LogicalRDD), so the audited final
+  // plan no longer contains it. The justification is unchanged — the
+  // cross is append-count x quantizer size, never corpus-sized — and
+  // the staged subtree is covered by the same bounded-frame argument
+  // (DriftSpec pins the output)
 
   /** Queries allowed an `Exchange SinglePartition`. Two legitimate
     * shapes, each bounded:
