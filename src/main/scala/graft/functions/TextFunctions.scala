@@ -219,15 +219,31 @@ object TextFunctions {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher rule-pack statistics per document (Rae et al.
-    * arXiv:2112.11446 §A1.1) as ONE struct-valued expression — every
-    * field a codegen'd higher-order array expression over the token /
-    * line arrays (no explode, no shuffle, no UDF). Ratios are null on
-    * empty documents (0/0 is undefined, not 0). Substring counts use
-    * the length-minus-replace identity (non-overlapping occurrences —
-    * the same scan any engine's `replace` does, so oracles reproduce
-    * the counts bit-for-bit).
+    * arXiv:2112.11446 §A1.1) as ONE struct-valued expression. Since
+    * round 16 this delegates to [[GopherStatsExpr]] — a single tight
+    * JVM pass per row. The composable higher-order-function form below
+    * ([[gopherStatsComposable]]) evaluated an INTERPRETED lambda per
+    * token/line (filter/aggregate/transform closures never enter
+    * whole-stage codegen — the SignatureExpressions rationale), and
+    * the per-token `rlike` alone cost ~hundreds of interpreted regex
+    * invocations per document (profiled: ~2.9 ms/doc at sf0.1, the
+    * whole q201 rule battery). Bit parity fused == composable is
+    * spec-asserted over the corpus and the edge cases (CurationSpec).
     */
-  def gopherStats(c: Column): Column = {
+  def gopherStats(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      GopherStatsExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(c)))
+
+  /** The original composable Column form of [[gopherStats]] — kept as
+    * the executable SPECIFICATION the fused expression is differenced
+    * against (CurationSpec parity test). Ratios are null on empty
+    * documents (0/0 is undefined, not 0). Substring counts use the
+    * length-minus-replace identity (non-overlapping occurrences — the
+    * same scan any engine's `replace` does, so oracles reproduce the
+    * counts bit-for-bit).
+    */
+  def gopherStatsComposable(c: Column): Column = {
     // drop phantom empty tokens: `tokens` trims SPACES only, so a doc
     // starting with "\n"/"\t" (common in scraped text) splits to a
     // leading "" — which would inflate n_words by one and deflate

@@ -743,7 +743,12 @@ object Sampling {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // df derives from tf (tf rows are already distinct (doc, term)
     // pairs): one explode + one exchange feed both aggregates — the
-    // naive distinct().groupBy() re-exploded the corpus a second time
+    // naive distinct().groupBy() re-exploded the corpus a second time.
+    // Staging tf (materializeLazy) was tried in round 16 and MEASURED
+    // WORSE (q33 1.2→1.6 s, q156 1.5→2.6 s at sf0.1): persisting the
+    // (doc, term, tf) frame costs more than re-running the shared
+    // explode+partial-agg, and the LogicalRDD re-root forfeits
+    // downstream AQE choices — reverted, recompute kept deliberately
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
     tf.join(dfreq, Seq("term"))

@@ -168,6 +168,48 @@ class CurationSpec extends AnyFunSuite {
     assert(kept === Seq.empty[String])
   }
 
+  test("gopherStats fused expression == composable form, bit for bit") {
+    import graft.functions.TextFunctions
+    // real corpus + adversarial edges: empty, whitespace-only, newline
+    // splits with trailing empties, bullets (-, *, •), ellipses (...,
+    // …, 4+ dots, end-of-text), '#' runs, mixed-case stopwords, a
+    // non-ASCII token, an astral (non-BMP) code point (length() counts
+    // code points, not UTF-16 units), and null
+    val edges = Seq(
+      "", " ", "\n", "\t\n \f\r", "a", "the THE The tHe",
+      "- bullet\n* star\n• dot\nplain", "  - spaced bullet  ",
+      "ends with...", "ends with…", "....", "...", "#a#b##",
+      "wait... no…\nsecond...", "café résumé",
+      "emoji 😀 token", "of AND that HAVE with BE to",
+      "a...\n...b\n...", "x\n\n\ny", "trailing newline\n",
+      null.asInstanceOf[String])
+    val corpus = Tables
+      .documents(spark, TestSpark.sf)
+      .select(col("text"))
+      .as[String]
+      .collect()
+      .toSeq
+    val df = (corpus ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = df.select(
+      col("id"),
+      TextFunctions.gopherStats(col("text")).as("f"),
+      TextFunctions.gopherStatsComposable(col("text")).as("c"))
+    // <=> is null-safe; struct equality is field-wise. The fused form
+    // yields a NULL struct on null input where the composable yields a
+    // struct of null fields — both extract to identical field values,
+    // which is what every consumer (q201's select, gopherKeep) does
+    val fields = Seq("n_words", "mean_word_len", "symbol_ratio",
+      "bullet_ratio", "ellipsis_ratio", "alpha_ratio", "n_stop_hits")
+    val diff = both
+      .where(!fields
+        .map(f => col(s"f.$f") <=> col(s"c.$f"))
+        .reduce(_ && _))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("c4KeptLines: terminal punctuation, 5-word minimum, javascript drop, order kept") {
     import graft.functions.TextFunctions
     val page = Seq(
