@@ -547,8 +547,11 @@ object SparkEntry {
     * regardless of group size) or a two-pass exact rank join.
     */
   private def q27(s: SparkSession, d: String): DataFrame =
-    Tables
-      .orders(s, d)
+    graft.ops.Stage
+      // exact percentile's PARTIAL aggregation buffers every value, so
+      // it is CPU/alloc-heavy and ran inside the single-task fixture
+      // scan; adaptive fan-out (no-op at corpus scale) parallelizes it
+      .fanOutIfNarrow(Tables.orders(s, d), col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
         expr("percentile(o_totalprice, 0.25)").as("p25"),
@@ -1151,8 +1154,15 @@ object SparkEntry {
     */
   private def q55(sess: SparkSession, d: String): DataFrame = {
     import graft.api.Pandarallel._
-    Tables
-      .events(sess, d)
+    graft.ops.Stage
+      // the expanding window's exchange carries ~2 MB at sf0.1, so
+      // AQE's byte-based coalescing folded the CPU-heavy O(n·w) window
+      // down to ONE task; the keyed fan-out's explicit partition count
+      // satisfies the window's ClusteredDistribution(user_id) (no
+      // second exchange) and is not coalesced. Result order is pinned
+      // by the explicit event_id ordering, so partitioning is
+      // result-invariant. No-op at corpus scale (scan already wide)
+      .fanOutIfNarrow(Tables.events(sess, d), col("user_id"))
       .withColumn("__cents", centsOf(col("value")).cast("double"))
       .parallelGroupBy("user_id")
       .expanding(col("event_id"))
@@ -3002,6 +3012,11 @@ object SparkEntry {
     */
   private def q67(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling
+      // NOT fanned out: winsorize's floor is the exact-percentile FINAL
+      // merge (#groups=5 bounds its parallelism — measured 475 ms on
+      // one task either way), so a fan-out exchange only added cost;
+      // the broadcast-bounds fix inside winsorize is what removed the
+      // big-side shuffle
       .winsorize(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority",
           "o_totalprice"),
@@ -3090,7 +3105,11 @@ object SparkEntry {
     */
   private def q72(s: SparkSession, d: String): DataFrame =
     graft.ops.ColApply
-      .describeBy(Tables.orders(s, d), "o_totalprice",
+      // q27's rationale: the percentile partials ran in the 1-task scan
+      .describeBy(
+        graft.ops.Stage
+          .fanOutIfNarrow(Tables.orders(s, d), col("o_orderkey")),
+        "o_totalprice",
         Seq("o_orderpriority"))
       .select(
         col("o_orderpriority"),
@@ -3175,8 +3194,11 @@ object SparkEntry {
     */
   private def q76(s: SparkSession, d: String): DataFrame =
     Windows
+      // q55's rationale: AQE coalesced the rolling window to 2 tasks;
+      // keyed fan-out keeps it wide, ordering pins the result
       .rollingSkewKurt(
-        Tables.events(s, d),
+        graft.ops.Stage
+          .fanOutIfNarrow(Tables.events(s, d), col("user_id")),
         col("value"),
         orderBy = Seq(col("event_id")),
         partitionBy = Seq(col("user_id")),

@@ -53,13 +53,18 @@ object Sampling {
       .agg(loAgg.as("__lo"), hiAgg.as("__hi"))
     // null-SAFE key equality: groupBy emits a bounds row for the
     // null-key group, and a plain USING join would silently DROP every
-    // null-key input row — a row-preserving transform losing data
+    // null-key input row — a row-preserving transform losing data.
+    // bounds is #groups rows by construction — BROADCAST it (guide
+    // §3.1): without the hint the planner's post-agg size estimate let
+    // this become a shuffle join ON THE GROUP KEY, exchanging the whole
+    // input by a low-cardinality (hence skewed) key at any scale —
+    // profiled locally as the q67 clip stage collapsing to one task
     val joined =
       if (keys.isEmpty) df.crossJoin(broadcast(bounds))
       else
         keys.foldLeft(
           df.join(
-            bounds,
+            broadcast(bounds),
             keys.map(k => df(k) <=> bounds(k)).reduce(_ && _)))(
           (d, k) => d.drop(bounds(k)))
     joined
