@@ -298,11 +298,22 @@ object TextFunctions {
 
   /** C4's surviving lines (Raffel et al. arXiv:1910.10683 §2.2): a line
     * is kept iff it ends in terminal punctuation, carries ≥5 words,
-    * and doesn't mention javascript. Order-preserving (`filter` keeps
-    * element order), so `concat_ws("\n", ...)` reassembles the cleaned
-    * page verbatim minus the dropped lines.
+    * and doesn't mention javascript. Order-preserving, so
+    * `concat_ws("\n", ...)` reassembles the cleaned page verbatim
+    * minus the dropped lines. Since round 16 this delegates to
+    * [[C4KeptLinesExpr]] (one tight pass per line — the gopherStats
+    * fusion rationale); [[c4KeptLinesComposable]] is the executable
+    * specification the fused form is differenced against.
     */
   def c4KeptLines(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      C4KeptLinesExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(c)))
+
+  /** The original composable form of [[c4KeptLines]] — kept as the
+    * parity-spec reference (CurationSpec).
+    */
+  def c4KeptLinesComposable(c: Column): Column =
     filter(
       split(c, "\n"),
       l =>

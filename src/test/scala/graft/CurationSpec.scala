@@ -210,6 +210,36 @@ class CurationSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("c4KeptLines fused expression == composable form, element for element") {
+    import graft.functions.TextFunctions
+    val edges = Seq(
+      "", " ", "\n", "line with five words here.\n  padded five word line too!  ",
+      "only four words here.", "ends without punct five words",
+      "JavaScript mention with five words.", "jAvAsCrIpT five word line kept?",
+      "ends in quote with five words\"", "ends in apostrophe five words'",
+      "tab\tseparated five word line here.", "trailing newline keeps empty\n",
+      "no javascript but javascriptish five words.",
+      "unicode café line with five words.", "emoji 😀 line with five words!",
+      null.asInstanceOf[String])
+    val corpus = Tables
+      .documents(spark, TestSpark.sf)
+      .select(col("text"))
+      .as[String]
+      .collect()
+      .toSeq
+    val df = (corpus ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val diff = df
+      .select(
+        col("id"),
+        TextFunctions.c4KeptLines(col("text")).as("f"),
+        TextFunctions.c4KeptLinesComposable(col("text")).as("c"))
+      .where(!(col("f") <=> col("c")))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("c4KeptLines: terminal punctuation, 5-word minimum, javascript drop, order kept") {
     import graft.functions.TextFunctions
     val page = Seq(
