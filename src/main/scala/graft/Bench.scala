@@ -310,6 +310,21 @@ object Bench {
         s""""sf":"$sfDir","reps":$reps,"failed":$failedJson,""" +
         s""""metric":"total","value":$total,"unit":"sec"}"""
     println(line)
+    // Round-17 contract repair (VERDICT r16 #1): the driver keeps only a
+    // ~2000-char stdout TAIL, and the full line above is several KB, so
+    // its FRONT is truncated away and the driver's JSON parse returns
+    // null (BENCH_r15/r16 both `parsed: null`). Field ordering inside one
+    // line cannot fix that — a parser needs the whole line. So after the
+    // full record, print a second, COMPACT final line (guaranteed well
+    // under the tail window: headline fields only, no per-query maps)
+    // that the driver CAN parse. The full per-query record stays in the
+    // first line and in BENCH_FULL.json. Additions-only: the first line
+    // and its schema are unchanged.
+    val compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""failed":$failedJson,"sf":"$sfDir","reps":$reps,""" +
+        s""""load":$loadJson}"""
+    println(compactLine)
     // the driver keeps only a truncated stdout tail, which eats the
     // per-query map — persist the FULL record so cross-round per-query
     // comparison never needs a judge re-run (overwritten each run)

@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   *  - `split(c, "\n")` (limit −1) keeps trailing empty lines; an empty
   *    line fails the terminal-punctuation test either way.
   *  - `trim` strips spaces only; `rlike("[.!?\"']$")` ≡ the trimmed
-  *    line's last char ∈ {., !, ?, ", '} (no MULTILINE, anchor binds
-  *    to the end).
+  *    line's last char ∈ {., !, ?, ", '} — AFTER skipping at most ONE
+  *    trailing line terminator: Java `$` without MULTILINE also
+  *    matches immediately before a FINAL \r, \u0085, \u2028 or \u2029
+  *    (\n cannot survive the split), so "Good sentence.\r" (any CRLF
+  *    document split on \n) is kept by the composable form and must
+  *    be kept here too (round-17 advice fix; CurationSpec carries
+  *    \r-terminated parity edges).
   *  - the ≥5 check counts non-empty `\s`-separated runs (the
   *    phantom-empty-token note on [[TextFunctions.gopherStats]]).
   *  - `lower(l).contains("javascript")` ≡ ASCII-case-insensitive
@@ -70,6 +75,9 @@ case class C4KeptLinesExpr(child: Expression)
         var b = m
         while (a < b && s.charAt(a) == ' ') a += 1
         while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        // Java `$` (no MULTILINE) matches before ONE final line
+        // terminator, so the punctuation test looks past it (class doc)
+        if (b > a && C4KeptLinesExpr.isLineTerm(s.charAt(b - 1))) b -= 1
         var keep = false
         if (a < b) {
           val last = s.charAt(b - 1)
@@ -108,4 +116,13 @@ case class C4KeptLinesExpr(child: Expression)
     }
     new GenericArrayData(kept.toArray[Any])
   }
+}
+
+object C4KeptLinesExpr {
+  /** Java-regex line terminators a lone `$` matches before — minus \n,
+    * which `split(c, "\n")` consumes, and minus the 2-char \r\n (its \n
+    * is likewise consumed, leaving a bare trailing \r).
+    */
+  @inline private[functions] def isLineTerm(ch: Char): Boolean =
+    ch == '\r' || ch == '\u0085' || ch == '\u2028' || ch == '\u2029'
 }

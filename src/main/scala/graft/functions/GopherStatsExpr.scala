@@ -27,9 +27,15 @@ import org.apache.spark.sql.types._
   *  - `split(c, "\n")` (limit −1) keeps a trailing empty line — the
   *    line count is #newlines + 1, including trailing.
   *  - `rlike("^[-*•]")` ≡ first code point of the space-trimmed line
-  *    ∈ {-, *, U+2022}; `rlike("(\\.\\.\\.|…)$")` ≡ the trimmed line
-  *    ends with "..." or U+2026 (no MULTILINE, so the anchors bind to
-  *    the string ends).
+  *    ∈ {-, *, U+2022} (`^` without MULTILINE matches only at the
+  *    start, no terminator interplay); `rlike("(\\.\\.\\.|…)$")` ≡ the
+  *    trimmed line ends with "..." or U+2026 AFTER skipping at most
+  *    ONE trailing line terminator — Java `$` without MULTILINE also
+  *    matches immediately before a FINAL \r, \u0085, \u2028 or \u2029
+  *    (\n cannot survive the split), so a trimmed line ending "...\r"
+  *    (CRLF text split on \n) counts as an ellipsis line in the
+  *    composable form and must count here too (round-17 advice fix;
+  *    CurationSpec carries \r-terminated parity edges).
   *  - `regexp_replace(c, "\\.\\.\\.", "")`'s length delta ≡ 3 × the
   *    non-overlapping left-to-right "..." count (skip-3 scan).
   *  - the stopword hit count compares the LOWERCASED token against
@@ -142,9 +148,12 @@ case class GopherStatsExpr(child: Expression)
         if (a < b) {
           val c0 = s.codePointAt(a)
           if (c0 == '-' || c0 == '*' || c0 == 0x2022) bullets += 1
-          if (s.charAt(b - 1) == '\u2026' ||
-            (b - a >= 3 && s.charAt(b - 1) == '.' && s.charAt(b - 2) == '.' &&
-              s.charAt(b - 3) == '.')) ells += 1
+          // Java `$` (no MULTILINE) matches before ONE final line
+          // terminator, so the ellipsis test looks past it (class doc)
+          val e = if (C4KeptLinesExpr.isLineTerm(s.charAt(b - 1))) b - 1 else b
+          if (e > a && (s.charAt(e - 1) == '\u2026' ||
+            (e - a >= 3 && s.charAt(e - 1) == '.' && s.charAt(e - 2) == '.' &&
+              s.charAt(e - 3) == '.'))) ells += 1
         }
         lineStart = m + 1
       }

@@ -103,24 +103,32 @@ object AtomicAppend {
         .sortBy(p => segId(p).get)
   }
 
-  /** True iff `dir` holds at least one data file: a non-hidden file
-    * with no hidden path component below `dir` (a segment's own
-    * `_meta` or the commit marker are not data). Guards [[read]]
-    * against schema inference over marker-only directories and lets
-    * [[publish]] turn an empty batch into a no-op.
+  /** Relative path (components) of the FIRST data file under `dir`: a
+    * non-hidden file with no hidden path component below `dir` (a
+    * segment's own `_meta` or the commit marker are not data). Guards
+    * [[read]] against schema inference over marker-only directories,
+    * lets [[publish]] turn an empty batch into a no-op, and tells
+    * [[read]] whether the leg is PARTITIONED (a `k=v` directory
+    * component — the layout is uniform within a leg, one writer) in
+    * the same single listing.
     */
-  private def hasData(fs: FileSystem, dir: Path): Boolean = {
+  private def firstDataFile(fs: FileSystem, dir: Path): Option[Array[String]] = {
     val rootStr = dir.toUri.getPath
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next()
       val rel = f.getPath.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
-      if (rel.nonEmpty &&
-          rel.split('/').forall(c => !c.startsWith("_") && !c.startsWith(".")))
-        return true
+      if (rel.nonEmpty) {
+        val comps = rel.split('/')
+        if (comps.forall(c => !c.startsWith("_") && !c.startsWith(".")))
+          return Some(comps)
+      }
     }
-    false
+    None
   }
+
+  private def hasData(fs: FileSystem, dir: Path): Boolean =
+    firstDataFile(fs, dir).isDefined
 
   /** Run `write` against a staging directory, then publish it as the
     * next committed segment of `dataRoot`. `write` receives the
@@ -161,28 +169,108 @@ object AtomicAppend {
   private def viewLegs(
       spark: SparkSession,
       dataRoot: String): (String, Seq[Path]) = {
+    val (base, segs) = viewLegsInfo(spark, dataRoot)
+    (base, segs.map(_._1))
+  }
+
+  /** [[viewLegs]] plus each surviving segment's partitioned-ness,
+    * detected during the same hasData listing (no extra FS calls).
+    */
+  private def viewLegsInfo(
+      spark: SparkSession,
+      dataRoot: String): (String, Seq[(Path, Boolean)]) = {
     val root = new Path(dataRoot)
     val fs = fsFor(spark, root)
-    val segs = committedSegs(spark, dataRoot).filter(hasData(fs, _))
+    val segs = committedSegs(spark, dataRoot).flatMap { p =>
+      firstDataFile(fs, p).map(comps =>
+        (p, comps.dropRight(1).exists(_.contains('='))))
+    }
     committedFold(spark, dataRoot) match {
       case Some((m, fp)) =>
-        (fp.toString, segs.filter(p => segId(p).exists(_ > m)))
+        (fp.toString, segs.filter { case (p, _) => segId(p).exists(_ > m) })
       case None => (dataRoot, segs)
     }
   }
 
   /** The committed view of an appendable index: the base build's files
-    * plus every marked segment, one scan root per leg (partition
-    * discovery and pruning apply per leg; a filter on the union pushes
-    * into each scan). A never-appended index is exactly the base read;
-    * a COMPACTED index reads its latest fold as the base leg plus any
-    * segments appended after the fold ([[compact]]).
+    * plus every marked segment, read as ONE multi-path parquet scan. A
+    * never-appended index is exactly the base read; a COMPACTED index
+    * reads its latest fold as the base leg plus any segments appended
+    * after the fold ([[compact]]).
+    *
+    * O(1) driver schema reads, not one per leg (round-17, opt guide
+    * §1.2/§6): every bare `spark.read.parquet(leg)` call pays a
+    * serialized DRIVER-side footer/schema inference (~30 ms), so the
+    * unioned view cost ~30 ms × legs per probe — the dominant residual
+    * latency of the append-probe family (q219–q230) and of
+    * [[compact]]'s micro-bench. Two mechanisms, chosen per leg layout
+    * (detected during the committed-segment listing, no extra FS
+    * calls):
+    *
+    *  - FLAT segments (SQ / LSH / embedding / sig64 — files directly
+    *    under `_seg-<n>`) collapse into ONE multi-path read: one
+    *    listing, one schema inference, one scan node in the plan
+    *    (plan analysis cost stops growing with leg count). The base
+    *    leg cannot join that read — Spark's partition inference
+    *    rejects a root nested under another root
+    *    (CONFLICTING_DIRECTORY_STRUCTURES), and the segments live
+    *    under the base dataRoot.
+    *  - PARTITIONED segments (IVF/IVF-PQ `cluster=`, BM25 postings)
+    *    cannot share one multi-path read (per-seg partition parsing
+    *    stops at differing `_seg-<n>` bases — the same
+    *    CONFLICTING_DIRECTORY_STRUCTURES check, verified against
+    *    Spark 4.1), and cannot borrow the base leg's schema either: a
+    *    retrain fold stores `v` as float while later appends store
+    *    double, and `unionByName`'s type COERCION of that divergence
+    *    is pinned behavior (RetrainSpec fails loudly on a forced
+    *    schema). They keep one inferred scan per leg, but the
+    *    per-leg `spark.read.parquet` calls — independent driver-side
+    *    listing + footer reads — run CONCURRENTLY on a small pool
+    *    (§2.6 job-overlap applied to driver latency), so the view
+    *    resolves in ~1 leg's latency instead of legs × latency. Union
+    *    order stays the committed id order (deterministic).
+    *
+    * Parquet resolves columns BY NAME per file — the same name-based
+    * resolution `unionByName` applied per leg (every leg is written by
+    * the same family writer and carries the same column set).
     */
   def read(spark: SparkSession, dataRoot: String): DataFrame = {
-    val (base, segs) = viewLegs(spark, dataRoot)
-    segs.foldLeft(spark.read.parquet(base))((d, s) =>
-      d.unionByName(spark.read.parquet(s.toString)))
+    val (base, segs) = viewLegsInfo(spark, dataRoot)
+    val b = spark.read.parquet(base)
+    if (segs.isEmpty) b
+    else {
+      val (parted, flat) = segs.partition(_._2)
+      val flatDf =
+        if (flat.isEmpty) Nil
+        else Seq(spark.read.parquet(flat.map(_._1.toString): _*))
+      val partedDfs =
+        concurrently(parted)(p => spark.read.parquet(p._1.toString))
+      (flatDf ++ partedDfs).foldLeft(b)(_ unionByName _)
+    }
   }
+
+  /** Resolve independent per-leg reads concurrently (driver-side
+    * listing + footer inference are independent blocking calls; the
+    * pool bounds the burst). Results keep input order; failures
+    * propagate. Daemon threads — never blocks JVM exit.
+    */
+  private lazy val legReadPool =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      8,
+      r => {
+        val t = new Thread(r, "graft-atomicappend-leg-read")
+        t.setDaemon(true)
+        t
+      })
+
+  private def concurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else
+      xs.map(x =>
+          legReadPool.submit(new java.util.concurrent.Callable[B] {
+            override def call(): B = f(x)
+          }))
+        .map(_.get())
 
   /** [[read]] with provenance: a `__seg` column labels each row 0 for
     * the base leg (the build, or the latest fold once compacted) and
@@ -194,14 +282,43 @@ object AtomicAppend {
     * plan literal per leg, not a computed column.
     */
   def readWithSeg(spark: SparkSession, dataRoot: String): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val (base, segs) = viewLegs(spark, dataRoot)
-    segs.foldLeft(
-      spark.read.parquet(base).withColumn("__seg", lit(0L)))((d, s) =>
-      d.unionByName(
+    import org.apache.spark.sql.functions.{input_file_name, length, lit, regexp_extract, when}
+    val (base, segs) = viewLegsInfo(spark, dataRoot)
+    val baseDf = spark.read.parquet(base)
+    val b = baseDf.withColumn("__seg", lit(0L))
+    if (segs.isEmpty) b
+    else {
+      // same leg batching as [[read]]. For the flat multi-path scan
+      // the per-segment label is derived from the file path instead of
+      // a per-leg plan literal: `_seg-([0-9]+)` matches exactly the
+      // plain-segment directory name every file of that scan lives
+      // under (the guard only protects a hypothetical non-matching
+      // path from feeding '' to the cast, which under the default ANSI
+      // mode would throw). The flat label is no longer a
+      // constant-foldable literal, so a `__seg` filter can't prune
+      // individual flat segments at plan time — no current consumer
+      // filters the scan on `__seg` (both drift metrics aggregate over
+      // every segment); a future leg-pruning consumer should read legs
+      // directly. Partitioned legs keep their literal labels.
+      val (parted, flat) = segs.partition(_._2)
+      val segStr = regexp_extract(input_file_name(), "/_seg-([0-9]+)/", 1)
+      val flatDf =
+        if (flat.isEmpty) Nil
+        else
+          Seq(
+            spark.read
+              .parquet(flat.map(_._1.toString): _*)
+              .withColumn(
+                "__seg",
+                when(length(segStr) > 0, segStr.cast("long"))
+                  .otherwise(lit(0L))))
+      val partedDfs = concurrently(parted) { case (p, _) =>
         spark.read
-          .parquet(s.toString)
-          .withColumn("__seg", lit(segId(s).get))))
+          .parquet(p.toString)
+          .withColumn("__seg", lit(segId(p).get))
+      }
+      (flatDf ++ partedDfs).foldLeft(b)(_ unionByName _)
+    }
   }
 
   /** Number of scan legs the committed view currently unions — the

@@ -3928,17 +3928,15 @@ object Dedup {
       textCol: String,
       n: Int = 5): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
-    val tk = TextFunctions.tokens(col(textCol))
-    // one 64-bit hash per word n-gram, generated in place (no string array
-    // of grams is ever materialized per row beyond this projection)
-    val grams = when(
-      size(tk) >= n,
-      transform(
-        sequence(lit(1), size(tk) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
+    // one 64-bit hash per DISTINCT word n-gram, fused into a single
+    // native pass ([[graft.functions.WordGramHashesExpr]] — round 17):
+    // the composable form below ([[distinctGramHashesComposable]], kept
+    // as the parity-spec reference) evaluated an interpreted lambda per
+    // gram (slice + concat_ws + xxhash64, each materializing
+    // intermediates) — the dominant CPU of q149's scan stage
+    val grams = graft.functions.WordGramHashesExpr.ofColumn(col(textCol), n)
     // within-doc dedup ("a gram repeated WITHIN a doc counts once") is
-    // array_distinct IN the projection — no distinct exchange. The
+    // built into the fused expression — no distinct exchange. The
     // cross-doc frequency is a partial+final aggregation joined back,
     // NOT count-over-window: WindowExec buffers a gram's ENTIRE group
     // in one task, so a boilerplate gram present in millions of docs
@@ -3950,7 +3948,7 @@ object Dedup {
     // `docGram` is an identical subplan on both sides, so
     // ReuseExchange dedups it.
     val docGram = docs
-      .select(col(idCol), explode(array_distinct(grams)).as("gh"))
+      .select(col(idCol), explode(grams).as("gh"))
     val gramDf = docGram.groupBy("gh").agg(count(lit(1)).as("ndocs"))
     docGram
       .join(gramDf, "gh")

@@ -182,6 +182,13 @@ class CurationSpec extends AnyFunSuite {
       "wait... no…\nsecond...", "café résumé",
       "emoji 😀 token", "of AND that HAVE with BE to",
       "a...\n...b\n...", "x\n\n\ny", "trailing newline\n",
+      // CRLF / exotic-terminator edges (round-17 advice): Java `$`
+      // matches before a FINAL \r / \u0085 / \u2028 / \u2029, so a
+      // trimmed line ending "...\r" IS an ellipsis line
+      "crlf ellipsis line...\r\nnext line", "ends with...\r",
+      "ends with…\r", "ellipsis then space... \r", "...\r\r",
+      "nel ellipsis...\u0085", "ls ellipsis...\u2028",
+      "ps ellipsis...\u2029", "bare\r", "\r", "a.\r\nb...\r\nc\r\n",
       null.asInstanceOf[String])
     val corpus = Tables
       .documents(spark, TestSpark.sf)
@@ -220,6 +227,15 @@ class CurationSpec extends AnyFunSuite {
       "tab\tseparated five word line here.", "trailing newline keeps empty\n",
       "no javascript but javascriptish five words.",
       "unicode café line with five words.", "emoji 😀 line with five words!",
+      // CRLF / exotic-terminator edges (round-17 advice): Java `$`
+      // matches before a FINAL \r / \u0085 / \u2028 / \u2029, so a
+      // CRLF document's punctuated lines are KEPT by the composable
+      // form and must be kept by the fused form too
+      "crlf line with five words.\r\nsecond crlf line five words!\r\n",
+      "good crlf sentence here five words.\r", "short.\r",
+      "nel line with five words.\u0085", "ls line with five words.\u2028",
+      "ps line with five words.\u2029", "double cr five words here.\r\r",
+      "punct after cr five words.\r.", "space after dot five words. \r",
       null.asInstanceOf[String])
     val corpus = Tables
       .documents(spark, TestSpark.sf)
@@ -238,6 +254,42 @@ class CurationSpec extends AnyFunSuite {
       .where(!(col("f") <=> col("c")))
       .count()
     assert(diff === 0L)
+  }
+
+  test("wordGramHashes fused expression == composable form, element for element") {
+    import graft.functions.WordGramHashesExpr
+    // the adversarial edges the tokenize/split parity depends on:
+    // leading/trailing non-space whitespace (phantom empty tokens),
+    // multi-space and tab separators (non-contiguous grams that force
+    // the copy path), repeated grams (first-occurrence distinct order),
+    // single-token and sub-n docs, unicode tokens, and null
+    val edges = Seq(
+      "", " ", "\t", "\n", "a", "a b", "a b c d e",
+      "a b c d e f g", "a  b   c d e f", "\ta b c d e f",
+      "a b c d e f\t", "a\tb\nc d e f", "a b a b a b a b",
+      "same same same same same same",
+      "café résumé naïve piñata jalapeño über",
+      "emoji 😀 in a five gram line", "x\n\ny z w v u",
+      null.asInstanceOf[String])
+    val corpus = Tables
+      .documents(spark, TestSpark.sf)
+      .select(col("text"))
+      .as[String]
+      .collect()
+      .toSeq
+    val df = (corpus ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(1, 2, 5)) {
+      val diff = df
+        .select(
+          col("id"),
+          WordGramHashesExpr.ofColumn(col("text"), n).as("f"),
+          WordGramHashesExpr.composable(col("text"), n).as("c"))
+        .where(!(col("f") <=> col("c")))
+        .count()
+      assert(diff === 0L, s"n=$n")
+    }
   }
 
   test("c4KeptLines: terminal punctuation, 5-word minimum, javascript drop, order kept") {
