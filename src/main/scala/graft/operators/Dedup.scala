@@ -3115,7 +3115,16 @@ object Dedup {
       idCol: String,
       threshold: Double): DataFrame = {
     VectorExpressions.register(df.sparkSession)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // adaptive fan-out of the STREAM side (round 17, opt guide §2.5):
+    // the fixture's one-row-group parquet scans as a single partition,
+    // so the broadcast nested-loop join — n²/2 cosines, the entire
+    // cost of this operator — ran as ONE task (profiled: q174's 1.2 s
+    // single-task stage ≈ its whole steady-state wall). Per-pair
+    // cosine is row-local arithmetic, so partitioning changes no
+    // result bit; no-op when the scan already fans out.
+    val a = graft.ops.Stage
+      .fanOutIfNarrow(df, col(idCol))
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(
@@ -3149,8 +3158,19 @@ object Dedup {
       iters: Int = 3,
       maxClusterSize: Int = 4096): DataFrame = {
     VectorExpressions.register(df.sparkSession)
+    // adaptive fan-out AFTER the k-means loop (round 17, §2.5): the
+    // fixture scan is one partition, so the assignment UDF + the
+    // whole within-cluster pair/verify pipeline below serialized on
+    // one core. Fanning out the ASSIGNED frame parallelizes staging,
+    // pair expansion and cosine verification while leaving the k-means
+    // ITERATIONS' centroid aggregations on the un-repartitioned input
+    // — their double partial sums keep the exact partition grouping,
+    // so centroids (and therefore clusters, pairs, survivors) stay
+    // bit-identical to the un-fanned form. The final assignment is a
+    // pure per-row map over FIXED centroids — partitioning-invariant.
     val assigned = Similarity
       .kmeansAssign(df, vecCol, idCol, k, iters)
+      .transform(graft.ops.Stage.fanOutIfNarrow(_, col(idCol)))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster"))
       .transform(graft.ops.Stage.materializeOnce)
     val cand = pairsFromBuckets(

@@ -45,6 +45,15 @@ object Stage {
     *
     * Never place this before an order/index-assigning op
     * (`__index__` discipline): repartition changes physical row order.
+    *
+    * EVALUATION CONTRACT (round-17 advice): the partition probe reads
+    * `df.rdd.getNumPartitions`, which under AQE EAGERLY materializes
+    * any query stages below an Exchange — handed a derived frame whose
+    * plan contains exchanges, this helper would silently run jobs at
+    * plan-construction time and plan the query twice. Pass only a raw
+    * table scan or a NARROW projection/filter/per-row-map over one
+    * (every current call site does); anything with an exchange should
+    * fan out at its own shuffle instead.
     */
   def fanOutIfNarrow(
       df: DataFrame,
