@@ -58,7 +58,15 @@ object Sampling {
     // §3.1): without the hint the planner's post-agg size estimate let
     // this become a shuffle join ON THE GROUP KEY, exchanging the whole
     // input by a low-cardinality (hence skewed) key at any scale —
-    // profiled locally as the q67 clip stage collapsing to one task
+    // PlanSpec "hint is load-bearing" pins exactly this (un-hinted
+    // twin degrades to SMJ once the estimate misses the threshold).
+    // CALLER CONTRACT (round-17 advice): the hint is unconditional, so
+    // `keys` must be LOW-CARDINALITY (#groups × ~24 bytes must fit a
+    // broadcast build — millions of groups are fine, billions are
+    // not); winsorizing by a near-unique key is statistically
+    // meaningless anyway (every group clips to itself), so the
+    // contract costs nothing real. A caller that genuinely needs
+    // unbounded keys should groupBy+join without this helper.
     val joined =
       if (keys.isEmpty) df.crossJoin(broadcast(bounds))
       else

@@ -26,6 +26,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Stage {
 
+  /** TEST-ONLY seam (PlanAuditSpec): when set, every frame staged
+    * through [[materializeOnce]] / [[materializeLazy]] / [[rerootLazy]]
+    * reports its PRE-reroot executed plan here. Re-rooting at a
+    * LogicalRDD otherwise HIDES these subtrees from executed-plan
+    * audits (round-17 advice: as more call sites stage multi-consumer
+    * frames, the audit's coverage silently shrinks). Never set on a
+    * production path; the cost when unset is one null check.
+    */
+  @volatile private[graft] var stagedPlanProbe: Option[String => Unit] = None
+
+  private def probe(df: DataFrame): Unit =
+    stagedPlanProbe.foreach(f =>
+      f(df.queryExecution.executedPlan.toString))
+
   /** Scale-ADAPTIVE fan-out for a CPU-heavy narrow stage: repartition by
     * `key` only when the input's scan yields fewer partitions than the
     * session can run in parallel. A one-row-group parquet fixture gives
@@ -74,7 +88,10 @@ object Stage {
     * re-root and the persist is incidental (a micro-batch source read
     * small enough that pinning it is free).
     */
-  def rerootLazy(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+  def rerootLazy(df: DataFrame): DataFrame = {
+    probe(df)
+    df.localCheckpoint(eager = false)
+  }
 
   /** LAZY compute-once: the frame is lazily local-checkpointed —
     * nothing executes now; the FIRST consumer materializes the blocks
@@ -101,10 +118,13 @@ object Stage {
     * checkpoint dir (reliability trade — see class doc); this is the
     * micro-batch ingest shape.
     */
-  def materializeLazy(df: DataFrame): DataFrame =
+  def materializeLazy(df: DataFrame): DataFrame = {
+    probe(df)
     df.localCheckpoint(eager = false)
+  }
 
   def materializeOnce(df: DataFrame): DataFrame = {
+    probe(df)
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined && !sc.isLocal) {
       // NOTE: reliable checkpoints are NOT auto-deleted by default —

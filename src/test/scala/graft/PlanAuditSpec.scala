@@ -125,6 +125,41 @@ class PlanAuditSpec extends AnyFunSuite {
       .executedPlan
       .toString
 
+  /** Queries whose STAGED (pre-reroot) subtrees are allowed a BNL —
+    * `Stage.materialize*` re-roots plans at a LogicalRDD, so these
+    * subtrees escape the final-plan sweep above; the probe below
+    * recovers them (round-17 advice). Every entry is the documented
+    * deliberate case:
+    *  - q174/q225 — the exact O(n²) pairwise-cosine BNL baseline
+    *    (operator doc on embeddingNearDupExact); it executes inside
+    *    resolveComponents' eager materialization.
+    *  - q230 — clusterOccupancyDrift's bounded (segments × clusters)
+    *    grid cross: append-count × quantizer size, never corpus-sized.
+    *  - q128 — the staged 4-consumer weight frame carries the same
+    *    1-row query-norm constant-attach already justified on the
+    *    main list above.
+    */
+  private val allowStagedNestedLoop: Set[String] = Set(
+    "q128_sparse_topk",
+    "q174_semantic_dedup",
+    "q225_best_survivors",
+    "q230_ivf_occupancy_drift")
+
+  /** Staged-subtree plans, captured at Stage call sites while the
+    * query frame is CONSTRUCTED. Index builds cached per (JVM, dir) may
+    * stage frames only on their first construction, so coverage of
+    * build-time subtrees depends on suite ordering — the query-path
+    * stagings (the ones that execute per query) are always captured.
+    */
+  private def stagedPlansOf(name: String): Seq[String] = {
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.ops.Stage.stagedPlanProbe = Some(p => { staged += p; () })
+    try {
+      SparkEntry.queries(name)(spark, TestSpark.sf)
+      staged.toSeq
+    } finally graft.ops.Stage.stagedPlanProbe = None
+  }
+
   test("no declared query ever plans a CartesianProduct") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       assert(!planOf(n).contains("CartesianProduct"), s"$n plans a cartesian")
@@ -152,6 +187,22 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$n plans an Exchange SinglePartition — if the frame is reduced " +
           "or the result is a global aggregate, allow-list it with the " +
           "argument; otherwise repartition or use GlobalRank")
+    }
+  }
+
+  test("staged (pre-reroot) subtrees carry no cartesian and only justified BNLs") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val plans = stagedPlansOf(n)
+      plans.zipWithIndex.foreach { case (p, i) =>
+        assert(
+          !p.contains("CartesianProduct"),
+          s"$n staged subtree[$i] plans a cartesian")
+        assert(
+          !p.contains("BroadcastNestedLoop") || allowStagedNestedLoop(n),
+          s"$n staged subtree[$i] plans an unjustified BNL — add the query " +
+            "to allowStagedNestedLoop WITH a bounded-build-side argument, " +
+            "or fix the join")
+      }
     }
   }
 }

@@ -48,6 +48,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q67 winsorize hint is load-bearing when auto-broadcast is off") {
+    // At dump SF the un-hinted bounds side auto-broadcasts anyway, so
+    // the round-16 before/after plans were identical and the hint's
+    // value was unproven. The hint exists for the case the guide §3.1
+    // warns about: post-aggregation size ESTIMATES exceed the
+    // threshold at scale even when the output is #groups rows.
+    // Simulate that estimate miss by disabling auto-broadcast: the
+    // un-hinted twin of winsorize's join must degrade to a shuffle
+    // join of the WHOLE input on the low-cardinality group key, while
+    // winsorize's explicit hint keeps the broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = Tables
+        .orders(spark, TestSpark.sf)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val hinted = plan(
+        graft.operators.Sampling
+          .winsorize(df, "o_totalprice", keys = Seq("o_orderpriority")))
+      assert(
+        hinted.contains("BroadcastHashJoin"),
+        s"winsorize must keep broadcasting under estimate miss:\n$hinted")
+      val bounds = df
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.05)").as("__lo"),
+          expr("percentile(o_totalprice, 0.95)").as("__hi"))
+      val unhinted = plan(
+        df.join(bounds, df("o_orderpriority") <=> bounds("o_orderpriority")))
+      assert(
+        unhinted.contains("SortMergeJoin") ||
+          unhinted.contains("ShuffledHashJoin"),
+        s"un-hinted twin should shuffle-join under estimate miss:\n$unhinted")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q62 segment dedup: hash joins only, partial+final counts") {
     val p = plan(SparkEntry.queries("q62_segment_dedup")(spark, TestSpark.sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
