@@ -102,14 +102,41 @@ object Dsir {
       textCol: String,
       nBuckets: Int = 1024,
       alpha: Double = 1.0): DataFrame = {
-    // two consumers of the raw bucket frame (distribution + per-doc
-    // counts) — tokenize/md5 the raw corpus once
-    val rawBk = graft.ops.Stage.materializeOnce(
-      hashedBigramBuckets(raw, idCol, textCol, nBuckets))
+    // §2.6 JOB OVERLAP (round-17 pilot): the raw-corpus bucket staging
+    // and the TARGET corpus's tokenize→distribution are independent
+    // legs, but the eager staging job previously serialized before the
+    // final job could even start the target subtree — the target scan
+    // idled behind the raw scan's tail. Submit both from a 2-thread
+    // pool so the target leg back-fills cores the raw staging leaves
+    // free. The target DISTRIBUTION (nBuckets rows, bounded) is staged
+    // — never the target text. Each leg's internal plan (partition
+    // grouping, partial sums, exchange reuse) is byte-identical to the
+    // sequential form, so results don't change (q191 stays
+    // oracle-green); only the job submission overlaps.
+    val legPool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-dsir-leg")
+          t.setDaemon(true)
+          t
+        }))
+    val (rawBk, pTgt) =
+      try {
+        val rawF = scala.concurrent.Future(
+          graft.ops.Stage.materializeOnce(
+            hashedBigramBuckets(raw, idCol, textCol, nBuckets)))(legPool)
+        val tgtF = scala.concurrent.Future(
+          graft.ops.Stage.materializeOnce(
+            bucketDistribution(target, idCol, textCol, nBuckets, alpha)
+              .withColumnRenamed("p", "p_tgt")))(legPool)
+        import scala.concurrent.duration.Duration
+        (
+          scala.concurrent.Await.result(rawF, Duration.Inf),
+          scala.concurrent.Await.result(tgtF, Duration.Inf))
+      } finally legPool.shutdown()
     val pRaw = distributionOfBuckets(rawBk, nBuckets, alpha)
       .withColumnRenamed("p", "p_raw")
-    val pTgt = bucketDistribution(target, idCol, textCol, nBuckets, alpha)
-      .withColumnRenamed("p", "p_tgt")
     val ratio = pTgt
       .join(pRaw, "bucket")
       .select(col("bucket"), (log(col("p_tgt")) - log(col("p_raw"))).as("lr"))
