@@ -70,6 +70,19 @@ object Session {
       // unless the cleaner tracks them — without this the checkpoint
       // store grows by every staged frame for the app's lifetime
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // Output-layout contract (opt guide §6, round 17): every index /
+      // leg / fold writer targets 128 MiB parquet row groups —
+      // EXPLICIT, not inherited, so a library-default change can't
+      // silently fragment (or bloat) the index layout. 128 MiB is the
+      // LOW edge of the guide's 128 MB–1 GB range on purpose: the
+      // probe paths prune with row-group min/max statistics (SQ/PQ
+      // rescore under a pushed `id IN (…)`, BM25's term-sorted
+      // postings under `term IN (…)`), and larger groups would weaken
+      // exactly that skipping; sequential-scan-heavy deployments can
+      // raise it here. IndexLayoutSpec pins the written-file shape.
+      .config(
+        "spark.hadoop.parquet.block.size",
+        (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the engine session. */
