@@ -922,14 +922,26 @@ object SparkEntry {
     // fan-out keeps that posture (no-op when the scan fans out) and
     // un-serializes the one-split fixture scan locally; it shuffles
     // the raw TEXT (pre-tokenize), never the token arrays
-    val tk = graft.ops.Stage
+    val src = graft.ops.Stage
       .fanOutIfNarrow(Tables.documents(sess, d), col("doc_id"))
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
-    val rep = tk.select(
+    val rep = src.select(
       col("doc_id"),
-      round(TextFunctions.tokenRepetition(col("tk")), 6).as("rep_ratio"))
-    val top = tk
-      .select(col("doc_id"), explode(TextFunctions.bigramsOf(col("tk"))).as("bigram"))
+      round(
+        TextFunctions.tokenRepetition(TextFunctions.tokens(col("text"))),
+        6).as("rep_ratio"))
+    // bigrams as per-occurrence 64-bit HASHES from one fused pass
+    // (WordGramHashesExpr, round 17): the composable bigramsOf form
+    // evaluated an interpreted transform lambda per position and
+    // shuffled/grouped bigram STRINGS; neither bigram text nor its
+    // count appears in the output — only max(c)/sum(c) — so counting
+    // hashes is identical modulo the documented 2^-64 collision trade
+    // (the q149 gram-hash rationale; oracle hash stays green)
+    val top = src
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.WordGramHashesExpr.ofColumnAll(col("text"), 2))
+          .as("bigram"))
       .groupBy("doc_id", "bigram")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")

@@ -52,7 +52,10 @@ import org.apache.spark.sql.types._
   *    (size(null) → null → when falls to otherwise), so `eval` is
   *    overridden — null never reaches a consumer.
   */
-case class WordGramHashesExpr(child: Expression, n: Int)
+case class WordGramHashesExpr(
+    child: Expression,
+    n: Int,
+    distinct: Boolean = true)
     extends UnaryExpression
     with CodegenFallback {
 
@@ -131,8 +134,12 @@ case class WordGramHashesExpr(child: Expression, n: Int)
     push(tokStart, te) // trailing "" token iff text ends with \s
     if (nTok < n) return Empty
     // hash each window: in place when contiguous, else via a reusable
-    // single-space-joined buffer (== concat_ws(" ", ...) bytes)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    // single-space-joined buffer (== concat_ws(" ", ...) bytes).
+    // distinct=false keeps EVERY window's hash in window order (the
+    // q46 bigram-frequency shape — counts need occurrences)
+    val all: Array[Long] = if (distinct) null else new Array[Long](nTok - n + 1)
+    val seen =
+      if (distinct) new java.util.LinkedHashSet[java.lang.Long]() else null
     var buf: Array[Byte] = null
     var w = 0
     val lastW = nTok - n
@@ -166,9 +173,10 @@ case class WordGramHashesExpr(child: Expression, n: Int)
           XXH64.hashUnsafeBytes(
             buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
         }
-      seen.add(h)
+      if (distinct) seen.add(h) else all(w) = h
       w += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j2 = 0
@@ -188,6 +196,30 @@ object WordGramHashesExpr {
     org.apache.spark.sql.graftbridge.ExprBridge.column(
       WordGramHashesExpr(
         org.apache.spark.sql.graftbridge.ExprBridge.expression(c), n))
+
+  /** Non-distinct form: EVERY window's hash in window order — for
+    * per-occurrence frequency counting (q46's top-bigram fraction).
+    */
+  def ofColumnAll(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      WordGramHashesExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(c),
+        n,
+        distinct = false))
+
+  /** Composable spec of [[ofColumnAll]]: per-occurrence gram hashes —
+    * verbatim `xxhash64(concat_ws(" ", bigram))` over
+    * [[TextFunctions.bigramsOf]]-style windows, no dedup.
+    */
+  def composableAll(c: Column, n: Int): Column = {
+    val tk = TextFunctions.tokens(c)
+    when(
+      size(tk) >= n,
+      transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
 
   /** The original composable Column form — kept as the executable
     * SPECIFICATION the fused expression is differenced against

@@ -289,6 +289,15 @@ class CurationSpec extends AnyFunSuite {
         .where(!(col("f") <=> col("c")))
         .count()
       assert(diff === 0L, s"n=$n")
+      // non-distinct (per-occurrence) form, the q46 bigram shape
+      val diffAll = df
+        .select(
+          col("id"),
+          WordGramHashesExpr.ofColumnAll(col("text"), n).as("f"),
+          WordGramHashesExpr.composableAll(col("text"), n).as("c"))
+        .where(!(col("f") <=> col("c")))
+        .count()
+      assert(diffAll === 0L, s"all, n=$n")
     }
   }
 
