@@ -5255,8 +5255,11 @@ object SparkEntry {
   private def q159(sess: SparkSession, d: String): DataFrame =
     graft.operators.ValidatedJoin
       .join(
-        Tables
-          .lineitem(sess, d)
+        // adaptive fan-out (round 17, §2.5): the one-row-group fixture
+        // scan made the scan→cents→join→partial-agg chain a single
+        // 308 ms task (profiled); no-op at corpus scale
+        graft.ops.Stage
+          .fanOutIfNarrow(Tables.lineitem(sess, d), col("l_orderkey"))
           .select(
             col("l_orderkey").as("o_orderkey"),
             centsOf(col("l_extendedprice")).as("cents")),
