@@ -187,6 +187,146 @@ case class WordGramHashesExpr(
   override def prettyName: String = "graft_word_gram_hashes"
 }
 
+/** string → array<long>: the hash of EVERY n-token window, in window
+  * order (windows at token positions 1..nTok−n+1) — the fused form of
+  * [[graft.operators.Dedup.duplicateSpans]]' window projection
+  * (q181/q182). The composable form paid TWO interpreted lambdas per
+  * row: `transform(tokens, t => xxhash64(t))` (one interpreted
+  * invocation per token) and the per-window
+  * `xxhash64(element_at…× n)` battery. Parity relied on:
+  *  - token hash = xxhash64(token) = `XXH64.hashUnsafeBytes` over the
+  *    token's UTF-8 bytes, seed 42, hashed here in place on the input
+  *    buffer (tokenization exactly as [[WordGramHashesExpr]]:
+  *    space-trim, `\s` runs, phantom leading/trailing empties).
+  *  - window hash = Spark's variadic `xxhash64(h_i, …, h_{i+n-1})` ≡
+  *    left fold `acc = XXH64.hashLong(h_j, acc)` from seed 42 — the
+  *    documented XxHash64 field fold ([[SignatureExpressions]]).
+  *  - null text → empty array (the composable when-guard chain), so
+  *    `eval` is overridden; `posexplode` of the result reproduces the
+  *    (pos, gh) pairs with pos = index + 1.
+  */
+case class TokenWindowHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(n >= 1, s"window length must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${t.simpleString}")
+    }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenWindowHashesExpr = copy(child = newChild)
+
+  private val Empty = new GenericArrayData(Array.emptyLongArray)
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Empty else nullSafeEval(v)
+  }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nBytes = s.numBytes
+    var ts = 0
+    var te = nBytes
+    while (ts < te &&
+      org.apache.spark.unsafe.Platform.getByte(base, off + ts) == 0x20)
+      ts += 1
+    while (te > ts &&
+      org.apache.spark.unsafe.Platform.getByte(base, off + te - 1) == 0x20)
+      te -= 1
+    if (te == ts) return Empty
+    // token hashes in one pass (ranges as in WordGramHashesExpr)
+    var th = new Array[Long](16)
+    var nTok = 0
+    def push(a: Int, b: Int): Unit = {
+      if (nTok == th.length) th = java.util.Arrays.copyOf(th, nTok * 2)
+      th(nTok) = XXH64.hashUnsafeBytes(base, off + a, b - a, 42L)
+      nTok += 1
+    }
+    var i = ts
+    var tokStart = ts
+    while (i < te) {
+      if (isWsByte(org.apache.spark.unsafe.Platform.getByte(base, off + i))) {
+        push(tokStart, i)
+        while (i < te && isWsByte(
+          org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+        tokStart = i
+      } else i += 1
+    }
+    push(tokStart, te)
+    if (nTok < n) return Empty
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w < out.length) {
+      var acc = 42L
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(w + j), acc); j += 1 }
+      out(w) = acc
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "graft_token_window_hashes"
+}
+
+object TokenWindowHashesExpr {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Column form of the fused expression. */
+  def ofColumn(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      TokenWindowHashesExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(c), n))
+
+  /** Composable spec over a frame — verbatim the two-step projection
+    * `duplicateSpans` used before round 17 (token-hash array projected
+    * ONCE as an attribute, then the per-window variadic hash; nested
+    * inline the token transform would re-evaluate per window,
+    * O(tokens²) interpreted). Output: (idCol, gh array in window
+    * order) — pos is the array index + 1.
+    */
+  def composableFrame(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+        .as("__th"))
+    val th = col("__th")
+    def winHash(i: Column): Column =
+      xxhash64((0 until n).map(j => element_at(th, (i + j).cast("int"))): _*)
+    toks.select(
+      col(idCol),
+      when(
+        size(th) >= n,
+        transform(
+          sequence(lit(1L), (size(th) - (n - 1)).cast("long")),
+          i => winHash(i)))
+        .otherwise(array().cast("array<bigint>"))
+        .as("gh"))
+  }
+}
+
 object WordGramHashesExpr {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

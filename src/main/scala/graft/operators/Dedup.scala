@@ -4013,36 +4013,30 @@ object Dedup {
       minDocFreq >= 2,
       s"minDocFreq must be >= 2 (got $minDocFreq): below that every " +
         "window is a duplicated span and the output is the whole corpus")
-    // Window hashing in two cheap passes. Higher-order functions
-    // evaluate interpreted, so the per-element work must be minimal:
-    // (1) hash every token ONCE (per-token xxhash64 — the tokenizing
-    // split() is evaluated once per row as the transform's input, never
-    // inside the lambda; the naive slice-and-rehash form re-tokenized
-    // the doc per window, O(tokens²) regex work, measured 3-4x slower
-    // on the sf0.1 corpus); (2) per window, one variadic xxhash64 over
-    // the n token hashes (n element_at + one fixed-width hash per
-    // window — no string ever built, and no wrapping arithmetic to
-    // trip ANSI overflow checks). Any deterministic order-sensitive
-    // combination preserves the window-equality classes the oracle
-    // computes on gram STRINGS, modulo the same 2^-64 collision trade
-    // as [[duplicatedNgramFraction]]. The hash array is multiply-
-    // referenced and non-cheap, so CollapseProject keeps its boundary.
-    val toks = docs.select(
-      col(idCol),
-      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
-        .as("__th"))
-    val th = col("__th")
-    def winHash(i: Column): Column =
-      xxhash64((0 until n).map(j => element_at(th, (i + j).cast("int"))): _*)
-    val wins = when(
-      size(th) >= n,
-      transform(
-        sequence(lit(1L), (size(th) - (n - 1)).cast("long")),
-        i => struct(i.as("pos"), winHash(i).as("gh"))))
-      .otherwise(array().cast("array<struct<pos:bigint,gh:bigint>>"))
-    val docWin = toks
-      .select(col(idCol), explode(wins).as("w"))
-      .select(col(idCol), col("w.pos").as("pos"), col("w.gh").as("gh"))
+    // Window hashing in ONE fused native pass (round 17 —
+    // [[graft.functions.TokenWindowHashesExpr]], the WordGramHashesExpr
+    // recipe): the previous two-pass composable form (kept as the
+    // parity-spec reference, `TokenWindowHashesExpr.composableFrame`)
+    // still paid an interpreted lambda PER TOKEN (the hash transform)
+    // and PER WINDOW (the variadic element_at battery); the fused
+    // expression hashes token bytes in place and folds each window
+    // with the identical XxHash64 field fold, so the emitted hash
+    // values are bit-equal (CurationSpec differences them). Any
+    // deterministic order-sensitive combination preserves the
+    // window-equality classes the oracle computes on gram STRINGS,
+    // modulo the same 2^-64 collision trade as
+    // [[duplicatedNgramFraction]]. posexplode reproduces the 1-based
+    // window position as index + 1 (cast keeps pos at bigint — the
+    // declared span columns' type).
+    val docWin = docs
+      .select(
+        col(idCol),
+        posexplode(
+          graft.functions.TokenWindowHashesExpr.ofColumn(col(textCol), n)))
+      .select(
+        col(idCol),
+        (col("pos").cast("long") + 1L).as("pos"),
+        col("col").as("gh"))
     val docFreq = docWin
       .select(col(idCol), col("gh"))
       .distinct() // a window repeated WITHIN a doc counts one doc

@@ -217,6 +217,35 @@ class CurationSpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  test("tokenWindowHashes fused expression == composable form, element for element") {
+    import graft.functions.TokenWindowHashesExpr
+    val edges = Seq(
+      "", " ", "\t", "a", "a b c d", "a b c d e",
+      "a b c d e f g h", "a  b   c\td e f", "\ta b c d e f\n",
+      "same same same same same same", "café résumé naïve piñata jalapeño",
+      "x\n\ny z w v u", null.asInstanceOf[String])
+    val corpus = Tables
+      .documents(spark, TestSpark.sf)
+      .select(col("text"))
+      .as[String]
+      .collect()
+      .toSeq
+    val df = (corpus ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(1, 2, 5)) {
+      val fused = df.select(
+        col("id"),
+        TokenWindowHashesExpr.ofColumn(col("text"), n).as("f"))
+      val comp = TokenWindowHashesExpr.composableFrame(df, "id", "text", n)
+      val diff = fused
+        .join(comp, Seq("id"))
+        .where(!(col("f") <=> col("gh")))
+        .count()
+      assert(diff === 0L, s"n=$n")
+    }
+  }
+
   test("c4KeptLines fused expression == composable form, element for element") {
     import graft.functions.TextFunctions
     val edges = Seq(
