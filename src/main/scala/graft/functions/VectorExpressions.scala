@@ -129,6 +129,90 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 /** Registration + Column-level access for the native expressions. */
+/** array<double> → nearest-centroid index under squared-L2 — the fused
+  * form of the k-means assignment step ([[graft.operators.Similarity
+  * .kmeansAssign]]'s `nearestCentroid` UDF). The ScalaUDF converted
+  * every vector ArrayData → boxed Seq[Double] per row per call (once
+  * per Lloyd iteration plus the final assignment — a per-row
+  * allocation battery on every IVF-family index BUILD); this
+  * expression walks the unboxed ArrayData buffer directly.
+  *
+  * Arithmetic is REPLICATED from the UDF exactly: per centroid c in
+  * ascending order, d = Σ_{i < min(dims)} (v(i) − ct(i))² accumulated
+  * left-to-right in doubles, winner by STRICT `<` (ties to the lowest
+  * centroid index) — so assignments are bit-identical to the UDF's
+  * (ExtensionsSpec differences them over the embeddings corpus), and
+  * every downstream artifact (cluster layout, centroid re-averages,
+  * survivors) is unchanged.
+  *
+  * The centroid matrix rides IN the expression (driver-built constant,
+  * k·dim doubles — model-sized, the LocalLookup precedent), flattened
+  * to one row-major array at construction so the hot loop reads a flat
+  * buffer.
+  */
+case class NearestCentroidExpr(
+    child: Expression,
+    centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<double>, got ${t.simpleString}")
+    }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidExpr = copy(child = newChild)
+
+  @transient private lazy val k = centroids.length
+  @transient private lazy val dims: Array[Int] = centroids.map(_.length)
+  @transient private lazy val offsets: Array[Int] =
+    dims.scanLeft(0)(_ + _).init
+  @transient private lazy val flat: Array[Double] = centroids.flatten
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val vn = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val base = offsets(c)
+      val n = math.min(dims(c), vn)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getDouble(i) - flat(base + i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
+object NearestCentroidExpr {
+  def ofColumn(c: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      NearestCentroidExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(c),
+        centroids))
+}
+
 object VectorExpressions {
   val CosineName = "graft_cosine_sim"
 

@@ -1193,16 +1193,20 @@ object Similarity {
       .groupBy("cluster", "pos")
       .agg(avg(col("col")).as("v"))
 
-  /** Nearest-centroid assignment against a driver-side centroid table.
-    * A Scala UDF with a tight primitive loop over the (k × dim) constant
-    * array — the centroids are plan constants (closure-broadcast, a few
-    * KB), so there is NO join and NO shuffle: assignment is a narrow map
-    * over the corpus. A codegen'd Expression would shave interpreter
-    * overhead, but assignment runs once per index build (not per probe),
-    * and k·dim multiply-adds per row dominate either way. Ties go to the
-    * lowest cluster index (strict `<`), so assignment is deterministic.
+  /** Nearest-centroid assignment against a driver-side centroid table
+    * — since round 17 the HOT path is [[graft.functions
+    * .NearestCentroidExpr]] (direct ArrayData walk; the ScalaUDF
+    * converted every vector to a boxed Seq[Double] per row, a real
+    * cost on every IVF-family index BUILD, which the bench times in
+    * `index_build`). This UDF form is KEPT as the executable
+    * SPECIFICATION the fused expression is differenced against
+    * (ExtensionsSpec parity: identical loop order, strict `<`
+    * tie-break, min(dims) guard — assignments bit-identical). The
+    * centroids are plan constants either way (a few KB riding in the
+    * expression), so there is NO join and NO shuffle: assignment is a
+    * narrow map over the corpus.
     */
-  private def nearestCentroid(
+  private[graft] def nearestCentroid(
       centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Seq[Double]) =>
       var best = 0
@@ -1259,7 +1263,9 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val assigned = vecs.withColumn("cluster", nearestCentroid(centroids)(col("v")))
+      val assigned = vecs.withColumn(
+        "cluster",
+        graft.functions.NearestCentroidExpr.ofColumn(col("v"), centroids))
       val updated = ivfCentroids(assigned, "v", "cluster")
         .collect()
         .groupBy(_.getAs[Int]("cluster"))
@@ -1272,7 +1278,8 @@ object Similarity {
     }
     df.withColumn(
       "cluster",
-      nearestCentroid(centroids)(col(vecCol).cast("array<double>")))
+      graft.functions.NearestCentroidExpr
+        .ofColumn(col(vecCol).cast("array<double>"), centroids))
   }
 
   /** [[ivfWriteIndex]] for an UNLABELED corpus: run [[kmeansAssign]] for
@@ -1436,7 +1443,11 @@ object Similarity {
     val ids = byCluster.keys.toArray.sorted
     val arrs = ids.map(byCluster)
     val idLits = array(ids.toIndexedSeq.map(i => lit(i)): _*)
-    vec => element_at(idLits, nearestCentroid(arrs)(vec.cast("array<double>")) + 1)
+    vec =>
+      element_at(
+        idLits,
+        graft.functions.NearestCentroidExpr
+          .ofColumn(vec.cast("array<double>"), arrs) + 1)
   }
 
   def ivfAppendIndex(

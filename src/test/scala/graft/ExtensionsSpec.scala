@@ -1940,4 +1940,45 @@ class ExtensionsSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(math.abs(l2(1) - 2.0) < 1e-12)
   }
+
+  test("nearest-centroid expression == UDF spec, assignment for assignment") {
+    // the fused expression must reproduce the UDF's arithmetic exactly:
+    // ascending centroid order, left-to-right squared-diff accumulation,
+    // strict < (ties to the lowest index), min(dims) truncation.
+    // Edges: a vector SHORTER and LONGER than the centroids, exact
+    // ties, a centroid of different dimension, and the real corpus.
+    val centroids = Array(
+      Array(0.0, 0.0, 0.0, 0.0),
+      Array(1.0, 1.0, 1.0, 1.0),
+      Array(1.0, 1.0, 1.0, 1.0), // duplicate: tie must pick index 1
+      Array(0.5, 0.5), // shorter centroid — min(dims) guard
+      Array(-1.0, 2.0, -3.0, 4.0))
+    val edges = Seq(
+      Array(0.0, 0.0, 0.0, 0.0),
+      Array(1.0, 1.0, 1.0, 1.0),
+      Array(0.5, 0.5), // shorter vector
+      Array(0.5, 0.5, 0.5, 0.5, 9.0), // longer vector (extra dim ignored)
+      Array(0.25, 0.75),
+      Array(-1.0, 2.0, -3.0, 4.0))
+    val corpus = Tables
+      .embeddings(spark, TestSpark.sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .as[Seq[Double]]
+      .collect()
+      .toSeq
+      .map(_.toArray)
+    val df = (edges ++ corpus).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val diff = df
+      .select(
+        col("id"),
+        graft.functions.NearestCentroidExpr
+          .ofColumn(col("v"), centroids).as("f"),
+        graft.operators.Similarity
+          .nearestCentroid(centroids)(col("v")).as("c"))
+      .where(!(col("f") <=> col("c")))
+      .count()
+    assert(diff === 0L)
+  }
 }
