@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused scalar-quantization arithmetic (round 17) — the SQ family's
+  * per-row hot loops, previously interpreted zip_with/aggregate lambda
+  * batteries (HOF closures never enter codegen; the dequantize alone
+  * was TWO nested zip_with passes allocating a struct per component,
+  * evaluated per row of every probe's candidate scan).
+  *
+  * Bit parity with the composable forms (kept in
+  * [[graft.operators.Similarity]] as the executable specs;
+  * ExtensionsSpec differences them): per component i,
+  * `deq_i = lo_i + ((int(q8_i) + 128) * (hi_i − lo_i)) / 255.0` with
+  * the range `hi_i − lo_i` precomputed at plan time exactly as the
+  * composable literal array was, and the same IEEE operation order
+  * (int-to-double multiply, divide, add). zip_with's length semantics
+  * are reproduced: the output spans max(|q8|, dims), components past
+  * the shorter side (or null inputs) are null.
+  */
+case class SqDequantizeExpr(
+    child: Expression,
+    lo: Array[Double],
+    hi: Array[Double])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(lo.length == hi.length, "lo/hi dimension mismatch")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<tinyint>, got ${t.simpleString}")
+    }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SqDequantizeExpr = copy(child = newChild)
+
+  @transient private lazy val range: Array[Double] =
+    Array.tabulate(lo.length)(i => hi(i) - lo(i))
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val qn = q.numElements()
+    val dims = lo.length
+    val n = math.max(qn, dims)
+    val out = new Array[Any](n)
+    var i = 0
+    val m = math.min(qn, dims)
+    while (i < m) {
+      if (!q.isNullAt(i))
+        out(i) = lo(i) + ((q.getByte(i).toInt + 128).toDouble * range(i)) / 255.0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "graft_sq_dequantize"
+}
+
+/** (q8, v) → struct(err_sum, clip_sum) — the per-row terms of
+  * [[graft.operators.Similarity.sqDriftMetrics]] in ONE pass:
+  *  - `err_sum` = Σ_i |v_i − deq(q8_i)| (the composable
+  *    aggregate-over-zip_with left fold from 0.0, same order); null —
+  *    matching the composable null-poisoned fold — when the arrays
+  *    differ in length from each other or the bounds, or any component
+  *    is null.
+  *  - `clip_sum` = Σ_i (v_i < lo_i or v_i > hi_i ? 1 : 0) over
+  *    max(|v|, dims) components, where a null/past-end comparison
+  *    contributes 0 (the composable `when(null…).otherwise(0)` path).
+  */
+case class SqDriftTermsExpr(
+    left: Expression,
+    right: Expression,
+    lo: Array[Double],
+    hi: Array[Double])
+    extends BinaryExpression
+    with CodegenFallback {
+
+  require(lo.length == hi.length, "lo/hi dimension mismatch")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("err_sum", DoubleType, nullable = true),
+    StructField("clip_sum", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<tinyint>, array<double>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): SqDriftTermsExpr =
+    copy(left = newLeft, right = newRight)
+
+  @transient private lazy val range: Array[Double] =
+    Array.tabulate(lo.length)(i => hi(i) - lo(i))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val q = l.asInstanceOf[ArrayData]
+    val v = r.asInstanceOf[ArrayData]
+    val qn = q.numElements()
+    val vn = v.numElements()
+    val dims = lo.length
+    // err fold spans max(|v|, |deq|) where |deq| = max(|q8|, dims);
+    // any component outside the common prefix (or null) poisons the
+    // whole fold to null, exactly like acc + null in the composable
+    val errLen = math.max(vn, math.max(qn, dims))
+    var err: java.lang.Double = null
+    if (vn == errLen && qn == errLen && dims == errLen) {
+      var ok = true
+      var s = 0.0
+      var i = 0
+      while (ok && i < errLen) {
+        if (q.isNullAt(i) || v.isNullAt(i)) ok = false
+        else {
+          val deq =
+            lo(i) + ((q.getByte(i).toInt + 128).toDouble * range(i)) / 255.0
+          s += math.abs(v.getDouble(i) - deq)
+        }
+        i += 1
+      }
+      if (ok) err = s
+    }
+    // clip fold spans max(|v|, dims); null / past-end comparisons
+    // contribute 0 (CaseWhen's otherwise path)
+    var clip = 0.0
+    val m = math.min(vn, dims)
+    var j = 0
+    while (j < m) {
+      if (!v.isNullAt(j)) {
+        val x = v.getDouble(j)
+        if (x < lo(j) || x > hi(j)) clip += 1.0
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(err, clip)
+  }
+
+  override def prettyName: String = "graft_sq_drift_terms"
+}
+
+object SqExpressions {
+  def dequantize(q8: Column, lo: Seq[Double], hi: Seq[Double]): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      SqDequantizeExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(q8),
+        lo.toArray,
+        hi.toArray))
+
+  def driftTerms(
+      q8: Column,
+      v: Column,
+      lo: Seq[Double],
+      hi: Seq[Double]): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      SqDriftTermsExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(q8),
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(v),
+        lo.toArray,
+        hi.toArray))
+}

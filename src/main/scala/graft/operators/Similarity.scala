@@ -503,7 +503,7 @@ object Similarity {
     * [[sqDriftMetrics]] (per-segment clip_frac) and the append path's
     * inline retrain trigger (batch clip_frac, zero extra actions).
     */
-  private def sqClipSum(lo: Seq[Double], hi: Seq[Double])(v: Column): Column =
+  private[graft] def sqClipSum(lo: Seq[Double], hi: Seq[Double])(v: Column): Column =
     aggregate(
       zip_with(
         zip_with(v, array(lo.map(lit): _*),
@@ -583,7 +583,7 @@ object Similarity {
     * `range` literal computed as the same double subtraction — the
     * probe==inline hash contracts (q219/q220/q221) ride on this.
     */
-  private def sqDeq(lo: Seq[Double], hi: Seq[Double])(q8: Column): Column =
+  private[graft] def sqDeq(lo: Seq[Double], hi: Seq[Double])(q8: Column): Column =
     zip_with(
       zip_with(q8, array(lo.map(lit): _*),
         (q, l) => struct(q.as("q"), l.as("l"))),
@@ -615,7 +615,12 @@ object Similarity {
     require(k > 0 && factor >= 1)
     val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     VectorExpressions.register(spark)
-    val deq = sqDeq(lo, hi) _
+    // fused dequantize (round 17, [[graft.functions.SqDequantizeExpr]]
+    // — bit-parity with the kept composable [[sqDeq]], spec'd in
+    // ExtensionsSpec): the interpreted two-pass zip_with battery ran
+    // per row of the candidate scan
+    val deq = (c: org.apache.spark.sql.Column) =>
+      graft.functions.SqExpressions.dequantize(c, lo, hi)
     val idx = AtomicAppend.read(spark, path)
     val cand = idx
       .select(
@@ -666,7 +671,12 @@ object Similarity {
     require(k > 0 && factor >= 1)
     val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     VectorExpressions.register(spark)
-    val deq = sqDeq(lo, hi) _
+    // fused dequantize (round 17, [[graft.functions.SqDequantizeExpr]]
+    // — bit-parity with the kept composable [[sqDeq]], spec'd in
+    // ExtensionsSpec): the interpreted two-pass zip_with battery ran
+    // per row of the candidate scan
+    val deq = (c: org.apache.spark.sql.Column) =>
+      graft.functions.SqExpressions.dequantize(c, lo, hi)
     // one collect of the (small) query batch: the local relation
     // broadcasts into BOTH the candidate and rescore joins without
     // re-running the caller's query subplan per action, and its length
@@ -741,18 +751,22 @@ object Similarity {
       sourceTag: String = ""): DataFrame = {
     val (lo, hi) = sqReadMeta(spark, path, sourceTag)
     val dims = lo.length.toDouble
-    val errSum = aggregate(
-      zip_with(col("v"), sqDeq(lo, hi)(col("q8")), (x, y) => abs(x - y)),
-      lit(0d),
-      (a, e) => a + e)
-    val clipSum = sqClipSum(lo, hi)(col("v"))
+    // fused per-row drift terms (round 17,
+    // [[graft.functions.SqDriftTermsExpr]] — one pass instead of the
+    // interpreted zip_with/aggregate lambda battery; bit-parity with
+    // the kept composable forms, spec'd in ExtensionsSpec)
     AtomicAppend
       .readWithSeg(spark, path)
+      .select(
+        col("__seg"),
+        graft.functions.SqExpressions
+          .driftTerms(col("q8"), col("v"), lo, hi)
+          .as("__t"))
       .groupBy(col("__seg"))
       .agg(
         count(lit(1)).as("n"),
-        sum(errSum).as("__es"),
-        sum(clipSum).as("__cs"))
+        sum(col("__t.err_sum")).as("__es"),
+        sum(col("__t.clip_sum")).as("__cs"))
       .select(
         col("__seg").cast("int").as("seg"),
         col("n"),

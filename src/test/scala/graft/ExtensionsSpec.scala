@@ -1941,6 +1941,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(l2(1) - 2.0) < 1e-12)
   }
 
+  test("SQ dequantize / drift-terms expressions == composable forms") {
+    val lo = Seq(-1.0, 0.0, 0.25, -3.5)
+    val hi = Seq(1.0, 2.0, 0.75, 3.5)
+    // codes across the full byte range, vectors with in/out-of-bound
+    // components, a shorter and a longer array (zip_with null-padding
+    // semantics), and a null component
+    val rows = Seq(
+      (Seq[Byte](-128, 0, 127, 5), Seq[java.lang.Double](0.1, 1.9, 0.5, -3.4)),
+      (Seq[Byte](1, 2, 3, 4), Seq[java.lang.Double](-2.0, 5.0, 0.0, 9.9)),
+      (Seq[Byte](-1, -2, -3), Seq[java.lang.Double](0.0, 0.0, 0.0)), // short both
+      (Seq[Byte](9, 9, 9, 9), Seq[java.lang.Double](0.0, 0.0, 0.0)), // v short
+      (Seq[Byte](9, 9, 9), Seq[java.lang.Double](0.0, 0.0, 0.0, 0.0)), // q short
+      (Seq[Byte](0, 0, 0, 0), Seq[java.lang.Double](0.0, null, 0.0, 0.0)))
+    val df = rows.zipWithIndex
+      .map { case ((q, v), i) => (i.toLong, q, v) }
+      .toDF("id", "q8", "v")
+    val deqDiff = df
+      .select(
+        col("id"),
+        graft.functions.SqExpressions
+          .dequantize(col("q8"), lo, hi).as("f"),
+        graft.operators.Similarity.sqDeq(lo, hi)(col("q8")).as("c"))
+      .where(!(col("f") <=> col("c")))
+      .count()
+    assert(deqDiff === 0L, "dequantize parity")
+    val termsDiff = df
+      .select(
+        col("id"),
+        graft.functions.SqExpressions
+          .driftTerms(col("q8"), col("v"), lo, hi).as("t"),
+        aggregate(
+          zip_with(
+            col("v"),
+            graft.operators.Similarity.sqDeq(lo, hi)(col("q8")),
+            (x, y) => abs(x - y)),
+          lit(0d),
+          (a, e) => a + e).as("ce"),
+        graft.operators.Similarity.sqClipSum(lo, hi)(col("v")).as("cc"))
+      .where(
+        !(col("t.err_sum") <=> col("ce")) ||
+          !(col("t.clip_sum") <=> col("cc")))
+      .count()
+    assert(termsDiff === 0L, "drift-terms parity")
+  }
+
   test("nearest-centroid expression == UDF spec, assignment for assignment") {
     // the fused expression must reproduce the UDF's arithmetic exactly:
     // ascending centroid order, left-to-right squared-diff accumulation,
