@@ -154,6 +154,141 @@ case class SqDriftTermsExpr(
   override def prettyName: String = "graft_sq_drift_terms"
 }
 
+/** (v, lo, hi) → int8 codes — the fused form of
+  * [[graft.operators.Similarity.quantizeInt8]]'s in-plan encode, with
+  * the bounds as per-row ARRAY COLUMNS (the broadcast 1-row bounds
+  * frame rides a crossJoin, so lo/hi are plan attributes, not driver
+  * constants). Per component: num = x − l; range = h − l;
+  * code = (range == 0 ? 0 : round(num·255/range)) − 128 as tinyint —
+  * `round` replicated as Spark's Round(double, 0):
+  * `BigDecimal.valueOf(x).setScale(0, HALF_UP)`. zip_with length/null
+  * semantics as [[SqDequantizeExpr]].
+  */
+case class SqEncodeColsExpr(
+    first: Expression,
+    second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (
+            ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects three array<double>, got " +
+            s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression): SqEncodeColsExpr = copy(first = f, second = s, third = t)
+
+  override def nullSafeEval(v0: Any, l0: Any, h0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val lo = l0.asInstanceOf[ArrayData]
+    val hi = h0.asInstanceOf[ArrayData]
+    val n = math.max(v.numElements(), math.max(lo.numElements(), hi.numElements()))
+    val m = math.min(v.numElements(), math.min(lo.numElements(), hi.numElements()))
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < m) {
+      // branch order mirrors the composable when-chain: a zero range
+      // yields code −128 even for a null component (the `when` tests
+      // only the range), while a null bound nulls the range and a null
+      // component nulls the rounded branch
+      if (!lo.isNullAt(i) && !hi.isNullAt(i)) {
+        val l = lo.getDouble(i)
+        val range = hi.getDouble(i) - l
+        if (range == 0d) out(i) = (0d - 128d).toByte
+        else if (!v.isNullAt(i)) {
+          val num = v.getDouble(i) - l
+          val scaled = java.math.BigDecimal
+            .valueOf(num * 255d / range)
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .doubleValue()
+          val d = scaled - 128d
+          // the composable form's ANSI tinyint cast FAILS LOUDLY on a
+          // component outside the bounds (cannot happen for bounds
+          // derived from the same corpus); a silent wrap here would be
+          // a plausibly-wrong code instead of an error
+          if (d < -128d || d > 127d)
+            throw new ArithmeticException(
+              s"quantizeInt8: scaled code $d outside tinyint range — " +
+                "input component outside the quantization bounds")
+          out(i) = d.toByte
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "graft_sq_encode_cols"
+}
+
+/** (q8, lo, hi) → array<double> — [[SqDequantizeExpr]] with the
+  * bounds as per-row array columns ([[graft.operators.Similarity
+  * .dequantizeInt8]]'s shape): l + ((int(q)+128)·(h−l))/255.
+  */
+case class SqDequantizeColsExpr(
+    first: Expression,
+    second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (
+            ArrayType(ByteType, _),
+            ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<tinyint>, array<double>, " +
+            s"array<double>), got ${a.simpleString}, ${b.simpleString}, " +
+            s"${c.simpleString}")
+    }
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression): SqDequantizeColsExpr =
+    copy(first = f, second = s, third = t)
+
+  override def nullSafeEval(q0: Any, l0: Any, h0: Any): Any = {
+    val q = q0.asInstanceOf[ArrayData]
+    val lo = l0.asInstanceOf[ArrayData]
+    val hi = h0.asInstanceOf[ArrayData]
+    val n = math.max(q.numElements(), math.max(lo.numElements(), hi.numElements()))
+    val m = math.min(q.numElements(), math.min(lo.numElements(), hi.numElements()))
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < m) {
+      if (!q.isNullAt(i) && !lo.isNullAt(i) && !hi.isNullAt(i)) {
+        val l = lo.getDouble(i)
+        val range = hi.getDouble(i) - l
+        out(i) = l + ((q.getByte(i).toInt + 128).toDouble * range) / 255.0
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "graft_sq_dequantize_cols"
+}
+
 object SqExpressions {
   def dequantize(q8: Column, lo: Seq[Double], hi: Seq[Double]): Column =
     org.apache.spark.sql.graftbridge.ExprBridge.column(
@@ -161,6 +296,20 @@ object SqExpressions {
         org.apache.spark.sql.graftbridge.ExprBridge.expression(q8),
         lo.toArray,
         hi.toArray))
+
+  def encodeCols(v: Column, lo: Column, hi: Column): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      SqEncodeColsExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(v),
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(lo),
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(hi)))
+
+  def dequantizeCols(q8: Column, lo: Column, hi: Column): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      SqDequantizeColsExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(q8),
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(lo),
+        org.apache.spark.sql.graftbridge.ExprBridge.expression(hi)))
 
   def driftTerms(
       q8: Column,

@@ -97,18 +97,16 @@ object Similarity {
       .crossJoin(broadcast(bounds))
       .withColumn(
         vecCol + "_q8",
-        zip_with(
-          zip_with(col(vecCol).cast("array<double>"), col("lo"),
-            (x, l) => x - l),
-          zip_with(col("hi"), col("lo"), (h, l) => h - l),
-          (num, range) =>
-            // stored as a REAL signed byte (the "int8" the name
-            // promises): 0..255 shifted by −128 into byte range. An
-            // array<int> element is 4 bytes — half the advertised 4×
-            // win on a float corpus, silently
-            (when(range === 0d, lit(0))
-              .otherwise(round(num * 255d / range)) - 128)
-              .cast("tinyint")))
+        // fused encode (round 17, [[graft.functions.SqEncodeColsExpr]]
+        // — bit parity with [[quantizeInt8Composable]], the previous
+        // three-zip_with interpreted form kept below as the spec;
+        // ExtensionsSpec differences them). Codes stored as REAL
+        // signed bytes (the "int8" the name promises): 0..255 shifted
+        // by −128 into byte range
+        graft.functions.SqExpressions.encodeCols(
+          col(vecCol).cast("array<double>"),
+          col("lo"),
+          col("hi")))
       .drop("lo", "hi")
     (quantized, bounds)
   }
@@ -124,13 +122,34 @@ object Similarity {
     df.crossJoin(broadcast(bounds))
       .withColumn(
         outCol,
-        zip_with(
-          zip_with(col(q8Col), col("lo"), (q, l) => struct(q.as("q"), l.as("l"))),
-          zip_with(col("hi"), col("lo"), (h, l) => h - l),
-          (ql, range) => // +128 undoes the signed-byte shift
-            ql.getField("l") +
-              (ql.getField("q").cast("int") + 128) * range / 255d))
+        // fused decode (round 17 — parity spec'd against
+        // [[dequantizeInt8Composable]]); +128 undoes the signed shift
+        graft.functions.SqExpressions
+          .dequantizeCols(col(q8Col), col("lo"), col("hi")))
       .drop("lo", "hi")
+
+  /** The pre-round-17 composable encode — the executable SPEC
+    * [[SqEncodeColsExpr]] is differenced against (ExtensionsSpec).
+    */
+  private[graft] def quantizeInt8ComposableCode(v: Column): Column =
+    zip_with(
+      zip_with(v, col("lo"), (x, l) => x - l),
+      zip_with(col("hi"), col("lo"), (h, l) => h - l),
+      (num, range) =>
+        (when(range === 0d, lit(0))
+          .otherwise(round(num * 255d / range)) - 128)
+          .cast("tinyint"))
+
+  /** The pre-round-17 composable decode — the executable SPEC
+    * [[SqDequantizeColsExpr]] is differenced against (ExtensionsSpec).
+    */
+  private[graft] def dequantizeInt8ComposableCode(q8: Column): Column =
+    zip_with(
+      zip_with(q8, col("lo"), (q, l) => struct(q.as("q"), l.as("l"))),
+      zip_with(col("hi"), col("lo"), (h, l) => h - l),
+      (ql, range) =>
+        ql.getField("l") +
+          (ql.getField("q").cast("int") + 128) * range / 255d)
 
   /** Scalar-quantized (int8) top-k with exact rescore — the missing
     * cheap point on the ANN quantization spectrum beside PQ/IVF-PQ

@@ -1986,6 +1986,65 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(termsDiff === 0L, "drift-terms parity")
   }
 
+  test("SQ encode/decode column-bounds expressions == composable forms") {
+    // per-row bounds ARRAYS (the broadcast bounds-frame shape),
+    // including a zero-range dimension, out-of-bounds and null
+    // components, mismatched lengths, and the real embeddings corpus
+    val corpus = Tables
+      .embeddings(spark, TestSpark.sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .as[Seq[Double]]
+      .collect()
+      .toSeq
+      .map(v => (v.map(x => java.lang.Double.valueOf(x)),
+        v.map(_ => java.lang.Double.valueOf(-1.0)),
+        v.map(_ => java.lang.Double.valueOf(1.0))))
+    val edges = Seq(
+      (Seq[java.lang.Double](0.1, 0.9, -0.5, 0.0),
+        Seq[java.lang.Double](-1.0, 0.0, -1.0, 0.5),
+        Seq[java.lang.Double](1.0, 1.0, -1.0, 0.5)), // two zero ranges
+      // in-bounds only: the composable encode has NO clamp and ANSI
+      // tinyint cast THROWS outside the corpus-derived bounds — out-of-
+      // range inputs are sqEnc's (clamped) domain, not quantizeInt8's
+      (Seq[java.lang.Double](0.9, -0.7, null, 0.2),
+        Seq[java.lang.Double](-1.0, -1.0, -1.0, -1.0),
+        Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0)), // null component
+      (Seq[java.lang.Double](0.5, 0.5),
+        Seq[java.lang.Double](-1.0, -1.0, -1.0),
+        Seq[java.lang.Double](1.0, 1.0, 1.0)), // v shorter than bounds
+      (Seq[java.lang.Double](0.5, 0.5, 0.5),
+        Seq[java.lang.Double](-1.0, -1.0),
+        Seq[java.lang.Double](1.0, 1.0))) // bounds shorter than v
+    val df = (edges ++ corpus).zipWithIndex
+      .map { case ((v, l, h), i) => (i.toLong, v, l, h) }
+      .toDF("id", "v", "lo", "hi")
+    val encDiff = df
+      .select(
+        col("id"),
+        graft.functions.SqExpressions
+          .encodeCols(col("v"), col("lo"), col("hi")).as("f"),
+        graft.operators.Similarity
+          .quantizeInt8ComposableCode(col("v")).as("c"))
+      .where(!(col("f") <=> col("c")))
+      .count()
+    assert(encDiff === 0L, "encode parity")
+    // decode: run over the encoded codes of the same frame
+    val withCodes = df.select(
+      col("id"), col("lo"), col("hi"),
+      graft.functions.SqExpressions
+        .encodeCols(col("v"), col("lo"), col("hi")).as("q8"))
+    val decDiff = withCodes
+      .select(
+        col("id"),
+        graft.functions.SqExpressions
+          .dequantizeCols(col("q8"), col("lo"), col("hi")).as("f"),
+        graft.operators.Similarity
+          .dequantizeInt8ComposableCode(col("q8")).as("c"))
+      .where(!(col("f") <=> col("c")))
+      .count()
+    assert(decDiff === 0L, "decode parity")
+  }
+
   test("nearest-centroid expression == UDF spec, assignment for assignment") {
     // the fused expression must reproduce the UDF's arithmetic exactly:
     // ascending centroid order, left-to-right squared-diff accumulation,
