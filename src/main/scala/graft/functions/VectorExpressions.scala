@@ -156,7 +156,10 @@ case class NearestCentroidExpr(
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
-  require(centroids.nonEmpty, "need at least one centroid")
+  // NO non-empty require: an EMPTY corpus seeds zero centroids and the
+  // UDF spec tolerated that (its loop never runs, best = 0) — the
+  // assignment is never evaluated because the frame has no rows
+  // (EmptyInputSpec pins the family's empty-in/empty-out contract)
 
   override def dataType: DataType =
     org.apache.spark.sql.types.IntegerType

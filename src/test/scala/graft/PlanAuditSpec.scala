@@ -138,10 +138,14 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q128 — the staged 4-consumer weight frame carries the same
     *    1-row query-norm constant-attach already justified on the
     *    main list above.
+    *  - q191 — the round-17 overlapped target-distribution staging
+    *    moved Dsir's 1-row corpus-total constant-attach (already
+    *    justified on the main list) into a staged subtree.
     */
   private val allowStagedNestedLoop: Set[String] = Set(
     "q128_sparse_topk",
     "q174_semantic_dedup",
+    "q191_dsir_weights",
     "q225_best_survivors",
     "q230_ivf_occupancy_drift")
 
