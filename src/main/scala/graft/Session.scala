@@ -19,6 +19,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Session {
 
+  /** The §6 row-group target every engine session writes parquet with
+    * (see the builder comment). A named constant so IndexLayoutSpec
+    * can assert THIS value is inside the guide's 128 MB–1 GB range —
+    * the spec's written-file checks run on the bare test session,
+    * which would not catch a typo here (round-17 review fix).
+    */
+  val IndexRowGroupBytes: Long = 128L * 1024 * 1024
+
   /** Default worker count = PHYSICAL cores, not logical — the
     * reference's default (`core.py:36`,
     * `psutil.cpu_count(logical=False)`; rationale in its
@@ -82,7 +90,7 @@ object Session {
       // raise it here. IndexLayoutSpec pins the written-file shape.
       .config(
         "spark.hadoop.parquet.block.size",
-        (128L * 1024 * 1024).toString)
+        Session.IndexRowGroupBytes.toString)
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the engine session. */

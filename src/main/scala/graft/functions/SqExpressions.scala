@@ -110,11 +110,37 @@ case class SqDriftTermsExpr(
   @transient private lazy val range: Array[Double] =
     Array.tabulate(lo.length)(i => hi(i) - lo(i))
 
+  // BinaryExpression's default null propagation would drop the CLIP
+  // count for a null-q8 / non-null-v row, but the composable clip fold
+  // depends only on v (round-17 review fix): null v nulls both fields
+  // (≡ a null struct to every consumer), null q8 nulls only err_sum
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val r = right.eval(input)
+    if (r == null) return null
+    nullSafeEval(left.eval(input), r)
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val q = l.asInstanceOf[ArrayData]
     val v = r.asInstanceOf[ArrayData]
-    val qn = q.numElements()
     val vn = v.numElements()
+    if (l == null) {
+      // err_sum null (the composable fold over a null deq array);
+      // clip_sum still counts from v alone
+      var clip0 = 0.0
+      val m0 = math.min(vn, lo.length)
+      var j0 = 0
+      while (j0 < m0) {
+        if (!v.isNullAt(j0)) {
+          val x = v.getDouble(j0)
+          if (x < lo(j0) || x > hi(j0)) clip0 += 1.0
+        }
+        j0 += 1
+      }
+      return org.apache.spark.sql.catalyst.InternalRow(null, clip0)
+    }
+    val q = l.asInstanceOf[ArrayData]
+    val qn = q.numElements()
     val dims = lo.length
     // err fold spans max(|v|, |deq|) where |deq| = max(|q8|, dims);
     // any component outside the common prefix (or null) poisons the
@@ -195,31 +221,42 @@ case class SqEncodeColsExpr(
     val v = v0.asInstanceOf[ArrayData]
     val lo = l0.asInstanceOf[ArrayData]
     val hi = h0.asInstanceOf[ArrayData]
-    val n = math.max(v.numElements(), math.max(lo.numElements(), hi.numElements()))
-    val m = math.min(v.numElements(), math.min(lo.numElements(), hi.numElements()))
+    val vn = v.numElements()
+    val bn = math.min(lo.numElements(), hi.numElements())
+    val n = math.max(vn, math.max(lo.numElements(), hi.numElements()))
     val out = new Array[Any](n)
     var i = 0
-    while (i < m) {
-      // branch order mirrors the composable when-chain: a zero range
-      // yields code −128 even for a null component (the `when` tests
-      // only the range), while a null bound nulls the range and a null
-      // component nulls the rounded branch
-      if (!lo.isNullAt(i) && !hi.isNullAt(i)) {
+    while (i < n) {
+      // branch order mirrors the composable when-chain EXACTLY,
+      // including zip_with's null padding past the shorter side: a
+      // zero range yields code −128 even for a null/absent component
+      // (the `when` tests only the range), while a null/absent bound
+      // nulls the range and a null/absent component nulls the rounded
+      // branch (round-17 review fix: the first cut stopped at the
+      // common prefix and missed the zero-range-past-|v| case)
+      if (i < bn && !lo.isNullAt(i) && !hi.isNullAt(i)) {
         val l = lo.getDouble(i)
         val range = hi.getDouble(i) - l
         if (range == 0d) out(i) = (0d - 128d).toByte
-        else if (!v.isNullAt(i)) {
+        else if (i < vn && !v.isNullAt(i)) {
           val num = v.getDouble(i) - l
-          val scaled = java.math.BigDecimal
-            .valueOf(num * 255d / range)
-            .setScale(0, java.math.RoundingMode.HALF_UP)
-            .doubleValue()
+          val raw = num * 255d / range
+          // Spark's Round passes non-finite doubles through (only the
+          // composable's ANSI cast then fails); BigDecimal.valueOf
+          // would throw a bare NumberFormatException instead
+          val scaled =
+            if (java.lang.Double.isFinite(raw))
+              java.math.BigDecimal
+                .valueOf(raw)
+                .setScale(0, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+            else raw
           val d = scaled - 128d
           // the composable form's ANSI tinyint cast FAILS LOUDLY on a
-          // component outside the bounds (cannot happen for bounds
-          // derived from the same corpus); a silent wrap here would be
-          // a plausibly-wrong code instead of an error
-          if (d < -128d || d > 127d)
+          // component outside the bounds, or NaN/Infinity (cannot
+          // happen for bounds derived from the same corpus); a silent
+          // wrap here would be a plausibly-wrong code instead
+          if (!java.lang.Double.isFinite(d) || d < -128d || d > 127d)
             throw new ArithmeticException(
               s"quantizeInt8: scaled code $d outside tinyint range — " +
                 "input component outside the quantization bounds")

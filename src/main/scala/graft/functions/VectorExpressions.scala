@@ -183,6 +183,19 @@ case class NearestCentroidExpr(
     dims.scanLeft(0)(_ + _).init
   @transient private lazy val flat: Array[Double] = centroids.flatten
 
+  // the UDF spec FAILED LOUDLY (NPE) on a null vector; a silent null
+  // cluster here would flow a corrupt row into the index layout
+  // (round-17 review fix — loud-failure parity, with a better message)
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      throw new IllegalArgumentException(
+        "nearest-centroid assignment got a NULL vector — k-means inputs " +
+          "must be non-null embeddings")
+    nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val vn = v.numElements()

@@ -270,7 +270,18 @@ object AtomicAppend {
           legReadPool.submit(new java.util.concurrent.Callable[B] {
             override def call(): B = f(x)
           }))
-        .map(_.get())
+        .map { fut =>
+          // rethrow the ORIGINAL failure, not Future.get's
+          // ExecutionException wrapper — callers match on the read
+          // path's own exception types, and a single-leg view (which
+          // skips the pool) throws them unwrapped (round-17 review fix)
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException
+                if e.getCause != null =>
+              throw e.getCause
+          }
+        }
 
   /** [[read]] with provenance: a `__seg` column labels each row 0 for
     * the base leg (the build, or the latest fold once compacted) and
@@ -301,7 +312,14 @@ object AtomicAppend {
       // every segment); a future leg-pruning consumer should read legs
       // directly. Partitioned legs keep their literal labels.
       val (parted, flat) = segs.partition(_._2)
-      val segStr = regexp_extract(input_file_name(), "/_seg-([0-9]+)/", 1)
+      // anchored to the file's IMMEDIATE parent directory: flat legs
+      // hold their part files directly under `_seg-<n>`, so this can
+      // never match a like-named ANCESTOR of the dataRoot (round-17
+      // review fix — the unanchored first-match form would have
+      // mislabeled every segment of an index nested under some other
+      // `_seg-<k>` directory)
+      val segStr =
+        regexp_extract(input_file_name(), "/_seg-([0-9]+)/[^/]+$", 1)
       val flatDf =
         if (flat.isEmpty) Nil
         else

@@ -3108,6 +3108,10 @@ object Dedup {
     * [[semanticDedup]] (cluster-blocked) or [[embeddingNearDup]]
     * (hyperplane LSH), which bound the comparison set and trade recall
     * for the quadratic scan.
+    *
+    * `df` should be a raw scan or a narrow map over one — the adaptive
+    * fan-out probes partition counts eagerly
+    * ([[graft.ops.Stage.fanOutIfNarrow]]'s evaluation contract).
     */
   def embeddingNearDupExact(
       df: DataFrame,
@@ -3148,6 +3152,10 @@ object Dedup {
     * mostly by threshold-straddling pairs split across a cluster
     * boundary (near-exact dups co-assign to the same nearest centroid
     * by construction).
+    *
+    * `df` should be a raw scan or a narrow map over one — the adaptive
+    * fan-out probes partition counts eagerly
+    * ([[graft.ops.Stage.fanOutIfNarrow]]'s evaluation contract).
     */
   def semanticDedup(
       df: DataFrame,

@@ -1953,7 +1953,11 @@ class ExtensionsSpec extends AnyFunSuite {
       (Seq[Byte](-1, -2, -3), Seq[java.lang.Double](0.0, 0.0, 0.0)), // short both
       (Seq[Byte](9, 9, 9, 9), Seq[java.lang.Double](0.0, 0.0, 0.0)), // v short
       (Seq[Byte](9, 9, 9), Seq[java.lang.Double](0.0, 0.0, 0.0, 0.0)), // q short
-      (Seq[Byte](0, 0, 0, 0), Seq[java.lang.Double](0.0, null, 0.0, 0.0)))
+      (Seq[Byte](0, 0, 0, 0), Seq[java.lang.Double](0.0, null, 0.0, 0.0)),
+      // null q8 with a non-null v: err_sum nulls but the clip count
+      // still comes from v alone (round-17 review fix edge)
+      (null.asInstanceOf[Seq[Byte]],
+        Seq[java.lang.Double](9.0, -9.0, 0.5, 0.0)))
     val df = rows.zipWithIndex
       .map { case ((q, v), i) => (i.toLong, q, v) }
       .toDF("id", "q8", "v")
@@ -2014,7 +2018,13 @@ class ExtensionsSpec extends AnyFunSuite {
         Seq[java.lang.Double](1.0, 1.0, 1.0)), // v shorter than bounds
       (Seq[java.lang.Double](0.5, 0.5, 0.5),
         Seq[java.lang.Double](-1.0, -1.0),
-        Seq[java.lang.Double](1.0, 1.0))) // bounds shorter than v
+        Seq[java.lang.Double](1.0, 1.0)), // bounds shorter than v
+      // zero-range dimension PAST the vector's length: the composable
+      // when() tests only the range, so the code is -128 even though
+      // the component is zip_with-null (round-17 review fix edge)
+      (Seq[java.lang.Double](0.5, 0.5),
+        Seq[java.lang.Double](-1.0, -1.0, 0.5),
+        Seq[java.lang.Double](1.0, 1.0, 0.5)))
     val df = (edges ++ corpus).zipWithIndex
       .map { case ((v, l, h), i) => (i.toLong, v, l, h) }
       .toDF("id", "v", "lo", "hi")

@@ -29,6 +29,14 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(
       target >= 128L * 1024 * 1024 && target <= 1024L * 1024 * 1024,
       s"row-group target $target outside the guide's 128 MB–1 GB range")
+    // the ENGINE session's configured value, asserted directly — the
+    // file checks below run on the bare test session and would miss a
+    // typo in Session.builder's setting
+    assert(
+      Session.IndexRowGroupBytes >= 128L * 1024 * 1024 &&
+        Session.IndexRowGroupBytes <= 1024L * 1024 * 1024,
+      s"Session.IndexRowGroupBytes ${Session.IndexRowGroupBytes} outside " +
+        "the guide's 128 MB–1 GB range")
 
     val dir = java.nio.file.Files
       .createTempDirectory("graft-index-layout")
